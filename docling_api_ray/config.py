@@ -1,0 +1,39 @@
+"""Pipeline configuration.
+
+Re-expresses the reference's per-request knobs as a frozen pipeline config
+(reference: `extract_tables_as_images` and `image_resolution_scale`
+query params, document_converter/route.py:27-28, defaults
+document_converter/service.py:17,71-72; scale validated to [1,4] at
+route.py:28).  In the engine these are constructor args for the convert
+actor pool rather than per-request fields.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """Frozen config passed to every stage / actor constructor."""
+
+    # reference knobs (service.py:31-39)
+    extract_tables_as_images: bool = False
+    image_resolution_scale: int = 1  # in [1, 4]; drives synthetic PNG size
+    ocr_languages: tuple[str, ...] = ("fr", "de", "es", "en", "it", "pt")
+
+    # engine execution knobs (no reference equivalent — §4 design)
+    classify_batch_size: int = 2048
+    convert_batch_size: int = 64
+    convert_concurrency: int = 8  # actor-pool size for the convert stage
+    convert_num_cpus: float = 1.0
+
+    # span assembly rule for text-only formats: words per text span
+    words_per_span: int = 8
+
+    def __post_init__(self) -> None:
+        if not (1 <= self.image_resolution_scale <= 4):
+            raise ValueError("image_resolution_scale must be in [1, 4]")
+
+
+DEFAULT_CONFIG = PipelineConfig()

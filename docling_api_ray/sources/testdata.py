@@ -1,0 +1,77 @@
+"""Sources over the driver-generated parquet testdata (TESTDATA.md).
+
+``raw_documents_dataset`` expands the ``documents`` table into the raw
+binary upload shape the reference receives (filename + payload bytes,
+route.py:25-38) via the deterministic derivation in ``sources/synth.py``
+— a stateless ``map_batches`` so the expansion streams with the rest of
+the pipeline.  ``amplify`` repeats the corpus with distinct doc_ids for
+bench-scale loads (deterministic, no RNG).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+
+import ray.data
+
+from docling_api_ray.sources.synth import make_raw_document
+
+
+def documents_path(sf_dir: str) -> str:
+    return os.path.join(sf_dir, "documents.parquet")
+
+
+def synthesize_raw_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) → (doc_id, filename, payload); drops every other
+    column so only the raw upload shape flows downstream (prune early)."""
+    doc_ids = batch["doc_id"].to_pylist()
+    texts = batch["text"].to_pylist()
+    names: list[str] = []
+    payloads: list[bytes] = []
+    for d, t in zip(doc_ids, texts):
+        fn, pl = make_raw_document(int(d), t or "")
+        names.append(fn)
+        payloads.append(pl)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "filename": pa.array(names, type=pa.string()),
+            "payload": pa.array(payloads, type=pa.binary()),
+        }
+    )
+
+
+def raw_documents_dataset(
+    sf_dir: str, *, amplify: int = 1, override_num_blocks: int | None = None
+) -> ray.data.Dataset:
+    """Raw binary documents derived from the testdata documents table.
+
+    ``amplify=k`` unions k deterministic copies with doc_id offsets of
+    10M·i — the payload class / media-marker rules depend on doc_id mod
+    10/3/97, and 10_000_000 ≡ 0 (mod 10·3·97·2? no—) offsets are chosen as a
+    multiple of lcm(10,3,97)=2910 so every copy reproduces the same class
+    mix deterministically."""
+    kwargs = {"columns": ["doc_id", "text"]}
+    if override_num_blocks:
+        kwargs["override_num_blocks"] = override_num_blocks
+    ds = ray.data.read_parquet(documents_path(sf_dir), **kwargs)
+    if amplify > 1:
+        offset_unit = 2910 * 4000  # multiple of lcm(10, 3, 97) = 2910
+        copies = []
+        for i in range(amplify):
+            off = i * offset_unit
+
+            def shift(batch: pa.Table, off: int = off) -> pa.Table:
+                import pyarrow.compute as pc
+
+                return batch.set_column(
+                    batch.schema.get_field_index("doc_id"),
+                    "doc_id",
+                    pc.add(batch["doc_id"], off),
+                )
+
+            copies.append(ds.map_batches(shift, batch_format="pyarrow"))
+        ds = copies[0].union(*copies[1:])
+    return ds.map_batches(synthesize_raw_batch, batch_format="pyarrow")

@@ -1,0 +1,199 @@
+"""Convert stage — the actor-pool heart of the pipeline (SURVEY.md §2.3).
+
+The reference rebuilds the full docling model stack per request
+(`DocumentConverter(...)` inside every convert call, service.py:76-78,
+97-99; fresh service per Celery task, worker/tasks.py:19,33).  Here the
+converter state — per-format handlers, compiled patterns, OCR config,
+PNG render templates — loads ONCE per actor in ``__init__`` and is reused
+across batches: ``ds.map_batches(ConvertActor, concurrency=(m,n),
+batch_size=B)``.
+
+Format dispatch (SURVEY.md §2.4 J1): the reference selects a backend per
+document from a ``format_options`` dict keyed by InputFormat
+(service.py:76-78).  This engine keeps the same shape — ONE actor holding
+every format handler, dispatching per row by the ``format`` column —
+because in Ray Data a predicate split (``ds.filter(...)`` per format +
+``union``) re-executes the upstream lineage once per branch unless the
+classified dataset is materialized, and a ``groupby("format")`` is an
+all-to-all shuffle for what is only a routing decision.  Per-batch
+dispatch inside one pool needs neither.  Handlers that would hold truly
+heavyweight per-format models (GPU OCR) can be split into a dedicated
+pool by filtering on the format column AFTER a cheap persisted classify
+step — documented trade-off, not needed for the sandbox stub models.
+
+Error channel (SURVEY.md §2 D4): per-row try/except → ``error`` column,
+reproducing ``raises_on_error=False`` (service.py:80,103) — one poison
+document never fails a block.  Divergence from the reference's
+sync-single path (HTTP 500, service.py:125-130) is intentional and
+documented: error-as-data everywhere.
+
+Conversion itself: the sandbox has no docling/torch, so the PDF / OOXML /
+image handlers are deterministic stand-ins that parse the synthetic
+payload layout (sources/synth.py) — magic header, '\n'-separated text
+chunks, ``[[TABLE]]``/``[[PICTURE]]`` media markers — behind the same
+``Converter`` protocol surface (SURVEY.md §2.10) the real backends would
+implement.  The HTML handler is real (stages/html_extract.py).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import pyarrow as pa
+
+import ray.data
+
+from docling_api_ray.config import DEFAULT_CONFIG, PipelineConfig
+from docling_api_ray.functions.spans import Item, assemble_spans
+from docling_api_ray.schema import MEDIA_TYPE, SPAN_TYPE
+from docling_api_ray.stages.html_extract import extract_main_content
+
+
+class ConversionError(Exception):
+    """Per-document conversion failure — becomes an ``error`` row."""
+
+
+def parse_body_items(body: str) -> list[Item]:
+    """Parse the synthetic body layout into document items in reading
+    order (the stand-in for docling's iterate_items(), service.py:48)."""
+    items: list[Item] = []
+    for line in body.split("\n"):
+        if line == "[[TABLE]]":
+            items.append(Item("table", "| col |\n| --- |\n| cell |", True))
+        elif line == "[[PICTURE]]":
+            items.append(Item("picture", "", True))
+        elif line == "[[PICTURE noimg]]":
+            items.append(Item("picture", "", False))
+        elif line == "[[CORRUPT]]":
+            raise ConversionError("corrupt document")
+        elif line:
+            items.append(Item("text", line))
+    return items
+
+
+def _decode(payload: bytes) -> str:
+    return payload.decode("utf-8", errors="replace")
+
+
+class ConvertActor:
+    """Callable class for ``map_batches`` — one warm converter per actor.
+
+    ``__init__`` is the analog of model loading (docling pipeline assembly
+    + EasyOCR reader init, service.py:31-39, Dockerfile:31-36): handler
+    registry, config freeze, anything expensive.  ``__call__`` converts one
+    Arrow batch."""
+
+    def __init__(self, config: PipelineConfig = DEFAULT_CONFIG) -> None:
+        self.config = config
+        # handler registry == the reference's format_options dict
+        # (service.py:76-78); the extension surface of SURVEY.md §2.10.
+        self.handlers = {
+            "pdf": self._convert_pdf,
+            "docx": self._convert_ooxml,
+            "pptx": self._convert_ooxml,
+            "image": self._convert_image,
+            "md": self._convert_textual,
+            "asciidoc": self._convert_textual,
+            "html": self._convert_html,
+        }
+
+    # ---- per-format handlers (A1-A5 analogs) -----------------------------
+    def _convert_pdf(self, payload: bytes) -> list[Item]:
+        if not payload.startswith(b"%PDF"):
+            raise ConversionError("not a pdf")
+        body = _decode(payload)
+        body = body.split("\n", 1)[1] if "\n" in body else ""
+        return parse_body_items(body)
+
+    def _convert_ooxml(self, payload: bytes) -> list[Item]:
+        if not payload.startswith(b"PK\x03\x04"):
+            raise ConversionError("not an ooxml container")
+        body = _decode(payload[4:])
+        body = body.split("\n", 1)[1] if "\n" in body else ""
+        return parse_body_items(body)
+
+    def _convert_image(self, payload: bytes) -> list[Item]:
+        # OCR stub (A2): the reference runs EasyOCR inside the PDF pipeline
+        # (service.py:37); here the "recognized text" is the body carried
+        # after the PNG magic in the synthetic corpus.
+        if len(payload) < 8:
+            raise ConversionError("truncated image")
+        return parse_body_items(_decode(payload[8:]))
+
+    def _convert_textual(self, payload: bytes) -> list[Item]:
+        return parse_body_items(_decode(payload))
+
+    def _convert_html(self, payload: bytes) -> list[Item]:
+        res = extract_main_content(_decode(payload))
+        items = [Item("text", seg.text) for seg in res.segments]
+        for _src in res.images:
+            items.append(Item("picture", "", True))
+        return items
+
+    # ---- row + batch conversion -----------------------------------------
+    def convert_row(
+        self, payload: bytes, fmt: str | None, seed: int = 0
+    ) -> tuple[list[dict], list[dict], str, str]:
+        """(spans, media, markdown, error) for one document."""
+        if fmt is None or fmt == "":
+            return [], [], "", "unsupported format"
+        handler = self.handlers.get(fmt)
+        if handler is None:
+            return [], [], "", f"no handler for format {fmt!r}"
+        try:
+            items = handler(payload or b"")
+            doc = assemble_spans(
+                items,
+                extract_tables_as_images=self.config.extract_tables_as_images,
+                image_resolution_scale=self.config.image_resolution_scale,
+                png_seed=seed,
+            )
+            return doc.spans, doc.media, doc.markdown, ""
+        except ConversionError as e:
+            return [], [], "", str(e)
+        except Exception as e:  # raises_on_error=False semantics
+            return [], [], "", f"conversion failed: {e}"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        fmts = batch["format"].to_pylist()
+        doc_ids = batch["doc_id"]
+        spans_col: list[list[dict]] = []
+        media_col: list[list[dict]] = []
+        md_col: list[str] = []
+        err_col: list[str] = []
+        seeds = doc_ids.to_pylist()
+        for payload, fmt, seed in zip(payloads, fmts, seeds):
+            # process-stable seed (str hash() is salted per process)
+            s = zlib.crc32(str(seed).encode()) & 0x7FFFFFFF
+            spans, media, md, err = self.convert_row(payload, fmt, s)
+            spans_col.append(spans)
+            media_col.append(media)
+            md_col.append(md)
+            err_col.append(err)
+        return pa.table(
+            {
+                "doc_id": doc_ids,
+                "format": pa.array(
+                    [f if f else "" for f in fmts], type=pa.string()
+                ),
+                "spans": pa.array(spans_col, type=pa.list_(SPAN_TYPE)),
+                "markdown": pa.array(md_col, type=pa.string()),
+                "media": pa.array(media_col, type=pa.list_(MEDIA_TYPE)),
+                "error": pa.array(err_col, type=pa.string()),
+            }
+        )
+
+
+def convert_documents(
+    ds: ray.data.Dataset, config: PipelineConfig = DEFAULT_CONFIG
+) -> ray.data.Dataset:
+    """Attach the convert actor pool to a classified raw-document dataset."""
+    return ds.map_batches(
+        ConvertActor,
+        fn_constructor_kwargs={"config": config},
+        batch_format="pyarrow",
+        batch_size=config.convert_batch_size,
+        concurrency=(1, config.convert_concurrency),
+        num_cpus=config.convert_num_cpus,
+    )
