@@ -1,44 +1,570 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the Ray-Data-native extraction engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship conversion pipeline at sf0.001.
+``queries()`` exposes one callable per implemented operator/pipeline from
+SURVEY.md §2 plus the training-data extensions (dedup / similarity /
+text-analysis / multimodal); ``oracle_sql()`` gives the DuckDB mirror for
+every SQL-expressible one.  Column names match between both sides.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported — nothing
+here calls ``ray.init``/``ray.shutdown``.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray.data
+
+from docling_api_ray.config import PipelineConfig
+from docling_api_ray.pipelines.convert import flagship
+from docling_api_ray.sources.synth import make_html_page
+from docling_api_ray.stages import dedup as dd
+from docling_api_ray.stages import similarity as sim
+from docling_api_ray.stages import text_analysis as ta
+from docling_api_ray.stages.html_extract import extract_main_content
+from docling_api_ray.stages.multimodal import MediaMetadata, explode_media
+from ray.data.aggregate import Count, Sum
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments mirroring sources/synth.py derivation arithmetic
+# ---------------------------------------------------------------------------
+
+_SQL_NWORDS = "len(string_split(text, ' '))"
+_SQL_FORMAT = """
+CASE WHEN doc_id % 97 = 0 THEN 'pdf'
+     WHEN doc_id % 10 = 0 THEN 'pdf'
+     WHEN doc_id % 10 = 1 THEN 'docx'
+     WHEN doc_id % 10 = 2 THEN 'pptx'
+     WHEN doc_id % 10 IN (3, 4) THEN 'html'
+     WHEN doc_id % 10 = 5 THEN 'image'
+     WHEN doc_id % 10 = 6 THEN 'md'
+     WHEN doc_id % 10 = 7 THEN 'asciidoc'
+     ELSE '' END
+""".strip()
+
+# n_text spans: poison/unsupported → 0; html → ceil(words/12); else ceil(words/8)
+_SQL_NTEXT = f"""
+CASE WHEN doc_id % 97 = 0 OR doc_id % 10 IN (8, 9) THEN 0
+     WHEN doc_id % 10 IN (3, 4)
+          THEN CAST(ceil({_SQL_NWORDS} / 12.0) AS BIGINT)
+     ELSE CAST(ceil({_SQL_NWORDS} / 8.0) AS BIGINT) END
+""".strip()
+
+_SQL_NMEDIA = f"""
+CASE WHEN doc_id % 97 = 0 OR doc_id % 10 IN (3, 4, 8, 9) THEN 0
+     WHEN doc_id % 3 = 0 THEN ({_SQL_NTEXT}) // 2
+     ELSE 0 END
+""".strip()
+
+_SQL_ERROR = """
+CASE WHEN doc_id % 97 = 0 THEN 'corrupt document'
+     WHEN doc_id % 10 IN (8, 9) THEN 'unsupported format'
+     ELSE '' END
+""".strip()
+
+_KNN_K = 10
+_N_QUERIES = 5
+_NEARDUP_TH = 0.35
+_JACCARD_TH = 0.9
+
+
+def _docs(sf_dir: str, columns: list[str]) -> ray.data.Dataset:
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=columns
+    )
+
+
+def _emb(sf_dir: str, columns: list[str]) -> ray.data.Dataset:
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=columns
+    )
+
+
+def _flagship_cfg() -> PipelineConfig:
+    return PipelineConfig(extract_tables_as_images=True)
+
+
+def _with_schema(ds: ray.data.Dataset, schema: pa.Schema) -> ray.data.Dataset:
+    """Anchor a possibly-empty result with an explicit Arrow schema: a
+    zero-row typed dataset unioned in front, so empty pair-sets still
+    expose (left_id, right_id, ...) columns to the driver compare."""
+    return ray.data.from_arrow(schema.empty_table()).union(ds)
+
+
+_PAIRS_SCHEMA = pa.schema(
+    [("left_id", pa.int64()), ("right_id", pa.int64())]
+)
+_PAIRS_J = pa.schema(
+    [("left_id", pa.int64()), ("right_id", pa.int64()), ("jaccard", pa.float64())]
+)
+_PAIRS_C = pa.schema(
+    [("left_id", pa.int64()), ("right_id", pa.int64()), ("cosine", pa.float64())]
+)
+_PAIRS_H = pa.schema(
+    [("left_id", pa.int64()), ("right_id", pa.int64()), ("hamming", pa.int64())]
+)
+_PAIRS_E = pa.schema(
+    [("left_id", pa.int64()), ("right_id", pa.int64()), ("est_jaccard", pa.float64())]
+)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001."""
+    return flagship("/root/testdata/sf0.001", _flagship_cfg())
+
+
+def _q_classify(sf_dir: str):
+    from docling_api_ray.sources.testdata import raw_documents_dataset
+    from docling_api_ray.stages.classify import add_format_column
+
+    ds = add_format_column(raw_documents_dataset(sf_dir))
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "format": pc.fill_null(b["format"], ""),
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+def _q_format_counts(sf_dir: str):
+    return (
+        _q_classify(sf_dir)
+        .groupby("format")
+        .aggregate(Count(alias_name="n_docs"))
+    )
+
+
+def _q_convert_spans(sf_dir: str):
+    ds = flagship(sf_dir, _flagship_cfg())
+
+    def project(b: pa.Table) -> pa.Table:
+        spans_col = b["spans"].to_pylist()
+        n_spans, n_text, n_tab, n_pic, last = [], [], [], [], []
+        for spans in spans_col:
+            spans = spans or []
+            n_spans.append(len(spans))
+            n_text.append(sum(1 for s in spans if s["kind"] == "text"))
+            n_tab.append(sum(1 for s in spans if s["kind"] == "table"))
+            n_pic.append(sum(1 for s in spans if s["kind"] == "picture"))
+            refs = [s["media_ref"] for s in spans if s["media_ref"]]
+            last.append(refs[-1] if refs else "")
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "format": b["format"],
+                "n_spans": pa.array(n_spans, type=pa.int64()),
+                "n_text": pa.array(n_text, type=pa.int64()),
+                "n_tables": pa.array(n_tab, type=pa.int64()),
+                "n_pictures": pa.array(n_pic, type=pa.int64()),
+                "last_media_ref": pa.array(last, type=pa.string()),
+                "error": b["error"],
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+def _q_media_counts(sf_dir: str):
+    media = explode_media(flagship(sf_dir, _flagship_cfg()))
+    return media.groupby("kind").aggregate(Count(alias_name="n_media"))
+
+
+def _q_html_extract(sf_dir: str):
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def synth_and_extract(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pylist()
+        out = [
+            extract_main_content(make_html_page(t or "")).main_text for t in texts
+        ]
+        return pa.table(
+            {"doc_id": b["doc_id"], "main_text": pa.array(out, type=pa.string())}
+        )
+
+    return ds.map_batches(synth_and_extract, batch_format="pyarrow", batch_size=512)
+
+
+def _q_token_count(sf_dir: str):
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        ta.token_counts, batch_format="pyarrow"
+    )
+
+
+def _q_quality(sf_dir: str):
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        ta.quality_scores, batch_format="pyarrow"
+    )
+
+
+def _q_lang_id(sf_dir: str):
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        ta.lang_id, batch_format="pyarrow"
+    )
+
+
+def _q_fingerprint(sf_dir: str):
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        ta.fingerprints, batch_format="pyarrow"
+    )
+    return ds.select_columns(["doc_id", "fp_md5"])
+
+
+def _q_fingerprint_rolling(sf_dir: str):
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        ta.fingerprints, batch_format="pyarrow"
+    )
+    return ds.select_columns(["doc_id", "fp_rolling"])
+
+
+def _q_dedup_exact(sf_dir: str):
+    ds = dd.exact_dedup(_docs(sf_dir, ["doc_id", "text"]))
+    return ds.select_columns(["doc_id", "content_hash", "n_dups"])
+
+
+def _q_dedup_exact_stats(sf_dir: str):
+    """Aggregate view of exact-dup structure (always non-empty, so the
+    compare is schema-stable even on dup-free corpora)."""
+    from ray.data.aggregate import Max
+
+    deduped = dd.exact_dedup(_docs(sf_dir, ["doc_id", "text"]))
+
+    def shrink(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "one": pa.array([0] * len(b), type=pa.int64()),
+                "n_dups": b["n_dups"],
+                "redundant": pc.subtract(b["n_dups"], pa.scalar(1, pa.int64())),
+            }
+        )
+
+    agg = (
+        deduped.map_batches(shrink, batch_format="pyarrow")
+        .groupby("one")
+        .aggregate(
+            Count(alias_name="n_groups"),
+            Sum("redundant", alias_name="n_redundant"),
+            Max("n_dups", alias_name="max_group"),
+        )
+    )
+    return agg.select_columns(["n_groups", "n_redundant", "max_group"])
+
+
+def _q_ngram_jaccard(sf_dir: str):
+    return _with_schema(
+        dd.ngram_jaccard_pairs(
+            _docs(sf_dir, ["doc_id", "text", "source"]),
+            block_col="source",
+            threshold=_JACCARD_TH,
+        ),
+        _PAIRS_J,
+    )
+
+
+def _q_dedup_minhash(sf_dir: str):
+    return _with_schema(
+        dd.minhash_lsh_pairs(_docs(sf_dir, ["doc_id", "text"]), threshold=0.7),
+        _PAIRS_E,
+    )
+
+
+def _q_dedup_simhash(sf_dir: str):
+    return _with_schema(
+        dd.simhash_pairs(_docs(sf_dir, ["doc_id", "text"]), max_hamming=3),
+        _PAIRS_H,
+    )
+
+
+def _q_embedding_neardup(sf_dir: str):
+    return _with_schema(
+        dd.embedding_neardup_pairs(
+            _emb(sf_dir, ["vec_id", "embedding", "label"]),
+            block_col="label",
+            threshold=_NEARDUP_TH,
+        ),
+        _PAIRS_C,
+    )
+
+
+def _query_vectors(sf_dir: str):
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    mask = pc.less(tbl["vec_id"], _N_QUERIES)
+    small = tbl.filter(mask)
+    qids = small["vec_id"].to_pylist()
+    qmat = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in small["embedding"].to_pylist()]
+    )
+    order = np.argsort(qids)
+    return [int(qids[i]) for i in order], qmat[order]
+
+
+def _q_knn(sf_dir: str):
+    qids, qmat = _query_vectors(sf_dir)
+    return sim.knn_bruteforce(
+        _emb(sf_dir, ["vec_id", "embedding"]), qids, qmat, k=_KNN_K
+    ).select_columns(["query_id", "vec_id", "cosine", "rank"])
+
+
+def _q_knn_ivf(sf_dir: str):
+    qids, qmat = _query_vectors(sf_dir)
+    sample = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"]
+    )["embedding"].to_pylist()[:512]
+    cents = sim.train_centroids(
+        np.stack([np.asarray(v, dtype=np.float64) for v in sample]), ncentroids=8
+    )
+    return sim.ivf_knn(
+        _emb(sf_dir, ["vec_id", "embedding"]), qids, qmat, cents, k=_KNN_K, nprobe=4
+    ).select_columns(["query_id", "vec_id", "cosine", "rank"])
+
+
+def _q_events_hourly(sf_dir: str):
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "ts", "value"],
+    )
+
+    def add_window(b: pa.Table) -> pa.Table:
+        us = pc.cast(b["ts"], pa.int64())  # epoch microseconds
+        win = pc.multiply(pc.divide(us, 3_600_000_000), 3600)
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "window_start": pc.cast(win, pa.int64()),
+                "value": b["value"],
+            }
+        )
+
+    agg = (
+        ds.map_batches(add_window, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+    )
+
+    def round_sum(b: pa.Table) -> pa.Table:
+        return b.set_column(
+            b.schema.get_field_index("sum_value"),
+            "sum_value",
+            pc.round(b["sum_value"], ndigits=6),
+        )
+
+    return agg.map_batches(round_sum, batch_format="pyarrow")
+
+
+def _q_docs_stats(sf_dir: str):
+    ds = _docs(sf_dir, ["source", "n_chars"])
+    agg = ds.groupby("source").aggregate(
+        Count(alias_name="n_docs"), Sum("n_chars", alias_name="total_chars")
+    )
+
+    def add_avg(b: pa.Table) -> pa.Table:
+        avg = pc.round(
+            pc.divide(
+                pc.cast(b["total_chars"], pa.float64()),
+                pc.cast(b["n_docs"], pa.float64()),
+            ),
+            ndigits=6,
+        )
+        return b.append_column("avg_chars", avg)
+
+    return agg.map_batches(add_avg, batch_format="pyarrow")
+
+
+def _q_multimodal_meta(sf_dir: str):
+    media = explode_media(flagship(sf_dir, _flagship_cfg()))
+    return media.map_batches(
+        MediaMetadata, batch_format="pyarrow", batch_size=64, concurrency=(1, 4)
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "classify_format": _q_classify,
+        "format_counts": _q_format_counts,
+        "convert_spans": _q_convert_spans,
+        "media_counts": _q_media_counts,
+        "html_extract": _q_html_extract,
+        "token_count": _q_token_count,
+        "quality_score": _q_quality,
+        "lang_id": _q_lang_id,
+        "fingerprint_md5": _q_fingerprint,
+        "fingerprint_rolling": _q_fingerprint_rolling,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_exact_stats": _q_dedup_exact_stats,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "dedup_minhash": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "embedding_neardup": _q_embedding_neardup,
+        "knn_bruteforce": _q_knn,
+        "knn_ivf": _q_knn_ivf,
+        "events_hourly": _q_events_hourly,
+        "docs_stats_by_source": _q_docs_stats,
+        "multimodal_meta": _q_multimodal_meta,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB) — mirrors of the SQL-expressible queries above
+# ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    # duckdb string literals: pass regexes via $$-quoted strings
+    token = ta.TOKEN_RE
+    stop = ta.STOPWORD_RE
+    punct = ta.PUNCT_RE
+    wsre = ta.WS_TOKEN_RE
+
+    lang_counts = ", ".join(
+        f"CAST(length(regexp_extract_all(text, $$\\b(?:{'|'.join(words)})\\b$$)) AS BIGINT) AS c_{lang}"
+        for lang, words in ta.LANG_MARKERS.items()
+    )
+
+    return {
+        "classify_format": f"SELECT doc_id, {_SQL_FORMAT} AS format FROM documents",
+        "format_counts": f"""
+            SELECT {_SQL_FORMAT} AS format, count(*) AS n_docs
+            FROM documents GROUP BY 1
+        """,
+        "convert_spans": f"""
+            WITH base AS (
+              SELECT doc_id,
+                     {_SQL_FORMAT} AS format,
+                     {_SQL_NTEXT} AS n_text,
+                     {_SQL_NMEDIA} AS m,
+                     {_SQL_ERROR} AS error
+              FROM documents)
+            SELECT doc_id, format,
+                   n_text + m AS n_spans,
+                   n_text,
+                   (m + 1) // 2 AS n_tables,
+                   m // 2 AS n_pictures,
+                   CASE WHEN m = 0 THEN ''
+                        WHEN m % 2 = 1 THEN 'table-' || CAST((m + 1) // 2 AS VARCHAR) || '.png'
+                        ELSE 'picture-' || CAST(m // 2 AS VARCHAR) || '.png' END
+                     AS last_media_ref,
+                   error
+            FROM base
+        """,
+        "media_counts": f"""
+            WITH base AS (SELECT {_SQL_NMEDIA} AS m FROM documents),
+                 t AS (
+                   SELECT 'table' AS kind,
+                          CAST(sum((m + 1) // 2) AS BIGINT) AS n_media FROM base
+                   UNION ALL
+                   SELECT 'picture' AS kind,
+                          CAST(sum(m // 2) AS BIGINT) AS n_media FROM base)
+            SELECT kind, n_media FROM t WHERE n_media > 0
+        """,
+        "html_extract": "SELECT doc_id, text AS main_text FROM documents",
+        "token_count": f"""
+            SELECT doc_id,
+                   CAST(length(regexp_extract_all(text, $${wsre}$$)) AS BIGINT)
+                     AS n_ws_tokens,
+                   CAST(length(regexp_extract_all(text, $${token}$$)) AS BIGINT)
+                     AS n_bpe_tokens
+            FROM documents
+        """,
+        "quality_score": f"""
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(length(regexp_extract_all(text, $${wsre}$$)) AS BIGINT)
+                     AS n_words,
+                   round(length(regexp_extract_all(text, $${punct}$$))
+                         / greatest(length(text), 1), 6) AS punct_ratio,
+                   round(length(regexp_extract_all(text, $${stop}$$))
+                         / greatest(length(regexp_extract_all(text, $${wsre}$$)), 1), 6)
+                     AS stopword_ratio,
+                   round((length(text) - (length(regexp_extract_all(text, $${wsre}$$)) - 1))
+                         / greatest(length(regexp_extract_all(text, $${wsre}$$)), 1), 6)
+                     AS mean_word_len
+            FROM documents
+        """,
+        "lang_id": f"""
+            WITH c AS (SELECT doc_id, {lang_counts} FROM documents)
+            SELECT doc_id, c_en, c_es, c_de, c_fr,
+                   CASE WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr THEN 'en'
+                        WHEN c_es >= c_de AND c_es >= c_fr THEN 'es'
+                        WHEN c_de >= c_fr THEN 'de'
+                        ELSE 'fr' END AS predicted_lang
+            FROM c
+        """,
+        "fingerprint_md5": "SELECT doc_id, md5(text) AS fp_md5 FROM documents",
+        "dedup_exact": """
+            SELECT min(doc_id) AS doc_id, md5(text) AS content_hash,
+                   count(*) AS n_dups
+            FROM documents GROUP BY text
+        """,
+        "dedup_exact_stats": """
+            SELECT CAST(count(*) AS BIGINT) AS n_groups,
+                   CAST(sum(cnt - 1) AS BIGINT) AS n_redundant,
+                   CAST(max(cnt) AS BIGINT) AS max_group
+            FROM (SELECT count(*) AS cnt FROM documents GROUP BY text)
+        """,
+        "ngram_jaccard_pairs": f"""
+            WITH w AS (SELECT doc_id, source,
+                              list_distinct(string_split(text, ' ')) AS ws
+                       FROM documents)
+            SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+                   round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+                         / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))),
+                         6) AS jaccard
+            FROM w a JOIN w b ON a.source = b.source AND a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+                  / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws)))
+                  >= {_JACCARD_TH}
+        """,
+        "embedding_neardup": f"""
+            WITH e AS (SELECT vec_id, label,
+                              CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings)
+            SELECT a.vec_id AS left_id, b.vec_id AS right_id,
+                   round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+            FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= {_NEARDUP_TH}
+        """,
+        "knn_bruteforce": f"""
+            WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id < {_N_QUERIES}),
+                 c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+                       FROM embeddings WHERE vec_id >= {_N_QUERIES}),
+                 s AS (SELECT q.query_id, c.vec_id,
+                              round(list_cosine_similarity(c.cv, q.qv), 6) AS cosine
+                       FROM q CROSS JOIN c)
+            SELECT query_id, vec_id, cosine, CAST(rank AS BIGINT) AS rank FROM (
+              SELECT query_id, vec_id, cosine,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, vec_id) AS rank
+              FROM s)
+            WHERE rank <= {_KNN_K}
+        """,
+        "events_hourly": """
+            SELECT event_type,
+                   (epoch_us(ts) // 3600000000) * 3600 AS window_start,
+                   count(*) AS n_events,
+                   round(sum(value), 6) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "docs_stats_by_source": """
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   round(sum(n_chars) / CAST(count(*) AS DOUBLE), 6) AS avg_chars
+            FROM documents GROUP BY source
+        """,
+    }

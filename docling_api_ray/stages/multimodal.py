@@ -1,0 +1,171 @@
+"""Multimodal binary-column stages (training-data extension).
+
+Media travel as opaque ``binary`` columns with typed metadata, exactly as
+the engine's results table carries PNG payloads (schema.py MEDIA_TYPE; the
+reference b64-embeds the same bytes, service.py:63).  Stages follow the
+actor-pool pattern: decoder state in ``__init__``, vectorized work per
+batch, SMALL batch sizes because rows are wide.
+
+Sandbox reality (documented stubs): no image/audio codec libraries are
+available, so
+
+- PNG *header* decode is REAL (pure-python IHDR parse → width/height/
+  bit-depth columns);
+- byte-level feature extraction is REAL (numpy byte histograms);
+- pixel decode / resize / audio frame-sampling are STUBS raising
+  ``NotImplementedError`` unless ``allow_stub=True``, in which case they
+  emit deterministic fakes with the production schema, batch shape and
+  actor signature — the Ray-side plumbing under test.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+MEDIA_BATCH_SIZE = 64  # wide binary rows → small batches (§4 memory note)
+
+
+def parse_png_header(png: bytes) -> tuple[int, int, int] | None:
+    """(width, height, bit_depth) from a PNG IHDR — pure python, real."""
+    if len(png) < 26 or not png.startswith(b"\x89PNG\r\n\x1a\n"):
+        return None
+    if png[12:16] != b"IHDR":
+        return None
+    w, h = struct.unpack(">II", png[16:24])
+    return w, h, png[24]
+
+
+class MediaMetadata:
+    """Actor stage: binary column → typed metadata columns."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = batch["png"].to_pylist()
+        widths, heights, depths, valid = [], [], [], []
+        for b in blobs:
+            hdr = parse_png_header(b or b"")
+            if hdr:
+                widths.append(hdr[0]); heights.append(hdr[1]); depths.append(hdr[2])
+                valid.append(True)
+            else:
+                widths.append(0); heights.append(0); depths.append(0)
+                valid.append(False)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "filename": batch["filename"],
+                "kind": batch["kind"],
+                "width": pa.array(widths, type=pa.int32()),
+                "height": pa.array(heights, type=pa.int32()),
+                "bit_depth": pa.array(depths, type=pa.int32()),
+                "valid_png": pa.array(valid, type=pa.bool_()),
+                "n_bytes": pa.array(
+                    [len(b or b"") for b in blobs], type=pa.int64()
+                ),
+            }
+        )
+
+
+class ByteHistogramFeatures:
+    """Actor stage: 256-bin byte histogram per blob (real, vectorized) —
+    the stand-in feature extractor for similarity over media payloads."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = batch["png"].to_pylist()
+        feats = []
+        for b in blobs:
+            arr = np.frombuffer(b or b"", dtype=np.uint8)
+            hist = np.bincount(arr, minlength=256).astype(np.float32)
+            total = hist.sum()
+            feats.append(hist / total if total else hist)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "filename": batch["filename"],
+                "features": pa.array(
+                    [f.tolist() for f in feats], type=pa.list_(pa.float32(), 256)
+                ),
+            }
+        )
+
+
+class ImageResize:
+    """Actor stage signature for pixel resize.  Pixel decode needs a codec
+    library not present in this sandbox: with ``allow_stub=False`` (the
+    production default) it raises NotImplementedError; with
+    ``allow_stub=True`` it emits a deterministic fake payload of the
+    target dimensions so the pipeline plumbing (schema, batching,
+    backpressure with wide rows) is exercised end-to-end."""
+
+    def __init__(self, target: tuple[int, int] = (32, 32), allow_stub: bool = False):
+        self.target = target
+        self.allow_stub = allow_stub
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self.allow_stub:
+            raise NotImplementedError(
+                "pixel decode requires an image codec library (PIL/cv2) "
+                "not available in this environment; construct with "
+                "allow_stub=True for the deterministic plumbing fake"
+            )
+        from docling_api_ray.functions.png import make_png
+
+        blobs = batch["png"].to_pylist()
+        out = [
+            make_png(len(b or b"") & 0xFFFF, max(1, self.target[0] // 4))
+            for b in blobs
+        ]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "filename": batch["filename"],
+                "png": pa.array(out, type=pa.binary()),
+                "width": pa.array([self.target[0]] * len(out), type=pa.int32()),
+                "height": pa.array([self.target[1]] * len(out), type=pa.int32()),
+            }
+        )
+
+
+def explode_media(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """results table → one row per media blob (flat_map equivalent done as
+    a batch transform to stay vectorized)."""
+
+    def flatten(batch: pa.Table) -> pa.Table:
+        doc_ids, kinds, names, pngs = [], [], [], []
+        media_col = batch["media"].to_pylist()
+        ids = batch["doc_id"].to_pylist()
+        for did, media in zip(ids, media_col):
+            for m in media or []:
+                doc_ids.append(did)
+                kinds.append(m["kind"])
+                names.append(m["filename"])
+                pngs.append(m["png"])
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids),
+                "kind": pa.array(kinds, type=pa.string()),
+                "filename": pa.array(names, type=pa.string()),
+                "png": pa.array(pngs, type=pa.binary()),
+            }
+        )
+
+    return ds.map_batches(flatten, batch_format="pyarrow", batch_size=MEDIA_BATCH_SIZE)
+
+
+def media_pipeline(
+    results: ray.data.Dataset, *, with_features: bool = True
+) -> ray.data.Dataset:
+    """results → exploded media → metadata (+ optional features join-free:
+    metadata and features are produced in one linear pass each)."""
+    media = explode_media(results)
+    stage = ByteHistogramFeatures if with_features else MediaMetadata
+    return media.map_batches(
+        stage,
+        batch_format="pyarrow",
+        batch_size=MEDIA_BATCH_SIZE,
+        concurrency=(1, 4),
+    )

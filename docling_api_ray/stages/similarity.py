@@ -1,0 +1,253 @@
+"""Similarity search over an embedding column (training-data extension).
+
+- ``knn_bruteforce``: exact cosine top-k.  The query matrix is broadcast
+  once (``ray.put`` on the driver, fetched per actor in ``__init__``) —
+  never re-shipped per batch.  Each batch computes a numpy matmul and
+  emits only its LOCAL top-k per query (partial top-k combiner), so the
+  final ``groupby(query_id)`` reduce sees k·num_blocks rows per query,
+  not the full corpus — the all-to-all moves kilobytes.
+- ``ivf_knn``: the scale path — coarse quantizer (Lloyd iterations on a
+  driver-side sample), every vector assigned to its nearest centroid in a
+  vectorized ``map_batches``; queries probe only ``nprobe`` centroid
+  buckets, so the scanned fraction is nprobe/ncentroids.  Returns the
+  same output shape; recall vs brute force is measured in tests/bench.
+
+Ranking determinism: neighbors order by (rounded -cosine, vec_id); cosines
+are computed in float64 and rounded to 6 places to make results stable
+across BLAS backends and comparable to the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def _norm_rows(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1)
+    n[n == 0] = 1.0
+    return m / n[:, None]
+
+
+class BatchTopK:
+    """Per-batch partial top-k against a broadcast query matrix."""
+
+    def __init__(self, queries_ref, k: int) -> None:
+        qids, qmat = ray.get(queries_ref)  # fetched once per actor
+        self.qids = np.asarray(qids, dtype=np.int64)
+        self.qn = _norm_rows(np.asarray(qmat, dtype=np.float64))
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["vec_id"], dtype=np.int64)
+        mat = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in batch["embedding"].to_pylist()]
+        )
+        sims = np.round(_norm_rows(mat) @ self.qn.T, 6)  # (B, Q)
+        k = min(self.k, len(ids))
+        out_q, out_id, out_sim = [], [], []
+        for qi in range(sims.shape[1]):
+            col = sims[:, qi]
+            # partial top-k with deterministic (−sim, vec_id) order
+            order = np.lexsort((ids, -col))[:k]
+            out_q.extend([int(self.qids[qi])] * len(order))
+            out_id.extend(ids[order].tolist())
+            out_sim.extend(col[order].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "vec_id": pa.array(out_id, type=pa.int64()),
+                "cosine": pa.array(out_sim, type=pa.float64()),
+            }
+        )
+
+
+def _final_topk(k: int):
+    def reduce_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["cosine", "vec_id"], ascending=[False, True], kind="stable"
+        ).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return reduce_group
+
+
+def knn_bruteforce(
+    ds: ray.data.Dataset,
+    query_ids: list[int],
+    query_matrix: np.ndarray,
+    *,
+    k: int = 10,
+    exclude_self: bool = True,
+) -> ray.data.Dataset:
+    """Exact cosine top-k of every query against the embedding dataset."""
+    if exclude_self:
+        qset = set(int(q) for q in query_ids)
+
+        def drop_self(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            mask = pc.invert(
+                pc.is_in(b["vec_id"], value_set=pa.array(sorted(qset)))
+            )
+            return b.filter(mask)
+
+        ds = ds.map_batches(drop_self, batch_format="pyarrow")
+    ref = ray.put((list(map(int, query_ids)), np.asarray(query_matrix)))
+    partial = ds.map_batches(
+        BatchTopK,
+        fn_constructor_kwargs={"queries_ref": ref, "k": k},
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 8),
+    )
+    return partial.groupby("query_id").map_groups(
+        _final_topk(k), batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (coarse-quantized) variant — the 100 TB scale path
+# ---------------------------------------------------------------------------
+
+def train_centroids(
+    sample: np.ndarray, ncentroids: int, iters: int = 5, seed: int = 42
+) -> np.ndarray:
+    """Deterministic Lloyd iterations on a driver-side sample (the sample
+    is small by construction; the full dataset is never materialized)."""
+    rng = np.random.RandomState(seed)
+    sample = _norm_rows(np.asarray(sample, dtype=np.float64))
+    idx = rng.choice(len(sample), size=min(ncentroids, len(sample)), replace=False)
+    cents = sample[np.sort(idx)].copy()
+    for _ in range(iters):
+        assign = np.argmax(sample @ cents.T, axis=1)
+        for c in range(len(cents)):
+            members = sample[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cents[c] = v / n
+    return cents
+
+
+class AssignCentroid:
+    def __init__(self, cents_ref) -> None:
+        self.cents = ray.get(cents_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in batch["embedding"].to_pylist()]
+        )
+        assign = np.argmax(_norm_rows(mat) @ self.cents.T, axis=1)
+        return batch.append_column(
+            "centroid", pa.array(assign.astype(np.int64), type=pa.int64())
+        )
+
+
+def ivf_knn(
+    ds: ray.data.Dataset,
+    query_ids: list[int],
+    query_matrix: np.ndarray,
+    centroids: np.ndarray,
+    *,
+    k: int = 10,
+    nprobe: int = 4,
+    exclude_self: bool = True,
+) -> ray.data.Dataset:
+    """Approximate top-k: scan only vectors whose centroid is among each
+    query's ``nprobe`` nearest centroids.  One vectorized assign pass +
+    a filtered brute-force pass; at scale the assign output is written
+    partitioned by centroid so probes become partition-pruned reads."""
+    cents_ref = ray.put(np.asarray(centroids, dtype=np.float64))
+    assigned = ds.map_batches(
+        AssignCentroid,
+        fn_constructor_kwargs={"cents_ref": cents_ref},
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 8),
+    )
+    qn = _norm_rows(np.asarray(query_matrix, dtype=np.float64))
+    probe = np.argsort(-(qn @ np.asarray(centroids).T), axis=1)[:, :nprobe]
+    # query q may scan bucket c  ⇔  c ∈ probe[q]
+    probed_buckets = sorted({int(c) for row in probe for c in row})
+
+    def keep_probed(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return b.filter(
+            pc.is_in(b["centroid"], value_set=pa.array(probed_buckets))
+        )
+
+    filtered = assigned.map_batches(keep_probed, batch_format="pyarrow")
+    if exclude_self:
+        qset = sorted(int(q) for q in query_ids)
+
+        def drop_self(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return b.filter(
+                pc.invert(pc.is_in(b["vec_id"], value_set=pa.array(qset)))
+            )
+
+        filtered = filtered.map_batches(drop_self, batch_format="pyarrow")
+
+    # per-query bucket masks are enforced in the partial top-k by zeroing
+    # disallowed (query, row) sims
+    ref = ray.put(
+        (
+            list(map(int, query_ids)),
+            np.asarray(query_matrix),
+            {int(q): set(int(c) for c in probe[i]) for i, q in enumerate(query_ids)},
+        )
+    )
+
+    class BucketedTopK:
+        def __init__(self) -> None:
+            qids, qmat, allowed = ray.get(ref)
+            self.qids = np.asarray(qids, dtype=np.int64)
+            self.qn = _norm_rows(np.asarray(qmat, dtype=np.float64))
+            self.allowed = allowed
+            self.k = k
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch["vec_id"], dtype=np.int64)
+            cents = np.asarray(batch["centroid"], dtype=np.int64)
+            mat = np.stack(
+                [
+                    np.asarray(v, dtype=np.float64)
+                    for v in batch["embedding"].to_pylist()
+                ]
+            )
+            sims = np.round(_norm_rows(mat) @ self.qn.T, 6)
+            out_q, out_id, out_sim = [], [], []
+            for qi, qid in enumerate(self.qids):
+                mask = np.isin(cents, list(self.allowed[int(qid)]))
+                if not mask.any():
+                    continue
+                col = np.where(mask, sims[:, qi], -2.0)
+                kk = min(self.k, int(mask.sum()))
+                order = np.lexsort((ids, -col))[:kk]
+                out_q.extend([int(qid)] * len(order))
+                out_id.extend(ids[order].tolist())
+                out_sim.extend(col[order].tolist())
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, type=pa.int64()),
+                    "vec_id": pa.array(out_id, type=pa.int64()),
+                    "cosine": pa.array(out_sim, type=pa.float64()),
+                }
+            )
+
+    partial = filtered.map_batches(
+        BucketedTopK, batch_format="pyarrow", batch_size=4096, concurrency=(1, 8)
+    )
+    return partial.groupby("query_id").map_groups(
+        _final_topk(k), batch_format="pandas"
+    )

@@ -1,0 +1,130 @@
+"""Text-analysis operators over the documents table — the training-data
+pipeline extensions (task brief: language-ID, quality scoring, token
+counting, document fingerprinting).
+
+All hot-path kernels are vectorized ``pyarrow.compute`` RE2 calls inside
+``map_batches(batch_format="pyarrow")`` — the same regex engine DuckDB
+uses, so the SQL oracles in ``__ray_entry__`` match bit-for-bit.
+Fingerprints (md5 / rolling hash) are per-row over the string payload —
+O(bytes), the irreducible cost of hashing.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# BPE-ish token classes: letter runs, digit runs, single non-space symbols
+TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+WS_TOKEN_RE = r"\S+"
+PUNCT_RE = r"[^\w\s]"
+STOPWORDS = ("the", "and", "of", "a", "to", "in", "is")
+STOPWORD_RE = r"\b(?:" + "|".join(STOPWORDS) + r")\b"
+
+# language marker words (n-gram-heuristic stand-in with an exact SQL mirror);
+# priority order breaks ties deterministically
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of"),
+    "es": ("el", "la", "que"),
+    "de": ("der", "die", "und"),
+    "fr": ("le", "les", "des"),
+}
+LANG_PRIORITY = ("en", "es", "de", "fr")
+
+
+def _count(col: pa.ChunkedArray | pa.Array, pattern: str) -> pa.Array:
+    return pc.count_substring_regex(col, pattern)
+
+
+def token_counts(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """doc_id + whitespace-token and BPE-ish-token counts."""
+    t = batch[text_col]
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_ws_tokens": pc.cast(_count(t, WS_TOKEN_RE), pa.int64()),
+            "n_bpe_tokens": pc.cast(_count(t, TOKEN_RE), pa.int64()),
+        }
+    )
+
+
+def quality_scores(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Length / punctuation / stopword quality signals, all ratios rounded
+    to 6 places so the float compare with the SQL oracle is exact."""
+    t = batch[text_col]
+    n_chars = pc.cast(pc.utf8_length(t), pa.float64())
+    n_words = pc.cast(_count(t, WS_TOKEN_RE), pa.float64())
+    n_punct = pc.cast(_count(t, PUNCT_RE), pa.float64())
+    n_stop = pc.cast(_count(t, STOPWORD_RE), pa.float64())
+    safe_chars = pc.max_element_wise(n_chars, pa.scalar(1.0))
+    safe_words = pc.max_element_wise(n_words, pa.scalar(1.0))
+    mean_word_len = pc.round(
+        pc.divide(pc.subtract(n_chars, pc.subtract(n_words, pa.scalar(1.0))), safe_words),
+        ndigits=6,
+    )
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_chars": pc.cast(n_chars, pa.int64()),
+            "n_words": pc.cast(n_words, pa.int64()),
+            "punct_ratio": pc.round(pc.divide(n_punct, safe_chars), ndigits=6),
+            "stopword_ratio": pc.round(pc.divide(n_stop, safe_words), ndigits=6),
+            "mean_word_len": mean_word_len,
+        }
+    )
+
+
+def lang_id(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Marker-word language ID: per-language marker counts, argmax with
+    fixed priority-order tie-break (en > es > de > fr)."""
+    t = batch[text_col]
+    counts = {
+        lang: np.asarray(
+            _count(t, r"\b(?:" + "|".join(words) + r")\b"), dtype=np.int64
+        )
+        for lang, words in LANG_MARKERS.items()
+    }
+    n = len(batch)
+    pred = np.full(n, "", dtype=object)
+    best = np.full(n, -1, dtype=np.int64)
+    for lang in LANG_PRIORITY:  # first-in-priority wins ties (strict >)
+        c = counts[lang]
+        take = c > best
+        pred[take] = lang
+        best = np.maximum(best, c)
+    cols = {"doc_id": batch["doc_id"]}
+    for lang in LANG_PRIORITY:
+        cols[f"c_{lang}"] = pa.array(counts[lang], type=pa.int64())
+    cols["predicted_lang"] = pa.array(pred, type=pa.string())
+    return pa.table(cols)
+
+
+_ROLL_BASE = np.uint64(1099511628211)  # FNV-ish multiplier
+_ROLL_INIT = np.uint64(14695981039346656037)
+
+
+def _rolling_hash(s: str) -> int:
+    """FNV-1a 64-bit over utf-8 bytes, vectorized per row with numpy."""
+    data = np.frombuffer(s.encode("utf-8"), dtype=np.uint8)
+    h = _ROLL_INIT
+    with np.errstate(over="ignore"):
+        for b in data.astype(np.uint64):
+            h = (h ^ b) * _ROLL_BASE
+    return int(h & np.uint64(0x7FFFFFFFFFFFFFFF))
+
+
+def fingerprints(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """md5 hex digest (SQL-oracle-able) + 64-bit FNV rolling hash."""
+    texts = batch[text_col].to_pylist()
+    md5s = [hashlib.md5((t or "").encode("utf-8")).hexdigest() for t in texts]
+    rolls = [_rolling_hash(t or "") for t in texts]
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "fp_md5": pa.array(md5s, type=pa.string()),
+            "fp_rolling": pa.array(rolls, type=pa.int64()),
+        }
+    )

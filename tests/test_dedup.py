@@ -1,0 +1,106 @@
+"""Dedup operator family on controlled corpora with known duplicates."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from docling_api_ray.stages.dedup import (
+    MinHasher,
+    SimHasher,
+    embedding_neardup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the band plays "
+    "a long tune about data pipelines and streaming execution engines"
+)
+NEAR = BASE.replace("lazy", "sleepy")  # 1-word change → high jaccard
+FAR = "completely different content with no overlap whatsoever at all here now"
+
+
+def _docs():
+    texts = [BASE, BASE, NEAR, FAR, "short one", BASE + " extra tail words here"]
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": list(range(len(texts))),
+                "text": texts,
+                "source": ["s0"] * len(texts),
+            }
+        )
+    )
+
+
+def test_exact_dedup_first_wins():
+    out = exact_dedup(_docs()).take_all()
+    # 6 docs, one exact pair (0,1) → 5 survivors, min-id kept
+    assert len(out) == 5
+    kept = {r["doc_id"]: r["n_dups"] for r in out}
+    assert 0 in kept and 1 not in kept
+    assert kept[0] == 2 and all(v == 1 for k, v in kept.items() if k != 0)
+
+
+def test_minhash_signature_properties():
+    mh = MinHasher()
+    s1 = mh.signature(BASE)
+    s2 = mh.signature(BASE)
+    s3 = mh.signature(NEAR)
+    s4 = mh.signature(FAR)
+    assert (s1 == s2).all()
+    # near-dup agrees on most components, far-dup on almost none
+    assert (s1 == s3).mean() > 0.5
+    assert (s1 == s4).mean() < 0.2
+
+
+def test_minhash_lsh_pairs():
+    pairs = {(r["left_id"], r["right_id"]) for r in minhash_lsh_pairs(_docs()).take_all()}
+    assert (0, 1) in pairs  # exact dup always caught
+    assert (0, 2) in pairs or (1, 2) in pairs  # near dup caught
+    assert not any(3 in p for p in pairs)  # FAR never pairs
+
+
+def test_simhash_pairs():
+    out = simhash_pairs(_docs()).take_all()
+    pairs = {(r["left_id"], r["right_id"]): r["hamming"] for r in out}
+    assert pairs.get((0, 1)) == 0
+    assert not any(3 in p for p in pairs)
+
+
+def test_simhash_deterministic():
+    t = pa.table({"doc_id": [1], "text": [BASE]})
+    a = SimHasher()(t)["simhash"][0].as_py()
+    b = SimHasher()(t)["simhash"][0].as_py()
+    assert a == b
+
+
+def test_ngram_jaccard_pairs():
+    out = ngram_jaccard_pairs(_docs(), threshold=0.5).take_all()
+    pairs = {(r["left_id"], r["right_id"]): r["jaccard"] for r in out}
+    assert pairs[(0, 1)] == 1.0
+    assert pairs[(0, 2)] > 0.8
+    assert not any(3 in p for p in pairs)
+
+
+def test_embedding_neardup():
+    rng = np.random.RandomState(7)
+    base = rng.randn(8)
+    vecs = [base, base + 0.001 * rng.randn(8), rng.randn(8), -base]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": [0, 1, 2, 3],
+                "embedding": pa.array(
+                    [v.astype("float32").tolist() for v in vecs],
+                    type=pa.list_(pa.float32()),
+                ),
+                "label": [0, 0, 0, 0],
+            }
+        )
+    )
+    out = embedding_neardup_pairs(ds, threshold=0.99).take_all()
+    pairs = {(r["left_id"], r["right_id"]) for r in out}
+    assert pairs == {(0, 1)}

@@ -1,0 +1,81 @@
+"""Similarity search: brute-force exactness + IVF recall."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from docling_api_ray.stages.similarity import (
+    ivf_knn,
+    knn_bruteforce,
+    train_centroids,
+)
+
+
+def _emb_ds(n=200, d=16, seed=3):
+    rng = np.random.RandomState(seed)
+    mat = rng.randn(n, d).astype(np.float64)
+    tbl = pa.table(
+        {
+            "vec_id": list(range(n)),
+            "embedding": pa.array(
+                [r.astype("float32").tolist() for r in mat],
+                type=pa.list_(pa.float32()),
+            ),
+        }
+    )
+    return ray.data.from_arrow(tbl), mat
+
+
+def _numpy_topk(mat, qids, k):
+    mn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    out = {}
+    for q in qids:
+        sims = np.round(mn @ mn[q], 6)
+        cand = [(s, i) for i, s in enumerate(sims) if i not in qids]
+        cand.sort(key=lambda t: (-t[0], t[1]))
+        out[q] = [i for _, i in cand[:k]]
+    return out
+
+
+def test_bruteforce_matches_numpy_oracle():
+    ds, mat = _emb_ds()
+    qids = [0, 1, 2]
+    # float32-cast query matrix to mirror what the dataset holds
+    qmat = mat[qids].astype("float32").astype("float64")
+    ds32, _ = _emb_ds()
+    out = knn_bruteforce(ds32, qids, qmat, k=5).take_all()
+    got = {}
+    for r in sorted(out, key=lambda r: (r["query_id"], r["rank"])):
+        got.setdefault(r["query_id"], []).append(r["vec_id"])
+    mat32 = mat.astype("float32").astype("float64")
+    expected = _numpy_topk(mat32, set(qids), 5)
+    assert got == {q: expected[q] for q in qids}
+    # ranks are dense 1..k
+    for q in qids:
+        ranks = sorted(r["rank"] for r in out if r["query_id"] == q)
+        assert ranks == [1, 2, 3, 4, 5]
+
+
+def test_ivf_recall_against_bruteforce():
+    ds, mat = _emb_ds(n=300)
+    qids = [5, 17]
+    qmat = mat[qids].astype("float32").astype("float64")
+    cents = train_centroids(mat.astype("float32").astype("float64"), ncentroids=8)
+    bf = knn_bruteforce(ds, qids, qmat, k=10).take_all()
+    iv = ivf_knn(ds, qids, qmat, cents, k=10, nprobe=4).take_all()
+    bf_sets = {}
+    iv_sets = {}
+    for r in bf:
+        bf_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for r in iv:
+        iv_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for q in qids:
+        recall = len(bf_sets[q] & iv_sets.get(q, set())) / len(bf_sets[q])
+        assert recall >= 0.5, f"recall {recall} too low for probe=4/8 buckets"
+
+
+def test_centroids_deterministic():
+    _, mat = _emb_ds(n=100)
+    c1 = train_centroids(mat, 4)
+    c2 = train_centroids(mat, 4)
+    assert np.allclose(c1, c2)

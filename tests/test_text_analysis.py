@@ -1,0 +1,84 @@
+"""Text-analysis kernels vs hand-computed + DuckDB-mirror expectations."""
+
+import duckdb
+import pyarrow as pa
+
+from docling_api_ray.stages.text_analysis import (
+    STOPWORD_RE,
+    TOKEN_RE,
+    WS_TOKEN_RE,
+    fingerprints,
+    lang_id,
+    quality_scores,
+    token_counts,
+)
+
+
+def _tbl(texts):
+    return pa.table({"doc_id": list(range(len(texts))), "text": texts})
+
+
+def test_token_counts():
+    out = token_counts(_tbl(["a b c", "hello world42 x!", ""]))
+    assert out["n_ws_tokens"].to_pylist() == [3, 3, 0]
+    # BPE-ish: a|b|c ; hello|world|42|x|! ; empty
+    assert out["n_bpe_tokens"].to_pylist() == [3, 5, 0]
+
+
+def test_token_counts_match_duckdb():
+    texts = ["the quick brown fox!", "a1b2 c,d", "", "x " * 50]
+    out = token_counts(_tbl(texts))
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        ws, bpe = con.execute(
+            "SELECT length(regexp_extract_all(?, ?)), length(regexp_extract_all(?, ?))",
+            [t, WS_TOKEN_RE, t, TOKEN_RE],
+        ).fetchone()
+        assert out["n_ws_tokens"][i].as_py() == ws
+        assert out["n_bpe_tokens"][i].as_py() == bpe
+
+
+def test_quality_scores():
+    out = quality_scores(_tbl(["the cat, and dog!"]))
+    # 17 chars, 4 words, 2 punct ('!' and ','), stopwords: the, and
+    assert out["n_chars"][0].as_py() == 17
+    assert out["n_words"][0].as_py() == 4
+    assert abs(out["punct_ratio"][0].as_py() - 2 / 17) < 1e-6
+    assert abs(out["stopword_ratio"][0].as_py() - 2 / 4) < 1e-6
+
+
+def test_stopword_regex_matches_duckdb():
+    con = duckdb.connect()
+    t = "the theater a apple to and of in is band"
+    n = con.execute(
+        "SELECT length(regexp_extract_all(?, ?))", [t, STOPWORD_RE]
+    ).fetchone()[0]
+    out = quality_scores(_tbl([t]))
+    # stopword_ratio * n_words == count
+    assert round(out["stopword_ratio"][0].as_py() * out["n_words"][0].as_py()) == n
+    # 'theater' and 'band' must NOT count (word boundaries):
+    # the, a, to, and, of, in, is → 7
+    assert n == 7
+
+
+def test_lang_id_markers_and_priority():
+    out = lang_id(_tbl([
+        "the cat and the dog of it",   # en
+        "el la que el",                # es
+        "der die und",                 # de
+        "le les des le",               # fr
+        "nothing matching here",       # all zero → en (priority)
+        "the el",                      # tie 1-1 → en (priority)
+    ]))
+    assert out["predicted_lang"].to_pylist() == ["en", "es", "de", "fr", "en", "en"]
+
+
+def test_fingerprints_deterministic():
+    out1 = fingerprints(_tbl(["abc", ""]))
+    out2 = fingerprints(_tbl(["abc", ""]))
+    assert out1["fp_md5"].to_pylist() == out2["fp_md5"].to_pylist()
+    assert out1["fp_rolling"].to_pylist() == out2["fp_rolling"].to_pylist()
+    import hashlib
+
+    assert out1["fp_md5"][0].as_py() == hashlib.md5(b"abc").hexdigest()
+    assert all(v >= 0 for v in out1["fp_rolling"].to_pylist())
