@@ -387,6 +387,12 @@ def _q_docs_stats(sf_dir: str):
     return agg.map_batches(add_avg, batch_format="pyarrow")
 
 
+def _q_conversion_metrics(sf_dir: str):
+    from docling_api_ray.pipelines.metrics import conversion_metrics
+
+    return conversion_metrics(flagship(sf_dir, _flagship_cfg()))
+
+
 def _q_multimodal_meta(sf_dir: str):
     media = explode_media(flagship(sf_dir, _flagship_cfg()))
     return media.map_batches(
@@ -414,6 +420,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": _q_embedding_neardup,
         "knn_bruteforce": _q_knn,
         "knn_ivf": _q_knn_ivf,
+        "conversion_metrics": _q_conversion_metrics,
         "events_hourly": _q_events_hourly,
         "docs_stats_by_source": _q_docs_stats,
         "multimodal_meta": _q_multimodal_meta,
@@ -553,6 +560,20 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY cosine DESC, vec_id) AS rank
               FROM s)
             WHERE rank <= {_KNN_K}
+        """,
+        "conversion_metrics": f"""
+            WITH base AS (
+              SELECT {_SQL_FORMAT} AS format,
+                     {_SQL_NTEXT} AS n_text,
+                     {_SQL_NMEDIA} AS m,
+                     {_SQL_ERROR} AS error
+              FROM documents)
+            SELECT format, count(*) AS n_docs,
+                   CAST(sum(CASE WHEN error <> '' THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_errors,
+                   CAST(sum(n_text + m) AS BIGINT) AS total_spans,
+                   CAST(sum(m) AS BIGINT) AS total_media
+            FROM base GROUP BY format
         """,
         "events_hourly": """
             SELECT event_type,

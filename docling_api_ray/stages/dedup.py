@@ -5,15 +5,15 @@ Scale design (100 TB shape):
 
 - *exact*: content hash added in a vectorized ``map_batches`` (so the
   shuffle moves 16-byte digests, not document bodies), then ONE
-  ``groupby(hash)`` — the unavoidable all-to-all — with first-wins
-  resolution inside ``map_groups``.
+  ``groupby(hash)`` — the unavoidable all-to-all — resolved by a pure
+  vectorized Min/Count aggregate (never per-group python).
 - *MinHash-LSH / SimHash*: signatures computed per batch (stateless,
   numpy-vectorized); candidate generation explodes to
-  ``(band_id, band_hash, doc_id)`` rows — small fixed-width keys — and a
-  single ``groupby`` over band buckets yields candidate groups; pair
-  verification uses the carried signatures (no second pass over text).
-  The only shuffled payload is signatures, ~0.5 KB/doc regardless of
-  document size.
+  ``(bucket, doc_id, signature)`` rows — small fixed-width keys — then a
+  vectorized bucket-count aggregate + broadcast semi-join drops singleton
+  buckets BEFORE any per-group pair generation; pair verification uses
+  the carried signatures (no second pass over text).  The only shuffled
+  payload is signatures, ~0.5 KB/doc regardless of document size.
 - *n-gram Jaccard*: exact pairwise verification is O(group²) — only ever
   run inside a blocking key (caller chooses; tests/queries block on
   ``source``), never globally.
@@ -28,6 +28,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -58,22 +59,40 @@ def add_content_hash(batch: pa.Table, text_col: str = "text") -> pa.Table:
 def exact_dedup(
     ds: ray.data.Dataset, *, text_col: str = "text", id_col: str = "doc_id"
 ) -> ray.data.Dataset:
-    """First-wins exact dedup: keep the min-id row per content hash and
-    record the group size as ``n_dups``.  The groupby key is the digest,
-    so the shuffle payload stays narrow even for huge documents."""
+    """First-wins exact dedup as a pure vectorized aggregate:
+    (content_hash, doc_id=min-id winner, n_dups).  The shuffle payload is
+    (digest, id) — narrow regardless of document size — and the reduce is
+    a hash aggregate, NOT per-group python (``map_groups`` costs ~1ms per
+    group, which at one-group-per-document dominates the whole job)."""
+    from ray.data.aggregate import Count, Min
+
     hashed = ds.map_batches(
         lambda b: add_content_hash(b, text_col), batch_format="pyarrow"
+    ).select_columns(["content_hash", id_col])
+    return hashed.groupby("content_hash").aggregate(
+        Min(id_col, alias_name=id_col), Count(alias_name="n_dups")
     )
 
-    def first_wins(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(id_col, kind="stable")
-        out = g.head(1).copy()
-        out["n_dups"] = len(g)
-        return out
 
-    return hashed.groupby("content_hash").map_groups(
-        first_wins, batch_format="pandas"
-    )
+def exact_dedup_rows(
+    ds: ray.data.Dataset, *, text_col: str = "text", id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """Full surviving rows (all columns) after first-wins exact dedup.
+    Winner ids from the aggregate are broadcast (``ray.put`` once) and
+    applied as a vectorized semi-join filter — no second wide shuffle.
+    Assumes the winner-id set fits in memory (one id per DISTINCT
+    document; at larger scale swap the set for a Bloom filter)."""
+    winners = exact_dedup(ds, text_col=text_col, id_col=id_col)
+    ids = [r[id_col] for r in winners.select_columns([id_col]).take_all()]
+    ref = ray.put(sorted(ids))
+
+    def keep(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep_ids = ray.get(ref)
+        return b.filter(pc.is_in(b[id_col], value_set=pa.array(keep_ids)))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -82,7 +101,7 @@ def exact_dedup(
 
 class MinHasher:
     """Stateful minhash signer — permutation parameters built once per
-    actor (``map_batches(MinHasher, concurrency=N)``)."""
+    instance shipped to stateless tasks (or an actor pool at scale)."""
 
     def __init__(
         self, num_perm: int = 64, shingle_words: int = 3, seed: int = 42
@@ -127,29 +146,59 @@ class MinHasher:
 
 
 def explode_bands(batch: pa.Table, *, bands: int = 16) -> pa.Table:
-    """signature rows → (band_id, band_hash, doc_id, signature) rows.
-    Shuffle payload = fixed-width ints, one row per band per doc."""
+    """signature rows → (bucket, doc_id, signature) rows; ``bucket`` is a
+    single int64 key hashing (band_id, band values) together.  Shuffle
+    payload = fixed-width ints, one row per band per doc."""
     sigs = batch["signature"].to_pylist()
     doc_ids = batch["doc_id"].to_pylist()
-    out_band, out_hash, out_doc, out_sig = [], [], [], []
+    out_bucket, out_doc, out_sig = [], [], []
     for did, sig in zip(doc_ids, sigs):
         arr = np.asarray(sig, dtype=np.uint64)
         r = len(arr) // bands
         for b in range(bands):
             chunk = arr[b * r : (b + 1) * r]
-            h = hashlib.md5(chunk.tobytes()).digest()[:8]
-            out_band.append(b)
-            out_hash.append(int.from_bytes(h, "little") >> 1)
+            h = hashlib.md5(bytes([b]) + chunk.tobytes()).digest()[:8]
+            out_bucket.append(int.from_bytes(h, "little") >> 1)
             out_doc.append(did)
             out_sig.append(sig)
     return pa.table(
         {
-            "band_id": pa.array(out_band, type=pa.int32()),
-            "band_hash": pa.array(out_hash, type=pa.int64()),
+            "bucket": pa.array(out_bucket, type=pa.int64()),
             "doc_id": pa.array(out_doc),
             "signature": pa.array(out_sig, type=batch["signature"].type),
         }
     )
+
+
+def _keep_hot_buckets(
+    exploded: ray.data.Dataset, key: str = "bucket"
+) -> ray.data.Dataset | None:
+    """Semi-join an exploded LSH table against its own ≥2-member buckets.
+
+    A bare ``groupby(bucket).map_groups`` pays ~1ms of per-group python
+    for EVERY bucket, and almost all buckets are singletons — so first a
+    vectorized Count aggregate finds the hot buckets, the hot-key set is
+    broadcast once (``ray.put``), and a vectorized ``is_in`` filter drops
+    the singleton rows before the expensive per-group pair generation.
+    The hot set is proportional to actual duplicate structure, not corpus
+    size (swap in a Bloom filter if it ever outgrows memory).
+
+    Returns None when no bucket has ≥2 members."""
+    from ray.data.aggregate import Count
+
+    counts = exploded.groupby(key).aggregate(Count(alias_name="n"))
+    hot = counts.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["n"], 2)).select([key]),
+        batch_format="pyarrow",
+    ).take_all()
+    if not hot:
+        return None
+    ref = ray.put(sorted(r[key] for r in hot))
+
+    def keep(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b[key], value_set=pa.array(ray.get(ref))))
+
+    return exploded.map_batches(keep, batch_format="pyarrow")
 
 
 def _pairs_from_bucket(g: pd.DataFrame, threshold: float) -> pd.DataFrame:
@@ -179,32 +228,40 @@ def minhash_lsh_pairs(
     num_perm: int = 64,
     bands: int = 16,
     threshold: float = 0.7,
-    concurrency: int = 4,
 ) -> ray.data.Dataset:
     """documents(text) → near-duplicate candidate pairs.
 
     shingle→minhash (actor pool) → band explode → groupby(band buckets) →
     in-bucket verified pairs → global pair dedup (a pair can surface from
     several bands)."""
+    # the signer's state is two 64-element arrays — broadcast a prebuilt
+    # instance to stateless tasks rather than paying actor-pool startup
+    # (an actor pool is the right shape only when __init__ is expensive)
     signed = ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs={"num_perm": num_perm},
-        batch_format="pyarrow",
-        batch_size=1024,
-        concurrency=(1, concurrency),
+        MinHasher(num_perm=num_perm), batch_format="pyarrow", batch_size=1024
     )
     exploded = signed.map_batches(
         lambda b: explode_bands(b, bands=bands), batch_format="pyarrow"
     )
-    pairs = exploded.groupby(["band_id", "band_hash"]).map_groups(
+    hot = _keep_hot_buckets(exploded)
+    if hot is None:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "left_id": pa.array([], type=pa.int64()),
+                    "right_id": pa.array([], type=pa.int64()),
+                    "est_jaccard": pa.array([], type=pa.float64()),
+                }
+            )
+        )
+    pairs = hot.groupby("bucket").map_groups(
         lambda g: _pairs_from_bucket(g, threshold), batch_format="pandas"
     )
+    # a pair can surface from several bands — vectorized aggregate dedup
+    from ray.data.aggregate import Max
 
-    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
-
-    return pairs.groupby(["left_id", "right_id"]).map_groups(
-        dedup_pairs, batch_format="pandas"
+    return pairs.groupby(["left_id", "right_id"]).aggregate(
+        Max("est_jaccard", alias_name="est_jaccard")
     )
 
 
@@ -242,28 +299,25 @@ class SimHasher:
 
 
 def simhash_pairs(
-    ds: ray.data.Dataset, *, max_hamming: int = 3, concurrency: int = 4
+    ds: ray.data.Dataset, *, max_hamming: int = 3
 ) -> ray.data.Dataset:
     """documents(text) → (left_id, right_id, hamming) near-dup pairs via
     16-bit band LSH over 64-bit simhashes."""
-    signed = ds.map_batches(
-        SimHasher, batch_format="pyarrow", batch_size=2048, concurrency=(1, concurrency)
-    )
+    signed = ds.map_batches(SimHasher(), batch_format="pyarrow", batch_size=2048)
 
     def explode(batch: pa.Table) -> pa.Table:
         sh = np.asarray(batch["simhash"], dtype=np.int64).astype(np.uint64)
         ids = batch["doc_id"].to_pylist()
-        band_id, band_val, doc, full = [], [], [], []
+        bucket, doc, full = [], [], []
         for b in range(4):
             part = ((sh >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
-            band_id.extend([b] * len(ids))
-            band_val.extend(part.tolist())
+            # single int64 bucket key: band index in the high bits
+            bucket.extend((part + (b << 17)).tolist())
             doc.extend(ids)
             full.extend(sh.astype(np.int64).tolist())
         return pa.table(
             {
-                "band_id": pa.array(band_id, type=pa.int32()),
-                "band_val": pa.array(band_val, type=pa.int64()),
+                "bucket": pa.array(bucket, type=pa.int64()),
                 "doc_id": pa.array(doc),
                 "simhash": pa.array(full, type=pa.int64()),
             }
@@ -287,13 +341,23 @@ def simhash_pairs(
             {"left_id": "int64", "right_id": "int64", "hamming": "int64"}
         )
 
-    pairs = (
-        signed.map_batches(explode, batch_format="pyarrow")
-        .groupby(["band_id", "band_val"])
-        .map_groups(bucket_pairs, batch_format="pandas")
-    )
-    return pairs.groupby(["left_id", "right_id"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    exploded = signed.map_batches(explode, batch_format="pyarrow")
+    hot = _keep_hot_buckets(exploded)
+    if hot is None:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "left_id": pa.array([], type=pa.int64()),
+                    "right_id": pa.array([], type=pa.int64()),
+                    "hamming": pa.array([], type=pa.int64()),
+                }
+            )
+        )
+    pairs = hot.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
+    from ray.data.aggregate import Min
+
+    return pairs.groupby(["left_id", "right_id"]).aggregate(
+        Min("hamming", alias_name="hamming")
     )
 
 

@@ -9,6 +9,7 @@ from docling_api_ray.stages.dedup import (
     SimHasher,
     embedding_neardup_pairs,
     exact_dedup,
+    exact_dedup_rows,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_pairs,
@@ -42,6 +43,13 @@ def test_exact_dedup_first_wins():
     kept = {r["doc_id"]: r["n_dups"] for r in out}
     assert 0 in kept and 1 not in kept
     assert kept[0] == 2 and all(v == 1 for k, v in kept.items() if k != 0)
+
+
+def test_exact_dedup_rows_keeps_full_schema():
+    out = exact_dedup_rows(_docs()).take_all()
+    assert len(out) == 5
+    assert {r["doc_id"] for r in out} == {0, 2, 3, 4, 5}
+    assert all("text" in r and "source" in r for r in out)
 
 
 def test_minhash_signature_properties():
