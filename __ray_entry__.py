@@ -24,6 +24,7 @@ import pyarrow.parquet as pq
 import ray.data
 
 from docling_api_ray.config import PipelineConfig
+from docling_api_ray.stages.common import coalesce_for_shuffle
 from docling_api_ray.pipelines.convert import flagship
 from docling_api_ray.sources.synth import make_html_page
 from docling_api_ray.stages import dedup as dd
@@ -144,7 +145,7 @@ def _q_classify(sf_dir: str):
 
 def _q_format_counts(sf_dir: str):
     return (
-        _q_classify(sf_dir)
+        coalesce_for_shuffle(_q_classify(sf_dir))
         .groupby("format")
         .aggregate(Count(alias_name="n_docs"))
     )
@@ -182,7 +183,10 @@ def _q_convert_spans(sf_dir: str):
 
 def _q_media_counts(sf_dir: str):
     media = explode_media(flagship(sf_dir, _flagship_cfg()))
-    return media.groupby("kind").aggregate(Count(alias_name="n_media"))
+    counted = media.select_columns(["kind"])
+    return coalesce_for_shuffle(counted).groupby("kind").aggregate(
+        Count(alias_name="n_media")
+    )
 
 
 def _q_html_extract(sf_dir: str):
@@ -254,7 +258,7 @@ def _q_dedup_exact_stats(sf_dir: str):
         )
 
     agg = (
-        deduped.map_batches(shrink, batch_format="pyarrow")
+        coalesce_for_shuffle(deduped.map_batches(shrink, batch_format="pyarrow"))
         .groupby("one")
         .aggregate(
             Count(alias_name="n_groups"),
@@ -353,7 +357,7 @@ def _q_events_hourly(sf_dir: str):
         )
 
     agg = (
-        ds.map_batches(add_window, batch_format="pyarrow")
+        coalesce_for_shuffle(ds.map_batches(add_window, batch_format="pyarrow"))
         .groupby(["event_type", "window_start"])
         .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
     )
@@ -369,7 +373,7 @@ def _q_events_hourly(sf_dir: str):
 
 
 def _q_docs_stats(sf_dir: str):
-    ds = _docs(sf_dir, ["source", "n_chars"])
+    ds = coalesce_for_shuffle(_docs(sf_dir, ["source", "n_chars"]))
     agg = ds.groupby("source").aggregate(
         Count(alias_name="n_docs"), Sum("n_chars", alias_name="total_chars")
     )

@@ -62,6 +62,10 @@ def _bench_once() -> dict:
         convert_batch_size=64,
     )
 
+    # untimed warm-up: spawns the worker pool + convert actors so the timed
+    # section measures steady-state throughput, not process cold-start
+    flagship(sf_dir, cfg, amplify=1).count()
+
     # ---- headline: flagship conversion, end-to-end incl. parquet sink ----
     out_dir = "/tmp/bench_out"
     shutil.rmtree(out_dir, ignore_errors=True)

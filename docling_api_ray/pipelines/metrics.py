@@ -15,6 +15,8 @@ import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Count, Sum
 
+from docling_api_ray.stages.common import coalesce_for_shuffle
+
 
 def _precount(batch: pa.Table) -> pa.Table:
     spans_col = batch["spans"].to_pylist()
@@ -40,7 +42,7 @@ def conversion_metrics(results: ray.data.Dataset) -> ray.data.Dataset:
     """results table → one row per format: n_docs, n_errors, total_spans,
     total_media."""
     return (
-        results.map_batches(_precount, batch_format="pyarrow")
+        coalesce_for_shuffle(results.map_batches(_precount, batch_format="pyarrow"))
         .groupby("format")
         .aggregate(
             Count(alias_name="n_docs"),

@@ -59,19 +59,21 @@ def raw_documents_dataset(
     ds = ray.data.read_parquet(documents_path(sf_dir), **kwargs)
     if amplify > 1:
         offset_unit = 2910 * 4000  # multiple of lcm(10, 3, 97) = 2910
-        copies = []
-        for i in range(amplify):
-            off = i * offset_unit
 
-            def shift(batch: pa.Table, off: int = off) -> pa.Table:
-                import pyarrow.compute as pc
+        def replicate(batch: pa.Table, k: int = amplify) -> pa.Table:
+            import pyarrow.compute as pc
 
-                return batch.set_column(
+            # one read, k shifted copies per batch — keeps the plan a single
+            # linear source instead of k unioned read branches
+            copies = [
+                batch.set_column(
                     batch.schema.get_field_index("doc_id"),
                     "doc_id",
-                    pc.add(batch["doc_id"], off),
+                    pc.add(batch["doc_id"], i * offset_unit),
                 )
+                for i in range(k)
+            ]
+            return pa.concat_tables(copies)
 
-            copies.append(ds.map_batches(shift, batch_format="pyarrow"))
-        ds = copies[0].union(*copies[1:])
+        ds = ds.map_batches(replicate, batch_format="pyarrow")
     return ds.map_batches(synthesize_raw_batch, batch_format="pyarrow")

@@ -32,6 +32,8 @@ import pyarrow.compute as pc
 
 import ray.data
 
+from docling_api_ray.stages.common import coalesce_for_shuffle
+
 _MERSENNE = (1 << 61) - 1
 
 
@@ -69,6 +71,7 @@ def exact_dedup(
     hashed = ds.map_batches(
         lambda b: add_content_hash(b, text_col), batch_format="pyarrow"
     ).select_columns(["content_hash", id_col])
+    hashed = coalesce_for_shuffle(hashed)
     return hashed.groupby("content_hash").aggregate(
         Min(id_col, alias_name=id_col), Count(alias_name="n_dups")
     )
@@ -186,7 +189,9 @@ def _keep_hot_buckets(
     Returns None when no bucket has ≥2 members."""
     from ray.data.aggregate import Count
 
-    counts = exploded.groupby(key).aggregate(Count(alias_name="n"))
+    counts = coalesce_for_shuffle(
+        exploded.select_columns([key])
+    ).groupby(key).aggregate(Count(alias_name="n"))
     hot = counts.map_batches(
         lambda b: b.filter(pc.greater_equal(b["n"], 2)).select([key]),
         batch_format="pyarrow",
@@ -254,13 +259,13 @@ def minhash_lsh_pairs(
                 }
             )
         )
-    pairs = hot.groupby("bucket").map_groups(
+    pairs = coalesce_for_shuffle(hot).groupby("bucket").map_groups(
         lambda g: _pairs_from_bucket(g, threshold), batch_format="pandas"
     )
     # a pair can surface from several bands — vectorized aggregate dedup
     from ray.data.aggregate import Max
 
-    return pairs.groupby(["left_id", "right_id"]).aggregate(
+    return coalesce_for_shuffle(pairs).groupby(["left_id", "right_id"]).aggregate(
         Max("est_jaccard", alias_name="est_jaccard")
     )
 
@@ -353,10 +358,12 @@ def simhash_pairs(
                 }
             )
         )
-    pairs = hot.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
+    pairs = coalesce_for_shuffle(hot).groupby("bucket").map_groups(
+        bucket_pairs, batch_format="pandas"
+    )
     from ray.data.aggregate import Min
 
-    return pairs.groupby(["left_id", "right_id"]).aggregate(
+    return coalesce_for_shuffle(pairs).groupby(["left_id", "right_id"]).aggregate(
         Min("hamming", alias_name="hamming")
     )
 
@@ -391,7 +398,9 @@ def ngram_jaccard_pairs(
             {"left_id": "int64", "right_id": "int64", "jaccard": "float64"}
         )
 
-    return ds.groupby(block_col).map_groups(block, batch_format="pandas")
+    return coalesce_for_shuffle(ds).groupby(block_col).map_groups(
+        block, batch_format="pandas"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -424,4 +433,6 @@ def embedding_neardup_pairs(
             {"left_id": "int64", "right_id": "int64", "cosine": "float64"}
         )
 
-    return ds.groupby(block_col).map_groups(block, batch_format="pandas")
+    return coalesce_for_shuffle(ds).groupby(block_col).map_groups(
+        block, batch_format="pandas"
+    )

@@ -26,6 +26,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from docling_api_ray.stages.common import coalesce_for_shuffle
+
 
 def _norm_rows(m: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(m, axis=1)
@@ -107,7 +109,7 @@ def knn_bruteforce(
         batch_size=4096,
         concurrency=(1, 8),
     )
-    return partial.groupby("query_id").map_groups(
+    return coalesce_for_shuffle(partial).groupby("query_id").map_groups(
         _final_topk(k), batch_format="pandas"
     )
 
@@ -248,6 +250,6 @@ def ivf_knn(
     partial = filtered.map_batches(
         BucketedTopK, batch_format="pyarrow", batch_size=4096, concurrency=(1, 8)
     )
-    return partial.groupby("query_id").map_groups(
+    return coalesce_for_shuffle(partial).groupby("query_id").map_groups(
         _final_topk(k), batch_format="pandas"
     )
