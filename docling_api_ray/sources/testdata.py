@@ -14,6 +14,7 @@ import os
 
 import pyarrow as pa
 
+import ray
 import ray.data
 
 from docling_api_ray.sources.synth import make_raw_document
@@ -53,27 +54,42 @@ def raw_documents_dataset(
     10/3/97, and 10_000_000 ≡ 0 (mod 10·3·97·2? no—) offsets are chosen as a
     multiple of lcm(10,3,97)=2910 so every copy reproduces the same class
     mix deterministically."""
-    kwargs = {"columns": ["doc_id", "text"]}
-    if override_num_blocks:
-        kwargs["override_num_blocks"] = override_num_blocks
-    ds = ray.data.read_parquet(documents_path(sf_dir), **kwargs)
     if amplify > 1:
+        # Bench-only corpus amplification.  The amplified id space must be
+        # the SOURCE row space — expanding k× inside a map_batches makes
+        # Ray size task bundles on the pre-expansion row count, collapsing
+        # pipeline parallelism to n_base/batch_size tasks (observed: a
+        # 120k-doc run scheduled 3 actor tasks).  So: a ray.data.range
+        # source over n_base×k ids + the small base table broadcast once.
+        import numpy as np
+        import pyarrow.parquet as pq
+
         offset_unit = 2910 * 4000  # multiple of lcm(10, 3, 97) = 2910
+        base = pq.read_table(
+            documents_path(sf_dir), columns=["doc_id", "text"]
+        ).sort_by("doc_id")
+        n_base = base.num_rows
+        base_ref = ray.put(base)
 
-        def replicate(batch: pa.Table, k: int = amplify) -> pa.Table:
-            import pyarrow.compute as pc
+        def expand(batch: pa.Table) -> pa.Table:
+            tbl = ray.get(base_ref)
+            ids = np.asarray(batch["id"], dtype=np.int64)
+            copy, pos = np.divmod(ids, n_base)
+            # base doc_ids are dense 0..n-1 after the sort, so `pos`
+            # indexes directly
+            doc_ids = np.asarray(tbl["doc_id"], dtype=np.int64)[pos] + (
+                copy * offset_unit
+            )
+            texts = tbl["text"].take(pa.array(pos))
+            return pa.table({"doc_id": pa.array(doc_ids), "text": texts})
 
-            # one read, k shifted copies per batch — keeps the plan a single
-            # linear source instead of k unioned read branches
-            copies = [
-                batch.set_column(
-                    batch.schema.get_field_index("doc_id"),
-                    "doc_id",
-                    pc.add(batch["doc_id"], i * offset_unit),
-                )
-                for i in range(k)
-            ]
-            return pa.concat_tables(copies)
-
-        ds = ds.map_batches(replicate, batch_format="pyarrow")
+        ds = ray.data.range(
+            n_base * amplify,
+            override_num_blocks=override_num_blocks,
+        ).map_batches(expand, batch_format="pyarrow")
+    else:
+        kwargs = {"columns": ["doc_id", "text"]}
+        if override_num_blocks:
+            kwargs["override_num_blocks"] = override_num_blocks
+        ds = ray.data.read_parquet(documents_path(sf_dir), **kwargs)
     return ds.map_batches(synthesize_raw_batch, batch_format="pyarrow")

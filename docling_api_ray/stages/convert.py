@@ -188,12 +188,19 @@ class ConvertActor:
 def convert_documents(
     ds: ray.data.Dataset, config: PipelineConfig = DEFAULT_CONFIG
 ) -> ray.data.Dataset:
-    """Attach the convert actor pool to a classified raw-document dataset."""
+    """Attach the convert actor pool to a classified raw-document dataset.
+
+    Pool sizing: autoscaling ``(min, max)`` where min is a quarter of the
+    pool (capped) — starting from 1 actor costs seconds of ramp on every
+    pipeline, while pinning min=max reserves every CPU and starves the
+    read stage (observed deadlock-like stall with (32,32) on 32 CPUs)."""
+    max_actors = max(1, config.convert_concurrency)
+    min_actors = max(1, min(4, max_actors // 4))
     return ds.map_batches(
         ConvertActor,
         fn_constructor_kwargs={"config": config},
         batch_format="pyarrow",
         batch_size=config.convert_batch_size,
-        concurrency=(1, config.convert_concurrency),
+        concurrency=(min_actors, max_actors),
         num_cpus=config.convert_num_cpus,
     )
