@@ -391,6 +391,88 @@ def _q_docs_stats(sf_dir: str):
     return agg.map_batches(add_avg, batch_format="pyarrow")
 
 
+def _q_topk_longest(sf_dir: str):
+    """Sort + limit (SURVEY.md §2.6 — absent from the reference; smoke
+    slice semantics).  Deterministic tie-break on doc_id."""
+    return (
+        _docs(sf_dir, ["doc_id", "n_chars"])
+        .sort(["n_chars", "doc_id"], descending=[True, False])
+        .limit(20)
+    )
+
+
+def _q_distinct_lang_source(sf_dir: str):
+    """Distinct pairs (§2.7 set-ops extension) as a vectorized grouped
+    aggregate projected back to the key columns."""
+    ds = coalesce_for_shuffle(_docs(sf_dir, ["lang", "source"]))
+    return (
+        ds.groupby(["lang", "source"])
+        .aggregate(Count(alias_name="n"))
+        .select_columns(["lang", "source"])
+    )
+
+
+def _q_sample_systematic(sf_dir: str):
+    """Deterministic systematic sample (every 20th doc) — the reproducible
+    stand-in for random_sample in oracle-checked tests."""
+    ds = _docs(sf_dir, ["doc_id", "lang", "n_chars"])
+
+    def every_20th(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"]
+        mod = pc.subtract(ids, pc.multiply(pc.divide(ids, 20), 20))
+        return b.filter(pc.equal(mod, 0))
+
+    return ds.map_batches(every_20th, batch_format="pyarrow")
+
+
+def _q_docs_region_join(sf_dir: str):
+    """Broadcast (map-side) join against a small dimension table
+    (SURVEY.md §2.4 pattern: ray.put once, vectorized lookup per batch —
+    no shuffle)."""
+    import ray
+
+    region = pq.read_table(
+        os.path.join(sf_dir, "region.parquet"), columns=["r_regionkey", "r_name"]
+    )
+    keys = np.asarray(region["r_regionkey"], dtype=np.int64)
+    names = np.asarray(region["r_name"].to_pylist(), dtype=object)
+    lookup = np.empty(int(keys.max()) + 1, dtype=object)
+    lookup[keys] = names
+    ref = ray.put(lookup)
+
+    def join(b: pa.Table) -> pa.Table:
+        lk = ray.get(ref)
+        rk = np.asarray(b["doc_id"], dtype=np.int64) % 5
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "region_name": pa.array(lk[rk], type=pa.string()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id"]).map_batches(join, batch_format="pyarrow")
+
+
+def _q_events_sliding(sf_dir: str):
+    from docling_api_ray.stages.windows import sliding_window_agg
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "ts", "value"],
+    )
+    return sliding_window_agg(ds, key="event_type", size_s=3600, slide_s=900)
+
+
+def _q_events_sessions(sf_dir: str):
+    from docling_api_ray.stages.windows import session_windows
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "value"],
+    )
+    return session_windows(ds, key="user_id", gap_s=1800)
+
+
 def _q_conversion_metrics(sf_dir: str):
     from docling_api_ray.pipelines.metrics import conversion_metrics
 
@@ -425,6 +507,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_bruteforce": _q_knn,
         "knn_ivf": _q_knn_ivf,
         "conversion_metrics": _q_conversion_metrics,
+        "topk_longest_docs": _q_topk_longest,
+        "distinct_lang_source": _q_distinct_lang_source,
+        "sample_systematic": _q_sample_systematic,
+        "docs_region_join": _q_docs_region_join,
+        "events_sliding": _q_events_sliding,
+        "events_sessions": _q_events_sessions,
         "events_hourly": _q_events_hourly,
         "docs_stats_by_source": _q_docs_stats,
         "multimodal_meta": _q_multimodal_meta,
@@ -578,6 +666,52 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_text + m) AS BIGINT) AS total_spans,
                    CAST(sum(m) AS BIGINT) AS total_media
             FROM base GROUP BY format
+        """,
+        "topk_longest_docs": """
+            SELECT doc_id, n_chars FROM documents
+            ORDER BY n_chars DESC, doc_id LIMIT 20
+        """,
+        "distinct_lang_source": "SELECT DISTINCT lang, source FROM documents",
+        "sample_systematic": """
+            SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 20 = 0
+        """,
+        "docs_region_join": """
+            SELECT d.doc_id, r.r_name AS region_name
+            FROM documents d JOIN region r ON r.r_regionkey = d.doc_id % 5
+        """,
+        "events_sliding": """
+            WITH x AS (
+              SELECT e.event_type, e.value,
+                     epoch_us(e.ts) // 1000000 AS sec,
+                     ((epoch_us(e.ts) // 1000000) // 900) * 900 - 900 * i.i
+                       AS window_start
+              FROM events e,
+                   (SELECT unnest(generate_series(0, 3)) AS i) i)
+            SELECT event_type, window_start, count(*) AS n_events,
+                   round(sum(value), 6) AS sum_value
+            FROM x WHERE window_start > sec - 3600
+            GROUP BY 1, 2
+        """,
+        "events_sessions": """
+            WITH e AS (SELECT user_id, epoch_us(ts) // 1000000 AS sec, value,
+                              event_id
+                       FROM events),
+                 f AS (SELECT *,
+                              CASE WHEN lag(sec) OVER w IS NULL THEN 1
+                                   WHEN sec - lag(sec) OVER w > 1800 THEN 1
+                                   ELSE 0 END AS is_new
+                       FROM e
+                       WINDOW w AS (PARTITION BY user_id
+                                    ORDER BY sec, event_id)),
+                 g AS (SELECT *,
+                              sum(is_new) OVER (PARTITION BY user_id
+                                                ORDER BY sec, event_id
+                                                ROWS UNBOUNDED PRECEDING)
+                                AS sid
+                       FROM f)
+            SELECT user_id, CAST(min(sec) AS BIGINT) AS session_start,
+                   count(*) AS n_events, round(sum(value), 6) AS sum_value
+            FROM g GROUP BY user_id, sid
         """,
         "events_hourly": """
             SELECT event_type,

@@ -63,6 +63,7 @@ MEDIA_TYPE = pa.struct(
 RESULT_SCHEMA = pa.schema(
     [
         ("doc_id", pa.string()),
+        ("filename", pa.string()),
         ("format", pa.string()),
         ("spans", pa.list_(SPAN_TYPE)),
         ("markdown", pa.string()),

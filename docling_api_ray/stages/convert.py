@@ -83,10 +83,18 @@ class ConvertActor:
     registry, config freeze, anything expensive.  ``__call__`` converts one
     Arrow batch."""
 
-    def __init__(self, config: PipelineConfig = DEFAULT_CONFIG) -> None:
+    def __init__(
+        self,
+        config: PipelineConfig = DEFAULT_CONFIG,
+        converter_overrides: dict | None = None,
+    ) -> None:
         self.config = config
         # handler registry == the reference's format_options dict
-        # (service.py:76-78); the extension surface of SURVEY.md §2.10.
+        # (service.py:76-78); ``converter_overrides`` is the §2.10
+        # extension surface — the engine analog of swapping a
+        # DocumentConversionBase implementation (service.py:20-27,
+        # route.py:13): any callable ``payload: bytes -> list[Item]``
+        # replaces or adds a per-format backend.
         self.handlers = {
             "pdf": self._convert_pdf,
             "docx": self._convert_ooxml,
@@ -96,6 +104,8 @@ class ConvertActor:
             "asciidoc": self._convert_textual,
             "html": self._convert_html,
         }
+        if converter_overrides:
+            self.handlers.update(converter_overrides)
 
     # ---- per-format handlers (A1-A5 analogs) -----------------------------
     def _convert_pdf(self, payload: bytes) -> list[Item]:
@@ -174,6 +184,7 @@ class ConvertActor:
         return pa.table(
             {
                 "doc_id": doc_ids,
+                "filename": batch["filename"],
                 "format": pa.array(
                     [f if f else "" for f in fmts], type=pa.string()
                 ),

@@ -1,0 +1,121 @@
+"""Windowed aggregates over the events stream (custom operators — Ray Data
+has no event-time windows; SURVEY.md §2.9 notes the reference has none
+either, these are the training-pipeline streaming-shaped extensions).
+
+Partitioning assumption (documented per the custom-operator rule): events
+are grouped by the window key (event_type / user_id) — an all-to-all on
+that key — and windowing runs per group over the ts-sorted group.  Keys
+are bounded (event types, users), so groups are modest; for a huge key
+domain the same code runs after a hash-bucket repartition on the key.
+
+- tumbling: assign window = floor(ts / size) in a vectorized map, then a
+  plain grouped aggregate (NO per-group python) — see __ray_entry__
+  events_hourly.
+- sliding: each event belongs to size/slide windows — vectorized
+  explode-to-(key, window) rows then the same grouped aggregate.
+- session: gap-based sessionization needs ordered scans → per-key
+  ``map_groups`` with a vectorized pandas body (diff/cumsum, no row
+  loop).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+from docling_api_ray.stages.common import coalesce_for_shuffle
+
+US = 1_000_000  # microseconds per second
+
+
+def sliding_window_agg(
+    ds: ray.data.Dataset,
+    *,
+    key: str = "event_type",
+    size_s: int = 3600,
+    slide_s: int = 900,
+) -> ray.data.Dataset:
+    """Count/sum per (key, sliding window).  A window [w, w+size) contains
+    an event at t iff w ∈ {floor((t-size+slide)/slide)*slide ...
+    floor(t/slide)*slide} — size/slide windows per event, exploded
+    vectorized."""
+    k = size_s // slide_s
+
+    def explode(b: pa.Table) -> pa.Table:
+        us = np.asarray(pc.cast(b["ts"], pa.int64()))
+        sec = us // US
+        last = (sec // slide_s) * slide_s  # latest window containing t
+        keys = b[key].to_pylist()
+        vals = np.asarray(b["value"], dtype=np.float64)
+        out_key: list = []
+        out_win: list = []
+        out_val: list = []
+        for i in range(k):
+            w = last - i * slide_s
+            keep = w > sec - size_s  # window still contains t
+            out_key.extend([kk for kk, m in zip(keys, keep) if m])
+            out_win.extend(w[keep].tolist())
+            out_val.extend(vals[keep].tolist())
+        return pa.table(
+            {
+                key: pa.array(out_key),
+                "window_start": pa.array(out_win, type=pa.int64()),
+                "value": pa.array(out_val, type=pa.float64()),
+            }
+        )
+
+    agg = (
+        coalesce_for_shuffle(ds.map_batches(explode, batch_format="pyarrow"))
+        .groupby([key, "window_start"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+    )
+
+    def round_sum(b: pa.Table) -> pa.Table:
+        return b.set_column(
+            b.schema.get_field_index("sum_value"),
+            "sum_value",
+            pc.round(b["sum_value"], ndigits=6),
+        )
+
+    return agg.map_batches(round_sum, batch_format="pyarrow")
+
+
+def session_windows(
+    ds: ray.data.Dataset,
+    *,
+    key: str = "user_id",
+    gap_s: int = 1800,
+) -> ray.data.Dataset:
+    """Gap-based sessions per key: a new session starts when the gap to
+    the previous event of the same key exceeds ``gap_s``.  Output one row
+    per session: (key, session_start epoch-sec, n_events, sum_value)."""
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts", kind="stable")
+        sec = g["ts"].astype("int64").to_numpy() // US
+        new = np.ones(len(sec), dtype=bool)
+        new[1:] = (sec[1:] - sec[:-1]) > gap_s
+        sid = np.cumsum(new) - 1
+        val = g["value"].to_numpy(dtype=np.float64)
+        out = pd.DataFrame(
+            {
+                key: g[key].iloc[0],
+                "session_start": pd.Series(sec).groupby(sid).min().to_numpy(),
+                "n_events": pd.Series(1, index=range(len(sid))).groupby(sid).sum().to_numpy(),
+                "sum_value": np.round(
+                    pd.Series(val).groupby(sid).sum().to_numpy(), 6
+                ),
+            }
+        )
+        out["n_events"] = out["n_events"].astype("int64")
+        out["session_start"] = out["session_start"].astype("int64")
+        return out
+
+    return coalesce_for_shuffle(ds).groupby(key).map_groups(
+        sessions, batch_format="pandas"
+    )

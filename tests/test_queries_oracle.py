@@ -83,4 +83,6 @@ def test_entry_smoke():
     ds = entrymod.entry()
     df = _to_pandas(ds)
     assert len(df) == 500
-    assert set(df.columns) == {"doc_id", "format", "spans", "markdown", "media", "error"}
+    assert set(df.columns) == {
+        "doc_id", "filename", "format", "spans", "markdown", "media", "error",
+    }

@@ -1,0 +1,71 @@
+"""Windowed aggregates: tumbling is oracle-checked in test_queries_oracle;
+here sliding membership and session splitting on hand-built streams."""
+
+import datetime as dt
+
+import pyarrow as pa
+import ray.data
+
+from docling_api_ray.stages.windows import session_windows, sliding_window_agg
+
+
+def _events(rows):
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "event_type": [r[0] for r in rows],
+                "user_id": [r[3] for r in rows],
+                "ts": pa.array(
+                    [dt.datetime(2024, 1, 1) + dt.timedelta(seconds=r[1]) for r in rows],
+                    type=pa.timestamp("us"),
+                ),
+                "value": [float(r[2]) for r in rows],
+            }
+        )
+    )
+
+
+BASE = int(dt.datetime(2024, 1, 1).timestamp())  # naive epoch used by arrow
+
+
+def test_sliding_window_membership():
+    # one event at t=1000s belongs to windows 0, 900 (size 3600 slide 900
+    # => windows [0,3600) and [900,4500) contain it; also [-1800,...],
+    # [-900,...] => 4 windows total
+    ds = _events([("a", 1000, 1.0, 1)])
+    out = sliding_window_agg(ds, key="event_type", size_s=3600, slide_s=900).take_all()
+    wins = sorted(r["window_start"] - BASE for r in out)
+    assert wins == [-1800, -900, 0, 900]
+    assert all(r["n_events"] == 1 and r["sum_value"] == 1.0 for r in out)
+
+
+def test_sliding_counts_accumulate():
+    ds = _events([("a", 0, 1.0, 1), ("a", 100, 2.0, 1), ("b", 0, 5.0, 2)])
+    out = sliding_window_agg(ds, key="event_type", size_s=3600, slide_s=900).take_all()
+    w0 = {r["event_type"]: r for r in out if r["window_start"] - BASE == 0}
+    assert w0["a"]["n_events"] == 2 and w0["a"]["sum_value"] == 3.0
+    assert w0["b"]["n_events"] == 1 and w0["b"]["sum_value"] == 5.0
+
+
+def test_session_split_on_gap():
+    # user 1: events at 0, 100, 100+1801 → two sessions (gap > 1800)
+    ds = _events(
+        [("x", 0, 1.0, 1), ("x", 100, 2.0, 1), ("x", 1901 + 100, 4.0, 1),
+         ("x", 50, 8.0, 2)]
+    )
+    out = session_windows(ds, key="user_id", gap_s=1800).take_all()
+    u1 = sorted(
+        (r for r in out if r["user_id"] == 1), key=lambda r: r["session_start"]
+    )
+    assert len(u1) == 2
+    assert u1[0]["n_events"] == 2 and u1[0]["sum_value"] == 3.0
+    assert u1[1]["n_events"] == 1 and u1[1]["sum_value"] == 4.0
+    u2 = [r for r in out if r["user_id"] == 2]
+    assert len(u2) == 1 and u2[0]["sum_value"] == 8.0
+
+
+def test_session_boundary_exact_gap_merges():
+    # gap EXACTLY 1800 does not split (rule: > gap_s)
+    ds = _events([("x", 0, 1.0, 1), ("x", 1800, 1.0, 1)])
+    out = session_windows(ds, key="user_id", gap_s=1800).take_all()
+    assert len(out) == 1 and out[0]["n_events"] == 2
