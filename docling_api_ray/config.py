@@ -31,6 +31,11 @@ class PipelineConfig:
     # span assembly rule for text-only formats: words per text span
     words_per_span: int = 8
 
+    # cost-based block rebalancing before the convert pool (stages/skew.py);
+    # None disables. Heavy docs get dedicated blocks so they can't
+    # head-of-line-block a batch of light docs.
+    rebalance_target_cost: int | None = 1 << 20
+
     def __post_init__(self) -> None:
         if not (1 <= self.image_resolution_scale <= 4):
             raise ValueError("image_resolution_scale must be in [1, 4]")

@@ -1,0 +1,46 @@
+"""Storage abstraction: Lance when available, Parquet otherwise.
+
+BASELINE.json's input_hint mandates Lance tables of interleaved
+documents; Ray 2.49 ships ``read_lance``/``write_lance`` but they
+require the ``lance`` package, which is not installed in this sandbox
+(and may be absent on minimal clusters).  All engine sources/sinks go
+through this module so the storage format is a deployment decision, not
+a code change: ``format="auto"`` uses Lance iff importable.
+
+Both paths stream block-wise; neither materializes the dataset.
+"""
+
+from __future__ import annotations
+
+import ray.data
+
+
+def lance_available() -> bool:
+    try:
+        import lance  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _resolve(format: str) -> str:
+    if format == "auto":
+        return "lance" if lance_available() else "parquet"
+    return format
+
+
+def read_table(uri: str, *, format: str = "auto", **kwargs) -> ray.data.Dataset:
+    """Read a documents/results table; columns= pushdown supported by both
+    backends."""
+    fmt = _resolve(format)
+    if fmt == "lance":
+        return ray.data.read_lance(uri, **kwargs)
+    return ray.data.read_parquet(uri, **kwargs)
+
+
+def write_table(ds: ray.data.Dataset, uri: str, *, format: str = "auto", **kwargs):
+    fmt = _resolve(format)
+    if fmt == "lance":
+        return ds.write_lance(uri, **kwargs)
+    return ds.write_parquet(uri, **kwargs)

@@ -1,0 +1,33 @@
+import pyarrow as pa
+import pytest
+import ray.data
+
+from docling_api_ray.sources.storage import (
+    lance_available,
+    read_table,
+    write_table,
+)
+
+
+def test_parquet_roundtrip(tmp_path):
+    ds = ray.data.from_arrow(pa.table({"a": [1, 2, 3], "b": ["x", "y", "z"]}))
+    out = str(tmp_path / "t")
+    write_table(ds, out, format="parquet")
+    back = read_table(out, format="parquet", columns=["a"])
+    assert sorted(r["a"] for r in back.take_all()) == [1, 2, 3]
+
+
+def test_auto_resolves_without_lance(tmp_path):
+    # in this sandbox lance is absent — auto must fall back to parquet
+    ds = ray.data.from_arrow(pa.table({"a": [1]}))
+    out = str(tmp_path / "t2")
+    write_table(ds, out)  # must not raise
+    assert read_table(out).count() == 1
+
+
+@pytest.mark.skipif(not lance_available(), reason="lance not installed")
+def test_lance_roundtrip(tmp_path):
+    ds = ray.data.from_arrow(pa.table({"a": [1, 2]}))
+    out = str(tmp_path / "t3.lance")
+    write_table(ds, out, format="lance")
+    assert read_table(out, format="lance").count() == 2
