@@ -486,6 +486,15 @@ def _q_multimodal_meta(sf_dir: str):
     )
 
 
+def _q_multimodal_dims(sf_dir: str):
+    """Decoded PNG dimensions per media blob — SQL-oracle-able subset of
+    the metadata stage (byte counts depend on zlib, so are left to the
+    rows-only multimodal_meta)."""
+    return _q_multimodal_meta(sf_dir).select_columns(
+        ["doc_id", "filename", "kind", "width", "height", "bit_depth", "valid_png"]
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "classify_format": _q_classify,
@@ -516,6 +525,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": _q_events_hourly,
         "docs_stats_by_source": _q_docs_stats,
         "multimodal_meta": _q_multimodal_meta,
+        "multimodal_dims": _q_multimodal_dims,
     }
 
 
@@ -666,6 +676,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_text + m) AS BIGINT) AS total_spans,
                    CAST(sum(m) AS BIGINT) AS total_media
             FROM base GROUP BY format
+        """,
+        "multimodal_dims": f"""
+            WITH base AS (SELECT doc_id, {_SQL_NMEDIA} AS m FROM documents),
+                 series AS (SELECT unnest(generate_series(1, 50)) AS i),
+                 t AS (SELECT b.doc_id,
+                              'table-' || CAST(s.i AS VARCHAR) || '.png' AS filename,
+                              'table' AS kind
+                       FROM base b JOIN series s ON s.i <= (b.m + 1) // 2),
+                 p AS (SELECT b.doc_id,
+                              'picture-' || CAST(s.i AS VARCHAR) || '.png' AS filename,
+                              'picture' AS kind
+                       FROM base b JOIN series s ON s.i <= b.m // 2)
+            SELECT doc_id, filename, kind,
+                   CAST(4 AS INTEGER) AS width, CAST(4 AS INTEGER) AS height,
+                   CAST(8 AS INTEGER) AS bit_depth, true AS valid_png
+            FROM (SELECT * FROM t UNION ALL SELECT * FROM p)
         """,
         "topk_longest_docs": """
             SELECT doc_id, n_chars FROM documents

@@ -1,0 +1,80 @@
+"""Job driver — the ``ray job submit`` entry point (SURVEY.md §3.4).
+
+Replaces the reference's HTTP/Celery submission surface (route.py:72-87)
+with a batch job:
+
+    ray job submit -- python -m docling_api_ray.cli \
+        --input /data/sf0.1 --output /out/run1 --partitions 64 --resume
+
+Resumable by default: the output directory's partition manifest is
+consulted and completed partitions are skipped (pipelines/checkpoint.py).
+``--summary`` prints the per-format conversion metrics (G3) after the
+run.  Owns its Ray session (guarded init) — library code never calls
+ray.init.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description="docling_api_ray batch driver")
+    ap.add_argument("--input", required=True, help="sf_dir containing documents.parquet")
+    ap.add_argument("--output", required=True, help="output directory (partitioned)")
+    ap.add_argument("--partitions", type=int, default=8)
+    ap.add_argument("--no-resume", action="store_true",
+                    help="clear the output directory instead of resuming")
+    ap.add_argument("--extract-tables", action="store_true", default=True)
+    ap.add_argument("--image-scale", type=int, default=1, choices=range(1, 5))
+    ap.add_argument("--num-cpus", type=int, default=None,
+                    help="only for standalone runs; ignored under ray job submit")
+    ap.add_argument("--summary", action="store_true")
+    args = ap.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = dict(address="local", include_dashboard=False, logging_level="ERROR")
+        if args.num_cpus:
+            kwargs["num_cpus"] = args.num_cpus
+        ray.init(**kwargs)
+
+    from docling_api_ray.config import PipelineConfig
+    from docling_api_ray.pipelines.checkpoint import run_resumable
+
+    if args.no_resume:
+        import shutil
+
+        shutil.rmtree(args.output, ignore_errors=True)
+
+    cfg = PipelineConfig(
+        extract_tables_as_images=args.extract_tables,
+        image_resolution_scale=args.image_scale,
+    )
+    committed = run_resumable(
+        args.input, args.output, cfg, npartitions=args.partitions
+    )
+    out = {
+        "committed_partitions": [r["partition_id"] for r in committed],
+        "rows": sum(r["row_count"] for r in committed),
+        "errors": sum(r["error_count"] for r in committed),
+    }
+    if args.summary:
+        from docling_api_ray.pipelines.checkpoint import read_output
+        from docling_api_ray.pipelines.metrics import conversion_metrics
+
+        import ray.data
+
+        tbl = read_output(args.output)
+        metrics = conversion_metrics(ray.data.from_arrow(tbl)).take_all()
+        out["metrics"] = sorted(metrics, key=lambda r: r["format"])
+    print(json.dumps(out, default=str))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
