@@ -473,6 +473,70 @@ def _q_events_sessions(sf_dir: str):
     return session_windows(ds, key="user_id", gap_s=1800)
 
 
+def _q_orders_per_customer(sf_dir: str):
+    """Both-sides-large partitioned hash join (stages/joins.py) after
+    pre-aggregating the fact side — aggregate first, join narrow."""
+    from docling_api_ray.stages.joins import hash_join
+
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_name"]
+    ).rename_columns({"c_custkey": "custkey"})
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderkey", "o_totalprice"],
+    )
+    agg = (
+        coalesce_for_shuffle(orders)
+        .groupby("o_custkey")
+        .aggregate(
+            Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total_price")
+        )
+        .rename_columns({"o_custkey": "custkey"})
+    )
+    joined = hash_join(cust, agg, on="custkey", how="left")
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "custkey": b["custkey"],
+                "c_name": b["c_name"],
+                "n_orders": pc.fill_null(pc.cast(b["n_orders"], pa.int64()), 0),
+                "total_price": pc.round(
+                    pc.fill_null(b["total_price"], 0.0), ndigits=6
+                ),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_events_attribution(sf_dir: str):
+    """As-of join: each purchase attributed to the user's most recent
+    prior click (stages/joins.py asof_join_events)."""
+    from docling_api_ray.stages.joins import asof_join_events
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "event_type", "ts"],
+    )
+    return asof_join_events(ds, left_type="purchase", right_type="click")
+
+
+def _q_events_distinct_users(sf_dir: str):
+    """Exact distinct count as two vectorized grouped aggregates (distinct
+    pairs, then count per type) — no per-group python."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "user_id"]
+    )
+    pairs = (
+        coalesce_for_shuffle(ds)
+        .groupby(["event_type", "user_id"])
+        .aggregate(Count(alias_name="dummy"))
+        .select_columns(["event_type"])
+    )
+    return pairs.groupby("event_type").aggregate(Count(alias_name="n_users"))
+
+
 def _q_conversion_metrics(sf_dir: str):
     from docling_api_ray.pipelines.metrics import conversion_metrics
 
@@ -516,6 +580,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_bruteforce": _q_knn,
         "knn_ivf": _q_knn_ivf,
         "conversion_metrics": _q_conversion_metrics,
+        "orders_per_customer": _q_orders_per_customer,
+        "events_attribution": _q_events_attribution,
+        "events_distinct_users": _q_events_distinct_users,
         "topk_longest_docs": _q_topk_longest,
         "distinct_lang_source": _q_distinct_lang_source,
         "sample_systematic": _q_sample_systematic,
@@ -676,6 +743,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_text + m) AS BIGINT) AS total_spans,
                    CAST(sum(m) AS BIGINT) AS total_media
             FROM base GROUP BY format
+        """,
+        "orders_per_customer": """
+            SELECT c.c_custkey AS custkey, c.c_name,
+                   CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
+                   round(coalesce(sum(o.o_totalprice), 0), 6) AS total_price
+            FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+            GROUP BY 1, 2
+        """,
+        "events_attribution": """
+            WITH a AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+                       FROM events WHERE event_type = 'purchase'),
+                 b AS (SELECT event_id AS matched_event_id, user_id,
+                              epoch_us(ts) AS matched_ts_us
+                       FROM events WHERE event_type = 'click')
+            SELECT a.event_id, a.user_id, a.ts_us,
+                   coalesce(b.matched_event_id, -1) AS matched_event_id,
+                   coalesce(b.matched_ts_us, -1) AS matched_ts_us
+            FROM a ASOF LEFT JOIN b
+              ON a.user_id = b.user_id AND a.ts_us >= b.matched_ts_us
+        """,
+        "events_distinct_users": """
+            SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY 1
         """,
         "multimodal_dims": f"""
             WITH base AS (SELECT doc_id, {_SQL_NMEDIA} AS m FROM documents),

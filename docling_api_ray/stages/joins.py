@@ -1,0 +1,165 @@
+"""Join operators (SURVEY.md §2.4 — the reference has only format-dispatch
+routing; these are the engine's general-purpose joins for the
+training-data pipelines, following the guide patterns):
+
+- broadcast join: small side via ``ray.put`` + vectorized lookup
+  (implemented inline where used, e.g. docs_region_join);
+- ``hash_join``: both-sides-large partitioned hash join — bucket column
+  on both sides, tagged union, one ``groupby(bucket)`` co-group, pandas
+  merge per bucket.  The bucket count B bounds per-group memory; salt
+  hot keys into sub-buckets by raising B.  Keys must be integers here
+  (hash strings to int64 first — e.g. stages/dedup._stable_u64).
+- ``asof_join_events``: per-key ordered as-of join (pd.merge_asof per
+  user group) — the classic event-attribution shape Ray Data lacks.
+  Partitioning assumption: all rows of one key fit one group.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from docling_api_ray.stages.common import coalesce_for_shuffle
+
+US = 1_000_000
+
+
+def _pad_columns(ds: ray.data.Dataset, schema: pa.Schema) -> ray.data.Dataset:
+    """Extend every batch to ``schema`` (missing columns become nulls) so
+    two sides with different columns can union for the co-group."""
+
+    def pad(b: pa.Table) -> pa.Table:
+        arrays = []
+        for f in schema:
+            if f.name in b.column_names:
+                arrays.append(pc.cast(b[f.name], f.type))
+            else:
+                arrays.append(pa.nulls(len(b), type=f.type))
+        return pa.Table.from_arrays(arrays, schema=schema)
+
+    return ds.map_batches(pad, batch_format="pyarrow")
+
+
+def hash_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    on: str,
+    how: str = "inner",
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Partitioned hash join of two datasets on an int64 key column named
+    ``on`` in BOTH sides; non-key column names must be disjoint."""
+    lschema = left.schema().base_schema
+    rschema = right.schema().base_schema
+    lcols = [f for f in lschema if f.name != on]
+    rcols = [f for f in rschema if f.name != on]
+    combined = pa.schema(
+        [pa.field(on, pa.int64())]
+        + lcols
+        + rcols
+        + [pa.field("__side", pa.int8()), pa.field("__bucket", pa.int64())]
+    )
+
+    def tag(side: int):
+        def fn(b: pa.Table) -> pa.Table:
+            key = pc.cast(b[on], pa.int64())
+            b = b.set_column(b.schema.get_field_index(on), on, key)
+            b = b.append_column(
+                "__side", pa.array(np.full(len(b), side, dtype=np.int8))
+            )
+            bucket = pc.subtract(
+                key, pc.multiply(pc.divide(key, num_buckets), num_buckets)
+            )
+            return b.append_column("__bucket", pc.cast(bucket, pa.int64()))
+
+        return fn
+
+    lt = _pad_columns(
+        left.map_batches(tag(0), batch_format="pyarrow"), combined
+    )
+    rt = _pad_columns(
+        right.map_batches(tag(1), batch_format="pyarrow"), combined
+    )
+    union = lt.union(rt)
+
+    lnames = [f.name for f in lcols]
+    rnames = [f.name for f in rcols]
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        lpart = g[g["__side"] == 0][[on] + lnames]
+        rpart = g[g["__side"] == 1][[on] + rnames]
+        out = lpart.merge(rpart, on=on, how=how)
+        return out
+
+    return coalesce_for_shuffle(union).groupby("__bucket").map_groups(
+        merge, batch_format="pandas"
+    )
+
+
+def asof_join_events(
+    events: ray.data.Dataset,
+    *,
+    left_type: str,
+    right_type: str,
+    key: str = "user_id",
+) -> ray.data.Dataset:
+    """For each event of ``left_type``, attribute the most recent event of
+    ``right_type`` with the same key and ts <= left.ts (backward as-of).
+
+    Output: (event_id, user_id, ts_us, matched_event_id, matched_ts_us)
+    with -1 sentinels for unmatched rows (null-free for stable compares).
+    Tie discipline: among equal-ts candidates the max event_id wins (both
+    sides pre-sorted by (ts, event_id); merge_asof takes the last)."""
+
+    def keep(types: tuple[str, ...]):
+        def fn(b: pa.Table) -> pa.Table:
+            return b.filter(pc.is_in(b["event_type"], value_set=pa.array(list(types))))
+
+        return fn
+
+    filtered = events.map_batches(
+        keep((left_type, right_type)), batch_format="pyarrow"
+    )
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["ts_us"] = g["ts"].astype("int64")
+        left = (
+            g[g["event_type"] == left_type]
+            .sort_values(["ts_us", "event_id"], kind="stable")
+        )
+        right = (
+            g[g["event_type"] == right_type]
+            .sort_values(["ts_us", "event_id"], kind="stable")
+        )
+        if len(left) == 0:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype="int64"),
+                    key: pd.Series([], dtype="int64"),
+                    "ts_us": pd.Series([], dtype="int64"),
+                    "matched_event_id": pd.Series([], dtype="int64"),
+                    "matched_ts_us": pd.Series([], dtype="int64"),
+                }
+            )
+        merged = pd.merge_asof(
+            left[["event_id", key, "ts_us"]],
+            right[["event_id", "ts_us"]].rename(
+                columns={"event_id": "matched_event_id", "ts_us": "matched_ts_us"}
+            ),
+            left_on="ts_us",
+            right_on="matched_ts_us",
+            direction="backward",
+        )
+        for c in ("matched_event_id", "matched_ts_us"):
+            merged[c] = merged[c].fillna(-1).astype("int64")
+        return merged[["event_id", key, "ts_us", "matched_event_id", "matched_ts_us"]]
+
+    return coalesce_for_shuffle(filtered).groupby(key).map_groups(
+        per_key, batch_format="pandas"
+    )

@@ -1,0 +1,82 @@
+"""Join operators: partitioned hash join + as-of join on hand-built data."""
+
+import datetime as dt
+
+import pyarrow as pa
+import ray.data
+
+from docling_api_ray.stages.joins import asof_join_events, hash_join
+
+
+def test_hash_join_inner_and_left():
+    left = ray.data.from_arrow(
+        pa.table({"k": [1, 2, 3, 4], "lv": ["a", "b", "c", "d"]})
+    )
+    right = ray.data.from_arrow(pa.table({"k": [2, 3, 3, 9], "rv": [20, 30, 31, 90]}))
+    inner = hash_join(left, right, on="k", how="inner").take_all()
+    assert sorted((r["k"], r["lv"], r["rv"]) for r in inner) == [
+        (2, "b", 20),
+        (3, "c", 30),
+        (3, "c", 31),
+    ]
+    lj = hash_join(left, right, on="k", how="left").take_all()
+    assert len(lj) == 5  # 1,4 unmatched + 2 + two 3s
+    # unmatched right values arrive as null/NaN (pandas merge semantics)
+    unmatched = [r for r in lj if r["rv"] is None or r["rv"] != r["rv"]]
+    assert sorted(r["k"] for r in unmatched) == [1, 4]
+
+
+def test_hash_join_bucket_correctness():
+    # keys colliding in the same bucket (k % 32) must still join by key
+    left = ray.data.from_arrow(pa.table({"k": [1, 33, 65], "lv": [1, 2, 3]}))
+    right = ray.data.from_arrow(pa.table({"k": [33], "rv": [99]}))
+    out = hash_join(left, right, on="k", how="inner").take_all()
+    assert out == [{"k": 33, "lv": 2, "rv": 99}]
+
+
+def _events(rows):
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "event_id": [r[0] for r in rows],
+                "user_id": [r[1] for r in rows],
+                "event_type": [r[2] for r in rows],
+                "ts": pa.array(
+                    [dt.datetime(2024, 1, 1) + dt.timedelta(seconds=r[3]) for r in rows],
+                    type=pa.timestamp("us"),
+                ),
+            }
+        )
+    )
+
+
+def test_asof_backward_match_and_unmatched():
+    ds = _events(
+        [
+            (1, 7, "click", 10),
+            (2, 7, "purchase", 15),   # → click 1
+            (3, 7, "click", 20),
+            (4, 7, "purchase", 20),   # ts equal → click 3 (<=)
+            (5, 8, "purchase", 5),    # no click for user 8 → -1
+            (6, 9, "click", 100),     # click after any purchase, no output row
+        ]
+    )
+    out = asof_join_events(ds, left_type="purchase", right_type="click")
+    rows = {r["event_id"]: r for r in out.take_all()}
+    assert set(rows) == {2, 4, 5}
+    assert rows[2]["matched_event_id"] == 1
+    assert rows[4]["matched_event_id"] == 3
+    assert rows[5]["matched_event_id"] == -1 and rows[5]["matched_ts_us"] == -1
+
+
+def test_asof_picks_latest_prior():
+    ds = _events(
+        [
+            (1, 1, "click", 1),
+            (2, 1, "click", 5),
+            (3, 1, "click", 9),
+            (4, 1, "purchase", 7),  # → click 2 (latest <= 7)
+        ]
+    )
+    out = asof_join_events(ds, left_type="purchase", right_type="click").take_all()
+    assert out[0]["matched_event_id"] == 2
