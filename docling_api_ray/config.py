@@ -27,6 +27,10 @@ class PipelineConfig:
     convert_batch_size: int = 64
     convert_concurrency: int = 8  # actor-pool size for the convert stage
     convert_num_cpus: float = 1.0
+    # >0 schedules the convert pool on GPU workers (north_star: CPU and
+    # GPU actor pools — EasyOCR/layout models would run here; the sandbox
+    # has no GPU so this stays 0 and is covered by a config-surface test)
+    convert_num_gpus: float = 0.0
 
     # span assembly rule for text-only formats: words per text span
     words_per_span: int = 8

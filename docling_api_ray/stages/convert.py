@@ -207,6 +207,9 @@ def convert_documents(
     read stage (observed deadlock-like stall with (32,32) on 32 CPUs)."""
     max_actors = max(1, config.convert_concurrency)
     min_actors = max(1, min(4, max_actors // 4))
+    kwargs = {}
+    if config.convert_num_gpus > 0:
+        kwargs["num_gpus"] = config.convert_num_gpus
     return ds.map_batches(
         ConvertActor,
         fn_constructor_kwargs={"config": config},
@@ -214,4 +217,5 @@ def convert_documents(
         batch_size=config.convert_batch_size,
         concurrency=(min_actors, max_actors),
         num_cpus=config.convert_num_cpus,
+        **kwargs,
     )

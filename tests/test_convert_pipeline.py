@@ -55,3 +55,17 @@ def test_html_doc_media_spans():
     kinds = [s["kind"] for s in spans]
     assert kinds == ["text", "text", "picture"]
     assert media[0]["filename"] == "picture-1.png"
+
+
+def test_gpu_pool_config_surface():
+    """num_gpus plumbs into the actor-pool spec (lazy build only — the
+    sandbox has no GPU to execute on)."""
+    import ray.data
+
+    from docling_api_ray.stages.convert import convert_documents
+
+    cfg = PipelineConfig(convert_num_gpus=0.5)
+    ds = ray.data.from_items([{"doc_id": 1, "filename": "a.md", "payload": b"x",
+                               "format": "md"}])
+    lazy = convert_documents(ds, cfg)  # must build without executing
+    assert lazy is not None
