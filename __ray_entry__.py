@@ -769,7 +769,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "multimodal_dims": f"""
             WITH base AS (SELECT doc_id, {_SQL_NMEDIA} AS m FROM documents),
-                 series AS (SELECT unnest(generate_series(1, 50)) AS i),
+                 series AS (SELECT unnest(generate_series(
+                     1, GREATEST(1, (SELECT MAX((m + 1) // 2) FROM base))
+                 )) AS i),
                  t AS (SELECT b.doc_id,
                               'table-' || CAST(s.i AS VARCHAR) || '.png' AS filename,
                               'table' AS kind

@@ -27,7 +27,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--partitions", type=int, default=8)
     ap.add_argument("--no-resume", action="store_true",
                     help="clear the output directory instead of resuming")
-    ap.add_argument("--extract-tables", action="store_true", default=True)
+    ap.add_argument("--extract-tables", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="emit table PNG media (--no-extract-tables for the "
+                         "reference default)")
     ap.add_argument("--image-scale", type=int, default=1, choices=range(1, 5))
     ap.add_argument("--num-cpus", type=int, default=None,
                     help="only for standalone runs; ignored under ray job submit")
@@ -37,7 +40,9 @@ def main(argv: list[str] | None = None) -> int:
     import ray
 
     if not ray.is_initialized():
-        kwargs = dict(address="local", include_dashboard=False, logging_level="ERROR")
+        # address=None → honor RAY_ADDRESS (the ray job submit runtime /
+        # an existing cluster); falls back to a local instance otherwise.
+        kwargs = dict(address=None, include_dashboard=False, logging_level="ERROR")
         if args.num_cpus:
             kwargs["num_cpus"] = args.num_cpus
         ray.init(**kwargs)

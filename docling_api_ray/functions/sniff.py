@@ -128,7 +128,20 @@ def guess_format_row(payload: bytes, filename: str) -> str | None:
         fmt = _FALLBACK_EXTS.get(_extension_of(filename))
     if fmt is None:
         fmt = detect_html_xhtml(window)
+        if fmt is None and _comment_truncated(window):
+            # a leading XML comment spans past the window — the reference
+            # strips comments over FULL content (utils.py:60-73); retry
+            # unwindowed for this rare shape
+            fmt = detect_html_xhtml(payload)
     return fmt  # None == text/plain fallback == unsupported
+
+
+def _comment_truncated(window: bytes) -> bool:
+    """True when the window's comment-stripped text still opens with an
+    unterminated ``<!--`` — the one case where the bounded window can
+    disagree with the reference's full-content scan."""
+    s = _XML_COMMENT_RE.sub(b"", window)
+    return s.decode("ascii", errors="ignore").lstrip().startswith("<!--")
 
 
 def classify_format(batch: pa.Table) -> pa.Table:
@@ -141,6 +154,7 @@ def classify_format(batch: pa.Table) -> pa.Table:
     windows = pc.binary_slice(payloads, 0, _SNIFF_WINDOW).to_pylist()
     filenames = batch["filename"].to_pylist()
     out = np.empty(len(windows), dtype=object)
+    retry_full: list[int] = []
     for i, (w, fn) in enumerate(zip(windows, filenames)):
         w = w or b""
         fmt = _magic_format(w[:16], w)
@@ -148,7 +162,13 @@ def classify_format(batch: pa.Table) -> pa.Table:
             fmt = _FALLBACK_EXTS.get(_extension_of(fn or ""))
         if fmt is None:
             fmt = detect_html_xhtml(w)
+            if fmt is None and _comment_truncated(w):
+                retry_full.append(i)
         out[i] = fmt
+    # rare path: leading comment crossed the sniff window — fetch the full
+    # payload for just these rows (reference scans full content)
+    for i in retry_full:
+        out[i] = detect_html_xhtml(payloads[i].as_py() or b"")
     return batch.append_column("format", pa.array(out, type=pa.string()))
 
 

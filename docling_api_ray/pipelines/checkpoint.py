@@ -72,6 +72,8 @@ def completed_partitions(out_dir: str) -> set[int]:
         return set()
     done = set()
     for fn in os.listdir(mdir):
+        if fn == "plan.json":
+            continue
         if fn.startswith("part-") and fn.endswith(".json"):
             try:
                 with open(os.path.join(mdir, fn)) as f:
@@ -98,8 +100,31 @@ def run_resumable(
     completed in THIS call."""
     docs_path = os.path.join(sf_dir, "documents.parquet")
     parts = plan_partitions(docs_path, npartitions)
-    done = completed_partitions(out_dir)
     os.makedirs(os.path.join(out_dir, "_manifest"), exist_ok=True)
+    # partition-geometry guard: a manifest written under a different plan
+    # (other npartitions value, or the input grew) must not be resumed —
+    # bare partition_id matching would silently skip or duplicate ranges
+    plan = {
+        "input": docs_path,
+        "npartitions": len(parts),
+        "num_rows": parts[-1].hi if parts else 0,
+    }
+    plan_path = os.path.join(out_dir, "_manifest", "plan.json")
+    if os.path.exists(plan_path):
+        with open(plan_path) as f:
+            prior = json.load(f)
+        if prior != plan:
+            raise ValueError(
+                f"checkpoint plan mismatch: output dir was written with "
+                f"{prior}, current run plans {plan}; use a fresh output "
+                f"directory (or the same partition count and input)"
+            )
+    else:
+        tmp = plan_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(plan, f)
+        os.replace(tmp, plan_path)
+    done = completed_partitions(out_dir)
     committed: list[dict] = []
     n_processed = 0
     for part in parts:

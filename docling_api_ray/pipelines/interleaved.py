@@ -17,6 +17,8 @@ failing (raises_on_error=False discipline).
 
 from __future__ import annotations
 
+import zlib
+
 import pyarrow as pa
 
 import ray.data
@@ -56,14 +58,17 @@ class InterleavedConvert:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         spans_in = batch["spans"].to_pylist()
+        doc_ids = batch["doc_id"].to_pylist()
         out_spans, out_media, out_md, out_err = [], [], [], []
-        for i, spans in enumerate(spans_in):
+        for did, spans in zip(doc_ids, spans_in):
             try:
                 doc = assemble_spans(
                     items_from_input_spans(spans),
                     extract_tables_as_images=self.config.extract_tables_as_images,
                     image_resolution_scale=self.config.image_resolution_scale,
-                    png_seed=i,
+                    # process- and batching-stable seed: PNG bytes must not
+                    # depend on where block boundaries fall
+                    png_seed=zlib.crc32(str(did).encode()) & 0x7FFFFFFF,
                 )
                 out_spans.append(doc.spans)
                 out_media.append(doc.media)

@@ -29,6 +29,13 @@ SPAN_TYPE = pa.struct(
     ]
 )
 
+# NOTE on doc_id types: these schemas declare the CANONICAL Lance-corpus
+# shape (input_hint: doc_id string).  The pipeline stages themselves are
+# key-type-generic — they pass the source's doc_id column through
+# untouched, so over the driver testdata (doc_id int64) outputs carry
+# int64 keys.  Validate against these schemas only for string-keyed
+# corpora (see pipelines/interleaved.py + sources/corpus.py).
+
 # input: raw binary documents (F2 in FIXTURES.md) — the shape of the
 # reference's upload surface (route.py:25-38): a filename plus payload bytes.
 RAW_DOCUMENTS_SCHEMA = pa.schema(

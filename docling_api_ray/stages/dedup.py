@@ -245,9 +245,14 @@ def minhash_lsh_pairs(
     signed = ds.map_batches(
         MinHasher(num_perm=num_perm), batch_format="pyarrow", batch_size=1024
     )
+    # pin the narrow (bucket, doc_id, signature) table: the hot-bucket
+    # count consumes it once and the pair pass consumes it again — without
+    # this the signature computation (the dominant cost) runs twice.  At
+    # corpus scales where ~0.5 KB/doc of signatures outgrow the object
+    # store, write this intermediate to storage instead.
     exploded = signed.map_batches(
         lambda b: explode_bands(b, bands=bands), batch_format="pyarrow"
-    )
+    ).materialize()
     hot = _keep_hot_buckets(exploded)
     if hot is None:
         return ray.data.from_arrow(
@@ -346,7 +351,7 @@ def simhash_pairs(
             {"left_id": "int64", "right_id": "int64", "hamming": "int64"}
         )
 
-    exploded = signed.map_batches(explode, batch_format="pyarrow")
+    exploded = signed.map_batches(explode, batch_format="pyarrow").materialize()
     hot = _keep_hot_buckets(exploded)
     if hot is None:
         return ray.data.from_arrow(

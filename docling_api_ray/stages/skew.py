@@ -93,13 +93,15 @@ def dispatch_by_cost(
     """(heavy, light) streams split by payload size — vectorized filters,
     no shuffle.  See module docstring for the re-execution tradeoff."""
 
+    # null payloads count as length 0 (→ light stream) — a null predicate
+    # result would silently drop the row from BOTH streams
     def heavy(b: pa.Table) -> pa.Table:
-        return b.filter(pc.greater(pc.binary_length(b[cost_col]), threshold))
+        ln = pc.fill_null(pc.binary_length(b[cost_col]), 0)
+        return b.filter(pc.greater(ln, threshold))
 
     def light(b: pa.Table) -> pa.Table:
-        return b.filter(
-            pc.less_equal(pc.binary_length(b[cost_col]), threshold)
-        )
+        ln = pc.fill_null(pc.binary_length(b[cost_col]), 0)
+        return b.filter(pc.less_equal(ln, threshold))
 
     return (
         ds.map_batches(heavy, batch_format="pyarrow"),

@@ -68,3 +68,10 @@ def test_conversion_metrics_groupby():
     total = sum(r["n_docs"] for r in out)
     assert total == 500
     assert byfmt["docx"]["total_spans"] > 0 and byfmt["docx"]["n_errors"] == 0
+
+
+def test_plan_mismatch_refused(tmp_path):
+    out = str(tmp_path / "ckpt3")
+    run_resumable(SF_DIR, out, CFG, npartitions=4)
+    with pytest.raises(ValueError, match="plan mismatch"):
+        run_resumable(SF_DIR, out, CFG, npartitions=8)

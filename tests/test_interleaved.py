@@ -90,14 +90,16 @@ def test_idempotent_on_typed_spans():
     """Re-running the converter over its own typed output reproduces the
     same span sequence (pass-through branch)."""
     corpus = generate_interleaved(n_docs=50, seed=3)
-    once = convert_interleaved(ray.data.from_arrow(corpus), CFG)
+    once = {
+        r["doc_id"]: r
+        for r in convert_interleaved(ray.data.from_arrow(corpus), CFG).take_all()
+    }
     tbl = pa.Table.from_pylist(
-        [{"doc_id": r["doc_id"], "spans": r["spans"]} for r in once.take_all()]
+        [{"doc_id": d, "spans": r["spans"]} for d, r in once.items()]
     )
     twice = convert_interleaved(ray.data.from_arrow(tbl), CFG).take_all()
+    assert len(twice) == len(once)
     for r in twice:
-        assert [s["kind"] for s in r["spans"]] == [
-            s["kind"] for s in r["spans"]
-        ]
-        kinds = {s["kind"] for s in r["spans"]}
-        assert kinds <= {"text", "table", "picture"}
+        first = once[r["doc_id"]]
+        assert r["spans"] == first["spans"]
+        assert r["markdown"] == first["markdown"]

@@ -82,3 +82,20 @@ def test_heavy_split_pipeline_equals_plain():
     for a, b in zip(plain, split):
         assert a["spans"] == b["spans"] and a["markdown"] == b["markdown"]
         assert a["error"] == b["error"]
+
+
+def test_dispatch_null_payload_goes_light():
+    import pyarrow as pa
+    from docling_api_ray.stages.skew import dispatch_by_cost
+
+    tbl = pa.table(
+        {
+            "doc_id": [0, 1],
+            "payload": pa.array([None, b"x" * 100], type=pa.binary()),
+        }
+    )
+    heavy, light = dispatch_by_cost(ray.data.from_arrow(tbl), threshold=10)
+    # 100-byte row is heavy; the NULL-payload row must land in light
+    # (not vanish from both streams)
+    assert [r["doc_id"] for r in heavy.take_all()] == [1]
+    assert [r["doc_id"] for r in light.take_all()] == [0]

@@ -76,3 +76,23 @@ def test_detect_html_xhtml_comment_strip_multiline():
 def test_support_predicate():
     assert is_file_format_supported(b"%PDF-1.4", "x")
     assert not is_file_format_supported(b"random", "x.bin")
+
+
+def test_leading_comment_crossing_sniff_window():
+    # a >4KiB license-banner comment before <html>: the reference strips
+    # comments over full content; the bounded window must retry unwindowed
+    payload = b"<!-- " + b"x" * 5000 + b" -->\n<html><body>hi</body></html>"
+    assert guess_format_row(payload, "f.bin") == "html"
+    tbl = pa.table(
+        {
+            "doc_id": ["1"],
+            "filename": ["f.bin"],
+            "payload": pa.array([payload], type=pa.binary()),
+        }
+    )
+    assert classify_format(tbl)["format"].to_pylist() == ["html"]
+
+
+def test_unterminated_comment_is_unsupported():
+    payload = b"<!-- never closed " + b"y" * 5000
+    assert guess_format_row(payload, "f.bin") is None
