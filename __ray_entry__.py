@@ -537,6 +537,97 @@ def _q_events_distinct_users(sf_dir: str):
     return pairs.groupby("event_type").aggregate(Count(alias_name="n_users"))
 
 
+def _q_events_props_extract(sf_dir: str):
+    """Semi-structured extraction: pull the int field k out of the props
+    JSON string with the shared RE2 pattern, aggregate per event_type."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "props"]
+    )
+
+    def extract(b: pa.Table) -> pa.Table:
+        m = pc.extract_regex(b["props"], r'"k":\s*(?P<k>\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        return pa.table({"event_type": b["event_type"], "k": k})
+
+    agg = (
+        coalesce_for_shuffle(ds.map_batches(extract, batch_format="pyarrow"))
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n"), Sum("k", alias_name="sum_k"))
+    )
+    return agg
+
+
+def _q_pricing_summary(sf_dir: str):
+    """Columnar grouped aggregate over the widest table (TPC-H Q1 shape):
+    derived revenue column computed vectorized, then one grouped agg."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=[
+            "l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount",
+        ],
+    )
+
+    def derive(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"])
+        )
+        return pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+                "l_quantity": b["l_quantity"],
+                "revenue": rev,
+            }
+        )
+
+    agg = (
+        coalesce_for_shuffle(ds.map_batches(derive, batch_format="pyarrow"))
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Count(alias_name="n_rows"),
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("revenue", alias_name="sum_revenue"),
+        )
+    )
+
+    def round_cols(b: pa.Table) -> pa.Table:
+        b = b.set_column(
+            b.schema.get_field_index("sum_qty"), "sum_qty",
+            pc.round(b["sum_qty"], ndigits=2),
+        )
+        return b.set_column(
+            b.schema.get_field_index("sum_revenue"), "sum_revenue",
+            pc.round(b["sum_revenue"], ndigits=2),
+        )
+
+    return agg.map_batches(round_cols, batch_format="pyarrow")
+
+
+def _q_quality_filter(sf_dir: str):
+    """Composition: quality scores → vectorized threshold filter → grouped
+    count by lang (the keep/drop decision of a data-curation pipeline)."""
+    scored = _docs(sf_dir, ["doc_id", "lang", "text"]).map_batches(
+        lambda b: ta.quality_scores(b).append_column("lang", b["lang"]),
+        batch_format="pyarrow",
+    )
+
+    def keep(b: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.greater_equal(b["n_words"], 20),
+            pc.less_equal(b["stopword_ratio"], 0.25),
+        )
+        return b.filter(mask)
+
+    return (
+        coalesce_for_shuffle(
+            scored.map_batches(keep, batch_format="pyarrow").select_columns(["lang"])
+        )
+        .groupby("lang")
+        .aggregate(Count(alias_name="n_kept"))
+    )
+
+
 def _q_conversion_metrics(sf_dir: str):
     from docling_api_ray.pipelines.metrics import conversion_metrics
 
@@ -581,6 +672,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": _q_knn_ivf,
         "conversion_metrics": _q_conversion_metrics,
         "orders_per_customer": _q_orders_per_customer,
+        "events_props_extract": _q_events_props_extract,
+        "pricing_summary": _q_pricing_summary,
+        "quality_filter": _q_quality_filter,
         "events_attribution": _q_events_attribution,
         "events_distinct_users": _q_events_distinct_users,
         "topk_longest_docs": _q_topk_longest,
@@ -762,6 +856,32 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(b.matched_ts_us, -1) AS matched_ts_us
             FROM a ASOF LEFT JOIN b
               ON a.user_id = b.user_id AND a.ts_us >= b.matched_ts_us
+        """,
+        "events_props_extract": """
+            SELECT event_type, count(*) AS n,
+                   CAST(sum(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1)
+                                 AS BIGINT)) AS BIGINT) AS sum_k
+            FROM events GROUP BY 1
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                     AS sum_revenue
+            FROM lineitem GROUP BY 1, 2
+        """,
+        "quality_filter": f"""
+            WITH q AS (
+              SELECT lang,
+                     length(regexp_extract_all(text, $${ta.WS_TOKEN_RE}$$))
+                       AS n_words,
+                     round(length(regexp_extract_all(text, $${ta.STOPWORD_RE}$$))
+                           / greatest(length(regexp_extract_all(text, $${ta.WS_TOKEN_RE}$$)), 1), 6)
+                       AS stopword_ratio
+              FROM documents)
+            SELECT lang, count(*) AS n_kept FROM q
+            WHERE n_words >= 20 AND stopword_ratio <= 0.25
+            GROUP BY 1
         """,
         "events_distinct_users": """
             SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
