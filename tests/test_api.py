@@ -1,0 +1,46 @@
+"""Reference-parity convenience API (sync-single vs batch asymmetry)."""
+
+import pytest
+
+from docling_api_ray.api import (
+    ConversionFailed,
+    convert_document,
+    convert_documents_batch,
+)
+from docling_api_ray.config import PipelineConfig
+
+
+def test_convert_document_success():
+    out = convert_document("note.md", b"hello world\nsecond line")
+    assert out["filename"] == "note.md"
+    assert out["markdown"] == "hello world\n\nsecond line"
+    assert "error" not in out
+
+
+def test_sync_single_raises_like_reference():
+    # sync-single turns doc errors into failures (service.py:127-129)...
+    with pytest.raises(ConversionFailed, match="unsupported format"):
+        convert_document("blob.xyz", b"\x00\xffgarbage")
+    # ...unless asked for error-as-data
+    out = convert_document("blob.xyz", b"\x00\xffgarbage", raise_on_error=False)
+    assert out == {"filename": "blob.xyz", "error": "unsupported format"}
+
+
+def test_batch_keeps_errors_in_order():
+    docs = [
+        ("a.md", b"alpha"),
+        ("bad.bin", b"\x00\xff???"),
+        ("c.pdf", b"%PDF-1.4\nbody text here"),
+    ]
+    out = convert_documents_batch(docs)
+    assert [r["filename"] for r in out] == ["a.md", "bad.bin", "c.pdf"]
+    assert "error" in out[1] and "markdown" in out[0] and "markdown" in out[2]
+
+
+def test_media_payload_b64_present():
+    cfg = PipelineConfig(extract_tables_as_images=True)
+    out = convert_document(
+        "t.pdf", b"%PDF-1.4\nsome text\n[[TABLE]]\n[[PICTURE]]", config=cfg
+    )
+    assert [m["type"] for m in out["images"]] == ["table", "picture"]
+    assert out["images"][0]["filename"] == "table-1.png"
