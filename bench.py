@@ -139,8 +139,16 @@ def _scaling() -> None:
     # GRAFT_SCALING_LO/HI=8/32 reproduces the saturated pair.
     lo = int(os.environ.get("GRAFT_SCALING_LO", "2"))
     hi = int(os.environ.get("GRAFT_SCALING_HI", "8"))
-    r_lo = _run_subprocess(lo)
-    r_hi = _run_subprocess(hi)
+    reps = int(os.environ.get("GRAFT_SCALING_REPS", "3"))
+    # min over repetitions: this container shares hardware with other
+    # tenants and single runs jitter ±30%; the minimum is the standard
+    # de-noised estimate of achievable throughput at each level
+    def best(ncpu: int) -> dict:
+        runs = [_run_subprocess(ncpu) for _ in range(reps)]
+        return min(runs, key=lambda r: r["value"])
+
+    r_lo = best(lo)
+    r_hi = best(hi)
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
     report = {
         "cpus_lo": lo,
