@@ -140,21 +140,27 @@ def _scaling() -> None:
     lo = int(os.environ.get("GRAFT_SCALING_LO", "2"))
     hi = int(os.environ.get("GRAFT_SCALING_HI", "8"))
     reps = int(os.environ.get("GRAFT_SCALING_REPS", "3"))
-    # min over repetitions: this container shares hardware with other
-    # tenants and single runs jitter ±30%; the minimum is the standard
-    # de-noised estimate of achievable throughput at each level
-    def best(ncpu: int) -> dict:
-        runs = [_run_subprocess(ncpu) for _ in range(reps)]
-        return min(runs, key=lambda r: r["value"])
+    # median over repetitions per level: this container shares hardware
+    # with other tenants and single runs jitter ±30%.  Median (not min)
+    # avoids pairing a lucky run at one level with an unlucky one at the
+    # other; every raw measurement is reported alongside.
+    def med(ncpu: int) -> tuple[dict, list[float]]:
+        runs = sorted(
+            (_run_subprocess(ncpu) for _ in range(reps)),
+            key=lambda r: r["value"],
+        )
+        return runs[len(runs) // 2], [r["value"] for r in runs]
 
-    r_lo = best(lo)
-    r_hi = best(hi)
+    r_lo, raw_lo = med(lo)
+    r_hi, raw_hi = med(hi)
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
     report = {
         "cpus_lo": lo,
         "cpus_hi": hi,
         "sec_lo": r_lo["value"],
         "sec_hi": r_hi["value"],
+        "raw_secs_lo": raw_lo,
+        "raw_secs_hi": raw_hi,
         "docs_per_sec_lo": r_lo["docs_per_sec"],
         "docs_per_sec_hi": r_hi["docs_per_sec"],
         "scaling_efficiency": round(eff, 3),

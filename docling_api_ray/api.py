@@ -18,11 +18,10 @@ batches, NOT the scale path (use pipelines/convert.py for tables).
 
 from __future__ import annotations
 
-import zlib
-
 from docling_api_ray.config import DEFAULT_CONFIG, PipelineConfig
 from docling_api_ray.functions.export import row_to_reference_json
 from docling_api_ray.functions.sniff import guess_format_row
+from docling_api_ray.functions.spans import stable_seed
 from docling_api_ray.stages.convert import ConvertActor
 
 
@@ -31,9 +30,13 @@ class ConversionFailed(Exception):
     analog of the sync-single HTTP 500 (service.py:127-129)."""
 
 
-def _convert_one(actor: ConvertActor, filename: str, payload: bytes) -> dict:
+def _convert_one(
+    actor: ConvertActor, filename: str, payload: bytes, doc_id=None
+) -> dict:
     fmt = guess_format_row(payload, filename)
-    seed = zlib.crc32(filename.encode()) & 0x7FFFFFFF
+    # same media bytes as the Dataset pipeline when the caller supplies
+    # the pipeline's doc_id; filename-keyed otherwise
+    seed = stable_seed(doc_id if doc_id is not None else filename)
     spans, media, markdown, error = actor.convert_row(payload, fmt, seed)
     return row_to_reference_json(
         {
@@ -51,11 +54,12 @@ def convert_document(
     *,
     config: PipelineConfig = DEFAULT_CONFIG,
     raise_on_error: bool = True,
+    doc_id=None,
 ) -> dict:
     """One document → ConversionResult dict.  Unsupported formats raise
     (the reference gates uploads with HTTP 400, route.py:31-32) unless
     raise_on_error=False, in which case the error row is returned."""
-    result = _convert_one(ConvertActor(config), filename, payload)
+    result = _convert_one(ConvertActor(config), filename, payload, doc_id)
     if raise_on_error and "error" in result:
         raise ConversionFailed(result["error"])
     return result

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -43,7 +44,11 @@ def main(argv: list[str] | None = None) -> int:
         # address=None → honor RAY_ADDRESS (the ray job submit runtime /
         # an existing cluster); falls back to a local instance otherwise.
         kwargs = dict(address=None, include_dashboard=False, logging_level="ERROR")
-        if args.num_cpus:
+        addr_env = os.environ.get("RAY_ADDRESS", "")
+        connecting = bool(addr_env) and addr_env != "local"
+        if args.num_cpus and not connecting:
+            # ray.init raises if num_cpus is passed while connecting to an
+            # existing cluster — only apply it for standalone/local runs
             kwargs["num_cpus"] = args.num_cpus
         ray.init(**kwargs)
 

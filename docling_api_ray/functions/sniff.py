@@ -138,10 +138,12 @@ def guess_format_row(payload: bytes, filename: str) -> str | None:
 
 def _comment_truncated(window: bytes) -> bool:
     """True when the window's comment-stripped text still opens with an
-    unterminated ``<!--`` — the one case where the bounded window can
-    disagree with the reference's full-content scan."""
+    unterminated ``<!--`` — or the window ends mid-opener (``<``, ``<!``,
+    ``<!-``) — the cases where the bounded window can disagree with the
+    reference's full-content scan."""
     s = _XML_COMMENT_RE.sub(b"", window)
-    return s.decode("ascii", errors="ignore").lstrip().startswith("<!--")
+    t = s.decode("ascii", errors="ignore").lstrip()
+    return t.startswith("<!--") or t in ("<", "<!", "<!-")
 
 
 def classify_format(batch: pa.Table) -> pa.Table:

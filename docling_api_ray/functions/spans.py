@@ -26,9 +26,20 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+import zlib
+
 from docling_api_ray.functions.png import make_png
 
 PLACEHOLDER = "<!-- image -->"
+
+
+def stable_seed(key: object) -> int:
+    """Process- and batching-stable PNG seed for a document identity —
+    the ONE seed derivation shared by every conversion path (Dataset
+    pipelines key on doc_id; the convenience API keys on filename unless
+    given a doc_id), so identical identities yield identical media
+    bytes everywhere."""
+    return zlib.crc32(str(key).encode()) & 0x7FFFFFFF
 
 
 @dataclass

@@ -72,8 +72,6 @@ def completed_partitions(out_dir: str) -> set[int]:
         return set()
     done = set()
     for fn in os.listdir(mdir):
-        if fn == "plan.json":
-            continue
         if fn.startswith("part-") and fn.endswith(".json"):
             try:
                 with open(os.path.join(mdir, fn)) as f:
@@ -110,6 +108,7 @@ def run_resumable(
         "num_rows": parts[-1].hi if parts else 0,
     }
     plan_path = os.path.join(out_dir, "_manifest", "plan.json")
+    done = completed_partitions(out_dir)
     if os.path.exists(plan_path):
         with open(plan_path) as f:
             prior = json.load(f)
@@ -119,12 +118,19 @@ def run_resumable(
                 f"{prior}, current run plans {plan}; use a fresh output "
                 f"directory (or the same partition count and input)"
             )
+    elif done:
+        # manifests exist but no plan record (pre-plan-guard layout):
+        # their geometry is unknown — refuse rather than resume blind
+        raise ValueError(
+            f"checkpoint dir {out_dir} has {len(done)} completed partition "
+            "manifests but no plan.json; its partition geometry cannot be "
+            "validated — use a fresh output directory"
+        )
     else:
         tmp = plan_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(plan, f)
         os.replace(tmp, plan_path)
-    done = completed_partitions(out_dir)
     committed: list[dict] = []
     n_processed = 0
     for part in parts:

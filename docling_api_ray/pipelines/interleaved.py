@@ -17,14 +17,12 @@ failing (raises_on_error=False discipline).
 
 from __future__ import annotations
 
-import zlib
-
 import pyarrow as pa
 
 import ray.data
 
 from docling_api_ray.config import DEFAULT_CONFIG, PipelineConfig
-from docling_api_ray.functions.spans import Item, assemble_spans
+from docling_api_ray.functions.spans import Item, assemble_spans, stable_seed
 from docling_api_ray.schema import MEDIA_TYPE, SPAN_TYPE
 from docling_api_ray.sources.storage import read_table
 
@@ -68,7 +66,7 @@ class InterleavedConvert:
                     image_resolution_scale=self.config.image_resolution_scale,
                     # process- and batching-stable seed: PNG bytes must not
                     # depend on where block boundaries fall
-                    png_seed=zlib.crc32(str(did).encode()) & 0x7FFFFFFF,
+                    png_seed=stable_seed(did),
                 )
                 out_spans.append(doc.spans)
                 out_media.append(doc.media)

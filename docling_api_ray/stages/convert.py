@@ -37,14 +37,12 @@ implement.  The HTML handler is real (stages/html_extract.py).
 
 from __future__ import annotations
 
-import zlib
-
 import pyarrow as pa
 
 import ray.data
 
 from docling_api_ray.config import DEFAULT_CONFIG, PipelineConfig
-from docling_api_ray.functions.spans import Item, assemble_spans
+from docling_api_ray.functions.spans import Item, assemble_spans, stable_seed
 from docling_api_ray.schema import MEDIA_TYPE, SPAN_TYPE
 from docling_api_ray.stages.html_extract import extract_main_content
 
@@ -174,9 +172,7 @@ class ConvertActor:
         err_col: list[str] = []
         seeds = doc_ids.to_pylist()
         for payload, fmt, seed in zip(payloads, fmts, seeds):
-            # process-stable seed (str hash() is salted per process)
-            s = zlib.crc32(str(seed).encode()) & 0x7FFFFFFF
-            spans, media, md, err = self.convert_row(payload, fmt, s)
+            spans, media, md, err = self.convert_row(payload, fmt, stable_seed(seed))
             spans_col.append(spans)
             media_col.append(media)
             md_col.append(md)

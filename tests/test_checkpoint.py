@@ -75,3 +75,13 @@ def test_plan_mismatch_refused(tmp_path):
     run_resumable(SF_DIR, out, CFG, npartitions=4)
     with pytest.raises(ValueError, match="plan mismatch"):
         run_resumable(SF_DIR, out, CFG, npartitions=8)
+
+
+def test_planless_manifests_refused(tmp_path):
+    import os
+
+    out = str(tmp_path / "ckpt4")
+    run_resumable(SF_DIR, out, CFG, npartitions=2)
+    os.remove(os.path.join(out, "_manifest", "plan.json"))  # pre-guard layout
+    with pytest.raises(ValueError, match="cannot be validated"):
+        run_resumable(SF_DIR, out, CFG, npartitions=2)

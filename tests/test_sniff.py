@@ -96,3 +96,9 @@ def test_leading_comment_crossing_sniff_window():
 def test_unterminated_comment_is_unsupported():
     payload = b"<!-- never closed " + b"y" * 5000
     assert guess_format_row(payload, "f.bin") is None
+
+
+def test_comment_opener_split_at_window_boundary():
+    # window ends exactly inside '<!-' — must still retry full content
+    payload = b" " * 4093 + b"<!-- banner --><html><body>hi</body></html>"
+    assert guess_format_row(payload, "f.bin") == "html"
