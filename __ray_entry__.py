@@ -100,9 +100,6 @@ def _with_schema(ds: ray.data.Dataset, schema: pa.Schema) -> ray.data.Dataset:
     return ray.data.from_arrow(schema.empty_table()).union(ds)
 
 
-_PAIRS_SCHEMA = pa.schema(
-    [("left_id", pa.int64()), ("right_id", pa.int64())]
-)
 _PAIRS_J = pa.schema(
     [("left_id", pa.int64()), ("right_id", pa.int64()), ("jaccard", pa.float64())]
 )

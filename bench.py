@@ -5,10 +5,12 @@ Prints ONE JSON line:
    "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
    "docs": n, "docs_per_sec": rate}
 
-``--scaling`` runs the headline job in fresh subprocesses at 8 and 32
-CPUs on the same input and reports throughput at both plus the scaling
-efficiency (the sandbox proxy for the N vs 4N node cluster criterion);
-results are appended to BENCH/BASELINE.md.
+``--scaling`` runs the headline job in fresh subprocesses at N and 4N
+CPUs (default 2 and 8 — see BENCH/BASELINE.md for the hardware rationale)
+on the same input, median of GRAFT_SCALING_REPS repetitions per level,
+and reports throughput at both plus the scaling efficiency (the sandbox
+proxy for the N vs 4N node cluster criterion); results are appended to
+BENCH/BASELINE.md.
 """
 
 from __future__ import annotations
@@ -112,7 +114,7 @@ def _bench_once() -> dict:
 def _run_subprocess(ncpu: int) -> dict:
     # scaling runs need compute >> fixed overhead (~3-5 s of plan/actor-ramp
     # per pipeline) for the efficiency ratio to measure the engine rather
-    # than the constant; 48×5000 docs ≈ 4-5 min of single-CPU work
+    # than the constant; 96×5000 docs ≈ 8-10 min of single-CPU work
     env = dict(
         os.environ,
         RAY_GRAFT_CPUS=str(ncpu),
