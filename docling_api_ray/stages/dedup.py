@@ -206,22 +206,39 @@ def _keep_hot_buckets(
     return exploded.map_batches(keep, batch_format="pyarrow")
 
 
-def _pairs_from_bucket(g: pd.DataFrame, threshold: float) -> pd.DataFrame:
-    """Candidate pairs inside one LSH bucket, verified by signature-estimated
-    Jaccard (fraction of agreeing minhash components)."""
-    if len(g) < 2:
-        return pd.DataFrame(
-            {"left_id": [], "right_id": [], "est_jaccard": []}
-        ).astype({"left_id": "int64", "right_id": "int64", "est_jaccard": "float64"})
-    g = g.sort_values("doc_id", kind="stable")
-    ids = g["doc_id"].to_numpy()
-    sigs = np.stack([np.asarray(s, dtype=np.int64) for s in g["signature"]])
-    rows = []
-    for i in range(len(ids)):
-        agree = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
-        for j_off, est in enumerate(agree):
-            if est >= threshold:
-                rows.append((int(ids[i]), int(ids[i + 1 + j_off]), float(est)))
+def _cogrouped(ds: ray.data.Dataset, key: str):
+    """Co-locate all rows of each ``key`` value using ~core-count Ray
+    groups (key hash mod P), so per-key work can run as a cheap pandas
+    groupby inside each group instead of one Ray dispatch per key."""
+    from docling_api_ray.stages.common import shuffle_partitions
+
+    P = shuffle_partitions()
+
+    def add_part(b: pa.Table) -> pa.Table:
+        part = pc.subtract(b[key], pc.multiply(pc.divide(b[key], P), P))
+        return b.append_column("__part", pc.cast(part, pa.int64()))
+
+    return ds.map_batches(add_part, batch_format="pyarrow").groupby("__part")
+
+
+def _pairs_from_partition(df: pd.DataFrame, threshold: float) -> pd.DataFrame:
+    """Candidate pairs for ALL buckets in one partition, verified by
+    signature-estimated Jaccard (fraction of agreeing minhash
+    components).  Buckets are iterated with a pandas groupby INSIDE one
+    Ray group — Ray's per-group dispatch costs ~1 ms/group, ruinous for
+    thousands of tiny buckets, while a pandas group iteration is ~50 µs."""
+    rows: list[tuple[int, int, float]] = []
+    for _, g in df.groupby("bucket", sort=False):
+        if len(g) < 2:
+            continue
+        g = g.sort_values("doc_id", kind="stable")
+        ids = g["doc_id"].to_numpy()
+        sigs = np.stack([np.asarray(s, dtype=np.int64) for s in g["signature"]])
+        for i in range(len(ids)):
+            agree = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
+            for j_off, est in enumerate(agree):
+                if est >= threshold:
+                    rows.append((int(ids[i]), int(ids[i + 1 + j_off]), float(est)))
     return pd.DataFrame(rows, columns=["left_id", "right_id", "est_jaccard"]).astype(
         {"left_id": "int64", "right_id": "int64", "est_jaccard": "float64"}
     )
@@ -264,8 +281,8 @@ def minhash_lsh_pairs(
                 }
             )
         )
-    pairs = coalesce_for_shuffle(hot).groupby("bucket").map_groups(
-        lambda g: _pairs_from_bucket(g, threshold), batch_format="pandas"
+    pairs = _cogrouped(hot, "bucket").map_groups(
+        lambda df: _pairs_from_partition(df, threshold), batch_format="pandas"
     )
     # a pair can surface from several bands — vectorized aggregate dedup
     from ray.data.aggregate import Max
@@ -333,20 +350,21 @@ def simhash_pairs(
             }
         )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"left_id": [], "right_id": [], "hamming": []}).astype(
-                {"left_id": "int64", "right_id": "int64", "hamming": "int64"}
-            )
-        g = g.sort_values("doc_id", kind="stable")
-        ids = g["doc_id"].to_numpy()
-        sh = g["simhash"].to_numpy().astype(np.uint64)
+    def partition_pairs(df: pd.DataFrame) -> pd.DataFrame:
         rows = []
-        for i in range(len(ids)):
-            x = sh[i + 1 :] ^ sh[i]
-            ham = np.array([bin(int(v)).count("1") for v in x])
-            for j_off in np.nonzero(ham <= max_hamming)[0]:
-                rows.append((int(ids[i]), int(ids[i + 1 + j_off]), int(ham[j_off])))
+        for _, g in df.groupby("bucket", sort=False):
+            if len(g) < 2:
+                continue
+            g = g.sort_values("doc_id", kind="stable")
+            ids = g["doc_id"].to_numpy()
+            sh = g["simhash"].to_numpy().astype(np.uint64)
+            for i in range(len(ids)):
+                x = sh[i + 1 :] ^ sh[i]
+                ham = np.array([bin(int(v)).count("1") for v in x])
+                for j_off in np.nonzero(ham <= max_hamming)[0]:
+                    rows.append(
+                        (int(ids[i]), int(ids[i + 1 + j_off]), int(ham[j_off]))
+                    )
         return pd.DataFrame(rows, columns=["left_id", "right_id", "hamming"]).astype(
             {"left_id": "int64", "right_id": "int64", "hamming": "int64"}
         )
@@ -363,8 +381,8 @@ def simhash_pairs(
                 }
             )
         )
-    pairs = coalesce_for_shuffle(hot).groupby("bucket").map_groups(
-        bucket_pairs, batch_format="pandas"
+    pairs = _cogrouped(hot, "bucket").map_groups(
+        partition_pairs, batch_format="pandas"
     )
     from ray.data.aggregate import Min
 
