@@ -898,7 +898,9 @@ def oracle_sql() -> dict[str, str]:
                               'picture' AS kind
                        FROM base b JOIN series s ON s.i <= b.m // 2)
             SELECT doc_id, filename, kind,
-                   CAST(4 AS INTEGER) AS width, CAST(4 AS INTEGER) AS height,
+                   -- 4 * image_resolution_scale px; flagship config uses the
+                   -- reference default scale 4 (service.py:17) -> 16x16
+                   CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
                    CAST(8 AS INTEGER) AS bit_depth, true AS valid_png
             FROM (SELECT * FROM t UNION ALL SELECT * FROM p)
         """,

@@ -31,7 +31,12 @@ class ConversionFailed(Exception):
 
 
 def _convert_one(
-    actor: ConvertActor, filename: str, payload: bytes, doc_id=None
+    actor: ConvertActor,
+    filename: str,
+    payload: bytes,
+    doc_id=None,
+    *,
+    stem_error_filename: bool = False,
 ) -> dict:
     fmt = guess_format_row(payload, filename)
     # same media bytes as the Dataset pipeline when the caller supplies
@@ -44,7 +49,8 @@ def _convert_one(
             "markdown": markdown,
             "media": media,
             "error": error,
-        }
+        },
+        stem_error_filename=stem_error_filename,
     )
 
 
@@ -58,8 +64,12 @@ def convert_document(
 ) -> dict:
     """One document → ConversionResult dict.  Unsupported formats raise
     (the reference gates uploads with HTTP 400, route.py:31-32) unless
-    raise_on_error=False, in which case the error row is returned."""
-    result = _convert_one(ConvertActor(config), filename, payload, doc_id)
+    raise_on_error=False, in which case the error row is returned.
+    Filenames follow sync-single semantics: stem on BOTH success and
+    error rows (service.py:81,83-85)."""
+    result = _convert_one(
+        ConvertActor(config), filename, payload, doc_id, stem_error_filename=True
+    )
     if raise_on_error and "error" in result:
         raise ConversionFailed(result["error"])
     return result

@@ -32,7 +32,7 @@ def main(argv: list[str] | None = None) -> int:
                     default=True,
                     help="emit table PNG media (--no-extract-tables for the "
                          "reference default)")
-    ap.add_argument("--image-scale", type=int, default=1, choices=range(1, 5))
+    ap.add_argument("--image-scale", type=int, default=4, choices=range(1, 5))
     ap.add_argument("--num-cpus", type=int, default=None,
                     help="only for standalone runs; ignored under ray job submit")
     ap.add_argument("--summary", action="store_true")

@@ -17,9 +17,11 @@ from dataclasses import dataclass, field
 class PipelineConfig:
     """Frozen config passed to every stage / actor constructor."""
 
-    # reference knobs (service.py:31-39)
+    # reference knobs (service.py:31-39); scale defaults to 4 exactly like
+    # the reference (IMAGE_RESOLUTION_SCALE = 4, service.py:17; Query(4,
+    # ge=1, le=4), route.py:28)
     extract_tables_as_images: bool = False
-    image_resolution_scale: int = 1  # in [1, 4]; drives synthetic PNG size
+    image_resolution_scale: int = 4  # in [1, 4]; drives synthetic PNG size
     ocr_languages: tuple[str, ...] = ("fr", "de", "es", "en", "it", "pt")
 
     # engine execution knobs (no reference equivalent — §4 design)

@@ -8,6 +8,13 @@ service.py:63) and the ``model_dump(exclude_unset=True)`` discipline of
 worker/tasks.py:23,37 — error rows carry only (filename, error), success
 rows carry (filename, markdown, images).
 
+Filename field semantics follow the reference exactly: success rows carry
+``conv_res.input.file.stem`` — the extension-stripped stem
+(service.py:81,91,116) — while batch error rows carry the FULL input name
+(``conv_res.input.name``, service.py:112).  The engine standardizes on
+the batch path (error-as-data everywhere, §3.1 asymmetry note), so error
+rows here keep the full filename like the reference's batch fold.
+
 In the engine, base64 exists ONLY here at the export boundary; Arrow
 carries raw PNG bytes everywhere else.
 """
@@ -15,15 +22,30 @@ carries raw PNG bytes everywhere else.
 from __future__ import annotations
 
 import base64
+from pathlib import PurePosixPath
 
 import pyarrow as pa
 
 
-def row_to_reference_json(row: dict) -> dict:
-    """One results-table row → the reference's ConversionResult dict."""
+def _stem(filename: str) -> str:
+    """``Path(filename).stem`` semantics (service.py:81 via
+    conv_res.input.file.stem): last suffix stripped, dotfiles keep their
+    name."""
+    return PurePosixPath(filename).stem if filename else ""
+
+
+def row_to_reference_json(row: dict, *, stem_error_filename: bool = False) -> dict:
+    """One results-table row → the reference's ConversionResult dict.
+
+    ``stem_error_filename=True`` selects the sync-single error shape
+    (stem, service.py:83-85); the default is the batch fold's full input
+    name (service.py:112)."""
     filename = row.get("filename", "")
     if row.get("error"):
+        if stem_error_filename:
+            filename = _stem(filename)
         return {"filename": filename, "error": row["error"]}
+    filename = _stem(filename)
     images = [
         {
             "type": m["kind"],

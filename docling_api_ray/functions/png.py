@@ -16,6 +16,8 @@ from __future__ import annotations
 import struct
 import zlib
 
+import numpy as np
+
 
 def _chunk(tag: bytes, payload: bytes) -> bytes:
     return (
@@ -28,13 +30,16 @@ def _chunk(tag: bytes, payload: bytes) -> bytes:
 
 def make_png(seed: int, scale: int = 1) -> bytes:
     """A valid 8-bit grayscale PNG, (4*scale) x (4*scale), deterministic in
-    (seed, scale)."""
+    (seed, scale).  Pixel synthesis is a vectorized numpy expression (one
+    filter-type-0 byte prepended per scanline)."""
     size = 4 * scale
-    rows = bytearray()
-    for y in range(size):
-        rows.append(0)  # filter type 0
-        for x in range(size):
-            rows.append((seed * 31 + y * 7 + x * 13) & 0xFF)
+    y = np.arange(size, dtype=np.int64)[:, None]
+    x = np.arange(size, dtype=np.int64)[None, :]
+    px = ((seed * 31 + y * 7 + x * 13) & 0xFF).astype(np.uint8)
+    scanlines = np.concatenate(
+        [np.zeros((size, 1), dtype=np.uint8), px], axis=1
+    )
+    rows = scanlines.tobytes()
     ihdr = struct.pack(">IIBBBBB", size, size, 8, 0, 0, 0, 0)
     return (
         b"\x89PNG\r\n\x1a\n"

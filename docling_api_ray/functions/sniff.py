@@ -94,9 +94,12 @@ def _magic_format(prefix: bytes, window: bytes) -> str | None:
 
 def _extension_of(filename: str) -> str:
     """Extension parse per utils.py:84: dot required, leading-dot names have
-    no extension, last dot wins."""
+    no extension, last dot wins.  CASE-SENSITIVE like the reference — its
+    ``rsplit``ed extension is matched verbatim against lowercase
+    FormatToExtensions entries (no ``.lower()`` at utils.py:84), so
+    ``FILE.HTML`` does NOT get the extension fallback."""
     if filename and "." in filename and not filename.startswith("."):
-        return filename.rsplit(".", 1)[-1].lower()
+        return filename.rsplit(".", 1)[-1]
     return ""
 
 

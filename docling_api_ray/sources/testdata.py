@@ -50,10 +50,9 @@ def raw_documents_dataset(
     """Raw binary documents derived from the testdata documents table.
 
     ``amplify=k`` unions k deterministic copies with doc_id offsets of
-    10M·i — the payload class / media-marker rules depend on doc_id mod
-    10/3/97, and 10_000_000 ≡ 0 (mod 10·3·97·2? no—) offsets are chosen as a
-    multiple of lcm(10,3,97)=2910 so every copy reproduces the same class
-    mix deterministically."""
+    11,640,000·i (= 2910·4000, a multiple of lcm(10, 3, 97) = 2910) — the
+    payload class / media-marker rules depend on doc_id mod 10/3/97, so
+    every copy reproduces the same class mix deterministically."""
     if amplify > 1:
         # Bench-only corpus amplification.  The amplified id space must be
         # the SOURCE row space — expanding k× inside a map_batches makes

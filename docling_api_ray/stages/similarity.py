@@ -35,6 +35,21 @@ def _norm_rows(m: np.ndarray) -> np.ndarray:
     return m / n[:, None]
 
 
+def embedding_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Arrow ``list<float>`` column → (N, dim) float64 matrix without a
+    Python-object round trip: the flat child buffer converts in one
+    ``to_numpy`` (zero-copy for the float32 values; the float64 cast is
+    the only copy).  Assumes rectangular lists (one embedding dim)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    if n == 0:
+        return np.zeros((0, 0), dtype=np.float64)
+    flat = arr.flatten().to_numpy(zero_copy_only=False)
+    if flat.size % n:
+        raise ValueError("ragged embedding column")
+    return flat.reshape(n, flat.size // n).astype(np.float64)
+
+
 class BatchTopK:
     """Per-batch partial top-k against a broadcast query matrix."""
 
@@ -44,11 +59,15 @@ class BatchTopK:
         self.qn = _norm_rows(np.asarray(qmat, dtype=np.float64))
         self.k = k
 
+    _EMPTY = pa.schema(
+        [("query_id", pa.int64()), ("vec_id", pa.int64()), ("cosine", pa.float64())]
+    ).empty_table()
+
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:  # a block fully emptied by upstream filters
+            return self._EMPTY
         ids = np.asarray(batch["vec_id"], dtype=np.int64)
-        mat = np.stack(
-            [np.asarray(v, dtype=np.float64) for v in batch["embedding"].to_pylist()]
-        )
+        mat = embedding_matrix(batch["embedding"])
         sims = np.round(_norm_rows(mat) @ self.qn.T, 6)  # (B, Q)
         k = min(self.k, len(ids))
         out_q, out_id, out_sim = [], [], []
@@ -144,9 +163,9 @@ class AssignCentroid:
         self.cents = ray.get(cents_ref)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        mat = np.stack(
-            [np.asarray(v, dtype=np.float64) for v in batch["embedding"].to_pylist()]
-        )
+        if len(batch) == 0:
+            return batch.append_column("centroid", pa.array([], type=pa.int64()))
+        mat = embedding_matrix(batch["embedding"])
         assign = np.argmax(_norm_rows(mat) @ self.cents.T, axis=1)
         return batch.append_column(
             "centroid", pa.array(assign.astype(np.int64), type=pa.int64())
@@ -219,14 +238,11 @@ def ivf_knn(
             self.k = k
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            if len(batch) == 0:
+                return BatchTopK._EMPTY
             ids = np.asarray(batch["vec_id"], dtype=np.int64)
             cents = np.asarray(batch["centroid"], dtype=np.int64)
-            mat = np.stack(
-                [
-                    np.asarray(v, dtype=np.float64)
-                    for v in batch["embedding"].to_pylist()
-                ]
-            )
+            mat = embedding_matrix(batch["embedding"])
             sims = np.round(_norm_rows(mat) @ self.qn.T, 6)
             out_q, out_id, out_sim = [], [], []
             for qi, qid in enumerate(self.qids):

@@ -42,30 +42,29 @@ def sliding_window_agg(
 ) -> ray.data.Dataset:
     """Count/sum per (key, sliding window).  A window [w, w+size) contains
     an event at t iff w ∈ {floor((t-size+slide)/slide)*slide ...
-    floor(t/slide)*slide} — size/slide windows per event, exploded
-    vectorized."""
-    k = size_s // slide_s
+    floor(t/slide)*slide} — up to ceil(size/slide) windows per event (when
+    slide does not divide size, an event near a window's end still belongs
+    to the window that started size-(size mod slide) before it), exploded
+    vectorized via one take() per candidate offset."""
+    k = -(-size_s // slide_s)  # ceil — size_s % slide_s != 0 needs the extra slot
 
     def explode(b: pa.Table) -> pa.Table:
         us = np.asarray(pc.cast(b["ts"], pa.int64()))
         sec = us // US
         last = (sec // slide_s) * slide_s  # latest window containing t
-        keys = b[key].to_pylist()
-        vals = np.asarray(b["value"], dtype=np.float64)
-        out_key: list = []
-        out_win: list = []
-        out_val: list = []
+        take_idx: list[np.ndarray] = []
+        wins: list[np.ndarray] = []
         for i in range(k):
             w = last - i * slide_s
-            keep = w > sec - size_s  # window still contains t
-            out_key.extend([kk for kk, m in zip(keys, keep) if m])
-            out_win.extend(w[keep].tolist())
-            out_val.extend(vals[keep].tolist())
+            keep = np.flatnonzero(w > sec - size_s)  # window still contains t
+            take_idx.append(keep)
+            wins.append(w[keep])
+        idx = pa.array(np.concatenate(take_idx))
         return pa.table(
             {
-                key: pa.array(out_key),
-                "window_start": pa.array(out_win, type=pa.int64()),
-                "value": pa.array(out_val, type=pa.float64()),
+                key: pc.take(b[key], idx),
+                "window_start": pa.array(np.concatenate(wins), type=pa.int64()),
+                "value": pc.take(b["value"], idx),
             }
         )
 

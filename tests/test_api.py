@@ -12,7 +12,8 @@ from docling_api_ray.config import PipelineConfig
 
 def test_convert_document_success():
     out = convert_document("note.md", b"hello world\nsecond line")
-    assert out["filename"] == "note.md"
+    # stem, like conv_res.input.file.stem (service.py:81)
+    assert out["filename"] == "note"
     assert out["markdown"] == "hello world\n\nsecond line"
     assert "error" not in out
 
@@ -21,9 +22,10 @@ def test_sync_single_raises_like_reference():
     # sync-single turns doc errors into failures (service.py:127-129)...
     with pytest.raises(ConversionFailed, match="unsupported format"):
         convert_document("blob.xyz", b"\x00\xffgarbage")
-    # ...unless asked for error-as-data
+    # ...unless asked for error-as-data; sync-single error rows use the
+    # stem too (service.py:83-85)
     out = convert_document("blob.xyz", b"\x00\xffgarbage", raise_on_error=False)
-    assert out == {"filename": "blob.xyz", "error": "unsupported format"}
+    assert out == {"filename": "blob", "error": "unsupported format"}
 
 
 def test_batch_keeps_errors_in_order():
@@ -33,7 +35,9 @@ def test_batch_keeps_errors_in_order():
         ("c.pdf", b"%PDF-1.4\nbody text here"),
     ]
     out = convert_documents_batch(docs)
-    assert [r["filename"] for r in out] == ["a.md", "bad.bin", "c.pdf"]
+    # batch fold: stem on success rows (service.py:116), FULL name on
+    # error rows (service.py:112)
+    assert [r["filename"] for r in out] == ["a", "bad.bin", "c"]
     assert "error" in out[1] and "markdown" in out[0] and "markdown" in out[2]
 
 

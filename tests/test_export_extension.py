@@ -23,8 +23,10 @@ def test_row_export_success_shape():
         "error": "",
     }
     out = row_to_reference_json(row)
+    # success rows carry the extension-stripped stem, like the reference's
+    # conv_res.input.file.stem (service.py:81,91,116)
     assert out == {
-        "filename": "a.pdf",
+        "filename": "a",
         "markdown": "hello\n\npicture-1.png",
         "images": [
             {
@@ -48,6 +50,21 @@ def test_row_export_no_images_key_when_empty():
         {"filename": "t.md", "markdown": "x", "media": [], "error": ""}
     )
     assert "images" not in out
+    assert out["filename"] == "t"  # stem on success rows
+
+
+def test_row_export_stem_semantics():
+    # Path.stem parity: last suffix only; dotfiles keep their name;
+    # error rows keep the FULL filename (batch fold, service.py:112)
+    assert row_to_reference_json(
+        {"filename": "a.tar.gz", "markdown": "", "media": [], "error": ""}
+    )["filename"] == "a.tar"
+    assert row_to_reference_json(
+        {"filename": ".bashrc", "markdown": "", "media": [], "error": ""}
+    )["filename"] == ".bashrc"
+    assert row_to_reference_json(
+        {"filename": "bad.bin", "error": "boom"}
+    )["filename"] == "bad.bin"
 
 
 def test_batch_export_over_flagship():
@@ -59,6 +76,8 @@ def test_batch_export_over_flagship():
     assert len(out) == 50
     for rec in out:
         assert rec["filename"].startswith("doc-")
+        if "markdown" in rec:  # success rows: extension stripped
+            assert "." not in rec["filename"]
         assert ("error" in rec) != ("markdown" in rec)
         for img in rec.get("images", []):
             assert img["type"] in ("table", "picture")

@@ -35,6 +35,10 @@ CASES = [
     # leading-dot filename has no extension (utils.py:84)
     (b"plain text", ".md", None),
     (b"plain text", "no_extension", None),
+    # extensions are case-sensitive like the reference (no .lower() at
+    # utils.py:84; FormatToExtensions entries are lowercase)
+    (b"plain text", "FILE.HTML", None),
+    (b"plain text", "doc.MD", None),
     # HTML content heuristics (utils.py:60-73)
     (b"<!DOCTYPE html><html></html>", "f.bin", "html"),
     (b"<!doctype  html>", "f", "html"),

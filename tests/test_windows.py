@@ -47,6 +47,17 @@ def test_sliding_counts_accumulate():
     assert w0["b"]["n_events"] == 1 and w0["b"]["sum_value"] == 5.0
 
 
+def test_sliding_non_divisible_size_slide():
+    # size=100, slide=30: windows start every 30s; an event at t=90
+    # belongs to starts {0, 30, 60, 90} — ceil(100/30)=4 candidates, all
+    # kept (w > t-size).  The old k=size//slide=3 silently dropped the
+    # oldest window (start 0).
+    ds = _events([("a", 90, 1.0, 1)])
+    out = sliding_window_agg(ds, key="event_type", size_s=100, slide_s=30).take_all()
+    wins = sorted(r["window_start"] - BASE for r in out)
+    assert wins == [0, 30, 60, 90]
+
+
 def test_session_split_on_gap():
     # user 1: events at 0, 100, 100+1801 → two sessions (gap > 1800)
     ds = _events(
