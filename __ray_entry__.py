@@ -96,8 +96,17 @@ def _flagship_cfg() -> PipelineConfig:
 def _with_schema(ds: ray.data.Dataset, schema: pa.Schema) -> ray.data.Dataset:
     """Anchor a possibly-empty result with an explicit Arrow schema: a
     zero-row typed dataset unioned in front, so empty pair-sets still
-    expose (left_id, right_id, ...) columns to the driver compare."""
-    return ray.data.from_arrow(schema.empty_table()).union(ds)
+    expose (left_id, right_id, ...) columns to the driver compare.  The
+    main branch is cast to the SAME Arrow schema (map_groups aggregates
+    otherwise emit pandas-block schemas, and the union of the two logs a
+    schema-mismatch warning per block)."""
+
+    def cast(b: pa.Table) -> pa.Table:
+        return b.select(schema.names).cast(schema)
+
+    return ray.data.from_arrow(schema.empty_table()).union(
+        ds.map_batches(cast, batch_format="pyarrow")
+    )
 
 
 _PAIRS_J = pa.schema(
@@ -691,6 +700,140 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # oracle SQL (DuckDB) — mirrors of the SQL-expressible queries above
 # ---------------------------------------------------------------------------
 
+# mod-2^64 arithmetic mirror of functions/hashing.py: numpy uint64
+# wraparound == explicit % 2^64 over DuckDB HUGEINT (every intermediate
+# product here stays below 2^125, inside HUGEINT range).  md5_number is
+# the 16-byte md5 digest read little-endian, so md5_number % 2^64 equals
+# the engine's int.from_bytes(digest[:8], "little").
+_W = 1 << 64  # 2^64
+_MASK32 = 1 << 32
+_MERSENNE61 = (1 << 61) - 1
+_SHINGLE_A = 2654435761
+_SHINGLE_B = 2246822519
+_FP_BASE = 1099511628211
+
+# string_split(text,' ') with ''->[] — split_words() semantics
+_SQL_WORDS = "CASE WHEN text = '' THEN CAST([] AS VARCHAR[]) ELSE string_split(text, ' ') END"
+
+
+def _sql_u64(expr: str) -> str:
+    return f"((((md5_number({expr})) % {_W}) + {_W}) % {_W})"
+
+
+def _minhash_oracle_sql(threshold: float, num_perm: int = 64, bands: int = 16) -> str:
+    """Exact SQL mirror of MinHasher + explode_bands + pair verification
+    (stages/dedup.py): same word hashes, shingle combine, permutation
+    constants (embedded literals from the same seeded RandomState) and
+    banding; candidate pairs join on raw band-component tuples instead of
+    the engine's internal mixed bucket ints — the same doc partition."""
+    from docling_api_ray.stages.dedup import MinHasher
+
+    mh = MinHasher(num_perm=num_perm)
+    perm_rows = ", ".join(
+        f"({p}, CAST({int(a)} AS HUGEINT), CAST({int(b)} AS HUGEINT))"
+        for p, (a, b) in enumerate(zip(mh.a, mh.b), 1)
+    )
+    zeros = "[" + ", ".join(["CAST(0 AS HUGEINT)"] * num_perm) + "]"
+    r = num_perm // bands
+    return f"""
+        WITH docs AS (SELECT doc_id, {_SQL_WORDS} AS ws FROM documents),
+        wh AS (SELECT doc_id,
+                      list_transform(ws, w ->
+                        CAST({_sql_u64('w')} % {_MASK32} AS HUGEINT)) AS wh
+               FROM docs),
+        sh AS (SELECT doc_id,
+          CASE WHEN len(wh) = 0 THEN CAST([] AS HUGEINT[])
+               WHEN len(wh) = 1 THEN [(wh[1] * {_SHINGLE_A}) % {_W}]
+               WHEN len(wh) = 2
+                 THEN [(wh[1] * {_SHINGLE_A} + wh[2] * {_SHINGLE_B}) % {_W}]
+               ELSE list_transform(generate_series(1, len(wh) - 2), i ->
+                 (wh[i] * {_SHINGLE_A} + wh[i+1] * {_SHINGLE_B} + wh[i+2]) % {_W})
+          END AS sh FROM wh),
+        expl AS (SELECT doc_id, unnest(sh) AS h FROM sh),
+        perms AS (SELECT * FROM (VALUES {perm_rows}) AS t(p, a, b)),
+        sigc AS (SELECT e.doc_id, p.p,
+                        min((((p.a * e.h) % {_W}) + p.b) % {_W}) AS c
+                 FROM expl e CROSS JOIN perms p GROUP BY 1, 2),
+        sig0 AS (SELECT doc_id, list(c ORDER BY p) AS sig FROM sigc GROUP BY 1),
+        sig AS (SELECT d.doc_id, coalesce(s.sig, {zeros}) AS sig
+                FROM docs d LEFT JOIN sig0 s USING (doc_id)),
+        bands AS (SELECT doc_id, sig, b,
+                         sig[{r}*b+1 : {r}*b+{r}] AS band
+                  FROM sig, (SELECT unnest(generate_series(0, {bands - 1})) AS b)),
+        cand AS (SELECT DISTINCT l.doc_id AS left_id, r.doc_id AS right_id,
+                        list_sum(list_transform(generate_series(1, {num_perm}),
+                          i -> CASE WHEN l.sig[i] = r.sig[i] THEN 1 ELSE 0 END))
+                          / {num_perm}.0 AS est_jaccard
+                 FROM bands l JOIN bands r
+                   ON l.b = r.b AND l.band = r.band AND l.doc_id < r.doc_id)
+        SELECT left_id, right_id, est_jaccard
+        FROM cand WHERE est_jaccard >= {threshold}
+    """
+
+
+def _simhash_oracle_sql(max_hamming: int) -> str:
+    """Exact SQL mirror of SimHasher + 16-bit band LSH (stages/dedup.py):
+    per-token md5 bit votes, sign fold, band join, popcount via
+    bit_count(xor) on the two's-complement int64 simhash."""
+    pow_rows = ", ".join(f"({i}, CAST({1 << i} AS HUGEINT))" for i in range(64))
+    band_rows = ", ".join(f"({b}, CAST({1 << (16 * b)} AS HUGEINT))" for b in range(4))
+    return f"""
+        WITH docs AS (SELECT doc_id, {_SQL_WORDS} AS ws FROM documents),
+        toks AS (SELECT doc_id, unnest(ws) AS w FROM docs),
+        th AS (SELECT doc_id, CAST({_sql_u64('w')} AS HUGEINT) AS h FROM toks),
+        pows AS (SELECT * FROM (VALUES {pow_rows}) AS t(pos, pw)),
+        bits AS (SELECT doc_id, pos,
+                        sum(CASE WHEN (h // pw) % 2 = 1 THEN 1 ELSE -1 END) AS v,
+                        any_value(pw) AS pw
+                 FROM th CROSS JOIN pows GROUP BY 1, 2),
+        sim0 AS (SELECT doc_id,
+                        sum(CASE WHEN v > 0 THEN pw ELSE 0 END) AS sh_u
+                 FROM bits GROUP BY 1),
+        sim AS (SELECT d.doc_id, coalesce(s.sh_u, 0) AS sh_u
+                FROM docs d LEFT JOIN sim0 s USING (doc_id)),
+        signed AS (SELECT doc_id, sh_u,
+                          CAST(CASE WHEN sh_u >= {1 << 63} THEN sh_u - {_W}
+                               ELSE sh_u END AS BIGINT) AS sh
+                   FROM sim),
+        bnd AS (SELECT doc_id, sh, b, (sh_u // bp) % 65536 AS band
+                FROM signed, (SELECT * FROM (VALUES {band_rows}) AS t(b, bp))),
+        cand AS (SELECT DISTINCT l.doc_id AS left_id, r.doc_id AS right_id,
+                        CAST(bit_count(xor(l.sh, r.sh)) AS BIGINT) AS hamming
+                 FROM bnd l JOIN bnd r
+                   ON l.b = r.b AND l.band = r.band AND l.doc_id < r.doc_id)
+        SELECT left_id, right_id, hamming FROM cand
+        WHERE hamming <= {max_hamming}
+    """
+
+
+def _fp_rolling_oracle_sql() -> str:
+    """Exact SQL mirror of positional_fingerprints (functions/hashing.py):
+    sum of 32-bit word hashes times FP_BASE^(n-1-i) mod 2^64, masked to
+    63 bits; the power table is a linear recursive CTE in HUGEINT."""
+    return f"""
+        WITH RECURSIVE docs AS (SELECT doc_id, {_SQL_WORDS} AS ws FROM documents),
+        wh AS (SELECT doc_id,
+                      list_transform(ws, w ->
+                        CAST({_sql_u64('w')} % {_MASK32} AS HUGEINT)) AS wh
+               FROM docs),
+        pows(k, v) AS (
+          SELECT 0, CAST(1 AS HUGEINT)
+          UNION ALL
+          SELECT k + 1, (v * {_FP_BASE}) % {_W} FROM pows
+          WHERE k + 1 < (SELECT coalesce(max(len(wh)), 1) FROM wh)),
+        terms AS (SELECT doc_id, len(wh) AS n,
+                         unnest(wh) AS w32,
+                         unnest(generate_series(1, len(wh))) AS i
+                  FROM wh),
+        fp0 AS (SELECT t.doc_id, sum((t.w32 * p.v) % {_W}) AS s
+                FROM terms t JOIN pows p ON p.k = t.n - t.i
+                GROUP BY 1)
+        SELECT d.doc_id,
+               CAST(coalesce((f.s % {_W}) % {1 << 63}, 0) AS BIGINT) AS fp_rolling
+        FROM docs d LEFT JOIN fp0 f USING (doc_id)
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     # duckdb string literals: pass regexes via $$-quoted strings
     token = ta.TOKEN_RE
@@ -773,6 +916,9 @@ def oracle_sql() -> dict[str, str]:
             FROM c
         """,
         "fingerprint_md5": "SELECT doc_id, md5(text) AS fp_md5 FROM documents",
+        "fingerprint_rolling": _fp_rolling_oracle_sql(),
+        "dedup_minhash": _minhash_oracle_sql(0.7),
+        "dedup_simhash": _simhash_oracle_sql(3),
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, md5(text) AS content_hash,
                    count(*) AS n_dups

@@ -32,20 +32,14 @@ import pyarrow.compute as pc
 
 import ray.data
 
+from docling_api_ray.functions.hashing import (
+    batch_word_hashes,
+    popcount64,
+    shingle_hashes,
+)
 from docling_api_ray.stages.common import coalesce_for_shuffle
 
 _MERSENNE = (1 << 61) - 1
-
-
-def _stable_u64(texts: list[str]) -> np.ndarray:
-    """Process-stable 64-bit hashes (md5-truncated) of strings."""
-    return np.array(
-        [
-            int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8], "little")
-            for t in texts
-        ],
-        dtype=np.uint64,
-    )
 
 
 # ---------------------------------------------------------------------------
@@ -104,71 +98,130 @@ def exact_dedup_rows(
 
 class MinHasher:
     """Stateful minhash signer — permutation parameters built once per
-    instance shipped to stateless tasks (or an actor pool at scale)."""
+    instance shipped to stateless tasks (or an actor pool at scale).
 
-    def __init__(
-        self, num_perm: int = 64, shingle_words: int = 3, seed: int = 42
-    ) -> None:
+    Hashing is fully vectorized (functions/hashing.py): md5 once per
+    UNIQUE word per batch, 3-word shingle hashes as a mod-2^64 combine of
+    32-bit word hashes, then (P x S) multiply-shift hashing mod 2^64
+    (free uint64 wraparound; min-comparisons are decided by the
+    well-mixed high bits, and skipping an explicit modulo halves the
+    kernel cost) with a segmented ``minimum.reduceat`` per document.
+    Every step is integer arithmetic DuckDB replicates exactly — the
+    dedup_minhash oracle SQL in ``__ray_entry__`` mirrors it
+    bit-for-bit."""
+
+    def __init__(self, num_perm: int = 64, seed: int = 42) -> None:
         rng = np.random.RandomState(seed)
         self.num_perm = num_perm
-        self.shingle_words = shingle_words
         self.a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
         self.b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
 
-    def shingles(self, text: str) -> list[str]:
-        words = text.split()
-        n = self.shingle_words
-        if len(words) < n:
-            return [" ".join(words)] if words else []
-        return [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
-
     def signature(self, text: str) -> np.ndarray:
-        sh = self.shingles(text)
-        if not sh:
-            return np.zeros(self.num_perm, dtype=np.uint64)
-        h = _stable_u64(sh)  # (S,)
-        # (P, S) universal hashing mod Mersenne prime, min per permutation
-        with np.errstate(over="ignore"):
-            vals = (self.a[:, None] * h[None, :] + self.b[:, None]) % _MERSENNE
-        return vals.min(axis=1).astype(np.uint64)
+        """Single-document signature (tests / small callers)."""
+        return self.signatures([text])[0]
+
+    def signatures(self, texts: list[str]) -> np.ndarray:
+        """(n_docs, num_perm) uint64 signature matrix for a batch."""
+        word_h, word_off = batch_word_hashes(texts)
+        # per-doc shingle hashes, concatenated (vectorized inner combine)
+        per_doc = [
+            shingle_hashes(word_h[word_off[i] : word_off[i + 1]])
+            for i in range(len(texts))
+        ]
+        lens = np.fromiter((len(s) for s in per_doc), dtype=np.int64, count=len(per_doc))
+        out = np.zeros((len(texts), self.num_perm), dtype=np.uint64)
+        nonempty = np.flatnonzero(lens > 0)
+        if not len(nonempty):
+            return out
+        # chunk so the (P, S_chunk) intermediate stays ~32 MB regardless
+        # of batch_size
+        max_shingles = max(1, (1 << 25) // (8 * self.num_perm))
+        lo = 0
+        while lo < len(nonempty):
+            hi = lo + 1
+            total = lens[nonempty[lo]]
+            while hi < len(nonempty) and total + lens[nonempty[hi]] <= max_shingles:
+                total += lens[nonempty[hi]]
+                hi += 1
+            chunk = nonempty[lo:hi]
+            sh = np.concatenate([per_doc[i] for i in chunk]).view(np.int64)
+            starts = np.zeros(len(chunk), dtype=np.int64)
+            np.cumsum(lens[chunk][:-1], out=starts[1:])
+            # (P, S) multiply-shift hash mod 2^64.  Products computed in
+            # int64 (numpy's int64 scalar-multiply is SIMD, ~15x the
+            # uint64 path; two's-complement wraparound is bit-identical)
+            # then reinterpreted as uint64 for the unsigned min — exactly
+            # the oracle's explicit % 2^64.
+            a = self.a.view(np.int64)
+            b = self.b.view(np.int64)
+            vals = np.empty((self.num_perm, len(sh)), dtype=np.int64)
+            with np.errstate(over="ignore"):
+                for p in range(self.num_perm):
+                    np.multiply(sh, a[p], out=vals[p])
+                    vals[p] += b[p]
+            out[chunk] = np.minimum.reduceat(
+                vals.view(np.uint64), starts, axis=1
+            ).T
+            lo = hi
+        return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = [t or "" for t in batch["text"].to_pylist()]
-        sigs = np.stack([self.signature(t) for t in texts]) if texts else np.zeros(
-            (0, self.num_perm), dtype=np.uint64
-        )
+        sigs = self.signatures(texts)
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "signature": pa.array(
-                    [s.astype(np.int64) for s in sigs],
-                    type=pa.list_(pa.int64(), self.num_perm),
+                "signature": pa.FixedSizeListArray.from_arrays(
+                    pa.array(
+                        sigs.astype(np.int64).reshape(-1), type=pa.int64()
+                    ),
+                    self.num_perm,
                 ),
             }
         )
 
 
+_BAND_MIX = np.uint64(0x9E3779B97F4A7C15)  # splitmix64 multiplier
+
+
 def explode_bands(batch: pa.Table, *, bands: int = 16) -> pa.Table:
     """signature rows → (bucket, doc_id, signature) rows; ``bucket`` is a
     single int64 key hashing (band_id, band values) together.  Shuffle
-    payload = fixed-width ints, one row per band per doc."""
-    sigs = batch["signature"].to_pylist()
-    doc_ids = batch["doc_id"].to_pylist()
-    out_bucket, out_doc, out_sig = [], [], []
-    for did, sig in zip(doc_ids, sigs):
-        arr = np.asarray(sig, dtype=np.uint64)
-        r = len(arr) // bands
-        for b in range(bands):
-            chunk = arr[b * r : (b + 1) * r]
-            h = hashlib.md5(bytes([b]) + chunk.tobytes()).digest()[:8]
-            out_bucket.append(int.from_bytes(h, "little") >> 1)
-            out_doc.append(did)
-            out_sig.append(sig)
+    payload = fixed-width ints, one row per band per doc.  Fully
+    vectorized: bucket keys fold each band's components with a
+    multiply-xor mix (internal routing only — candidate pairs are
+    verified on full signatures, and the oracle groups on raw band
+    values, so the mix function never leaks into results)."""
+    if len(batch) == 0:
+        return pa.table(
+            {
+                "bucket": pa.array([], type=pa.int64()),
+                "doc_id": pa.array([], type=pa.int64()),
+                "signature": pa.array([], type=batch["signature"].type),
+            }
+        )
+    sig_col = (
+        batch["signature"].combine_chunks()
+        if isinstance(batch["signature"], pa.ChunkedArray)
+        else batch["signature"]
+    )
+    num_perm = sig_col.type.list_size
+    flat = sig_col.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
+    sigs = flat.reshape(len(batch), num_perm)
+    r = num_perm // bands
+    comps = sigs.reshape(len(batch), bands, r)
+    with np.errstate(over="ignore"):
+        h = np.arange(1, bands + 1, dtype=np.uint64)[None, :] * _BAND_MIX
+        for j in range(r):
+            h = (h ^ comps[:, :, j]) * _BAND_MIX
+    buckets = (h >> np.uint64(1)).astype(np.int64).reshape(-1)  # (docs*bands,)
+    # row i*bands+b belongs to doc i: repeat doc/signature rows bands x
+    idx = pa.array(np.repeat(np.arange(len(batch), dtype=np.int64), bands))
     return pa.table(
         {
-            "bucket": pa.array(out_bucket, type=pa.int64()),
-            "doc_id": pa.array(out_doc),
-            "signature": pa.array(out_sig, type=batch["signature"].type),
+            "bucket": pa.array(buckets, type=pa.int64()),
+            "doc_id": batch["doc_id"].take(idx),
+            "signature": sig_col.take(idx),
         }
     )
 
@@ -178,24 +231,28 @@ def _keep_hot_buckets(
 ) -> ray.data.Dataset | None:
     """Semi-join an exploded LSH table against its own ≥2-member buckets.
 
-    A bare ``groupby(bucket).map_groups`` pays ~1ms of per-group python
-    for EVERY bucket, and almost all buckets are singletons — so first a
-    vectorized Count aggregate finds the hot buckets, the hot-key set is
-    broadcast once (``ray.put``), and a vectorized ``is_in`` filter drops
-    the singleton rows before the expensive per-group pair generation.
-    The hot set is proportional to actual duplicate structure, not corpus
-    size (swap in a Bloom filter if it ever outgrows memory).
+    Almost all buckets are singletons, so the hot set is found FIRST and
+    broadcast (``ray.put``) as a vectorized ``is_in`` filter, dropping
+    singleton rows before the expensive per-group pair generation.  The
+    count pass shuffles only the 8-byte key column, co-grouped to
+    ~core-count partitions with a vectorized ``value_counts`` body — a
+    per-bucket Ray ``aggregate`` costs ~35 µs PER GROUP (measured: 3-10 s
+    for 80k mostly-singleton buckets), while P pandas partitions count
+    the same keys in milliseconds.  The hot set is proportional to actual
+    duplicate structure, not corpus size (swap in a Bloom filter if it
+    ever outgrows memory).
 
     Returns None when no bucket has ≥2 members."""
-    from ray.data.aggregate import Count
 
-    counts = coalesce_for_shuffle(
-        exploded.select_columns([key])
-    ).groupby(key).aggregate(Count(alias_name="n"))
-    hot = counts.map_batches(
-        lambda b: b.filter(pc.greater_equal(b["n"], 2)).select([key]),
-        batch_format="pyarrow",
-    ).take_all()
+    def hot_in_partition(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df[key].value_counts()
+        return pd.DataFrame({key: vc.index[vc.values >= 2].astype("int64")})
+
+    hot = (
+        _cogrouped(exploded.select_columns([key]), key)
+        .map_groups(hot_in_partition, batch_format="pandas")
+        .take_all()
+    )
     if not hot:
         return None
     ref = ray.put(sorted(r[key] for r in hot))
@@ -204,6 +261,28 @@ def _keep_hot_buckets(
         return b.filter(pc.is_in(b[key], value_set=pa.array(ray.get(ref))))
 
     return exploded.map_batches(keep, batch_format="pyarrow")
+
+
+def _dedup_pairs(
+    pairs: ray.data.Dataset, agg_col: str, how: str
+) -> ray.data.Dataset:
+    """Global (left_id, right_id) dedup of a candidate-pair dataset — a
+    pair can surface from several LSH bands.  Pair volume is
+    duplicate-structure-bounded (not corpus-bounded), so one repartition
+    into a single block + a vectorized pandas fold beats the sort-based
+    ``groupby().aggregate()`` whose fixed all-to-all and ~35 µs/group
+    costs dominate tiny pair sets; at dup volumes where one block is too
+    big, swap back to the grouped aggregate."""
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        g = df.groupby(["left_id", "right_id"], sort=False)[agg_col]
+        return (g.max() if how == "max" else g.min()).reset_index()
+
+    return pairs.repartition(1).map_batches(
+        fold, batch_format="pandas", batch_size=None
+    )
 
 
 def _cogrouped(ds: ray.data.Dataset, key: str):
@@ -228,6 +307,8 @@ def _pairs_from_partition(df: pd.DataFrame, threshold: float) -> pd.DataFrame:
     Ray group — Ray's per-group dispatch costs ~1 ms/group, ruinous for
     thousands of tiny buckets, while a pandas group iteration is ~50 µs."""
     rows: list[tuple[int, int, float]] = []
+    # vectorized singleton drop before the per-bucket python iteration
+    df = df[df.duplicated("bucket", keep=False)]
     for _, g in df.groupby("bucket", sort=False):
         if len(g) < 2:
             continue
@@ -284,12 +365,7 @@ def minhash_lsh_pairs(
     pairs = _cogrouped(hot, "bucket").map_groups(
         lambda df: _pairs_from_partition(df, threshold), batch_format="pandas"
     )
-    # a pair can surface from several bands — vectorized aggregate dedup
-    from ray.data.aggregate import Max
-
-    return coalesce_for_shuffle(pairs).groupby(["left_id", "right_id"]).aggregate(
-        Max("est_jaccard", alias_name="est_jaccard")
-    )
+    return _dedup_pairs(pairs, "est_jaccard", "max")
 
 
 # ---------------------------------------------------------------------------
@@ -297,26 +373,60 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 class SimHasher:
-    """64-bit SimHash over whitespace tokens; near-dup via 4×16-bit band
-    buckets (Hamming ≤ 3 ⇒ at least one exact 16-bit band match)."""
+    """64-bit SimHash over space-split tokens; near-dup via 4×16-bit band
+    buckets (Hamming ≤ 3 ⇒ at least one exact 16-bit band match).
+
+    Vectorized batch-wise: md5 once per unique token, per-bit ±1 votes as
+    one (T, 64) matrix, per-document sums via segmented
+    ``add.reduceat``.  Integer arithmetic mirrored exactly by the
+    dedup_simhash oracle SQL."""
 
     BITS = 64
 
+    def simhashes(self, texts: list[str]) -> np.ndarray:
+        h, offsets = batch_word_hashes(texts)
+        lens = np.diff(offsets)
+        out = np.zeros(len(texts), dtype=np.uint64)
+        nonempty = np.flatnonzero(lens > 0)
+        if not len(nonempty):
+            return out
+        shifts = np.arange(64, dtype=np.uint64)
+        # chunk so the (T, 64) vote matrix stays ~25 MB
+        max_tokens = 100_000
+        lo = 0
+        while lo < len(nonempty):
+            hi = lo + 1
+            total = lens[nonempty[lo]]
+            while hi < len(nonempty) and total + lens[nonempty[hi]] <= max_tokens:
+                total += lens[nonempty[hi]]
+                hi += 1
+            chunk = nonempty[lo:hi]
+            tok_lo = offsets[chunk[0]]
+            tok_hi = offsets[chunk[-1] + 1]
+            # int64 arithmetic shift + &1 extracts the same bit as the
+            # uint64 logical shift (sign-fill never reaches bit 0) and
+            # takes numpy's fast int path
+            hc = h[tok_lo:tok_hi].view(np.int64)
+            # ±1 votes, one row per token occurrence; empty docs between
+            # nonempty ones contribute no rows, so segment starts of the
+            # nonempty docs partition the chunk exactly
+            votes = (
+                ((hc[:, None] >> shifts.view(np.int64)[None, :]) & 1).astype(
+                    np.int32
+                )
+                * 2
+                - 1
+            )
+            sums = np.add.reduceat(votes, offsets[chunk] - tok_lo, axis=0)
+            pos = (sums > 0).astype(np.uint64)
+            with np.errstate(over="ignore"):
+                out[chunk] = (pos << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+            lo = hi
+        return out
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = [t or "" for t in batch["text"].to_pylist()]
-        out = np.zeros(len(texts), dtype=np.uint64)
-        for i, t in enumerate(texts):
-            toks = t.split()
-            if not toks:
-                continue
-            h = _stable_u64(toks)  # (T,)
-            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
-                np.int64
-            )
-            v = (2 * bits - 1).sum(axis=0)  # weight 1 per token occurrence
-            pos = (v > 0).astype(np.uint64)
-            with np.errstate(over="ignore"):
-                out[i] = (pos << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64)
+        out = self.simhashes(texts)
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
@@ -334,24 +444,27 @@ def simhash_pairs(
 
     def explode(batch: pa.Table) -> pa.Table:
         sh = np.asarray(batch["simhash"], dtype=np.int64).astype(np.uint64)
-        ids = batch["doc_id"].to_pylist()
-        bucket, doc, full = [], [], []
-        for b in range(4):
-            part = ((sh >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
-            # single int64 bucket key: band index in the high bits
-            bucket.extend((part + (b << 17)).tolist())
-            doc.extend(ids)
-            full.extend(sh.astype(np.int64).tolist())
+        n = len(sh)
+        # 4 band rows per doc, vectorized: single int64 bucket key with the
+        # band index in the high bits
+        bands_ix = np.repeat(np.arange(4, dtype=np.uint64), n)
+        tiled = np.tile(sh, 4)
+        part = ((tiled >> (bands_ix * np.uint64(16))) & np.uint64(0xFFFF)).astype(
+            np.int64
+        )
+        bucket = part + (bands_ix.astype(np.int64) << 17)
+        idx = pa.array(np.tile(np.arange(n, dtype=np.int64), 4))
         return pa.table(
             {
                 "bucket": pa.array(bucket, type=pa.int64()),
-                "doc_id": pa.array(doc),
-                "simhash": pa.array(full, type=pa.int64()),
+                "doc_id": batch["doc_id"].take(idx),
+                "simhash": pa.array(tiled.astype(np.int64), type=pa.int64()),
             }
         )
 
     def partition_pairs(df: pd.DataFrame) -> pd.DataFrame:
         rows = []
+        df = df[df.duplicated("bucket", keep=False)]
         for _, g in df.groupby("bucket", sort=False):
             if len(g) < 2:
                 continue
@@ -359,8 +472,7 @@ def simhash_pairs(
             ids = g["doc_id"].to_numpy()
             sh = g["simhash"].to_numpy().astype(np.uint64)
             for i in range(len(ids)):
-                x = sh[i + 1 :] ^ sh[i]
-                ham = np.array([bin(int(v)).count("1") for v in x])
+                ham = popcount64(sh[i + 1 :] ^ sh[i])  # table lookup, no loop
                 for j_off in np.nonzero(ham <= max_hamming)[0]:
                     rows.append(
                         (int(ids[i]), int(ids[i + 1 + j_off]), int(ham[j_off]))
@@ -384,11 +496,7 @@ def simhash_pairs(
     pairs = _cogrouped(hot, "bucket").map_groups(
         partition_pairs, batch_format="pandas"
     )
-    from ray.data.aggregate import Min
-
-    return coalesce_for_shuffle(pairs).groupby(["left_id", "right_id"]).aggregate(
-        Min("hamming", alias_name="hamming")
-    )
+    return _dedup_pairs(pairs, "hamming", "min")
 
 
 # ---------------------------------------------------------------------------

@@ -102,25 +102,19 @@ def lang_id(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return pa.table(cols)
 
 
-_ROLL_BASE = np.uint64(1099511628211)  # FNV-ish multiplier
-_ROLL_INIT = np.uint64(14695981039346656037)
-
-
-def _rolling_hash(s: str) -> int:
-    """FNV-1a 64-bit over utf-8 bytes, vectorized per row with numpy."""
-    data = np.frombuffer(s.encode("utf-8"), dtype=np.uint8)
-    h = _ROLL_INIT
-    with np.errstate(over="ignore"):
-        for b in data.astype(np.uint64):
-            h = (h ^ b) * _ROLL_BASE
-    return int(h & np.uint64(0x7FFFFFFFFFFFFFFF))
-
-
 def fingerprints(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """md5 hex digest (SQL-oracle-able) + 64-bit FNV rolling hash."""
-    texts = batch[text_col].to_pylist()
-    md5s = [hashlib.md5((t or "").encode("utf-8")).hexdigest() for t in texts]
-    rolls = [_rolling_hash(t or "") for t in texts]
+    """md5 hex digest + order-sensitive positional ("rolling") word-hash
+    fingerprint.  Both SQL-oracle-able: ``fp_md5`` is ``md5(text)``;
+    ``fp_rolling`` is the vectorized polynomial hash of
+    functions/hashing.py (mod-2^64 arithmetic DuckDB replicates with
+    HUGEINT — see the fingerprint_rolling oracle).  The old per-byte
+    FNV-1a Python loop is gone; md5 runs once per unique word per
+    batch."""
+    from docling_api_ray.functions.hashing import positional_fingerprints
+
+    texts = [t or "" for t in batch[text_col].to_pylist()]
+    md5s = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
+    rolls = positional_fingerprints(texts).astype(np.int64)
     return pa.table(
         {
             "doc_id": batch["doc_id"],
