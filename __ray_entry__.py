@@ -275,6 +275,14 @@ def _q_dedup_exact_stats(sf_dir: str):
     return agg.select_columns(["n_groups", "n_redundant", "max_group"])
 
 
+def _q_dedup_exact_rows(sf_dir: str):
+    """Distributed first-wins dedup returning the full surviving rows —
+    one co-grouped exchange, no driver-side winner set (VERDICT r1 §2)."""
+    return dd.exact_dedup_rows(
+        _docs(sf_dir, ["doc_id", "text", "lang", "source", "n_chars"])
+    )
+
+
 def _q_ngram_jaccard(sf_dir: str):
     return _with_schema(
         dd.ngram_jaccard_pairs(
@@ -670,6 +678,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_rolling": _q_fingerprint_rolling,
         "dedup_exact": _q_dedup_exact,
         "dedup_exact_stats": _q_dedup_exact_stats,
+        "dedup_exact_rows": _q_dedup_exact_rows,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
@@ -929,6 +938,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(cnt - 1) AS BIGINT) AS n_redundant,
                    CAST(max(cnt) AS BIGINT) AS max_group
             FROM (SELECT count(*) AS cnt FROM documents GROUP BY text)
+        """,
+        "dedup_exact_rows": """
+            SELECT doc_id, text, lang, source, n_chars FROM documents
+            WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
         """,
         "ngram_jaccard_pairs": f"""
             WITH w AS (SELECT doc_id, source,

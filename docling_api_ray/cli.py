@@ -73,13 +73,16 @@ def main(argv: list[str] | None = None) -> int:
         "errors": sum(r["error_count"] for r in committed),
     }
     if args.summary:
-        from docling_api_ray.pipelines.checkpoint import read_output
+        # streaming aggregate over the committed partitions — the output
+        # table never concatenates on the driver; only the 8-row metrics
+        # result materializes
+        from docling_api_ray.pipelines.checkpoint import read_output_dataset
         from docling_api_ray.pipelines.metrics import conversion_metrics
 
-        import ray.data
-
-        tbl = read_output(args.output)
-        metrics = conversion_metrics(ray.data.from_arrow(tbl)).take_all()
+        ds = read_output_dataset(
+            args.output, columns=["format", "spans", "media", "error"]
+        )
+        metrics = conversion_metrics(ds).take_all()
         out["metrics"] = sorted(metrics, key=lambda r: r["format"])
     print(json.dumps(out, default=str))
     ray.shutdown()

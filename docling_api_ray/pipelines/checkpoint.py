@@ -37,7 +37,7 @@ import ray.data
 
 from docling_api_ray.config import DEFAULT_CONFIG, PipelineConfig
 from docling_api_ray.pipelines.convert import convert_pipeline
-from docling_api_ray.pipelines.metrics import metrics_row
+from docling_api_ray.pipelines.metrics import MetricsAccumulator, counting_stage
 from docling_api_ray.sources.testdata import synthesize_raw_batch
 
 
@@ -148,6 +148,12 @@ def run_resumable(
         )
         raw = ds.map_batches(synthesize_raw_batch, batch_format="pyarrow")
         results = convert_pipeline(raw, config)
+        # manifest counters fold on the stream between convert and sink —
+        # committed partitions are never re-read from storage
+        acc = MetricsAccumulator.remote()
+        results = results.map_batches(
+            counting_stage(acc), batch_format="pyarrow"
+        )
 
         final_dir = os.path.join(out_dir, f"part={part.partition_id}")
         tmp_dir = final_dir + ".tmp"
@@ -157,13 +163,13 @@ def run_resumable(
         os.replace(tmp_dir, final_dir)
 
         # lineage + metrics sidecar; the commit point for this partition
-        written = pq.read_table(final_dir, columns=["doc_id", "spans", "error"])
         rec = {
             "partition_id": part.partition_id,
             "input_ref": f"{docs_path}[doc_id {part.lo}:{part.hi})",
-            **metrics_row(written),
+            **ray.get(acc.totals.remote()),
             "status": "done",
         }
+        ray.kill(acc)
         tmp_manifest = _manifest_path(out_dir, part.partition_id) + ".tmp"
         with open(tmp_manifest, "w") as f:
             json.dump(rec, f)
@@ -173,11 +179,34 @@ def run_resumable(
     return committed
 
 
-def read_output(out_dir: str) -> pa.Table:
-    """All committed partitions as one Arrow table (test/driver helper)."""
-    dirs = sorted(
+def committed_partition_dirs(out_dir: str) -> list[str]:
+    return sorted(
         os.path.join(out_dir, d)
         for d in os.listdir(out_dir)
         if d.startswith("part=") and not d.endswith(".tmp")
     )
-    return pa.concat_tables([pq.read_table(d) for d in dirs])
+
+
+def read_output_dataset(
+    out_dir: str, *, columns: list[str] | None = None
+) -> ray.data.Dataset:
+    """All committed partitions as a STREAMING dataset — the consumption
+    path for anything corpus-sized (--summary metrics, downstream
+    pipelines).  Never concatenates on the driver.  (read_parquet expands
+    a single directory but not a list of them, so list the files.)"""
+    files = [
+        os.path.join(d, f)
+        for d in committed_partition_dirs(out_dir)
+        for f in sorted(os.listdir(d))
+        if f.endswith(".parquet")
+    ]
+    return ray.data.read_parquet(files, columns=columns)
+
+
+def read_output(out_dir: str) -> pa.Table:
+    """All committed partitions as one Arrow table.  TEST HELPER ONLY —
+    driver-resident by construction; use ``read_output_dataset`` for
+    anything that scales with the corpus."""
+    return pa.concat_tables(
+        [pq.read_table(d) for d in committed_partition_dirs(out_dir)]
+    )

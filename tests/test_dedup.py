@@ -52,6 +52,28 @@ def test_exact_dedup_rows_keeps_full_schema():
     assert all("text" in r and "source" in r for r in out)
 
 
+def test_exact_dedup_rows_amplified_no_driver_set():
+    # 8 copies of the sf0.001 corpus under distinct ids: every text
+    # appears 8x; first-wins must keep exactly the offset-0 copy.  The
+    # pipeline is one co-grouped exchange — no winner-id take_all.
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    base = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    copies = [
+        base.set_column(
+            0, "doc_id", pc.add(base["doc_id"], 1_000_000 * i)
+        )
+        for i in range(8)
+    ]
+    ds = ray.data.from_arrow(pa.concat_tables(copies))
+    out = exact_dedup_rows(ds).take_all()
+    assert len(out) == base.num_rows
+    assert max(r["doc_id"] for r in out) < 1_000_000  # offset-0 winners
+
+
 def test_minhash_signature_properties():
     mh = MinHasher()
     s1 = mh.signature(BASE)
