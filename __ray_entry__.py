@@ -210,6 +210,30 @@ def _q_html_extract(sf_dir: str):
     return ds.map_batches(synth_and_extract, batch_format="pyarrow", batch_size=512)
 
 
+def _q_md_structure(sf_dir: str):
+    """REAL markdown structural parse (functions/md_parse.py): each text
+    row becomes a genuinely structured markdown document
+    (make_structured_markdown) and the parser's block census —
+    headings / paragraphs / tables / images — is oracle-checked against
+    the generation arithmetic (same pattern as html_extract)."""
+    from docling_api_ray.functions.md_parse import markdown_structure
+    from docling_api_ray.sources.synth import make_structured_markdown
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def synth_and_parse(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pylist()
+        counts = [markdown_structure(make_structured_markdown(t or "")) for t in texts]
+        cols = {"doc_id": b["doc_id"]}
+        for k in (
+            "n_headings", "n_paragraphs", "n_tables", "n_images", "n_code_blocks",
+        ):
+            cols[k] = pa.array([c[k] for c in counts], type=pa.int64())
+        return pa.table(cols)
+
+    return ds.map_batches(synth_and_parse, batch_format="pyarrow", batch_size=512)
+
+
 def _q_token_count(sf_dir: str):
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         ta.token_counts, batch_format="pyarrow"
@@ -690,6 +714,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "convert_spans": _q_convert_spans,
         "media_counts": _q_media_counts,
         "html_extract": _q_html_extract,
+        "md_structure": _q_md_structure,
         "token_count": _q_token_count,
         "quality_score": _q_quality,
         "lang_id": _q_lang_id,
@@ -1034,6 +1059,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT kind, n_media FROM t WHERE n_media > 0
         """,
         "html_extract": "SELECT doc_id, text AS main_text FROM documents",
+        "md_structure": """
+            WITH p AS (SELECT doc_id,
+                              CASE WHEN text = '' THEN 0
+                                   ELSE CAST(ceil(len(string_split(text, ' ')) / 8.0)
+                                             AS BIGINT) END AS np
+                       FROM documents)
+            SELECT doc_id,
+                   CASE WHEN np = 0 THEN 0 ELSE 1 + (np - 1) // 4 END AS n_headings,
+                   np AS n_paragraphs,
+                   np // 3 AS n_tables,
+                   np // 5 AS n_images,
+                   CAST(0 AS BIGINT) AS n_code_blocks
+            FROM p
+        """,
         "token_count": f"""
             SELECT doc_id,
                    CAST(length(regexp_extract_all(text, $${wsre}$$)) AS BIGINT)

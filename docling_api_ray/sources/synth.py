@@ -61,19 +61,69 @@ def chunk_words(text: str, n: int) -> list[str]:
     return [" ".join(words[i : i + n]) for i in range(0, len(words), n)]
 
 
+def make_blocks(doc_id: int, text: str) -> list[tuple[str, str]]:
+    """The document's reading-order block sequence [(kind, text)]: text
+    chunks interleaved with deterministic media blocks (a table / picture
+    after every MEDIA_EVERY_N_TEXT chunks, alternating, for docs with
+    doc_id % MEDIA_DOC_MOD == 0).  Every payload class renders this SAME
+    sequence — marker lines for the opaque stand-in formats, real
+    markdown / asciidoc / OOXML XML for the structurally parsed ones — so
+    the span arithmetic in the oracles is format-independent."""
+    chunks = chunk_words(text, WORDS_PER_SPAN)
+    blocks: list[tuple[str, str]] = []
+    media_idx = 0
+    with_media = doc_id % MEDIA_DOC_MOD == 0
+    for i, chunk in enumerate(chunks, start=1):
+        blocks.append(("text", chunk))
+        if with_media and i % MEDIA_EVERY_N_TEXT == 0:
+            blocks.append(
+                ("table", TABLE_MD) if media_idx % 2 == 0 else ("picture", "")
+            )
+            media_idx += 1
+    return blocks
+
+
 def make_body(doc_id: int, text: str) -> str:
-    """Interleave text chunks with deterministic media markers."""
-    lines = chunk_words(text, WORDS_PER_SPAN)
-    if doc_id % MEDIA_DOC_MOD == 0:
-        out: list[str] = []
-        media_idx = 0
-        for i, ln in enumerate(lines, start=1):
-            out.append(ln)
-            if i % MEDIA_EVERY_N_TEXT == 0:
-                out.append("[[TABLE]]" if media_idx % 2 == 0 else "[[PICTURE]]")
-                media_idx += 1
-        lines = out
-    return "\n".join(lines)
+    """Marker-line rendering of the block sequence (opaque stand-in
+    formats: pdf body text, OCR-stub image payloads)."""
+    out: list[str] = []
+    for kind, chunk in make_blocks(doc_id, text):
+        if kind == "text":
+            out.append(chunk)
+        elif kind == "table":
+            out.append("[[TABLE]]")
+        else:
+            out.append("[[PICTURE]]")
+    return "\n".join(out)
+
+
+def make_markdown_body(doc_id: int, text: str) -> str:
+    """REAL markdown rendering: blank-line separated paragraphs, pipe
+    tables, image references — parsed back structurally by
+    functions/md_parse.parse_markdown into the same item sequence."""
+    out: list[str] = []
+    for kind, chunk in make_blocks(doc_id, text):
+        if kind == "text":
+            out.append(chunk)
+        elif kind == "table":
+            out.append(TABLE_MD)
+        else:
+            out.append("![](img.png)")
+    return "\n\n".join(out)
+
+
+def make_asciidoc_body(doc_id: int, text: str) -> str:
+    """REAL asciidoc rendering: paragraphs, ``|===`` tables,
+    ``image::`` macros — parsed by functions/md_parse.parse_asciidoc."""
+    out: list[str] = []
+    for kind, chunk in make_blocks(doc_id, text):
+        if kind == "text":
+            out.append(chunk)
+        elif kind == "table":
+            out.append("|===\n| col\n| cell\n|===")
+        else:
+            out.append("image::img.png[]")
+    return "\n\n".join(out)
 
 
 def make_html_page(text: str, *, xhtml: bool = False) -> str:
@@ -110,29 +160,62 @@ def make_html_page(text: str, *, xhtml: bool = False) -> str:
     return f"<!DOCTYPE html>\n<html>{head}{body}</html>"
 
 
+def make_structured_markdown(text: str) -> str:
+    """A richly structured REAL markdown document derived from a text row
+    (md_structure query fixture): title + section headings, pipe tables
+    and image refs on fixed cadences whose counts the DuckDB oracle
+    mirrors arithmetically — paragraph i (0-based, P total): an ``##``
+    heading before every 4th (i>0), a table after every 3rd (i%3==2), an
+    image after every 5th (i%5==4), plus one ``#`` title."""
+    paras = chunk_words(text, WORDS_PER_SPAN)
+    out: list[str] = []
+    if paras:
+        out.append("# title")
+    for i, p in enumerate(paras):
+        if i > 0 and i % 4 == 0:
+            out.append(f"## section {i // 4}")
+        out.append(p)
+        if i % 3 == 2:
+            out.append(TABLE_MD)
+        if i % 5 == 4:
+            out.append("![](fig.png)")
+    return "\n\n".join(out)
+
+
 def make_raw_document(doc_id: int, text: str) -> tuple[str, bytes]:
-    """(filename, payload) for one driver-table row; deterministic."""
+    """(filename, payload) for one driver-table row; deterministic.
+
+    docx/pptx are GENUINE zip containers (functions/ooxml.py writers) and
+    md/asciidoc GENUINE markup — all four parse through the real
+    structural readers; pdf/image payloads keep the marker-line stand-in
+    layout (their real decoders are the documented sandbox stub
+    boundary, SURVEY.md §7)."""
+    from docling_api_ray.functions.ooxml import make_docx, make_pptx
+
     cls = doc_id % 10
     filename = f"doc-{doc_id}.{_EXT_OF_CLASS[cls]}"
     if doc_id % POISON_MOD == 0:
         return f"doc-{doc_id}.pdf", b"%PDF-1.4\n[[CORRUPT]]"
-    body = make_body(doc_id, text)
     if cls == 0:
-        payload = b"%PDF-1.4\n" + body.encode()
+        payload = b"%PDF-1.4\n" + make_body(doc_id, text).encode()
     elif cls == 1:
-        payload = b"PK\x03\x04" + b"word/\n" + body.encode()
+        payload = make_docx(make_blocks(doc_id, text))
     elif cls == 2:
-        payload = b"PK\x03\x04" + b"ppt/\n" + body.encode()
+        payload = make_pptx(make_blocks(doc_id, text))
     elif cls == 3:
         payload = make_html_page(text).encode()
     elif cls == 4:
         payload = make_html_page(text, xhtml=True).encode()
     elif cls == 5:
-        payload = b"\x89PNG\r\n\x1a\n" + body.encode()
-    elif cls in (6, 7, 8):
-        payload = body.encode()
+        payload = b"\x89PNG\r\n\x1a\n" + make_body(doc_id, text).encode()
+    elif cls == 6:
+        payload = make_markdown_body(doc_id, text).encode()
+    elif cls == 7:
+        payload = make_asciidoc_body(doc_id, text).encode()
+    elif cls == 8:
+        payload = make_body(doc_id, text).encode()
     else:
-        payload = b"\x00\xff" + body.encode()
+        payload = b"\x00\xff" + make_body(doc_id, text).encode()
     return filename, payload
 
 

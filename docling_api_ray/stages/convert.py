@@ -98,8 +98,8 @@ class ConvertActor:
             "docx": self._convert_ooxml,
             "pptx": self._convert_ooxml,
             "image": self._convert_image,
-            "md": self._convert_textual,
-            "asciidoc": self._convert_textual,
+            "md": self._convert_md,
+            "asciidoc": self._convert_asciidoc,
             "html": self._convert_html,
         }
         if converter_overrides:
@@ -114,8 +114,30 @@ class ConvertActor:
         return parse_body_items(body)
 
     def _convert_ooxml(self, payload: bytes) -> list[Item]:
+        """REAL container path: a genuine zip is opened and its main part
+        XML-parsed in document order (functions/ooxml.py — a docx built
+        by Word/python-docx extracts through here).  Payloads with the
+        zip magic but no central directory fall back to the legacy
+        marker-line stand-in layout of the round-1 corpus."""
+        import io
+        import zipfile
+
         if not payload.startswith(b"PK\x03\x04"):
             raise ConversionError("not an ooxml container")
+        buf = io.BytesIO(payload)
+        if zipfile.is_zipfile(buf):
+            from docling_api_ray.functions.ooxml import read_docx, read_pptx
+
+            try:
+                with zipfile.ZipFile(buf) as zf:
+                    names = set(zf.namelist())
+                if "word/document.xml" in names:
+                    return read_docx(payload)
+                if any(n.startswith("ppt/") for n in names):
+                    return read_pptx(payload)
+                raise ConversionError("zip has no ooxml document part")
+            except (zipfile.BadZipFile, KeyError, SyntaxError) as e:
+                raise ConversionError(f"corrupt ooxml container: {e}") from e
         body = _decode(payload[4:])
         body = body.split("\n", 1)[1] if "\n" in body else ""
         return parse_body_items(body)
@@ -128,8 +150,18 @@ class ConvertActor:
             raise ConversionError("truncated image")
         return parse_body_items(_decode(payload[8:]))
 
-    def _convert_textual(self, payload: bytes) -> list[Item]:
-        return parse_body_items(_decode(payload))
+    def _convert_md(self, payload: bytes) -> list[Item]:
+        """REAL structural Markdown parse (functions/md_parse.py) — the
+        engine analog of docling's marko backend (poetry.lock:1073)."""
+        from docling_api_ray.functions.md_parse import parse_markdown
+
+        return parse_markdown(_decode(payload))
+
+    def _convert_asciidoc(self, payload: bytes) -> list[Item]:
+        """REAL structural AsciiDoc parse (functions/md_parse.py)."""
+        from docling_api_ray.functions.md_parse import parse_asciidoc
+
+        return parse_asciidoc(_decode(payload))
 
     def _convert_html(self, payload: bytes) -> list[Item]:
         res = extract_main_content(_decode(payload))

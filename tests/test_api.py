@@ -11,7 +11,9 @@ from docling_api_ray.config import PipelineConfig
 
 
 def test_convert_document_success():
-    out = convert_document("note.md", b"hello world\nsecond line")
+    # two markdown paragraphs (blank-line separated blocks); consecutive
+    # lines inside one block stay one paragraph (real markdown semantics)
+    out = convert_document("note.md", b"hello world\n\nsecond line")
     # stem, like conv_res.input.file.stem (service.py:81)
     assert out["filename"] == "note"
     assert out["markdown"] == "hello world\n\nsecond line"
