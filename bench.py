@@ -182,8 +182,157 @@ def _scaling() -> None:
     print(json.dumps(report))
 
 
+def _skew_bench() -> None:
+    """Measure convert_pipeline vs convert_pipeline_heavy_split on a
+    mega-document-heavy corpus (VERDICT r1 next-step #7: the
+    head-of-line-blocking fix was asserted, not measured).  Corpus: sf0.1
+    documents where every 100th doc's text is repeated 400x (~1 MB
+    payloads, ~1% of rows) — the 500-page-PDF shape.  Appends a row to
+    BENCH/BASELINE.md and prints ONE JSON line."""
+    sys.path.insert(0, REPO)
+    os.chdir(REPO)
+    os.environ["PYTHONPATH"] = REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    import ray
+
+    ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data
+    from docling_api_ray.config import PipelineConfig
+    from docling_api_ray.pipelines.convert import (
+        convert_pipeline,
+        convert_pipeline_heavy_split,
+    )
+    from docling_api_ray.sources.testdata import synthesize_raw_batch
+
+    def amplify_heavy(b: pa.Table) -> pa.Table:
+        # ~0.1% mega documents, 1000x text (~2 MB payloads), ids chosen
+        # ≡ 1 (mod 1000) so megas are never media docs (id % 3 != 0
+        # mostly) — media count scales with text and would otherwise
+        # turn the skew bench into a PNG-encode bench
+        ids = b["doc_id"]
+        mega = pc.equal(
+            pc.subtract(ids, pc.multiply(pc.divide(ids, 1000), 1000)), 1
+        )
+        texts = b["text"].to_pylist()
+        flags = mega.to_pylist()
+        out = [(" ".join([t] * 1000)) if f else t for t, f in zip(texts, flags)]
+        return pa.table({"doc_id": b["doc_id"],
+                         "text": pa.array(out, type=pa.string())})
+
+    def skewed_raw():
+        # amplified source (range-based, parallel) → mega inflation →
+        # raw payload synthesis
+        base = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        )
+        amp = int(os.environ.get("GRAFT_SKEW_AMPLIFY", "4"))
+        if amp > 1:
+            import pyarrow.parquet as pq
+
+            tbl = pq.read_table(
+                os.path.join(sf_dir, "documents.parquet"),
+                columns=["doc_id", "text"],
+            ).sort_by("doc_id")
+            nb = tbl.num_rows
+            ref = ray.put(tbl)
+
+            def expand(batch: pa.Table) -> pa.Table:
+                import numpy as np
+
+                t = ray.get(ref)
+                ids = np.asarray(batch["id"], dtype=np.int64)
+                copy, pos = np.divmod(ids, nb)
+                return pa.table(
+                    {
+                        "doc_id": pa.array(
+                            np.asarray(t["doc_id"], dtype=np.int64)[pos]
+                            + copy * 11_640_000
+                        ),
+                        "text": t["text"].take(pa.array(pos)),
+                    }
+                )
+
+            base = ray.data.range(nb * amp).map_batches(
+                expand, batch_format="pyarrow"
+            )
+        return base.map_batches(
+            amplify_heavy, batch_format="pyarrow"
+        ).map_batches(synthesize_raw_batch, batch_format="pyarrow")
+
+    import dataclasses
+
+    cfg = PipelineConfig(extract_tables_as_images=True,
+                         convert_concurrency=ncpu, convert_batch_size=512)
+    cfg_norebal = dataclasses.replace(cfg, rebalance_target_cost=None)
+    convert_pipeline(skewed_raw(), cfg).count()  # warm-up
+
+    # interleaved reps + medians: this container's run-to-run jitter is
+    # ±30% (see _scaling notes), far above the effect size of a single run
+    reps = int(os.environ.get("GRAFT_SKEW_REPS", "3"))
+    variants = {
+        "no_rebalance": lambda: convert_pipeline(skewed_raw(), cfg_norebal),
+        "rebalance": lambda: convert_pipeline(
+            skewed_raw(),
+            dataclasses.replace(cfg, rebalance_target_cost=1 << 20),
+        ),
+        "heavy_split": lambda: convert_pipeline_heavy_split(skewed_raw(), cfg),
+    }
+    times: dict[str, list[float]] = {k: [] for k in variants}
+    counts = set()
+    for _ in range(reps):
+        for name, build in variants.items():
+            t0 = time.time()
+            counts.add(build().count())
+            times[name].append(round(time.time() - t0, 2))
+    assert len(counts) == 1
+    n = counts.pop()
+
+    def med(xs: list[float]) -> float:
+        return sorted(xs)[len(xs) // 2]
+
+    naive, plain, split = (
+        med(times["no_rebalance"]), med(times["rebalance"]),
+        med(times["heavy_split"]),
+    )
+    report = {
+        "metric": "skew_corpus_sec",
+        "docs": n,
+        "no_rebalance_sec": naive,
+        "rebalance_sec": plain,
+        "heavy_split_sec": split,
+        "raw": times,
+        "best_speedup_vs_naive": round(naive / min(plain, split), 2),
+        "num_cpus": ncpu,
+    }
+    md = os.path.join(REPO, "BENCH", "BASELINE.md")
+    os.makedirs(os.path.dirname(md), exist_ok=True)
+    with open(md, "a") as f:
+        f.write(
+            f"\n| skew {time.strftime('%Y-%m-%d %H:%M')} | {n} docs, 1% mega "
+            f"(400x) | no-rebalance {report['no_rebalance_sec']}s | "
+            f"cost-rebalance {report['rebalance_sec']}s | heavy-split "
+            f"{report['heavy_split_sec']}s | best speedup "
+            f"{report['best_speedup_vs_naive']}x |"
+        )
+    ray.shutdown()
+    print(json.dumps(report))
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         _scaling()
+    elif "--skew" in sys.argv:
+        _skew_bench()
     else:
         print(json.dumps(_bench_once()))

@@ -38,9 +38,11 @@ class PipelineConfig:
     words_per_span: int = 8
 
     # cost-based block rebalancing before the convert pool (stages/skew.py);
-    # None disables. Heavy docs get dedicated blocks so they can't
-    # head-of-line-block a batch of light docs.
-    rebalance_target_cost: int | None = 1 << 20
+    # None disables.  Default OFF: measured (bench.py --skew, r2) the
+    # re-chunk stage costs 5-8% on uniform corpora and 57% on a 1%-mega
+    # corpus, while convert_pipeline_heavy_split is the effective
+    # head-of-line-blocking fix (1.35x on the same skewed corpus).
+    rebalance_target_cost: int | None = None
 
     def __post_init__(self) -> None:
         if not (1 <= self.image_resolution_scale <= 4):

@@ -64,3 +64,61 @@ def batch_to_reference_json(batch: pa.Table) -> list[dict]:
     """A results batch → the reference's batch-convert response list,
     preserving row order (service.py:101-118 appends in input order)."""
     return [row_to_reference_json(r) for r in batch.to_pylist()]
+
+
+# ---------------------------------------------------------------------------
+# job-result envelopes (SURVEY.md §2.5 G3 / §2.9) — the reference's
+# ConversationJobResult / BatchConversionJobResult folds (schema.py:24-39,
+# service.py:150-204) re-expressed over engine rows.  The engine's job
+# state comes from the checkpoint manifest, not Redis polling; these folds
+# produce the same response shapes for a migrating client.
+# ---------------------------------------------------------------------------
+
+def single_job_result_json(job_id: str, row: dict) -> dict:
+    """One result row → ConversationJobResult dict (service.py:160-173):
+    an error row folds to FAILURE carrying only the error; a success row
+    folds to SUCCESS embedding the ConversionResult."""
+    if row.get("error"):
+        return {"job_id": job_id, "status": "FAILURE", "error": row["error"]}
+    return {
+        "job_id": job_id,
+        "status": "SUCCESS",
+        "result": row_to_reference_json(row),
+    }
+
+
+def batch_job_result_json(job_id: str, rows: list[dict]) -> dict:
+    """Result rows → BatchConversionJobResult dict (service.py:175-204):
+    the BATCH is SUCCESS as long as the job ran (per-item failures do NOT
+    fail the batch — each item folds to its own SUCCESS/FAILURE
+    ConversationJobResult, reference lines 189-202).  Row order is input
+    order.  Driver-resident by design: this convenience envelope is for
+    ad-hoc batches; corpus-scale results stay in the output table."""
+    items = []
+    for row in rows:
+        if row.get("error"):
+            items.append({"status": "FAILURE", "error": row["error"]})
+        else:
+            items.append(
+                {"status": "SUCCESS", "result": row_to_reference_json(row)}
+            )
+    return {
+        "job_id": job_id,
+        "status": "SUCCESS",
+        "conversion_results": items,
+    }
+
+
+def job_status_from_manifest(out_dir: str, npartitions: int) -> str:
+    """IN_PROGRESS / SUCCESS from the checkpoint manifest — the engine
+    analog of the reference's PENDING→IN_PROGRESS poll (service.py:
+    161-162; its unknown-job-id→IN_PROGRESS quirk is intentionally not
+    reproduced: a missing manifest directory raises)."""
+    from docling_api_ray.pipelines.checkpoint import completed_partitions
+
+    import os
+
+    if not os.path.isdir(os.path.join(out_dir, "_manifest")):
+        raise FileNotFoundError(f"no checkpoint manifest under {out_dir}")
+    done = completed_partitions(out_dir)
+    return "SUCCESS" if len(done) >= npartitions else "IN_PROGRESS"

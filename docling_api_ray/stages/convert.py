@@ -225,7 +225,9 @@ class ConvertActor:
 
 
 def convert_documents(
-    ds: ray.data.Dataset, config: PipelineConfig = DEFAULT_CONFIG
+    ds: ray.data.Dataset,
+    config: PipelineConfig = DEFAULT_CONFIG,
+    converter_overrides: dict | None = None,
 ) -> ray.data.Dataset:
     """Attach the convert actor pool to a classified raw-document dataset.
 
@@ -240,7 +242,10 @@ def convert_documents(
         kwargs["num_gpus"] = config.convert_num_gpus
     return ds.map_batches(
         ConvertActor,
-        fn_constructor_kwargs={"config": config},
+        fn_constructor_kwargs={
+            "config": config,
+            "converter_overrides": converter_overrides,
+        },
         batch_format="pyarrow",
         batch_size=config.convert_batch_size,
         concurrency=(min_actors, max_actors),

@@ -13,7 +13,10 @@ levels:
   CAVEAT (measured): Ray's output buffer re-merges yielded tables into
   blocks up to ``target_max_block_size``, so this bounds a TASK's input
   only when upstream blocks are huge; it does NOT isolate a heavy row
-  from its block-mates downstream.
+  from its block-mates downstream.  MEASURED r2 (bench.py --skew): the
+  stage costs 5-8% on a uniform corpus and 57% on a 1%-mega corpus —
+  config defaults it OFF; prefer ``dispatch_by_cost``/heavy-split
+  (measured 1.35x on the same skewed corpus).
 - ``dispatch_by_cost`` is the real head-of-line-blocking fix: a
   vectorized filter split into a heavy stream (converted with
   ``batch_size=1`` — one mega-document per actor task) and a light
