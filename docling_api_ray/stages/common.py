@@ -34,3 +34,61 @@ def coalesce_for_shuffle(ds: ray.data.Dataset) -> ray.data.Dataset:
     pre-aggregated datasets (ids, hashes, counters) — never on wide
     payload columns."""
     return ds.repartition(shuffle_partitions())
+
+
+def bounded_groupby_sum(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    *,
+    sum_cols: dict[str, str] | None = None,
+    count_alias: str | None = None,
+) -> ray.data.Dataset:
+    """Grouped count/sum over a BOUNDED key domain (formats, kinds,
+    languages, return flags — domains that do not grow with the corpus).
+
+    Classic partial aggregation: each batch reduces to ≤|domain| rows
+    with a vectorized ``pyarrow.Table.group_by``, the partials coalesce
+    into ONE block (rows ∝ blocks x |domain|, corpus-independent), and a
+    single vectorized fold finishes.  Replaces ``groupby().aggregate()``
+    whose sort all-to-all + per-group overhead dominate tiny-domain
+    aggregates, and whose empty shuffle partitions emit schema-less
+    blocks (the 'different schema than the previous one' warning).
+
+    ``sum_cols`` maps output column name -> source column; ``count_alias``
+    adds a group row count."""
+    import pyarrow as pa
+
+    sum_cols = sum_cols or {}
+    aggs = [(src, "sum") for src in sum_cols.values()]
+    if count_alias:
+        aggs.append(([], "count_all"))
+    out_of_src = {f"{src}_sum": out for out, src in sum_cols.items()}
+    if count_alias:
+        out_of_src["count_all"] = count_alias
+
+    def partial(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            fields = [b.schema.field(k) for k in keys]
+            for out, src in sum_cols.items():
+                fields.append(pa.field(out, b.schema.field(src).type))
+            if count_alias:
+                fields.append(pa.field(count_alias, pa.int64()))
+            return pa.schema(fields).empty_table()
+        g = b.group_by(keys).aggregate(aggs)
+        return g.rename_columns(
+            [out_of_src.get(c, c) for c in g.column_names]
+        )
+
+    out_names = list(sum_cols) + ([count_alias] if count_alias else [])
+
+    def final(b: pa.Table) -> pa.Table:
+        g = b.group_by(keys).aggregate([(c, "sum") for c in out_names])
+        return g.rename_columns(
+            [c[: -len("_sum")] if c.endswith("_sum") else c for c in g.column_names]
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )

@@ -72,14 +72,17 @@ def exact_dedup(
     hashed = ds.map_batches(
         lambda b: add_content_hash(b, text_col), batch_format="pyarrow"
     ).select_columns(["content_hash", "__ckey", id_col])
+    out_schema = pa.schema(
+        [("content_hash", pa.string()), (id_col, pa.int64()), ("n_dups", pa.int64())]
+    )
 
-    def fold(df: pd.DataFrame) -> pd.DataFrame:
+    def fold(df: pd.DataFrame) -> pa.Table:
         g = df.groupby("content_hash", sort=False)[id_col]
         out = g.agg(["min", "size"]).reset_index()
         out.columns = ["content_hash", id_col, "n_dups"]
-        out[id_col] = out[id_col].astype("int64")
-        out["n_dups"] = out["n_dups"].astype("int64")
-        return out
+        # typed Arrow output pins the block schema (empty pandas frames
+        # otherwise surface schema-less blocks → executor warnings)
+        return pa.Table.from_pandas(out, schema=out_schema, preserve_index=False)
 
     return _cogrouped(hashed, "__ckey").map_groups(fold, batch_format="pandas")
 
@@ -99,11 +102,15 @@ def exact_dedup_rows(
         lambda b: add_content_hash(b, text_col), batch_format="pyarrow"
     )
     drop_cols = ["content_hash", "__ckey", "__part"]
+    out_schema = ds.schema().base_schema  # original columns, pinned
 
-    def fold(df: pd.DataFrame) -> pd.DataFrame:
+    def fold(df: pd.DataFrame) -> pa.Table:
         df = df.sort_values(id_col, kind="stable")
         out = df.drop_duplicates("content_hash", keep="first")
-        return out.drop(columns=[c for c in drop_cols if c in out.columns])
+        out = out.drop(columns=[c for c in drop_cols if c in out.columns])
+        return pa.Table.from_pandas(
+            out, preserve_index=False
+        ).select(out_schema.names).cast(out_schema)
 
     return _cogrouped(hashed, "__ckey").map_groups(fold, batch_format="pandas")
 
@@ -260,9 +267,11 @@ def _keep_hot_buckets(
 
     Returns None when no bucket has ≥2 members."""
 
-    def hot_in_partition(df: pd.DataFrame) -> pd.DataFrame:
+    def hot_in_partition(df: pd.DataFrame) -> pa.Table:
         vc = df[key].value_counts()
-        return pd.DataFrame({key: vc.index[vc.values >= 2].astype("int64")})
+        return pa.table(
+            {key: pa.array(vc.index[vc.values >= 2].astype("int64"))}
+        )
 
     hot = (
         _cogrouped(exploded.select_columns([key]), key)
@@ -292,7 +301,7 @@ def _dedup_pairs(
 
     def fold(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
-            return df
+            return df.head(0)
         g = df.groupby(["left_id", "right_id"], sort=False)[agg_col]
         return (g.max() if how == "max" else g.min()).reset_index()
 
@@ -336,8 +345,13 @@ def _pairs_from_partition(df: pd.DataFrame, threshold: float) -> pd.DataFrame:
             for j_off, est in enumerate(agree):
                 if est >= threshold:
                     rows.append((int(ids[i]), int(ids[i + 1 + j_off]), float(est)))
-    return pd.DataFrame(rows, columns=["left_id", "right_id", "est_jaccard"]).astype(
-        {"left_id": "int64", "right_id": "int64", "est_jaccard": "float64"}
+    # typed Arrow output: stable block schema even for empty partitions
+    return pa.table(
+        {
+            "left_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "right_id": pa.array([r[1] for r in rows], type=pa.int64()),
+            "est_jaccard": pa.array([r[2] for r in rows], type=pa.float64()),
+        }
     )
 
 
@@ -493,8 +507,12 @@ def simhash_pairs(
                     rows.append(
                         (int(ids[i]), int(ids[i + 1 + j_off]), int(ham[j_off]))
                     )
-        return pd.DataFrame(rows, columns=["left_id", "right_id", "hamming"]).astype(
-            {"left_id": "int64", "right_id": "int64", "hamming": "int64"}
+        return pa.table(
+            {
+                "left_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                "right_id": pa.array([r[1] for r in rows], type=pa.int64()),
+                "hamming": pa.array([r[2] for r in rows], type=pa.int64()),
+            }
         )
 
     exploded = signed.map_batches(explode, batch_format="pyarrow").materialize()

@@ -26,7 +26,6 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from docling_api_ray.stages.common import coalesce_for_shuffle
 
 
 def _norm_rows(m: np.ndarray) -> np.ndarray:
@@ -87,16 +86,41 @@ class BatchTopK:
         )
 
 
+_TOPK_SCHEMA = pa.schema(
+    [
+        ("query_id", pa.int64()),
+        ("vec_id", pa.int64()),
+        ("cosine", pa.float64()),
+        ("rank", pa.int64()),
+    ]
+)
+
+
 def _final_topk(k: int):
-    def reduce_group(g: pd.DataFrame) -> pd.DataFrame:
+    def reduce_group(g: pd.DataFrame) -> pa.Table:
         g = g.sort_values(
             ["cosine", "vec_id"], ascending=[False, True], kind="stable"
         ).head(k)
         g = g.reset_index(drop=True)
         g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
+        # typed Arrow output pins the block schema (empty shuffle
+        # partitions otherwise surface schema-less blocks)
+        return pa.Table.from_pandas(
+            g[["query_id", "vec_id", "cosine", "rank"]],
+            schema=_TOPK_SCHEMA,
+            preserve_index=False,
+        )
 
     return reduce_group
+
+
+def _reduce_partitions(nqueries: int) -> int:
+    """Partition count for the final per-query reduce: never more than
+    the number of groups (extra sort partitions are emitted EMPTY and
+    schema-less), never more than the usual shuffle width."""
+    from docling_api_ray.stages.common import shuffle_partitions
+
+    return max(1, min(shuffle_partitions(), nqueries))
 
 
 def knn_bruteforce(
@@ -128,9 +152,9 @@ def knn_bruteforce(
         batch_size=4096,
         concurrency=(1, 8),
     )
-    return coalesce_for_shuffle(partial).groupby("query_id").map_groups(
-        _final_topk(k), batch_format="pandas"
-    )
+    return partial.repartition(_reduce_partitions(len(query_ids))).groupby(
+        "query_id"
+    ).map_groups(_final_topk(k), batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -266,6 +290,6 @@ def ivf_knn(
     partial = filtered.map_batches(
         BucketedTopK, batch_format="pyarrow", batch_size=4096, concurrency=(1, 8)
     )
-    return coalesce_for_shuffle(partial).groupby("query_id").map_groups(
-        _final_topk(k), batch_format="pandas"
-    )
+    return partial.repartition(_reduce_partitions(len(query_ids))).groupby(
+        "query_id"
+    ).map_groups(_final_topk(k), batch_format="pandas")
