@@ -169,24 +169,34 @@ def _q_convert_spans(sf_dir: str):
     ds = flagship(sf_dir, _flagship_cfg())
 
     def project(b: pa.Table) -> pa.Table:
-        spans_col = b["spans"].to_pylist()
-        n_spans, n_text, n_tab, n_pic, last = [], [], [], [], []
-        for spans in spans_col:
-            spans = spans or []
-            n_spans.append(len(spans))
-            n_text.append(sum(1 for s in spans if s["kind"] == "text"))
-            n_tab.append(sum(1 for s in spans if s["kind"] == "table"))
-            n_pic.append(sum(1 for s in spans if s["kind"] == "picture"))
-            refs = [s["media_ref"] for s in spans if s["media_ref"]]
-            last.append(refs[-1] if refs else "")
+        spans = b["spans"]
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        n = len(b)
+        # vectorized span census: flatten once, per-kind bincount over
+        # list parent indices — the spans column never becomes Python
+        flat = spans.flatten()
+        parents = np.asarray(pc.list_parent_indices(spans), dtype=np.int64)
+        kinds = np.asarray(flat.field("kind").to_numpy(zero_copy_only=False))
+        refs = np.asarray(flat.field("media_ref").to_numpy(zero_copy_only=False))
+
+        def kind_count(kind: str) -> np.ndarray:
+            return np.bincount(parents[kinds == kind], minlength=n)
+
+        n_spans = np.bincount(parents, minlength=n)
+        last = np.full(n, "", dtype=object)
+        sel = np.flatnonzero(refs != "")
+        # duplicate fancy-assign keeps the LAST write; sel ascends, so the
+        # final media_ref per doc wins
+        last[parents[sel]] = refs[sel]
         return pa.table(
             {
                 "doc_id": b["doc_id"],
                 "format": b["format"],
                 "n_spans": pa.array(n_spans, type=pa.int64()),
-                "n_text": pa.array(n_text, type=pa.int64()),
-                "n_tables": pa.array(n_tab, type=pa.int64()),
-                "n_pictures": pa.array(n_pic, type=pa.int64()),
+                "n_text": pa.array(kind_count("text"), type=pa.int64()),
+                "n_tables": pa.array(kind_count("table"), type=pa.int64()),
+                "n_pictures": pa.array(kind_count("picture"), type=pa.int64()),
                 "last_media_ref": pa.array(last, type=pa.string()),
                 "error": b["error"],
             }

@@ -69,11 +69,17 @@ def _bench_once() -> dict:
     flagship(sf_dir, cfg, amplify=1).count()
 
     # ---- headline: flagship conversion, end-to-end incl. parquet sink ----
-    out_dir = "/tmp/bench_out"
-    shutil.rmtree(out_dir, ignore_errors=True)
-    t0 = time.time()
-    flagship(sf_dir, cfg, amplify=amplify).write_parquet(out_dir)
-    headline = time.time() - t0
+    # median of 3: this container's run-to-run jitter is ±30-50%, far
+    # above real effect sizes (raw reps go into the JSON)
+    headline_reps = int(os.environ.get("GRAFT_HEADLINE_REPS", "3"))
+    raw_headline: list[float] = []
+    for _ in range(headline_reps):
+        out_dir = "/tmp/bench_out"
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.time()
+        flagship(sf_dir, cfg, amplify=amplify).write_parquet(out_dir)
+        raw_headline.append(round(time.time() - t0, 3))
+    headline = sorted(raw_headline)[len(raw_headline) // 2]
     ndocs = n_base * amplify
 
     # ---- query battery (each timed separately, consumed via count) ------
@@ -91,16 +97,22 @@ def _bench_once() -> dict:
         "events_hourly",
         "conversion_metrics",
     ]
+    # best-of-2 per query: the first run of a fresh pipeline pays one-off
+    # closure-shipping / autoscale costs on top of the jitter
     qt: dict[str, float] = {}
     for name in bench_queries:
-        t0 = time.time()
-        qs[name](sf_dir).count()
-        qt[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            qs[name](sf_dir).count()
+            best = min(best, time.time() - t0)
+        qt[name] = round(best, 3)
 
     result = {
         "metric": "flagship_conversion_sec",
         "value": round(headline, 3),
         "unit": "sec",
+        "raw_headline_secs": raw_headline,
         "queries": qt,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "num_cpus": ncpu,
@@ -120,6 +132,7 @@ def _run_subprocess(ncpu: int) -> dict:
         RAY_GRAFT_CPUS=str(ncpu),
         GRAFT_AMPLIFY=os.environ.get("GRAFT_SCALING_AMPLIFY", "96"),
         GRAFT_HEADLINE_ONLY="1",
+        GRAFT_HEADLINE_REPS="1",  # _scaling medians across its own reps
     )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],

@@ -18,21 +18,24 @@ from docling_api_ray.stages.common import bounded_groupby_sum
 
 
 def _precount(batch: pa.Table) -> pa.Table:
-    spans_col = batch["spans"].to_pylist()
-    media_col = batch["media"].to_pylist()
-    errors = batch["error"].to_pylist()
+    """Vectorized per-row counters from Arrow list offsets — no Python
+    materialization of the (wide) spans/media columns."""
+
+    def lengths(col):
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return pc.fill_null(
+            pc.cast(pc.list_value_length(col), pa.int64()), 0
+        )
+
     return pa.table(
         {
             "format": batch["format"],
-            "is_error": pa.array(
-                [1 if e else 0 for e in errors], type=pa.int64()
+            "is_error": pc.cast(
+                pc.not_equal(pc.fill_null(batch["error"], ""), ""), pa.int64()
             ),
-            "n_spans": pa.array(
-                [len(s or []) for s in spans_col], type=pa.int64()
-            ),
-            "n_media": pa.array(
-                [len(m or []) for m in media_col], type=pa.int64()
-            ),
+            "n_spans": lengths(batch["spans"]),
+            "n_media": lengths(batch["media"]),
         }
     )
 

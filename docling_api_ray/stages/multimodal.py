@@ -135,21 +135,21 @@ def explode_media(ds: ray.data.Dataset) -> ray.data.Dataset:
     a batch transform to stay vectorized)."""
 
     def flatten(batch: pa.Table) -> pa.Table:
-        doc_ids, kinds, names, pngs = [], [], [], []
-        media_col = batch["media"].to_pylist()
-        ids = batch["doc_id"].to_pylist()
-        for did, media in zip(ids, media_col):
-            for m in media or []:
-                doc_ids.append(did)
-                kinds.append(m["kind"])
-                names.append(m["filename"])
-                pngs.append(m["png"])
+        import pyarrow.compute as pc
+
+        media = batch["media"]
+        if isinstance(media, pa.ChunkedArray):
+            media = media.combine_chunks()
+        # zero-copy explode: child struct fields + parent-index gather —
+        # the list column never round-trips through Python objects
+        flat = media.flatten()
+        parents = pc.list_parent_indices(media)
         return pa.table(
             {
-                "doc_id": pa.array(doc_ids),
-                "kind": pa.array(kinds, type=pa.string()),
-                "filename": pa.array(names, type=pa.string()),
-                "png": pa.array(pngs, type=pa.binary()),
+                "doc_id": batch["doc_id"].take(parents),
+                "kind": flat.field("kind"),
+                "filename": flat.field("filename"),
+                "png": flat.field("png"),
             }
         )
 
