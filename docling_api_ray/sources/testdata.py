@@ -82,9 +82,19 @@ def raw_documents_dataset(
             texts = tbl["text"].take(pa.array(pos))
             return pa.table({"doc_id": pa.array(doc_ids), "text": texts})
 
+        # block count pins task granularity: range ids are ~8 bytes/row, so
+        # Ray's byte-based bundling would coalesce them into a handful of
+        # huge actor tasks (measured: 16 tasks for 40k docs on 32 actors —
+        # half the pool idle).  One block ≈ one convert batch keeps every
+        # actor fed.
+        n_total = n_base * amplify
+        # half-batch blocks: the actor bundler merges blocks until it
+        # reaches batch_size rows, so 256-row blocks pair into one
+        # 512-row task each — block_rows == batch_size-epsilon would
+        # merge PAIRS of near-full blocks into double-size tasks
+        blocks = override_num_blocks or max(32, n_total // 256)
         ds = ray.data.range(
-            n_base * amplify,
-            override_num_blocks=override_num_blocks,
+            n_total, override_num_blocks=blocks
         ).map_batches(expand, batch_format="pyarrow")
     else:
         # explicit metadata-free schema: the testdata files carry pandas

@@ -126,7 +126,30 @@ def asof_join_events(
         keep((left_type, right_type)), batch_format="pyarrow"
     )
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+    # co-group keys to ~core-count partitions (key mod P): a per-KEY
+    # map_groups pays Ray's ~1 ms group dispatch for every user, while
+    # pd.merge_asof(by=key) inside each partition handles ALL its users
+    # in one vectorized pass (both sides globally sorted on the ON key,
+    # equal-ts ties resolved to the max event_id by the secondary sort)
+    from docling_api_ray.stages.common import shuffle_partitions
+
+    P = shuffle_partitions()
+
+    def add_part(b: pa.Table) -> pa.Table:
+        part = pc.subtract(b[key], pc.multiply(pc.divide(b[key], P), P))
+        return b.append_column("__part", pc.cast(part, pa.int64()))
+
+    out_schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            (key, pa.int64()),
+            ("ts_us", pa.int64()),
+            ("matched_event_id", pa.int64()),
+            ("matched_ts_us", pa.int64()),
+        ]
+    )
+
+    def per_partition(g: pd.DataFrame) -> pa.Table:
         g = g.copy()
         g["ts_us"] = g["ts"].astype("int64")
         left = (
@@ -138,28 +161,26 @@ def asof_join_events(
             .sort_values(["ts_us", "event_id"], kind="stable")
         )
         if len(left) == 0:
-            return pd.DataFrame(
-                {
-                    "event_id": pd.Series([], dtype="int64"),
-                    key: pd.Series([], dtype="int64"),
-                    "ts_us": pd.Series([], dtype="int64"),
-                    "matched_event_id": pd.Series([], dtype="int64"),
-                    "matched_ts_us": pd.Series([], dtype="int64"),
-                }
-            )
+            return out_schema.empty_table()
         merged = pd.merge_asof(
             left[["event_id", key, "ts_us"]],
-            right[["event_id", "ts_us"]].rename(
+            right[["event_id", key, "ts_us"]].rename(
                 columns={"event_id": "matched_event_id", "ts_us": "matched_ts_us"}
             ),
             left_on="ts_us",
             right_on="matched_ts_us",
+            by=key,
             direction="backward",
         )
         for c in ("matched_event_id", "matched_ts_us"):
             merged[c] = merged[c].fillna(-1).astype("int64")
-        return merged[["event_id", key, "ts_us", "matched_event_id", "matched_ts_us"]]
+        return pa.Table.from_pandas(
+            merged[["event_id", key, "ts_us", "matched_event_id", "matched_ts_us"]],
+            preserve_index=False,
+        ).cast(out_schema)
 
-    return coalesce_for_shuffle(filtered).groupby(key).map_groups(
-        per_key, batch_format="pandas"
+    return (
+        filtered.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(per_partition, batch_format="pandas")
     )

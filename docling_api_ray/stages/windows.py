@@ -84,6 +84,9 @@ def sliding_window_agg(
     return agg.map_batches(round_sum, batch_format="pyarrow")
 
 
+SESSION_SCHEMA_COLS = ("session_start", "n_events", "sum_value")
+
+
 def session_windows(
     ds: ray.data.Dataset,
     *,
@@ -92,29 +95,64 @@ def session_windows(
 ) -> ray.data.Dataset:
     """Gap-based sessions per key: a new session starts when the gap to
     the previous event of the same key exceeds ``gap_s``.  Output one row
-    per session: (key, session_start epoch-sec, n_events, sum_value)."""
+    per session: (key, session_start epoch-sec, n_events, sum_value).
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts", kind="stable")
-        sec = g["ts"].astype("int64").to_numpy() // US
-        new = np.ones(len(sec), dtype=bool)
-        new[1:] = (sec[1:] - sec[:-1]) > gap_s
+    Partitioning: keys co-group to ~core-count partitions (key mod P) —
+    a per-KEY ``groupby(key).map_groups`` pays Ray's ~1 ms per-group
+    dispatch for EVERY user; inside a partition sessionization is fully
+    vectorized ACROSS keys (one sort + shift-compare + cumsum + grouped
+    agg, no per-user python)."""
+    import pyarrow as pa
+
+    P = _parts()
+
+    def add_part(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        part = pc.subtract(b[key], pc.multiply(pc.divide(b[key], P), P))
+        return b.append_column("__part", pc.cast(part, pa.int64()))
+
+    out_schema = pa.schema(
+        [
+            (key, pa.int64()),
+            ("session_start", pa.int64()),
+            ("n_events", pa.int64()),
+            ("sum_value", pa.float64()),
+        ]
+    )
+
+    def sessions_part(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values([key, "ts"], kind="stable")
+        keys = df[key].to_numpy()
+        sec = df["ts"].astype("int64").to_numpy() // US
+        val = df["value"].to_numpy(dtype=np.float64)
+        new = np.ones(len(df), dtype=bool)
+        if len(df) > 1:
+            new[1:] = (keys[1:] != keys[:-1]) | ((sec[1:] - sec[:-1]) > gap_s)
         sid = np.cumsum(new) - 1
-        val = g["value"].to_numpy(dtype=np.float64)
-        out = pd.DataFrame(
-            {
-                key: g[key].iloc[0],
-                "session_start": pd.Series(sec).groupby(sid).min().to_numpy(),
-                "n_events": pd.Series(1, index=range(len(sid))).groupby(sid).sum().to_numpy(),
-                "sum_value": np.round(
-                    pd.Series(val).groupby(sid).sum().to_numpy(), 6
-                ),
+        agg = pd.DataFrame(
+            {key: keys, "sec": sec, "val": val, "sid": sid}
+        ).groupby("sid", sort=False).agg(
+            **{
+                key: (key, "first"),
+                "session_start": ("sec", "min"),
+                "n_events": ("sec", "size"),
+                "sum_value": ("val", "sum"),
             }
         )
-        out["n_events"] = out["n_events"].astype("int64")
-        out["session_start"] = out["session_start"].astype("int64")
-        return out
+        agg["sum_value"] = np.round(agg["sum_value"].to_numpy(), 6)
+        return pa.Table.from_pandas(
+            agg.reset_index(drop=True), preserve_index=False
+        ).cast(out_schema)
 
-    return coalesce_for_shuffle(ds).groupby(key).map_groups(
-        sessions, batch_format="pandas"
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(sessions_part, batch_format="pandas")
     )
+
+
+def _parts() -> int:
+    from docling_api_ray.stages.common import shuffle_partitions
+
+    return shuffle_partitions()
