@@ -433,10 +433,12 @@ def _q_events_hourly(sf_dir: str):
     )
 
     def round_sum(b: pa.Table) -> pa.Table:
+        from docling_api_ray.stages.windows import quantize6
+
         return b.set_column(
             b.schema.get_field_index("sum_value"),
             "sum_value",
-            pc.round(b["sum_value"], ndigits=6),
+            quantize6(b["sum_value"]),
         )
 
     return agg.map_batches(round_sum, batch_format="pyarrow")
@@ -600,6 +602,7 @@ def _q_orders_per_customer(sf_dir: str):
         .rename_columns({"o_custkey": "custkey"})
     )
     joined = hash_join(cust, agg, on="custkey", how="left")
+    from docling_api_ray.stages.windows import quantize6
 
     def finish(b: pa.Table) -> pa.Table:
         return pa.table(
@@ -607,9 +610,7 @@ def _q_orders_per_customer(sf_dir: str):
                 "custkey": b["custkey"],
                 "c_name": b["c_name"],
                 "n_orders": pc.fill_null(pc.cast(b["n_orders"], pa.int64()), 0),
-                "total_price": pc.round(
-                    pc.fill_null(b["total_price"], 0.0), ndigits=6
-                ),
+                "total_price": quantize6(pc.fill_null(b["total_price"], 0.0)),
             }
         )
 
@@ -684,13 +685,15 @@ def _q_pricing_summary(sf_dir: str):
     )
 
     def round_cols(b: pa.Table) -> pa.Table:
+        def q2(col):  # round(x*100)/100 — summation-order-independent
+            return pc.divide(pc.round(pc.multiply(col, 100.0)), 100.0)
+
         b = b.set_column(
-            b.schema.get_field_index("sum_qty"), "sum_qty",
-            pc.round(b["sum_qty"], ndigits=2),
+            b.schema.get_field_index("sum_qty"), "sum_qty", q2(b["sum_qty"])
         )
         return b.set_column(
             b.schema.get_field_index("sum_revenue"), "sum_revenue",
-            pc.round(b["sum_revenue"], ndigits=2),
+            q2(b["sum_revenue"]),
         )
 
     return agg.map_batches(round_cols, batch_format="pyarrow")
@@ -954,7 +957,7 @@ def _knn_ivf_oracle_sql() -> str:
                    ) AS rn
             FROM q CROSS JOIN cents ce) WHERE rn <= {_IVF_NPROBE}),
         s AS (SELECT q.query_id, a.vec_id,
-                     round(list_cosine_similarity(a.v, q.qv), 6) AS cosine
+                     round(list_cosine_similarity(a.v, q.qv) * 1000000) / 1000000.0 AS cosine
               FROM q JOIN probe p ON p.query_id = q.query_id
                      JOIN casg a ON a.cid = p.cid)
         SELECT query_id, vec_id, cosine, CAST(rank AS BIGINT) AS rank FROM (
@@ -1176,7 +1179,7 @@ def oracle_sql() -> dict[str, str]:
                               CAST(embedding AS DOUBLE[]) AS v
                        FROM embeddings)
             SELECT a.vec_id AS left_id, b.vec_id AS right_id,
-                   round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+                   round(list_cosine_similarity(a.v, b.v) * 1000000) / 1000000.0 AS cosine
             FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.v, b.v) >= {_NEARDUP_TH}
         """,
@@ -1188,7 +1191,7 @@ def oracle_sql() -> dict[str, str]:
                  c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
                        FROM embeddings WHERE vec_id >= {_N_QUERIES}),
                  s AS (SELECT q.query_id, c.vec_id,
-                              round(list_cosine_similarity(c.cv, q.qv), 6) AS cosine
+                              round(list_cosine_similarity(c.cv, q.qv) * 1000000) / 1000000.0 AS cosine
                        FROM q CROSS JOIN c)
             SELECT query_id, vec_id, cosine, CAST(rank AS BIGINT) AS rank FROM (
               SELECT query_id, vec_id, cosine,
@@ -1214,7 +1217,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_per_customer": """
             SELECT c.c_custkey AS custkey, c.c_name,
                    CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
-                   round(coalesce(sum(o.o_totalprice), 0), 6) AS total_price
+                   round(coalesce(sum(o.o_totalprice), 0) * 1000000) / 1000000.0 AS total_price
             FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
             GROUP BY 1, 2
         """,
@@ -1238,8 +1241,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
-                   round(sum(l_quantity), 2) AS sum_qty,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                   round(sum(l_quantity) * 100) / 100.0 AS sum_qty,
+                   round(sum(l_extendedprice * (1 - l_discount)) * 100) / 100.0
                      AS sum_revenue
             FROM lineitem GROUP BY 1, 2
         """,
@@ -1310,7 +1313,7 @@ def oracle_sql() -> dict[str, str]:
               FROM events e,
                    (SELECT unnest(generate_series(0, 3)) AS i) i)
             SELECT event_type, window_start, count(*) AS n_events,
-                   round(sum(value), 6) AS sum_value
+                   round(sum(value) * 1000000) / 1000000.0 AS sum_value
             FROM x WHERE window_start > sec - 3600
             GROUP BY 1, 2
         """,
@@ -1332,14 +1335,14 @@ def oracle_sql() -> dict[str, str]:
                                 AS sid
                        FROM f)
             SELECT user_id, CAST(min(sec) AS BIGINT) AS session_start,
-                   count(*) AS n_events, round(sum(value), 6) AS sum_value
+                   count(*) AS n_events, round(sum(value) * 1000000) / 1000000.0 AS sum_value
             FROM g GROUP BY user_id, sid
         """,
         "events_hourly": """
             SELECT event_type,
                    (epoch_us(ts) // 3600000000) * 3600 AS window_start,
                    count(*) AS n_events,
-                   round(sum(value), 6) AS sum_value
+                   round(sum(value) * 1000000) / 1000000.0 AS sum_value
             FROM events GROUP BY 1, 2
         """,
         "docs_stats_by_source": """

@@ -593,7 +593,9 @@ def embedding_neardup_pairs(
         iu, ju = np.triu_indices(len(ids), k=1)
         mask = sims[iu, ju] >= threshold
         for i, j in zip(iu[mask], ju[mask]):
-            rows.append((int(ids[i]), int(ids[j]), round(float(sims[i, j]), 6)))
+            rows.append(
+                (int(ids[i]), int(ids[j]), float(np.rint(sims[i, j] * 1e6) / 1e6))
+            )
         return pd.DataFrame(rows, columns=["left_id", "right_id", "cosine"]).astype(
             {"left_id": "int64", "right_id": "int64", "cosine": "float64"}
         )

@@ -12,9 +12,11 @@
   buckets, so the scanned fraction is nprobe/ncentroids.  Returns the
   same output shape; recall vs brute force is measured in tests/bench.
 
-Ranking determinism: neighbors order by (rounded -cosine, vec_id); cosines
-are computed in float64 and rounded to 6 places to make results stable
-across BLAS backends and comparable to the DuckDB oracle.
+Ranking determinism: neighbors order by (quantized -cosine, vec_id);
+cosines are computed in float64 and QUANTIZED to 6 decimals via
+round(x*1e6)/1e6 — bit-identical across BLAS summation orders and to the
+DuckDB oracle's matching expression (plain round(x, 6) is not: one-ulp
+input differences survive it and flip tie-broken orders).
 """
 
 from __future__ import annotations
@@ -26,6 +28,12 @@ import pyarrow as pa
 import ray
 import ray.data
 
+
+
+def _quant6(x: np.ndarray) -> np.ndarray:
+    """round(x*1e6)/1e6 — summation-order-independent 6-decimal
+    quantization (see module docstring)."""
+    return np.rint(x * 1e6) / 1e6
 
 
 def _norm_rows(m: np.ndarray) -> np.ndarray:
@@ -67,7 +75,7 @@ class BatchTopK:
             return self._EMPTY
         ids = np.asarray(batch["vec_id"], dtype=np.int64)
         mat = embedding_matrix(batch["embedding"])
-        sims = np.round(_norm_rows(mat) @ self.qn.T, 6)  # (B, Q)
+        sims = _quant6(_norm_rows(mat) @ self.qn.T)  # (B, Q)
         k = min(self.k, len(ids))
         out_q, out_id, out_sim = [], [], []
         for qi in range(sims.shape[1]):
@@ -267,7 +275,7 @@ def ivf_knn(
             ids = np.asarray(batch["vec_id"], dtype=np.int64)
             cents = np.asarray(batch["centroid"], dtype=np.int64)
             mat = embedding_matrix(batch["embedding"])
-            sims = np.round(_norm_rows(mat) @ self.qn.T, 6)
+            sims = _quant6(_norm_rows(mat) @ self.qn.T)
             out_q, out_id, out_sim = [], [], []
             for qi, qid in enumerate(self.qids):
                 mask = np.isin(cents, list(self.allowed[int(qid)]))

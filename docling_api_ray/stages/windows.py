@@ -33,6 +33,21 @@ from docling_api_ray.stages.common import coalesce_for_shuffle
 US = 1_000_000  # microseconds per second
 
 
+def quantize6(col):
+    """round(x*1e6)/1e6 — 6-decimal quantization whose RESULT BITS are
+    identical however the upstream float sum was associated, unlike
+    ``round(x, 6)`` (measured: two 151.11 sums one ulp apart survive
+    pc.round/DuckDB round as different doubles and flip tie-broken row
+    orders between engine and oracle).  The scaled value is integral, so
+    the final division is exact-deterministic; the matching SQL is
+    ``round(x * 1000000) / 1000000.0``."""
+    return pc.divide(pc.round(pc.multiply(col, 1_000_000.0)), 1_000_000.0)
+
+
+def quantize6_np(x: np.ndarray) -> np.ndarray:
+    return np.rint(np.asarray(x, dtype=np.float64) * 1e6) / 1e6
+
+
 def sliding_window_agg(
     ds: ray.data.Dataset,
     *,
@@ -78,7 +93,7 @@ def sliding_window_agg(
         return b.set_column(
             b.schema.get_field_index("sum_value"),
             "sum_value",
-            pc.round(b["sum_value"], ndigits=6),
+            quantize6(b["sum_value"]),
         )
 
     return agg.map_batches(round_sum, batch_format="pyarrow")
@@ -140,7 +155,7 @@ def session_windows(
                 "sum_value": ("val", "sum"),
             }
         )
-        agg["sum_value"] = np.round(agg["sum_value"].to_numpy(), 6)
+        agg["sum_value"] = quantize6_np(agg["sum_value"].to_numpy())
         return pa.Table.from_pandas(
             agg.reset_index(drop=True), preserve_index=False
         ).cast(out_schema)
