@@ -323,6 +323,26 @@ def _q_dedup_exact_rows(sf_dir: str):
     )
 
 
+def _q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: per-doc count of 3-word shingles that
+    appear in the benchmark subset (doc_id % 50 == 0), broadcast
+    fingerprint set + one streaming pass (stages/dedup.py)."""
+    bench_tbl = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    mask = pc.equal(
+        pc.subtract(
+            bench_tbl["doc_id"],
+            pc.multiply(pc.divide(bench_tbl["doc_id"], 50), 50),
+        ),
+        0,
+    )
+    bench_texts = [t or "" for t in bench_tbl.filter(mask)["text"].to_pylist()]
+    return dd.contamination_counts(
+        _docs(sf_dir, ["doc_id", "text"]), bench_texts
+    )
+
+
 def _q_ngram_jaccard(sf_dir: str):
     return _with_schema(
         dd.ngram_jaccard_pairs(
@@ -760,6 +780,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_stats": _q_dedup_exact_stats,
         "dedup_exact_rows": _q_dedup_exact_rows,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "decontaminate": _q_decontaminate,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "embedding_neardup": _q_embedding_neardup,
@@ -810,6 +831,50 @@ def _sql_u64(expr: str) -> str:
     return f"((((md5_number({expr})) % {_W}) + {_W}) % {_W})"
 
 
+def _sql_shingle_ctes() -> str:
+    """Shared WITH-clause body computing per-doc 3-word shingle hashes —
+    the exact mirror of functions/hashing.py (split_words, 32-bit-masked
+    md5 word hashes, mod-2^64 combine).  Used by the minhash and
+    decontaminate oracles."""
+    return f"""
+        docs AS (SELECT doc_id, {_SQL_WORDS} AS ws FROM documents),
+        wh AS (SELECT doc_id,
+                      list_transform(ws, w ->
+                        CAST({_sql_u64('w')} % {_MASK32} AS HUGEINT)) AS wh
+               FROM docs),
+        sh AS (SELECT doc_id,
+          CASE WHEN len(wh) = 0 THEN CAST([] AS HUGEINT[])
+               WHEN len(wh) = 1 THEN [(wh[1] * {_SHINGLE_A}) % {_W}]
+               WHEN len(wh) = 2
+                 THEN [(wh[1] * {_SHINGLE_A} + wh[2] * {_SHINGLE_B}) % {_W}]
+               ELSE list_transform(generate_series(1, len(wh) - 2), i ->
+                 (wh[i] * {_SHINGLE_A} + wh[i+1] * {_SHINGLE_B} + wh[i+2]) % {_W})
+          END AS sh FROM wh)"""
+
+
+_DECON_BENCH_MOD = 50  # docs with doc_id % 50 == 0 form the "benchmark"
+
+
+def _decontaminate_oracle_sql() -> str:
+    """Exact mirror of contamination_counts: benchmark = distinct shingle
+    hashes of the doc_id % 50 == 0 subset; per-doc contaminated-shingle
+    count preserves multiplicity (each occurrence counts)."""
+    return f"""
+        WITH {_sql_shingle_ctes()},
+        bench AS (SELECT DISTINCT unnest(sh) AS h FROM sh
+                  WHERE doc_id % {_DECON_BENCH_MOD} = 0),
+        expl AS (SELECT doc_id, unnest(sh) AS h FROM sh),
+        cnt AS (SELECT e.doc_id, count(*) AS n_cont
+                FROM expl e JOIN bench b ON e.h = b.h GROUP BY 1)
+        SELECT s.doc_id,
+               CAST(len(s.sh) AS BIGINT) AS n_shingles,
+               CAST(coalesce(c.n_cont, 0) AS BIGINT) AS n_contaminated,
+               CAST(coalesce(c.n_cont, 0) AS DOUBLE)
+                 / greatest(len(s.sh), 1) AS contamination_ratio
+        FROM sh s LEFT JOIN cnt c USING (doc_id)
+    """
+
+
 def _minhash_oracle_sql(threshold: float, num_perm: int = 64, bands: int = 16) -> str:
     """Exact SQL mirror of MinHasher + explode_bands + pair verification
     (stages/dedup.py): same word hashes, shingle combine, permutation
@@ -826,19 +891,7 @@ def _minhash_oracle_sql(threshold: float, num_perm: int = 64, bands: int = 16) -
     zeros = "[" + ", ".join(["CAST(0 AS HUGEINT)"] * num_perm) + "]"
     r = num_perm // bands
     return f"""
-        WITH docs AS (SELECT doc_id, {_SQL_WORDS} AS ws FROM documents),
-        wh AS (SELECT doc_id,
-                      list_transform(ws, w ->
-                        CAST({_sql_u64('w')} % {_MASK32} AS HUGEINT)) AS wh
-               FROM docs),
-        sh AS (SELECT doc_id,
-          CASE WHEN len(wh) = 0 THEN CAST([] AS HUGEINT[])
-               WHEN len(wh) = 1 THEN [(wh[1] * {_SHINGLE_A}) % {_W}]
-               WHEN len(wh) = 2
-                 THEN [(wh[1] * {_SHINGLE_A} + wh[2] * {_SHINGLE_B}) % {_W}]
-               ELSE list_transform(generate_series(1, len(wh) - 2), i ->
-                 (wh[i] * {_SHINGLE_A} + wh[i+1] * {_SHINGLE_B} + wh[i+2]) % {_W})
-          END AS sh FROM wh),
+        WITH {_sql_shingle_ctes()},
         expl AS (SELECT doc_id, unnest(sh) AS h FROM sh),
         perms AS (SELECT * FROM (VALUES {perm_rows}) AS t(p, a, b)),
         sigc AS (SELECT e.doc_id, p.p,
@@ -1145,6 +1198,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_md5": "SELECT doc_id, md5(text) AS fp_md5 FROM documents",
         "fingerprint_rolling": _fp_rolling_oracle_sql(),
         "dedup_minhash": _minhash_oracle_sql(0.7),
+        "decontaminate": _decontaminate_oracle_sql(),
         "dedup_simhash": _simhash_oracle_sql(3),
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, md5(text) AS content_hash,

@@ -534,6 +534,81 @@ def simhash_pairs(
 
 
 # ---------------------------------------------------------------------------
+# benchmark decontamination (broadcast fingerprint membership)
+# ---------------------------------------------------------------------------
+
+class ContaminationCounter:
+    """Per-document overlap against a broadcast benchmark fingerprint set
+    — the decontamination pass of a training-data pipeline (count the
+    3-word shingles of each corpus document that appear in any benchmark
+    document).
+
+    Scale shape: benchmark suites are small and bounded, so their shingle
+    hashes broadcast once (``ray.put``, fetched per actor in
+    ``__init__``); the corpus side is one stateless streaming pass with a
+    batched ``np.isin`` + segmented sum — no shuffle anywhere.  Shingle
+    hashing is the same md5-word + mod-2^64 combine as MinHash
+    (functions/hashing.py), so the DuckDB oracle replicates counts
+    exactly."""
+
+    def __init__(self, bench_ref) -> None:
+        self.bench = np.sort(ray.get(bench_ref)).astype(np.uint64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = [t or "" for t in batch["text"].to_pylist()]
+        word_h, off = batch_word_hashes(texts)
+        per_doc = [
+            shingle_hashes(word_h[off[i] : off[i + 1]]) for i in range(len(texts))
+        ]
+        lens = np.fromiter(
+            (len(s) for s in per_doc), dtype=np.int64, count=len(per_doc)
+        )
+        n_cont = np.zeros(len(texts), dtype=np.int64)
+        nonempty = np.flatnonzero(lens > 0)
+        if len(nonempty):
+            sh = np.concatenate([per_doc[i] for i in nonempty])
+            hits = np.isin(sh, self.bench).astype(np.int64)
+            starts = np.zeros(len(nonempty), dtype=np.int64)
+            np.cumsum(lens[nonempty][:-1], out=starts[1:])
+            n_cont[nonempty] = np.add.reduceat(hits, starts)
+        ratio = n_cont / np.maximum(lens, 1)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_shingles": pa.array(lens, type=pa.int64()),
+                "n_contaminated": pa.array(n_cont, type=pa.int64()),
+                "contamination_ratio": pa.array(ratio, type=pa.float64()),
+            }
+        )
+
+
+def benchmark_shingles(texts: list[str]) -> np.ndarray:
+    """Distinct shingle hashes of a benchmark document set (driver-side —
+    benchmark suites are small by nature)."""
+    word_h, off = batch_word_hashes(texts)
+    parts = [
+        shingle_hashes(word_h[off[i] : off[i + 1]]) for i in range(len(texts))
+    ]
+    if not parts:
+        return np.zeros(0, dtype=np.uint64)
+    return np.unique(np.concatenate(parts))
+
+
+def contamination_counts(
+    ds: ray.data.Dataset, bench_texts: list[str]
+) -> ray.data.Dataset:
+    """documents(doc_id, text) → per-doc benchmark-overlap counts."""
+    ref = ray.put(benchmark_shingles(bench_texts))
+    return ds.map_batches(
+        ContaminationCounter,
+        fn_constructor_kwargs={"bench_ref": ref},
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=(1, 8),
+    )
+
+
+# ---------------------------------------------------------------------------
 # n-gram Jaccard (exact, within a blocking key)
 # ---------------------------------------------------------------------------
 

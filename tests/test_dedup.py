@@ -140,3 +140,29 @@ def test_embedding_neardup():
     out = embedding_neardup_pairs(ds, threshold=0.99).take_all()
     pairs = {(r["left_id"], r["right_id"]) for r in out}
     assert pairs == {(0, 1)}
+
+
+def test_contamination_counts_planted_overlap():
+    from docling_api_ray.stages.dedup import contamination_counts
+
+    bench = ["alpha beta gamma delta epsilon"]
+    corpus = pa.table(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "alpha beta gamma delta epsilon",      # fully contaminated
+                "alpha beta gamma unrelated words",    # 1 of 3 shingles hit
+                "totally different content here now",  # clean
+            ],
+        }
+    )
+    out = {
+        r["doc_id"]: r
+        for r in contamination_counts(
+            ray.data.from_arrow(corpus), bench
+        ).take_all()
+    }
+    assert out[0]["n_contaminated"] == out[0]["n_shingles"] == 3
+    assert out[0]["contamination_ratio"] == 1.0
+    assert out[1]["n_shingles"] == 3 and out[1]["n_contaminated"] == 1
+    assert out[2]["n_contaminated"] == 0 and out[2]["contamination_ratio"] == 0.0
