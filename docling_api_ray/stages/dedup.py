@@ -4,21 +4,32 @@ MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
 Scale design (100 TB shape):
 
 - *exact*: content hash added in a vectorized ``map_batches`` (so the
-  shuffle moves 16-byte digests, not document bodies), then ONE
-  ``groupby(hash)`` — the unavoidable all-to-all — resolved by a pure
-  vectorized Min/Count aggregate (never per-group python).
-- *MinHash-LSH / SimHash*: signatures computed per batch (stateless,
-  numpy-vectorized); candidate generation explodes to
-  ``(bucket, doc_id, signature)`` rows — small fixed-width keys — then a
-  vectorized bucket-count aggregate + broadcast semi-join drops singleton
-  buckets BEFORE any per-group pair generation; pair verification uses
-  the carried signatures (no second pass over text).  The only shuffled
-  payload is signatures, ~0.5 KB/doc regardless of document size.
+  exchange moves 16-byte digests + ids, not document bodies), co-grouped
+  to ~core-count partitions by a digest-derived int key, first-wins
+  resolved by a vectorized pandas fold inside each partition (never
+  per-group Ray dispatch — ~1 ms/group — nor the sort aggregate's
+  ~35 µs/group at one group per distinct document).  The rows variant
+  exchanges full rows ONCE and keeps min-id rows per hash in-partition;
+  nothing corpus-proportional reaches the driver.
+- *MinHash-LSH / SimHash*: signatures computed per batch (md5 once per
+  UNIQUE word, int64 SIMD multiply kernels, segmented reduceat);
+  candidate generation explodes to ``(bucket, doc_id, signature)`` rows —
+  small fixed-width keys — then a co-grouped bucket census + broadcast
+  semi-join drops singleton buckets BEFORE pair generation; pair
+  verification uses the carried signatures (no second pass over text).
+  The only shuffled payload is signatures, ~0.5 KB/doc regardless of
+  document size.
+- *benchmark decontamination*: bounded fingerprint set broadcast once,
+  one streaming membership pass — no shuffle at all.
 - *n-gram Jaccard*: exact pairwise verification is O(group²) — only ever
   run inside a blocking key (caller chooses; tests/queries block on
   ``source``), never globally.
 - *embedding near-dup*: cosine pairs within a blocking key (label /
   IVF-bucket), numpy matmul per group.
+
+Every operator here has an exact DuckDB oracle in ``__ray_entry__``: the
+hashing is integer arithmetic mod 2^64 that SQL replicates with
+``md5_number`` + HUGEINT (see functions/hashing.py).
 """
 
 from __future__ import annotations

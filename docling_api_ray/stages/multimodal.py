@@ -130,6 +130,80 @@ class ImageResize:
         )
 
 
+class FrameSampler:
+    """Actor stage signature for video frame sampling: one opaque binary
+    payload → every ``stride``-th frame as its own row (doc_id,
+    frame_idx, frame).  A real codec (pyav/ffmpeg) is not present in this
+    sandbox: with ``allow_stub=False`` (production default) it raises
+    NotImplementedError; with ``allow_stub=True`` frames are
+    deterministic fakes sliced from the payload so the Ray-side plumbing
+    — row-multiplying batch transform, wide-row batch sizing, output
+    layout — is exercised end-to-end.  Frame count derives from payload
+    length (1 frame per ``frame_bytes``), mirroring how a demuxer walks
+    fixed-rate samples."""
+
+    def __init__(
+        self,
+        stride: int = 10,
+        frame_bytes: int = 1 << 10,
+        allow_stub: bool = False,
+    ) -> None:
+        if stride < 1:
+            raise ValueError("stride must be >= 1")
+        self.stride = stride
+        self.frame_bytes = frame_bytes
+        self.allow_stub = allow_stub
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self.allow_stub:
+            raise NotImplementedError(
+                "video decode requires a codec library (pyav/ffmpeg) not "
+                "available in this environment; construct with "
+                "allow_stub=True for the deterministic plumbing fake"
+            )
+        blobs = batch["payload"].to_pylist()
+        ids = batch["doc_id"].to_pylist()
+        out_ids, out_idx, out_frames = [], [], []
+        for did, blob in zip(ids, blobs):
+            blob = blob or b""
+            n_frames = max(0, len(blob) // self.frame_bytes)
+            for fi in range(0, n_frames, self.stride):
+                out_ids.append(did)
+                out_idx.append(fi)
+                out_frames.append(
+                    blob[fi * self.frame_bytes : (fi + 1) * self.frame_bytes]
+                )
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, type=pa.int64()),
+                "frame_idx": pa.array(out_idx, type=pa.int64()),
+                "frame": pa.array(out_frames, type=pa.binary()),
+            }
+        )
+
+
+def sample_frames(
+    ds: ray.data.Dataset,
+    *,
+    stride: int = 10,
+    frame_bytes: int = 1 << 10,
+    allow_stub: bool = False,
+) -> ray.data.Dataset:
+    """(doc_id, payload) → sampled frame rows; small batches + actor pool
+    because inputs AND outputs are wide binary rows."""
+    return ds.map_batches(
+        FrameSampler,
+        fn_constructor_kwargs={
+            "stride": stride,
+            "frame_bytes": frame_bytes,
+            "allow_stub": allow_stub,
+        },
+        batch_format="pyarrow",
+        batch_size=MEDIA_BATCH_SIZE,
+        concurrency=(1, 4),
+    )
+
+
 def explode_media(ds: ray.data.Dataset) -> ray.data.Dataset:
     """results table → one row per media blob (flat_map equivalent done as
     a batch transform to stay vectorized)."""

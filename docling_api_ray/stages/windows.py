@@ -3,19 +3,18 @@ has no event-time windows; SURVEY.md §2.9 notes the reference has none
 either, these are the training-pipeline streaming-shaped extensions).
 
 Partitioning assumption (documented per the custom-operator rule): events
-are grouped by the window key (event_type / user_id) — an all-to-all on
-that key — and windowing runs per group over the ts-sorted group.  Keys
-are bounded (event types, users), so groups are modest; for a huge key
-domain the same code runs after a hash-bucket repartition on the key.
+exchange on the window key (event_type) or a hash of it (user_id mod P)
+and windowing runs inside the co-located partition.
 
 - tumbling: assign window = floor(ts / size) in a vectorized map, then a
   plain grouped aggregate (NO per-group python) — see __ray_entry__
   events_hourly.
-- sliding: each event belongs to size/slide windows — vectorized
+- sliding: each event belongs to ceil(size/slide) windows — vectorized
   explode-to-(key, window) rows then the same grouped aggregate.
-- session: gap-based sessionization needs ordered scans → per-key
-  ``map_groups`` with a vectorized pandas body (diff/cumsum, no row
-  loop).
+- session: gap-based sessionization needs ordered scans → keys co-group
+  to ~core-count partitions (user mod P) and sessionize VECTORIZED
+  ACROSS keys inside each (sort + shift-compare + cumsum + grouped agg;
+  a per-user ``map_groups`` would pay Ray's ~1 ms dispatch per user).
 """
 
 from __future__ import annotations

@@ -66,3 +66,27 @@ def test_media_pipeline_over_flagship():
     assert all(r["filename"].endswith(".png") for r in rows)
     feats = media_pipeline(results).take(5)
     assert all(len(r["features"]) == 256 for r in feats)
+
+
+def test_frame_sampler_stub_gated():
+    import pytest
+
+    from docling_api_ray.stages.multimodal import FrameSampler, sample_frames
+
+    with pytest.raises(NotImplementedError):
+        FrameSampler()(pa.table({"doc_id": [1], "payload": [b"x" * 4096]}))
+
+    # plumbing fake: 8 KiB payload = 8 frames of 1 KiB; stride 3 → 0,3,6
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": [7, 8],
+                "payload": pa.array(
+                    [bytes(range(256)) * 32, b""], type=pa.binary()
+                ),
+            }
+        )
+    )
+    out = sample_frames(ds, stride=3, frame_bytes=1 << 10, allow_stub=True).take_all()
+    assert [(r["doc_id"], r["frame_idx"]) for r in out] == [(7, 0), (7, 3), (7, 6)]
+    assert all(len(r["frame"]) == 1024 for r in out)
