@@ -375,8 +375,8 @@ def minhash_lsh_pairs(
 ) -> ray.data.Dataset:
     """documents(text) → near-duplicate candidate pairs.
 
-    shingle→minhash (actor pool) → band explode → groupby(band buckets) →
-    in-bucket verified pairs → global pair dedup (a pair can surface from
+    shingle→minhash (stateless vectorized tasks) → band explode →
+    co-grouped bucket pairs → global pair dedup (a pair can surface from
     several bands)."""
     # the signer's state is two 64-element arrays — broadcast a prebuilt
     # instance to stateless tasks rather than paying actor-pool startup
