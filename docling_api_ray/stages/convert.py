@@ -231,12 +231,22 @@ def convert_documents(
 ) -> ray.data.Dataset:
     """Attach the convert actor pool to a classified raw-document dataset.
 
-    Pool sizing: autoscaling ``(min, max)`` where min is a quarter of the
-    pool (capped) — starting from 1 actor costs seconds of ramp on every
-    pipeline, while pinning min=max reserves every CPU and starves the
-    read stage (observed deadlock-like stall with (32,32) on 32 CPUs)."""
+    Pool sizing: autoscaling ``(min, max)`` with min = half the pool
+    (capped at 16) — short pipelines finish before autoscale ramps, so a
+    low floor leaves most of the pool unspawned (measured r2: stats
+    showed ~3.5-way average concurrency on a 32-actor pool with min=4;
+    min=16 is ~13% faster end-to-end over interleaved reps).  Pinning
+    min=max reserves every CPU and starves the read stage (observed
+    deadlock-like stall with (32,32) on 32 CPUs)."""
     max_actors = max(1, config.convert_concurrency)
-    min_actors = max(1, min(4, max_actors // 4))
+    try:
+        cluster_cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cluster_cpus = 8
+    # never let the FLOOR reserve more than half the cluster — on a
+    # 4-CPU test cluster a floor of 4 one-CPU actors starves the read
+    # stage into the documented deadlock
+    min_actors = max(1, min(16, max_actors // 2, cluster_cpus // 2))
     kwargs = {}
     if config.convert_num_gpus > 0:
         kwargs["num_gpus"] = config.convert_num_gpus
