@@ -608,8 +608,44 @@ def benchmark_shingles(texts: list[str]) -> np.ndarray:
 def contamination_counts(
     ds: ray.data.Dataset, bench_texts: list[str]
 ) -> ray.data.Dataset:
-    """documents(doc_id, text) → per-doc benchmark-overlap counts."""
+    """documents(doc_id, text) → per-doc benchmark-overlap counts
+    (benchmark given as in-memory texts — the external-suite case)."""
     ref = ray.put(benchmark_shingles(bench_texts))
+    return ds.map_batches(
+        ContaminationCounter,
+        fn_constructor_kwargs={"bench_ref": ref},
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=(1, 8),
+    )
+
+
+def contamination_counts_ds(
+    ds: ray.data.Dataset, bench_ds: ray.data.Dataset
+) -> ray.data.Dataset:
+    """Like ``contamination_counts`` but the benchmark is itself a
+    Dataset: its DISTINCT shingle hashes are computed distributedly
+    (per-batch shingle + unique), and only the fingerprint SET — bounded
+    by the benchmark suite, not the corpus — is collected and broadcast."""
+
+    def batch_shingles(b: pa.Table) -> pa.Table:
+        texts = [t or "" for t in b["text"].to_pylist()]
+        word_h, off = batch_word_hashes(texts)
+        parts = [
+            shingle_hashes(word_h[off[i] : off[i + 1]]) for i in range(len(texts))
+        ]
+        h = (
+            np.unique(np.concatenate(parts))
+            if parts
+            else np.zeros(0, dtype=np.uint64)
+        )
+        return pa.table({"h": pa.array(h.view(np.int64), type=pa.int64())})
+
+    rows = bench_ds.map_batches(batch_shingles, batch_format="pyarrow").take_all()
+    bench = np.unique(
+        np.array([r["h"] for r in rows], dtype=np.int64).view(np.uint64)
+    )
+    ref = ray.put(bench)
     return ds.map_batches(
         ContaminationCounter,
         fn_constructor_kwargs={"bench_ref": ref},
