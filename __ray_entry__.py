@@ -250,6 +250,69 @@ def _q_md_structure(sf_dir: str):
     return ds.map_batches(synth_and_parse, batch_format="pyarrow", batch_size=512)
 
 
+def _q_normalize_text(sf_dir: str):
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        ta.normalize_text, batch_format="pyarrow"
+    )
+
+
+def _q_vocab_topk(sf_dir: str):
+    """Distributed wordcount → global top-50 vocabulary: per-batch
+    partial counts (map side), co-grouped word-hash fold, then a bounded
+    top-k tail on the driver-sized result.  The vocabulary of this
+    corpus is small; for open vocabularies the fold output is
+    vocabulary-proportional and would feed a distributed top-k
+    (per-partition head + merge) — the same partial/total structure."""
+    K = 50
+    partials = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        ta.word_counts, batch_format="pyarrow"
+    )
+
+    def add_part(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        # word → partition via a cheap stable string hash (md5-free: the
+        # routing key never leaks into results)
+        h = pd.util.hash_array(
+            np.asarray(b["word"].to_pylist(), dtype=object)
+        ).astype(np.int64)
+        from docling_api_ray.stages.common import shuffle_partitions
+
+        return b.append_column(
+            "__part",
+            pa.array(np.abs(h) % shuffle_partitions(), type=pa.int64()),
+        )
+
+    def fold(df) -> pa.Table:
+        g = df.groupby("word", sort=False)["n"].sum().reset_index()
+        return pa.table(
+            {
+                "word": pa.array(g["word"].tolist(), type=pa.string()),
+                "n": pa.array(g["n"].to_numpy(), type=pa.int64()),
+            }
+        )
+
+    totals = (
+        partials.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(fold, batch_format="pandas")
+    )
+
+    def topk(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = b.to_pandas().sort_values(
+            ["n", "word"], ascending=[False, True], kind="stable"
+        ).head(K)
+        return pa.Table.from_pandas(df, preserve_index=False).cast(
+            pa.schema([("word", pa.string()), ("n", pa.int64())])
+        )
+
+    return totals.repartition(1).map_batches(
+        topk, batch_format="pyarrow", batch_size=None
+    )
+
+
 def _q_token_count(sf_dir: str):
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         ta.token_counts, batch_format="pyarrow"
@@ -776,6 +839,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "html_extract": _q_html_extract,
         "md_structure": _q_md_structure,
         "token_count": _q_token_count,
+        "normalize_text": _q_normalize_text,
+        "vocab_topk": _q_vocab_topk,
         "quality_score": _q_quality,
         "lang_id": _q_lang_id,
         "fingerprint_md5": _q_fingerprint,
@@ -1166,6 +1231,21 @@ def oracle_sql() -> dict[str, str]:
                    np // 5 AS n_images,
                    CAST(0 AS BIGINT) AS n_code_blocks
             FROM p
+        """,
+        "normalize_text": f"""
+            SELECT doc_id,
+                   trim(regexp_replace(regexp_replace(lower(text),
+                        $${ta.PUNCT_RE}$$, '', 'g'), $$\s+$$, ' ', 'g'))
+                     AS norm_text
+            FROM documents
+        """,
+        "vocab_topk": """
+            WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
+                       FROM documents),
+                 c AS (SELECT word, count(*) AS n FROM w
+                       WHERE word <> '' GROUP BY 1)
+            SELECT word, CAST(n AS BIGINT) AS n FROM c
+            ORDER BY n DESC, word LIMIT 50
         """,
         "token_count": f"""
             SELECT doc_id,

@@ -102,6 +102,42 @@ def lang_id(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return pa.table(cols)
 
 
+def normalize_text(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Curation-standard text normalization, fully vectorized Arrow
+    kernels: lowercase → strip punctuation → collapse whitespace runs →
+    trim.  The DuckDB oracle mirrors with lower() + three
+    regexp_replace calls over the same RE2 patterns."""
+    t = batch[text_col]
+    t = pc.utf8_lower(t)
+    t = pc.replace_substring_regex(t, PUNCT_RE, "")
+    t = pc.replace_substring_regex(t, r"\s+", " ")
+    t = pc.utf8_trim_whitespace(t)
+    return pa.table({"doc_id": batch["doc_id"], "norm_text": t})
+
+
+def word_counts(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-batch partial word counts — the map side of distributed
+    wordcount: one pandas factorize+bincount per batch, emitting
+    (word, n) rows bounded by the batch's vocabulary."""
+    import pandas as pd
+
+    texts = [t or "" for t in batch[text_col].to_pylist()]
+    flat = [w for t in texts for w in t.split(" ") if w]
+    if not flat:
+        return pa.table(
+            {"word": pa.array([], type=pa.string()),
+             "n": pa.array([], type=pa.int64())}
+        )
+    codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
+    counts = np.bincount(codes)
+    return pa.table(
+        {
+            "word": pa.array(list(uniques), type=pa.string()),
+            "n": pa.array(counts, type=pa.int64()),
+        }
+    )
+
+
 def fingerprints(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """md5 hex digest + order-sensitive positional ("rolling") word-hash
     fingerprint.  Both SQL-oracle-able: ``fp_md5`` is ``md5(text)``;
