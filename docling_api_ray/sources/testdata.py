@@ -88,11 +88,19 @@ def raw_documents_dataset(
         # half the pool idle).  One block ≈ one convert batch keeps every
         # actor fed.
         n_total = n_base * amplify
-        # half-batch blocks: the actor bundler merges blocks until it
-        # reaches batch_size rows, so 256-row blocks pair into one
-        # 512-row task each — block_rows == batch_size-epsilon would
-        # merge PAIRS of near-full blocks into double-size tasks
-        blocks = override_num_blocks or max(32, n_total // 256)
+        # block sizing bounds BOTH failure modes (measured at 8 CPUs,
+        # 480k docs): too few blocks idles the actor pool via byte-based
+        # bundling (16 tasks for 40k docs), too many drowns in per-task
+        # fixed cost (1875 blocks: 85 s vs 64 blocks: 19 s — each expand
+        # task pays a broadcast fetch + dispatch).  Target ≥2048 rows per
+        # block, capped at 16 tasks per CPU, floor 32 for small corpora.
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            cpus = 8
+        blocks = override_num_blocks or max(
+            2 * cpus, min(n_total // 2048, 16 * cpus)
+        )
         ds = ray.data.range(
             n_total, override_num_blocks=blocks
         ).map_batches(expand, batch_format="pyarrow")
