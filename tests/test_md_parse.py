@@ -181,3 +181,37 @@ def test_convert_actor_zip_without_ooxml_part_errors():
     actor = ConvertActor(PipelineConfig())
     spans, media, md, err = actor.convert_row(buf.getvalue(), "docx")
     assert "no ooxml document part" in err
+
+
+# ---------------------------------------------------------------------------
+# property tests
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+_WORD = st.text(alphabet="abcdefghij", min_size=1, max_size=8)
+_PARA = st.lists(_WORD, min_size=1, max_size=6).map(" ".join)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(_PARA, min_size=0, max_size=8))
+def test_markdown_paragraph_roundtrip(paras):
+    """Plain paragraphs joined by blank lines parse back to exactly one
+    text item per paragraph with the original text."""
+    items = parse_markdown("\n\n".join(paras))
+    assert [i.text for i in items] == paras
+    assert all(i.kind == "text" for i in items)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(_PARA, min_size=1, max_size=5), st.integers(0, 4))
+def test_markdown_census_consistency(paras, n_tables):
+    """Census equals the parse's own block kinds whatever the mix."""
+    blocks = list(paras) + ["| a |\n| --- |\n| b |"] * n_tables
+    text = "\n\n".join(blocks)
+    c = markdown_structure(text)
+    items = parse_markdown(text)
+    assert c["n_tables"] == sum(1 for i in items if i.kind == "table") == n_tables
+    assert c["n_paragraphs"] + c["n_headings"] + c["n_code_blocks"] == sum(
+        1 for i in items if i.kind == "text"
+    )

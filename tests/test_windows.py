@@ -80,3 +80,19 @@ def test_session_boundary_exact_gap_merges():
     ds = _events([("x", 0, 1.0, 1), ("x", 1800, 1.0, 1)])
     out = session_windows(ds, key="user_id", gap_s=1800).take_all()
     assert len(out) == 1 and out[0]["n_events"] == 2
+
+
+def test_quantize6_is_summation_order_proof():
+    """round(x,6) lets one-ulp association differences through (the r2
+    oracle flip); quantize6 must map them to IDENTICAL doubles."""
+    import numpy as np
+
+    from docling_api_ray.stages.windows import quantize6_np
+
+    rng = np.random.RandomState(0)
+    for _ in range(200):
+        vals = np.round(rng.rand(7) * 100, 2)
+        a = vals.sum()
+        b = vals[::-1].cumsum()[-1]  # different association order
+        qa, qb = quantize6_np(np.array([a])), quantize6_np(np.array([b]))
+        assert qa[0].hex() == qb[0].hex()
