@@ -20,6 +20,7 @@ through the same reader.
 from __future__ import annotations
 
 import io
+import re
 import zipfile
 from xml.etree import ElementTree as ET
 from xml.sax.saxutils import escape
@@ -223,10 +224,15 @@ def read_pptx(payload: bytes) -> list[Item]:
     """Genuine .pptx → items: slides in number order, shape-tree children
     in document order; one text item per ``a:p`` paragraph."""
     with zipfile.ZipFile(io.BytesIO(payload)) as zf:
+        # numeric slide index, not lexicographic — slide10.xml must sort
+        # after slide2.xml on 10+-slide decks (ADVICE r2)
         slide_names = sorted(
-            n
-            for n in zf.namelist()
-            if n.startswith("ppt/slides/slide") and n.endswith(".xml")
+            (
+                n
+                for n in zf.namelist()
+                if re.fullmatch(r"ppt/slides/slide\d+\.xml", n)
+            ),
+            key=lambda n: int(re.search(r"slide(\d+)\.xml$", n).group(1)),
         )
         items: list[Item] = []
         for name in slide_names:

