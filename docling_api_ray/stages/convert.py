@@ -27,12 +27,14 @@ document never fails a block.  Divergence from the reference's
 sync-single path (HTTP 500, service.py:125-130) is intentional and
 documented: error-as-data everywhere.
 
-Conversion itself: the sandbox has no docling/torch, so the PDF / OOXML /
-image handlers are deterministic stand-ins that parse the synthetic
-payload layout (sources/synth.py) — magic header, '\n'-separated text
-chunks, ``[[TABLE]]``/``[[PICTURE]]`` media markers — behind the same
-``Converter`` protocol surface (SURVEY.md §2.10) the real backends would
-implement.  The HTML handler is real (stages/html_extract.py).
+Conversion itself: HTML, Markdown, AsciiDoc, DOCX/PPTX (genuine zip +
+XML, functions/ooxml.py) and programmatic PDF (content-stream parser,
+functions/pdf_parse.py) are REAL parsers.  The remaining stub boundary
+is model inference only — OCR for scanned pages/images and ML layout
+analysis (the sandbox has no torch/easyocr): the image handler and the
+synthetic marker-line payload layout (sources/synth.py) stand in for
+those tiers behind the same ``Converter`` protocol surface (SURVEY.md
+§2.10) the real backends would implement.
 """
 
 from __future__ import annotations
@@ -107,8 +109,31 @@ class ConvertActor:
 
     # ---- per-format handlers (A1-A5 analogs) -----------------------------
     def _convert_pdf(self, payload: bytes) -> list[Item]:
+        """REAL programmatic-PDF path first (functions/pdf_parse.py): a
+        PDF emitted by an actual writer — xref table or xref stream,
+        FlateDecode'd content streams, ObjStm-packed objects — extracts
+        its Tj/TJ text in stream order, the engine analog of the
+        reference's docling-parse tier (service.py:76-78,
+        poetry.lock:503) minus the layout/OCR models.  Payloads with the
+        %PDF magic but no PDF body objects (the synthetic marker-line
+        corpus) fall back to the stand-in layout parser."""
         if not payload.startswith(b"%PDF"):
             raise ConversionError("not a pdf")
+        import re
+
+        if re.search(rb"\d+\s+\d+\s+obj\b", payload):
+            from docling_api_ray.functions.pdf_parse import (
+                PdfParseError,
+                extract_text_lines,
+            )
+
+            try:
+                pages = extract_text_lines(payload)
+            except PdfParseError as e:
+                raise ConversionError(f"corrupt pdf: {e}") from e
+            return [
+                Item("text", line) for lines in pages for line in lines
+            ]
         body = _decode(payload)
         body = body.split("\n", 1)[1] if "\n" in body else ""
         return parse_body_items(body)
