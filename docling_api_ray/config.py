@@ -25,7 +25,16 @@ class PipelineConfig:
     ocr_languages: tuple[str, ...] = ("fr", "de", "es", "en", "it", "pt")
 
     # engine execution knobs (no reference equivalent — §4 design)
-    classify_batch_size: int = 2048
+    #
+    # classify_batch_size must not exceed convert's task granularity:
+    # Ray's operator fusion sets the fused chain's min-rows-per-bundle to
+    # the MAX batch_size of all fused maps (operator_fusion.py,
+    # _derive_bundle_min_num_rows), so an oversized classify batch
+    # silently multiplies the convert actor-pool's per-task bundle — the
+    # old 2048 here turned 64 source blocks into 16 convert tasks on 32
+    # actors (measured r3: 2500-row bundles, half the pool idle; at 512
+    # the same input runs 64 tasks and the headline drops ~5.1s → ~3.3s).
+    classify_batch_size: int = 512
     convert_batch_size: int = 64
     convert_concurrency: int = 8  # actor-pool size for the convert stage
     convert_num_cpus: float = 1.0

@@ -3,7 +3,11 @@
 BASELINE.json's input_hint mandates Lance tables of interleaved
 documents; Ray 2.49 ships ``read_lance``/``write_lance`` but they
 require the ``lance`` package, which is not installed in this sandbox
-(and may be absent on minimal clusters).  All engine sources/sinks go
+(and may be absent on minimal clusters).  Installing it was attempted
+and is infeasible here: the container has no network (``pip install
+pylance`` fails DNS resolution; no local wheel exists) — see
+BASELINE.md "Lance availability" for the audited evidence.  All engine
+sources/sinks go
 through this module so the storage format is a deployment decision, not
 a code change: ``format="auto"`` uses Lance iff importable.
 

@@ -108,10 +108,13 @@ def test_simhash_pairs():
 
 def test_dedup_pairs_cogrouped_fallback(monkeypatch):
     # Adversarial many-duplicates corpus (VERDICT r2 #6): every doc has
-    # ≥1 near-dup — 40 distinct texts × 20 exact copies each.  Forcing
-    # the pair-volume threshold to 0 exercises the co-grouped fold path
-    # (no single mega-block); it must produce exactly the same deduped
-    # pair set as the single-block path.
+    # ≥1 near-dup — 40 distinct texts × 20 exact copies each.  MinHash
+    # carries the census-derived pair bound (40·C(20,2)·bands ≫ 0), so
+    # forcing the single-block threshold to 0 flips it onto the
+    # co-grouped fold path (no single mega-block); both paths must
+    # produce exactly the same deduped pair set.  SimHash has no bound
+    # and always takes the co-grouped path — its result must agree on
+    # the exact-duplicate pairs too.
     import docling_api_ray.stages.dedup as dd
 
     texts, ids = [], []
@@ -124,18 +127,25 @@ def test_dedup_pairs_cogrouped_fallback(monkeypatch):
             texts.append(body)
     ds = ray.data.from_arrow(pa.table({"doc_id": ids, "text": texts}))
 
-    def run():
+    def run_minhash():
         return {
-            (r["left_id"], r["right_id"], r["hamming"])
-            for r in simhash_pairs(ds).take_all()
+            (r["left_id"], r["right_id"], r["est_jaccard"])
+            for r in minhash_lsh_pairs(ds, threshold=0.9).take_all()
         }
 
-    single = run()
+    single = run_minhash()
     monkeypatch.setattr(dd, "_PAIR_FOLD_SINGLE_BLOCK_MAX", 0)
-    cogrouped = run()
+    cogrouped = run_minhash()
     # every doc duplicated 20x → 40 * C(20,2) = 7600 exact pairs minimum
     assert len(single) >= 7600
     assert cogrouped == single
+
+    sim = {
+        (r["left_id"], r["right_id"])
+        for r in simhash_pairs(ds).take_all()
+        if r["hamming"] == 0
+    }
+    assert len(sim) >= 7600
 
 
 def test_simhash_deterministic():
