@@ -48,13 +48,19 @@ def bounded_groupby_sum(
 
     Classic partial aggregation with a TWO-LEVEL tree fold: each batch
     reduces to ≤|domain| rows with a vectorized
-    ``pyarrow.Table.group_by``; the partials coalesce into P blocks and
-    fold once (rows: blocks×|domain| → P×|domain|), then the P folded
-    blocks coalesce into one for the final fold (P×|domain| → |domain|).
-    At 100 TB (~10⁶ input blocks) the largest single block any stage
-    holds is max(blocks×|domain|/P, P×|domain|) rows — never the full
-    blocks×|domain| a one-shot ``repartition(1)`` would concentrate
-    (VERDICT r2 #5).  Replaces ``groupby().aggregate()``
+    ``pyarrow.Table.group_by``; a level-1 fold then combines partial
+    blocks in BUNDLES (Ray's min-rows-per-bundle bundling on a large
+    ``batch_size`` — a task-pool merge, NO extra all-to-all), and only
+    the bundle-folded remainder (≤ partial_rows/bundle × |domain|,
+    corpus-independent) passes through the final ``repartition(1)``
+    fold.  At 100 TB (~10⁶ input blocks) no stage ever concentrates the
+    full blocks×|domain| partial set in one block, which a one-shot
+    ``repartition(1)`` would (VERDICT r2 #5).  The level-1 fold carries
+    distinct ``num_cpus`` so it cannot FUSE with the partial map —
+    fusion would propagate its large batch_size upstream as the fused
+    chain's min-bundle size (max-of-chain rule, see config.py
+    classify_batch_size note) and starve wide-input parallelism.
+    Replaces ``groupby().aggregate()``
     whose sort all-to-all + per-group overhead dominate tiny-domain
     aggregates, and whose empty shuffle partitions emit schema-less
     blocks (the 'different schema than the previous one' warning).
@@ -92,11 +98,13 @@ def bounded_groupby_sum(
             [c[: -len("_sum")] if c.endswith("_sum") else c for c in g.column_names]
         )
 
-    P = shuffle_partitions(hi=8)
     return (
         ds.map_batches(partial, batch_format="pyarrow")
-        .repartition(P)
-        .map_batches(final, batch_format="pyarrow", batch_size=None)
+        # level-1: bundle-fold up to 1M partial rows per task (num_cpus
+        # 0.9 ≠ default 1 blocks fusion with `partial` — intentional)
+        .map_batches(
+            final, batch_format="pyarrow", batch_size=1_000_000, num_cpus=0.9
+        )
         .repartition(1)
         .map_batches(final, batch_format="pyarrow", batch_size=None)
     )
