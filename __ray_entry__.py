@@ -441,6 +441,21 @@ def _q_dedup_simhash(sf_dir: str):
     )
 
 
+_KEEP_SCHEMA = pa.schema(
+    [("doc_id", pa.int64()), ("component", pa.int64()), ("keep", pa.bool_())]
+)
+
+
+def _q_dedup_minhash_keep(sf_dir: str):
+    """The dedup ACTION: MinHash-LSH candidate pairs → connected
+    components (distributed min-label propagation, stages/dedup.py) →
+    per-document (component, keep) keep-list, first-wins by min id —
+    singleton documents keep themselves."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    pairs = dd.minhash_lsh_pairs(docs, threshold=0.7)
+    return _with_schema(dd.dedup_keep(docs, pairs), _KEEP_SCHEMA)
+
+
 def _q_embedding_neardup(sf_dir: str):
     return _with_schema(
         dd.embedding_neardup_pairs(
@@ -859,6 +874,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "decontaminate": _q_decontaminate,
         "dedup_minhash": _q_dedup_minhash,
+        "dedup_minhash_keep": _q_dedup_minhash_keep,
         "dedup_simhash": _q_dedup_simhash,
         "embedding_neardup": _q_embedding_neardup,
         "knn_bruteforce": _q_knn,
@@ -988,6 +1004,33 @@ def _minhash_oracle_sql(threshold: float, num_perm: int = 64, bands: int = 16) -
                    ON l.b = r.b AND l.band = r.band AND l.doc_id < r.doc_id)
         SELECT left_id, right_id, est_jaccard
         FROM cand WHERE est_jaccard >= {threshold}
+    """
+
+
+def _minhash_keep_oracle_sql(threshold: float) -> str:
+    """Connected components over the exact minhash pair set (the nested
+    query is the verified dedup_minhash oracle) via a recursive
+    reachability CTE: reach(node, lbl) holds every label reachable from
+    node over bidirected pair edges; min(lbl) is the component
+    representative.  Documents absent from the pair graph are their own
+    component (keep = true)."""
+    return f"""
+        WITH RECURSIVE pairs AS (
+          SELECT left_id, right_id FROM ({_minhash_oracle_sql(threshold)}) q
+        ),
+        edges AS (SELECT left_id AS a, right_id AS b FROM pairs
+                  UNION ALL
+                  SELECT right_id, left_id FROM pairs),
+        reach(node, lbl) AS (
+          SELECT a, a FROM edges
+          UNION
+          SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+        ),
+        comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY 1)
+        SELECT d.doc_id,
+               CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS component,
+               coalesce(c.component, d.doc_id) = d.doc_id AS keep
+        FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
     """
 
 
@@ -1290,6 +1333,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_md5": "SELECT doc_id, md5(text) AS fp_md5 FROM documents",
         "fingerprint_rolling": _fp_rolling_oracle_sql(),
         "dedup_minhash": _minhash_oracle_sql(0.7),
+        "dedup_minhash_keep": _minhash_keep_oracle_sql(0.7),
         "decontaminate": _decontaminate_oracle_sql(),
         "dedup_simhash": _simhash_oracle_sql(3),
         "dedup_exact": """

@@ -584,6 +584,203 @@ def simhash_pairs(
 
 
 # ---------------------------------------------------------------------------
+# connected components + keep-list (the dedup ACTION over LSH pairs)
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    pairs: ray.data.Dataset,
+    *,
+    left_col: str = "left_id",
+    right_col: str = "right_id",
+    max_iters: int = 50,
+) -> ray.data.Dataset:
+    """Edge list → (node, component) where ``component`` is the MIN node
+    id in each connected component — distributed min-label propagation.
+
+    Near-dup clusters from an LSH candidate generator are dense (every
+    member pairs with most others), so propagation converges in
+    ~diameter ≈ 2-3 rounds.  Each round is two co-grouped exchanges over
+    NARROW int64 tables (edges ∪ labels co-located by node, vectorized
+    pandas merge inside each partition — never a per-node Ray dispatch),
+    and the label table is materialized per round so lineage doesn't
+    recompute the whole history.  Convergence is detected by the label
+    SUM (min-label updates are strictly decreasing, so an unchanged sum
+    ⟺ a fixpoint); edge volume is duplicate-structure-bounded, the same
+    bound ``_dedup_pairs`` rides.
+
+    Returns only nodes that appear in at least one edge; callers union
+    singleton nodes back in (see ``dedup_keep``)."""
+
+    def bidirect(b: pa.Table) -> pa.Table:
+        src = np.concatenate(
+            [np.asarray(b[left_col], dtype=np.int64),
+             np.asarray(b[right_col], dtype=np.int64)]
+        )
+        dst = np.concatenate(
+            [np.asarray(b[right_col], dtype=np.int64),
+             np.asarray(b[left_col], dtype=np.int64)]
+        )
+        return pa.table(
+            {"src": pa.array(src, type=pa.int64()),
+             "dst": pa.array(dst, type=pa.int64())}
+        )
+
+    edges = pairs.map_batches(bidirect, batch_format="pyarrow").materialize()
+    if edges.count() == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {"node": pa.array([], type=pa.int64()),
+                 "component": pa.array([], type=pa.int64())}
+            )
+        )
+
+    def init_labels(b: pa.Table) -> pa.Table:
+        nodes = np.unique(np.asarray(b["src"], dtype=np.int64))
+        return pa.table(
+            {"node": pa.array(nodes, type=pa.int64()),
+             "component": pa.array(nodes, type=pa.int64())}
+        )
+
+    def dedup_nodes(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("node", sort=False)["component"].min().reset_index()
+        return pa.Table.from_pandas(
+            g, schema=pa.schema(
+                [("node", pa.int64()), ("component", pa.int64())]
+            ), preserve_index=False,
+        )
+
+    labels = (
+        _cogrouped(
+            edges.map_batches(init_labels, batch_format="pyarrow"), "node"
+        )
+        .map_groups(dedup_nodes, batch_format="pandas")
+        .materialize()
+    )
+
+    def label_sum(ds: ray.data.Dataset) -> int:
+        return ds.sum("component") or 0
+
+    prev_sum = label_sum(labels)
+    for _ in range(max_iters):
+        # round exchange 1: co-locate each node's label with its outgoing
+        # edges, emit (dst, label_of_src) messages.  -1 is the "absent"
+        # sentinel (ids are non-negative) — an int64-typed null would
+        # surface as float64 in the pandas group body and lose exactness
+        # above 2^53.
+        def tag_edges(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {"node": b["src"], "dst": b["dst"],
+                 "component": pa.array(
+                     np.full(len(b), -1, dtype=np.int64), type=pa.int64()
+                 )}
+            )
+
+        def tag_labels(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {"node": b["node"],
+                 "dst": pa.array(
+                     np.full(len(b), -1, dtype=np.int64), type=pa.int64()
+                 ),
+                 "component": b["component"]}
+            )
+
+        tagged = edges.map_batches(tag_edges, batch_format="pyarrow").union(
+            labels.map_batches(tag_labels, batch_format="pyarrow")
+        )
+
+        def emit_messages(df: pd.DataFrame) -> pa.Table:
+            lab = df[df["dst"] < 0][["node", "component"]]
+            edg = df[df["component"] < 0][["node", "dst"]]
+            msgs = edg.merge(lab, on="node", how="inner")
+            out_node = np.concatenate(
+                [msgs["dst"].to_numpy(dtype=np.int64),
+                 lab["node"].to_numpy(dtype=np.int64)]
+            )
+            out_comp = np.concatenate(
+                [msgs["component"].to_numpy(dtype=np.int64),
+                 lab["component"].to_numpy(dtype=np.int64)]
+            )
+            return pa.table(
+                {"node": pa.array(out_node, type=pa.int64()),
+                 "component": pa.array(out_comp, type=pa.int64())}
+            )
+
+        # round exchange 2: regroup messages by destination, fold min
+        new_labels = (
+            _cogrouped(tagged, "node")
+            .map_groups(emit_messages, batch_format="pandas")
+            .map_batches(
+                lambda b: pa.table(
+                    {"node": b["node"], "component": b["component"]}
+                ),
+                batch_format="pyarrow",
+            )
+        )
+        new_labels = (
+            _cogrouped(new_labels, "node")
+            .map_groups(dedup_nodes, batch_format="pandas")
+            .materialize()
+        )
+        cur_sum = label_sum(new_labels)
+        labels = new_labels
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
+
+
+def dedup_keep(
+    ds: ray.data.Dataset,
+    pairs: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """documents × near-dup pairs → (doc_id, component, keep): the
+    KEEP-LIST a training-data pipeline actually applies.  Every doc maps
+    to its connected component over the pair graph (singletons are their
+    own component); ``keep`` is true iff the doc is its component's min
+    id — first-wins, exactly like ``exact_dedup``.
+
+    The component table is duplicate-structure-bounded, so it broadcasts
+    (``ray.put``) to a stateless streaming pass over the corpus — the
+    corpus side shuffles NOTHING.  At dup volumes beyond driver memory,
+    swap the broadcast for a co-grouped join on doc_id
+    (stages/joins.py) — same downstream semantics."""
+    comp_rows = connected_components(pairs, left_col="left_id",
+                                     right_col="right_id").take_all()
+    nodes = np.fromiter(
+        (r["node"] for r in comp_rows), dtype=np.int64, count=len(comp_rows)
+    )
+    comps = np.fromiter(
+        (r["component"] for r in comp_rows), dtype=np.int64,
+        count=len(comp_rows),
+    )
+    order = np.argsort(nodes)
+    ref = ray.put((nodes[order], comps[order]))
+
+    def attach(b: pa.Table) -> pa.Table:
+        n, c = ray.get(ref)
+        ids = np.asarray(b[id_col], dtype=np.int64)
+        comp = ids.copy()  # singleton default: own component
+        if len(n):
+            pos = np.searchsorted(n, ids)
+            pos_c = np.clip(pos, 0, len(n) - 1)
+            hit = n[pos_c] == ids
+            comp[hit] = c[pos_c[hit]]
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "component": pa.array(comp, type=pa.int64()),
+                "keep": pa.array(comp == ids, type=pa.bool_()),
+            }
+        )
+
+    return ds.select_columns([id_col]).map_batches(
+        attach, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
 # benchmark decontamination (broadcast fingerprint membership)
 # ---------------------------------------------------------------------------
 

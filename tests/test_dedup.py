@@ -148,6 +148,56 @@ def test_dedup_pairs_cogrouped_fallback(monkeypatch):
     assert len(sim) >= 7600
 
 
+def test_connected_components_chain():
+    # a 6-node chain (diameter 5 — forces multiple propagation rounds),
+    # a triangle, and an isolated edge
+    from docling_api_ray.stages.dedup import connected_components
+
+    edges = [(10, 11), (11, 12), (12, 13), (13, 14), (14, 15),
+             (20, 21), (21, 22), (20, 22),
+             (30, 31)]
+    pairs = ray.data.from_arrow(
+        pa.table(
+            {
+                "left_id": [e[0] for e in edges],
+                "right_id": [e[1] for e in edges],
+            }
+        )
+    )
+    out = {r["node"]: r["component"]
+           for r in connected_components(pairs).take_all()}
+    assert out == {
+        10: 10, 11: 10, 12: 10, 13: 10, 14: 10, 15: 10,
+        20: 20, 21: 20, 22: 20,
+        30: 30, 31: 30,
+    }
+
+
+def test_connected_components_empty():
+    from docling_api_ray.stages.dedup import connected_components
+
+    pairs = ray.data.from_arrow(
+        pa.table({"left_id": pa.array([], type=pa.int64()),
+                  "right_id": pa.array([], type=pa.int64())})
+    )
+    assert connected_components(pairs).take_all() == []
+
+
+def test_dedup_keep_first_wins():
+    from docling_api_ray.stages.dedup import dedup_keep
+
+    docs = _docs()  # ids 0..5; docs 0,1 exact dups; 2 near-dups them
+    pairs = ray.data.from_arrow(
+        pa.table({"left_id": [0, 0], "right_id": [1, 2]})
+    )
+    rows = {r["doc_id"]: r for r in dedup_keep(docs, pairs).take_all()}
+    assert len(rows) == 6
+    assert [rows[i]["component"] for i in range(6)] == [0, 0, 0, 3, 4, 5]
+    assert [rows[i]["keep"] for i in range(6)] == [
+        True, False, False, True, True, True
+    ]
+
+
 def test_simhash_deterministic():
     t = pa.table({"doc_id": [1], "text": [BASE]})
     a = SimHasher()(t)["simhash"][0].as_py()
