@@ -446,6 +446,22 @@ _KEEP_SCHEMA = pa.schema(
 )
 
 
+def _q_split_assign(sf_dir: str):
+    """Deterministic hash-based train/val/test split (stages/splits.py):
+    md5-mod-100 buckets, 90/5/5 — stateless, shuffle-free, identical on
+    every run/node/reshard; the oracle mirrors the hash via
+    md5_number."""
+    from docling_api_ray.stages.splits import assign_splits
+
+    return _with_schema(
+        assign_splits(_docs(sf_dir, ["doc_id"])),
+        pa.schema(
+            [("doc_id", pa.int64()), ("bucket", pa.int64()),
+             ("split", pa.string())]
+        ),
+    )
+
+
 def _q_dedup_minhash_keep(sf_dir: str):
     """The dedup ACTION: MinHash-LSH candidate pairs → connected
     components (distributed min-label propagation, stages/dedup.py) →
@@ -875,6 +891,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _q_decontaminate,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_minhash_keep": _q_dedup_minhash_keep,
+        "split_assign": _q_split_assign,
         "dedup_simhash": _q_dedup_simhash,
         "embedding_neardup": _q_embedding_neardup,
         "knn_bruteforce": _q_knn,
@@ -1334,6 +1351,16 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_rolling": _fp_rolling_oracle_sql(),
         "dedup_minhash": _minhash_oracle_sql(0.7),
         "dedup_minhash_keep": _minhash_keep_oracle_sql(0.7),
+        "split_assign": f"""
+            SELECT doc_id,
+                   CAST(h % 100 AS BIGINT) AS bucket,
+                   CASE WHEN h % 100 < 90 THEN 'train'
+                        WHEN h % 100 < 95 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id,
+                         {_sql_u64("CAST(doc_id AS VARCHAR)")} AS h
+                  FROM documents)
+        """,
         "decontaminate": _decontaminate_oracle_sql(),
         "dedup_simhash": _simhash_oracle_sql(3),
         "dedup_exact": """

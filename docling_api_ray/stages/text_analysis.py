@@ -117,23 +117,30 @@ def normalize_text(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 def word_counts(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Per-batch partial word counts — the map side of distributed
-    wordcount: one pandas factorize+bincount per batch, emitting
-    (word, n) rows bounded by the batch's vocabulary."""
-    import pandas as pd
-
-    texts = [t or "" for t in batch[text_col].to_pylist()]
-    flat = [w for t in texts for w in t.split(" ") if w]
-    if not flat:
+    wordcount.  The whole batch tokenizes in ONE Arrow kernel
+    (``split_pattern`` + ``list_flatten``, no python word list — the r2
+    per-batch list comprehension was the last python loop on this path)
+    and folds with Arrow's hash group-by, emitting (word, n) rows
+    bounded by the batch's vocabulary."""
+    col = batch[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    words = pc.list_flatten(
+        pc.split_pattern(pc.fill_null(col, ""), " ")
+    )
+    words = words.filter(pc.not_equal(words, ""))
+    if len(words) == 0:
         return pa.table(
             {"word": pa.array([], type=pa.string()),
              "n": pa.array([], type=pa.int64())}
         )
-    codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
-    counts = np.bincount(codes)
+    g = pa.table({"word": words}).group_by(["word"]).aggregate(
+        [([], "count_all")]
+    )
     return pa.table(
         {
-            "word": pa.array(list(uniques), type=pa.string()),
-            "n": pa.array(counts, type=pa.int64()),
+            "word": g["word"],
+            "n": pc.cast(g["count_all"], pa.int64()),
         }
     )
 

@@ -82,3 +82,29 @@ def test_fingerprints_deterministic():
 
     assert out1["fp_md5"][0].as_py() == hashlib.md5(b"abc").hexdigest()
     assert all(v >= 0 for v in out1["fp_rolling"].to_pylist())
+
+
+def test_split_assign_deterministic_and_complete():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from docling_api_ray.stages.splits import assign_splits, split_counts
+
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": list(range(1000)), "text": [""] * 1000})
+    )
+    rows = {r["doc_id"]: r for r in assign_splits(ds).take_all()}
+    rows2 = {r["doc_id"]: r for r in assign_splits(ds).take_all()}
+    assert rows == rows2  # deterministic across runs
+    assert len(rows) == 1000
+    counts = {r["split"]: r["n_docs"] for r in split_counts(ds).take_all()}
+    assert sum(counts.values()) == 1000
+    # 90/5/5 within sampling noise at n=1000
+    assert 850 <= counts["train"] <= 950
+    assert 20 <= counts["val"] <= 90
+    assert 20 <= counts["test"] <= 90
+    # split consistent with bucket thresholds
+    for r in rows.values():
+        expect = "train" if r["bucket"] < 90 else ("val" if r["bucket"] < 95 else "test")
+        assert r["split"] == expect
