@@ -125,31 +125,49 @@ class ByteHistogramFeatures:
 
 
 class ImageResize:
-    """Actor stage signature for pixel resize.  Pixel decode needs a codec
-    library not present in this sandbox: with ``allow_stub=False`` (the
-    production default) it raises NotImplementedError; with
-    ``allow_stub=True`` it emits a deterministic fake payload of the
-    target dimensions so the pipeline plumbing (schema, batching,
-    backpressure with wide rows) is exercised end-to-end."""
+    """Actor stage: REAL pixel resize for PNG payloads — decode (pure
+    python+zlib codec, functions/png.py), nearest-neighbor resample
+    (numpy fancy indexing), re-encode; width/height columns come from
+    the ACTUAL output pixels.  The honest codec gate is now per-payload:
+    a non-PNG blob (JPEG/WEBP — no codec library in this sandbox)
+    raises NotImplementedError with ``allow_stub=False`` (the production
+    default) or emits a deterministic fake of the target dimensions with
+    ``allow_stub=True`` so mixed-codec plumbing can still be exercised
+    end-to-end."""
 
     def __init__(self, target: tuple[int, int] = (32, 32), allow_stub: bool = False):
         self.target = target
         self.allow_stub = allow_stub
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if not self.allow_stub:
-            raise NotImplementedError(
-                "pixel decode requires an image codec library (PIL/cv2) "
-                "not available in this environment; construct with "
-                "allow_stub=True for the deterministic plumbing fake"
-            )
-        from docling_api_ray.functions.png import make_png
+        from docling_api_ray.functions.png import (
+            PngDecodeError,
+            decode_png,
+            encode_png,
+            make_png,
+            resize_nearest,
+        )
 
         blobs = batch["png"].to_pylist()
-        out = [
-            make_png(len(b or b"") & 0xFFFF, max(1, self.target[0] // 4))
-            for b in blobs
-        ]
+        out = []
+        for b in blobs:
+            b = b or b""
+            if b[:8] == b"\x89PNG\r\n\x1a\n":
+                try:
+                    out.append(
+                        encode_png(resize_nearest(decode_png(b), self.target))
+                    )
+                    continue
+                except PngDecodeError:
+                    pass  # corrupt/unsupported-subset → codec gate below
+            if not self.allow_stub:
+                raise NotImplementedError(
+                    "non-PNG pixel decode requires a codec library "
+                    "(PIL/cv2) not available in this environment; "
+                    "construct with allow_stub=True for the deterministic "
+                    "plumbing fake"
+                )
+            out.append(make_png(len(b) & 0xFFFF, max(1, self.target[0] // 4)))
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
