@@ -446,6 +446,46 @@ _KEEP_SCHEMA = pa.schema(
 )
 
 
+_BM25_TERMS = ["scan", "column", "window"]
+
+
+def _q_bm25(sf_dir: str):
+    """BM25 relevance of every document against a fixed 3-term query
+    (stages/relevance.py): one streaming corpus-stats pass (|terms|+2
+    numbers total), broadcast, then a stateless scoring pass — fixed
+    term-order summation + quantize6 so the oracle compares exactly."""
+    from docling_api_ray.stages.relevance import bm25_scores
+
+    return bm25_scores(_docs(sf_dir, ["doc_id", "text"]), _BM25_TERMS)
+
+
+def _q_token_quantiles(sf_dir: str):
+    """Exact per-source token-count quantiles (p50/p90/p99,
+    percentile_disc semantics) via the value-HISTOGRAM design
+    (stages/stats.py): per-batch (source, n)→count partials, bounded
+    tree fold, one tiny cumulative pass — no per-group co-location of
+    corpus-proportional rows anywhere."""
+    from docling_api_ray.stages.stats import grouped_int_quantiles
+
+    def add_n(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "source": b["source"],
+                "n": pc.cast(
+                    pc.count_substring_regex(b["text"], ta.WS_TOKEN_RE),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    ds = _docs(sf_dir, ["doc_id", "text", "source"]).map_batches(
+        add_n, batch_format="pyarrow"
+    )
+    return grouped_int_quantiles(ds, group_col="source", value_col="n")
+
+
 def _q_split_assign(sf_dir: str):
     """Deterministic hash-based train/val/test split (stages/splits.py):
     md5-mod-100 buckets, 90/5/5 — stateless, shuffle-free, identical on
@@ -892,6 +932,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": _q_dedup_minhash,
         "dedup_minhash_keep": _q_dedup_minhash_keep,
         "split_assign": _q_split_assign,
+        "token_quantiles_by_source": _q_token_quantiles,
+        "bm25_scores": _q_bm25,
         "dedup_simhash": _q_dedup_simhash,
         "embedding_neardup": _q_embedding_neardup,
         "knn_bruteforce": _q_knn,
@@ -1021,6 +1063,63 @@ def _minhash_oracle_sql(threshold: float, num_perm: int = 64, bands: int = 16) -
                    ON l.b = r.b AND l.band = r.band AND l.doc_id < r.doc_id)
         SELECT left_id, right_id, est_jaccard
         FROM cand WHERE est_jaccard >= {threshold}
+    """
+
+
+def _bm25_oracle_sql(terms: list[str]) -> str:
+    """Exact SQL mirror of stages/relevance.py bm25_scores: same
+    tokenization (regexp_extract_all \\S+), same df/avgdl aggregates,
+    ln(1 + (N-df+0.5)/(df+0.5)) idf, identical parenthesization and
+    term-order summation, quantize6 at the end."""
+    tf_cols = ",\n                   ".join(
+        f"CAST(length(list_filter(toks, x -> x = '{t}')) AS DOUBLE) AS tf_{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ",\n                   ".join(
+        f"CAST(sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{i}"
+        for i in range(len(terms))
+    )
+    idf_cols = ",\n                   ".join(
+        f"ln(1.0 + ((n_docs - df_{i} + 0.5) / (df_{i} + 0.5))) AS idf_{i}"
+        for i in range(len(terms))
+    )
+    contribs = [
+        f"((s.idf_{i} * (d.tf_{i} * (1.2 + 1.0))) / (d.tf_{i} + d.norm))"
+        for i in range(len(terms))
+    ]
+    total = contribs[0]
+    for c in contribs[1:]:
+        total = f"({total} + {c})"
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, regexp_extract_all(text, $$\S+$$) AS toks
+          FROM documents
+        ),
+        per_doc AS (
+          SELECT doc_id,
+                 CAST(length(toks) AS DOUBLE) AS dl,
+                   {tf_cols}
+          FROM toks
+        ),
+        agg AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(CAST(dl AS BIGINT)) AS BIGINT) AS total_tokens,
+                   {df_cols}
+          FROM per_doc
+        ),
+        stats AS (
+          SELECT n_docs,
+                 (CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)) AS avgdl,
+                   {idf_cols}
+          FROM agg
+        ),
+        normed AS (
+          SELECT p.*, (1.2 * ((1.0 - 0.75) + ((0.75 * p.dl) / s.avgdl))) AS norm
+          FROM per_doc p CROSS JOIN stats s
+        )
+        SELECT d.doc_id,
+               round(({total}) * 1000000) / 1000000.0 AS score
+        FROM normed d CROSS JOIN stats s
     """
 
 
@@ -1351,6 +1450,21 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_rolling": _fp_rolling_oracle_sql(),
         "dedup_minhash": _minhash_oracle_sql(0.7),
         "dedup_minhash_keep": _minhash_keep_oracle_sql(0.7),
+        "bm25_scores": _bm25_oracle_sql(_BM25_TERMS),
+        "token_quantiles_by_source": f"""
+            SELECT source,
+                   CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n)
+                        AS BIGINT) AS p50,
+                   CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY n)
+                        AS BIGINT) AS p90,
+                   CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY n)
+                        AS BIGINT) AS p99
+            FROM (SELECT source,
+                         CAST(length(regexp_extract_all(text, $${wsre}$$))
+                              AS BIGINT) AS n
+                  FROM documents)
+            GROUP BY source
+        """,
         "split_assign": f"""
             SELECT doc_id,
                    CAST(h % 100 AS BIGINT) AS bucket,

@@ -1,0 +1,76 @@
+"""Distribution statistics (exact grouped quantiles) and BM25 scoring."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from docling_api_ray.stages.relevance import bm25_scores, corpus_stats
+from docling_api_ray.stages.stats import grouped_int_quantiles
+
+
+def test_grouped_int_quantiles_matches_percentile_disc():
+    rng = np.random.RandomState(0)
+    groups, vals = [], []
+    sizes = {"a": 101, "b": 7, "c": 1}
+    for g, n in sizes.items():
+        groups += [g] * n
+        vals += rng.randint(0, 50, n).tolist()
+    ds = ray.data.from_arrow(pa.table({"g": groups, "v": vals}))
+    out = {
+        r["g"]: r
+        for r in grouped_int_quantiles(
+            ds, group_col="g", value_col="v"
+        ).take_all()
+    }
+    import math
+
+    for g, n in sizes.items():
+        sub = sorted(v for gg, v in zip(groups, vals) if gg == g)
+        for p, name in [(0.5, "p50"), (0.9, "p90"), (0.99, "p99")]:
+            # SQL percentile_disc: smallest value at cumulative position
+            # ceil(p * n)
+            expect = sub[max(1, math.ceil(p * n)) - 1]
+            assert out[g][name] == expect, (g, name)
+
+
+def test_corpus_stats_exact_token_counts():
+    docs = pa.table(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "a a a b",          # tf(a)=3 — adjacent tokens all count
+                "  a  ",            # whitespace padding: 1 token
+                "",                 # empty doc
+                "b c",
+            ],
+        }
+    )
+    st = corpus_stats(ray.data.from_arrow(docs), ["a", "b", "z"])
+    assert st["n_docs"] == 4
+    assert st["total_tokens"] == 7
+    assert st["df"] == {"a": 2, "b": 2, "z": 0}
+
+
+def test_bm25_ranking_and_determinism():
+    docs = pa.table(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "ray data streams blocks",
+                "ray ray ray everywhere ray",
+                "completely unrelated words here",
+                "data data",
+            ],
+        }
+    )
+    ds = ray.data.from_arrow(docs)
+    out = {r["doc_id"]: r["score"] for r in bm25_scores(ds, ["ray", "data"]).take_all()}
+    out2 = {r["doc_id"]: r["score"] for r in bm25_scores(ds, ["ray", "data"]).take_all()}
+    assert out == out2  # deterministic
+    assert len(out) == 4
+    assert out[3] == 0.0  # no query terms
+    # docs containing both terms or high tf outrank the unrelated doc
+    assert out[1] > out[3] and out[2] > out[3] and out[4] > out[3]
+    # term repetition saturates but still scores above single occurrence
+    # of the same single term (doc2 is pure "ray", doc4 pure "data")
+    assert out[2] > 0 and out[4] > 0
