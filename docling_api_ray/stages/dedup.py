@@ -299,10 +299,13 @@ def _keep_hot_buckets(
     if not hot:
         return None
     pair_bound = sum(r["n"] * (r["n"] - 1) // 2 for r in hot)
-    ref = ray.put(sorted(r[key] for r in hot))
+    # broadcast the Arrow array itself: ray.get is zero-copy from plasma
+    # and the per-batch filter reuses it without a python-list→Arrow
+    # conversion per batch
+    ref = ray.put(pa.array(sorted(r[key] for r in hot), type=pa.int64()))
 
     def keep(b: pa.Table) -> pa.Table:
-        return b.filter(pc.is_in(b[key], value_set=pa.array(ray.get(ref))))
+        return b.filter(pc.is_in(b[key], value_set=ray.get(ref)))
 
     return exploded.map_batches(keep, batch_format="pyarrow"), pair_bound
 

@@ -293,3 +293,53 @@ def test_corrupt_real_pdf_is_error_row():
     )
     out = actor(batch)
     assert out["error"][0].as_py().startswith("corrupt pdf:")
+
+
+def test_pdf_roundtrip_property():
+    """Property: arbitrary text lines written through a spec-conformant
+    PDF (escaped literal strings or UTF-16BE hex strings, compressed
+    streams) extract back verbatim."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def esc(s: str) -> bytes:
+        return (
+            s.encode("latin-1")
+            .replace(b"\\", b"\\\\")
+            .replace(b"(", b"\\(")
+            .replace(b")", b"\\)")
+        )
+
+    latin_line = st.text(
+        alphabet=st.characters(min_codepoint=0x20, max_codepoint=0xFF),
+        min_size=1,
+        max_size=40,
+    ).filter(lambda s: s.strip())
+    uni_line = st.text(min_size=1, max_size=30).filter(
+        lambda s: s.strip() and "﻿" not in s
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(latin_line, min_size=1, max_size=8), uni_line)
+    def check(lines, uline):
+        ops = [b"BT 72 720 Td"]
+        for ln in lines:
+            ops.append(b"(" + esc(ln) + b") Tj T*")
+        u16 = b"\xfe\xff" + uline.encode("utf-16-be")
+        ops.append(b"<" + u16.hex().encode() + b"> Tj ET")
+        content = b" ".join(ops)
+        objects = {
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            3: b"<< /Type /Page /Contents 4 0 R >>",
+            4: _stream(b"", content),
+        }
+        pages = extract_text_lines(_build_pdf(objects, 1))
+        # extractor collapses intra-line whitespace the way a text line
+        # renders: strip + keep non-empty
+        expect = [" ".join(x.split()) for x in lines if x.strip()]
+        expect.append(" ".join(uline.split()))
+        got = [" ".join(x.split()) for x in pages[0]]
+        assert got == [e for e in expect if e]
+
+    check()
