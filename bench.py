@@ -93,7 +93,9 @@ def _bench_once() -> dict:
         "html_extract",
         "dedup_exact",
         "dedup_minhash",
+        "dedup_minhash_keep",
         "dedup_simhash",
+        "bm25_scores",
         "knn_bruteforce",
         "knn_ivf",
         "events_hourly",
