@@ -729,6 +729,16 @@ def connected_components(
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    else:
+        # min-label propagation needs ~graph-diameter rounds; a
+        # duplicate graph with diameter > max_iters would return
+        # PARTIALLY-merged components — fail loudly instead of
+        # silently mislabeling (raise the cap for pathological chains)
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iters} "
+            "rounds (duplicate-graph diameter exceeds the cap); raise "
+            "max_iters"
+        )
     return labels
 
 

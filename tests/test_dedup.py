@@ -258,3 +258,27 @@ def test_contamination_counts_planted_overlap():
     assert out[0]["contamination_ratio"] == 1.0
     assert out[1]["n_shingles"] == 3 and out[1]["n_contaminated"] == 1
     assert out[2]["n_contaminated"] == 0 and out[2]["contamination_ratio"] == 0.0
+
+
+def test_connected_components_nonconvergence_raises():
+    from docling_api_ray.stages.dedup import connected_components
+
+    # a 12-node chain has diameter 11 — with max_iters=3 propagation
+    # cannot complete and must fail loudly, never mislabel silently
+    import pytest
+
+    edges = [(i, i + 1) for i in range(11)]
+    pairs = ray.data.from_arrow(
+        pa.table(
+            {
+                "left_id": [e[0] for e in edges],
+                "right_id": [e[1] for e in edges],
+            }
+        )
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iters=3)
+    # and with enough rounds the same chain labels completely
+    out = {r["node"]: r["component"]
+           for r in connected_components(pairs).take_all()}
+    assert set(out.values()) == {0}
