@@ -446,6 +446,18 @@ _KEEP_SCHEMA = pa.schema(
 )
 
 
+def _q_heavy_hitters(sf_dir: str):
+    """Words with frequency > 1/30 of all token occurrences — EXACT
+    output via the Misra-Gries mergeable sketch (stages/sketch.py):
+    ≤k-counter per-batch summaries (vocabulary-independent state), a
+    sketch-bounded driver merge whose ≤N/(k+1) undercount guarantees no
+    qualifying word is missed, then one exact counting pass over the ≤k
+    candidates with an integer threshold compare."""
+    from docling_api_ray.stages.sketch import heavy_hitters
+
+    return heavy_hitters(_docs(sf_dir, ["doc_id", "text"]), num=1, den=30)
+
+
 _BM25_TERMS = ["scan", "column", "window"]
 
 
@@ -934,6 +946,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_assign": _q_split_assign,
         "token_quantiles_by_source": _q_token_quantiles,
         "bm25_scores": _q_bm25,
+        "heavy_hitters": _q_heavy_hitters,
         "dedup_simhash": _q_dedup_simhash,
         "embedding_neardup": _q_embedding_neardup,
         "knn_bruteforce": _q_knn,
@@ -1451,6 +1464,14 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": _minhash_oracle_sql(0.7),
         "dedup_minhash_keep": _minhash_keep_oracle_sql(0.7),
         "bm25_scores": _bm25_oracle_sql(_BM25_TERMS),
+        "heavy_hitters": """
+            WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
+                       FROM documents),
+                 c AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM w
+                       WHERE word <> '' GROUP BY 1),
+                 tot AS (SELECT CAST(sum(n) AS BIGINT) AS total_n FROM c)
+            SELECT word, n FROM c, tot WHERE n * 30 > total_n * 1
+        """,
         "token_quantiles_by_source": f"""
             SELECT source,
                    CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n)

@@ -74,3 +74,36 @@ def test_bm25_ranking_and_determinism():
     # term repetition saturates but still scores above single occurrence
     # of the same single term (doc2 is pure "ray", doc4 pure "data")
     assert out[2] > 0 and out[4] > 0
+
+
+def test_heavy_hitters_sketch_guarantee_open_vocab():
+    """Adversarial open-vocabulary corpus: tons of unique noise words
+    force real MG truncation in every batch, yet every word above the
+    frequency threshold MUST survive (mergeable-summary guarantee) with
+    its EXACT count."""
+    from docling_api_ray.stages.sketch import heavy_hitters
+
+    rng = np.random.RandomState(5)
+    docs = []
+    # 3 genuinely heavy words + unique-per-doc noise
+    for i in range(400):
+        words = []
+        words += ["alpha"] * 6          # ~heavy
+        words += ["beta"] * 4           # ~heavy
+        words += ["gamma"] * 1          # light
+        words += [f"noise{i}_{j}" for j in range(20)]  # open vocab
+        rng.shuffle(words)
+        docs.append(" ".join(words))
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": list(range(400)), "text": docs})
+    )
+    # threshold 1/10: total tokens = 400*31 = 12400; alpha 2400 (19.4%),
+    # beta 1600 (12.9%), gamma 400 (3.2%), each noise word freq 1
+    out = {r["word"]: r["n"] for r in
+           heavy_hitters(ds, num=1, den=10).take_all()}
+    assert out == {"alpha": 2400, "beta": 1600}
+
+    # exact counts also verified at a looser threshold including gamma
+    out2 = {r["word"]: r["n"] for r in
+            heavy_hitters(ds, num=1, den=40).take_all()}
+    assert out2 == {"alpha": 2400, "beta": 1600, "gamma": 400}
