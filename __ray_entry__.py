@@ -446,6 +446,17 @@ _KEEP_SCHEMA = pa.schema(
 )
 
 
+def _q_hll_registers(sf_dir: str):
+    """HyperLogLog register table (bucket, max_rho) over the corpus's
+    distinct tokens (stages/sketch.py) — the distinct-count sketch with
+    a pure-integer output the oracle reproduces bit-for-bit from the
+    same md5 hashes (to_base bit-length mirrors the exact frexp
+    exponent)."""
+    from docling_api_ray.stages.sketch import hll_registers
+
+    return hll_registers(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def _q_heavy_hitters(sf_dir: str):
     """Words with frequency > 1/30 of all token occurrences — EXACT
     output via the Misra-Gries mergeable sketch (stages/sketch.py):
@@ -947,6 +958,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_quantiles_by_source": _q_token_quantiles,
         "bm25_scores": _q_bm25,
         "heavy_hitters": _q_heavy_hitters,
+        "hll_registers": _q_hll_registers,
         "dedup_simhash": _q_dedup_simhash,
         "embedding_neardup": _q_embedding_neardup,
         "knn_bruteforce": _q_knn,
@@ -1464,6 +1476,22 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": _minhash_oracle_sql(0.7),
         "dedup_minhash_keep": _minhash_keep_oracle_sql(0.7),
         "bm25_scores": _bm25_oracle_sql(_BM25_TERMS),
+        "hll_registers": f"""
+            WITH w AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS word
+                       FROM documents),
+                 h AS (SELECT {_sql_u64('word')} AS h FROM w
+                       WHERE word <> ''),
+                 parts AS (SELECT CAST(h // 4503599627370496 AS BIGINT) AS bucket,
+                                  CAST(h % 4503599627370496 AS BIGINT) AS rest
+                           FROM h),
+                 rho AS (SELECT bucket,
+                                CASE WHEN rest = 0 THEN 53
+                                     ELSE 52 - (length(to_base(rest, 2)) - 1)
+                                END AS rho
+                         FROM parts)
+            SELECT bucket, CAST(max(rho) AS BIGINT) AS max_rho
+            FROM rho GROUP BY bucket
+        """,
         "heavy_hitters": """
             WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
                        FROM documents),

@@ -149,3 +149,94 @@ def heavy_hitters(
         )
 
     return counts_ds.map_batches(threshold, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog registers — distinct-cardinality sketch
+# ---------------------------------------------------------------------------
+
+HLL_B = 12  # 2^12 = 4096 registers; rest width 52 bits (< 2^53: exact
+#             float exponent extraction AND exact BIGINT for the oracle)
+HLL_W = 64 - HLL_B
+
+
+def hll_registers(
+    ds: ray.data.Dataset, *, text_col: str = "text"
+) -> ray.data.Dataset:
+    """documents(text) → the (bucket, max_rho) HyperLogLog register
+    table over the corpus's distinct TOKENS — the distinct-count sketch
+    whose registers (not the float estimate) are the query output, so
+    the result is pure integers and the DuckDB oracle reproduces it
+    bit-for-bit from the same md5-derived hashes.
+
+    Scale shape: per-batch partial register maxes (vectorized
+    ``np.maximum.at``, ≤2^B rows per block regardless of corpus), a
+    bounded two-level max fold (same tree shape as
+    ``common.bounded_groupby_sum``), nothing vocabulary- or
+    corpus-proportional anywhere.  ``rho`` = HLL_W − floor(log2(rest)),
+    extracted exactly via ``np.frexp`` (rest < 2^53, so the float
+    exponent is exact); the oracle mirrors it as
+    ``HLL_W − (length(to_base(rest, 2)) − 1)``."""
+    from docling_api_ray.functions.hashing import u64_md5
+
+    def partial(b: pa.Table) -> pa.Table:
+        col = b[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        toks = pc.list_flatten(
+            pc.split_pattern(pc.fill_null(col, ""), " ")
+        )
+        toks = toks.filter(pc.not_equal(toks, ""))
+        if len(toks) == 0:
+            return pa.table(
+                {"bucket": pa.array([], type=pa.int64()),
+                 "max_rho": pa.array([], type=pa.int64())}
+            )
+        # hash once per UNIQUE token in the batch
+        uniq = pc.unique(toks).to_pylist()
+        h = u64_md5(np.array(uniq, dtype=object))
+        bucket = (h >> np.uint64(HLL_W)).astype(np.int64)
+        rest = (h & np.uint64((1 << HLL_W) - 1)).astype(np.int64)
+        rho = np.full(len(h), HLL_W + 1, dtype=np.int64)
+        nz = rest > 0
+        # frexp exponent e: rest = m * 2^e with 0.5 <= m < 1, so
+        # e - 1 = floor(log2(rest)) EXACTLY (rest < 2^53)
+        _, e = np.frexp(rest[nz].astype(np.float64))
+        rho[nz] = HLL_W - (e - 1)
+        regs = np.zeros(1 << HLL_B, dtype=np.int64)
+        np.maximum.at(regs, bucket, rho)
+        hot = np.flatnonzero(regs)
+        return pa.table(
+            {"bucket": pa.array(hot, type=pa.int64()),
+             "max_rho": pa.array(regs[hot], type=pa.int64())}
+        )
+
+    def fold(b: pa.Table) -> pa.Table:
+        g = b.group_by(["bucket"]).aggregate([("max_rho", "max")])
+        return g.rename_columns(["bucket", "max_rho"])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        # level-1 bundle-fold (see common.bounded_groupby_sum): distinct
+        # num_cpus prevents fusion with `partial`
+        .map_batches(fold, batch_format="pyarrow", batch_size=1_000_000,
+                     num_cpus=0.9)
+        .repartition(1)
+        .map_batches(fold, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def hll_estimate(registers: list[dict]) -> float:
+    """Driver-side HLL cardinality estimate from the register table
+    (standard bias-corrected harmonic mean; small-range correction via
+    linear counting)."""
+    m = 1 << HLL_B
+    regs = np.zeros(m, dtype=np.int64)
+    for r in registers:
+        regs[r["bucket"]] = r["max_rho"]
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int(np.sum(regs == 0))
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)
+    return float(est)

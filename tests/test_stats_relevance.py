@@ -107,3 +107,28 @@ def test_heavy_hitters_sketch_guarantee_open_vocab():
     out2 = {r["word"]: r["n"] for r in
             heavy_hitters(ds, num=1, den=40).take_all()}
     assert out2 == {"alpha": 2400, "beta": 1600, "gamma": 400}
+
+
+def test_hll_estimate_accuracy():
+    """The register-table sketch estimates distinct-token cardinality
+    within the theoretical ~1.04/sqrt(4096)≈1.6% band (3-sigma slack)."""
+    from docling_api_ray.stages.sketch import hll_estimate, hll_registers
+
+    rng = np.random.RandomState(11)
+    docs, truth = [], set()
+    for i in range(300):
+        words = [f"w{rng.randint(0, 60000)}" for _ in range(80)]
+        truth.update(words)
+        docs.append(" ".join(words))
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": list(range(300)), "text": docs})
+    )
+    regs = hll_registers(ds).take_all()
+    est = hll_estimate(regs)
+    err = abs(est - len(truth)) / len(truth)
+    assert err < 0.05, (est, len(truth))
+    # determinism: same registers on a second run
+    regs2 = hll_registers(ds).take_all()
+    assert sorted((r["bucket"], r["max_rho"]) for r in regs) == sorted(
+        (r["bucket"], r["max_rho"]) for r in regs2
+    )
