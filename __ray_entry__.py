@@ -256,27 +256,24 @@ def _q_normalize_text(sf_dir: str):
     )
 
 
-def _q_vocab_topk(sf_dir: str):
-    """Distributed wordcount → global top-50 vocabulary: per-batch
-    partial counts (map side), co-grouped word-hash fold, then a
-    DISTRIBUTED top-k tail: each hash partition holds the complete
-    total for every word routed to it, so its local top-K head is a
-    superset filter for the global top-K; only K·P head rows —
-    corpus- and vocabulary-independent — reach the single merge block.
-    (VERDICT r2 #2: the previous tail repartition(1)'d the full
-    vocabulary-proportional fold output.)"""
-    K = 50
-    partials = _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        ta.word_counts, batch_format="pyarrow"
-    )
+def _distributed_count_topk(
+    partials: ray.data.Dataset, key_col: str, K: int
+) -> ray.data.Dataset:
+    """Shared tail of distributed (key, n)-count top-K (vocab_topk,
+    bigram_topk): co-grouped key-hash fold, then a DISTRIBUTED top-k
+    tail — each hash partition holds the complete total for every key
+    routed to it, so its local top-K head is a superset filter for the
+    global top-K; only K·P head rows — corpus- and
+    vocabulary-independent — reach the single merge block (VERDICT r2
+    #2 shape)."""
 
     def add_part(b: pa.Table) -> pa.Table:
         import pandas as pd
 
-        # word → partition via a cheap stable string hash (md5-free: the
+        # key → partition via a cheap stable string hash (md5-free: the
         # routing key never leaks into results)
         h = pd.util.hash_array(
-            np.asarray(b["word"].to_pylist(), dtype=object)
+            np.asarray(b[key_col].to_pylist(), dtype=object)
         ).astype(np.int64)
         from docling_api_ray.stages.common import shuffle_partitions
 
@@ -286,16 +283,14 @@ def _q_vocab_topk(sf_dir: str):
         )
 
     def fold(df) -> pa.Table:
-        g = df.groupby("word", sort=False)["n"].sum().reset_index()
-        # per-partition head: every word's TOTAL lives wholly in this
-        # partition (hash routing), so the global top-K is contained in
-        # the union of per-partition top-K heads; ties broken exactly as
-        # in the final merge (n desc, word asc)
-        g = g.sort_values(["n", "word"], ascending=[False, True],
+        g = df.groupby(key_col, sort=False)["n"].sum().reset_index()
+        # per-partition head: ties broken exactly as in the final merge
+        # (n desc, key asc)
+        g = g.sort_values(["n", key_col], ascending=[False, True],
                           kind="stable").head(K)
         return pa.table(
             {
-                "word": pa.array(g["word"].tolist(), type=pa.string()),
+                key_col: pa.array(g[key_col].tolist(), type=pa.string()),
                 "n": pa.array(g["n"].to_numpy(), type=pa.int64()),
             }
         )
@@ -310,14 +305,40 @@ def _q_vocab_topk(sf_dir: str):
         import pandas as pd
 
         df = b.to_pandas().sort_values(
-            ["n", "word"], ascending=[False, True], kind="stable"
+            ["n", key_col], ascending=[False, True], kind="stable"
         ).head(K)
         return pa.Table.from_pandas(df, preserve_index=False).cast(
-            pa.schema([("word", pa.string()), ("n", pa.int64())])
+            pa.schema([(key_col, pa.string()), ("n", pa.int64())])
         )
 
     return totals.repartition(1).map_batches(
         topk, batch_format="pyarrow", batch_size=None
+    )
+
+
+def _q_vocab_topk(sf_dir: str):
+    """Distributed wordcount → global top-50 vocabulary: per-batch
+    partial counts (map side) + the shared distributed top-k tail."""
+    return _distributed_count_topk(
+        _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            ta.word_counts, batch_format="pyarrow"
+        ),
+        "word",
+        50,
+    )
+
+
+def _q_bigram_topk(sf_dir: str):
+    """Top-40 BIGRAMS (collocations) — the n-gram-LM data-prep analog of
+    vocab_topk: per-batch vectorized adjacent-pair counts
+    (text_analysis.bigram_counts, same-row mask so no pair spans two
+    documents) + the shared distributed top-k tail."""
+    return _distributed_count_topk(
+        _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            ta.bigram_counts, batch_format="pyarrow"
+        ),
+        "bigram",
+        40,
     )
 
 
@@ -710,6 +731,44 @@ def _q_topk_per_source(sf_dir: str):
     )
 
 
+def _q_stratified_sample(sf_dir: str):
+    """Deterministic per-source uniform sample: the 5 docs with the
+    SMALLEST md5-derived hash per source — the balanced-mixture sampler
+    of a training pipeline (hash order ⟂ any data attribute, identical
+    on every run/node/reshard).  Same two-level partial-top-k shape as
+    the grouped rank window: per-batch heads shrink the exchange to
+    ≤5·|sources| rows per block."""
+    ds = _docs(sf_dir, ["doc_id", "source"])
+    K = 5
+
+    def add_hkey(b: pa.Table) -> pa.Table:
+        from docling_api_ray.functions.hashing import u64_md5
+
+        ids = [str(i) for i in b["doc_id"].to_pylist()]
+        h = (u64_md5(np.array(ids, dtype=object)) >> np.uint64(1)).astype(
+            np.int64
+        )
+        return b.append_column("hkey", pa.array(h, type=pa.int64()))
+
+    def head(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = b.to_pandas().sort_values(
+            ["source", "hkey", "doc_id"], kind="stable"
+        )
+        return pa.Table.from_pandas(
+            df.groupby("source", sort=False).head(K), preserve_index=False
+        ).cast(b.schema)
+
+    return (
+        ds.map_batches(add_hkey, batch_format="pyarrow")
+        .map_batches(head, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(head, batch_format="pyarrow", batch_size=None)
+        .select_columns(["doc_id", "source", "hkey"])
+    )
+
+
 def _q_distinct_lang_source(sf_dir: str):
     """Distinct pairs (§2.7 set-ops extension) as a vectorized grouped
     aggregate projected back to the key columns."""
@@ -943,6 +1002,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count": _q_token_count,
         "normalize_text": _q_normalize_text,
         "vocab_topk": _q_vocab_topk,
+        "bigram_topk": _q_bigram_topk,
         "quality_score": _q_quality,
         "lang_id": _q_lang_id,
         "fingerprint_md5": _q_fingerprint,
@@ -959,6 +1019,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_scores": _q_bm25,
         "heavy_hitters": _q_heavy_hitters,
         "hll_registers": _q_hll_registers,
+        "stratified_sample": _q_stratified_sample,
         "dedup_simhash": _q_dedup_simhash,
         "embedding_neardup": _q_embedding_neardup,
         "knn_bruteforce": _q_knn,
@@ -1431,6 +1492,15 @@ def oracle_sql() -> dict[str, str]:
                      AS norm_text
             FROM documents
         """,
+        "bigram_topk": """
+            WITH d AS (SELECT string_split(text, ' ') AS ws FROM documents),
+                 b AS (SELECT ws[i] || ' ' || ws[i+1] AS bigram
+                       FROM d, (SELECT unnest(generate_series(1, len(ws) - 1)) AS i)
+                       WHERE ws[i] <> '' AND ws[i+1] <> ''),
+                 c AS (SELECT bigram, CAST(count(*) AS BIGINT) AS n
+                       FROM b GROUP BY 1)
+            SELECT bigram, n FROM c ORDER BY n DESC, bigram LIMIT 40
+        """,
         "vocab_topk": """
             WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
                        FROM documents),
@@ -1491,6 +1561,16 @@ def oracle_sql() -> dict[str, str]:
                          FROM parts)
             SELECT bucket, CAST(max(rho) AS BIGINT) AS max_rho
             FROM rho GROUP BY bucket
+        """,
+        "stratified_sample": f"""
+            WITH h AS (SELECT doc_id, source,
+                              CAST(({_sql_u64("CAST(doc_id AS VARCHAR)")}) // 2
+                                   AS BIGINT) AS hkey
+                       FROM documents),
+                 r AS (SELECT *, row_number() OVER (
+                          PARTITION BY source ORDER BY hkey, doc_id) AS rn
+                       FROM h)
+            SELECT doc_id, source, hkey FROM r WHERE rn <= 5
         """,
         "heavy_hitters": """
             WITH w AS (SELECT unnest(string_split(text, ' ')) AS word

@@ -145,6 +145,44 @@ def word_counts(batch: pa.Table, text_col: str = "text") -> pa.Table:
     )
 
 
+def bigram_counts(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-batch partial BIGRAM counts — the n-gram analog of
+    ``word_counts`` for n-gram-LM / collocation data prep.  Fully
+    vectorized: one split per batch, adjacent-token pairs joined with
+    ``binary_join_element_wise`` under a same-row mask (no pair may span
+    two documents), folded with Arrow's hash group-by."""
+    col = batch[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    words = pc.split_pattern(pc.fill_null(col, ""), " ")
+    flat = pc.list_flatten(words)
+    lens = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+    empty_schema = pa.table(
+        {"bigram": pa.array([], type=pa.string()),
+         "n": pa.array([], type=pa.int64())}
+    )
+    if len(flat) == 0:
+        return empty_schema
+    row_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    ok = np.asarray(pc.not_equal(flat, ""))
+    # pair (i, i+1) is a bigram iff both tokens are in the SAME row and
+    # both are non-empty
+    same_row = row_of[:-1] == row_of[1:]
+    valid = same_row & ok[:-1] & ok[1:]
+    if not valid.any():
+        return empty_schema
+    idx = np.flatnonzero(valid)
+    left = flat.take(pa.array(idx))
+    right = flat.take(pa.array(idx + 1))
+    bigrams = pc.binary_join_element_wise(left, right, " ")
+    g = pa.table({"bigram": bigrams}).group_by(["bigram"]).aggregate(
+        [([], "count_all")]
+    )
+    return pa.table(
+        {"bigram": g["bigram"], "n": pc.cast(g["count_all"], pa.int64())}
+    )
+
+
 def fingerprints(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """md5 hex digest + order-sensitive positional ("rolling") word-hash
     fingerprint.  Both SQL-oracle-able: ``fp_md5`` is ``md5(text)``;

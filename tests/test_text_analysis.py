@@ -108,3 +108,22 @@ def test_split_assign_deterministic_and_complete():
     for r in rows.values():
         expect = "train" if r["bucket"] < 90 else ("val" if r["bucket"] < 95 else "test")
         assert r["split"] == expect
+
+
+def test_bigram_counts_no_cross_document_pairs():
+    import pyarrow as pa
+
+    from docling_api_ray.stages.text_analysis import bigram_counts
+
+    b = pa.table(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": ["a b c", "c a", "", "solo"],
+        }
+    )
+    out = {r["bigram"]: r["n"] for r in bigram_counts(b).to_pylist()}
+    # "c a" must NOT produce a ("c","a") pair from doc1's tail + doc2's
+    # head — only within-document adjacency counts
+    assert out == {"a b": 1, "b c": 1, "c a": 1}
+    empty = bigram_counts(pa.table({"doc_id": [1], "text": [""]}))
+    assert empty.num_rows == 0
