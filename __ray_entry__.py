@@ -256,6 +256,18 @@ def _q_normalize_text(sf_dir: str):
     )
 
 
+def _q_pii_redact(sf_dir: str):
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        ta.pii_redact, batch_format="pyarrow"
+    )
+
+
+def _q_gopher_quality(sf_dir: str):
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        ta.gopher_quality, batch_format="pyarrow"
+    )
+
+
 def _distributed_count_topk(
     partials: ray.data.Dataset, key_col: str, K: int
 ) -> ray.data.Dataset:
@@ -1002,6 +1014,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count": _q_token_count,
         "normalize_text": _q_normalize_text,
         "vocab_topk": _q_vocab_topk,
+        "pii_redact": _q_pii_redact,
+        "gopher_quality": _q_gopher_quality,
         "bigram_topk": _q_bigram_topk,
         "quality_score": _q_quality,
         "lang_id": _q_lang_id,
@@ -1508,6 +1522,67 @@ def oracle_sql() -> dict[str, str]:
                        WHERE word <> '' GROUP BY 1)
             SELECT word, CAST(n AS BIGINT) AS n FROM c
             ORDER BY n DESC, word LIMIT 50
+        """,
+        "pii_redact": f"""
+            WITH s AS (
+                SELECT doc_id,
+                       text || ' contact user' || CAST(doc_id AS VARCHAR)
+                            || '@example' || CAST(doc_id % 7 AS VARCHAR) || '.org'
+                            || CASE WHEN doc_id % 3 = 0
+                                    THEN ' cc backup' || CAST(doc_id AS VARCHAR)
+                                         || '@mail.net'
+                                    ELSE '' END
+                            || ' call +1-555-'
+                            || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                            || ' node 10.' || CAST(doc_id % 256 AS VARCHAR)
+                            || '.' || CAST((doc_id // 256) % 256 AS VARCHAR)
+                            || '.' || CAST(doc_id % 100 AS VARCHAR) AS synth
+                FROM documents)
+            SELECT doc_id,
+                   CAST(length(regexp_extract_all(synth, $${ta.EMAIL_RE}$$))
+                        AS BIGINT) AS n_emails,
+                   CAST(length(regexp_extract_all(synth, $${ta.PHONE_RE}$$))
+                        AS BIGINT) AS n_phones,
+                   CAST(length(regexp_extract_all(synth, $${ta.IP_RE}$$))
+                        AS BIGINT) AS n_ips,
+                   regexp_replace(regexp_replace(regexp_replace(synth,
+                        $${ta.EMAIL_RE}$$, '[EMAIL]', 'g'),
+                        $${ta.PHONE_RE}$$, '[PHONE]', 'g'),
+                        $${ta.IP_RE}$$, '[IP]', 'g') AS redacted
+            FROM s
+        """,
+        "gopher_quality": f"""
+            WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                       FROM documents),
+                 pc AS (SELECT doc_id, word, count(*) AS c
+                        FROM w WHERE word <> '' GROUP BY doc_id, word),
+                 agg AS (SELECT doc_id,
+                                CAST(sum(c) AS BIGINT) AS n_words,
+                                CAST(count(*) AS BIGINT) AS n_unique,
+                                CAST(max(c) AS BIGINT) AS top_n,
+                                CAST(sum(c * length(word)) AS BIGINT) AS chars,
+                                bool_or(word IN {ta.STOPWORDS!r}) AS has_stopword
+                         FROM pc GROUP BY doc_id),
+                 r AS (SELECT d.doc_id,
+                              coalesce(a.n_words, 0) AS n_words,
+                              round(coalesce(a.chars, 0)
+                                    / greatest(coalesce(a.n_words, 0), 1), 6)
+                                AS mean_word_len,
+                              round((coalesce(a.n_words, 0) - coalesce(a.n_unique, 0))
+                                    / greatest(coalesce(a.n_words, 0), 1), 6)
+                                AS dup_word_frac,
+                              round(coalesce(a.top_n, 0)
+                                    / greatest(coalesce(a.n_words, 0), 1), 6)
+                                AS top_word_frac,
+                              coalesce(a.has_stopword, FALSE) AS has_stopword
+                       FROM documents d LEFT JOIN agg a USING (doc_id))
+            SELECT *,
+                   (n_words BETWEEN {ta.GOPHER_MIN_WORDS} AND {ta.GOPHER_MAX_WORDS}
+                    AND mean_word_len BETWEEN {ta.GOPHER_MIN_MWL} AND {ta.GOPHER_MAX_MWL}
+                    AND dup_word_frac <= {ta.GOPHER_MAX_DUP_FRAC}
+                    AND top_word_frac <= {ta.GOPHER_MAX_TOP_FRAC}
+                    AND has_stopword) AS keep
+            FROM r
         """,
         "token_count": f"""
             SELECT doc_id,

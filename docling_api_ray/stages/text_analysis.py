@@ -183,6 +183,151 @@ def bigram_counts(batch: pa.Table, text_col: str = "text") -> pa.Table:
     )
 
 
+# PII patterns (RE2, shared verbatim with the DuckDB oracle).  Order of
+# application matters: emails first (their local parts may contain digits
+# and dots), then phones, then bare IPs.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+\d{1,2}-\d{3}-\d{4}"
+IP_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+
+
+def pii_redact(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """PII scrubbing for training-data curation: count and redact
+    emails / phone numbers / IPv4 addresses with vectorized RE2 kernels.
+
+    The synthetic corpus contains no natural PII, so each row first gets
+    a deterministic doc_id-derived contact block appended (email, an
+    extra cc address on every third doc, phone, IP) — the same
+    synthesize-then-operate pattern as ``md_structure`` — and the SQL
+    oracle mirrors the synthesis arithmetic exactly.  Redaction itself
+    is three ``replace_substring_regex`` passes over the whole batch;
+    counts come from ``count_substring_regex`` on the pre-redaction
+    text.  Stateless, shuffle-free, embarrassingly parallel — the
+    100 TB shape is a single ``map_batches`` pass."""
+    did = np.asarray(batch["doc_id"], dtype=np.int64)
+
+    def _s(nums: np.ndarray) -> pa.Array:
+        return pc.cast(pa.array(nums), pa.string())
+
+    email = pc.binary_join_element_wise(
+        pa.array(np.full(len(did), " contact user")), _s(did),
+        pa.array(np.full(len(did), "@example")), _s(did % 7),
+        pa.array(np.full(len(did), ".org")), "",
+    )
+    cc = pc.if_else(
+        pa.array(did % 3 == 0),
+        pc.binary_join_element_wise(
+            pa.array(np.full(len(did), " cc backup")), _s(did),
+            pa.array(np.full(len(did), "@mail.net")), "",
+        ),
+        pa.scalar(""),
+    )
+    phone = pc.binary_join_element_wise(
+        pa.array(np.full(len(did), " call +1-555-")),
+        pc.utf8_lpad(_s(did % 10000), width=4, padding="0"), "",
+    )
+    ip = pc.binary_join_element_wise(
+        pa.array(np.full(len(did), " node 10.")), _s(did % 256),
+        pa.array(np.full(len(did), ".")), _s((did // 256) % 256),
+        pa.array(np.full(len(did), ".")), _s(did % 100), "",
+    )
+    synth = pc.binary_join_element_wise(
+        pc.fill_null(batch[text_col], ""), email, cc, phone, ip, ""
+    )
+    n_emails = pc.cast(_count(synth, EMAIL_RE), pa.int64())
+    n_phones = pc.cast(_count(synth, PHONE_RE), pa.int64())
+    n_ips = pc.cast(_count(synth, IP_RE), pa.int64())
+    red = pc.replace_substring_regex(synth, EMAIL_RE, "[EMAIL]")
+    red = pc.replace_substring_regex(red, PHONE_RE, "[PHONE]")
+    red = pc.replace_substring_regex(red, IP_RE, "[IP]")
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_emails": n_emails,
+            "n_phones": n_phones,
+            "n_ips": n_ips,
+            "redacted": red,
+        }
+    )
+
+
+# Gopher-style quality-rule thresholds (Rae et al. 2021, table A1 shape:
+# word-count window, mean-word-length window, repetition caps, stopword
+# presence).  Values tuned so the synthetic corpus splits non-trivially.
+GOPHER_MIN_WORDS = 15
+GOPHER_MAX_WORDS = 5000
+GOPHER_MIN_MWL = 2.0
+GOPHER_MAX_MWL = 12.0
+GOPHER_MAX_DUP_FRAC = 0.55
+GOPHER_MAX_TOP_FRAC = 0.2
+
+
+def gopher_quality(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Gopher-rule document quality filter: per-doc word stats,
+    word-repetition ratios and a stopword-presence flag folded into a
+    single ``keep`` verdict.
+
+    Fully vectorized over the flattened token stream: one
+    ``split_pattern`` per batch, then numpy ``bincount`` /
+    ``np.unique`` over (row, word-code) pairs — no per-row python.
+    Ratios are rounded to 6 places *before* threshold comparison so the
+    keep verdict is bit-identical to the SQL oracle's.  Stateless map;
+    100 TB shape is a single streaming pass."""
+    import pandas as pd
+
+    col = batch[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(batch)
+    words = pc.split_pattern(pc.fill_null(col, ""), " ")
+    flat = pc.list_flatten(words)
+    lens = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+    row_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+    ok = np.asarray(pc.not_equal(flat, ""))
+    row_ok = row_of[ok]
+    flat_ok = flat.filter(pa.array(ok))
+    wl = np.asarray(pc.utf8_length(flat_ok), dtype=np.int64)
+
+    n_words = np.bincount(row_ok, minlength=n).astype(np.int64)
+    total_chars = np.bincount(row_ok, weights=wl, minlength=n).astype(np.int64)
+
+    codes = pd.factorize(np.asarray(flat_ok, dtype=object))[0].astype(np.int64)
+    vocab = int(codes.max()) + 1 if len(codes) else 1
+    pair_keys, pair_counts = np.unique(row_ok * vocab + codes, return_counts=True)
+    pair_rows = pair_keys // vocab
+    n_unique = np.bincount(pair_rows, minlength=n).astype(np.int64)
+    top_n = np.zeros(n, dtype=np.int64)
+    np.maximum.at(top_n, pair_rows, pair_counts)
+
+    stop_hit = np.isin(np.asarray(flat_ok, dtype=object), STOPWORDS)
+    has_stop = np.bincount(row_ok, weights=stop_hit, minlength=n) > 0
+
+    safe = np.maximum(n_words, 1).astype(np.float64)
+    mwl = np.round(total_chars / safe, 6)
+    dup_frac = np.round((n_words - n_unique) / safe, 6)
+    top_frac = np.round(top_n / safe, 6)
+    keep = (
+        (n_words >= GOPHER_MIN_WORDS)
+        & (n_words <= GOPHER_MAX_WORDS)
+        & (mwl >= GOPHER_MIN_MWL)
+        & (mwl <= GOPHER_MAX_MWL)
+        & (dup_frac <= GOPHER_MAX_DUP_FRAC)
+        & (top_frac <= GOPHER_MAX_TOP_FRAC)
+        & has_stop
+    )
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_words": pa.array(n_words),
+            "mean_word_len": pa.array(mwl),
+            "dup_word_frac": pa.array(dup_frac),
+            "top_word_frac": pa.array(top_frac),
+            "has_stopword": pa.array(has_stop),
+            "keep": pa.array(keep),
+        }
+    )
+
+
 def fingerprints(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """md5 hex digest + order-sensitive positional ("rolling") word-hash
     fingerprint.  Both SQL-oracle-able: ``fp_md5`` is ``md5(text)``;

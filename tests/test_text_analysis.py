@@ -127,3 +127,52 @@ def test_bigram_counts_no_cross_document_pairs():
     assert out == {"a b": 1, "b c": 1, "c a": 1}
     empty = bigram_counts(pa.table({"doc_id": [1], "text": [""]}))
     assert empty.num_rows == 0
+
+
+def test_pii_redact_counts_and_patterns():
+    import pyarrow as pa
+
+    from docling_api_ray.stages.text_analysis import pii_redact
+
+    b = pa.table({"doc_id": [0, 1, 300], "text": ["hello world", "", "x"]})
+    out = pii_redact(b).to_pylist()
+    by_id = {r["doc_id"]: r for r in out}
+    # doc 0 and 300 are % 3 == 0 → extra cc address
+    assert by_id[0]["n_emails"] == 2 and by_id[1]["n_emails"] == 1
+    assert all(r["n_phones"] == 1 and r["n_ips"] == 1 for r in out)
+    for r in out:
+        assert "@" not in r["redacted"]
+        assert "[EMAIL]" in r["redacted"]
+        assert "[PHONE]" in r["redacted"]
+        assert "[IP]" in r["redacted"]
+    # doc 300: ip third octet is 300 // 256 % 256 == 1 (pre-redaction synth
+    # is deterministic from doc_id, so redaction removed exactly that ip)
+    assert by_id[300]["redacted"].endswith("call [PHONE] node [IP]")
+
+
+def test_gopher_quality_rules():
+    import pyarrow as pa
+
+    from docling_api_ray.stages.text_analysis import (
+        GOPHER_MIN_WORDS,
+        gopher_quality,
+    )
+
+    rep = "the " + "spam " * 40 + "end"  # top_word_frac ≫ cap
+    good = "the quick brown fox jumps over and over the lazy dog near " \
+           "a river bank while birds sing in trees above the water line"
+    b = pa.table(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [good, rep, "", "no stop words here at all friend ok"],
+        }
+    )
+    rows = {r["doc_id"]: r for r in gopher_quality(b).to_pylist()}
+    assert rows[1]["keep"] is True and rows[1]["has_stopword"] is True
+    assert rows[2]["keep"] is False and rows[2]["top_word_frac"] > 0.5
+    assert rows[3]["keep"] is False and rows[3]["n_words"] == 0
+    # doc 4 has no stopword and is short → double fail
+    assert rows[4]["keep"] is False and rows[4]["has_stopword"] is False
+    assert rows[4]["n_words"] < GOPHER_MIN_WORDS
+    # dup_word_frac: 40×'spam'+the+end = 42 words, 3 unique → 39/42
+    assert abs(rows[2]["dup_word_frac"] - round(39 / 42, 6)) < 1e-9
