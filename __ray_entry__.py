@@ -256,6 +256,12 @@ def _q_normalize_text(sf_dir: str):
     )
 
 
+def _q_paragraph_dedup(sf_dir: str):
+    from docling_api_ray.stages.dedup import paragraph_dedup
+
+    return paragraph_dedup(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def _q_pii_redact(sf_dir: str):
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         ta.pii_redact, batch_format="pyarrow"
@@ -1015,6 +1021,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text": _q_normalize_text,
         "vocab_topk": _q_vocab_topk,
         "pii_redact": _q_pii_redact,
+        "paragraph_dedup": _q_paragraph_dedup,
         "gopher_quality": _q_gopher_quality,
         "bigram_topk": _q_bigram_topk,
         "quality_score": _q_quality,
@@ -1522,6 +1529,28 @@ def oracle_sql() -> dict[str, str]:
                        WHERE word <> '' GROUP BY 1)
             SELECT word, CAST(n AS BIGINT) AS n FROM c
             ORDER BY n DESC, word LIMIT 50
+        """,
+        "paragraph_dedup": """
+            WITH d AS (SELECT doc_id,
+                              list_filter(string_split(text, ' '),
+                                          w -> w <> '') AS ws
+                       FROM documents),
+                 t AS (SELECT doc_id, unnest(ws) AS word,
+                              unnest(range(len(ws))) AS pos
+                       FROM d),
+                 para AS (SELECT doc_id, pos // 8 AS para_idx,
+                                 string_agg(word, ' ' ORDER BY pos) AS para_text
+                          FROM t GROUP BY doc_id, para_idx),
+                 k AS (SELECT doc_id, para_idx, para_text,
+                              row_number() OVER (PARTITION BY para_text
+                                                 ORDER BY doc_id, para_idx) AS rn
+                       FROM para)
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_paras,
+                   CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+                   coalesce(string_agg(para_text, ' ' ORDER BY para_idx)
+                            FILTER (WHERE rn = 1), '') AS clean_text
+            FROM k GROUP BY doc_id
         """,
         "pii_redact": f"""
             WITH s AS (

@@ -974,3 +974,168 @@ def embedding_neardup_pairs(
     return coalesce_for_shuffle(ds).groupby(block_col).map_groups(
         block, batch_format="pandas"
     )
+
+
+# ---------------------------------------------------------------------------
+# paragraph-level exact dedup
+# ---------------------------------------------------------------------------
+
+def explode_paragraphs(
+    batch: pa.Table,
+    *,
+    para_words: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> pa.Table:
+    """Explode each document into fixed-width word-chunk "paragraphs"
+    (``para_words`` words each, last one ragged) — one row per
+    (doc_id, para_idx, para_text).
+
+    Fully vectorized: ONE ``split_pattern`` per batch, paragraph
+    boundaries computed as numpy offset arithmetic over the flattened
+    token stream, and paragraph strings rebuilt with a single
+    ``pc.binary_join`` over a ListArray view — no per-row python.  Also
+    appends ``__pkey``, a positive int64 hash of the paragraph text
+    that drives the ``_cogrouped`` exchange (collisions are harmless:
+    the winner fold compares full paragraph strings)."""
+    col = batch[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(batch)
+    words = pc.split_pattern(pc.fill_null(col, ""), " ")
+    flat = pc.list_flatten(words)
+    lens = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+    ok = np.asarray(pc.not_equal(flat, ""))
+    flat_ok = flat.filter(pa.array(ok))
+    row_lens = np.bincount(
+        np.repeat(np.arange(n, dtype=np.int64), lens)[ok], minlength=n
+    ).astype(np.int64)
+
+    n_paras = -(-row_lens // para_words)  # ceil
+    total = int(n_paras.sum())
+    empty = pa.table(
+        {
+            id_col: pa.array([], type=pa.int64()),
+            "para_idx": pa.array([], type=pa.int64()),
+            "para_text": pa.array([], type=pa.string()),
+            "__pkey": pa.array([], type=pa.int64()),
+        }
+    )
+    if total == 0:
+        return empty
+    row_starts = np.concatenate(([0], np.cumsum(row_lens)[:-1]))
+    para_rows = np.repeat(np.arange(n, dtype=np.int64), n_paras)
+    first_para = np.concatenate(([0], np.cumsum(n_paras)[:-1]))
+    intra = np.arange(total, dtype=np.int64) - first_para[para_rows]
+    starts = row_starts[para_rows] + para_words * intra
+    offsets = np.append(starts, row_lens.sum()).astype(np.int32)
+    # paragraphs tile the word stream contiguously, so each start is the
+    # previous paragraph's end — a valid monotone offsets vector
+    paras = pc.binary_join(
+        pa.ListArray.from_arrays(pa.array(offsets), flat_ok), " "
+    )
+    import pandas as pd
+
+    keys = pd.util.hash_array(
+        np.asarray(paras, dtype=object)
+    ).astype(np.int64)
+    return pa.table(
+        {
+            id_col: pc.take(batch[id_col], pa.array(para_rows)),
+            "para_idx": pa.array(intra),
+            "para_text": paras,
+            "__pkey": pa.array(np.abs(keys) & 0x7FFFFFFFFFFFFFFF),
+        }
+    )
+
+
+def paragraph_dedup(
+    ds: ray.data.Dataset,
+    *,
+    para_words: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Paragraph-level exact dedup with document reassembly: chunk each
+    doc into ``para_words``-word paragraphs, keep only the FIRST
+    occurrence of each distinct paragraph corpus-wide (winner = min
+    (doc_id, para_idx)), and rebuild every document from its surviving
+    paragraphs.  Returns (doc_id, n_paras, n_kept, clean_text) — the
+    boilerplate-removal primitive (repeated headers/footers/nav blocks
+    vanish from every doc but their first).
+
+    Scale shape: two all-to-all exchanges, each shipping the paragraph
+    text exactly once — first co-grouped by paragraph-hash ``__pkey``
+    (every copy of a paragraph in one partition → vectorized
+    first-wins), then by ``doc_id`` (a doc's surviving paragraphs in
+    one partition → vectorized reassembly).  Nothing is
+    corpus-proportional on the driver and no single mega-block exists;
+    per-doc groups are bounded by doc length."""
+    exploded = ds.select_columns([id_col, text_col]).map_batches(
+        lambda b: explode_paragraphs(
+            b, para_words=para_words, text_col=text_col, id_col=id_col
+        ),
+        batch_format="pyarrow",
+    )
+
+    marked_schema = pa.schema(
+        [
+            (id_col, pa.int64()),
+            ("para_idx", pa.int64()),
+            ("para_text", pa.string()),
+            ("keep", pa.bool_()),
+        ]
+    )
+
+    def mark_winners(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(
+            ["para_text", id_col, "para_idx"], kind="stable"
+        )
+        keep = ~df["para_text"].duplicated(keep="first")
+        out = pd.DataFrame(
+            {
+                id_col: df[id_col],
+                "para_idx": df["para_idx"],
+                "para_text": df["para_text"],
+                "keep": keep,
+            }
+        )
+        return pa.Table.from_pandas(
+            out, schema=marked_schema, preserve_index=False
+        )
+
+    marked = _cogrouped(exploded, "__pkey").map_groups(
+        mark_winners, batch_format="pandas"
+    )
+
+    out_schema = pa.schema(
+        [
+            (id_col, pa.int64()),
+            ("n_paras", pa.int64()),
+            ("n_kept", pa.int64()),
+            ("clean_text", pa.string()),
+        ]
+    )
+
+    def reassemble(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values([id_col, "para_idx"], kind="stable")
+        g = df.groupby(id_col, sort=True)
+        n_paras = g.size()
+        n_kept = g["keep"].sum().astype("int64")
+        kept = df[df["keep"]]
+        clean = kept.groupby(id_col, sort=True)["para_text"].agg(" ".join)
+        out = pd.DataFrame(
+            {
+                id_col: n_paras.index.to_numpy(),
+                "n_paras": n_paras.to_numpy(),
+                "n_kept": n_kept.to_numpy(),
+                "clean_text": clean.reindex(n_paras.index, fill_value="").to_numpy(),
+            }
+        )
+        return pa.Table.from_pandas(
+            out, schema=out_schema, preserve_index=False
+        )
+
+    return _cogrouped(marked, id_col).map_groups(
+        reassemble, batch_format="pandas"
+    )

@@ -282,3 +282,36 @@ def test_connected_components_nonconvergence_raises():
     out = {r["node"]: r["component"]
            for r in connected_components(pairs).take_all()}
     assert set(out.values()) == {0}
+
+
+def test_paragraph_dedup_boilerplate_removal(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from docling_api_ray.stages.dedup import paragraph_dedup
+
+    boiler = "nav home about contact terms privacy legal footer"  # 8 words
+    docs = [
+        (0, boiler + " alpha beta gamma delta one two three four"),
+        (1, boiler + " epsilon zeta eta theta five six seven eight"),
+        (2, boiler),  # nothing but boilerplate
+        (3, "unique words only in this very document right here"),
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": [d for d, _ in docs],
+                "text": [t for _, t in docs],
+            }
+        )
+    )
+    rows = {r["doc_id"]: r for r in paragraph_dedup(ds).take_all()}
+    assert rows[0]["n_paras"] == 2 and rows[0]["n_kept"] == 2  # first wins
+    assert rows[0]["clean_text"].startswith(boiler)
+    # doc 1 loses the boilerplate paragraph but keeps its own content
+    assert rows[1]["n_paras"] == 2 and rows[1]["n_kept"] == 1
+    assert rows[1]["clean_text"] == "epsilon zeta eta theta five six seven eight"
+    # doc 2 is pure boilerplate → everything deduped away
+    assert rows[2]["n_kept"] == 0 and rows[2]["clean_text"] == ""
+    # doc 3: 9 words → an 8-word paragraph + a ragged 1-word tail, both kept
+    assert rows[3]["n_paras"] == 2 and rows[3]["n_kept"] == 2
