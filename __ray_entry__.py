@@ -262,6 +262,12 @@ def _q_paragraph_dedup(sf_dir: str):
     return paragraph_dedup(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def _q_pack_chunks(sf_dir: str):
+    from docling_api_ray.stages.packing import pack_chunks
+
+    return pack_chunks(_docs(sf_dir, ["doc_id", "source", "text"]))
+
+
 def _q_pii_redact(sf_dir: str):
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         ta.pii_redact, batch_format="pyarrow"
@@ -1022,6 +1028,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_topk": _q_vocab_topk,
         "pii_redact": _q_pii_redact,
         "paragraph_dedup": _q_paragraph_dedup,
+        "pack_chunks": _q_pack_chunks,
         "gopher_quality": _q_gopher_quality,
         "bigram_topk": _q_bigram_topk,
         "quality_score": _q_quality,
@@ -1529,6 +1536,22 @@ def oracle_sql() -> dict[str, str]:
                        WHERE word <> '' GROUP BY 1)
             SELECT word, CAST(n AS BIGINT) AS n FROM c
             ORDER BY n DESC, word LIMIT 50
+        """,
+        "pack_chunks": f"""
+            WITH t AS (SELECT doc_id, source,
+                              CAST(length(regexp_extract_all(text, $${wsre}$$))
+                                   AS BIGINT) AS n_tokens
+                       FROM documents),
+                 s AS (SELECT doc_id, source, n_tokens,
+                              sum(n_tokens) OVER (PARTITION BY source
+                                                  ORDER BY doc_id
+                                                  ROWS UNBOUNDED PRECEDING)
+                                - n_tokens AS off
+                       FROM t)
+            SELECT doc_id, source, n_tokens,
+                   CAST(off // 512 AS BIGINT) AS chunk_id,
+                   CAST(off % 512 AS BIGINT) AS chunk_pos
+            FROM s
         """,
         "paragraph_dedup": """
             WITH d AS (SELECT doc_id,
