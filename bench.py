@@ -95,6 +95,10 @@ def _bench_once() -> dict:
         "dedup_minhash",
         "dedup_minhash_keep",
         "dedup_simhash",
+        "paragraph_dedup",
+        "pack_chunks",
+        "gopher_quality",
+        "pii_redact",
         "bm25_scores",
         "knn_bruteforce",
         "knn_ivf",
