@@ -993,6 +993,12 @@ def _q_quality_filter(sf_dir: str):
     )
 
 
+def _q_kmeans(sf_dir: str):
+    from docling_api_ray.stages.clustering import kmeans_assign
+
+    return kmeans_assign(_emb(sf_dir, ["vec_id", "embedding"]), k=8, iters=2)
+
+
 def _q_conversion_metrics(sf_dir: str):
     from docling_api_ray.pipelines.metrics import conversion_metrics
 
@@ -1050,6 +1056,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": _q_stratified_sample,
         "dedup_simhash": _q_dedup_simhash,
         "embedding_neardup": _q_embedding_neardup,
+        "kmeans_clusters": _q_kmeans,
         "knn_bruteforce": _q_knn,
         "knn_ivf": _q_knn_ivf,
         "conversion_metrics": _q_conversion_metrics,
@@ -1139,6 +1146,74 @@ def _decontaminate_oracle_sql() -> str:
                  / greatest(len(s.sh), 1) AS contamination_ratio
         FROM sh s LEFT JOIN cnt c USING (doc_id)
     """
+
+
+def _kmeans_oracle_sql(k: int = 8, iters: int = 2) -> str:
+    """Bit-exact SQL mirror of ``stages/clustering.kmeans_assign``: the
+    same ``floor(x*1e6+0.5)`` int64 quantizer, exact int64 squared-L2
+    distances, argmin with ORDER BY (d, cid) tie-break, and the
+    offset-by-1e6 nonnegative integer floor-division centroid mean
+    (DuckDB's truncating ``//`` equals numpy's floor-div on
+    nonnegatives).  Iterations unroll as CTE pairs; empty clusters keep
+    the previous centroid via the LEFT JOIN + coalesce."""
+    parts = [
+        """
+        WITH vq AS (SELECT vec_id,
+                           list_transform(embedding, e ->
+                               CAST(floor(CAST(e AS DOUBLE) * 1000000 + 0.5)
+                                    AS BIGINT)) AS q
+                    FROM embeddings),
+             vu AS (SELECT vec_id, unnest(q) AS ve,
+                           unnest(range(len(q))) AS pos
+                    FROM vq),
+             cu0 AS (SELECT cid, unnest(q) AS ce,
+                            unnest(range(len(q))) AS pos
+                     FROM (SELECT row_number() OVER (ORDER BY vec_id) - 1
+                                    AS cid, q
+                           FROM vq ORDER BY vec_id LIMIT %d))
+        """
+        % k
+    ]
+    for it in range(1, iters + 1):
+        parts.append(
+            """,
+             d{i} AS (SELECT v.vec_id, c.cid,
+                            sum((v.ve - c.ce) * (v.ve - c.ce)) AS d
+                     FROM vu v JOIN cu{prev} c USING (pos)
+                     GROUP BY v.vec_id, c.cid),
+             a{i} AS (SELECT vec_id, cid, d FROM
+                        (SELECT vec_id, cid, d,
+                                row_number() OVER (PARTITION BY vec_id
+                                                   ORDER BY d, cid) AS rn
+                         FROM d{i})
+                     WHERE rn = 1),
+             s{i} AS (SELECT a.cid, v.pos, sum(v.ve) AS s,
+                            CAST(count(*) AS BIGINT) AS n
+                     FROM a{i} a JOIN vu v USING (vec_id)
+                     GROUP BY a.cid, v.pos),
+             cu{i} AS (SELECT c.cid, c.pos,
+                             coalesce((s.s + s.n * 1000000) // s.n - 1000000,
+                                      c.ce) AS ce
+                      FROM cu{prev} c
+                      LEFT JOIN s{i} s ON s.cid = c.cid AND s.pos = c.pos)
+            """.format(i=it, prev=it - 1)
+        )
+    # final labeling pass against the post-iteration centroids
+    parts.append(
+        """,
+             df AS (SELECT v.vec_id, c.cid,
+                           sum((v.ve - c.ce) * (v.ve - c.ce)) AS d
+                    FROM vu v JOIN cu{last} c USING (pos)
+                    GROUP BY v.vec_id, c.cid)
+        SELECT vec_id, cid AS cluster, d AS dist FROM
+          (SELECT vec_id, cid, d,
+                  row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY d, cid) AS rn
+           FROM df)
+        WHERE rn = 1
+        """.format(last=iters)
+    )
+    return "".join(parts)
 
 
 def _minhash_oracle_sql(threshold: float, num_perm: int = 64, bands: int = 16) -> str:
@@ -1670,6 +1745,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fingerprint_md5": "SELECT doc_id, md5(text) AS fp_md5 FROM documents",
         "fingerprint_rolling": _fp_rolling_oracle_sql(),
+        "kmeans_clusters": _kmeans_oracle_sql(8, 2),
         "dedup_minhash": _minhash_oracle_sql(0.7),
         "dedup_minhash_keep": _minhash_keep_oracle_sql(0.7),
         "bm25_scores": _bm25_oracle_sql(_BM25_TERMS),

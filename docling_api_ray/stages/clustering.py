@@ -1,0 +1,173 @@
+"""Distributed k-means (Lloyd) over the embeddings table — the
+clustering primitive behind curation recipes like SemDeDup (cluster,
+then prune near-duplicates within clusters) and cluster-balanced
+sampling.
+
+Exactness contract: arithmetic is INTEGER end-to-end so the DuckDB
+oracle matches bit-for-bit with no float-summation caveats.  Embedding
+components quantize once to int64 micro-units via ``floor(x*1e6 + 0.5)``
+(an expression both numpy and DuckDB evaluate identically in float64 —
+unlike ``rint``/``round`` whose half-even vs half-away semantics
+diverge); distances are exact int64 squared-L2 sums; centroid updates
+are exact integer floor-division means (offset by +1e6 per component so
+the nonnegative division truncates identically under numpy's floor-div
+and DuckDB's truncating ``//``).
+
+Scale shape per Lloyd iteration (the classic distributed k-means):
+- centroids broadcast once (``ray.put``, fetched in actor ``__init__``);
+- ONE streaming assignment pass emits per-batch PARTIAL per-cluster
+  (count, per-dim sum) rows — ≤ k rows per batch regardless of batch
+  size, so the shuffle moves k·blocks tiny rows, never vectors;
+- a k-row fold reaches the driver (bounded by k·dim ints).
+Total: ``iters`` passes + one final labeling pass, no all-to-all over
+the vectors at any point.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+SCALE = 1_000_000
+OFF = 1_000_000  # component offset for the exact nonneg floor-division
+
+
+def quantized_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Arrow ``list<float>`` → (N, dim) int64 micro-unit matrix via the
+    deterministic ``floor(x*1e6 + 0.5)`` quantizer (module docstring)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    if n == 0:
+        return np.zeros((0, 0), dtype=np.int64)
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    if flat.size % n:
+        raise ValueError("ragged embedding column")
+    q = np.floor(flat * SCALE + 0.5).astype(np.int64)
+    return q.reshape(n, flat.size // n)
+
+
+def _assign(mat: np.ndarray, cents: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(cluster, squared-distance) per row; ties break to the LOWER
+    centroid id (argmin-first == the oracle's ORDER BY d, cid)."""
+    n, k = len(mat), len(cents)
+    d = np.empty((n, k), dtype=np.int64)
+    for j in range(k):
+        diff = mat - cents[j]
+        d[:, j] = np.einsum("ij,ij->i", diff, diff)
+    a = np.argmin(d, axis=1)
+    return a.astype(np.int64), d[np.arange(n), a]
+
+
+class _PartialSums:
+    """Per-batch partial (cluster, count, per-dim sum) rows — ≤ k rows
+    out per batch, the map-side combiner of the centroid update."""
+
+    def __init__(self, cents_ref) -> None:
+        self.cents = ray.get(cents_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        dim = self.cents.shape[1]
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    "cid": pa.array([], type=pa.int64()),
+                    "n": pa.array([], type=pa.int64()),
+                    "sums": pa.array([], type=pa.list_(pa.int64())),
+                }
+            )
+        mat = quantized_matrix(batch["embedding"])
+        assign, _ = _assign(mat, self.cents)
+        cids = np.unique(assign)
+        sums = np.zeros((len(cids), dim), dtype=np.int64)
+        counts = np.zeros(len(cids), dtype=np.int64)
+        for i, c in enumerate(cids):
+            members = mat[assign == c]
+            sums[i] = members.sum(axis=0)
+            counts[i] = len(members)
+        return pa.table(
+            {
+                "cid": pa.array(cids),
+                "n": pa.array(counts),
+                "sums": pa.array(list(sums), type=pa.list_(pa.int64())),
+            }
+        )
+
+
+class _AssignFinal:
+    def __init__(self, cents_ref) -> None:
+        self.cents = ray.get(cents_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.schema(
+                [
+                    ("vec_id", pa.int64()),
+                    ("cluster", pa.int64()),
+                    ("dist", pa.int64()),
+                ]
+            ).empty_table()
+        mat = quantized_matrix(batch["embedding"])
+        assign, dist = _assign(mat, self.cents)
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "cluster": pa.array(assign),
+                "dist": pa.array(dist),
+            }
+        )
+
+
+def kmeans_assign(
+    ds: ray.data.Dataset, *, k: int = 8, iters: int = 2
+) -> ray.data.Dataset:
+    """Lloyd k-means over ``(vec_id, embedding)``; returns
+    ``(vec_id, cluster, dist)`` after ``iters`` exact integer
+    iterations.  Init = the k smallest ``vec_id`` vectors (cid in
+    vec_id order) — deterministic and oracle-mirrorable."""
+    init_rows = ds.sort("vec_id").limit(k).take_all()  # k rows, bounded
+    init_rows.sort(key=lambda r: r["vec_id"])
+    cents = quantized_matrix(
+        pa.array([r["embedding"] for r in init_rows], type=pa.list_(pa.float32()))
+    )
+
+    for _ in range(iters):
+        ref = ray.put(cents)
+        partials = ds.map_batches(
+            _PartialSums,
+            fn_constructor_kwargs={"cents_ref": ref},
+            batch_format="pyarrow",
+            batch_size=4096,
+            concurrency=(1, 8),
+        )
+
+        def fold(df: pd.DataFrame) -> pd.DataFrame:
+            out = []
+            for cid, g in df.groupby("cid", sort=True):
+                s = np.sum(np.stack(g["sums"].to_numpy()), axis=0)
+                out.append((int(cid), int(g["n"].sum()), s.tolist()))
+            return pd.DataFrame(out, columns=["cid", "n", "sums"])
+
+        rows = (
+            partials.repartition(1)  # ≤ k rows per upstream block
+            .map_batches(fold, batch_format="pandas", batch_size=None)
+            .take_all()
+        )
+        new_cents = cents.copy()  # empty clusters keep their centroid
+        for r in rows:
+            s = np.asarray(r["sums"], dtype=np.int64)
+            n = int(r["n"])
+            new_cents[int(r["cid"])] = (s + n * OFF) // n - OFF
+        cents = new_cents
+
+    final_ref = ray.put(cents)
+    return ds.map_batches(
+        _AssignFinal,
+        fn_constructor_kwargs={"cents_ref": final_ref},
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 8),
+    )
