@@ -262,6 +262,12 @@ def _q_paragraph_dedup(sf_dir: str):
     return paragraph_dedup(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def _q_curate_pack(sf_dir: str):
+    from docling_api_ray.pipelines.curate import curate_pack
+
+    return curate_pack(_docs(sf_dir, ["doc_id", "source", "text"]))
+
+
 def _q_pack_chunks(sf_dir: str):
     from docling_api_ray.stages.packing import pack_chunks
 
@@ -1035,6 +1041,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": _q_pii_redact,
         "paragraph_dedup": _q_paragraph_dedup,
         "pack_chunks": _q_pack_chunks,
+        "curate_pack": _q_curate_pack,
         "gopher_quality": _q_gopher_quality,
         "bigram_topk": _q_bigram_topk,
         "quality_score": _q_quality,
@@ -1145,6 +1152,78 @@ def _decontaminate_oracle_sql() -> str:
                CAST(coalesce(c.n_cont, 0) AS DOUBLE)
                  / greatest(len(s.sh), 1) AS contamination_ratio
         FROM sh s LEFT JOIN cnt c USING (doc_id)
+    """
+
+
+def _curate_oracle_sql(wsre: str) -> str:
+    """One CTE pipeline mirroring ``pipelines/curate.curate_pack``:
+    paragraph dedup → source join → Gopher filter over clean_text →
+    per-source concat-and-chunk packing window."""
+    return f"""
+        WITH d AS (SELECT doc_id,
+                          list_filter(string_split(text, ' '),
+                                      w -> w <> '') AS ws
+                   FROM documents),
+             t AS (SELECT doc_id, unnest(ws) AS word,
+                          unnest(range(len(ws))) AS pos
+                   FROM d),
+             para AS (SELECT doc_id, pos // 8 AS para_idx,
+                             string_agg(word, ' ' ORDER BY pos) AS para_text
+                      FROM t GROUP BY doc_id, para_idx),
+             kk AS (SELECT doc_id, para_idx, para_text,
+                           row_number() OVER (PARTITION BY para_text
+                                              ORDER BY doc_id, para_idx) AS rn
+                    FROM para),
+             pd AS (SELECT doc_id,
+                           coalesce(string_agg(para_text, ' ' ORDER BY para_idx)
+                                    FILTER (WHERE rn = 1), '') AS clean_text
+                    FROM kk GROUP BY doc_id),
+             j AS (SELECT p.doc_id, doc.source, p.clean_text
+                   FROM pd p JOIN documents doc USING (doc_id)),
+             w2 AS (SELECT doc_id, unnest(string_split(clean_text, ' ')) AS word
+                    FROM j),
+             wc AS (SELECT doc_id, word, count(*) AS c
+                    FROM w2 WHERE word <> '' GROUP BY doc_id, word),
+             agg AS (SELECT doc_id,
+                            CAST(sum(c) AS BIGINT) AS n_words,
+                            CAST(count(*) AS BIGINT) AS n_unique,
+                            CAST(max(c) AS BIGINT) AS top_n,
+                            CAST(sum(c * length(word)) AS BIGINT) AS chars,
+                            bool_or(word IN {ta.STOPWORDS!r}) AS has_stopword
+                     FROM wc GROUP BY doc_id),
+             q AS (SELECT j.doc_id, j.source, j.clean_text,
+                          coalesce(a.n_words, 0) AS n_words,
+                          round(coalesce(a.chars, 0)
+                                / greatest(coalesce(a.n_words, 0), 1), 6)
+                            AS mwl,
+                          round((coalesce(a.n_words, 0) - coalesce(a.n_unique, 0))
+                                / greatest(coalesce(a.n_words, 0), 1), 6)
+                            AS dup_frac,
+                          round(coalesce(a.top_n, 0)
+                                / greatest(coalesce(a.n_words, 0), 1), 6)
+                            AS top_frac,
+                          coalesce(a.has_stopword, FALSE) AS has_stopword
+                   FROM j LEFT JOIN agg a USING (doc_id)),
+             f AS (SELECT doc_id, source,
+                          CAST(length(regexp_extract_all(clean_text, $${wsre}$$))
+                               AS BIGINT) AS n_tokens
+                   FROM q
+                   WHERE n_words BETWEEN {ta.GOPHER_MIN_WORDS}
+                                     AND {ta.GOPHER_MAX_WORDS}
+                     AND mwl BETWEEN {ta.GOPHER_MIN_MWL} AND {ta.GOPHER_MAX_MWL}
+                     AND dup_frac <= {ta.GOPHER_MAX_DUP_FRAC}
+                     AND top_frac <= {ta.GOPHER_MAX_TOP_FRAC}
+                     AND has_stopword),
+             s AS (SELECT doc_id, source, n_tokens,
+                          sum(n_tokens) OVER (PARTITION BY source
+                                              ORDER BY doc_id
+                                              ROWS UNBOUNDED PRECEDING)
+                            - n_tokens AS off
+                   FROM f)
+        SELECT doc_id, source, n_tokens,
+               CAST(off // 512 AS BIGINT) AS chunk_id,
+               CAST(off % 512 AS BIGINT) AS chunk_pos
+        FROM s
     """
 
 
@@ -1612,6 +1691,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT word, CAST(n AS BIGINT) AS n FROM c
             ORDER BY n DESC, word LIMIT 50
         """,
+        "curate_pack": _curate_oracle_sql(wsre),
         "pack_chunks": f"""
             WITH t AS (SELECT doc_id, source,
                               CAST(length(regexp_extract_all(text, $${wsre}$$))
