@@ -100,6 +100,8 @@ def _bench_once() -> dict:
         "gopher_quality",
         "pii_redact",
         "bm25_scores",
+        "kmeans_clusters",
+        "curate_pack",
         "knn_bruteforce",
         "knn_ivf",
         "events_hourly",
