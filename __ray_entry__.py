@@ -1005,6 +1005,34 @@ def _q_kmeans(sf_dir: str):
     return kmeans_assign(_emb(sf_dir, ["vec_id", "embedding"]), k=8, iters=2)
 
 
+def _q_embedding_gram(sf_dir: str):
+    from docling_api_ray.stages.linalg import gram_matrix
+
+    return gram_matrix(_emb(sf_dir, ["embedding"]))
+
+
+def _q_cluster_outliers(sf_dir: str):
+    from docling_api_ray.stages.clustering import cluster_outliers
+
+    return cluster_outliers(
+        _emb(sf_dir, ["vec_id", "embedding"]), k=8, iters=2, top=20
+    )
+
+
+_SEMDEDUP_TH = 0.25  # within-cluster margins ≥1e-5 at oracle scales
+
+
+def _q_semdedup(sf_dir: str):
+    from docling_api_ray.stages.clustering import semdedup_keep
+
+    return semdedup_keep(
+        _emb(sf_dir, ["vec_id", "embedding"]),
+        k=8,
+        iters=2,
+        threshold=_SEMDEDUP_TH,
+    )
+
+
 def _q_conversion_metrics(sf_dir: str):
     from docling_api_ray.pipelines.metrics import conversion_metrics
 
@@ -1064,6 +1092,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": _q_dedup_simhash,
         "embedding_neardup": _q_embedding_neardup,
         "kmeans_clusters": _q_kmeans,
+        "embedding_gram": _q_embedding_gram,
+        "cluster_outliers": _q_cluster_outliers,
+        "semdedup_keep": _q_semdedup,
         "knn_bruteforce": _q_knn,
         "knn_ivf": _q_knn_ivf,
         "conversion_metrics": _q_conversion_metrics,
@@ -1284,7 +1315,7 @@ def _kmeans_oracle_sql(k: int = 8, iters: int = 2) -> str:
                            sum((v.ve - c.ce) * (v.ve - c.ce)) AS d
                     FROM vu v JOIN cu{last} c USING (pos)
                     GROUP BY v.vec_id, c.cid)
-        SELECT vec_id, cid AS cluster, d AS dist FROM
+        SELECT vec_id, cid AS cluster, CAST(d AS BIGINT) AS dist FROM
           (SELECT vec_id, cid, d,
                   row_number() OVER (PARTITION BY vec_id
                                      ORDER BY d, cid) AS rn
@@ -1826,6 +1857,39 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_md5": "SELECT doc_id, md5(text) AS fp_md5 FROM documents",
         "fingerprint_rolling": _fp_rolling_oracle_sql(),
         "kmeans_clusters": _kmeans_oracle_sql(8, 2),
+        "embedding_gram": """
+            WITH vq AS (SELECT vec_id,
+                               list_transform(embedding, e ->
+                                   CAST(floor(CAST(e AS DOUBLE) * 1000000
+                                              + 0.5) AS BIGINT)) AS q
+                        FROM embeddings),
+                 vu AS (SELECT vec_id, unnest(q) AS v,
+                               unnest(range(len(q))) AS i
+                        FROM vq)
+            SELECT a.i AS i, b.i AS j, CAST(sum(a.v * b.v) AS BIGINT) AS gram
+            FROM vu a JOIN vu b USING (vec_id)
+            GROUP BY 1, 2
+        """,
+        "cluster_outliers": f"""
+            WITH asg AS ({_kmeans_oracle_sql(8, 2)})
+            SELECT vec_id, cluster, dist FROM asg
+            ORDER BY dist DESC, vec_id LIMIT 20
+        """,
+        "semdedup_keep": f"""
+            WITH asg AS ({_kmeans_oracle_sql(8, 2)}),
+                 e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+                 losers AS (SELECT DISTINCT a2.vec_id AS vec_id
+                            FROM asg a1
+                            JOIN asg a2 ON a1.cluster = a2.cluster
+                                       AND a1.vec_id < a2.vec_id
+                            JOIN e e1 ON e1.vec_id = a1.vec_id
+                            JOIN e e2 ON e2.vec_id = a2.vec_id
+                            WHERE list_cosine_similarity(e1.v, e2.v)
+                                    >= {_SEMDEDUP_TH})
+            SELECT a.vec_id, a.cluster, (l.vec_id IS NULL) AS keep
+            FROM asg a LEFT JOIN losers l USING (vec_id)
+        """,
         "dedup_minhash": _minhash_oracle_sql(0.7),
         "dedup_minhash_keep": _minhash_keep_oracle_sql(0.7),
         "bm25_scores": _bm25_oracle_sql(_BM25_TERMS),

@@ -171,3 +171,85 @@ def kmeans_assign(
         batch_size=4096,
         concurrency=(1, 8),
     )
+
+
+def cluster_outliers(
+    ds: ray.data.Dataset, *, k: int = 8, iters: int = 2, top: int = 20
+) -> ray.data.Dataset:
+    """The ``top`` vectors FARTHEST from their k-means centroid —
+    prototypicality pruning (drop the least-representative tail before
+    training).  Distances are the exact int64 squared-L2 of
+    ``kmeans_assign``, so ordering is bit-deterministic.
+
+    Two-level top-k: per-batch heads (≤ ``top`` rows out per batch) then
+    one bounded merge block — the exchange moves top·blocks rows, never
+    the corpus."""
+    asg = kmeans_assign(ds, k=k, iters=iters)
+
+    def head(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().sort_values(
+            ["dist", "vec_id"], ascending=[False, True], kind="stable"
+        ).head(top)
+        return pa.Table.from_pandas(df, preserve_index=False).cast(b.schema)
+
+    return (
+        asg.map_batches(head, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(head, batch_format="pyarrow", batch_size=None)
+    )
+
+
+class _KeepFlag:
+    """Stateless-per-batch keep flagging against the broadcast loser-id
+    set (fetched once per actor)."""
+
+    def __init__(self, losers_ref) -> None:
+        self.losers = ray.get(losers_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["vec_id"], dtype=np.int64)
+        keep = ~np.isin(ids, self.losers)
+        return batch.append_column("keep", pa.array(keep, type=pa.bool_()))
+
+
+def semdedup_keep(
+    ds: ray.data.Dataset,
+    *,
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.2,
+) -> ray.data.Dataset:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space with k-means, then mark within-cluster cosine
+    near-duplicates — a vector is dropped iff a SMALLER ``vec_id`` in
+    its cluster has cosine ≥ ``threshold`` with it.  Returns
+    ``(vec_id, cluster, keep)``.
+
+    Scale shape: the k-means passes are streaming (see
+    ``kmeans_assign``); pairwise cosine runs only WITHIN clusters (at
+    real scale k grows with the corpus so clusters stay small — the
+    same blocking contract as ``embedding_neardup_pairs``); the loser-id
+    set reaching the driver is bounded by the number of near-duplicate
+    vectors, the same duplicate-structure bound as the dedup keep-lists
+    (stages/dedup.py hot-bucket note)."""
+    from docling_api_ray.stages.dedup import embedding_neardup_pairs
+    from docling_api_ray.stages.joins import hash_join
+
+    asg = kmeans_assign(ds, k=k, iters=iters).select_columns(
+        ["vec_id", "cluster"]
+    )
+    withc = hash_join(
+        ds.select_columns(["vec_id", "embedding"]), asg, on="vec_id"
+    )
+    pairs = embedding_neardup_pairs(
+        withc, block_col="cluster", threshold=threshold
+    )
+    losers = np.array(
+        sorted(pairs.unique("right_id")), dtype=np.int64
+    )  # duplicate-structure-bounded (docstring)
+    return asg.map_batches(
+        _KeepFlag,
+        fn_constructor_kwargs={"losers_ref": ray.put(losers)},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )

@@ -70,3 +70,45 @@ def test_quantized_matrix_exact_floor_half_up():
     # float32(1e-6)*1e6 ≈ 1.0000000117 → floor(+0.5) = 1; the negative
     # mirror floors −0.5000000117 to −1 (exact, no half-even ambiguity)
     assert q[0, 2] == 1 and q[0, 3] == -1
+
+
+def test_cluster_outliers_picks_farthest_and_is_bounded():
+    from docling_api_ray.stages.clustering import cluster_outliers
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(0, 0.05, size=(40, 3))
+    vecs[5] = [0.9, 0.9, 0.9]   # gross outliers
+    vecs[17] = [-0.9, 0.9, -0.9]
+    rows = cluster_outliers(_ds(vecs), k=1, iters=1, top=2).take_all()
+    assert len(rows) == 2
+    assert {r["vec_id"] for r in rows} == {5, 17}
+    # sorted by distance descending, deterministic
+    assert rows[0]["dist"] >= rows[1]["dist"]
+
+
+def test_semdedup_drops_higher_id_of_near_identical_pair():
+    from docling_api_ray.stages.clustering import semdedup_keep
+
+    vecs = [
+        [1.0, 0.0, 0.0],
+        [0.999, 0.001, 0.0],   # near-dup of 0 → dropped (higher id)
+        [0.0, 1.0, 0.0],
+        [-1.0, 0.0, 0.0],
+    ]
+    rows = {r["vec_id"]: r["keep"]
+            for r in semdedup_keep(_ds(vecs), k=1, iters=1,
+                                   threshold=0.99).take_all()}
+    assert rows == {0: True, 1: False, 2: True, 3: True}
+
+
+def test_gram_matrix_matches_numpy():
+    from docling_api_ray.stages.linalg import gram_matrix
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(0, 0.3, size=(25, 4))
+    out = gram_matrix(_ds(vecs)).take_all()
+    q = np.floor(vecs.astype(np.float32).astype(np.float64) * 1e6 + 0.5).astype(np.int64)
+    expect = q.T @ q
+    assert len(out) == 16
+    for r in out:
+        assert r["gram"] == expect[r["i"], r["j"]], (r, expect[r["i"], r["j"]])
