@@ -445,6 +445,12 @@ def _q_dedup_exact_rows(sf_dir: str):
     )
 
 
+def _q_dup_ngrams(sf_dir: str):
+    from docling_api_ray.stages.dedup import dup_ngram_coverage
+
+    return dup_ngram_coverage(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def _q_decontaminate(sf_dir: str):
     """Benchmark decontamination: per-doc count of 3-word shingles that
     appear in the benchmark subset (doc_id % 50 == 0), broadcast
@@ -1081,6 +1087,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_rows": _q_dedup_exact_rows,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "decontaminate": _q_decontaminate,
+        "dup_ngrams": _q_dup_ngrams,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_minhash_keep": _q_dedup_minhash_keep,
         "split_assign": _q_split_assign,
@@ -1952,6 +1959,18 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents)
         """,
         "decontaminate": _decontaminate_oracle_sql(),
+        "dup_ngrams": f"""
+            WITH {_sql_shingle_ctes()},
+            expl AS (SELECT doc_id, unnest(sh) AS h FROM sh),
+            per AS (SELECT doc_id, h, CAST(count(*) AS BIGINT) AS cnt
+                    FROM expl GROUP BY 1, 2),
+            shared AS (SELECT h FROM per GROUP BY h HAVING count(*) >= 2),
+            dup AS (SELECT p.doc_id, CAST(sum(p.cnt) AS BIGINT) AS dup_grams
+                    FROM per p JOIN shared s USING (h) GROUP BY 1)
+            SELECT s.doc_id, CAST(len(s.sh) AS BIGINT) AS n_grams,
+                   CAST(coalesce(d.dup_grams, 0) AS BIGINT) AS dup_grams
+            FROM sh s LEFT JOIN dup d USING (doc_id)
+        """,
         "dedup_simhash": _simhash_oracle_sql(3),
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, md5(text) AS content_hash,

@@ -101,6 +101,8 @@ def _bench_once() -> dict:
         "pii_redact",
         "bm25_scores",
         "kmeans_clusters",
+        "semdedup_keep",
+        "embedding_gram",
         "curate_pack",
         "knn_bruteforce",
         "knn_ivf",

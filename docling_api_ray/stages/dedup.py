@@ -1139,3 +1139,182 @@ def paragraph_dedup(
     return _cogrouped(marked, id_col).map_groups(
         reassemble, batch_format="pandas"
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-document duplicate n-gram coverage
+# ---------------------------------------------------------------------------
+
+def dup_ngram_coverage(
+    ds: ray.data.Dataset, *, text_col: str = "text", id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """Duplicate n-gram coverage — the cross-document substring-duplication
+    signal behind exact-substring training-data dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499 §4.1, there via suffix arrays; here over the same
+    3-word shingle hashes the MinHash/decontamination stages use, which
+    keeps the whole pipeline on one hash family and one SQL mirror).
+
+    Per document: ``n_grams`` = its shingle-position count and
+    ``dup_grams`` = how many of those positions carry a shingle that
+    occurs in >= 2 DISTINCT documents corpus-wide.  ``dup_grams /
+    n_grams`` is the doc's duplicated-text fraction — the standard
+    filter/score for boilerplate-heavy web corpora.  Integer output only
+    (no float ratio) so the DuckDB oracle is bit-exact.
+
+    Scale shape (two narrow exchanges, both fixed-width):
+    1. one streaming pass emits per-doc DISTINCT (gram, cnt) rows — the
+       shuffle payload is (int64 gram, int64 doc_id, int64 cnt), never
+       text;
+    2. grams co-group to ~core-count partitions (``_cogrouped`` on the
+       63-bit gram key); a vectorized pandas fold marks grams seen by
+       >= 2 docs (rows are per-(doc,gram) unique, so ``duplicated`` ==
+       multi-doc) and emits per-partition per-doc partial sums — output
+       is bounded by docs x partitions, not gram instances;
+    3. a doc-keyed grouped sum + left hash_join back onto the per-doc
+       totals.  No stage holds the gram vocabulary in one block.
+    """
+    from docling_api_ray.functions.hashing import (
+        FP_MASK63,
+        MASK32,
+        SHINGLE_A,
+        SHINGLE_B,
+    )
+    from docling_api_ray.stages.joins import hash_join
+
+    gram_schema = pa.schema(
+        [
+            (id_col, pa.int64()),
+            ("gram", pa.int64()),
+            ("cnt", pa.int64()),
+            ("gkey", pa.int64()),
+        ]
+    )
+
+    def gram_rows(b: pa.Table) -> pa.Table:
+        texts = [t if t is not None else "" for t in b[text_col].to_pylist()]
+        ids = np.asarray(b[id_col], dtype=np.int64)
+        hashes, offsets = batch_word_hashes(texts)
+        lens = np.diff(offsets)
+        w32 = hashes & MASK32
+        grams_l: list[np.ndarray] = []
+        rows_l: list[np.ndarray] = []
+        if len(w32) >= 3:
+            doc_of = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
+            sh = (
+                w32[:-2] * SHINGLE_A + w32[1:-1] * SHINGLE_B + w32[2:]
+            ).astype(np.uint64)
+            valid = doc_of[:-2] == doc_of[2:]  # window stays in one doc
+            grams_l.append(sh[valid])
+            rows_l.append(doc_of[:-2][valid])
+        for short_len in (1, 2):  # shingle_hashes short-doc semantics
+            idx = np.flatnonzero(lens == short_len)
+            if len(idx):
+                s = offsets[idx]
+                if short_len == 1:
+                    g = (w32[s] * SHINGLE_A).astype(np.uint64)
+                else:
+                    g = (w32[s] * SHINGLE_A + w32[s + 1] * SHINGLE_B).astype(
+                        np.uint64
+                    )
+                grams_l.append(g)
+                rows_l.append(idx)
+        if not grams_l:
+            return gram_schema.empty_table()
+        gram = np.concatenate(grams_l)
+        row = np.concatenate(rows_l)
+        # per-(doc, gram) run-length counts via one lexsort
+        order = np.lexsort((gram, row))
+        g_s, r_s = gram[order], row[order]
+        new = np.empty(len(g_s), dtype=bool)
+        new[0] = True
+        new[1:] = (g_s[1:] != g_s[:-1]) | (r_s[1:] != r_s[:-1])
+        starts = np.flatnonzero(new)
+        cnt = np.diff(np.append(starts, len(g_s)))
+        u_gram, u_row = g_s[starts], r_s[starts]
+        return pa.table(
+            {
+                id_col: pa.array(ids[u_row]),
+                "gram": pa.array(u_gram.view(np.int64)),
+                "cnt": pa.array(cnt.astype(np.int64)),
+                "gkey": pa.array((u_gram & FP_MASK63).view(np.int64)),
+            },
+            schema=gram_schema,
+        )
+
+    partial_schema = pa.schema([(id_col, pa.int64()), ("dup_grams", pa.int64())])
+
+    def fold(df: pd.DataFrame) -> pa.Table:
+        shared = df.duplicated("gram", keep=False)
+        d = (
+            df.loc[shared]
+            .groupby(id_col, sort=False)["cnt"]
+            .sum()
+            .reset_index()
+            .rename(columns={"cnt": "dup_grams"})
+        )
+        return pa.Table.from_pandas(
+            d, schema=partial_schema, preserve_index=False
+        )
+
+    grams = ds.select_columns([id_col, text_col]).map_batches(
+        gram_rows, batch_format="pyarrow"
+    )
+    partials = _cogrouped(grams, "gkey").map_groups(fold, batch_format="pandas")
+
+    def fold_doc(df: pd.DataFrame) -> pa.Table:
+        d = (
+            df.groupby(id_col, sort=False)["dup_grams"].sum().reset_index()
+        )
+        return pa.Table.from_pandas(
+            d, schema=partial_schema, preserve_index=False
+        )
+
+    dups = _cogrouped(partials, id_col).map_groups(
+        fold_doc, batch_format="pandas"
+    )
+
+    def totals(b: pa.Table) -> pa.Table:
+        col = pc.fill_null(b[text_col], "")
+        nonempty = np.asarray(
+            pc.greater(pc.utf8_length(col), 0), dtype=bool
+        )
+        n_words = np.where(
+            nonempty,
+            np.asarray(
+                pc.add(pc.count_substring(col, " "), 1), dtype=np.int64
+            ),
+            0,
+        )
+        n_grams = np.where(
+            n_words == 0, 0, np.where(n_words <= 2, 1, n_words - 2)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                id_col: pc.cast(b[id_col], pa.int64()),
+                "n_grams": pa.array(n_grams),
+            }
+        )
+
+    tot = ds.select_columns([id_col, text_col]).map_batches(
+        totals, batch_format="pyarrow"
+    )
+    joined = hash_join(tot, dups, on=id_col, how="left")
+
+    out_schema = pa.schema(
+        [(id_col, pa.int64()), ("n_grams", pa.int64()), ("dup_grams", pa.int64())]
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: pc.cast(b[id_col], pa.int64()),
+                "n_grams": pc.cast(b["n_grams"], pa.int64()),
+                "dup_grams": pc.cast(
+                    pc.fill_null(b["dup_grams"], 0), pa.int64()
+                ),
+            },
+            schema=out_schema,
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")

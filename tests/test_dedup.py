@@ -315,3 +315,49 @@ def test_paragraph_dedup_boilerplate_removal(ray_session):
     assert rows[2]["n_kept"] == 0 and rows[2]["clean_text"] == ""
     # doc 3: 9 words → an 8-word paragraph + a ragged 1-word tail, both kept
     assert rows[3]["n_paras"] == 2 and rows[3]["n_kept"] == 2
+
+
+def test_dup_ngram_coverage_counts_cross_doc_shared_positions():
+    from docling_api_ray.stages.dedup import dup_ngram_coverage
+
+    docs = pa.table(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": [
+                "a b c d",        # grams: abc bcd
+                "x a b c",        # grams: xab abc  -> shares abc with 1
+                "q r",            # short doc: single 2-word gram
+                "q r",            # identical short doc -> shared
+                "",               # empty: no grams
+            ],
+        }
+    )
+    out = {
+        r["doc_id"]: (r["n_grams"], r["dup_grams"])
+        for r in dup_ngram_coverage(ray.data.from_arrow(docs)).take_all()
+    }
+    assert out == {
+        1: (2, 1),   # abc shared with doc 2
+        2: (2, 1),
+        3: (1, 1),   # 'q r' gram shared with doc 4
+        4: (1, 1),
+        5: (0, 0),
+    }
+
+
+def test_dup_ngram_coverage_multiplicity_counts_positions():
+    from docling_api_ray.stages.dedup import dup_ngram_coverage
+
+    # doc 1 repeats the shared trigram twice (positions counted, not
+    # distinct grams); doc 2 has it once
+    docs = pa.table(
+        {
+            "doc_id": [1, 2],
+            "text": ["a b c a b c", "z a b c"],  # doc1: abc bca cab abc
+        }
+    )
+    out = {
+        r["doc_id"]: (r["n_grams"], r["dup_grams"])
+        for r in dup_ngram_coverage(ray.data.from_arrow(docs)).take_all()
+    }
+    assert out == {1: (4, 2), 2: (2, 1)}
