@@ -539,6 +539,18 @@ def _q_bm25(sf_dir: str):
     return bm25_scores(_docs(sf_dir, ["doc_id", "text"]), _BM25_TERMS)
 
 
+def _q_tfidf_topterms(sf_dir: str):
+    """Per-document TF-IDF top-5 terms over the open vocabulary
+    (stages/relevance.py tfidf_topterms): word-hash exchange of one row
+    per (doc, word) with in-partition exact df, quantize6 before
+    ranking, then a bounded per-doc head merge.  Oracle mirrors the
+    idf = ln((1+N)/(1+df)) formula and the (score desc, word asc)
+    tie-break via row_number()."""
+    from docling_api_ray.stages.relevance import tfidf_topterms
+
+    return tfidf_topterms(_docs(sf_dir, ["doc_id", "text"]), k=5)
+
+
 def _q_token_quantiles(sf_dir: str):
     """Exact per-source token-count quantiles (p50/p90/p99,
     percentile_disc semantics) via the value-HISTOGRAM design
@@ -1093,6 +1105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_assign": _q_split_assign,
         "token_quantiles_by_source": _q_token_quantiles,
         "bm25_scores": _q_bm25,
+        "tfidf_topterms": _q_tfidf_topterms,
         "heavy_hitters": _q_heavy_hitters,
         "hll_registers": _q_hll_registers,
         "stratified_sample": _q_stratified_sample,
@@ -1900,6 +1913,40 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": _minhash_oracle_sql(0.7),
         "dedup_minhash_keep": _minhash_keep_oracle_sql(0.7),
         "bm25_scores": _bm25_oracle_sql(_BM25_TERMS),
+        # mirrors stages/relevance.py tfidf_topterms: \S+ tokens, one tf
+        # row per (doc, word), df = count of tf rows per word,
+        # idf = ln((1+N)/(1+df)), quantize6 BEFORE the (score desc,
+        # word asc) row_number ranking — identical tie-break to the
+        # engine's stable pandas sort
+        "tfidf_topterms": """
+            WITH words AS (
+              SELECT doc_id, unnest(regexp_extract_all(text, $$\\S+$$)) AS word
+              FROM documents
+            ),
+            tf AS (
+              SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+              FROM words GROUP BY doc_id, word
+            ),
+            df AS (
+              SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY word
+            ),
+            n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+            scored AS (
+              SELECT tf.doc_id, tf.word,
+                     round(CAST(tf.tf AS DOUBLE)
+                           * ln((1.0 + n.n_docs) / (1.0 + CAST(df.df AS DOUBLE)))
+                           * 1000000) / 1000000.0 AS score
+              FROM tf JOIN df USING (word) CROSS JOIN n
+            ),
+            ranked AS (
+              SELECT doc_id, word, score,
+                     row_number() OVER (
+                       PARTITION BY doc_id ORDER BY score DESC, word ASC
+                     ) AS rk
+              FROM scored
+            )
+            SELECT doc_id, word, score FROM ranked WHERE rk <= 5
+        """,
         "hll_registers": f"""
             WITH w AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS word
                        FROM documents),

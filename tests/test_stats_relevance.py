@@ -132,3 +132,44 @@ def test_hll_estimate_accuracy():
     assert sorted((r["bucket"], r["max_rho"]) for r in regs) == sorted(
         (r["bucket"], r["max_rho"]) for r in regs2
     )
+
+
+def test_tfidf_topterms_small_exact():
+    """Hand-checkable 4-doc corpus: idf = ln((1+N)/(1+df)); corpus-wide
+    words score 0 after quantization never outrank rare words; per-doc
+    top-k is (score desc, word asc) with fewer-than-k docs kept whole."""
+    import math
+
+    from docling_api_ray.stages.relevance import tfidf_topterms
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [
+                    "apple apple banana common",
+                    "banana cherry common",
+                    "common",
+                    "   ",  # whitespace-only: zero tokens, no output rows
+                ],
+            }
+        )
+    )
+    rows = tfidf_topterms(ds, k=2).take_all()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["word"], r["score"]))
+    q6 = lambda x: float(np.rint(x * 1e6) / 1e6)
+    idf = lambda df: math.log((1.0 + 4) / (1.0 + df))
+    # doc 1: apple tf=2 df=1 -> 2*ln(2.5); banana tf=1 df=2 -> ln(5/3)
+    assert sorted(by_doc[1]) == sorted(
+        [("apple", q6(2 * idf(1))), ("banana", q6(idf(2)))]
+    )
+    # doc 2: banana and cherry beat 'common' (df=3, smallest idf)
+    assert sorted(by_doc[2]) == sorted(
+        [("cherry", q6(idf(1))), ("banana", q6(idf(2)))]
+    )
+    # doc 3 has one word only -> kept whole even though k=2
+    assert by_doc[3] == [("common", q6(idf(3)))]
+    # doc 4 contributes nothing
+    assert 4 not in by_doc
