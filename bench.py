@@ -100,9 +100,12 @@ def _bench_once() -> dict:
         "gopher_quality",
         "pii_redact",
         "bm25_scores",
+        "tfidf_topterms",
+        "dup_ngrams",
         "kmeans_clusters",
         "semdedup_keep",
         "embedding_gram",
+        "cluster_outliers",
         "curate_pack",
         "knn_bruteforce",
         "knn_ivf",
