@@ -128,7 +128,19 @@ def kmeans_assign(
     ``(vec_id, cluster, dist)`` after ``iters`` exact integer
     iterations.  Init = the k smallest ``vec_id`` vectors (cid in
     vec_id order) — deterministic and oracle-mirrorable."""
-    init_rows = ds.sort("vec_id").limit(k).take_all()  # k rows, bounded
+    # init = the k smallest-vec_id vectors, found with a two-level
+    # per-batch head (≤ k rows leave each block) instead of a full
+    # dataset sort — the corpus never crosses an all-to-all for k rows
+    def init_head(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().sort_values("vec_id", kind="stable").head(k)
+        return pa.Table.from_pandas(df, preserve_index=False).cast(b.schema)
+
+    init_rows = (
+        ds.map_batches(init_head, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(init_head, batch_format="pyarrow", batch_size=None)
+        .take_all()
+    )
     init_rows.sort(key=lambda r: r["vec_id"])
     cents = quantized_matrix(
         pa.array([r["embedding"] for r in init_rows], type=pa.list_(pa.float32()))
