@@ -551,6 +551,17 @@ def _q_tfidf_topterms(sf_dir: str):
     return tfidf_topterms(_docs(sf_dir, ["doc_id", "text"]), k=5)
 
 
+def _q_charlm(sf_dir: str):
+    """CCNet-style char-bigram LM quality scores (stages/charlm.py):
+    one bounded-sketch train pass (each block reduces to a single dense
+    96x96 int64 count row), integer micro-log-prob table broadcast via
+    ray.put, stateless scoring pass.  Integer-exact sums make the
+    oracle comparison order-free."""
+    from docling_api_ray.stages.charlm import charlm_scores
+
+    return charlm_scores(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def _q_token_quantiles(sf_dir: str):
     """Exact per-source token-count quantiles (p50/p90/p99,
     percentile_disc semantics) via the value-HISTOGRAM design
@@ -1106,6 +1117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_quantiles_by_source": _q_token_quantiles,
         "bm25_scores": _q_bm25,
         "tfidf_topterms": _q_tfidf_topterms,
+        "charlm_scores": _q_charlm,
         "heavy_hitters": _q_heavy_hitters,
         "hll_registers": _q_hll_registers,
         "stratified_sample": _q_stratified_sample,
@@ -1946,6 +1958,57 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             )
             SELECT doc_id, word, score FROM ranked WHERE rk <= 5
+        """,
+        # mirrors stages/charlm.py charlm_scores: 96-symbol alphabet
+        # (code points 32..126 keep themselves minus 32, everything else
+        # folds to symbol 95), Laplace ilog = round(ln((c+1)/(tot+96))
+        # * 1e6) as int64, integer per-doc sums (order-free), and the
+        # identical final division
+        "charlm_scores": """
+            WITH syms AS (
+              SELECT doc_id,
+                     CASE WHEN a BETWEEN 32 AND 126 THEN a - 32 ELSE 95 END AS s1,
+                     CASE WHEN b BETWEEN 32 AND 126 THEN b - 32 ELSE 95 END AS s2
+              FROM (
+                SELECT doc_id,
+                       ascii(substring(text, CAST(i AS INTEGER), 1)) AS a,
+                       ascii(substring(text, CAST(i AS INTEGER) + 1, 1)) AS b
+                FROM documents, unnest(range(1, length(text))) AS t(i)
+              )
+            ),
+            counts AS (
+              SELECT s1, s2, CAST(count(*) AS BIGINT) AS n
+              FROM syms GROUP BY s1, s2
+            ),
+            rowt AS (SELECT s1, CAST(sum(n) AS BIGINT) AS tot FROM counts GROUP BY s1),
+            grid AS (
+              SELECT g1.a AS s1, g2.a AS s2
+              FROM (SELECT unnest(range(0, 96)) AS a) g1,
+                   (SELECT unnest(range(0, 96)) AS a) g2
+            ),
+            tbl AS (
+              SELECT grid.s1, grid.s2,
+                     CAST(round(ln((COALESCE(counts.n, 0) + 1.0)
+                                   / (COALESCE(rowt.tot, 0) + 96.0))
+                                * 1000000) AS BIGINT) AS ilog
+              FROM grid
+              LEFT JOIN counts ON grid.s1 = counts.s1 AND grid.s2 = counts.s2
+              LEFT JOIN rowt ON grid.s1 = rowt.s1
+            ),
+            per_doc AS (
+              SELECT syms.doc_id,
+                     CAST(count(*) AS BIGINT) AS n_pairs,
+                     CAST(sum(tbl.ilog) AS BIGINT) AS lp_micro
+              FROM syms JOIN tbl ON syms.s1 = tbl.s1 AND syms.s2 = tbl.s2
+              GROUP BY syms.doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(p.n_pairs, 0) AS n_pairs,
+                   COALESCE(p.lp_micro, 0) AS lp_micro,
+                   CASE WHEN p.n_pairs > 0
+                        THEN CAST(p.lp_micro AS DOUBLE) / (p.n_pairs * 1000000.0)
+                        ELSE 0.0 END AS avg_lp
+            FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
         """,
         "hll_registers": f"""
             WITH w AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS word

@@ -101,6 +101,7 @@ def _bench_once() -> dict:
         "pii_redact",
         "bm25_scores",
         "tfidf_topterms",
+        "charlm_scores",
         "dup_ngrams",
         "kmeans_clusters",
         "semdedup_keep",

@@ -176,3 +176,42 @@ def test_gopher_quality_rules():
     assert rows[4]["n_words"] < GOPHER_MIN_WORDS
     # dup_word_frac: 40×'spam'+the+end = 42 words, 3 unique → 39/42
     assert abs(rows[2]["dup_word_frac"] - round(39 / 42, 6)) < 1e-9
+
+
+def test_charlm_scores_edge_cases():
+    """Char-bigram LM: unicode folds to OTHER, empty/1-char docs score
+    (0, 0, 0.0), the trained model is deterministic, and a gibberish doc
+    scores below a doc made of the corpus's dominant pattern."""
+    import ray.data
+
+    from docling_api_ray.stages.charlm import (
+        charlm_scores,
+        micro_log_table,
+        train_counts,
+    )
+
+    docs = pa.table(
+        {
+            "doc_id": [0, 1, 2, 3, 4],
+            "text": [
+                "the cat sat on the mat " * 20,
+                "the rat sat on the hat " * 20,
+                "",          # no pairs
+                "x",         # 1 char: no pairs
+                "日本語テキスト",  # all non-ASCII -> OTHER-OTHER pairs
+            ],
+        }
+    )
+    ds = ray.data.from_arrow(docs)
+    rows = {r["doc_id"]: r for r in charlm_scores(ds).take_all()}
+    assert rows[2]["n_pairs"] == 0 and rows[2]["lp_micro"] == 0
+    assert rows[2]["avg_lp"] == 0.0
+    assert rows[3]["n_pairs"] == 0
+    assert rows[4]["n_pairs"] == 6  # 7 code points -> 6 pairs, all OTHER
+    # english-patterned docs score far above the all-OTHER doc
+    assert rows[0]["avg_lp"] > rows[4]["avg_lp"]
+    # counts matrix: deterministic and integer-consistent with n_pairs
+    c = train_counts(ds)
+    assert c.sum() == sum(r["n_pairs"] for r in rows.values())
+    t1, t2 = micro_log_table(c), micro_log_table(train_counts(ds))
+    assert (t1 == t2).all()
