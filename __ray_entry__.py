@@ -551,6 +551,17 @@ def _q_tfidf_topterms(sf_dir: str):
     return tfidf_topterms(_docs(sf_dir, ["doc_id", "text"]), k=5)
 
 
+def _q_global_rank(sf_dir: str):
+    """Exact global size-rank + percentile per document
+    (stages/stats.py global_rank): value-bounded histogram prefix
+    broadcast + ONE minimal-payload tie-rank exchange — no distributed
+    sort-merge.  Oracle = row_number() OVER (ORDER BY n_chars DESC,
+    doc_id ASC)."""
+    from docling_api_ray.stages.stats import global_rank
+
+    return global_rank(_docs(sf_dir, ["doc_id", "n_chars"]))
+
+
 def _q_charlm(sf_dir: str):
     """CCNet-style char-bigram LM quality scores (stages/charlm.py):
     one bounded-sketch train pass (each block reduces to a single dense
@@ -1118,6 +1129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_scores": _q_bm25,
         "tfidf_topterms": _q_tfidf_topterms,
         "charlm_scores": _q_charlm,
+        "global_rank": _q_global_rank,
         "heavy_hitters": _q_heavy_hitters,
         "hll_registers": _q_hll_registers,
         "stratified_sample": _q_stratified_sample,
@@ -1958,6 +1970,18 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             )
             SELECT doc_id, word, score FROM ranked WHERE rk <= 5
+        """,
+        # mirrors stages/stats.py global_rank: (n_chars desc, doc_id asc)
+        # total order, 1-based rank, percentile = rank / N
+        "global_rank": """
+            SELECT doc_id,
+                   CAST(n_chars AS BIGINT) AS n_chars,
+                   CAST(row_number() OVER (
+                     ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS doc_rank,
+                   CAST(row_number() OVER (
+                     ORDER BY n_chars DESC, doc_id ASC) AS DOUBLE)
+                     / (SELECT count(*) FROM documents) AS percentile
+            FROM documents
         """,
         # mirrors stages/charlm.py charlm_scores: 96-symbol alphabet
         # (code points 32..126 keep themselves minus 32, everything else

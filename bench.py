@@ -102,6 +102,7 @@ def _bench_once() -> dict:
         "bm25_scores",
         "tfidf_topterms",
         "charlm_scores",
+        "global_rank",
         "dup_ngrams",
         "kmeans_clusters",
         "semdedup_keep",

@@ -80,3 +80,76 @@ def grouped_int_quantiles(
         batch_format="pyarrow",
         batch_size=None,
     )
+
+
+def global_rank(
+    ds: ray.data.Dataset,
+    *,
+    value_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Exact global rank + percentile of every row by
+    ``(value desc, id asc)`` — the curriculum-ordering / size-percentile
+    assignment of a training-data pipeline — WITHOUT a full distributed
+    sort-merge.
+
+    Shape: rank(d) = |{v' > v}| + |{same v, smaller id}| + 1.
+
+    1. **histogram pass** — bounded ``value``-domain groupby count
+       (domain is value-range-bounded, not corpus-bounded); the driver
+       prefix-sums it descending into cum_greater[v] and broadcasts the
+       map once (``ray.put``).
+    2. **tie-rank exchange** — ONE all-to-all of the minimal
+       (id, value) payload hashed by ``value``: inside a partition every
+       row with a given value is present, so the tie rank is a stable
+       in-partition sort + cumcount.  A pathologically hot value (e.g.
+       billions of empty docs) concentrates in one partition; the escape
+       hatch is the packing-style id-bucketed prefix-sum for that one
+       value's tie ranks — not wired because tie populations in real
+       corpora are small.
+
+    Output: (id, value, doc_rank int64 1-based, percentile = rank / N)."""
+    import pandas as pd
+
+    from docling_api_ray.stages.common import shuffle_partitions
+
+    hist = ds.groupby(value_col).count().take_all()  # value-bounded rows
+    hist.sort(key=lambda r: -r[value_col])
+    n_total = sum(r["count()"] for r in hist)
+    cum, acc = {}, 0
+    for r in hist:
+        cum[r[value_col]] = acc  # strictly-greater count
+        acc += r["count()"]
+    ref = ray.put(cum)
+
+    def add_part(b: pa.Table) -> pa.Table:
+        v = np.asarray(b[value_col], dtype=np.int64)
+        return b.select([id_col, value_col]).append_column(
+            "__part",
+            pa.array(np.abs(v * 2654435761 % 2**31) % shuffle_partitions(),
+                     type=pa.int64()),
+        )
+
+    def tie_rank(df: "pd.DataFrame") -> pa.Table:
+        cum_ = ray.get(ref)
+        df = df.sort_values([value_col, id_col], kind="stable")
+        tie = df.groupby(value_col, sort=False).cumcount().to_numpy()
+        rank = (
+            df[value_col].map(cum_).to_numpy(dtype=np.int64) + tie + 1
+        )
+        return pa.table(
+            {
+                id_col: pa.array(df[id_col].to_numpy()),
+                value_col: pa.array(df[value_col].to_numpy(), type=pa.int64()),
+                "doc_rank": pa.array(rank, type=pa.int64()),
+                "percentile": pa.array(
+                    rank.astype(np.float64) / float(n_total), type=pa.float64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(tie_rank, batch_format="pandas")
+    )

@@ -173,3 +173,26 @@ def test_tfidf_topterms_small_exact():
     assert by_doc[3] == [("common", q6(idf(3)))]
     # doc 4 contributes nothing
     assert 4 not in by_doc
+
+
+def test_global_rank_ties_and_percentile():
+    """Tie-heavy values rank by id ascending within a value; ranks are a
+    dense permutation 1..N; percentile = rank/N bit-exactly."""
+    from docling_api_ray.stages.stats import global_rank
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": [10, 11, 12, 13, 14, 15],
+                "n_chars": [5, 9, 5, 9, 1, 5],
+            }
+        )
+    )
+    rows = sorted(global_rank(ds).take_all(), key=lambda r: r["doc_rank"])
+    order = [(r["doc_id"], r["n_chars"], r["doc_rank"]) for r in rows]
+    assert order == [
+        (11, 9, 1), (13, 9, 2),          # value 9: id asc
+        (10, 5, 3), (12, 5, 4), (15, 5, 5),  # value 5 ties: id asc
+        (14, 1, 6),
+    ]
+    assert all(r["percentile"] == r["doc_rank"] / 6.0 for r in rows)
