@@ -935,6 +935,116 @@ def _q_orders_per_customer(sf_dir: str):
     return joined.map_batches(finish, batch_format="pyarrow")
 
 
+_SHIP_CUTOFF = "1998-06-01"
+
+
+def _q_shipping_priority(sf_dir: str):
+    """TPC-H Q3 shape — 3-way join + grouped agg + global top-10:
+    customer segment slice broadcast as a semi-join id set (``ray.put``
+    once, ``np.isin`` per batch; scale escape = the partitioned hash
+    semi-join when the slice outgrows worker heaps), date-pruned scans
+    on BOTH fact sides, partitioned hash join on orderkey
+    (stages/joins.py), per-block grouped revenue sum (orderkeys are
+    co-located by the join's bucketing, and batch_size=None keeps block
+    boundaries), quantize-2 BEFORE ranking, two-level bounded top-10
+    head.  Nothing corpus-proportional ever leaves the exchanges except
+    the join payload itself."""
+    from datetime import datetime
+
+    import pandas as pd
+
+    from docling_api_ray.stages.joins import hash_join
+
+    cutoff = pa.scalar(
+        datetime.fromisoformat(_SHIP_CUTOFF), type=pa.timestamp("us")
+    )
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def seg_keys(b: pa.Table) -> pa.Table:
+        m = pc.equal(b["c_mktsegment"], "BUILDING")
+        return b.filter(m).select(["c_custkey"])
+
+    parts = [
+        np.asarray(b["c_custkey"])
+        for b in cust.map_batches(seg_keys, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+        if len(b)
+    ]
+    key_ref = ray.put(
+        np.sort(np.concatenate(parts)) if parts else np.empty(0, dtype=np.int64)
+    )
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]
+    )
+
+    def sel_orders(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.less(b["o_orderdate"], cutoff))
+        keep = np.isin(np.asarray(b["o_custkey"]), ray.get(key_ref))
+        return b.filter(pa.array(keep)).select(
+            ["o_orderkey", "o_orderdate", "o_orderpriority"]
+        )
+
+    o = orders.map_batches(sel_orders, batch_format="pyarrow")
+
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"]
+    )
+
+    def sel_li(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater(b["l_shipdate"], cutoff))
+        rev = pc.multiply(
+            b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"])
+        )
+        return pa.table(
+            {"o_orderkey": pc.cast(b["l_orderkey"], pa.int64()), "rev": rev}
+        )
+
+    l = li.map_batches(sel_li, batch_format="pyarrow")
+    joined = hash_join(l, o, on="o_orderkey")
+
+    out_schema = pa.schema(
+        [
+            ("o_orderkey", pa.int64()),
+            ("revenue", pa.float64()),
+            ("o_orderdate", pa.timestamp("us")),
+            ("o_orderpriority", pa.string()),
+        ]
+    )
+
+    def agg(df: "pd.DataFrame") -> pa.Table:
+        g = (
+            df.groupby(
+                ["o_orderkey", "o_orderdate", "o_orderpriority"], sort=False
+            )["rev"]
+            .sum()
+            .reset_index()
+        )
+        g["revenue"] = np.rint(g["rev"].to_numpy(np.float64) * 100) / 100.0
+        return pa.Table.from_pandas(
+            g[["o_orderkey", "revenue", "o_orderdate", "o_orderpriority"]],
+            preserve_index=False,
+        ).cast(out_schema)
+
+    def head(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().sort_values(
+            ["revenue", "o_orderdate", "o_orderkey"],
+            ascending=[False, True, True],
+            kind="stable",
+        ).head(10)
+        return pa.Table.from_pandas(df, preserve_index=False).cast(out_schema)
+
+    return _with_schema(
+        joined.map_batches(agg, batch_format="pandas", batch_size=None)
+        .map_batches(head, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(head, batch_format="pyarrow", batch_size=None),
+        out_schema,
+    )
+
+
 def _q_events_attribution(sf_dir: str):
     """As-of join: each purchase attributed to the user's most recent
     prior click (stages/joins.py asof_join_events)."""
@@ -1130,6 +1240,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_topterms": _q_tfidf_topterms,
         "charlm_scores": _q_charlm,
         "global_rank": _q_global_rank,
+        "shipping_priority": _q_shipping_priority,
         "heavy_hitters": _q_heavy_hitters,
         "hll_registers": _q_hll_registers,
         "stratified_sample": _q_stratified_sample,
@@ -1970,6 +2081,33 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             )
             SELECT doc_id, word, score FROM ranked WHERE rk <= 5
+        """,
+        # mirrors _q_shipping_priority: same segment slice, date cuts,
+        # per-order revenue sum quantized to cents BEFORE the
+        # (revenue desc, o_orderdate asc, o_orderkey asc) top-10
+        "shipping_priority": f"""
+            WITH bld AS (
+              SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+            ),
+            o AS (
+              SELECT o_orderkey, o_orderdate, o_orderpriority
+              FROM orders JOIN bld ON o_custkey = c_custkey
+              WHERE o_orderdate < TIMESTAMP '{_SHIP_CUTOFF}'
+            ),
+            l AS (
+              SELECT l_orderkey AS o_orderkey,
+                     l_extendedprice * (1.0 - l_discount) AS rev
+              FROM lineitem WHERE l_shipdate > TIMESTAMP '{_SHIP_CUTOFF}'
+            ),
+            g AS (
+              SELECT l.o_orderkey,
+                     round(sum(rev) * 100) / 100.0 AS revenue,
+                     o.o_orderdate, o.o_orderpriority
+              FROM l JOIN o ON l.o_orderkey = o.o_orderkey
+              GROUP BY l.o_orderkey, o.o_orderdate, o.o_orderpriority
+            )
+            SELECT * FROM g
+            ORDER BY revenue DESC, o_orderdate ASC, o_orderkey ASC LIMIT 10
         """,
         # mirrors stages/stats.py global_rank: (n_chars desc, doc_id asc)
         # total order, 1-based rank, percentile = rank / N

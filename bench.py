@@ -112,6 +112,7 @@ def _bench_once() -> dict:
         "knn_bruteforce",
         "knn_ivf",
         "events_hourly",
+        "shipping_priority",
         "conversion_metrics",
     ]
     # INTERLEAVED repetitions + medians (VERDICT r2 #1): this container's
