@@ -562,6 +562,15 @@ def _q_global_rank(sf_dir: str):
     return global_rank(_docs(sf_dir, ["doc_id", "n_chars"]))
 
 
+def _q_lang_entropy(sf_dir: str):
+    """Per-source language-distribution entropy (stages/stats.py
+    grouped_entropy): bounded (source x lang) partial counts, integer
+    micro-term inner sum (order-free), one tiny exact final fold."""
+    from docling_api_ray.stages.stats import grouped_entropy
+
+    return grouped_entropy(_docs(sf_dir, ["source", "lang"]))
+
+
 def _q_charlm(sf_dir: str):
     """CCNet-style char-bigram LM quality scores (stages/charlm.py):
     one bounded-sketch train pass (each block reduces to a single dense
@@ -1241,6 +1250,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "charlm_scores": _q_charlm,
         "global_rank": _q_global_rank,
         "shipping_priority": _q_shipping_priority,
+        "lang_entropy": _q_lang_entropy,
         "heavy_hitters": _q_heavy_hitters,
         "hll_registers": _q_hll_registers,
         "stratified_sample": _q_stratified_sample,
@@ -2108,6 +2118,26 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT * FROM g
             ORDER BY revenue DESC, o_orderdate ASC, o_orderkey ASC LIMIT 10
+        """,
+        # mirrors stages/stats.py grouped_entropy: integer micro-term
+        # inner sum (round(n*ln(n)*1e6) as BIGINT, order-free), outer
+        # expression = identical float ops on identical operands
+        "lang_entropy": """
+            WITH c AS (
+              SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+              FROM documents GROUP BY source, lang
+            ),
+            t AS (
+              SELECT source,
+                     CAST(sum(n) AS BIGINT) AS n_docs,
+                     CAST(count(*) AS BIGINT) AS n_langs,
+                     CAST(sum(CAST(round(n * ln(n) * 1000000) AS BIGINT))
+                          AS BIGINT) AS s_micro
+              FROM c GROUP BY source
+            )
+            SELECT source, n_docs, n_langs, s_micro,
+                   ln(n_docs) - s_micro / (n_docs * 1000000.0) AS entropy
+            FROM t
         """,
         # mirrors stages/stats.py global_rank: (n_chars desc, doc_id asc)
         # total order, 1-based rank, percentile = rank / N

@@ -153,3 +153,55 @@ def global_rank(
         .groupby("__part")
         .map_groups(tie_rank, batch_format="pandas")
     )
+
+
+def grouped_entropy(
+    ds: ray.data.Dataset,
+    *,
+    group_col: str = "source",
+    label_col: str = "lang",
+) -> ray.data.Dataset:
+    """Shannon entropy of the ``label`` distribution within each
+    ``group`` — the corpus-health metric behind "is source X
+    single-language or a crawl soup?".
+
+    H = ln(n) - (sum_i c_i*ln(c_i)) / n, computed from the bounded
+    (group x label) count table (``bounded_groupby_sum`` — the shuffle
+    moves <=|domain| rows per block).  The inner sum is made
+    ORDER-FREE by quantizing each term to int64 micro units
+    (round(c*ln(c)*1e6)) before summation, so engine and SQL oracle
+    agree bit-for-bit regardless of reduction order; the outer
+    expression is two deterministic float ops on identical operands.
+
+    Output: (group, n_docs, n_langs, s_micro, entropy)."""
+    counts = bounded_groupby_sum(
+        ds, [group_col, label_col], count_alias="n"
+    )
+
+    def fold(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby(group_col, sort=True)
+        n_docs = g["n"].sum().astype(np.int64)
+        n_langs = g["n"].size().astype(np.int64)
+        c = df["n"].to_numpy(np.float64)
+        term = np.rint(c * np.log(c) * 1e6).astype(np.int64)
+        s_micro = (
+            pd.Series(term, index=df.index).groupby(df[group_col]).sum()
+        ).astype(np.int64)
+        ent = np.log(n_docs.to_numpy(np.float64)) - s_micro.to_numpy(
+            np.float64
+        ) / (n_docs.to_numpy(np.float64) * 1e6)
+        return pa.table(
+            {
+                group_col: pa.array(n_docs.index.tolist(), type=pa.string()),
+                "n_docs": pa.array(n_docs.to_numpy(), type=pa.int64()),
+                "n_langs": pa.array(n_langs.to_numpy(), type=pa.int64()),
+                "s_micro": pa.array(s_micro.to_numpy(), type=pa.int64()),
+                "entropy": pa.array(ent, type=pa.float64()),
+            }
+        )
+
+    # the count table is domain-bounded — one final fold block is exact
+    # and tiny
+    return counts.repartition(1).map_batches(
+        fold, batch_format="pandas", batch_size=None
+    )
