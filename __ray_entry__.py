@@ -1198,6 +1198,33 @@ def _q_conversion_metrics(sf_dir: str):
     return conversion_metrics(flagship(sf_dir, _flagship_cfg()))
 
 
+def _q_media_phash_dups(sf_dir: str):
+    """Exact image dedup via 64-bit perceptual average-hash
+    (stages/multimodal.py PerceptualHash): decode every media PNG in an
+    actor pool, aHash it, then a narrow phash-keyed grouped count keeps
+    groups with >= 2 blobs.  No SQL oracle — the hash is a function of
+    decoded pixel content, which SQL cannot reach; the driver records
+    the rows-only check, and tests/test_multimodal.py pins the hash
+    semantics (identical images collide across scales, distinct images
+    do not)."""
+    from docling_api_ray.stages.multimodal import PerceptualHash
+
+    media = explode_media(flagship(sf_dir, _flagship_cfg()))
+    ph = media.map_batches(
+        PerceptualHash, batch_format="pyarrow", batch_size=64, concurrency=(1, 4)
+    ).select_columns(["phash"])
+    counts = (
+        coalesce_for_shuffle(ph)
+        .groupby("phash")
+        .aggregate(Count(alias_name="n_blobs"))
+    )
+
+    def keep(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater_equal(b["n_blobs"], 2))
+
+    return counts.map_batches(keep, batch_format="pyarrow")
+
+
 def _q_multimodal_meta(sf_dir: str):
     media = explode_media(flagship(sf_dir, _flagship_cfg()))
     return media.map_batches(
@@ -1279,6 +1306,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": _q_events_hourly,
         "docs_stats_by_source": _q_docs_stats,
         "multimodal_meta": _q_multimodal_meta,
+        "media_phash_dups": _q_media_phash_dups,
         "multimodal_dims": _q_multimodal_dims,
     }
 

@@ -179,6 +179,65 @@ class ImageResize:
         )
 
 
+class PerceptualHash:
+    """Actor stage: 64-bit average-hash (aHash) per media blob — the
+    image analog of the text fingerprint family, feeding exact/near
+    image dedup.  REAL pixel path for PNG payloads (pure-python codec):
+    decode → grayscale (channel mean if 3-D) → nearest-resample to 8x8
+    (deterministic, functions/png.py) → threshold each cell at the 64-cell
+    mean (>=) → pack row-major into a hex string.  Identical images hash
+    identically at any scale factor that nearest-resampling collapses;
+    near-dups differ in few bits (Hamming-banded grouping composes with
+    the simhash LSH machinery in stages/dedup.py).  Non-PNG payloads hit
+    the same honest codec gate as ImageResize."""
+
+    def __init__(self, allow_stub: bool = False):
+        self.allow_stub = allow_stub
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from docling_api_ray.functions.png import (
+            PngDecodeError,
+            decode_png,
+            resize_nearest,
+        )
+
+        out = []
+        for b in batch["png"].to_pylist():
+            b = b or b""
+            arr = None
+            if b[:8] == b"\x89PNG\r\n\x1a\n":
+                try:
+                    arr = decode_png(b)
+                except PngDecodeError:
+                    arr = None
+            if arr is None:
+                if not self.allow_stub:
+                    raise NotImplementedError(
+                        "non-PNG pixel decode requires a codec library "
+                        "(PIL/cv2) not available in this environment; "
+                        "construct with allow_stub=True for the "
+                        "deterministic plumbing fake"
+                    )
+                out.append(f"{len(b) & 0xFFFFFFFFFFFFFFFF:016x}")
+                continue
+            a = arr.astype(np.float64)
+            if a.ndim == 3:
+                a = a.mean(axis=2)
+            cells = resize_nearest(a.astype(np.uint8), (8, 8)).astype(np.float64)
+            bits = (cells >= cells.mean()).reshape(-1)
+            h = 0
+            for bit in bits:  # 64 iterations per blob — not a hot loop
+                h = (h << 1) | int(bit)
+            out.append(f"{h:016x}")
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "filename": batch["filename"],
+                "phash": pa.array(out, type=pa.string()),
+            }
+        )
+
+
 class FrameSampler:
     """Actor stage signature for video frame sampling: one opaque binary
     payload → every ``stride``-th frame as its own row (doc_id,

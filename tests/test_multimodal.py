@@ -214,3 +214,44 @@ def test_image_resize_real_path():
     assert (got == resize_nearest(decode_png(src), (6, 9))).all()
     assert out["width"].to_pylist() == [6]
     assert out["height"].to_pylist() == [9]
+
+
+def test_perceptual_hash_semantics():
+    """Identical images collide (also across nearest-collapsible scales),
+    distinct images differ, and the non-PNG codec gate is honest."""
+    import numpy as np
+    import pytest
+
+    from docling_api_ray.functions.png import decode_png, encode_png, make_png
+    from docling_api_ray.stages.multimodal import PerceptualHash
+
+    base = make_png(7, 1)
+    up2 = encode_png(
+        np.repeat(np.repeat(decode_png(base), 2, axis=0), 2, axis=1)
+    )  # true 2x nearest upscale of the same pixels
+    tbl = pa.table(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "filename": ["a", "b", "c", "d"],
+            "png": [
+                base,
+                bytes(base),      # byte-identical dup
+                up2,
+                make_png(99, 1),  # different content
+            ],
+        }
+    )
+    out = PerceptualHash()(tbl)
+    h = out["phash"].to_pylist()
+    assert h[0] == h[1]
+    assert h[0] == h[2]  # nearest 2x upscale collapses back to the same 8x8
+    assert h[3] != h[0]
+    assert all(len(x) == 16 for x in h)
+
+    bad = pa.table(
+        {"doc_id": [1], "filename": ["x"], "png": [b"\xff\xd8JPEGDATA"]}
+    )
+    with pytest.raises(NotImplementedError):
+        PerceptualHash()(bad)
+    stub = PerceptualHash(allow_stub=True)(bad)
+    assert len(stub["phash"].to_pylist()[0]) == 16
