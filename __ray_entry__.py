@@ -562,6 +562,18 @@ def _q_global_rank(sf_dir: str):
     return global_rank(_docs(sf_dir, ["doc_id", "n_chars"]))
 
 
+def _q_quality_logit(sf_dir: str):
+    """Batched linear-model inference (stages/text_analysis.py
+    quality_logit): two stateless vectorized passes — quality features,
+    then the fixed-weight logistic head with quantize-before-sigmoid
+    exactness."""
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(ta.quality_scores, batch_format="pyarrow")
+        .map_batches(ta.quality_logit, batch_format="pyarrow")
+    )
+
+
 def _q_lang_entropy(sf_dir: str):
     """Per-source language-distribution entropy (stages/stats.py
     grouped_entropy): bounded (source x lang) partial counts, integer
@@ -1278,6 +1290,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_rank": _q_global_rank,
         "shipping_priority": _q_shipping_priority,
         "lang_entropy": _q_lang_entropy,
+        "quality_logit": _q_quality_logit,
         "heavy_hitters": _q_heavy_hitters,
         "hll_registers": _q_hll_registers,
         "stratified_sample": _q_stratified_sample,
@@ -2037,6 +2050,40 @@ def oracle_sql() -> dict[str, str]:
                          / greatest(length(regexp_extract_all(text, $${wsre}$$)), 1), 6)
                      AS mean_word_len
             FROM documents
+        """,
+        # mirrors stages/text_analysis.py quality_logit: same quantized
+        # features, identical left-to-right parenthesization, quantize6
+        # before AND after the sigmoid
+        "quality_logit": f"""
+            WITH f AS (
+              SELECT doc_id,
+                     CAST(length(regexp_extract_all(text, $${wsre}$$)) AS BIGINT)
+                       AS n_words,
+                     round(length(regexp_extract_all(text, $${punct}$$))
+                           / greatest(length(text), 1), 6) AS punct_ratio,
+                     round(length(regexp_extract_all(text, $${stop}$$))
+                           / greatest(length(regexp_extract_all(text, $${wsre}$$)), 1), 6)
+                       AS stopword_ratio,
+                     round((length(text) - (length(regexp_extract_all(text, $${wsre}$$)) - 1))
+                           / greatest(length(regexp_extract_all(text, $${wsre}$$)), 1), 6)
+                       AS mean_word_len
+              FROM documents
+            ),
+            l AS (
+              SELECT doc_id,
+                     round(((((-0.6 + (-8.0 * punct_ratio))
+                              + (6.0 * stopword_ratio))
+                             + (-0.25 * mean_word_len))
+                            + (0.35 * ln(1.0 + n_words))) * 1000000)
+                       / 1000000.0 AS logit
+              FROM f
+            )
+            SELECT doc_id, logit,
+                   round((1.0 / (1.0 + exp(-logit))) * 1000000) / 1000000.0
+                     AS prob,
+                   (round((1.0 / (1.0 + exp(-logit))) * 1000000) / 1000000.0
+                     >= 0.5) AS keep
+            FROM l
         """,
         "lang_id": f"""
             WITH c AS (SELECT doc_id, {lang_counts} FROM documents)

@@ -348,3 +348,46 @@ def fingerprints(batch: pa.Table, text_col: str = "text") -> pa.Table:
             "fp_rolling": pa.array(rolls, type=pa.int64()),
         }
     )
+
+
+# fixed "trained" quality-classifier weights (deterministic model
+# inference demo: heavy punctuation penalized, stopword density — a
+# fluency proxy — rewarded, long words mildly penalized, length rewarded)
+QLOGIT_W0 = -0.6
+QLOGIT_W_PUNCT = -8.0
+QLOGIT_W_STOP = 6.0
+QLOGIT_W_MWL = -0.25
+QLOGIT_W_LNW = 0.35
+
+
+def quality_logit(batch: pa.Table) -> pa.Table:
+    """Logistic-regression quality-classifier INFERENCE over the
+    quantized ``quality_scores`` features — the no-torch stand-in for
+    batched model scoring (fastText/KenLM-style quality gates).
+
+    Exactness: inputs are the already-round(,6) feature ratios, the
+    linear combination is chained LEFT-TO-RIGHT exactly as the SQL
+    oracle parenthesizes it, the logit is quantize6'd BEFORE the
+    sigmoid, and the sigmoid output is quantize6'd again — the only
+    cross-engine risk is a ln/exp last-ulp straddling a rounding
+    boundary, the same accepted risk as the idf/BM25 family."""
+    from docling_api_ray.stages.windows import quantize6_np
+
+    p = np.asarray(batch["punct_ratio"], dtype=np.float64)
+    s = np.asarray(batch["stopword_ratio"], dtype=np.float64)
+    m = np.asarray(batch["mean_word_len"], dtype=np.float64)
+    w = np.asarray(batch["n_words"], dtype=np.float64)
+    logit = QLOGIT_W0 + QLOGIT_W_PUNCT * p
+    logit = logit + QLOGIT_W_STOP * s
+    logit = logit + QLOGIT_W_MWL * m
+    logit = logit + QLOGIT_W_LNW * np.log(1.0 + w)
+    logit = quantize6_np(logit)
+    prob = quantize6_np(1.0 / (1.0 + np.exp(-logit)))
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "logit": pa.array(logit, type=pa.float64()),
+            "prob": pa.array(prob, type=pa.float64()),
+            "keep": pa.array(prob >= 0.5, type=pa.bool_()),
+        }
+    )
