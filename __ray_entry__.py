@@ -562,6 +562,17 @@ def _q_global_rank(sf_dir: str):
     return global_rank(_docs(sf_dir, ["doc_id", "n_chars"]))
 
 
+def _q_events_funnel(sf_dir: str):
+    """Ordered view->click->purchase funnel per user (stages/windows.py
+    funnel_reached): type-pruned scan, ONE user-hash exchange of
+    (user, ts, type), three vectorized grouped mins in-partition."""
+    from docling_api_ray.stages.windows import funnel_reached
+
+    return funnel_reached(
+        _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    )
+
+
 def _q_quality_logit(sf_dir: str):
     """Batched linear-model inference (stages/text_analysis.py
     quality_logit): two stateless vectorized passes — quality features,
@@ -1291,6 +1302,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shipping_priority": _q_shipping_priority,
         "lang_entropy": _q_lang_entropy,
         "quality_logit": _q_quality_logit,
+        "events_funnel": _q_events_funnel,
         "heavy_hitters": _q_heavy_hitters,
         "hll_registers": _q_hll_registers,
         "stratified_sample": _q_stratified_sample,
@@ -2193,6 +2205,33 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT * FROM g
             ORDER BY revenue DESC, o_orderdate ASC, o_orderkey ASC LIMIT 10
+        """,
+        # mirrors stages/windows.py funnel_reached: first-view anchor,
+        # strictly-after cascade, reached = 1 + step memberships
+        "events_funnel": """
+            WITH v AS (
+              SELECT user_id, min(ts) AS t1 FROM events
+              WHERE event_type = 'view' GROUP BY user_id
+            ),
+            c AS (
+              SELECT e.user_id, min(e.ts) AS t2
+              FROM events e JOIN v ON e.user_id = v.user_id
+              WHERE e.event_type = 'click' AND e.ts > v.t1
+              GROUP BY e.user_id
+            ),
+            p AS (
+              SELECT e.user_id, min(e.ts) AS t3
+              FROM events e JOIN c ON e.user_id = c.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > c.t2
+              GROUP BY e.user_id
+            )
+            SELECT v.user_id,
+                   CAST(1 + (CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END)
+                          + (CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END)
+                        AS BIGINT) AS reached
+            FROM v
+            LEFT JOIN c ON v.user_id = c.user_id
+            LEFT JOIN p ON v.user_id = p.user_id
         """,
         # mirrors stages/stats.py grouped_entropy: integer micro-term
         # inner sum (round(n*ln(n)*1e6) as BIGINT, order-free), outer

@@ -170,3 +170,73 @@ def _parts() -> int:
     from docling_api_ray.stages.common import shuffle_partitions
 
     return shuffle_partitions()
+
+
+def funnel_reached(
+    ds: ray.data.Dataset,
+    *,
+    steps: tuple[str, str, str] = ("view", "click", "purchase"),
+    key: str = "user_id",
+) -> ray.data.Dataset:
+    """Ordered-funnel progression per user — the event-sequence analog
+    of sessionization: for every user with a ``steps[0]`` event, how far
+    did they get through step0 -> step1 (strictly after their FIRST
+    step0) -> step2 (strictly after that first qualifying step1)?
+
+    Shape: the scan is pruned to the three step types at the read-side
+    filter, the exchange ships only (user, ts, type) rows for those
+    types hashed by user (every user's events co-locate), and the
+    per-partition fold is three vectorized grouped mins — no per-user
+    Python loop.  Output: (user_id, reached in {1,2,3})."""
+    import pandas as pd
+
+    from docling_api_ray.stages.common import shuffle_partitions
+
+    s0, s1, s2 = steps
+
+    def prep(b: pa.Table) -> pa.Table:
+        m = pc.is_in(b["event_type"], value_set=pa.array([s0, s1, s2]))
+        b = b.filter(m)
+        uid = np.asarray(b[key], dtype=np.int64)
+        return pa.table(
+            {
+                key: b[key],
+                "ts": b["ts"],
+                "event_type": b["event_type"],
+                "__part": pa.array(
+                    np.abs(uid) % shuffle_partitions(), type=pa.int64()
+                ),
+            }
+        )
+
+    def fold(df: "pd.DataFrame") -> pa.Table:
+        t1 = (
+            df[df["event_type"] == s0].groupby(key, sort=False)["ts"].min()
+        )
+        e1 = df[df["event_type"] == s1].merge(
+            t1.rename("t1"), left_on=key, right_index=True
+        ).reset_index(drop=True)  # empty merges adopt the right index
+        # name, which would make the next groupby(key) ambiguous
+        t2 = e1[e1["ts"] > e1["t1"]].groupby(key, sort=False)["ts"].min()
+        e2 = df[df["event_type"] == s2].merge(
+            t2.rename("t2"), left_on=key, right_index=True
+        ).reset_index(drop=True)
+        t3 = e2[e2["ts"] > e2["t2"]].groupby(key, sort=False)["ts"].min()
+        reached = (
+            pd.Series(1, index=t1.index, dtype=np.int64)
+            .add(pd.Series(1, index=t2.index), fill_value=0)
+            .add(pd.Series(1, index=t3.index), fill_value=0)
+            .astype(np.int64)
+        )
+        return pa.table(
+            {
+                key: pa.array(reached.index.to_numpy(), type=pa.int64()),
+                "reached": pa.array(reached.to_numpy(), type=pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(fold, batch_format="pandas")
+    )

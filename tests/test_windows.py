@@ -96,3 +96,39 @@ def test_quantize6_is_summation_order_proof():
         b = vals[::-1].cumsum()[-1]  # different association order
         qa, qb = quantize6_np(np.array([a])), quantize6_np(np.array([b]))
         assert qa[0].hex() == qb[0].hex()
+
+
+def test_funnel_reached_ordering_semantics():
+    """Strictly-after cascade: a click BEFORE the first view doesn't
+    count; a purchase before the qualifying click doesn't count;
+    users without a view are excluded; ties (ts equal) don't advance."""
+    from datetime import datetime
+
+    from docling_api_ray.stages.windows import funnel_reached
+
+    T = lambda s: datetime.fromisoformat(f"2026-01-01 00:00:{s:02d}")
+    rows = [
+        # u1: clean view->click->purchase
+        (1, T(1), "view"), (1, T(2), "click"), (1, T(3), "purchase"),
+        # u2: click before view -> reached 1
+        (2, T(2), "view"), (2, T(1), "click"),
+        # u3: purchase before click -> reached 2
+        (3, T(1), "view"), (3, T(3), "click"), (3, T(2), "purchase"),
+        # u4: no view at all -> excluded despite click+purchase
+        (4, T(1), "click"), (4, T(2), "purchase"),
+        # u5: click at EXACTLY the view ts -> tie does not advance
+        (5, T(1), "view"), (5, T(1), "click"),
+        # u6: second view earlier than click anchor is the anchor
+        (6, T(5), "view"), (6, T(2), "view"), (6, T(3), "click"),
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "user_id": [r[0] for r in rows],
+                "ts": pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+                "event_type": [r[2] for r in rows],
+            }
+        )
+    )
+    out = {r["user_id"]: r["reached"] for r in funnel_reached(ds).take_all()}
+    assert out == {1: 3, 2: 1, 3: 2, 5: 1, 6: 2}
