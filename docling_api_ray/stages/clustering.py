@@ -98,31 +98,42 @@ class _PartialSums:
 
 
 class _AssignFinal:
-    def __init__(self, cents_ref) -> None:
+    """``with_embedding=True`` passes the embedding column through so a
+    downstream within-cluster stage (SemDeDup) needs NO join to reunite
+    vectors with their cluster ids."""
+
+    def __init__(self, cents_ref, with_embedding: bool = False) -> None:
         self.cents = ray.get(cents_ref)
+        self.with_embedding = with_embedding
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        fields = [
+            ("vec_id", pa.int64()),
+            ("cluster", pa.int64()),
+            ("dist", pa.int64()),
+        ]
+        if self.with_embedding:
+            fields.append(("embedding", batch.schema.field("embedding").type))
         if len(batch) == 0:
-            return pa.schema(
-                [
-                    ("vec_id", pa.int64()),
-                    ("cluster", pa.int64()),
-                    ("dist", pa.int64()),
-                ]
-            ).empty_table()
+            return pa.schema(fields).empty_table()
         mat = quantized_matrix(batch["embedding"])
         assign, dist = _assign(mat, self.cents)
-        return pa.table(
-            {
-                "vec_id": batch["vec_id"],
-                "cluster": pa.array(assign),
-                "dist": pa.array(dist),
-            }
-        )
+        cols = {
+            "vec_id": batch["vec_id"],
+            "cluster": pa.array(assign),
+            "dist": pa.array(dist),
+        }
+        if self.with_embedding:
+            cols["embedding"] = batch["embedding"]
+        return pa.table(cols)
 
 
 def kmeans_assign(
-    ds: ray.data.Dataset, *, k: int = 8, iters: int = 2
+    ds: ray.data.Dataset,
+    *,
+    k: int = 8,
+    iters: int = 2,
+    with_embedding: bool = False,
 ) -> ray.data.Dataset:
     """Lloyd k-means over ``(vec_id, embedding)``; returns
     ``(vec_id, cluster, dist)`` after ``iters`` exact integer
@@ -178,7 +189,10 @@ def kmeans_assign(
     final_ref = ray.put(cents)
     return ds.map_batches(
         _AssignFinal,
-        fn_constructor_kwargs={"cents_ref": final_ref},
+        fn_constructor_kwargs={
+            "cents_ref": final_ref,
+            "with_embedding": with_embedding,
+        },
         batch_format="pyarrow",
         batch_size=4096,
         concurrency=(1, 8),
@@ -245,14 +259,13 @@ def semdedup_keep(
     vectors, the same duplicate-structure bound as the dedup keep-lists
     (stages/dedup.py hot-bucket note)."""
     from docling_api_ray.stages.dedup import embedding_neardup_pairs
-    from docling_api_ray.stages.joins import hash_join
 
-    asg = kmeans_assign(ds, k=k, iters=iters).select_columns(
-        ["vec_id", "cluster"]
-    )
-    withc = hash_join(
-        ds.select_columns(["vec_id", "embedding"]), asg, on="vec_id"
-    )
+    # the final assign pass passes the embedding column through, so the
+    # within-cluster pair stage needs NO vec_id join to reunite vectors
+    # with their cluster ids (the r3 bench's hash_join here shipped the
+    # whole embedding matrix through an extra all-to-all)
+    withc = kmeans_assign(ds, k=k, iters=iters, with_embedding=True)
+    asg = withc.select_columns(["vec_id", "cluster"])
     pairs = embedding_neardup_pairs(
         withc, block_col="cluster", threshold=threshold
     )
