@@ -1264,6 +1264,172 @@ def _q_multimodal_dims(sf_dir: str):
     )
 
 
+def _q_rollup_counts(sf_dir: str):
+    """Multi-level rollup aggregate — GROUP BY ROLLUP(source, lang) counts
+    and char totals.  One bounded partial-agg pass computes the leaf
+    (source, lang) level; the coarser levels are derived from that
+    bounded leaf table (|sources|×|langs| rows, corpus-independent) in a
+    single-block pass — NOT by re-scanning the corpus once per level.
+    '<all>' sentinels replace SQL's rollup NULLs so the compare is
+    null-free."""
+    import pandas as pd
+
+    leaf = bounded_groupby_sum(
+        _docs(sf_dir, ["source", "lang", "n_chars"]),
+        ["source", "lang"],
+        sum_cols={"chars_total": "n_chars"},
+        count_alias="n_docs",
+    )
+
+    out_schema = pa.schema(
+        [
+            ("source", pa.string()),
+            ("lang", pa.string()),
+            ("n_docs", pa.int64()),
+            ("chars_total", pa.int64()),
+        ]
+    )
+
+    def rollup(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        cols = ["source", "lang", "n_docs", "chars_total"]
+        lvl1 = (
+            df.groupby("source", as_index=False)[["n_docs", "chars_total"]]
+            .sum()
+            .assign(lang="<all>")
+        )
+        lvl0 = pd.DataFrame(
+            {
+                "source": ["<all>"],
+                "lang": ["<all>"],
+                "n_docs": [df["n_docs"].sum()],
+                "chars_total": [df["chars_total"].sum()],
+            }
+        )
+        out = pd.concat([df[cols], lvl1[cols], lvl0[cols]], ignore_index=True)
+        return pa.Table.from_pandas(out, preserve_index=False).cast(out_schema)
+
+    # bounded_groupby_sum ends in a single folded block; batch_size=None
+    # keeps the rollup derivation one whole-block pass
+    return leaf.map_batches(rollup, batch_format="pyarrow", batch_size=None)
+
+
+def _q_pivot_lang_format(sf_dir: str):
+    """Pivot (long → wide): per-language document counts as one column
+    per sniffed format.  The format comes from the REAL sniff path (same
+    stage as classify_format), lang rides along through the stateless
+    synthesize+classify maps; the long (lang, format) counts fold through
+    the bounded tree aggregate and the pivot itself happens on the
+    bounded result block (|langs|×|formats| rows)."""
+    from docling_api_ray.functions.sniff import classify_format
+    from docling_api_ray.sources.synth import make_raw_document
+
+    ds = _docs(sf_dir, ["doc_id", "lang", "text"])
+
+    def synth(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        texts = b["text"].to_pylist()
+        names, payloads = [], []
+        for d, t in zip(ids, texts):
+            fn, pl = make_raw_document(int(d), t or "")
+            names.append(fn)
+            payloads.append(pl)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "lang": b["lang"],
+                "filename": pa.array(names, type=pa.string()),
+                "payload": pa.array(payloads, type=pa.binary()),
+            }
+        )
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"lang": b["lang"], "format": pc.fill_null(b["format"], "other")}
+        )
+
+    long_counts = bounded_groupby_sum(
+        ds.map_batches(synth, batch_format="pyarrow", batch_size=512)
+        .map_batches(classify_format, batch_format="pyarrow")
+        .map_batches(project, batch_format="pyarrow"),
+        ["lang", "format"],
+        count_alias="n",
+    )
+
+    fmts = ["pdf", "docx", "pptx", "html", "image", "md", "asciidoc", "other"]
+    out_schema = pa.schema(
+        [("lang", pa.string())] + [(f"n_{f}", pa.int64()) for f in fmts]
+    )
+
+    def pivot(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        wide = (
+            df.pivot_table(
+                index="lang", columns="format", values="n",
+                aggfunc="sum", fill_value=0,
+            )
+            .reindex(columns=fmts, fill_value=0)
+            .reset_index()
+        )
+        wide.columns = ["lang"] + [f"n_{f}" for f in fmts]
+        return pa.Table.from_pandas(wide, preserve_index=False).cast(out_schema)
+
+    return long_counts.map_batches(pivot, batch_format="pyarrow", batch_size=None)
+
+
+def _q_events_gaps(sf_dir: str):
+    """Per-user inter-event gap statistics — the LAG window shape.  Keys
+    co-group to ~core-count partitions (user_id mod P); inside each
+    partition one pandas sort + groupby-shift computes every user's gap
+    series vectorized (no per-user dispatch).  Integer microsecond sums
+    keep the compare exact; -1 sentinels mark gap-less users.  Tie
+    discipline matches the oracle: ORDER BY (ts, event_id)."""
+    import pandas as pd
+
+    from docling_api_ray.stages.common import shuffle_partitions
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    P = shuffle_partitions()
+
+    def add_part(b: pa.Table) -> pa.Table:
+        part = pc.subtract(
+            b["user_id"], pc.multiply(pc.divide(b["user_id"], P), P)
+        )
+        return b.append_column("__part", pc.cast(part, pa.int64()))
+
+    out_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("n_gaps", pa.int64()),
+            ("total_gap_us", pa.int64()),
+            ("max_gap_us", pa.int64()),
+        ]
+    )
+
+    def per_partition(g: pd.DataFrame) -> pa.Table:
+        g = g.copy()
+        g["ts_us"] = g["ts"].astype("int64")
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="stable")
+        prev = g.groupby("user_id", sort=False)["ts_us"].shift(1)
+        g["gap"] = g["ts_us"] - prev
+        agg = g.groupby("user_id", sort=False)["gap"].agg(
+            n_gaps="count", total_gap_us="sum", max_gap_us="max"
+        )
+        agg["n_gaps"] = agg["n_gaps"].astype("int64")
+        agg["total_gap_us"] = agg["total_gap_us"].fillna(0).astype("int64")
+        agg["max_gap_us"] = agg["max_gap_us"].fillna(-1).astype("int64")
+        return pa.Table.from_pandas(agg.reset_index(), preserve_index=False).cast(
+            out_schema
+        )
+
+    return _with_schema(
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(per_partition, batch_format="pandas"),
+        out_schema,
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "classify_format": _q_classify,
@@ -1333,6 +1499,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_meta": _q_multimodal_meta,
         "media_phash_dups": _q_media_phash_dups,
         "multimodal_dims": _q_multimodal_dims,
+        "rollup_counts": _q_rollup_counts,
+        "pivot_lang_format": _q_pivot_lang_format,
+        "events_gaps": _q_events_gaps,
     }
 
 
@@ -2592,5 +2761,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_chars) AS BIGINT) AS total_chars,
                    round(sum(n_chars) / CAST(count(*) AS DOUBLE), 6) AS avg_chars
             FROM documents GROUP BY source
+        """,
+        "rollup_counts": """
+            SELECT coalesce(source, '<all>') AS source,
+                   coalesce(lang, '<all>') AS lang,
+                   count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS chars_total
+            FROM documents GROUP BY ROLLUP(source, lang)
+        """,
+        "pivot_lang_format": f"""
+            WITH f AS (SELECT lang, {_SQL_FORMAT} AS format FROM documents)
+            SELECT lang,
+                   count(*) FILTER (format = 'pdf') AS n_pdf,
+                   count(*) FILTER (format = 'docx') AS n_docx,
+                   count(*) FILTER (format = 'pptx') AS n_pptx,
+                   count(*) FILTER (format = 'html') AS n_html,
+                   count(*) FILTER (format = 'image') AS n_image,
+                   count(*) FILTER (format = 'md') AS n_md,
+                   count(*) FILTER (format = 'asciidoc') AS n_asciidoc,
+                   count(*) FILTER (format = '') AS n_other
+            FROM f GROUP BY lang
+        """,
+        "events_gaps": """
+            WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us,
+                              lag(epoch_us(ts)) OVER (
+                                PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id) AS prev
+                       FROM events)
+            SELECT user_id,
+                   count(prev) AS n_gaps,
+                   CAST(coalesce(sum(ts_us - prev), 0) AS BIGINT) AS total_gap_us,
+                   CAST(coalesce(max(ts_us - prev), -1) AS BIGINT) AS max_gap_us
+            FROM e GROUP BY user_id
         """,
     }

@@ -112,6 +112,9 @@ def _bench_once() -> dict:
         "knn_bruteforce",
         "knn_ivf",
         "events_hourly",
+        "events_gaps",
+        "rollup_counts",
+        "pivot_lang_format",
         "shipping_priority",
         "conversion_metrics",
     ]
