@@ -1430,6 +1430,164 @@ def _q_events_gaps(sf_dir: str):
     )
 
 
+_NOORD_CUTOFF = "1996-01-01"
+
+
+def _q_customers_no_orders(sf_dir: str):
+    """Distributed ANTI-join (TPC-H Q22 shape): customers with no order
+    before the cutoff.  Both sides large → partitioned hash anti-join
+    (stages/joins.py how='anti'): the orders side ships ONLY its key
+    column, deduplicated per batch map-side (unique custkeys per block)
+    so the exchange moves ≤|distinct keys per block| rows, and each
+    bucket resolves existence with one vectorized isin."""
+    from datetime import datetime
+
+    from docling_api_ray.stages.joins import hash_join
+
+    cutoff = pa.scalar(
+        datetime.fromisoformat(_NOORD_CUTOFF), type=pa.timestamp("us")
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"]).rename_columns(
+        {"c_custkey": "custkey"}
+    )
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def keys_only(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.less(b["o_orderdate"], cutoff))
+        return pa.table({"custkey": pc.unique(pc.cast(b["o_custkey"], pa.int64()))})
+
+    o = orders.map_batches(keys_only, batch_format="pyarrow")
+    out = hash_join(cust, o, on="custkey", how="anti")
+    out_schema = pa.schema(
+        [("custkey", pa.int64()), ("c_name", pa.string()), ("c_acctbal", pa.float64())]
+    )
+    return _with_schema(out, out_schema)
+
+
+_Q5_YEAR_LO = "1995-01-01"
+_Q5_YEAR_HI = "1996-01-01"
+
+
+def _q_local_supplier_volume(sf_dir: str):
+    """TPC-H Q5 shape — 5-way join pruned to two real exchanges: revenue
+    by nation where customer AND supplier sit in the same ASIA nation.
+
+    region⋈nation collapse to a broadcast nationkey set + name lookup
+    (tiny dims, read once on the driver, ``ray.put`` once); the two
+    big-side joins (orders⋈customer on custkey, lineitem⋈that on
+    orderkey) are partitioned hash joins shipping only pre-projected
+    narrow columns; supplier's suppkey→nationkey map is broadcast (the
+    bounded dimension by TPC-H construction — escape hatch at open scale
+    = a third partitioned join); the final revenue fold is a bounded
+    groupby over |nations| rows with order-independent quantization."""
+    from datetime import datetime
+
+    from docling_api_ray.stages.joins import hash_join
+
+    lo = pa.scalar(datetime.fromisoformat(_Q5_YEAR_LO), type=pa.timestamp("us"))
+    hi = pa.scalar(datetime.fromisoformat(_Q5_YEAR_HI), type=pa.timestamp("us"))
+
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    )
+    region = pq.read_table(
+        os.path.join(sf_dir, "region.parquet"), columns=["r_regionkey", "r_name"]
+    )
+    asia_keys = set(
+        np.asarray(region["r_regionkey"])[
+            np.asarray(region["r_name"].to_pylist(), dtype=object) == "ASIA"
+        ].tolist()
+    )
+    nkeys = np.asarray(nation["n_nationkey"], dtype=np.int64)
+    nregion = np.asarray(nation["n_regionkey"], dtype=np.int64)
+    asia_nations = nkeys[np.isin(nregion, list(asia_keys))]
+    name_of = np.empty(int(nkeys.max()) + 1, dtype=object)
+    name_of[nkeys] = np.asarray(nation["n_name"].to_pylist(), dtype=object)
+    asia_ref = ray.put(np.sort(asia_nations))
+    names_ref = ray.put(name_of)
+
+    supplier = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_nationkey"]
+    )
+    skeys = np.asarray(supplier["s_suppkey"], dtype=np.int64)
+    snat = np.full(int(skeys.max()) + 1, -1, dtype=np.int64)
+    snat[skeys] = np.asarray(supplier["s_nationkey"], dtype=np.int64)
+    snat_ref = ray.put(snat)
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def sel_cust(b: pa.Table) -> pa.Table:
+        nat = np.asarray(b["c_nationkey"], dtype=np.int64)
+        keep = np.isin(nat, ray.get(asia_ref))
+        return pa.table(
+            {
+                "custkey": pc.cast(b["c_custkey"], pa.int64()),
+                "c_nat": pa.array(nat, type=pa.int64()),
+            }
+        ).filter(pa.array(keep))
+
+    c = cust.map_batches(sel_cust, batch_format="pyarrow")
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def sel_orders(b: pa.Table) -> pa.Table:
+        b = b.filter(
+            pc.and_(pc.greater_equal(b["o_orderdate"], lo), pc.less(b["o_orderdate"], hi))
+        )
+        return pa.table(
+            {
+                "orderkey": pc.cast(b["o_orderkey"], pa.int64()),
+                "custkey": pc.cast(b["o_custkey"], pa.int64()),
+            }
+        )
+
+    o = orders.map_batches(sel_orders, batch_format="pyarrow")
+    oc = hash_join(o, c, on="custkey").select_columns(["orderkey", "c_nat"])
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+
+    def sel_li(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"])
+        )
+        return pa.table(
+            {
+                "orderkey": pc.cast(b["l_orderkey"], pa.int64()),
+                "suppkey": pc.cast(b["l_suppkey"], pa.int64()),
+                "rev": rev,
+            }
+        )
+
+    l = li.map_batches(sel_li, batch_format="pyarrow")
+    j = hash_join(l, oc, on="orderkey")
+
+    def local_only(b: pa.Table) -> pa.Table:
+        sn = ray.get(snat_ref)[np.asarray(b["suppkey"], dtype=np.int64)]
+        keep = sn == np.asarray(b["c_nat"], dtype=np.int64)
+        b = b.filter(pa.array(keep))
+        names = ray.get(names_ref)[np.asarray(b["c_nat"], dtype=np.int64)]
+        return pa.table(
+            {"n_name": pa.array(names, type=pa.string()), "rev": b["rev"]}
+        )
+
+    folded = bounded_groupby_sum(
+        j.map_batches(local_only, batch_format="pyarrow"),
+        ["n_name"],
+        sum_cols={"revenue": "rev"},
+    )
+
+    def q2(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_name": b["n_name"],
+                "revenue": pc.divide(pc.round(pc.multiply(b["revenue"], 100.0)), 100.0),
+            }
+        )
+
+    return folded.map_batches(q2, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "classify_format": _q_classify,
@@ -1502,6 +1660,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_counts": _q_rollup_counts,
         "pivot_lang_format": _q_pivot_lang_format,
         "events_gaps": _q_events_gaps,
+        "customers_no_orders": _q_customers_no_orders,
+        "local_supplier_volume": _q_local_supplier_volume,
     }
 
 
@@ -2793,5 +2953,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(sum(ts_us - prev), 0) AS BIGINT) AS total_gap_us,
                    CAST(coalesce(max(ts_us - prev), -1) AS BIGINT) AS max_gap_us
             FROM e GROUP BY user_id
+        """,
+        "customers_no_orders": f"""
+            SELECT c_custkey AS custkey, c_name, c_acctbal
+            FROM customer c
+            WHERE NOT EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderdate < TIMESTAMP '{_NOORD_CUTOFF}')
+        """,
+        "local_supplier_volume": f"""
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)) * 100) / 100.0
+                     AS revenue
+            FROM customer
+            JOIN orders   ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+                         AND c_nationkey = s_nationkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '{_Q5_YEAR_LO}'
+              AND o_orderdate <  TIMESTAMP '{_Q5_YEAR_HI}'
+            GROUP BY n_name
         """,
     }

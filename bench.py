@@ -116,6 +116,8 @@ def _bench_once() -> dict:
         "rollup_counts",
         "pivot_lang_format",
         "shipping_priority",
+        "local_supplier_volume",
+        "customers_no_orders",
         "conversion_metrics",
     ]
     # INTERLEAVED repetitions + medians (VERDICT r2 #1): this container's

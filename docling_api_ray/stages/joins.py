@@ -53,9 +53,26 @@ def hash_join(
     num_buckets: int = 32,
 ) -> ray.data.Dataset:
     """Partitioned hash join of two datasets on an int64 key column named
-    ``on`` in BOTH sides; non-key column names must be disjoint."""
-    lschema = left.schema().base_schema
-    rschema = right.schema().base_schema
+    ``on`` in BOTH sides; non-key column names must be disjoint.
+
+    ``how`` accepts pandas merge modes plus the existence joins
+    ``"semi"`` / ``"anti"`` (left rows whose key does / does not appear
+    on the right — project the right side to its key column before
+    calling; per-bucket one vectorized ``isin``, no row multiplication)."""
+    def arrow_schema(ds: ray.data.Dataset) -> pa.Schema:
+        # pandas-block datasets (e.g. a prior hash_join's map_groups
+        # output) expose a PandasBlockSchema whose base_schema is a list,
+        # not a pa.Schema — rebuild from names/types in that case
+        s = ds.schema()
+        base = getattr(s, "base_schema", None)
+        if isinstance(base, pa.Schema):
+            return base
+        return pa.schema(
+            [pa.field(n, t) for n, t in zip(s.names, s.types)]
+        )
+
+    lschema = arrow_schema(left)
+    rschema = arrow_schema(right)
     lcols = [f for f in lschema if f.name != on]
     rcols = [f for f in rschema if f.name != on]
     combined = pa.schema(
@@ -92,6 +109,13 @@ def hash_join(
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         lpart = g[g["__side"] == 0][[on] + lnames]
+        if how in ("semi", "anti"):
+            # existence joins: only the key column of the right side
+            # matters — one vectorized isin per bucket, left columns
+            # pass through untouched (no row multiplication)
+            rkeys = g.loc[g["__side"] == 1, on].unique()
+            mask = lpart[on].isin(rkeys)
+            return lpart[mask if how == "semi" else ~mask]
         rpart = g[g["__side"] == 1][[on] + rnames]
         out = lpart.merge(rpart, on=on, how=how)
         return out

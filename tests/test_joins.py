@@ -26,6 +26,25 @@ def test_hash_join_inner_and_left():
     assert sorted(r["k"] for r in unmatched) == [1, 4]
 
 
+def test_hash_join_semi_anti():
+    left = ray.data.from_arrow(
+        pa.table({"k": [1, 2, 3, 4, 33], "lv": ["a", "b", "c", "d", "e"]})
+    )
+    # right carries only its key column (the documented calling shape);
+    # duplicate keys must not multiply left rows
+    right = ray.data.from_arrow(pa.table({"k": [2, 3, 3, 9]}))
+    semi = hash_join(left, right, on="k", how="semi").take_all()
+    assert sorted((r["k"], r["lv"]) for r in semi) == [(2, "b"), (3, "c")]
+    anti = hash_join(left, right, on="k", how="anti").take_all()
+    assert sorted((r["k"], r["lv"]) for r in anti) == [
+        (1, "a"),
+        (4, "d"),
+        (33, "e"),
+    ]
+    # semi ∪ anti partitions the left exactly
+    assert len(semi) + len(anti) == 5
+
+
 def test_hash_join_bucket_correctness():
     # keys colliding in the same bucket (k % 32) must still join by key
     left = ray.data.from_arrow(pa.table({"k": [1, 33, 65], "lv": [1, 2, 3]}))
