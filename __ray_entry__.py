@@ -1588,6 +1588,37 @@ def _q_local_supplier_volume(sf_dir: str):
     return folded.map_batches(q2, batch_format="pyarrow")
 
 
+# fixed probe vocabulary for the count-min sketch query: language-marker
+# words + common synthetic-corpus tokens (deterministic literal list
+# shared with the SQL oracle)
+_CMS_PROBES = [
+    "the", "and", "of", "el", "la", "que", "der", "die", "und",
+    "le", "les", "des", "scan", "join", "batch", "window", "hash",
+    "merge", "sort", "stream", "zz-not-a-word",
+]
+
+
+def _q_bloom_decontaminate(sf_dir: str):
+    """Bloom-filter membership gate (stages/sketch.py): M-bit filter
+    built distributedly over the benchmark slice, broadcast once,
+    probed in one stateless pass.  Deterministic double hashing makes
+    the sketch — false positives included — oracle-exact."""
+    from docling_api_ray.stages.sketch import bloom_membership
+
+    return bloom_membership(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def _q_countmin_words(sf_dir: str):
+    """Count-min sketch frequency estimates for a fixed probe
+    vocabulary (stages/sketch.py): sketch-bounded partials (≤D·W cells
+    per block), bounded tree fold, driver-side probe of the D×W grid.
+    Estimates (min over D rows, collision overcounts and all) are
+    mirrored bit-for-bit by the oracle."""
+    from docling_api_ray.stages.sketch import countmin_estimates
+
+    return countmin_estimates(_docs(sf_dir, ["doc_id", "text"]), _CMS_PROBES)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "classify_format": _q_classify,
@@ -1662,6 +1693,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_gaps": _q_events_gaps,
         "customers_no_orders": _q_customers_no_orders,
         "local_supplier_volume": _q_local_supplier_volume,
+        "bloom_decontaminate": _q_bloom_decontaminate,
+        "countmin_words": _q_countmin_words,
     }
 
 
@@ -2977,5 +3010,43 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '{_Q5_YEAR_LO}'
               AND o_orderdate <  TIMESTAMP '{_Q5_YEAR_HI}'
             GROUP BY n_name
+        """,
+        "bloom_decontaminate": f"""
+            WITH h AS (SELECT doc_id, {_sql_u64('text')} AS u FROM documents),
+                 hh AS (SELECT doc_id, u % 131072 AS h1,
+                               (u // 4294967296) * 2 + 1 AS h2 FROM h),
+                 ks AS (SELECT unnest(generate_series(0, 3)) AS i),
+                 bits AS (SELECT DISTINCT
+                            CAST((h1 + i * h2) % 131072 AS BIGINT) AS bit
+                          FROM hh, ks WHERE doc_id % 50 = 0),
+                 probe AS (SELECT doc_id,
+                             CAST((h1 + i * h2) % 131072 AS BIGINT) AS bit
+                           FROM hh, ks)
+            SELECT p.doc_id, bool_and(b.bit IS NOT NULL) AS maybe_contaminated
+            FROM probe p LEFT JOIN bits b ON p.bit = b.bit
+            GROUP BY p.doc_id
+        """,
+        "countmin_words": f"""
+            WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w
+                          FROM documents),
+                 wc AS (SELECT w, count(*) AS n FROM toks
+                        WHERE w <> '' GROUP BY 1),
+                 hh AS (SELECT n, {_sql_u64('w')} % 1024 AS c1,
+                               ({_sql_u64('w')} // 4294967296) * 2 + 1 AS c2
+                        FROM wc),
+                 js AS (SELECT unnest(generate_series(0, 3)) AS j),
+                 cells AS (SELECT j,
+                             CAST((c1 + j * c2) % 1024 AS BIGINT) AS col_,
+                             CAST(sum(n) AS BIGINT) AS cell
+                           FROM hh, js GROUP BY 1, 2),
+                 probes AS (SELECT unnest([{", ".join("'" + w + "'" for w in sorted(_CMS_PROBES))}]) AS word),
+                 phh AS (SELECT word, {_sql_u64('word')} % 1024 AS c1,
+                               ({_sql_u64('word')} // 4294967296) * 2 + 1 AS c2
+                         FROM probes)
+            SELECT p.word, CAST(min(coalesce(c.cell, 0)) AS BIGINT) AS est_n
+            FROM phh p CROSS JOIN js LEFT JOIN cells c
+              ON c.j = js.j
+             AND c.col_ = CAST((p.c1 + js.j * p.c2) % 1024 AS BIGINT)
+            GROUP BY p.word
         """,
     }

@@ -113,6 +113,8 @@ def _bench_once() -> dict:
         "knn_ivf",
         "events_hourly",
         "events_gaps",
+        "bloom_decontaminate",
+        "countmin_words",
         "rollup_counts",
         "pivot_lang_format",
         "shipping_priority",

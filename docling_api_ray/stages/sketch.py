@@ -240,3 +240,165 @@ def hll_estimate(registers: list[dict]) -> float:
     if est <= 2.5 * m and zeros:
         est = m * np.log(m / zeros)
     return float(est)
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — set-membership sketch (decontamination gate)
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 1 << 17  # bits
+BLOOM_K = 4        # probes per item (Kirsch-Mitzenmacher double hashing)
+
+
+def _bloom_positions(u: np.ndarray) -> np.ndarray:
+    """(n,) uint64 item hashes → (n, BLOOM_K) int64 bit positions via
+    double hashing: pos_i = (h1 + i·h2) mod M with h1 = u mod M and
+    h2 = (u >> 32)·2 + 1 (odd, < 2^33 — every intermediate < 2^36, so
+    the DuckDB HUGEINT mirror is exact)."""
+    h1 = (u % np.uint64(BLOOM_M)).astype(np.int64)
+    h2 = ((u >> np.uint64(32)) * np.uint64(2) + np.uint64(1)).astype(np.int64)
+    i = np.arange(BLOOM_K, dtype=np.int64)
+    return (h1[:, None] + i[None, :] * h2[:, None]) % BLOOM_M
+
+
+def bloom_membership(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_mod: int = 50,
+) -> ray.data.Dataset:
+    """Bloom-filter decontamination gate: build an M-bit filter over the
+    benchmark docs' full-text md5 hashes (doc_id % bench_mod == 0), then
+    flag every doc whose K positions are all set.
+
+    Scale shape: the build pass ships per-batch UNIQUE bit positions
+    (≤min(K·rows, M) ints per block); the driver folds them into one
+    M-bit array — bounded by the FILTER size, never the corpus — and
+    broadcasts it once (``ray.put``, 128 KiB).  The probe pass is one
+    stateless vectorized membership test per batch.  Determinism makes
+    the sketch oracle-exact: false-positive structure and all."""
+    import ray as _ray
+
+    from docling_api_ray.functions.hashing import u64_md5
+
+    def build(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b[id_col], dtype=np.int64)
+        mask = ids % bench_mod == 0
+        texts = np.asarray(
+            b[text_col].to_numpy(zero_copy_only=False), dtype=object
+        )[mask]
+        if len(texts) == 0:
+            return pa.table({"bit": pa.array([], type=pa.int64())})
+        pos = _bloom_positions(u64_md5(texts))
+        return pa.table({"bit": pa.array(np.unique(pos), type=pa.int64())})
+
+    # bit-position union on the driver: ≤M distinct ints (filter-bounded)
+    bits = np.zeros(BLOOM_M, dtype=bool)
+    for blk in ds.map_batches(build, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        bits[np.asarray(blk["bit"], dtype=np.int64)] = True
+    bits_ref = _ray.put(bits)
+
+    def probe(b: pa.Table) -> pa.Table:
+        texts = np.asarray(
+            b[text_col].to_numpy(zero_copy_only=False), dtype=object
+        )
+        pos = _bloom_positions(u64_md5(texts))
+        hit = ray.get(bits_ref)[pos].all(axis=1)
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "maybe_contaminated": pa.array(hit, type=pa.bool_()),
+            }
+        )
+
+    return ds.map_batches(probe, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch — frequency-estimate sketch
+# ---------------------------------------------------------------------------
+
+CMS_W = 1024  # columns
+CMS_D = 4     # hash rows
+
+
+def _cms_cols(u: np.ndarray) -> np.ndarray:
+    """(n,) uint64 word hashes → (n, CMS_D) int64 column indices, same
+    double-hashing shape as the bloom filter (exact in HUGEINT)."""
+    c1 = (u % np.uint64(CMS_W)).astype(np.int64)
+    c2 = ((u >> np.uint64(32)) * np.uint64(2) + np.uint64(1)).astype(np.int64)
+    j = np.arange(CMS_D, dtype=np.int64)
+    return (c1[:, None] + j[None, :] * c2[:, None]) % CMS_W
+
+
+def countmin_estimates(
+    ds: ray.data.Dataset,
+    probe_words: list[str],
+    *,
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Count-min sketch over the corpus's token stream, probed for a
+    fixed word list → (word, est_n) upper-bound frequency estimates.
+
+    Per-batch partial: exact batch word counts (one Arrow group_by)
+    scattered into the D×W cell grid with ``np.add.at`` — each block
+    emits ≤D·W nonzero cells no matter the batch vocabulary (the CMS
+    point: sketch-bounded partials where a wordcount partial is
+    vocabulary-bounded).  Cells tree-fold through
+    ``bounded_groupby_sum`` (domain = D·W, corpus-independent); the
+    driver reads the ≤D·W-row sketch, probes it, and the deterministic
+    estimate (min over D cells) is mirrored bit-for-bit by the SQL
+    oracle — including collision overcounts."""
+    from docling_api_ray.functions.hashing import u64_md5
+
+    def partial(b: pa.Table) -> pa.Table:
+        col = b[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        toks = pc.list_flatten(pc.split_pattern(pc.fill_null(col, ""), " "))
+        toks = toks.filter(pc.not_equal(toks, ""))
+        if len(toks) == 0:
+            return pa.table(
+                {"row_": pa.array([], type=pa.int64()),
+                 "col_": pa.array([], type=pa.int64()),
+                 "cell": pa.array([], type=pa.int64())}
+            )
+        g = pa.table({"w": toks}).group_by(["w"]).aggregate([([], "count_all")])
+        words = np.asarray(g["w"].to_pylist(), dtype=object)
+        counts = g["count_all"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cols = _cms_cols(u64_md5(words))
+        grid = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+        for j in range(CMS_D):
+            np.add.at(grid[j], cols[:, j], counts)
+        rows, hot = np.nonzero(grid)
+        return pa.table(
+            {"row_": pa.array(rows, type=pa.int64()),
+             "col_": pa.array(hot, type=pa.int64()),
+             "cell": pa.array(grid[rows, hot], type=pa.int64())}
+        )
+
+    sketch_ds = bounded_groupby_sum(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["row_", "col_"],
+        sum_cols={"cell": "cell"},
+    )
+
+    grid = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+    for blk in sketch_ds.iter_batches(batch_format="pyarrow"):
+        grid[
+            np.asarray(blk["row_"], dtype=np.int64),
+            np.asarray(blk["col_"], dtype=np.int64),
+        ] = np.asarray(blk["cell"], dtype=np.int64)
+
+    words = np.asarray(sorted(probe_words), dtype=object)
+    cols = _cms_cols(u64_md5(words))
+    est = grid[np.arange(CMS_D)[None, :], cols].min(axis=1)
+    return ray.data.from_arrow(
+        pa.table(
+            {"word": pa.array(list(words), type=pa.string()),
+             "est_n": pa.array(est, type=pa.int64())}
+        )
+    )

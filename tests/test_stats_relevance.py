@@ -196,3 +196,48 @@ def test_global_rank_ties_and_percentile():
         (14, 1, 6),
     ]
     assert all(r["percentile"] == r["doc_rank"] / 6.0 for r in rows)
+
+
+def test_bloom_membership_no_false_negatives():
+    import pyarrow as pa
+    import ray.data
+
+    from docling_api_ray.stages.sketch import bloom_membership
+
+    # benchmark slice = doc_id % 5 == 0; a non-benchmark doc REPEATING a
+    # benchmark text must flag (text-keyed membership), unique texts
+    # should (overwhelmingly, at this fill factor) not
+    texts = [f"doc body {i} unique words" for i in range(40)]
+    texts[7] = texts[5]  # doc 7 duplicates benchmark doc 5's text
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": list(range(40)), "text": texts})
+    )
+    out = {r["doc_id"]: r["maybe_contaminated"]
+           for r in bloom_membership(ds, bench_mod=5).take_all()}
+    assert len(out) == 40
+    # no false negatives: every benchmark doc self-flags
+    assert all(out[i] for i in range(0, 40, 5))
+    assert out[7]  # duplicate of a benchmark text flags
+    # 131072-bit filter with 8 items x 4 probes: unique texts stay clean
+    clean = [i for i in range(40) if i % 5 and i != 7]
+    assert sum(out[i] for i in clean) == 0
+
+
+def test_countmin_upper_bound_and_exactness():
+    import collections
+
+    import pyarrow as pa
+    import ray.data
+
+    from docling_api_ray.stages.sketch import countmin_estimates
+
+    texts = ["a b c a", "b b d", "a e f g h"]
+    exact = collections.Counter(w for t in texts for w in t.split())
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": [0, 1, 2], "text": texts})
+    )
+    got = {r["word"]: r["est_n"]
+           for r in countmin_estimates(ds, ["a", "b", "z"]).take_all()}
+    # CMS never underestimates; at 7 distinct words in a 4x1024 grid
+    # there are no collisions, so estimates are exact here
+    assert got == {"a": exact["a"], "b": exact["b"], "z": 0}
