@@ -1598,6 +1598,81 @@ _CMS_PROBES = [
 ]
 
 
+_LSH_NBITS = 12
+_LSH_SEED = 7
+
+
+def _fixed_hyperplanes() -> np.ndarray:
+    """Deterministic random hyperplanes for the LSH ANN conformance
+    query (data-independent algorithm constants, embedded as SQL
+    literals like the IVF quantizer — see _fixed_centroids)."""
+    rng = np.random.RandomState(_LSH_SEED)
+    return rng.randn(_LSH_NBITS, _IVF_DIM)
+
+
+def _q_knn_lsh(sf_dir: str):
+    """Hyperplane-LSH bucketed ANN (stages/similarity.py lsh_knn):
+    signature assign pass + Hamming-1 multi-probe + bucket-pruned
+    top-k.  The untrained counterpart of knn_ivf."""
+    qids, qmat = _query_vectors(sf_dir)
+    return sim.lsh_knn(
+        _emb(sf_dir, ["vec_id", "embedding"]),
+        qids,
+        qmat,
+        _fixed_hyperplanes(),
+        k=_KNN_K,
+    ).select_columns(["query_id", "vec_id", "cosine", "rank"])
+
+
+def _knn_lsh_oracle_sql() -> str:
+    """SQL mirror of lsh_knn: hyperplane literals, quantize-before-sign
+    bucket assignment, Hamming-1 probe expansion via xor, bucket-pruned
+    cosine ranking."""
+    hps = _fixed_hyperplanes()
+    rows = ", ".join(
+        "({}, [{}])".format(i, ", ".join(repr(float(x)) for x in hps[i]))
+        for i in range(len(hps))
+    )
+    return f"""
+        WITH hps AS (SELECT bid, CAST(hv AS DOUBLE[]) AS hv
+                     FROM (VALUES {rows}) AS t(bid, hv)),
+        q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id < {_N_QUERIES}),
+        c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings WHERE vec_id >= {_N_QUERIES}),
+        csig AS (SELECT c.vec_id,
+                   CAST(sum(CASE WHEN round(list_dot_product(c.v, h.hv)
+                                       * 1000000) / 1000000.0 >= 0
+                                 THEN 1 << h.bid ELSE 0 END) AS BIGINT)
+                     AS bucket
+                 FROM c CROSS JOIN hps h GROUP BY c.vec_id),
+        qsig AS (SELECT q.query_id,
+                   CAST(sum(CASE WHEN round(list_dot_product(q.qv, h.hv)
+                                       * 1000000) / 1000000.0 >= 0
+                                 THEN 1 << h.bid ELSE 0 END) AS BIGINT)
+                     AS bucket
+                 FROM q CROSS JOIN hps h GROUP BY q.query_id),
+        probe AS (SELECT query_id, bucket FROM qsig
+                  UNION
+                  SELECT query_id,
+                         xor(bucket, CAST(1 << bid AS BIGINT)) AS bucket
+                  FROM qsig CROSS JOIN hps),
+        s AS (SELECT q.query_id, c.vec_id,
+                     round(list_cosine_similarity(c.v, q.qv) * 1000000)
+                       / 1000000.0 AS cosine
+              FROM probe p
+              JOIN csig ON csig.bucket = p.bucket
+              JOIN c ON c.vec_id = csig.vec_id
+              JOIN q ON q.query_id = p.query_id)
+        SELECT query_id, vec_id, cosine, CAST(rank AS BIGINT) AS rank FROM (
+          SELECT query_id, vec_id, cosine,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, vec_id) AS rank
+          FROM s)
+        WHERE rank <= {_KNN_K}
+    """
+
+
 def _q_bloom_decontaminate(sf_dir: str):
     """Bloom-filter membership gate (stages/sketch.py): M-bit filter
     built distributedly over the benchmark slice, broadcast once,
@@ -1695,6 +1770,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "local_supplier_volume": _q_local_supplier_volume,
         "bloom_decontaminate": _q_bloom_decontaminate,
         "countmin_words": _q_countmin_words,
+        "knn_lsh": _q_knn_lsh,
     }
 
 
@@ -2788,6 +2864,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(a.v, b.v) >= {_NEARDUP_TH}
         """,
         "knn_ivf": _knn_ivf_oracle_sql(),
+        "knn_lsh": _knn_lsh_oracle_sql(),
         "multimodal_meta": _multimodal_meta_oracle_sql(),
         "knn_bruteforce": f"""
             WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

@@ -111,6 +111,7 @@ def _bench_once() -> dict:
         "curate_pack",
         "knn_bruteforce",
         "knn_ivf",
+        "knn_lsh",
         "events_hourly",
         "events_gaps",
         "bloom_decontaminate",

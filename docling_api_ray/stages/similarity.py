@@ -238,6 +238,40 @@ def ivf_knn(
             pc.is_in(b["centroid"], value_set=pa.array(probed_buckets))
         )
 
+    return _bucket_pruned_topk(
+        assigned,
+        query_ids,
+        query_matrix,
+        {int(q): set(int(c) for c in probe[i]) for i, q in enumerate(query_ids)},
+        k=k,
+        bucket_col="centroid",
+        exclude_self=exclude_self,
+    )
+
+
+def _bucket_pruned_topk(
+    assigned: ray.data.Dataset,
+    query_ids: list[int],
+    query_matrix: np.ndarray,
+    allowed: dict[int, set[int]],
+    *,
+    k: int,
+    bucket_col: str,
+    exclude_self: bool,
+) -> ray.data.Dataset:
+    """Shared tail of the bucketed ANN variants (IVF, hyperplane LSH):
+    prune ``assigned`` to the union of probed buckets, then run the
+    partial-top-k combiner with per-query bucket masks (disallowed
+    (query, row) sims zeroed to −2)."""
+    probed_buckets = sorted({int(c) for s in allowed.values() for c in s})
+
+    def keep_probed(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return b.filter(
+            pc.is_in(b[bucket_col], value_set=pa.array(probed_buckets))
+        )
+
     filtered = assigned.map_batches(keep_probed, batch_format="pyarrow")
     if exclude_self:
         qset = sorted(int(q) for q in query_ids)
@@ -251,29 +285,21 @@ def ivf_knn(
 
         filtered = filtered.map_batches(drop_self, batch_format="pyarrow")
 
-    # per-query bucket masks are enforced in the partial top-k by zeroing
-    # disallowed (query, row) sims
-    ref = ray.put(
-        (
-            list(map(int, query_ids)),
-            np.asarray(query_matrix),
-            {int(q): set(int(c) for c in probe[i]) for i, q in enumerate(query_ids)},
-        )
-    )
+    ref = ray.put((list(map(int, query_ids)), np.asarray(query_matrix), allowed))
 
     class BucketedTopK:
         def __init__(self) -> None:
-            qids, qmat, allowed = ray.get(ref)
+            qids, qmat, allow = ray.get(ref)
             self.qids = np.asarray(qids, dtype=np.int64)
             self.qn = _norm_rows(np.asarray(qmat, dtype=np.float64))
-            self.allowed = allowed
+            self.allowed = allow
             self.k = k
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             if len(batch) == 0:
                 return BatchTopK._EMPTY
             ids = np.asarray(batch["vec_id"], dtype=np.int64)
-            cents = np.asarray(batch["centroid"], dtype=np.int64)
+            cents = np.asarray(batch[bucket_col], dtype=np.int64)
             mat = embedding_matrix(batch["embedding"])
             sims = _quant6(_norm_rows(mat) @ self.qn.T)
             out_q, out_id, out_sim = [], [], []
@@ -301,3 +327,81 @@ def ivf_knn(
     return partial.repartition(_reduce_partitions(len(query_ids))).groupby(
         "query_id"
     ).map_groups(_final_topk(k), batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH variant — bucketed ANN without training
+# ---------------------------------------------------------------------------
+
+def signature_buckets(mat: np.ndarray, hyperplanes: np.ndarray) -> np.ndarray:
+    """(n, dim) vectors × (nbits, dim) hyperplanes → (n,) int64 LSH
+    buckets: bit b set iff the (6-decimal-quantized) dot with hyperplane
+    b is ≥ 0.  Quantizing BEFORE the sign test bridges BLAS-vs-sequential
+    summation orders, keeping the bucket assignment SQL-reproducible."""
+    bits = _quant6(mat @ hyperplanes.T) >= 0
+    weights = (1 << np.arange(hyperplanes.shape[0], dtype=np.int64)).astype(
+        np.int64
+    )
+    return bits.astype(np.int64) @ weights
+
+
+class AssignSignature:
+    def __init__(self, hyper_ref) -> None:
+        self.hyper = ray.get(hyper_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch.append_column("bucket", pa.array([], type=pa.int64()))
+        mat = embedding_matrix(batch["embedding"])
+        return batch.append_column(
+            "bucket",
+            pa.array(signature_buckets(mat, self.hyper), type=pa.int64()),
+        )
+
+
+def lsh_knn(
+    ds: ray.data.Dataset,
+    query_ids: list[int],
+    query_matrix: np.ndarray,
+    hyperplanes: np.ndarray,
+    *,
+    k: int = 10,
+    exclude_self: bool = True,
+) -> ray.data.Dataset:
+    """Hyperplane-LSH approximate top-k: every vector hashes to a
+    2^nbits-bucket signature in one vectorized assign pass; each query
+    probes its own bucket plus all Hamming-distance-1 neighbors (nbits+1
+    buckets — multi-probe recovers the near-misses a single bucket
+    loses), then the shared bucket-pruned cosine top-k runs over the
+    probed fraction only.
+
+    Untrained (data-independent) alternative to ``ivf_knn``: no sample,
+    no Lloyd — the scale path when training a quantizer is itself a job.
+    At open scale the assign output is written partitioned by bucket so
+    probes become partition-pruned reads (same note as ivf_knn)."""
+    hyper = np.asarray(hyperplanes, dtype=np.float64)
+    nbits = hyper.shape[0]
+    hyper_ref = ray.put(hyper)
+    assigned = ds.map_batches(
+        AssignSignature,
+        fn_constructor_kwargs={"hyper_ref": hyper_ref},
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 8),
+    )
+    qbuckets = signature_buckets(
+        np.asarray(query_matrix, dtype=np.float64), hyper
+    )
+    allowed = {
+        int(q): {int(b)} | {int(b) ^ (1 << i) for i in range(nbits)}
+        for q, b in zip(query_ids, qbuckets)
+    }
+    return _bucket_pruned_topk(
+        assigned,
+        query_ids,
+        query_matrix,
+        allowed,
+        k=k,
+        bucket_col="bucket",
+        exclude_self=exclude_self,
+    )

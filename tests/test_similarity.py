@@ -79,3 +79,44 @@ def test_centroids_deterministic():
     c1 = train_centroids(mat, 4)
     c2 = train_centroids(mat, 4)
     assert np.allclose(c1, c2)
+
+
+def test_lsh_recall_and_bucket_determinism():
+    from docling_api_ray.stages.similarity import lsh_knn, signature_buckets
+
+    # clustered corpus: LSH preserves ANGULAR locality, so the recall
+    # claim is only meaningful when true neighbors are angularly close
+    # (isotropic-random vectors have no locality for any ANN to find —
+    # the first version of this test learned that the hard way)
+    rng = np.random.RandomState(11)
+    centers = rng.randn(8, 16) * 3.0
+    mat = np.repeat(centers, 40, axis=0) + rng.randn(320, 16) * 0.3
+    tbl = pa.table(
+        {
+            "vec_id": list(range(len(mat))),
+            "embedding": pa.array(
+                [r.astype("float32").tolist() for r in mat],
+                type=pa.list_(pa.float32()),
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    qids = [5, 170]
+    qmat = mat[qids].astype("float32").astype("float64")
+    hyper = np.random.RandomState(7).randn(12, mat.shape[1])
+    # bucket assignment is deterministic and within range
+    b1 = signature_buckets(mat, hyper)
+    b2 = signature_buckets(mat, hyper)
+    assert (b1 == b2).all() and b1.min() >= 0 and b1.max() < (1 << 12)
+    bf = knn_bruteforce(ds, qids, qmat, k=10).take_all()
+    ls = lsh_knn(ds, qids, qmat, hyper, k=10).take_all()
+    bf_sets, ls_sets = {}, {}
+    for r in bf:
+        bf_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for r in ls:
+        ls_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for q in qids:
+        recall = len(bf_sets[q] & ls_sets.get(q, set())) / len(bf_sets[q])
+        assert recall >= 0.5, f"recall {recall} too low for Hamming-1 probe"
+        # every returned neighbor must be a real candidate (not self)
+        assert q not in ls_sets.get(q, set())
