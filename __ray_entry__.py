@@ -1694,6 +1694,70 @@ def _q_countmin_words(sf_dir: str):
     return countmin_estimates(_docs(sf_dir, ["doc_id", "text"]), _CMS_PROBES)
 
 
+def _q_events_moving_avg(sf_dir: str):
+    """Per-user trailing moving average over a 4-row frame
+    (stages/windows.py moving_window_avg): ONE user-hash exchange of the
+    minimal (event_id, user, ts, v_micro) payload, in-partition
+    cumsum-difference frame sums vectorized ACROSS users.  Micro-
+    quantized integer frame sums make the oracle compare order-free."""
+    from docling_api_ray.stages.windows import moving_window_avg
+
+    return moving_window_avg(
+        _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    )
+
+
+def _q_vocab_shared_all(sf_dir: str):
+    """Vocabulary INTERSECTION across every source (stages/setops.py):
+    per-batch distinct (word, source) partials, one word-hash co-group,
+    in-partition distinct-source count + threshold — the cross-partition
+    set-algebra primitive.  Threshold = the corpus's total distinct
+    source count (derived with a bounded column-pruned pass)."""
+    from docling_api_ray.stages.setops import vocab_source_coverage
+
+    n_sources = len(_docs(sf_dir, ["source"]).unique("source"))
+    return vocab_source_coverage(
+        _docs(sf_dir, ["text", "source"]), min_sources=n_sources
+    )
+
+
+def _q_weighted_sample(sf_dir: str):
+    """Deterministic weight-proportional bottom-k sample
+    (stages/splits.py weighted_sample): Efraimidis–Spirakis priorities
+    with the RNG replaced by the process-stable md5 hash — pure integer
+    arithmetic mirrored exactly by the HUGEINT oracle."""
+    from docling_api_ray.stages.splits import weighted_sample
+
+    return weighted_sample(_docs(sf_dir, ["doc_id", "n_chars"]), k=100)
+
+
+def _q_curriculum_bins(sf_dir: str):
+    """Equal-population curriculum deciles over document size — the
+    global_rank machinery (histogram prefix + tie-rank exchange, no
+    distributed sort) with the exact integer bin formula
+    (rank-1)*10 // N appended."""
+    from docling_api_ray.stages.stats import global_rank
+
+    return global_rank(_docs(sf_dir, ["doc_id", "n_chars"]), bins=10)
+
+
+_DSIR_TARGET = ("src0", "src1")
+
+
+def _q_dsir_weights(sf_dir: str):
+    """DSIR importance weights (stages/dsir.py): hashed-unigram target
+    vs raw models trained in one bounded-sketch pass (two dense 1024-int
+    rows per block), integer micro-log-ratio table broadcast via
+    ray.put, stateless scoring pass.  Integer-exact sums keep the oracle
+    order-free."""
+    from docling_api_ray.stages.dsir import dsir_scores
+
+    return dsir_scores(
+        _docs(sf_dir, ["doc_id", "text", "source"]),
+        target_sources=_DSIR_TARGET,
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "classify_format": _q_classify,
@@ -1771,6 +1835,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_decontaminate": _q_bloom_decontaminate,
         "countmin_words": _q_countmin_words,
         "knn_lsh": _q_knn_lsh,
+        "events_moving_avg": _q_events_moving_avg,
+        "vocab_shared_all": _q_vocab_shared_all,
+        "weighted_sample": _q_weighted_sample,
+        "curriculum_bins": _q_curriculum_bins,
+        "dsir_weights": _q_dsir_weights,
     }
 
 
@@ -3125,5 +3194,102 @@ def oracle_sql() -> dict[str, str]:
               ON c.j = js.j
              AND c.col_ = CAST((p.c1 + js.j * p.c2) % 1024 AS BIGINT)
             GROUP BY p.word
+        """,
+        # mirrors stages/windows.py moving_window_avg: micro-quantized
+        # values, ROWS frame 3 PRECEDING..CURRENT, (ts, event_id) order
+        "events_moving_avg": """
+            WITH e AS (SELECT event_id, user_id, ts,
+                              CAST(round(value * 1000000) AS BIGINT) AS v_micro
+                       FROM events)
+            SELECT event_id, user_id, v_micro,
+                   CAST(count(*) OVER w AS BIGINT) AS win_n,
+                   CAST(sum(v_micro) OVER w AS BIGINT) AS win_sum_micro,
+                   CAST(sum(v_micro) OVER w AS DOUBLE)
+                     / (count(*) OVER w * 1000000.0) AS moving_avg
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        """,
+        # mirrors stages/setops.py vocab_source_coverage at threshold =
+        # total distinct sources (per-(word, source) rows make count(*)
+        # the distinct-source count)
+        "vocab_shared_all": """
+            WITH w AS (SELECT source,
+                              unnest(string_split(text, ' ')) AS word
+                       FROM documents WHERE text <> ''),
+                 f AS (SELECT word, source, CAST(count(*) AS BIGINT) AS n
+                       FROM w WHERE word <> '' GROUP BY 1, 2)
+            SELECT word,
+                   CAST(count(*) AS BIGINT) AS n_sources,
+                   CAST(sum(n) AS BIGINT) AS n_occurrences
+            FROM f GROUP BY word
+            HAVING count(*) >= (SELECT count(DISTINCT source) FROM documents)
+        """,
+        # mirrors stages/splits.py weighted_sample: priority =
+        # md5-u64 // weight in pure integer arithmetic, bottom-100 by
+        # (priority, doc_id)
+        "weighted_sample": f"""
+            SELECT doc_id,
+                   CAST(greatest(n_chars, 1) AS BIGINT) AS weight,
+                   CAST({_sql_u64("CAST(doc_id AS VARCHAR)")}
+                        // greatest(n_chars, 1) AS BIGINT) AS priority
+            FROM documents
+            ORDER BY priority, doc_id
+            LIMIT 100
+        """,
+        # global_rank + the exact integer decile formula (rank-1)*10 // N
+        "curriculum_bins": """
+            WITH r AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+                              CAST(row_number() OVER (
+                                ORDER BY n_chars DESC, doc_id ASC)
+                                AS BIGINT) AS doc_rank,
+                              CAST(count(*) OVER () AS BIGINT) AS n
+                       FROM documents)
+            SELECT doc_id, n_chars, doc_rank,
+                   CAST(doc_rank AS DOUBLE) / n AS percentile,
+                   CAST((doc_rank - 1) * 10 // n AS BIGINT) AS bin
+            FROM r
+        """,
+        # mirrors stages/dsir.py dsir_scores: u64(word) % 1024 buckets,
+        # Laplace micro-logs quantized BEFORE the target-raw subtract,
+        # order-free integer per-doc sums, identical final division
+        "dsir_weights": f"""
+            WITH w AS (SELECT doc_id,
+                              source IN {repr(tuple(_DSIR_TARGET))} AS is_tgt,
+                              CAST({_sql_u64('word')} % 1024 AS BIGINT) AS b
+                       FROM (SELECT doc_id, source,
+                                    unnest(string_split(text, ' ')) AS word
+                             FROM documents WHERE text <> '')),
+                 c AS (SELECT b,
+                              CAST(sum(CASE WHEN is_tgt THEN 1 ELSE 0 END)
+                                   AS BIGINT) AS ct,
+                              CAST(sum(CASE WHEN is_tgt THEN 0 ELSE 1 END)
+                                   AS BIGINT) AS cr
+                       FROM w GROUP BY b),
+                 tot AS (SELECT CAST(sum(ct) AS BIGINT) AS t,
+                                CAST(sum(cr) AS BIGINT) AS r FROM c),
+                 grid AS (SELECT unnest(range(0, 1024)) AS b),
+                 tbl AS (SELECT grid.b,
+                                CAST(round(ln((COALESCE(c.ct, 0) + 1.0)
+                                              / (tot.t + 1024.0))
+                                           * 1000000) AS BIGINT)
+                              - CAST(round(ln((COALESCE(c.cr, 0) + 1.0)
+                                              / (tot.r + 1024.0))
+                                           * 1000000) AS BIGINT) AS lam
+                         FROM grid CROSS JOIN tot
+                         LEFT JOIN c ON grid.b = c.b),
+                 per AS (SELECT w.doc_id,
+                                CAST(count(*) AS BIGINT) AS n_words,
+                                CAST(sum(tbl.lam) AS BIGINT) AS lr_micro
+                         FROM w JOIN tbl ON w.b = tbl.b
+                         GROUP BY w.doc_id)
+            SELECT d.doc_id,
+                   COALESCE(p.n_words, 0) AS n_words,
+                   COALESCE(p.lr_micro, 0) AS lr_micro,
+                   CASE WHEN p.n_words > 0
+                        THEN CAST(p.lr_micro AS DOUBLE)
+                             / (p.n_words * 1000000.0)
+                        ELSE 0.0 END AS avg_lr
+            FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
         """,
     }

@@ -121,6 +121,11 @@ def _bench_once() -> dict:
         "shipping_priority",
         "local_supplier_volume",
         "customers_no_orders",
+        "events_moving_avg",
+        "dsir_weights",
+        "weighted_sample",
+        "curriculum_bins",
+        "vocab_shared_all",
         "conversion_metrics",
     ]
     # INTERLEAVED repetitions + medians (VERDICT r2 #1): this container's

@@ -69,3 +69,85 @@ def split_counts(
         ["split"],
         count_alias="n_docs",
     )
+
+
+def weighted_sample(
+    ds: ray.data.Dataset,
+    *,
+    k: int,
+    id_col: str = "doc_id",
+    weight_col: str = "n_chars",
+) -> ray.data.Dataset:
+    """Deterministic weight-proportional sample of ``k`` rows — the
+    coordination-free analog of weighted reservoir sampling (the
+    Efraimidis–Spirakis bottom-k trick with the random draw replaced by
+    the process-stable doc hash): every row gets priority
+    ``key = u64_md5(str(id)) // weight`` (integer floor division — heavier
+    rows draw systematically smaller keys) and the sample is the global
+    bottom-``k`` by ``(key, id)``.
+
+    Identical on every run / node / reshard, and the DuckDB oracle
+    reproduces it exactly (``md5_number // weight`` in HUGEINT — pure
+    integer arithmetic, no float RNG to mirror).
+
+    Shape: stateless per-batch priority + LOCAL bottom-k head (each block
+    emits ≤ k rows), then a single ≤ k·blocks-row merge block — the
+    distributed-top-k tail shape (corpus-independent; k·10⁶ blocks of
+    3-int rows at 100 TB is still object-store-trivial, and a two-level
+    head fold slots in if k grows).  Weights must be ≥ 1 (enforced via
+    max(w, 1))."""
+    out_schema = pa.schema(
+        [
+            (id_col, pa.int64()),
+            ("weight", pa.int64()),
+            ("priority", pa.int64()),
+        ]
+    )
+
+    def head(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_pylist()
+        w = np.maximum(
+            np.asarray(b[weight_col], dtype=np.int64), 1
+        ).astype(np.uint64)
+        h = u64_md5(np.array([str(i) for i in ids], dtype=object))
+        key = h // w  # ≤ 2^64/1 — emitted as int64 after a range check
+        # u64 // w fits int63 whenever w ≥ 2; w == 1 rows clamp to the
+        # int64 max (their relative order under (key, id) is preserved
+        # because every real weight here is ≥ 2 chars — documented bound)
+        key = np.minimum(key, np.uint64(np.iinfo(np.int64).max)).astype(
+            np.int64
+        )
+        order = np.lexsort((np.asarray(ids, dtype=np.int64), key))[:k]
+        return pa.table(
+            {
+                id_col: pa.array(
+                    np.asarray(ids, dtype=np.int64)[order], type=pa.int64()
+                ),
+                "weight": pa.array(
+                    w[order].astype(np.int64), type=pa.int64()
+                ),
+                "priority": pa.array(key[order], type=pa.int64()),
+            }
+        )
+
+    def merge(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b[id_col], dtype=np.int64)
+        key = np.asarray(b["priority"], dtype=np.int64)
+        order = np.lexsort((ids, key))[:k]
+        return pa.table(
+            {
+                id_col: pa.array(ids[order], type=pa.int64()),
+                "weight": pa.array(
+                    np.asarray(b["weight"], dtype=np.int64)[order],
+                    type=pa.int64(),
+                ),
+                "priority": pa.array(key[order], type=pa.int64()),
+            }
+        ).cast(out_schema)
+
+    return (
+        ds.select_columns([id_col, weight_col])
+        .map_batches(head, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(merge, batch_format="pyarrow", batch_size=None)
+    )

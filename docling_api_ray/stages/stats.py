@@ -87,6 +87,7 @@ def global_rank(
     *,
     value_col: str = "n_chars",
     id_col: str = "doc_id",
+    bins: int | None = None,
 ) -> ray.data.Dataset:
     """Exact global rank + percentile of every row by
     ``(value desc, id asc)`` — the curriculum-ordering / size-percentile
@@ -137,16 +138,24 @@ def global_rank(
         rank = (
             df[value_col].map(cum_).to_numpy(dtype=np.int64) + tie + 1
         )
-        return pa.table(
-            {
-                id_col: pa.array(df[id_col].to_numpy()),
-                value_col: pa.array(df[value_col].to_numpy(), type=pa.int64()),
-                "doc_rank": pa.array(rank, type=pa.int64()),
-                "percentile": pa.array(
-                    rank.astype(np.float64) / float(n_total), type=pa.float64()
-                ),
-            }
-        )
+        cols = {
+            id_col: pa.array(df[id_col].to_numpy()),
+            value_col: pa.array(df[value_col].to_numpy(), type=pa.int64()),
+            "doc_rank": pa.array(rank, type=pa.int64()),
+            "percentile": pa.array(
+                rank.astype(np.float64) / float(n_total), type=pa.float64()
+            ),
+        }
+        if bins is not None:
+            # equal-population curriculum bin — NTILE-free exact integer
+            # formula over the already-exact rank: bin i gets rows with
+            # (rank-1)*bins // N == i (the SQL mirror is the identical
+            # expression, so no NTILE remainder-distribution semantics
+            # to reproduce)
+            cols["bin"] = pa.array(
+                (rank - 1) * bins // n_total, type=pa.int64()
+            )
+        return pa.table(cols)
 
     return (
         ds.map_batches(add_part, batch_format="pyarrow")

@@ -1,0 +1,166 @@
+"""Unit tests for the round-3 continuation operators: moving-window
+average, vocabulary set coverage, weighted sampling, curriculum bins and
+DSIR scoring (each also oracle-checked in test_queries_oracle — these
+cover hand-built edge cases the synthetic corpus doesn't hit)."""
+
+import datetime as dt
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from docling_api_ray.functions.hashing import u64_md5
+from docling_api_ray.stages.dsir import dsir_scores
+from docling_api_ray.stages.setops import vocab_source_coverage
+from docling_api_ray.stages.splits import weighted_sample
+from docling_api_ray.stages.stats import global_rank
+from docling_api_ray.stages.windows import moving_window_avg
+
+
+def _events(rows):
+    """rows: (event_id, user_id, sec, value)."""
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                "user_id": pa.array([r[1] for r in rows], type=pa.int64()),
+                "ts": pa.array(
+                    [
+                        dt.datetime(2024, 1, 1) + dt.timedelta(seconds=r[2])
+                        for r in rows
+                    ],
+                    type=pa.timestamp("us"),
+                ),
+                "value": pa.array(
+                    [float(r[3]) for r in rows], type=pa.float64()
+                ),
+            }
+        )
+    )
+
+
+def test_moving_avg_frame_and_key_boundary():
+    # user 1: values 1,2,3,4,5 -> trailing-4 sums 1,3,6,10,14
+    # user 2: single event, frame must NOT leak across users
+    rows = [(i, 1, i, i + 1) for i in range(5)] + [(10, 2, 0, 7.0)]
+    out = {
+        r["event_id"]: r
+        for r in moving_window_avg(_events(rows)).take_all()
+    }
+    sums = [out[i]["win_sum_micro"] for i in range(5)]
+    assert sums == [1_000_000, 3_000_000, 6_000_000, 10_000_000, 14_000_000]
+    assert [out[i]["win_n"] for i in range(5)] == [1, 2, 3, 4, 4]
+    assert out[4]["win_sum_micro"] == 14_000_000  # 2+3+4+5
+    assert out[10]["win_n"] == 1 and out[10]["win_sum_micro"] == 7_000_000
+    assert out[3]["moving_avg"] == 10_000_000 / (4 * 1e6)
+
+
+def test_moving_avg_ts_tiebreak_by_event_id():
+    # same user, same ts: frame order falls back to event_id
+    rows = [(2, 1, 0, 5.0), (1, 1, 0, 3.0)]
+    out = {
+        r["event_id"]: r
+        for r in moving_window_avg(_events(rows)).take_all()
+    }
+    assert out[1]["win_n"] == 1 and out[2]["win_n"] == 2
+    assert out[2]["win_sum_micro"] == 8_000_000
+
+
+def _docs(rows):
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                "text": pa.array([r[1] for r in rows], type=pa.string()),
+                "source": pa.array([r[2] for r in rows], type=pa.string()),
+            }
+        )
+    )
+
+
+def test_vocab_coverage_threshold_and_occurrences():
+    ds = _docs(
+        [
+            (1, "a b a", "s1"),
+            (2, "a c", "s2"),
+            (3, "b c", "s1"),
+        ]
+    )
+    out = {
+        r["word"]: r
+        for r in vocab_source_coverage(ds, min_sources=2).take_all()
+    }
+    # a: s1+s2 (3 occurrences), c: s1+s2 (2); b only s1
+    assert set(out) == {"a", "c"}
+    assert out["a"]["n_sources"] == 2 and out["a"]["n_occurrences"] == 3
+    assert out["c"]["n_occurrences"] == 2
+
+
+def test_weighted_sample_matches_local_priority_order():
+    n = 200
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(list(range(n)), type=pa.int64()),
+            "n_chars": pa.array(
+                [50 + (i * 37) % 400 for i in range(n)], type=pa.int64()
+            ),
+        }
+    )
+    got = weighted_sample(
+        ray.data.from_arrow(tbl).repartition(8), k=10
+    ).take_all()
+    w = np.asarray(tbl["n_chars"], dtype=np.uint64)
+    pri = u64_md5(np.array([str(i) for i in range(n)], dtype=object)) // w
+    order = np.lexsort((np.arange(n), pri))[:10]
+    assert [r["doc_id"] for r in got] == list(order)
+    assert [r["priority"] for r in got] == [int(pri[i]) for i in order]
+
+
+def test_weighted_sample_prefers_heavy_rows():
+    # one row with overwhelming weight must (statistically) be picked:
+    # weight 10^9 divides its priority to ~1e10 while unit weights stay
+    # ~1e19 — deterministic given the fixed hash
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(list(range(50)), type=pa.int64()),
+            "n_chars": pa.array(
+                [10**9 if i == 7 else 2 for i in range(50)], type=pa.int64()
+            ),
+        }
+    )
+    got = weighted_sample(ray.data.from_arrow(tbl), k=5).take_all()
+    assert got[0]["doc_id"] == 7
+
+
+def test_curriculum_bins_partition_sizes():
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(list(range(100)), type=pa.int64()),
+            "n_chars": pa.array(
+                [(i * 13) % 50 for i in range(100)], type=pa.int64()
+            ),
+        }
+    )
+    out = global_rank(ray.data.from_arrow(tbl), bins=10).take_all()
+    bins = [r["bin"] for r in out]
+    assert len(out) == 100
+    # equal-population deciles: exactly 10 rows per bin
+    assert sorted(np.bincount(bins, minlength=10).tolist()) == [10] * 10
+    by_rank = {r["doc_rank"]: r["bin"] for r in out}
+    assert by_rank[1] == 0 and by_rank[100] == 9 and by_rank[51] == 5
+
+
+def test_dsir_separates_target_distribution():
+    # target sources use a disjoint vocabulary from raw ones — target
+    # docs must score strictly higher
+    rows = []
+    for i in range(40):
+        if i % 2 == 0:
+            rows.append((i, "alpha beta gamma delta", "src0"))
+        else:
+            rows.append((i, "omega psi chi phi", "src9"))
+    out = dsir_scores(_docs(rows), target_sources=("src0",)).take_all()
+    tgt = [r["avg_lr"] for r in out if r["doc_id"] % 2 == 0]
+    raw = [r["avg_lr"] for r in out if r["doc_id"] % 2 == 1]
+    assert min(tgt) > 0 > max(raw)
+    assert all(r["n_words"] == 4 for r in out)
