@@ -1758,6 +1758,26 @@ def _q_dsir_weights(sf_dir: str):
     )
 
 
+def _q_knn_pq(sf_dir: str):
+    """Product-quantization ANN (stages/pq.py): 64-dim vectors compress
+    to 8 subspace codes against a fixed integer codebook; queries rank
+    candidates by the integer ADC lookup-table sum — fused quantize →
+    assign → ADC → local-top-k streaming pass, per-query merge.  The
+    codebook is the seeded conformance quantizer (train_pq_codebook
+    recall is covered in tests), keeping every stage oracle-checkable
+    in pure integer arithmetic."""
+    from docling_api_ray.stages.pq import fixed_pq_codebook, pq_knn
+
+    qids, qmat = _query_vectors(sf_dir)
+    return pq_knn(
+        _emb(sf_dir, ["vec_id", "embedding"]),
+        qids,
+        qmat,
+        fixed_pq_codebook(),
+        k=_KNN_K,
+    ).select_columns(["query_id", "vec_id", "adc", "rank"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "classify_format": _q_classify,
@@ -1840,6 +1860,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": _q_weighted_sample,
         "curriculum_bins": _q_curriculum_bins,
         "dsir_weights": _q_dsir_weights,
+        "knn_pq": _q_knn_pq,
     }
 
 
@@ -2278,6 +2299,62 @@ def _knn_ivf_oracle_sql() -> str:
                  row_number() OVER (PARTITION BY query_id
                                     ORDER BY cosine DESC, vec_id) AS rank
           FROM s)
+        WHERE rank <= {_KNN_K}
+    """
+
+
+def _knn_pq_oracle_sql() -> str:
+    """Exact SQL mirror of pq_knn over the fixed integer codebook
+    (stages/pq.py): micro coordinates via ``floor(x*1e6)``, per-subspace
+    integer squared distances, argmin assignment with (d, cid) order,
+    integer ADC sums, (adc, vec_id) ranking — pure integer arithmetic
+    end to end, no float summation order to reproduce."""
+    from docling_api_ray.stages.pq import D_SUB, fixed_pq_codebook
+
+    cb = fixed_pq_codebook()
+    rows = ", ".join(
+        "({}, {}, [{}])".format(
+            m, c, ", ".join(str(int(x)) for x in cb[m, c])
+        )
+        for m in range(cb.shape[0])
+        for c in range(cb.shape[1])
+    )
+    return f"""
+        WITH cb AS (SELECT m, cid, CAST(cv AS BIGINT[]) AS cv
+                    FROM (VALUES {rows}) AS t(m, cid, cv)),
+        js AS (SELECT unnest(range(1, {D_SUB + 1})) AS j),
+        v AS (SELECT vec_id,
+                     list_transform(CAST(embedding AS DOUBLE[]),
+                       x -> CAST(floor(x * 1000000) AS BIGINT)) AS vm
+              FROM embeddings WHERE vec_id >= {_N_QUERIES}),
+        q AS (SELECT vec_id AS query_id,
+                     list_transform(CAST(embedding AS DOUBLE[]),
+                       x -> CAST(floor(x * 1000000) AS BIGINT)) AS vm
+              FROM embeddings WHERE vec_id < {_N_QUERIES}),
+        vd AS (SELECT v.vec_id, cb.m, cb.cid,
+                      CAST(sum((v.vm[cb.m * {D_SUB} + js.j] - cb.cv[js.j])
+                             * (v.vm[cb.m * {D_SUB} + js.j] - cb.cv[js.j]))
+                           AS BIGINT) AS d
+               FROM v CROSS JOIN cb CROSS JOIN js GROUP BY 1, 2, 3),
+        codes AS (SELECT vec_id, m, cid FROM (
+            SELECT vec_id, m, cid,
+                   row_number() OVER (PARTITION BY vec_id, m
+                                      ORDER BY d, cid) AS rn
+            FROM vd) WHERE rn = 1),
+        qd AS (SELECT q.query_id, cb.m, cb.cid,
+                      CAST(sum((q.vm[cb.m * {D_SUB} + js.j] - cb.cv[js.j])
+                             * (q.vm[cb.m * {D_SUB} + js.j] - cb.cv[js.j]))
+                           AS BIGINT) AS d
+               FROM q CROSS JOIN cb CROSS JOIN js GROUP BY 1, 2, 3),
+        adc AS (SELECT qd.query_id, codes.vec_id,
+                       CAST(sum(qd.d) AS BIGINT) AS adc
+                FROM codes JOIN qd ON qd.m = codes.m AND qd.cid = codes.cid
+                GROUP BY 1, 2)
+        SELECT query_id, vec_id, adc, CAST(rank AS BIGINT) AS rank FROM (
+          SELECT query_id, vec_id, adc,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY adc, vec_id) AS rank
+          FROM adc)
         WHERE rank <= {_KNN_K}
     """
 
@@ -3292,4 +3369,5 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 0.0 END AS avg_lr
             FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
         """,
+        "knn_pq": _knn_pq_oracle_sql(),
     }

@@ -112,6 +112,7 @@ def _bench_once() -> dict:
         "knn_bruteforce",
         "knn_ivf",
         "knn_lsh",
+        "knn_pq",
         "events_hourly",
         "events_gaps",
         "bloom_decontaminate",

@@ -120,3 +120,70 @@ def test_lsh_recall_and_bucket_determinism():
         assert recall >= 0.5, f"recall {recall} too low for Hamming-1 probe"
         # every returned neighbor must be a real candidate (not self)
         assert q not in ls_sets.get(q, set())
+
+
+def test_pq_assign_exact_tiny():
+    # hand-built: vector exactly at centroid 3 of every subspace must
+    # take code 3; argmin ties go to the lower centroid id
+    from docling_api_ray.stages.pq import (
+        D_SUB,
+        K_CODE,
+        M_SUB,
+        assign_codes,
+        fixed_pq_codebook,
+    )
+
+    cb = fixed_pq_codebook()
+    vm = cb[:, 3, :].reshape(1, M_SUB * D_SUB)
+    codes = assign_codes(vm, cb)
+    assert codes.shape == (1, M_SUB) and (codes == 3).all()
+    # duplicate centroid 0 into slot 5: a vector at that point must
+    # still pick the LOWER id
+    cb2 = cb.copy()
+    cb2[:, 5, :] = cb2[:, 0, :]
+    vm0 = cb2[:, 5, :].reshape(1, M_SUB * D_SUB)
+    assert (assign_codes(vm0, cb2) == 0).all()
+    assert K_CODE == 16
+
+
+def test_pq_trained_recall_against_bruteforce():
+    # clustered corpus: a TRAINED codebook must give usable top-10
+    # recall while the adc ordering stays integer-deterministic
+    from docling_api_ray.stages.pq import (
+        pq_knn,
+        quantize_micro,
+        train_pq_codebook,
+    )
+
+    rng = np.random.RandomState(11)
+    centers = rng.randn(8, 64) * 0.2
+    mat = np.repeat(centers, 40, axis=0) + rng.randn(320, 64) * 0.03
+    mat /= np.linalg.norm(mat, axis=1)[:, None]
+    tbl = pa.table(
+        {
+            "vec_id": list(range(len(mat))),
+            "embedding": pa.array(
+                [r.astype("float32").tolist() for r in mat],
+                type=pa.list_(pa.float32()),
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    qids = [5, 170]
+    qmat = mat[qids]
+    cb = train_pq_codebook(quantize_micro(mat))
+    bf = knn_bruteforce(ds, qids, qmat, k=10).take_all()
+    pqr = pq_knn(ds, qids, qmat, cb, k=10).take_all()
+    bf_sets, pq_sets = {}, {}
+    for r in bf:
+        bf_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for r in pqr:
+        pq_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for q in qids:
+        recall = len(bf_sets[q] & pq_sets.get(q, set())) / len(bf_sets[q])
+        assert recall >= 0.5, f"PQ recall {recall} too low"
+        assert q not in pq_sets.get(q, set())
+    # determinism: re-run returns identical rows
+    again = pq_knn(ds, qids, qmat, cb, k=10).take_all()
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted(again, key=key) == sorted(pqr, key=key)
