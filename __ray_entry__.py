@@ -1758,6 +1758,28 @@ def _q_dsir_weights(sf_dir: str):
     )
 
 
+def _q_inverted_postings(sf_dir: str):
+    """Bounded inverted index (stages/postings.py): the global top-10
+    vocabulary (the shared distributed-top-k tail, bounded driver
+    materialization) broadcast as the term set, then term-filtered
+    batch-distinct (word, doc) pairs through ONE word-hash co-group
+    folding exact df + capped ascending posting strings."""
+    from docling_api_ray.stages.postings import inverted_postings
+
+    top = _distributed_count_topk(
+        _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            ta.word_counts, batch_format="pyarrow"
+        ),
+        "word",
+        10,
+    ).take_all()
+    return inverted_postings(
+        _docs(sf_dir, ["doc_id", "text"]),
+        [r["word"] for r in top],
+        cap=50,
+    )
+
+
 def _q_knn_pq(sf_dir: str):
     """Product-quantization ANN (stages/pq.py): 64-dim vectors compress
     to 8 subspace codes against a fixed integer codebook; queries rank
@@ -1861,6 +1883,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curriculum_bins": _q_curriculum_bins,
         "dsir_weights": _q_dsir_weights,
         "knn_pq": _q_knn_pq,
+        "inverted_postings": _q_inverted_postings,
     }
 
 
@@ -3370,4 +3393,22 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
         """,
         "knn_pq": _knn_pq_oracle_sql(),
+        # mirrors stages/postings.py inverted_postings over the top-10
+        # vocabulary: distinct (word, doc) pairs, exact df, ascending
+        # doc ids comma-joined after a 50-element cap
+        "inverted_postings": """
+            WITH w AS (SELECT doc_id,
+                              unnest(string_split(text, ' ')) AS word
+                       FROM documents),
+                 c AS (SELECT word, count(*) AS n FROM w
+                       WHERE word <> '' GROUP BY 1),
+                 top AS (SELECT word FROM c ORDER BY n DESC, word LIMIT 10),
+                 p AS (SELECT word, doc_id FROM w JOIN top USING (word)
+                       GROUP BY 1, 2)
+            SELECT word, CAST(count(*) AS BIGINT) AS df,
+                   array_to_string(
+                     list_slice(list_sort(list(doc_id)), 1, 50), ','
+                   ) AS postings
+            FROM p GROUP BY word
+        """,
     }

@@ -127,6 +127,7 @@ def _bench_once() -> dict:
         "weighted_sample",
         "curriculum_bins",
         "vocab_shared_all",
+        "inverted_postings",
         "conversion_metrics",
     ]
     # INTERLEAVED repetitions + medians (VERDICT r2 #1): this container's

@@ -164,3 +164,32 @@ def test_dsir_separates_target_distribution():
     raw = [r["avg_lr"] for r in out if r["doc_id"] % 2 == 1]
     assert min(tgt) > 0 > max(raw)
     assert all(r["n_words"] == 4 for r in out)
+
+
+def test_inverted_postings_cap_and_df():
+    from docling_api_ray.stages.postings import inverted_postings
+
+    rows = [(i, "common x" if i % 2 == 0 else "rare y", "s") for i in range(20)]
+    out = {
+        r["word"]: r
+        for r in inverted_postings(
+            ray.data.from_arrow(
+                pa.table(
+                    {
+                        "doc_id": pa.array(
+                            [r[0] for r in rows], type=pa.int64()
+                        ),
+                        "text": pa.array(
+                            [r[1] for r in rows], type=pa.string()
+                        ),
+                    }
+                )
+            ).repartition(4),
+            ["common", "rare"],
+            cap=3,
+        ).take_all()
+    }
+    assert out["common"]["df"] == 10  # exact df beyond the cap
+    assert out["common"]["postings"] == "0,2,4"  # ascending, capped at 3
+    assert out["rare"]["postings"] == "1,3,5"
+    assert set(out) == {"common", "rare"}  # terms outside the set dropped
