@@ -1758,6 +1758,27 @@ def _q_dsir_weights(sf_dir: str):
     )
 
 
+def _q_mixture_weights(sf_dir: str):
+    """Temperature-scaled (α = 0.5) source mixture sampling weights
+    (stages/mixture.py): one bounded-domain token-count fold, then
+    shares / sqrt-temperature weights computed in the ≤|sources|-row
+    final block.  IEEE sqrt + floored micro weights keep both sides
+    bit-identical."""
+    from docling_api_ray.stages.mixture import mixture_weights
+
+    return mixture_weights(_docs(sf_dir, ["source", "text"]))
+
+
+def _q_repetition_stats(sf_dir: str):
+    """Within-doc bigram repetition signals (stages/text_analysis.py
+    repetition_stats — the Gopher n-gram repetition rules): stateless
+    vectorized pass; fractions are single int/int IEEE divisions so no
+    quantization is needed for the oracle compare."""
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        ta.repetition_stats, batch_format="pyarrow"
+    )
+
+
 def _q_inverted_postings(sf_dir: str):
     """Bounded inverted index (stages/postings.py): the global top-10
     vocabulary (the shared distributed-top-k tail, bounded driver
@@ -1884,6 +1905,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_weights": _q_dsir_weights,
         "knn_pq": _q_knn_pq,
         "inverted_postings": _q_inverted_postings,
+        "mixture_weights": _q_mixture_weights,
+        "repetition_stats": _q_repetition_stats,
     }
 
 
@@ -3410,5 +3433,54 @@ def oracle_sql() -> dict[str, str]:
                      list_slice(list_sort(list(doc_id)), 1, 50), ','
                    ) AS postings
             FROM p GROUP BY word
+        """,
+        # mirrors stages/mixture.py mixture_weights: exact token counts,
+        # share = one int->double division, w = floor(sqrt(share)*1e6)
+        # (IEEE sqrt is correctly rounded — identical in numpy and SQL),
+        # order-free integer normalizer
+        "mixture_weights": f"""
+            WITH t AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                              CAST(sum(length(regexp_extract_all(
+                                text, $${ta.WS_TOKEN_RE}$$))) AS BIGINT)
+                                AS n_tokens
+                       FROM documents GROUP BY source),
+                 tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tt FROM t),
+                 w AS (SELECT source, n_docs, n_tokens,
+                              CAST(n_tokens AS DOUBLE) / tt AS share,
+                              CAST(floor(sqrt(CAST(n_tokens AS DOUBLE) / tt)
+                                         * 1000000) AS BIGINT) AS w_micro
+                       FROM t, tot)
+            SELECT source, n_docs, n_tokens, share, w_micro,
+                   CAST(w_micro AS DOUBLE)
+                     / (SELECT CAST(sum(w_micro) AS BIGINT) FROM w)
+                     AS samp_weight
+            FROM w
+        """,
+        # mirrors stages/text_analysis.py repetition_stats: per-doc
+        # bigram multiset via 1-based adjacent positions, fractions as
+        # single int/int divisions (bit-exact, unquantized)
+        "repetition_stats": """
+            WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+                       FROM documents),
+                 b AS (SELECT doc_id, ws[CAST(i AS INTEGER)] || ' '
+                                || ws[CAST(i AS INTEGER) + 1] AS bg
+                       FROM d, unnest(range(1, len(ws))) AS t(i)),
+                 c AS (SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS n
+                       FROM b GROUP BY 1, 2),
+                 agg AS (SELECT doc_id,
+                                CAST(sum(n) AS BIGINT) AS n_bigrams,
+                                CAST(max(n) AS BIGINT) AS top2_n,
+                                CAST(sum(CASE WHEN n >= 2 THEN n ELSE 0 END)
+                                     AS BIGINT) AS dup2_n
+                         FROM c GROUP BY 1)
+            SELECT d.doc_id,
+                   COALESCE(a.n_bigrams, 0) AS n_bigrams,
+                   COALESCE(a.top2_n, 0) AS top2_n,
+                   COALESCE(a.dup2_n, 0) AS dup2_n,
+                   CAST(COALESCE(a.top2_n, 0) AS DOUBLE)
+                     / greatest(COALESCE(a.n_bigrams, 0), 1) AS top2_frac,
+                   CAST(COALESCE(a.dup2_n, 0) AS DOUBLE)
+                     / greatest(COALESCE(a.n_bigrams, 0), 1) AS dup2_frac
+            FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id
         """,
     }

@@ -128,6 +128,8 @@ def _bench_once() -> dict:
         "curriculum_bins",
         "vocab_shared_all",
         "inverted_postings",
+        "mixture_weights",
+        "repetition_stats",
         "conversion_metrics",
     ]
     # INTERLEAVED repetitions + medians (VERDICT r2 #1): this container's

@@ -391,3 +391,59 @@ def quality_logit(batch: pa.Table) -> pa.Table:
             "keep": pa.array(prob >= 0.5, type=pa.bool_()),
         }
     )
+
+
+def repetition_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Within-document bigram repetition signals — the Gopher repetition
+    rules' n-gram family (Rae et al. 2021 §A1.1: "fraction of characters
+    in the most common n-gram" / "in duplicated n-grams"), word-level
+    analog for word-soup corpora where line-based rules are degenerate.
+
+    Per doc: n_bigrams, the most common bigram's count (top2_n), the
+    number of bigram occurrences whose bigram repeats (dup2_n), and the
+    two fractions.  Fully vectorized: one split per batch, factorized
+    word codes, integer (row, code_i, code_i+1) keys counted with
+    ``np.unique`` — no per-row python.  Fractions are SINGLE int/int
+    IEEE divisions (bit-identical in numpy and SQL — no quantization
+    needed, unlike associated float sums; a micro-quantize here would
+    actually DIVERGE on exact-.5 products, e.g. top2_n/128).
+    Stateless map; 100 TB shape is one streaming pass."""
+    import pandas as pd
+
+    col = batch[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(batch)
+    words = pc.split_pattern(pc.fill_null(col, ""), " ")
+    flat = pc.list_flatten(words)
+    lens = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+    row_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+
+    codes = pd.factorize(np.asarray(flat, dtype=object))[0].astype(np.int64)
+    vocab = int(codes.max()) + 1 if len(codes) else 1
+    # adjacent positions within the same row only
+    same_row = row_of[:-1] == row_of[1:] if len(codes) > 1 else np.zeros(0, bool)
+    r = row_of[:-1][same_row]
+    key = (r * vocab + codes[:-1][same_row]) * vocab + codes[1:][same_row]
+    uniq, counts = np.unique(key, return_counts=True)
+    pair_rows = (uniq // vocab) // vocab
+
+    n_bigrams = np.maximum(lens.astype(np.int64) - 1, 0)
+    # empty texts split to [''] (len 1) -> 0 bigrams already
+    top2 = np.zeros(n, dtype=np.int64)
+    np.maximum.at(top2, pair_rows, counts)
+    dup2 = np.bincount(
+        pair_rows, weights=counts * (counts >= 2), minlength=n
+    ).astype(np.int64)
+
+    safe = np.maximum(n_bigrams, 1).astype(np.float64)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_bigrams": pa.array(n_bigrams, type=pa.int64()),
+            "top2_n": pa.array(top2, type=pa.int64()),
+            "dup2_n": pa.array(dup2, type=pa.int64()),
+            "top2_frac": pa.array(top2 / safe, type=pa.float64()),
+            "dup2_frac": pa.array(dup2 / safe, type=pa.float64()),
+        }
+    )

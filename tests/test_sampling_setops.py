@@ -193,3 +193,52 @@ def test_inverted_postings_cap_and_df():
     assert out["common"]["postings"] == "0,2,4"  # ascending, capped at 3
     assert out["rare"]["postings"] == "1,3,5"
     assert set(out) == {"common", "rare"}  # terms outside the set dropped
+
+
+def test_mixture_weights_temperature_upweights_small_sources():
+    from docling_api_ray.stages.mixture import mixture_weights
+
+    rows = [(i, "w " * 99 + "w", "big") for i in range(9)] + [
+        (100, "w " * 99 + "w", "small")
+    ]
+    out = {
+        r["source"]: r
+        for r in mixture_weights(_docs(rows).repartition(3)).take_all()
+    }
+    assert out["big"]["n_tokens"] == 900 and out["small"]["n_tokens"] == 100
+    assert abs(out["big"]["share"] - 0.9) < 1e-12
+    # alpha=0.5 temperature: weight ratio sqrt(9):1 = 3:1, far below the
+    # 9:1 share ratio — small source up-weighted
+    ratio = out["big"]["samp_weight"] / out["small"]["samp_weight"]
+    assert 2.9 < ratio < 3.1
+    assert abs(sum(r["samp_weight"] for r in out.values()) - 1.0) < 1e-9
+
+
+def test_repetition_stats_counts():
+    from docling_api_ray.stages.text_analysis import repetition_stats
+    import ray.data as rd
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "text": pa.array(
+                [
+                    "a b a b a",  # bigrams: ab,ba,ab,ba -> all duplicated
+                    "x y z",  # bigrams: xy,yz -> none duplicated
+                    "solo",  # no bigrams
+                ],
+                type=pa.string(),
+            ),
+        }
+    )
+    out = {
+        r["doc_id"]: r
+        for r in rd.from_arrow(tbl)
+        .map_batches(repetition_stats, batch_format="pyarrow")
+        .take_all()
+    }
+    assert out[1]["n_bigrams"] == 4 and out[1]["top2_n"] == 2
+    assert out[1]["dup2_n"] == 4 and out[1]["dup2_frac"] == 1.0
+    assert out[2]["n_bigrams"] == 2 and out[2]["dup2_n"] == 0
+    assert out[2]["top2_frac"] == 0.5
+    assert out[3]["n_bigrams"] == 0 and out[3]["top2_frac"] == 0.0
