@@ -351,3 +351,36 @@ def media_pipeline(
         batch_size=MEDIA_BATCH_SIZE,
         concurrency=(1, 4),
     )
+
+
+class MediaFormatDims:
+    """Actor stage: MIXED-format binary column → (format, width, height,
+    bit_depth, valid) via magic-byte dispatch across the real PNG / JPEG
+    / GIF / BMP header parsers (functions/imagemeta.py) — the metadata
+    pass a heterogeneous web-crawl media column needs before any decode
+    stage.  Header parsing touches only the first bytes of each blob;
+    batches stay small because rows are wide (MEDIA_BATCH_SIZE note)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from docling_api_ray.functions.imagemeta import sniff_image_dims
+
+        col = batch["blob"]
+        fmts, ws, hs, ds, ok = [], [], [], [], []
+        for b in col.to_pylist():
+            hdr = sniff_image_dims(b or b"")
+            if hdr:
+                fmts.append(hdr[0]); ws.append(hdr[1]); hs.append(hdr[2])
+                ds.append(hdr[3]); ok.append(True)
+            else:
+                fmts.append(""); ws.append(0); hs.append(0)
+                ds.append(0); ok.append(False)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "format": pa.array(fmts, type=pa.string()),
+                "width": pa.array(ws, type=pa.int32()),
+                "height": pa.array(hs, type=pa.int32()),
+                "bit_depth": pa.array(ds, type=pa.int32()),
+                "valid": pa.array(ok, type=pa.bool_()),
+            }
+        )
