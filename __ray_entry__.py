@@ -1758,6 +1758,44 @@ def _q_dsir_weights(sf_dir: str):
     )
 
 
+def _q_bpe_merges(sf_dir: str):
+    """Distributed BPE vocabulary learning (stages/bpe.py): one exact
+    distributed word count (map-side Arrow partials + word-hash
+    co-group), then the merge loop over the BOUNDED (word, count) table
+    — the sentencepiece-standard shape.  Iterative merge rewriting is
+    not SQL-expressible → rows-only conformance; exactness covered by
+    hand-computed unit tests (tests/test_bpe.py)."""
+    from docling_api_ray.stages.bpe import bpe_merges_dataset
+
+    return bpe_merges_dataset(_docs(sf_dir, ["doc_id", "text"]), num_merges=20)
+
+
+def _q_bpe_token_counts(sf_dir: str):
+    """Learned-BPE token counts per document: merges trained as in
+    bpe_merges, broadcast once, applied per UNIQUE word per batch with
+    an actor-local cache (stages/bpe.py).  Rows-only conformance (same
+    iterative-algorithm reason)."""
+    from docling_api_ray.stages.bpe import (
+        bpe_token_counts,
+        corpus_word_counts,
+        learn_merges,
+    )
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    merges = learn_merges(corpus_word_counts(docs), 20)
+    return bpe_token_counts(docs, merges)
+
+
+def _q_hll_by_source(sf_dir: str):
+    """Per-source HyperLogLog register tables (stages/sketch.py
+    grouped_hll_registers): one sketch per source, |sources|×4096-
+    bounded partials through the two-level max fold — registers (pure
+    integers) are the output, so the oracle replays them exactly."""
+    from docling_api_ray.stages.sketch import grouped_hll_registers
+
+    return grouped_hll_registers(_docs(sf_dir, ["source", "text"]))
+
+
 def _q_mixture_weights(sf_dir: str):
     """Temperature-scaled (α = 0.5) source mixture sampling weights
     (stages/mixture.py): one bounded-domain token-count fold, then
@@ -1907,6 +1945,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_postings": _q_inverted_postings,
         "mixture_weights": _q_mixture_weights,
         "repetition_stats": _q_repetition_stats,
+        "hll_by_source": _q_hll_by_source,
+        "bpe_merges": _q_bpe_merges,
+        "bpe_token_counts": _q_bpe_token_counts,
     }
 
 
@@ -3482,5 +3523,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(a.dup2_n, 0) AS DOUBLE)
                      / greatest(COALESCE(a.n_bigrams, 0), 1) AS dup2_frac
             FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        """,
+        # grouped hll_registers: one register table per source over each
+        # source's distinct tokens (same u64 split / rho extraction)
+        "hll_by_source": f"""
+            WITH w AS (SELECT DISTINCT source,
+                              unnest(string_split(text, ' ')) AS word
+                       FROM documents),
+                 h AS (SELECT source, {_sql_u64('word')} AS h FROM w
+                       WHERE word <> ''),
+                 parts AS (SELECT source,
+                                  CAST(h // 4503599627370496 AS BIGINT)
+                                    AS bucket,
+                                  CAST(h % 4503599627370496 AS BIGINT)
+                                    AS rest
+                           FROM h),
+                 rho AS (SELECT source, bucket,
+                                CASE WHEN rest = 0 THEN 53
+                                     ELSE 52 - (length(to_base(rest, 2)) - 1)
+                                END AS rho
+                         FROM parts)
+            SELECT source, bucket, CAST(max(rho) AS BIGINT) AS max_rho
+            FROM rho GROUP BY source, bucket
         """,
     }

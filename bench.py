@@ -130,6 +130,8 @@ def _bench_once() -> dict:
         "inverted_postings",
         "mixture_weights",
         "repetition_stats",
+        "hll_by_source",
+        "bpe_token_counts",
         "conversion_metrics",
     ]
     # INTERLEAVED repetitions + medians (VERDICT r2 #1): this container's

@@ -97,15 +97,14 @@ class _CharLMScore:
         texts = [t if t is not None else "" for t in col.to_pylist()]
         pair, n_pairs = _pair_ids(texts)
         vals = self.ilog[pair]
-        # segmented integer sum per row (reduceat with empty-row fixups)
+        # cumsum-difference segmented integer sum per row — exact for
+        # empty rows in any position (a clamped-offset reduceat corrupts
+        # the last non-empty row when empty rows trail the batch)
         offsets = np.zeros(len(texts) + 1, dtype=np.int64)
         np.cumsum(n_pairs, out=offsets[1:])
-        if len(vals):
-            idx = np.minimum(offsets[:-1], len(vals) - 1)
-            lp = np.add.reduceat(vals, idx)
-            lp[n_pairs == 0] = 0
-        else:
-            lp = np.zeros(len(texts), dtype=np.int64)
+        csum = np.zeros(len(vals) + 1, dtype=np.int64)
+        np.cumsum(vals, out=csum[1:])
+        lp = csum[offsets[1:]] - csum[offsets[:-1]]
         denom = np.maximum(n_pairs, 1).astype(np.float64) * 1e6
         avg = np.where(n_pairs > 0, lp.astype(np.float64) / denom, 0.0)
         return pa.table(

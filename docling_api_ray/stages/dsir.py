@@ -122,12 +122,12 @@ class _DsirScore:
         buckets = (hashes % np.uint64(N_BUCKETS)).astype(np.int64)
         vals = self.lam[buckets]
         n_words = np.diff(offsets)
-        if len(vals):
-            idx = np.minimum(offsets[:-1], len(vals) - 1)
-            lr = np.add.reduceat(vals, idx)
-            lr[n_words == 0] = 0
-        else:
-            lr = np.zeros(len(texts), dtype=np.int64)
+        # cumsum-difference segmented sum — exact for empty rows in any
+        # position (a clamped-offset reduceat corrupts the last
+        # non-empty row when empty rows trail the batch)
+        csum = np.zeros(len(vals) + 1, dtype=np.int64)
+        np.cumsum(vals, out=csum[1:])
+        lr = csum[offsets[1:]] - csum[offsets[:-1]]
         denom = np.maximum(n_words, 1).astype(np.float64) * 1e6
         avg = np.where(n_words > 0, lr.astype(np.float64) / denom, 0.0)
         return pa.table(

@@ -54,16 +54,13 @@ def _token_matrix(col) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
 
 
 def _segment_sum(values: np.ndarray, offsets: np.ndarray) -> np.ndarray:
-    """Per-row sums of a flat array segmented by ``offsets`` — reduceat
-    with the empty-segment fixups (clip indices == len, zero rows whose
-    segment is empty)."""
-    n_rows = len(offsets) - 1
-    if not len(values):
-        return np.zeros(n_rows, dtype=np.int64)
-    idx = np.minimum(offsets[:-1], len(values) - 1)
-    out = np.add.reduceat(values, idx)
-    out[np.diff(offsets) == 0] = 0
-    return out
+    """Per-row sums of a flat array segmented by ``offsets`` — cumsum
+    difference, exact for empty segments in ANY position (the clamped
+    reduceat variant corrupts the final non-empty row when empty rows
+    trail the batch)."""
+    csum = np.zeros(len(values) + 1, dtype=np.int64)
+    np.cumsum(values, out=csum[1:])
+    return csum[offsets[1:]] - csum[offsets[:-1]]
 
 
 def _term_tf(flat, offsets_all, term: str) -> np.ndarray:

@@ -402,3 +402,89 @@ def countmin_estimates(
              "est_n": pa.array(est, type=pa.int64())}
         )
     )
+
+
+def grouped_hll_registers(
+    ds: ray.data.Dataset, *, group_col: str = "source", text_col: str = "text"
+) -> ray.data.Dataset:
+    """Per-GROUP HyperLogLog registers — ``hll_registers`` with one
+    sketch per group (the per-source distinct-vocabulary monitor of a
+    multi-source corpus; sketches stay mergeable across shards AND
+    concatenable across groups).
+
+    Same scale shape as the global sketch: each block reduces to
+    ≤ |groups_in_block| × 2^B (source, bucket, max_rho) rows, the
+    bounded two-level max fold combines them, and the output is
+    |groups| × 2^B-bounded — corpus-independent.  Tokens hash once per
+    unique (group, token) pair per batch."""
+    from docling_api_ray.functions.hashing import u64_md5
+
+    empty = pa.schema(
+        [
+            (group_col, pa.string()),
+            ("bucket", pa.int64()),
+            ("max_rho", pa.int64()),
+        ]
+    ).empty_table()
+
+    def partial(b: pa.Table) -> pa.Table:
+        col = b[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lists = pc.split_pattern(pc.fill_null(col, ""), " ")
+        toks = pc.list_flatten(lists)
+        grp = pc.take(b[group_col], pc.list_parent_indices(lists))
+        keep = pc.not_equal(toks, "")
+        toks, grp = toks.filter(keep), grp.filter(keep)
+        if len(toks) == 0:
+            return empty
+        pairs = (
+            pa.table({group_col: grp, "tok": toks})
+            .group_by([group_col, "tok"])
+            .aggregate([])
+        )
+        # hash once per unique token in the batch (tokens repeat across
+        # groups; factorize against the distinct token set)
+        import pandas as pd
+
+        tok_arr = np.asarray(pairs["tok"].to_pylist(), dtype=object)
+        codes, uniques = pd.factorize(tok_arr)
+        h = u64_md5(uniques)[codes]
+        bucket = (h >> np.uint64(HLL_W)).astype(np.int64)
+        rest = (h & np.uint64((1 << HLL_W) - 1)).astype(np.int64)
+        rho = np.full(len(h), HLL_W + 1, dtype=np.int64)
+        nz = rest > 0
+        _, e = np.frexp(rest[nz].astype(np.float64))
+        rho[nz] = HLL_W - (e - 1)
+        g = (
+            pd.DataFrame(
+                {
+                    group_col: np.asarray(pairs[group_col].to_pylist(),
+                                          dtype=object),
+                    "bucket": bucket,
+                    "max_rho": rho,
+                }
+            )
+            .groupby([group_col, "bucket"], sort=False)["max_rho"]
+            .max()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                group_col: pa.array(g[group_col].tolist(), type=pa.string()),
+                "bucket": pa.array(g["bucket"].to_numpy(), type=pa.int64()),
+                "max_rho": pa.array(g["max_rho"].to_numpy(), type=pa.int64()),
+            }
+        )
+
+    def fold(b: pa.Table) -> pa.Table:
+        g = b.group_by([group_col, "bucket"]).aggregate([("max_rho", "max")])
+        return g.rename_columns([group_col, "bucket", "max_rho"])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(fold, batch_format="pyarrow", batch_size=1_000_000,
+                     num_cpus=0.9)
+        .repartition(1)
+        .map_batches(fold, batch_format="pyarrow", batch_size=None)
+    )

@@ -159,11 +159,24 @@ def test_dsir_separates_target_distribution():
             rows.append((i, "alpha beta gamma delta", "src0"))
         else:
             rows.append((i, "omega psi chi phi", "src9"))
+    # trailing EMPTY docs exercise the segmented-sum empty-row path (a
+    # clamped reduceat would corrupt the last non-empty doc's sum)
+    rows.append((100, "", "src9"))
+    rows.append((101, "", "src9"))
     out = dsir_scores(_docs(rows), target_sources=("src0",)).take_all()
-    tgt = [r["avg_lr"] for r in out if r["doc_id"] % 2 == 0]
-    raw = [r["avg_lr"] for r in out if r["doc_id"] % 2 == 1]
+    tgt = [r["avg_lr"] for r in out if r["doc_id"] < 100 and r["doc_id"] % 2 == 0]
+    raw = [r["avg_lr"] for r in out if r["doc_id"] < 100 and r["doc_id"] % 2 == 1]
     assert min(tgt) > 0 > max(raw)
-    assert all(r["n_words"] == 4 for r in out)
+    assert all(r["n_words"] == 4 for r in out if r["doc_id"] < 100)
+    empties = {r["doc_id"]: r for r in out if r["doc_id"] >= 100}
+    assert all(
+        r["n_words"] == 0 and r["lr_micro"] == 0 and r["avg_lr"] == 0.0
+        for r in empties.values()
+    )
+    # the last NON-empty doc's integer sum must be intact (39 is raw,
+    # same text as every raw doc -> same lr_micro as doc 1)
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[39]["lr_micro"] == by_id[1]["lr_micro"]
 
 
 def test_inverted_postings_cap_and_df():
