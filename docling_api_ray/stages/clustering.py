@@ -62,15 +62,20 @@ def _assign(mat: np.ndarray, cents: np.ndarray) -> tuple[np.ndarray, np.ndarray]
     return a.astype(np.int64), d[np.arange(n), a]
 
 
-class _PartialSums:
+def _partial_sums(cents_ref):
     """Per-batch partial (cluster, count, per-dim sum) rows — ≤ k rows
-    out per batch, the map-side combiner of the centroid update."""
+    out per batch, the map-side combiner of the centroid update.
 
-    def __init__(self, cents_ref) -> None:
-        self.cents = ray.get(cents_ref)
+    A task-pool FUNCTION with the centroids as a closure-captured
+    ``ObjectRef`` (``ray.get`` per batch is a local-object-store hit,
+    ~µs) rather than an actor pool: each Lloyd iteration is its own
+    short job, and per-job actor spin-up (~0.7 s/pool) dominated the
+    whole k-means at bench scale (measured: the 2000-row sf0.1 table
+    costs <0.1 s of compute per pass)."""
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        dim = self.cents.shape[1]
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = ray.get(cents_ref)
+        dim = cents.shape[1]
         if len(batch) == 0:
             return pa.table(
                 {
@@ -80,7 +85,7 @@ class _PartialSums:
                 }
             )
         mat = quantized_matrix(batch["embedding"])
-        assign, _ = _assign(mat, self.cents)
+        assign, _ = _assign(mat, cents)
         cids = np.unique(assign)
         sums = np.zeros((len(cids), dim), dtype=np.int64)
         counts = np.zeros(len(cids), dtype=np.int64)
@@ -96,36 +101,38 @@ class _PartialSums:
             }
         )
 
+    return partial
 
-class _AssignFinal:
+
+def _assign_final(cents_ref, with_embedding: bool = False):
     """``with_embedding=True`` passes the embedding column through so a
     downstream within-cluster stage (SemDeDup) needs NO join to reunite
-    vectors with their cluster ids."""
+    vectors with their cluster ids.  Task-pool function for the same
+    per-job-overhead reason as ``_partial_sums``."""
 
-    def __init__(self, cents_ref, with_embedding: bool = False) -> None:
-        self.cents = ray.get(cents_ref)
-        self.with_embedding = with_embedding
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def assign_batch(batch: pa.Table) -> pa.Table:
+        cents = ray.get(cents_ref)
         fields = [
             ("vec_id", pa.int64()),
             ("cluster", pa.int64()),
             ("dist", pa.int64()),
         ]
-        if self.with_embedding:
+        if with_embedding:
             fields.append(("embedding", batch.schema.field("embedding").type))
         if len(batch) == 0:
             return pa.schema(fields).empty_table()
         mat = quantized_matrix(batch["embedding"])
-        assign, dist = _assign(mat, self.cents)
+        assign, dist = _assign(mat, cents)
         cols = {
             "vec_id": batch["vec_id"],
             "cluster": pa.array(assign),
             "dist": pa.array(dist),
         }
-        if self.with_embedding:
+        if with_embedding:
             cols["embedding"] = batch["embedding"]
         return pa.table(cols)
+
+    return assign_batch
 
 
 def kmeans_assign(
@@ -139,6 +146,15 @@ def kmeans_assign(
     ``(vec_id, cluster, dist)`` after ``iters`` exact integer
     iterations.  Init = the k smallest ``vec_id`` vectors (cid in
     vec_id order) — deterministic and oracle-mirrorable."""
+    # Lloyd consumes the input iters+2 times (init head, one partial
+    # pass per iteration, final assign).  Materialize the narrow
+    # (vec_id, embedding) projection ONCE so every pass scans
+    # object-store blocks instead of re-executing the parquet read —
+    # the same cache-the-reused-intermediate call as the minhash
+    # exploded table (dedup.py), with the same spill-to-store escape
+    # valve at 100 TB (measured at sf0.1: ~2x on kmeans_clusters,
+    # larger on semdedup's 5-pass chain)
+    ds = ds.materialize()
     # init = the k smallest-vec_id vectors, found with a two-level
     # per-batch head (≤ k rows leave each block) instead of a full
     # dataset sort — the corpus never crosses an all-to-all for k rows
@@ -158,13 +174,10 @@ def kmeans_assign(
     )
 
     for _ in range(iters):
-        ref = ray.put(cents)
         partials = ds.map_batches(
-            _PartialSums,
-            fn_constructor_kwargs={"cents_ref": ref},
+            _partial_sums(ray.put(cents)),
             batch_format="pyarrow",
             batch_size=4096,
-            concurrency=(1, 8),
         )
 
         def fold(df: pd.DataFrame) -> pd.DataFrame:
@@ -186,16 +199,10 @@ def kmeans_assign(
             new_cents[int(r["cid"])] = (s + n * OFF) // n - OFF
         cents = new_cents
 
-    final_ref = ray.put(cents)
     return ds.map_batches(
-        _AssignFinal,
-        fn_constructor_kwargs={
-            "cents_ref": final_ref,
-            "with_embedding": with_embedding,
-        },
+        _assign_final(ray.put(cents), with_embedding=with_embedding),
         batch_format="pyarrow",
         batch_size=4096,
-        concurrency=(1, 8),
     )
 
 
@@ -225,17 +232,17 @@ def cluster_outliers(
     )
 
 
-class _KeepFlag:
+def _keep_flag(losers_ref):
     """Stateless-per-batch keep flagging against the broadcast loser-id
-    set (fetched once per actor)."""
+    set (task-pool closure — see ``_partial_sums`` on per-job actor
+    spin-up overhead)."""
 
-    def __init__(self, losers_ref) -> None:
-        self.losers = ray.get(losers_ref)
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def flag(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch["vec_id"], dtype=np.int64)
-        keep = ~np.isin(ids, self.losers)
+        keep = ~np.isin(ids, ray.get(losers_ref))
         return batch.append_column("keep", pa.array(keep, type=pa.bool_()))
+
+    return flag
 
 
 def semdedup_keep(
@@ -264,7 +271,12 @@ def semdedup_keep(
     # within-cluster pair stage needs NO vec_id join to reunite vectors
     # with their cluster ids (the r3 bench's hash_join here shipped the
     # whole embedding matrix through an extra all-to-all)
-    withc = kmeans_assign(ds, k=k, iters=iters, with_embedding=True)
+    # the assign output feeds BOTH the pair stage and the final keep
+    # flagging — materialize it once instead of re-running the assign
+    # pass (wide rows, but exactly the corpus's embedding table; the
+    # object store spills, and recomputing would cost a full extra scan
+    # + distance pass anyway)
+    withc = kmeans_assign(ds, k=k, iters=iters, with_embedding=True).materialize()
     asg = withc.select_columns(["vec_id", "cluster"])
     pairs = embedding_neardup_pairs(
         withc, block_col="cluster", threshold=threshold
@@ -273,8 +285,6 @@ def semdedup_keep(
         sorted(pairs.unique("right_id")), dtype=np.int64
     )  # duplicate-structure-bounded (docstring)
     return asg.map_batches(
-        _KeepFlag,
-        fn_constructor_kwargs={"losers_ref": ray.put(losers)},
+        _keep_flag(ray.put(losers)),
         batch_format="pyarrow",
-        concurrency=(1, 8),
     )
