@@ -107,20 +107,20 @@ def micro_weight_table(tgt: np.ndarray, raw: np.ndarray) -> np.ndarray:
     return lt - lr
 
 
-class _DsirScore:
-    """Stateless-per-batch scorer against the broadcast weight table
-    (fetched once per actor)."""
+def _dsir_score(table_ref):
+    """Stateless-per-batch scorer against the broadcast weight table —
+    task-pool closure (the per-batch ``ray.get`` of the 1024-int table
+    is a zero-copy local-store hit; per-job actor-pool spin-up costs
+    ~0.7 s and dominates at bench scale — see clustering._partial_sums)."""
 
-    def __init__(self, table_ref) -> None:
-        self.lam = ray.get(table_ref)
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def score(batch: pa.Table) -> pa.Table:
+        lam = ray.get(table_ref)
         texts = [
             t if t is not None else "" for t in batch["text"].to_pylist()
         ]
         hashes, offsets = batch_word_hashes(texts)
         buckets = (hashes % np.uint64(N_BUCKETS)).astype(np.int64)
-        vals = self.lam[buckets]
+        vals = lam[buckets]
         n_words = np.diff(offsets)
         # cumsum-difference segmented sum — exact for empty rows in any
         # position (a clamped-offset reduceat corrupts the last
@@ -139,6 +139,8 @@ class _DsirScore:
             }
         )
 
+    return score
+
 
 def dsir_scores(
     ds: ray.data.Dataset,
@@ -151,9 +153,7 @@ def dsir_scores(
     tgt, raw = train_bucket_counts(ds, target_sources)
     ref = ray.put(micro_weight_table(tgt, raw))
     return ds.map_batches(
-        _DsirScore,
-        fn_constructor_kwargs={"table_ref": ref},
+        _dsir_score(ref),
         batch_format="pyarrow",
         batch_size=1024,
-        concurrency=(1, 8),
     )

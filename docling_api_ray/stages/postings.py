@@ -30,34 +30,35 @@ import ray
 import ray.data
 
 
-class _TermDocPairs:
+_PAIRS_EMPTY = pa.schema(
+    [
+        ("word", pa.string()),
+        ("doc_id", pa.int64()),
+        ("__part", pa.int64()),
+    ]
+).empty_table()
+
+
+def _term_doc_pairs(terms_ref):
     """Per-batch distinct (word, doc_id) pairs restricted to the
-    broadcast term set."""
+    broadcast term set — task-pool closure (the term set is tiny; the
+    per-batch ``ray.get`` is a local-store hit, and per-job actor-pool
+    spin-up dominates at bench scale — see clustering._partial_sums)."""
 
-    def __init__(self, terms_ref) -> None:
-        self.terms = pa.array(sorted(ray.get(terms_ref)), type=pa.string())
-
-    _EMPTY = pa.schema(
-        [
-            ("word", pa.string()),
-            ("doc_id", pa.int64()),
-            ("__part", pa.int64()),
-        ]
-    ).empty_table()
-
-    def __call__(self, b: pa.Table) -> pa.Table:
+    def pairs(b: pa.Table) -> pa.Table:
         from docling_api_ray.stages.common import shuffle_partitions
 
+        terms = pa.array(sorted(ray.get(terms_ref)), type=pa.string())
         col = b["text"]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         lists = pc.split_pattern(pc.fill_null(col, ""), " ")
         words = pc.list_flatten(lists)
         docs = pc.take(b["doc_id"], pc.list_parent_indices(lists))
-        keep = pc.is_in(words, value_set=self.terms)
+        keep = pc.is_in(words, value_set=terms)
         words, docs = words.filter(keep), docs.filter(keep)
         if len(words) == 0:
-            return self._EMPTY
+            return _PAIRS_EMPTY
         g = (
             pa.table({"word": words, "doc_id": docs})
             .group_by(["word", "doc_id"])
@@ -77,6 +78,8 @@ class _TermDocPairs:
                 ),
             }
         )
+
+    return pairs
 
 
 def inverted_postings(
@@ -121,11 +124,9 @@ def inverted_postings(
 
     return (
         ds.map_batches(
-            _TermDocPairs,
-            fn_constructor_kwargs={"terms_ref": terms_ref},
+            _term_doc_pairs(terms_ref),
             batch_format="pyarrow",
             batch_size=1024,
-            concurrency=(1, 8),
         )
         .groupby("__part")
         .map_groups(fold, batch_format="pandas")
