@@ -1707,6 +1707,43 @@ def _q_events_moving_avg(sf_dir: str):
     )
 
 
+def _q_zscore_by_source(sf_dir: str):
+    """Per-source z-score normalization of document size
+    (stages/stats.py grouped_zscore): bounded integer moment fold
+    broadcast into a stateless pass; z = (x·n − S)/√(n·SS − S²) is two
+    IEEE ops over exact int64 operands — bit-identical to SQL."""
+    from docling_api_ray.stages.stats import grouped_zscore
+
+    return grouped_zscore(_docs(sf_dir, ["doc_id", "source", "n_chars"]))
+
+
+def _q_knn_filtered(sf_dir: str):
+    """Metadata-filtered exact cosine top-k (stages/similarity.py
+    filtered_knn, mode=exclude — hard-negative mining): each query's
+    candidates are restricted to label != query-label INSIDE the
+    scoring batch; ranking discipline identical to knn_bruteforce, the
+    oracle just adds the predicate."""
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding", "label"],
+        filters=[("vec_id", "<", _N_QUERIES)],
+    )
+    qids = tbl["vec_id"].to_pylist()
+    order = np.argsort(qids)
+    qmat = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in tbl["embedding"].to_pylist()]
+    )[order]
+    qlabs = np.asarray(tbl["label"], dtype=np.int64)[order].tolist()
+    return sim.filtered_knn(
+        _emb(sf_dir, ["vec_id", "embedding", "label"]),
+        [int(qids[i]) for i in order],
+        qmat,
+        qlabs,
+        k=_KNN_K,
+        mode="exclude",
+    ).select_columns(["query_id", "vec_id", "cosine", "rank"])
+
+
 def _q_vocab_shared_all(sf_dir: str):
     """Vocabulary INTERSECTION across every source (stages/setops.py):
     per-batch distinct (word, source) partials, one word-hash co-group,
@@ -1948,6 +1985,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_by_source": _q_hll_by_source,
         "bpe_merges": _q_bpe_merges,
         "bpe_token_counts": _q_bpe_token_counts,
+        "knn_filtered": _q_knn_filtered,
+        "zscore_by_source": _q_zscore_by_source,
     }
 
 
@@ -3526,6 +3565,43 @@ def oracle_sql() -> dict[str, str]:
         """,
         # grouped hll_registers: one register table per source over each
         # source's distinct tokens (same u64 split / rho extraction)
+        # mirrors stages/stats.py grouped_zscore: exact int64 moments,
+        # z = (x·n − S)/sqrt(n·SS − S²), zero-variance groups → 0
+        "zscore_by_source": """
+            WITH m AS (SELECT source,
+                              CAST(count(*) AS BIGINT) AS n,
+                              CAST(sum(n_chars) AS BIGINT) AS s,
+                              CAST(sum(n_chars * n_chars) AS BIGINT) AS ss
+                       FROM documents GROUP BY source)
+            SELECT d.doc_id, d.source, CAST(d.n_chars AS BIGINT) AS n_chars,
+                   CASE WHEN m.n * m.ss - m.s * m.s > 0
+                        THEN CAST(d.n_chars * m.n - m.s AS DOUBLE)
+                             / sqrt(CAST(m.n * m.ss - m.s * m.s AS DOUBLE))
+                        ELSE 0.0 END AS z
+            FROM documents d JOIN m USING (source)
+        """,
+        # knn_bruteforce + the per-query label predicate (hard-negative
+        # mode: candidate label != query label); self-exclusion via the
+        # vec_id >= N split as in every knn oracle
+        "knn_filtered": f"""
+            WITH q AS (SELECT vec_id AS query_id, label AS qlabel,
+                              CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id < {_N_QUERIES}),
+                 c AS (SELECT vec_id, label,
+                              CAST(embedding AS DOUBLE[]) AS cv
+                       FROM embeddings WHERE vec_id >= {_N_QUERIES}),
+                 s AS (SELECT q.query_id, c.vec_id,
+                              round(list_cosine_similarity(c.cv, q.qv)
+                                    * 1000000) / 1000000.0 AS cosine
+                       FROM q CROSS JOIN c
+                       WHERE c.label <> q.qlabel)
+            SELECT query_id, vec_id, cosine, CAST(rank AS BIGINT) AS rank FROM (
+              SELECT query_id, vec_id, cosine,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, vec_id) AS rank
+              FROM s)
+            WHERE rank <= {_KNN_K}
+        """,
         "hll_by_source": f"""
             WITH w AS (SELECT DISTINCT source,
                               unnest(string_split(text, ' ')) AS word

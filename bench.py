@@ -132,6 +132,8 @@ def _bench_once() -> dict:
         "repetition_stats",
         "hll_by_source",
         "bpe_token_counts",
+        "knn_filtered",
+        "zscore_by_source",
         "conversion_metrics",
     ]
     # INTERLEAVED repetitions + medians (VERDICT r2 #1): this container's

@@ -405,3 +405,72 @@ def lsh_knn(
         bucket_col="bucket",
         exclude_self=exclude_self,
     )
+
+
+def filtered_knn(
+    ds: ray.data.Dataset,
+    query_ids: list[int],
+    query_matrix: np.ndarray,
+    query_labels: list[int],
+    *,
+    k: int = 10,
+    mode: str = "exclude",
+) -> ray.data.Dataset:
+    """Metadata-FILTERED exact cosine top-k — the vector-DB capability
+    of predicated search, and (in ``exclude`` mode) the hard-negative
+    mining primitive of retrieval training: each query's candidate set
+    is restricted by a per-query label predicate evaluated INSIDE the
+    scoring batch (post-filterable predicates never pay a separate
+    scan; at IVF scale a label-partitioned layout turns this into
+    partition pruning — documented escape hatch).
+
+    ``mode='exclude'`` keeps candidates whose label differs from the
+    query's (hard negatives); ``mode='match'`` keeps same-label
+    candidates (within-class retrieval).  Output and ranking discipline
+    are identical to ``knn_bruteforce`` (quantized cosine, (−cos,
+    vec_id) order), so the SQL oracle only adds the label predicate."""
+    if mode not in ("exclude", "match"):
+        raise ValueError(f"mode must be exclude|match, got {mode!r}")
+    qids = list(map(int, query_ids))
+    qn = _norm_rows(np.asarray(query_matrix, dtype=np.float64))
+    qlab = np.asarray(query_labels, dtype=np.int64)
+    qset = sorted(set(qids))
+    ref = ray.put((qids, qn, qlab))
+    want_match = mode == "match"
+
+    def score(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        batch = batch.filter(
+            pc.invert(pc.is_in(batch["vec_id"], value_set=pa.array(qset)))
+        )
+        if len(batch) == 0:
+            return BatchTopK._EMPTY
+        ids_, qn_, qlab_ = ray.get(ref)
+        ids = np.asarray(batch["vec_id"], dtype=np.int64)
+        labels = np.asarray(batch["label"], dtype=np.int64)
+        sims = _quant6(_norm_rows(embedding_matrix(batch["embedding"])) @ qn_.T)
+        out_q, out_id, out_sim = [], [], []
+        for qi in range(sims.shape[1]):
+            keep = (labels == qlab_[qi]) if want_match else (
+                labels != qlab_[qi]
+            )
+            if not keep.any():
+                continue
+            col, cid = sims[keep, qi], ids[keep]
+            order = np.lexsort((cid, -col))[: min(k, len(cid))]
+            out_q.extend([ids_[qi]] * len(order))
+            out_id.extend(cid[order].tolist())
+            out_sim.extend(col[order].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "vec_id": pa.array(out_id, type=pa.int64()),
+                "cosine": pa.array(out_sim, type=pa.float64()),
+            }
+        )
+
+    partial = ds.map_batches(score, batch_format="pyarrow", batch_size=4096)
+    return partial.repartition(_reduce_partitions(len(qids))).groupby(
+        "query_id"
+    ).map_groups(_final_topk(k), batch_format="pandas")

@@ -214,3 +214,77 @@ def grouped_entropy(
     return counts.repartition(1).map_batches(
         fold, batch_format="pandas", batch_size=None
     )
+
+
+def grouped_zscore(
+    ds: ray.data.Dataset,
+    *,
+    group_col: str = "source",
+    value_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Per-group z-score normalization of an integer metric — the
+    feature-standardization pass of a curation pipeline (compare
+    document sizes ACROSS sources on one scale), computed from
+    integer-exact group moments.
+
+    Shape: one bounded-domain fold collects per-group (n, Σx, Σx²)
+    int64 moments (``bounded_groupby_sum`` — the shuffle moves
+    ≤|groups| rows per block); the tiny moment table broadcasts into a
+    stateless second pass.  Exactness: z = (x·n − S) / √(n·SS − S²)
+    — every operand is an exact int64 (< 2^53, so the int→double casts
+    are exact; at 10¹⁰⁺-row groups the moments outgrow int64 and the
+    fold switches to float128/HUGEINT — documented bound), and the
+    final expression is two IEEE ops the SQL oracle evaluates
+    identically.  Zero-variance groups emit z = 0."""
+    from docling_api_ray.stages.common import bounded_groupby_sum
+
+    def add_sq(b: pa.Table) -> pa.Table:
+        x = np.asarray(b[value_col], dtype=np.int64)
+        return pa.table(
+            {
+                group_col: b[group_col],
+                "x": pa.array(x, type=pa.int64()),
+                "xx": pa.array(x * x, type=pa.int64()),
+            }
+        )
+
+    moments = {
+        r[group_col]: (int(r["n"]), int(r["s"]), int(r["ss"]))
+        for r in bounded_groupby_sum(
+            ds.map_batches(add_sq, batch_format="pyarrow").select_columns(
+                [group_col, "x", "xx"]
+            ),
+            [group_col],
+            sum_cols={"s": "x", "ss": "xx"},
+            count_alias="n",
+        ).take_all()
+    }
+    ref = ray.put(moments)
+
+    def zmap(b: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        groups = b[group_col].to_pylist()
+        x = np.asarray(b[value_col], dtype=np.int64)
+        n = np.fromiter((m[g][0] for g in groups), dtype=np.int64,
+                        count=len(groups))
+        s = np.fromiter((m[g][1] for g in groups), dtype=np.int64,
+                        count=len(groups))
+        ss = np.fromiter((m[g][2] for g in groups), dtype=np.int64,
+                         count=len(groups))
+        var_n2 = n * ss - s * s  # n² · variance, exact int64
+        num = (x * n - s).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = np.where(
+                var_n2 > 0, num / np.sqrt(var_n2.astype(np.float64)), 0.0
+            )
+        return pa.table(
+            {
+                id_col: b[id_col],
+                group_col: b[group_col],
+                value_col: pa.array(x, type=pa.int64()),
+                "z": pa.array(z, type=pa.float64()),
+            }
+        )
+
+    return ds.map_batches(zmap, batch_format="pyarrow")

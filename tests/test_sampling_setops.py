@@ -255,3 +255,57 @@ def test_repetition_stats_counts():
     assert out[2]["n_bigrams"] == 2 and out[2]["dup2_n"] == 0
     assert out[2]["top2_frac"] == 0.5
     assert out[3]["n_bigrams"] == 0 and out[3]["top2_frac"] == 0.0
+
+
+def test_zscore_moments_and_zero_variance():
+    from docling_api_ray.stages.stats import grouped_zscore
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(list(range(6)), type=pa.int64()),
+            "source": pa.array(["a"] * 4 + ["b"] * 2, type=pa.string()),
+            "n_chars": pa.array([1, 2, 3, 4, 7, 7], type=pa.int64()),
+        }
+    )
+    out = {
+        r["doc_id"]: r
+        for r in grouped_zscore(
+            ray.data.from_arrow(tbl).repartition(3)
+        ).take_all()
+    }
+    # group a: n=4 S=10 SS=30 -> var_n2 = 120-100 = 20
+    # z(x) = (4x-10)/sqrt(20)
+    for i, x in enumerate([1, 2, 3, 4]):
+        assert abs(out[i]["z"] - (4 * x - 10) / np.sqrt(20)) < 1e-12
+    # zero-variance group b -> z = 0
+    assert out[4]["z"] == 0.0 and out[5]["z"] == 0.0
+
+
+def test_filtered_knn_modes():
+    from docling_api_ray.stages.similarity import filtered_knn, knn_bruteforce
+
+    rng = np.random.RandomState(5)
+    mat = rng.randn(60, 8)
+    mat /= np.linalg.norm(mat, axis=1)[:, None]
+    labels = [i % 3 for i in range(60)]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(list(range(60)), type=pa.int64()),
+            "embedding": pa.array(
+                [r.astype("float32").tolist() for r in mat],
+                type=pa.list_(pa.float32()),
+            ),
+            "label": pa.array(labels, type=pa.int32()),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    qids, qmat, qlabs = [0, 1], mat[[0, 1]], [labels[0], labels[1]]
+    ex = filtered_knn(ds, qids, qmat, qlabs, k=5, mode="exclude").take_all()
+    ma = filtered_knn(ds, qids, qmat, qlabs, k=5, mode="match").take_all()
+    for r in ex:
+        assert labels[r["vec_id"]] != qlabs[qids.index(r["query_id"])]
+        assert r["vec_id"] not in qids
+    for r in ma:
+        assert labels[r["vec_id"]] == qlabs[qids.index(r["query_id"])]
+        assert r["vec_id"] not in qids
+    assert len(ex) == 10 and len(ma) == 10  # 2 queries x top-5
