@@ -1707,6 +1707,133 @@ def _q_events_moving_avg(sf_dir: str):
     )
 
 
+def _q_pmi_collocations(sf_dir: str):
+    """Pointwise mutual information of the top-30 corpus bigrams —
+    PROPER collocation ranking (bigram_topk's raw counts favor
+    frequent-word pairs; PMI normalizes by member-word frequency).
+
+    Three bounded stages: (1) the shared distributed top-k tail over
+    bigram partials; (2) ONE filtered wordcount pass — the ≤60 member
+    words broadcast, per-batch counts for those words plus sentinel-key
+    total-word/total-bigram rows, bounded fold; (3) driver-side PMI
+    from ≤63 numbers.  Exactness: pmi_micro is a SIGNED SUM of
+    individually micro-quantized ln's (each r(ln n) an exact int64 the
+    SQL mirrors), so no float association anywhere."""
+    top = _distributed_count_topk(
+        _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            ta.bigram_counts, batch_format="pyarrow"
+        ),
+        "bigram",
+        30,
+    ).take_all()
+    members = sorted(
+        {w for r in top for w in r["bigram"].split(" ")}
+    )
+    member_set = pa.array(members, type=pa.string())
+
+    def counts_partial(b: pa.Table) -> pa.Table:
+        col = b["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lists = pc.split_pattern(pc.fill_null(col, ""), " ")
+        words = pc.list_flatten(lists)
+        words = words.filter(pc.not_equal(words, ""))
+        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        # total words / total same-row bigrams (corpus has no empty
+        # tokens, so lens count real words; empty text splits to [''],
+        # filtered above and excluded from nb by the max(len-1, 0))
+        nw = int(len(words))
+        nb = int(np.maximum(lens - 1, 0).sum())
+        kept = words.filter(pc.is_in(words, value_set=member_set))
+        g = (
+            pa.table({"k": kept}).group_by(["k"]).aggregate([([], "count_all")])
+            if len(kept)
+            else None
+        )
+        keys = (g["k"].to_pylist() if g else []) + ["\x00nw", "\x00nb"]
+        ns = (
+            [int(x) for x in g["count_all"].to_pylist()] if g else []
+        ) + [nw, nb]
+        return pa.table(
+            {
+                "k": pa.array(keys, type=pa.string()),
+                "n": pa.array(ns, type=pa.int64()),
+            }
+        )
+
+    folded = {
+        r["k"]: int(r["n"])
+        for r in bounded_groupby_sum(
+            _docs(sf_dir, ["doc_id", "text"]).map_batches(
+                counts_partial, batch_format="pyarrow"
+            ),
+            ["k"],
+            sum_cols={"n": "n"},
+        ).take_all()
+    }
+    NW, NB = folded["\x00nw"], folded["\x00nb"]
+
+    def r6(x: int) -> int:
+        return int(np.rint(np.log(float(x)) * 1e6))
+
+    rows = []
+    for r in top:
+        a, b_ = r["bigram"].split(" ")
+        n_ab, n_a, n_b = int(r["n"]), folded[a], folded[b_]
+        pmi_micro = r6(n_ab) - r6(NB) - r6(n_a) - r6(n_b) + 2 * r6(NW)
+        rows.append((r["bigram"], n_ab, n_a, n_b, pmi_micro))
+    return ray.data.from_arrow(pa.table(
+        {
+            "bigram": pa.array([x[0] for x in rows], type=pa.string()),
+            "n_ab": pa.array([x[1] for x in rows], type=pa.int64()),
+            "n_a": pa.array([x[2] for x in rows], type=pa.int64()),
+            "n_b": pa.array([x[3] for x in rows], type=pa.int64()),
+            "pmi_micro": pa.array([x[4] for x in rows], type=pa.int64()),
+            "pmi": pa.array(
+                [x[4] / 1e6 for x in rows], type=pa.float64()
+            ),
+        }
+    ))
+
+
+def _q_value_quantiles_by_type(sf_dir: str):
+    """Exact per-event-type quantiles of the (micro-quantized) float
+    value metric — the float-metric variant of the value-HISTOGRAM
+    quantile design (stages/stats.py grouped_int_quantiles): this
+    corpus's values are 2-decimal, so round(v·1e6) is a lossless
+    integerization and the histogram stays value-domain-bounded."""
+    from docling_api_ray.stages.stats import grouped_int_quantiles
+
+    def add_v(b: pa.Table) -> pa.Table:
+        v = np.rint(
+            np.asarray(b["value"], dtype=np.float64) * 1e6
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "v_micro": pa.array(v, type=pa.int64()),
+            }
+        )
+
+    return grouped_int_quantiles(
+        _read(sf_dir, "events", ["event_type", "value"]).map_batches(
+            add_v, batch_format="pyarrow"
+        ),
+        group_col="event_type",
+        value_col="v_micro",
+    )
+
+
+def _q_kl_by_source(sf_dir: str):
+    """Per-source KL divergence from the corpus word distribution over
+    the DSIR 1024-bucket hashed feature space (stages/dsir.py
+    kl_by_group): bounded (source, bucket) partials through the tree
+    fold, nano-quantized order-free integer term sums."""
+    from docling_api_ray.stages.dsir import kl_by_group
+
+    return kl_by_group(_docs(sf_dir, ["source", "text"]))
+
+
 def _q_zscore_by_source(sf_dir: str):
     """Per-source z-score normalization of document size
     (stages/stats.py grouped_zscore): bounded integer moment fold
@@ -1987,6 +2114,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_counts": _q_bpe_token_counts,
         "knn_filtered": _q_knn_filtered,
         "zscore_by_source": _q_zscore_by_source,
+        "kl_by_source": _q_kl_by_source,
+        "value_quantiles_by_type": _q_value_quantiles_by_type,
+        "pmi_collocations": _q_pmi_collocations,
     }
 
 
@@ -3565,6 +3695,94 @@ def oracle_sql() -> dict[str, str]:
         """,
         # grouped hll_registers: one register table per source over each
         # source's distinct tokens (same u64 split / rho extraction)
+        # mirrors _q_pmi_collocations: top-30 bigrams (bigram_topk
+        # selection), pmi_micro as a signed sum of individually
+        # micro-quantized ln's — integer association-free
+        "pmi_collocations": """
+            WITH d AS (SELECT string_split(text, ' ') AS ws FROM documents),
+                 b AS (SELECT ws[i] || ' ' || ws[i+1] AS bigram
+                       FROM d, (SELECT unnest(generate_series(1, len(ws) - 1)) AS i)
+                       WHERE ws[i] <> '' AND ws[i+1] <> ''),
+                 c AS (SELECT bigram, CAST(count(*) AS BIGINT) AS n
+                       FROM b GROUP BY 1),
+                 top AS (SELECT bigram, n FROM c
+                         ORDER BY n DESC, bigram LIMIT 30),
+                 w AS (SELECT unnest(ws) AS word FROM d),
+                 wc AS (SELECT word, CAST(count(*) AS BIGINT) AS n
+                        FROM w WHERE word <> '' GROUP BY 1),
+                 nw AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM wc),
+                 nbt AS (SELECT CAST(count(*) AS BIGINT) AS t FROM b),
+                 joined AS (SELECT t.bigram, t.n AS n_ab,
+                                   wa.n AS n_a, wb.n AS n_b,
+                                   CAST(round(ln(CAST(t.n AS DOUBLE)) * 1000000) AS BIGINT)
+                                 - CAST(round(ln(CAST(nbt.t AS DOUBLE)) * 1000000) AS BIGINT)
+                                 - CAST(round(ln(CAST(wa.n AS DOUBLE)) * 1000000) AS BIGINT)
+                                 - CAST(round(ln(CAST(wb.n AS DOUBLE)) * 1000000) AS BIGINT)
+                                 + 2 * CAST(round(ln(CAST(nw.t AS DOUBLE)) * 1000000) AS BIGINT)
+                                     AS pmi_micro
+                            FROM top t
+                            JOIN wc wa ON wa.word = split_part(t.bigram, ' ', 1)
+                            JOIN wc wb ON wb.word = split_part(t.bigram, ' ', 2)
+                            CROSS JOIN nw CROSS JOIN nbt)
+            SELECT bigram, n_ab, n_a, n_b, pmi_micro,
+                   CAST(pmi_micro AS DOUBLE) / 1000000.0 AS pmi
+            FROM joined
+        """,
+        # grouped_int_quantiles over the micro-quantized event value
+        "value_quantiles_by_type": """
+            SELECT event_type,
+                   CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY v)
+                        AS BIGINT) AS p50,
+                   CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY v)
+                        AS BIGINT) AS p90,
+                   CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY v)
+                        AS BIGINT) AS p99
+            FROM (SELECT event_type,
+                         CAST(round(value * 1000000) AS BIGINT) AS v
+                  FROM events)
+            GROUP BY event_type
+        """,
+        # mirrors stages/dsir.py kl_by_group: dense (source x 1024)
+        # Laplace-smoothed distributions, nano-quantized terms summed
+        # order-free, one exact final division
+        "kl_by_source": f"""
+            WITH w AS (SELECT source,
+                              unnest(string_split(text, ' ')) AS word
+                       FROM documents),
+                 wb AS (SELECT source,
+                               CAST({_sql_u64('word')} % 1024 AS BIGINT) AS b
+                        FROM w WHERE word <> ''),
+                 c AS (SELECT source, b, CAST(count(*) AS BIGINT) AS n
+                       FROM wb GROUP BY 1, 2),
+                 grid AS (SELECT s.source, g.b
+                          FROM (SELECT DISTINCT source FROM c) s,
+                               (SELECT unnest(range(0, 1024)) AS b) g),
+                 dense AS (SELECT grid.source, grid.b,
+                                  COALESCE(c.n, 0) AS n
+                           FROM grid LEFT JOIN c
+                             ON grid.source = c.source AND grid.b = c.b),
+                 corp AS (SELECT b, CAST(sum(n) AS BIGINT) AS nc
+                          FROM dense GROUP BY b),
+                 tot AS (SELECT CAST(sum(nc) AS BIGINT) AS t FROM corp),
+                 gt AS (SELECT source, CAST(sum(n) AS BIGINT) AS ng
+                        FROM dense GROUP BY source),
+                 terms AS (SELECT d.source,
+                                  CAST(round(
+                                    ((d.n + 1.0) / (gt.ng + 1024.0))
+                                    * (ln((d.n + 1.0) / (gt.ng + 1024.0))
+                                       - ln((corp.nc + 1.0) / (tot.t + 1024.0)))
+                                    * 1000000000) AS BIGINT) AS term
+                           FROM dense d
+                           JOIN gt USING (source)
+                           JOIN corp USING (b)
+                           CROSS JOIN tot)
+            SELECT t.source, gt.ng AS n_tokens,
+                   CAST(sum(t.term) AS BIGINT) AS s_nano,
+                   CAST(CAST(sum(t.term) AS BIGINT) AS DOUBLE)
+                     / 1000000000.0 AS kl
+            FROM terms t JOIN gt ON t.source = gt.source
+            GROUP BY t.source, gt.ng
+        """,
         # mirrors stages/stats.py grouped_zscore: exact int64 moments,
         # z = (x·n − S)/sqrt(n·SS − S²), zero-variance groups → 0
         "zscore_by_source": """

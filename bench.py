@@ -134,6 +134,9 @@ def _bench_once() -> dict:
         "bpe_token_counts",
         "knn_filtered",
         "zscore_by_source",
+        "kl_by_source",
+        "value_quantiles_by_type",
+        "pmi_collocations",
         "conversion_metrics",
     ]
     # INTERLEAVED repetitions + medians (VERDICT r2 #1): this container's

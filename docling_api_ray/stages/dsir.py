@@ -157,3 +157,126 @@ def dsir_scores(
         batch_format="pyarrow",
         batch_size=1024,
     )
+
+
+def kl_by_group(
+    ds: ray.data.Dataset,
+    *,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Per-group KL divergence of the hashed-unigram distribution from
+    the corpus-wide distribution — the domain-shift / source-drift
+    monitor of a multi-source pipeline (which sources' language is
+    atypical?).  KL(P_g ‖ P_corpus) over the same bounded 1024-bucket
+    hashed feature space as DSIR, with Laplace smoothing on both sides.
+
+    Shape: each block reduces to its (group, bucket) count rows —
+    ≤ |groups_in_block| × 1024, corpus-independent — folded by the
+    bounded tree fold; the driver computes KL from the |groups| × 1024
+    table.  Exactness: each term round(p_g·(ln p_g − ln p_c)·1e9) is an
+    int64 NANO unit quantized BEFORE summation (order-free, bucket
+    index order irrelevant), mirrored verbatim in SQL; kl = s_nano/1e9
+    is one exact division.
+
+    Output: (group, n_tokens, s_nano, kl)."""
+    from docling_api_ray.stages.common import bounded_groupby_sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        col = b[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lists = pc.split_pattern(pc.fill_null(col, ""), " ")
+        words = pc.list_flatten(lists)
+        grp = pc.take(b[group_col], pc.list_parent_indices(lists))
+        keep = pc.not_equal(words, "")
+        words, grp = words.filter(keep), grp.filter(keep)
+        if len(words) == 0:
+            return pa.table(
+                {
+                    group_col: pa.array([], type=pa.string()),
+                    "bucket": pa.array([], type=pa.int64()),
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
+        import pandas as pd
+
+        warr = np.asarray(words.to_pylist(), dtype=object)
+        codes, uniques = pd.factorize(warr)
+        from docling_api_ray.functions.hashing import u64_md5
+
+        buckets = (u64_md5(uniques) % np.uint64(N_BUCKETS)).astype(
+            np.int64
+        )[codes]
+        g = (
+            pd.DataFrame(
+                {group_col: np.asarray(grp.to_pylist(), dtype=object),
+                 "bucket": buckets}
+            )
+            .groupby([group_col, "bucket"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.table(
+            {
+                group_col: pa.array(g[group_col].tolist(), type=pa.string()),
+                "bucket": pa.array(g["bucket"].to_numpy(), type=pa.int64()),
+                "n": pa.array(g["n"].to_numpy(), type=pa.int64()),
+            }
+        )
+
+    counts = bounded_groupby_sum(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        [group_col, "bucket"],
+        sum_cols={"n": "n"},
+    )
+
+    out_schema = pa.schema(
+        [
+            (group_col, pa.string()),
+            ("n_tokens", pa.int64()),
+            ("s_nano", pa.int64()),
+            ("kl", pa.float64()),
+        ]
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = b.to_pandas()
+        # dense (group x 1024) count matrix; corpus = column sums
+        groups = sorted(df[group_col].unique())
+        gidx = {g: i for i, g in enumerate(groups)}
+        mat = np.zeros((len(groups), N_BUCKETS), dtype=np.int64)
+        mat[
+            df[group_col].map(gidx).to_numpy(dtype=np.int64),
+            df["bucket"].to_numpy(dtype=np.int64),
+        ] = df["n"].to_numpy(dtype=np.int64)
+        corpus = mat.sum(axis=0)
+        n_corpus = float(corpus.sum())
+        lc = np.log((corpus + 1.0) / (n_corpus + N_BUCKETS))
+        rows_g, rows_n, rows_s, rows_kl = [], [], [], []
+        for g in groups:
+            cg = mat[gidx[g]]
+            ng = float(cg.sum())
+            pg = (cg + 1.0) / (ng + N_BUCKETS)
+            term = np.rint(pg * (np.log(pg) - lc) * 1e9).astype(np.int64)
+            s = int(term.sum())
+            rows_g.append(g)
+            rows_n.append(int(cg.sum()))
+            rows_s.append(s)
+            rows_kl.append(s / 1e9)
+        return pa.table(
+            {
+                group_col: pa.array(rows_g, type=pa.string()),
+                "n_tokens": pa.array(rows_n, type=pa.int64()),
+                "s_nano": pa.array(rows_s, type=pa.int64()),
+                "kl": pa.array(rows_kl, type=pa.float64()),
+            }
+        ).cast(out_schema)
+
+    return counts.map_batches(
+        finalize, batch_format="pyarrow", batch_size=None
+    )
