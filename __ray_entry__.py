@@ -1707,6 +1707,40 @@ def _q_events_moving_avg(sf_dir: str):
     )
 
 
+def _q_corpus_diff(sf_dir: str):
+    """Incremental-ingest snapshot diff: which docs of the NEW snapshot
+    (odd doc_ids — the parity split stands in for two crawl dates) carry
+    content absent from the OLD snapshot (even doc_ids)?  Partitioned
+    hash ANTI-join on the md5 content digest (stages/joins.py
+    how='anti' over dedup.add_content_hash's int64 digest key) — both
+    sides ship only (digest, id), never text."""
+    from docling_api_ray.stages.dedup import add_content_hash
+    from docling_api_ray.stages.joins import hash_join
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def side(parity: int, keep_id: bool):
+        def fn(b: pa.Table) -> pa.Table:
+            ids = np.asarray(b["doc_id"], dtype=np.int64)
+            b = b.filter(pa.array(ids % 2 == parity))
+            h = add_content_hash(b)
+            cols = ["content_hash", "__ckey"] + (["doc_id"] if keep_id else [])
+            return h.select(cols)
+
+        return fn
+
+    new = docs.map_batches(side(1, True), batch_format="pyarrow")
+    old = docs.map_batches(side(0, False), batch_format="pyarrow").select_columns(
+        ["__ckey"]
+    )
+    return _with_schema(
+        hash_join(new, old, on="__ckey", how="anti").select_columns(
+            ["doc_id", "content_hash"]
+        ),
+        pa.schema([("doc_id", pa.int64()), ("content_hash", pa.string())]),
+    )
+
+
 def _q_pmi_collocations(sf_dir: str):
     """Pointwise mutual information of the top-30 corpus bigrams —
     PROPER collocation ranking (bigram_topk's raw counts favor
@@ -2117,6 +2151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kl_by_source": _q_kl_by_source,
         "value_quantiles_by_type": _q_value_quantiles_by_type,
         "pmi_collocations": _q_pmi_collocations,
+        "corpus_diff": _q_corpus_diff,
     }
 
 
@@ -3695,6 +3730,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         # grouped hll_registers: one register table per source over each
         # source's distinct tokens (same u64 split / rho extraction)
+        # mirrors _q_corpus_diff: odd-id snapshot anti-joined on md5
+        # content digests of the even-id snapshot
+        "corpus_diff": """
+            SELECT doc_id, md5(text) AS content_hash
+            FROM documents
+            WHERE doc_id % 2 = 1
+              AND md5(text) NOT IN (
+                SELECT md5(text) FROM documents WHERE doc_id % 2 = 0
+              )
+        """,
         # mirrors _q_pmi_collocations: top-30 bigrams (bigram_topk
         # selection), pmi_micro as a signed sum of individually
         # micro-quantized ln's — integer association-free

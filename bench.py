@@ -137,6 +137,7 @@ def _bench_once() -> dict:
         "kl_by_source",
         "value_quantiles_by_type",
         "pmi_collocations",
+        "corpus_diff",
         "conversion_metrics",
     ]
     # INTERLEAVED repetitions + medians (VERDICT r2 #1): this container's
