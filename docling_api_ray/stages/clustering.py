@@ -14,7 +14,7 @@ the nonnegative division truncates identically under numpy's floor-div
 and DuckDB's truncating ``//``).
 
 Scale shape per Lloyd iteration (the classic distributed k-means):
-- centroids broadcast once (``ray.put``, fetched in actor ``__init__``);
+- centroids ship once per task (KB-sized, value-captured closures);
 - ONE streaming assignment pass emits per-batch PARTIAL per-cluster
   (count, per-dim sum) rows — ≤ k rows per batch regardless of batch
   size, so the shuffle moves k·blocks tiny rows, never vectors;
@@ -62,19 +62,21 @@ def _assign(mat: np.ndarray, cents: np.ndarray) -> tuple[np.ndarray, np.ndarray]
     return a.astype(np.int64), d[np.arange(n), a]
 
 
-def _partial_sums(cents_ref):
+def _partial_sums(cents):
     """Per-batch partial (cluster, count, per-dim sum) rows — ≤ k rows
     out per batch, the map-side combiner of the centroid update.
 
-    A task-pool FUNCTION with the centroids as a closure-captured
-    ``ObjectRef`` (``ray.get`` per batch is a local-object-store hit,
-    ~µs) rather than an actor pool: each Lloyd iteration is its own
-    short job, and per-job actor spin-up (~0.7 s/pool) dominated the
-    whole k-means at bench scale (measured: the 2000-row sf0.1 table
-    costs <0.1 s of compute per pass)."""
+    A task-pool FUNCTION with the centroids captured BY VALUE in the
+    closure (k×dim ints — a few KB serialized once per task) rather
+    than an actor pool: each Lloyd iteration is its own short job, and
+    per-job actor spin-up (~0.7 s/pool) dominated the whole k-means at
+    bench scale (the 2000-row sf0.1 table costs <0.1 s of compute per
+    pass).  Value capture, not a closure ObjectRef: inlined-ref
+    dependency resolution under rapid job submission tripped a Ray
+    core reference-count assertion in a full-battery run — for KB-sized
+    state the object store buys nothing."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        cents = ray.get(cents_ref)
         dim = cents.shape[1]
         if len(batch) == 0:
             return pa.table(
@@ -104,14 +106,14 @@ def _partial_sums(cents_ref):
     return partial
 
 
-def _assign_final(cents_ref, with_embedding: bool = False):
+def _assign_final(cents, with_embedding: bool = False):
     """``with_embedding=True`` passes the embedding column through so a
     downstream within-cluster stage (SemDeDup) needs NO join to reunite
-    vectors with their cluster ids.  Task-pool function for the same
-    per-job-overhead reason as ``_partial_sums``."""
+    vectors with their cluster ids.  Task-pool function with
+    value-captured centroids, for the same reasons as
+    ``_partial_sums``."""
 
     def assign_batch(batch: pa.Table) -> pa.Table:
-        cents = ray.get(cents_ref)
         fields = [
             ("vec_id", pa.int64()),
             ("cluster", pa.int64()),
@@ -175,7 +177,7 @@ def kmeans_assign(
 
     for _ in range(iters):
         partials = ds.map_batches(
-            _partial_sums(ray.put(cents)),
+            _partial_sums(cents),
             batch_format="pyarrow",
             batch_size=4096,
         )
@@ -200,7 +202,7 @@ def kmeans_assign(
         cents = new_cents
 
     return ds.map_batches(
-        _assign_final(ray.put(cents), with_embedding=with_embedding),
+        _assign_final(cents, with_embedding=with_embedding),
         batch_format="pyarrow",
         batch_size=4096,
     )
@@ -232,14 +234,14 @@ def cluster_outliers(
     )
 
 
-def _keep_flag(losers_ref):
-    """Stateless-per-batch keep flagging against the broadcast loser-id
-    set (task-pool closure — see ``_partial_sums`` on per-job actor
-    spin-up overhead)."""
+def _keep_flag(losers):
+    """Stateless-per-batch keep flagging against the value-captured
+    loser-id set (see ``_partial_sums`` on task pools + value capture;
+    the set is duplicate-structure-bounded)."""
 
     def flag(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch["vec_id"], dtype=np.int64)
-        keep = ~np.isin(ids, ray.get(losers_ref))
+        keep = ~np.isin(ids, losers)
         return batch.append_column("keep", pa.array(keep, type=pa.bool_()))
 
     return flag
@@ -285,6 +287,6 @@ def semdedup_keep(
         sorted(pairs.unique("right_id")), dtype=np.int64
     )  # duplicate-structure-bounded (docstring)
     return asg.map_batches(
-        _keep_flag(ray.put(losers)),
+        _keep_flag(losers),
         batch_format="pyarrow",
     )

@@ -107,14 +107,12 @@ def micro_weight_table(tgt: np.ndarray, raw: np.ndarray) -> np.ndarray:
     return lt - lr
 
 
-def _dsir_score(table_ref):
-    """Stateless-per-batch scorer against the broadcast weight table —
-    task-pool closure (the per-batch ``ray.get`` of the 1024-int table
-    is a zero-copy local-store hit; per-job actor-pool spin-up costs
-    ~0.7 s and dominates at bench scale — see clustering._partial_sums)."""
+def _dsir_score(lam):
+    """Stateless-per-batch scorer against the VALUE-captured weight
+    table (8 KB serialized once per task; see clustering._partial_sums
+    on task pools + value capture vs per-job actor spin-up)."""
 
     def score(batch: pa.Table) -> pa.Table:
-        lam = ray.get(table_ref)
         texts = [
             t if t is not None else "" for t in batch["text"].to_pylist()
         ]
@@ -151,9 +149,8 @@ def dsir_scores(
     hashed-unigram models in one bounded-sketch pass, broadcast the
     integer weight table, score statelessly."""
     tgt, raw = train_bucket_counts(ds, target_sources)
-    ref = ray.put(micro_weight_table(tgt, raw))
     return ds.map_batches(
-        _dsir_score(ref),
+        _dsir_score(micro_weight_table(tgt, raw)),
         batch_format="pyarrow",
         batch_size=1024,
     )

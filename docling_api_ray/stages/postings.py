@@ -4,8 +4,8 @@ structure behind BM25 serving and contamination tracing (the reference
 has no index build; this is the training-data extension of SURVEY §2's
 aggregation family).
 
-Shape: the term set is small and BROADCAST (``ray.put`` once, fetched
-per actor in ``__init__`` — never re-shipped per batch); each batch
+Shape: the term set is small and VALUE-captured in the task closure
+(serialized once per task, never re-shipped per batch); each batch
 reduces to its distinct (word, doc_id) pairs for those terms only
 (Arrow tokenize + hash group-by, so the exchange payload is
 term-filtered and batch-deduplicated); ONE word-hash co-group then
@@ -39,16 +39,15 @@ _PAIRS_EMPTY = pa.schema(
 ).empty_table()
 
 
-def _term_doc_pairs(terms_ref):
+def _term_doc_pairs(term_list):
     """Per-batch distinct (word, doc_id) pairs restricted to the
-    broadcast term set — task-pool closure (the term set is tiny; the
-    per-batch ``ray.get`` is a local-store hit, and per-job actor-pool
-    spin-up dominates at bench scale — see clustering._partial_sums)."""
+    VALUE-captured term set (tiny, serialized once per task — see
+    clustering._partial_sums on task pools + value capture)."""
 
     def pairs(b: pa.Table) -> pa.Table:
         from docling_api_ray.stages.common import shuffle_partitions
 
-        terms = pa.array(sorted(ray.get(terms_ref)), type=pa.string())
+        terms = pa.array(sorted(term_list), type=pa.string())
         col = b["text"]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
@@ -97,7 +96,7 @@ def inverted_postings(
             ("postings", pa.string()),
         ]
     )
-    terms_ref = ray.put(list(terms))
+    term_list = list(terms)
 
     def fold(df: pd.DataFrame) -> pa.Table:
         rows = []
@@ -124,7 +123,7 @@ def inverted_postings(
 
     return (
         ds.map_batches(
-            _term_doc_pairs(terms_ref),
+            _term_doc_pairs(term_list),
             batch_format="pyarrow",
             batch_size=1024,
         )

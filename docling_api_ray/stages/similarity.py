@@ -435,7 +435,6 @@ def filtered_knn(
     qn = _norm_rows(np.asarray(query_matrix, dtype=np.float64))
     qlab = np.asarray(query_labels, dtype=np.int64)
     qset = sorted(set(qids))
-    ref = ray.put((qids, qn, qlab))
     want_match = mode == "match"
 
     def score(batch: pa.Table) -> pa.Table:
@@ -446,7 +445,7 @@ def filtered_knn(
         )
         if len(batch) == 0:
             return BatchTopK._EMPTY
-        ids_, qn_, qlab_ = ray.get(ref)
+        ids_, qn_, qlab_ = qids, qn, qlab
         ids = np.asarray(batch["vec_id"], dtype=np.int64)
         labels = np.asarray(batch["label"], dtype=np.int64)
         sims = _quant6(_norm_rows(embedding_matrix(batch["embedding"])) @ qn_.T)

@@ -260,10 +260,9 @@ def grouped_zscore(
             count_alias="n",
         ).take_all()
     }
-    ref = ray.put(moments)
 
     def zmap(b: pa.Table) -> pa.Table:
-        m = ray.get(ref)
+        m = moments
         groups = b[group_col].to_pylist()
         x = np.asarray(b[value_col], dtype=np.int64)
         n = np.fromiter((m[g][0] for g in groups), dtype=np.int64,
