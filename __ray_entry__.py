@@ -1710,35 +1710,45 @@ def _q_events_moving_avg(sf_dir: str):
 def _q_corpus_diff(sf_dir: str):
     """Incremental-ingest snapshot diff: which docs of the NEW snapshot
     (odd doc_ids — the parity split stands in for two crawl dates) carry
-    content absent from the OLD snapshot (even doc_ids)?  Partitioned
-    hash ANTI-join on the md5 content digest (stages/joins.py
-    how='anti' over dedup.add_content_hash's int64 digest key) — both
-    sides ship only (digest, id), never text."""
-    from docling_api_ray.stages.dedup import add_content_hash
-    from docling_api_ray.stages.joins import hash_join
+    content absent from the OLD snapshot (even doc_ids)?  Anti-join on
+    the FULL md5 digest, routed by dedup.add_content_hash's int64 digest
+    key (``__ckey`` mod P co-group — every occurrence of a digest lands
+    in one partition; the membership test inside compares full hex
+    digests so a truncated-key collision can never drop a genuinely-new
+    doc).  Both sides ship only (digest, id), never text."""
+    from docling_api_ray.stages.dedup import _cogrouped, add_content_hash
 
     docs = _docs(sf_dir, ["doc_id", "text"])
-
-    def side(parity: int, keep_id: bool):
-        def fn(b: pa.Table) -> pa.Table:
-            ids = np.asarray(b["doc_id"], dtype=np.int64)
-            b = b.filter(pa.array(ids % 2 == parity))
-            h = add_content_hash(b)
-            cols = ["content_hash", "__ckey"] + (["doc_id"] if keep_id else [])
-            return h.select(cols)
-
-        return fn
-
-    new = docs.map_batches(side(1, True), batch_format="pyarrow")
-    old = docs.map_batches(side(0, False), batch_format="pyarrow").select_columns(
-        ["__ckey"]
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("content_hash", pa.string())]
     )
-    return _with_schema(
-        hash_join(new, old, on="__ckey", how="anti").select_columns(
-            ["doc_id", "content_hash"]
-        ),
-        pa.schema([("doc_id", pa.int64()), ("content_hash", pa.string())]),
-    )
+
+    def project(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"], dtype=np.int64)
+        h = add_content_hash(b)
+        return pa.table(
+            {
+                "doc_id": h["doc_id"],
+                "content_hash": h["content_hash"],
+                "__ckey": h["__ckey"],
+                "__new": pa.array(ids % 2 == 1, type=pa.bool_()),
+            }
+        )
+
+    def anti(df) -> pa.Table:
+        import pandas as pd
+
+        old_hashes = df.loc[~df["__new"], "content_hash"]
+        keep = df[df["__new"] & ~df["content_hash"].isin(old_hashes)]
+        return pa.Table.from_pandas(
+            keep[["doc_id", "content_hash"]],
+            schema=out_schema,
+            preserve_index=False,
+        )
+
+    return _cogrouped(
+        docs.map_batches(project, batch_format="pyarrow"), "__ckey"
+    ).map_groups(anti, batch_format="pandas")
 
 
 def _q_pmi_collocations(sf_dir: str):
@@ -3594,12 +3604,13 @@ def oracle_sql() -> dict[str, str]:
             HAVING count(*) >= (SELECT count(DISTINCT source) FROM documents)
         """,
         # mirrors stages/splits.py weighted_sample: priority =
-        # md5-u64 // weight in pure integer arithmetic, bottom-100 by
-        # (priority, doc_id)
+        # (md5-u64 >> 1) // weight in pure integer arithmetic (the
+        # halving keeps it < 2^63 for every weight, clamp-free on both
+        # sides), bottom-100 by (priority, doc_id)
         "weighted_sample": f"""
             SELECT doc_id,
                    CAST(greatest(n_chars, 1) AS BIGINT) AS weight,
-                   CAST({_sql_u64("CAST(doc_id AS VARCHAR)")}
+                   CAST(({_sql_u64("CAST(doc_id AS VARCHAR)")} // 2)
                         // greatest(n_chars, 1) AS BIGINT) AS priority
             FROM documents
             ORDER BY priority, doc_id

@@ -20,6 +20,18 @@ from __future__ import annotations
 
 import struct
 
+def parse_png_header(png: bytes) -> tuple[int, int, int] | None:
+    """(width, height, bit_depth) from a PNG IHDR — pure python, real.
+    (Lives here with the other container parsers; stages/multimodal.py
+    re-exports it for its original callers.)"""
+    if len(png) < 26 or not png.startswith(b"\x89PNG\r\n\x1a\n"):
+        return None
+    if png[12:16] != b"IHDR":
+        return None
+    w, h = struct.unpack(">II", png[16:24])
+    return w, h, png[24]
+
+
 # JPEG markers WITHOUT a length field (standalone), per ITU T.81
 _JPEG_STANDALONE = frozenset(
     [0x01] + list(range(0xD0, 0xD8))  # TEM, RST0-7
@@ -89,8 +101,6 @@ def parse_bmp_header(blob: bytes) -> tuple[int, int, int] | None:
 def sniff_image_dims(blob: bytes) -> tuple[str, int, int, int] | None:
     """(format, width, height, bit_depth) via magic-byte dispatch across
     PNG / JPEG / GIF / BMP; None if no parser accepts the blob."""
-    from docling_api_ray.stages.multimodal import parse_png_header
-
     if blob.startswith(b"\x89PNG"):
         hdr = parse_png_header(blob)
         return ("png",) + hdr if hdr else None

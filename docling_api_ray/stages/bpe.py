@@ -56,7 +56,10 @@ def corpus_word_counts(
         )
 
     rows = (
-        ds.map_batches(word_counts, batch_format="pyarrow")
+        ds.map_batches(
+            lambda b: word_counts(b, text_col=text_col),
+            batch_format="pyarrow",
+        )
         .map_batches(add_part, batch_format="pyarrow")
         .groupby("__part")
         .map_groups(fold, batch_format="pandas")
@@ -161,13 +164,17 @@ class _BpeTokenCount:
         flat = [w for ws in words_per_doc for w in ws]
         if flat:
             codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
+
+            def count_tokens(w: str) -> int:
+                # explicit hit check — setdefault would evaluate
+                # apply_merges eagerly and make the cache inert
+                n = self.cache.get(w)
+                if n is None:
+                    n = self.cache[w] = len(apply_merges(w, self.merges))
+                return n
+
             per_uniq = np.fromiter(
-                (
-                    self.cache.setdefault(
-                        w, len(apply_merges(w, self.merges))
-                    )
-                    for w in uniques
-                ),
+                (count_tokens(w) for w in uniques),
                 dtype=np.int64,
                 count=len(uniques),
             )

@@ -36,6 +36,25 @@ def coalesce_for_shuffle(ds: ray.data.Dataset) -> ray.data.Dataset:
     return ds.repartition(shuffle_partitions())
 
 
+def two_level_fold(ds: ray.data.Dataset, fold) -> ray.data.Dataset:
+    """The bounded two-level tree-fold TAIL shared by
+    ``bounded_groupby_sum`` and the sketch folds (hll registers):
+    level-1 bundle-folds up to 1M partial rows per task (``num_cpus``
+    0.9 ≠ default 1 blocks fusion with the upstream partial map —
+    fusion would propagate the large batch_size upstream as the fused
+    chain's min-bundle size and starve wide-input parallelism), then
+    one final single-block fold over the bundle-folded remainder
+    (corpus-independent rows).  ``fold`` must be idempotent over its
+    own output (sum/max/min re-aggregation)."""
+    return (
+        ds.map_batches(
+            fold, batch_format="pyarrow", batch_size=1_000_000, num_cpus=0.9
+        )
+        .repartition(1)
+        .map_batches(fold, batch_format="pyarrow", batch_size=None)
+    )
+
+
 def bounded_groupby_sum(
     ds: ray.data.Dataset,
     keys: list[str],
@@ -98,13 +117,6 @@ def bounded_groupby_sum(
             [c[: -len("_sum")] if c.endswith("_sum") else c for c in g.column_names]
         )
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        # level-1: bundle-fold up to 1M partial rows per task (num_cpus
-        # 0.9 ≠ default 1 blocks fusion with `partial` — intentional)
-        .map_batches(
-            final, batch_format="pyarrow", batch_size=1_000_000, num_cpus=0.9
-        )
-        .repartition(1)
-        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    return two_level_fold(
+        ds.map_batches(partial, batch_format="pyarrow"), final
     )

@@ -30,14 +30,9 @@ import ray.data
 MEDIA_BATCH_SIZE = 64  # wide binary rows → small batches (§4 memory note)
 
 
-def parse_png_header(png: bytes) -> tuple[int, int, int] | None:
-    """(width, height, bit_depth) from a PNG IHDR — pure python, real."""
-    if len(png) < 26 or not png.startswith(b"\x89PNG\r\n\x1a\n"):
-        return None
-    if png[12:16] != b"IHDR":
-        return None
-    w, h = struct.unpack(">II", png[16:24])
-    return w, h, png[24]
+# container-header parsing lives with its JPEG/GIF/BMP siblings in
+# functions/imagemeta.py; re-exported here for the original callers
+from docling_api_ray.functions.imagemeta import parse_png_header  # noqa: F401,E402
 
 
 class MediaMetadata:

@@ -445,20 +445,19 @@ def filtered_knn(
         )
         if len(batch) == 0:
             return BatchTopK._EMPTY
-        ids_, qn_, qlab_ = qids, qn, qlab
         ids = np.asarray(batch["vec_id"], dtype=np.int64)
         labels = np.asarray(batch["label"], dtype=np.int64)
-        sims = _quant6(_norm_rows(embedding_matrix(batch["embedding"])) @ qn_.T)
+        sims = _quant6(_norm_rows(embedding_matrix(batch["embedding"])) @ qn.T)
         out_q, out_id, out_sim = [], [], []
         for qi in range(sims.shape[1]):
-            keep = (labels == qlab_[qi]) if want_match else (
-                labels != qlab_[qi]
+            keep = (labels == qlab[qi]) if want_match else (
+                labels != qlab[qi]
             )
             if not keep.any():
                 continue
             col, cid = sims[keep, qi], ids[keep]
             order = np.lexsort((cid, -col))[: min(k, len(cid))]
-            out_q.extend([ids_[qi]] * len(order))
+            out_q.extend([qids[qi]] * len(order))
             out_id.extend(cid[order].tolist())
             out_sim.extend(col[order].tolist())
         return pa.table(

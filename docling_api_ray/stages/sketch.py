@@ -215,14 +215,10 @@ def hll_registers(
         g = b.group_by(["bucket"]).aggregate([("max_rho", "max")])
         return g.rename_columns(["bucket", "max_rho"])
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        # level-1 bundle-fold (see common.bounded_groupby_sum): distinct
-        # num_cpus prevents fusion with `partial`
-        .map_batches(fold, batch_format="pyarrow", batch_size=1_000_000,
-                     num_cpus=0.9)
-        .repartition(1)
-        .map_batches(fold, batch_format="pyarrow", batch_size=None)
+    from docling_api_ray.stages.common import two_level_fold
+
+    return two_level_fold(
+        ds.map_batches(partial, batch_format="pyarrow"), fold
     )
 
 
@@ -481,10 +477,8 @@ def grouped_hll_registers(
         g = b.group_by([group_col, "bucket"]).aggregate([("max_rho", "max")])
         return g.rename_columns([group_col, "bucket", "max_rho"])
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .map_batches(fold, batch_format="pyarrow", batch_size=1_000_000,
-                     num_cpus=0.9)
-        .repartition(1)
-        .map_batches(fold, batch_format="pyarrow", batch_size=None)
+    from docling_api_ray.stages.common import two_level_fold
+
+    return two_level_fold(
+        ds.map_batches(partial, batch_format="pyarrow"), fold
     )

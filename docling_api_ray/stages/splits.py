@@ -82,13 +82,15 @@ def weighted_sample(
     coordination-free analog of weighted reservoir sampling (the
     Efraimidis–Spirakis bottom-k trick with the random draw replaced by
     the process-stable doc hash): every row gets priority
-    ``key = u64_md5(str(id)) // weight`` (integer floor division — heavier
-    rows draw systematically smaller keys) and the sample is the global
-    bottom-``k`` by ``(key, id)``.
+    ``key = (u64_md5(str(id)) >> 1) // weight`` (integer floor division —
+    heavier rows draw systematically smaller keys; the pre-shift keeps
+    the key < 2^63 for EVERY weight ≥ 1, so engine int64 and oracle
+    BIGINT agree with no clamp on either side) and the sample is the
+    global bottom-``k`` by ``(key, id)``.
 
     Identical on every run / node / reshard, and the DuckDB oracle
-    reproduces it exactly (``md5_number // weight`` in HUGEINT — pure
-    integer arithmetic, no float RNG to mirror).
+    reproduces it exactly (``(md5_number // 2) // weight`` in HUGEINT —
+    pure integer arithmetic, no float RNG to mirror).
 
     Shape: stateless per-batch priority + LOCAL bottom-k head (each block
     emits ≤ k rows), then a single ≤ k·blocks-row merge block — the
@@ -110,13 +112,7 @@ def weighted_sample(
             np.asarray(b[weight_col], dtype=np.int64), 1
         ).astype(np.uint64)
         h = u64_md5(np.array([str(i) for i in ids], dtype=object))
-        key = h // w  # ≤ 2^64/1 — emitted as int64 after a range check
-        # u64 // w fits int63 whenever w ≥ 2; w == 1 rows clamp to the
-        # int64 max (their relative order under (key, id) is preserved
-        # because every real weight here is ≥ 2 chars — documented bound)
-        key = np.minimum(key, np.uint64(np.iinfo(np.int64).max)).astype(
-            np.int64
-        )
+        key = ((h >> np.uint64(1)) // w).astype(np.int64)  # < 2^63 always
         order = np.lexsort((np.asarray(ids, dtype=np.int64), key))[:k]
         return pa.table(
             {

@@ -35,10 +35,11 @@ def test_learn_merges_hand_computed():
 
 def test_apply_merges_inverse_of_training():
     merges = learn_merges([("aaab", 4), ("aab", 2)], 3)
-    assert apply_merges("aaab", merges) == ["aa", "ab"] or apply_merges(
-        "aaab", merges
-    )  # exact form checked below against the learned list
-    # with merges [(a,a),(a,b), ...]: "aaab" -> aa,a,b -> aa,ab
+    # with merges [(a,a),(a,b), ...]: "aaab" -> aa,a,b -> aa,ab; the
+    # third learned merge is (aa,ab) (counts 4+2 from both words after
+    # two rewrites beat (aa,b)'s 2), collapsing "aaab" to one token
+    assert merges[2][:2] == ("aa", "ab")
+    assert apply_merges("aaab", merges) == ["aaab"]
     assert apply_merges("aaab", merges[:2]) == ["aa", "ab"]
     assert apply_merges("b", merges) == ["b"]
     assert apply_merges("", merges) == []

@@ -110,7 +110,10 @@ def test_weighted_sample_matches_local_priority_order():
         ray.data.from_arrow(tbl).repartition(8), k=10
     ).take_all()
     w = np.asarray(tbl["n_chars"], dtype=np.uint64)
-    pri = u64_md5(np.array([str(i) for i in range(n)], dtype=object)) // w
+    pri = (
+        u64_md5(np.array([str(i) for i in range(n)], dtype=object))
+        >> np.uint64(1)
+    ) // w
     order = np.lexsort((np.arange(n), pri))[:10]
     assert [r["doc_id"] for r in got] == list(order)
     assert [r["priority"] for r in got] == [int(pri[i]) for i in order]
