@@ -1707,6 +1707,18 @@ def _q_events_moving_avg(sf_dir: str):
     )
 
 
+def _q_events_rolling_z(sf_dir: str):
+    """Per-user rolling z-score over a trailing 8-row frame
+    (stages/windows.py rolling_zscore): one user-hash exchange, two
+    cumsum-difference frame sums (Σv, Σv²), z from exact int64 moments
+    — the streaming anomaly-detection primitive."""
+    from docling_api_ray.stages.windows import rolling_zscore
+
+    return rolling_zscore(
+        _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    )
+
+
 def _q_corpus_diff(sf_dir: str):
     """Incremental-ingest snapshot diff: which docs of the NEW snapshot
     (odd doc_ids — the parity split stands in for two crawl dates) carry
@@ -2162,6 +2174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantiles_by_type": _q_value_quantiles_by_type,
         "pmi_collocations": _q_pmi_collocations,
         "corpus_diff": _q_corpus_diff,
+        "events_rolling_z": _q_events_rolling_z,
     }
 
 
@@ -3741,6 +3754,34 @@ def oracle_sql() -> dict[str, str]:
         """,
         # grouped hll_registers: one register table per source over each
         # source's distinct tokens (same u64 split / rho extraction)
+        # mirrors stages/windows.py rolling_zscore: ROWS frame 7
+        # PRECEDING..CURRENT, z = (v·n − S)/sqrt(n·SS − S²) from exact
+        # int64 window moments, zero-variance frames → 0
+        "events_rolling_z": """
+            WITH e AS (SELECT event_id, user_id, ts,
+                              CAST(round(value * 1000000) AS BIGINT) AS v_micro
+                       FROM events),
+                 w AS (SELECT event_id, user_id, v_micro,
+                              CAST(count(*) OVER fr AS BIGINT) AS win_n,
+                              CAST(sum(v_micro) OVER fr AS BIGINT)
+                                AS win_sum_micro,
+                              CAST(sum(v_micro * v_micro) OVER fr AS BIGINT)
+                                AS win_sumq
+                       FROM e
+                       WINDOW fr AS (PARTITION BY user_id
+                                     ORDER BY ts, event_id
+                                     ROWS BETWEEN 7 PRECEDING
+                                       AND CURRENT ROW))
+            SELECT event_id, user_id, v_micro, win_n, win_sum_micro,
+                   CASE WHEN win_n * win_sumq
+                             - win_sum_micro * win_sum_micro > 0
+                        THEN CAST(v_micro * win_n - win_sum_micro AS DOUBLE)
+                             / sqrt(CAST(win_n * win_sumq
+                                         - win_sum_micro * win_sum_micro
+                                         AS DOUBLE))
+                        ELSE 0.0 END AS z
+            FROM w
+        """,
         # mirrors _q_corpus_diff: odd-id snapshot anti-joined on md5
         # content digests of the even-id snapshot
         "corpus_diff": """

@@ -138,6 +138,7 @@ def _bench_once() -> dict:
         "value_quantiles_by_type",
         "pmi_collocations",
         "corpus_diff",
+        "events_rolling_z",
         "conversion_metrics",
     ]
     # INTERLEAVED repetitions + medians (VERDICT r2 #1): this container's

@@ -335,3 +335,96 @@ def moving_window_avg(
         .groupby("__part")
         .map_groups(fold, batch_format="pandas")
     )
+
+
+def rolling_zscore(
+    ds: ray.data.Dataset,
+    *,
+    key: str = "user_id",
+    preceding: int = 7,
+) -> ray.data.Dataset:
+    """Per-key rolling z-score of each event's value against its own
+    trailing ROW frame — the streaming anomaly-detection primitive (is
+    this event unusual FOR THIS USER lately?), the windowed sibling of
+    ``stats.grouped_zscore``.
+
+    Same single-exchange shape as ``moving_window_avg`` (user-hash
+    co-group, one in-partition sort, cumsum-DIFFERENCE frame sums
+    vectorized across keys — here two cumsums: Σv and Σv²).  Exactness:
+    with integer micro values, ``num = v·n − S`` and
+    ``den² = n·SS − S²`` are exact int64s (v_micro ≤ 3.3e8 → v² ≤
+    1.1e17, frame sums of ≤8 such < 2^63), so
+    ``z = num / sqrt(den²)`` is two IEEE ops the SQL window mirror
+    evaluates identically; frames with zero variance (including every
+    frame of size 1) emit z = 0.
+
+    Output: (event_id, user_id, v_micro, win_n, win_sum_micro, z)."""
+    from docling_api_ray.stages.common import shuffle_partitions
+
+    out_schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            (key, pa.int64()),
+            ("v_micro", pa.int64()),
+            ("win_n", pa.int64()),
+            ("win_sum_micro", pa.int64()),
+            ("z", pa.float64()),
+        ]
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = np.asarray(b[key], dtype=np.int64)
+        vm = np.rint(
+            np.asarray(b["value"], dtype=np.float64) * 1e6
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                key: b[key],
+                "ts": b["ts"],
+                "v_micro": pa.array(vm, type=pa.int64()),
+                "__part": pa.array(
+                    np.abs(uid) % shuffle_partitions(), type=pa.int64()
+                ),
+            }
+        )
+
+    def fold(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values([key, "ts", "event_id"], kind="stable")
+        uid = df[key].to_numpy()
+        vm = df["v_micro"].to_numpy(dtype=np.int64)
+        n = len(df)
+        if n == 0:
+            return out_schema.empty_table()
+        idx = np.arange(n, dtype=np.int64)
+        new_key = np.ones(n, dtype=bool)
+        new_key[1:] = uid[1:] != uid[:-1]
+        key_start = np.maximum.accumulate(np.where(new_key, idx, 0))
+        start = np.maximum(idx - preceding, key_start)
+        cum = np.cumsum(vm)
+        cumq = np.cumsum(vm * vm)
+        win_sum = cum - np.where(start > 0, cum[start - 1], 0)
+        win_sumq = cumq - np.where(start > 0, cumq[start - 1], 0)
+        win_n = idx - start + 1
+        num = (vm * win_n - win_sum).astype(np.float64)
+        var_n2 = win_n * win_sumq - win_sum * win_sum
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = np.where(
+                var_n2 > 0, num / np.sqrt(var_n2.astype(np.float64)), 0.0
+            )
+        return pa.table(
+            {
+                "event_id": df["event_id"].to_numpy(),
+                key: uid,
+                "v_micro": vm,
+                "win_n": win_n,
+                "win_sum_micro": win_sum,
+                "z": z,
+            }
+        ).cast(out_schema)
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(fold, batch_format="pandas")
+    )

@@ -312,3 +312,19 @@ def test_filtered_knn_modes():
         assert labels[r["vec_id"]] == qlabs[qids.index(r["query_id"])]
         assert r["vec_id"] not in qids
     assert len(ex) == 10 and len(ma) == 10  # 2 queries x top-5
+
+
+def test_rolling_zscore_frame_moments():
+    from docling_api_ray.stages.windows import rolling_zscore
+
+    # user 1: values 1..5; frame 7-preceding covers all prior rows here
+    rows = [(i, 1, i, i + 1) for i in range(5)] + [(10, 2, 0, 9.0)]
+    out = {
+        r["event_id"]: r for r in rolling_zscore(_events(rows)).take_all()
+    }
+    # first row of any user: frame size 1, zero variance -> z = 0
+    assert out[0]["z"] == 0.0 and out[10]["z"] == 0.0
+    # row 2 (value 3e6, frame [1e6,2e6,3e6]): n=3 S=6e6 SS=14e12
+    # num = 3e6*3-6e6 = 3e6; var_n2 = 3*14e12-36e12 = 6e12
+    assert abs(out[2]["z"] - 3e6 / np.sqrt(6e12)) < 1e-12
+    assert out[2]["win_n"] == 3 and out[2]["win_sum_micro"] == 6_000_000
