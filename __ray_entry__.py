@@ -1707,6 +1707,30 @@ def _q_events_moving_avg(sf_dir: str):
     )
 
 
+def _q_mixture_select(sf_dir: str):
+    """Build the 200-doc training mixture the temperature weights
+    describe (stages/mixture.py mixture_select): exact integer
+    per-source quotas from the bounded weight fold, hash-smallest
+    selection per source via partial heads + one per-source final
+    head."""
+    from docling_api_ray.stages.mixture import mixture_select
+
+    return mixture_select(
+        _docs(sf_dir, ["doc_id", "source", "text"]), budget=200
+    )
+
+
+def _q_ngram_backoff(sf_dir: str):
+    """Hashed-bucket stupid-backoff bigram LM scores (stages/ngramlm.py
+    — the Brants et al. 2007 web-scale LM recipe): one bounded-sketch
+    train pass (a 1024+4096-int row per block), value-captured tables,
+    stateless scoring with signed sums of individually micro-quantized
+    ln terms — order-free, oracle-exact."""
+    from docling_api_ray.stages.ngramlm import ngram_backoff_scores
+
+    return ngram_backoff_scores(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def _q_events_rolling_z(sf_dir: str):
     """Per-user rolling z-score over a trailing 8-row frame
     (stages/windows.py rolling_zscore): one user-hash exchange, two
@@ -2175,6 +2199,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_collocations": _q_pmi_collocations,
         "corpus_diff": _q_corpus_diff,
         "events_rolling_z": _q_events_rolling_z,
+        "ngram_backoff": _q_ngram_backoff,
+        "mixture_select": _q_mixture_select,
     }
 
 
@@ -3754,6 +3780,107 @@ def oracle_sql() -> dict[str, str]:
         """,
         # grouped hll_registers: one register table per source over each
         # source's distinct tokens (same u64 split / rho extraction)
+        # mirrors stages/mixture.py mixture_select: integer quota
+        # apportionment over the sqrt-temperature weights + per-source
+        # hash-smallest selection
+        "mixture_select": f"""
+            WITH t AS (SELECT source,
+                              CAST(sum(length(regexp_extract_all(
+                                text, $${ta.WS_TOKEN_RE}$$))) AS BIGINT)
+                                AS n_tokens
+                       FROM documents GROUP BY source),
+                 tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tt FROM t),
+                 w AS (SELECT source,
+                              CAST(floor(sqrt(CAST(n_tokens AS DOUBLE) / tt)
+                                         * 1000000) AS BIGINT) AS w_micro
+                       FROM t, tot),
+                 tw AS (SELECT CAST(sum(w_micro) AS BIGINT) AS s FROM w),
+                 q AS (SELECT source,
+                              CAST((200 * w_micro) // tw.s AS BIGINT)
+                                AS quota
+                       FROM w, tw),
+                 h AS (SELECT doc_id, source,
+                              CAST({_sql_u64("CAST(doc_id AS VARCHAR)")} // 2
+                                   AS BIGINT) AS hkey
+                       FROM documents),
+                 r AS (SELECT h.*,
+                              row_number() OVER (
+                                PARTITION BY source
+                                ORDER BY hkey, doc_id) AS rn
+                       FROM h)
+            SELECT r.doc_id, r.source, r.hkey, q.quota
+            FROM r JOIN q USING (source)
+            WHERE rn <= q.quota
+        """,
+        # mirrors stages/ngramlm.py ngram_backoff_scores: u64 % 1024
+        # unigram buckets, shingle-combine % 4096 bigram buckets,
+        # stupid-backoff term select over micro-quantized ln's
+        "ngram_backoff": f"""
+            WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+                       FROM documents WHERE text <> ''),
+                 tok AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                                ws[CAST(i AS INTEGER)] AS w,
+                                CASE WHEN i > 1
+                                     THEN ws[CAST(i AS INTEGER) - 1]
+                                END AS pw
+                         FROM d, unnest(range(1, len(ws) + 1)) AS t(i)),
+                 h AS (SELECT doc_id, pos,
+                              {_sql_u64('w')} AS hw,
+                              CASE WHEN pw IS NOT NULL
+                                   THEN {_sql_u64('pw')} END AS hp
+                       FROM tok),
+                 hb AS (SELECT doc_id, pos,
+                               CAST(hw % 1024 AS BIGINT) AS ub,
+                               CASE WHEN hp IS NOT NULL THEN CAST(
+                                 ((hp % 4294967296) * 2654435761
+                                  + hw % 4294967296) % 4096 AS BIGINT)
+                               END AS bb,
+                               CASE WHEN hp IS NOT NULL
+                                    THEN CAST(hp % 1024 AS BIGINT)
+                               END AS pub
+                        FROM h),
+                 uc AS (SELECT ub AS b, CAST(count(*) AS BIGINT) AS n
+                        FROM hb GROUP BY 1),
+                 bc AS (SELECT bb AS b, CAST(count(*) AS BIGINT) AS n
+                        FROM hb WHERE bb IS NOT NULL GROUP BY 1),
+                 tot AS (SELECT CAST(sum(n) AS BIGINT) AS n FROM uc),
+                 terms AS (SELECT hb.doc_id,
+                    CASE
+                      WHEN hb.bb IS NOT NULL AND bc.n IS NOT NULL THEN
+                        CAST(round(ln(CAST(bc.n AS DOUBLE)) * 1000000)
+                             AS BIGINT)
+                      - CAST(round(ln(CAST(up.n AS DOUBLE)) * 1000000)
+                             AS BIGINT)
+                      WHEN hb.bb IS NULL THEN
+                        CAST(round(ln(CAST(uc.n AS DOUBLE)) * 1000000)
+                             AS BIGINT)
+                      - CAST(round(ln(CAST(tot.n AS DOUBLE)) * 1000000)
+                             AS BIGINT)
+                      ELSE
+                        -916291
+                      + CAST(round(ln(CAST(uc.n AS DOUBLE)) * 1000000)
+                             AS BIGINT)
+                      - CAST(round(ln(CAST(tot.n AS DOUBLE)) * 1000000)
+                             AS BIGINT)
+                    END AS term
+                    FROM hb
+                    JOIN uc ON uc.b = hb.ub
+                    LEFT JOIN uc up ON up.b = hb.pub
+                    LEFT JOIN bc ON bc.b = hb.bb
+                    CROSS JOIN tot),
+                 per AS (SELECT doc_id,
+                                CAST(count(*) AS BIGINT) AS n_tokens,
+                                CAST(sum(term) AS BIGINT) AS lp_micro
+                         FROM terms GROUP BY 1)
+            SELECT doc.doc_id,
+                   COALESCE(p.n_tokens, 0) AS n_tokens,
+                   COALESCE(p.lp_micro, 0) AS lp_micro,
+                   CASE WHEN p.n_tokens > 0
+                        THEN CAST(p.lp_micro AS DOUBLE)
+                             / (p.n_tokens * 1000000.0)
+                        ELSE 0.0 END AS avg_lp
+            FROM documents doc LEFT JOIN per p ON doc.doc_id = p.doc_id
+        """,
         # mirrors stages/windows.py rolling_zscore: ROWS frame 7
         # PRECEDING..CURRENT, z = (v·n − S)/sqrt(n·SS − S²) from exact
         # int64 window moments, zero-variance frames → 0

@@ -139,6 +139,8 @@ def _bench_once() -> dict:
         "pmi_collocations",
         "corpus_diff",
         "events_rolling_z",
+        "ngram_backoff",
+        "mixture_select",
         "conversion_metrics",
     ]
     # INTERLEAVED repetitions + medians (VERDICT r2 #1): this container's

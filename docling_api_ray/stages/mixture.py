@@ -91,3 +91,106 @@ def mixture_weights(
     return totals.map_batches(
         finalize, batch_format="pyarrow", batch_size=None
     )
+
+
+def mixture_select(
+    ds: ray.data.Dataset,
+    *,
+    budget: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """BUILD the training mixture the weights describe: allocate an
+    integer per-source document quota proportional to the temperature
+    weights (``quota_s = budget · w_micro_s // Σw_micro`` — exact floor
+    arithmetic, no float apportionment) and select each source's quota
+    deterministically as its hash-smallest documents (the
+    stratified-sample discipline: reshard-stable, coordination-free).
+
+    Shape: the weight table is the bounded ``mixture_weights`` fold
+    (driver-side, |sources| rows, value-captured into the selection
+    closures); selection is a per-batch PARTIAL per-source head (each
+    block emits ≤ quota_s rows per source it contains) followed by one
+    per-source co-grouped final head — rows crossing the exchange are
+    ≤ Σquota · blocks, corpus-independent.
+
+    Output: (doc_id, source, hkey, quota) for the selected rows."""
+    from docling_api_ray.functions.hashing import u64_md5
+
+    wrows = mixture_weights(
+        ds, source_col=source_col, text_col="text"
+    ).take_all()
+    total_w = sum(int(r["w_micro"]) for r in wrows)
+    quotas = {
+        r[source_col]: (budget * int(r["w_micro"])) // total_w
+        for r in wrows
+    }
+
+    out_schema = pa.schema(
+        [
+            (id_col, pa.int64()),
+            (source_col, pa.string()),
+            ("hkey", pa.int64()),
+            ("quota", pa.int64()),
+        ]
+    )
+
+    def head(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        ids = b[id_col].to_pylist()
+        h = (
+            u64_md5(np.array([str(i) for i in ids], dtype=object))
+            >> np.uint64(1)
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                id_col: np.asarray(ids, dtype=np.int64),
+                source_col: b[source_col].to_pylist(),
+                "hkey": h,
+            }
+        )
+        parts = []
+        for src, g in df.groupby(source_col, sort=False):
+            q = quotas.get(src, 0)
+            if q > 0:
+                parts.append(
+                    g.sort_values(["hkey", id_col], kind="stable").head(q)
+                )
+        if not parts:
+            return out_schema.empty_table()
+        out = pd.concat(parts, ignore_index=True)
+        out["quota"] = out[source_col].map(quotas).astype(np.int64)
+        return pa.Table.from_pandas(
+            out[[id_col, source_col, "hkey", "quota"]],
+            schema=out_schema,
+            preserve_index=False,
+        )
+
+    def final(df) -> pa.Table:
+        import pandas as pd
+
+        parts = []
+        for src, g in df.groupby(source_col, sort=False):
+            parts.append(
+                g.sort_values(["hkey", id_col], kind="stable").head(
+                    quotas.get(src, 0)
+                )
+            )
+        out = (
+            pd.concat(parts, ignore_index=True)
+            if parts
+            else pd.DataFrame(columns=[id_col, source_col, "hkey", "quota"])
+        )
+        return pa.Table.from_pandas(
+            out[[id_col, source_col, "hkey", "quota"]],
+            schema=out_schema,
+            preserve_index=False,
+        )
+
+    return (
+        ds.select_columns([id_col, source_col])
+        .map_batches(head, batch_format="pyarrow")
+        .groupby(source_col)
+        .map_groups(final, batch_format="pandas")
+    )

@@ -328,3 +328,35 @@ def test_rolling_zscore_frame_moments():
     # num = 3e6*3-6e6 = 3e6; var_n2 = 3*14e12-36e12 = 6e12
     assert abs(out[2]["z"] - 3e6 / np.sqrt(6e12)) < 1e-12
     assert out[2]["win_n"] == 3 and out[2]["win_sum_micro"] == 6_000_000
+
+
+def test_ngram_backoff_seen_vs_unseen():
+    from docling_api_ray.stages.ngramlm import ngram_backoff_scores
+
+    # "a b" seen 8 times in docs 0..7; doc 8 = "a c": the (a,c) bigram is
+    # unseen so its second token takes the alpha backoff branch and doc 8
+    # must score strictly below a seen-bigram doc
+    rows = [(i, "a b", "s") for i in range(8)] + [(8, "a c", "s")]
+    out = {
+        r["doc_id"]: r for r in ngram_backoff_scores(_docs(rows)).take_all()
+    }
+    assert all(r["n_tokens"] == 2 for r in out.values())
+    assert out[8]["avg_lp"] < out[0]["avg_lp"]
+    # all seen-bigram docs identical by symmetry
+    assert len({out[i]["lp_micro"] for i in range(8)}) == 1
+
+
+def test_mixture_select_quotas_and_determinism():
+    from docling_api_ray.stages.mixture import mixture_select
+
+    rows = [(i, "w " * 9 + "w", "big" if i < 30 else "small")
+            for i in range(40)]
+    out = mixture_select(_docs(rows).repartition(4), budget=10).take_all()
+    from collections import Counter
+    got = Counter(r["source"] for r in out)
+    # weights: sqrt(0.75):sqrt(0.25) = 866025:500000 micro ->
+    # quotas floor(10*866025/1366025)=6, floor(10*500000/1366025)=3
+    assert got == {"big": 6, "small": 3}
+    again = mixture_select(_docs(rows).repartition(7), budget=10).take_all()
+    key = lambda r: (r["source"], r["doc_id"])
+    assert sorted(again, key=key) == sorted(out, key=key)
