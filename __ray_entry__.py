@@ -1588,6 +1588,308 @@ def _q_local_supplier_volume(sf_dir: str):
     return folded.map_batches(q2, batch_format="pyarrow")
 
 
+_Q18_QTY_TH_C = 25000  # sum(l_quantity) > 250, in integer hundredths
+_Q4_ORD_LO = "1995-01-01"
+_Q4_ORD_HI = "1995-04-01"
+_Q4_SHIP_AFTER = "1995-06-01"
+
+
+def _q_large_volume_orders(sf_dir: str):
+    """TPC-H Q18 shape — large-volume orders: per-order quantity sum
+    over a threshold, joined back to orders, top-100, then the customer
+    name lookup.
+
+    Scale shape: per-batch PARTIAL groupby-sum on orderkey (generated
+    lineitems cluster by order, so partials shrink the exchange), ONE
+    mod-P co-group exchange carrying only (orderkey, qty_c) int64
+    pairs, in-partition fold + threshold filter (output ∝ qualifying
+    orders — rare by construction: >250 units is the ~99th pct),
+    partitioned hash join with orders, two-level bounded top-100 head
+    BEFORE the dimension join so only ≤100 custkeys reach the customer
+    scan (value-captured key array, one vectorized isin — never a
+    customer-table shuffle).  Quantities sum as round(q·100) int64 —
+    order-free, oracle-exact; final total_qty is one exact division."""
+    import pandas as pd
+
+    from docling_api_ray.stages.common import shuffle_partitions
+    from docling_api_ray.stages.joins import hash_join
+
+    P = shuffle_partitions()
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ok = np.asarray(b["l_orderkey"], dtype=np.int64)
+        qc = np.rint(np.asarray(b["l_quantity"]) * 100).astype(np.int64)
+        keys, inv = np.unique(ok, return_inverse=True)
+        sums = np.zeros(len(keys), dtype=np.int64)
+        np.add.at(sums, inv, qc)
+        return pa.table(
+            {
+                "orderkey": pa.array(keys, type=pa.int64()),
+                "qty_c": pa.array(sums, type=pa.int64()),
+                "__b": pa.array(keys % P, type=pa.int64()),
+            }
+        )
+
+    qual_schema = pa.schema([("orderkey", pa.int64()), ("qty_c", pa.int64())])
+
+    def fold(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("orderkey", sort=False)["qty_c"].sum().reset_index()
+        g = g[g["qty_c"] > _Q18_QTY_TH_C]
+        return pa.Table.from_pandas(
+            g, schema=qual_schema, preserve_index=False
+        )
+
+    qual = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(fold, batch_format="pandas")
+    )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def o_prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "orderkey": pc.cast(b["o_orderkey"], pa.int64()),
+                "custkey": pc.cast(b["o_custkey"], pa.int64()),
+                "o_totalprice": b["o_totalprice"],
+            }
+        )
+
+    j = hash_join(
+        orders.map_batches(o_prep, batch_format="pyarrow"), qual, on="orderkey"
+    )
+
+    K = 100
+    top_schema = pa.schema(
+        [
+            ("orderkey", pa.int64()),
+            ("custkey", pa.int64()),
+            ("o_totalprice", pa.float64()),
+            ("qty_c", pa.int64()),
+        ]
+    )
+
+    def head(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().sort_values(
+            ["qty_c", "orderkey"], ascending=[False, True], kind="stable"
+        ).head(K)
+        return pa.Table.from_pandas(
+            df[top_schema.names], schema=top_schema, preserve_index=False
+        )
+
+    top = (
+        j.map_batches(head, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(head, batch_format="pyarrow", batch_size=None)
+    )
+    tdf = pd.DataFrame(top.take_all())  # ≤100 rows — LIMIT-bounded
+    out_cols = ["orderkey", "custkey", "c_name", "total_qty", "o_totalprice"]
+    out_schema = pa.schema(
+        [
+            ("orderkey", pa.int64()),
+            ("custkey", pa.int64()),
+            ("c_name", pa.string()),
+            ("total_qty", pa.float64()),
+            ("o_totalprice", pa.float64()),
+        ]
+    )
+    if tdf.empty:
+        return out_schema.empty_table()
+    ckeys = np.sort(tdf["custkey"].unique().astype(np.int64))
+
+    def sel_cust(b: pa.Table) -> pa.Table:
+        keep = np.isin(np.asarray(b["c_custkey"], dtype=np.int64), ckeys)
+        return b.filter(pa.array(keep))
+
+    cdf = (
+        _read(sf_dir, "customer", ["c_custkey", "c_name"])
+        .map_batches(sel_cust, batch_format="pyarrow")
+        .rename_columns({"c_custkey": "custkey"})
+        .to_pandas()  # ≤100 rows by the key-set bound
+    )
+    out = tdf.merge(cdf, on="custkey")
+    out["total_qty"] = out["qty_c"] / 100.0
+    return pa.Table.from_pandas(
+        out[out_cols], schema=out_schema, preserve_index=False
+    )
+
+
+def _q_order_priority_counts(sf_dir: str):
+    """TPC-H Q4 shape — EXISTS semi-join: orders placed in 1995-Q1 with
+    at least one lineitem shipping after the cutoff, counted by
+    priority.  The lineitem side ships ONLY per-batch-deduplicated
+    orderkeys (map-side unique), existence resolves inside the
+    partitioned hash semi-join's buckets with one vectorized isin (no
+    row multiplication), and the count folds over the bounded 5-value
+    priority domain."""
+    from datetime import datetime
+
+    from docling_api_ray.stages.joins import hash_join
+
+    lo = pa.scalar(datetime.fromisoformat(_Q4_ORD_LO), type=pa.timestamp("us"))
+    hi = pa.scalar(datetime.fromisoformat(_Q4_ORD_HI), type=pa.timestamp("us"))
+    after = pa.scalar(
+        datetime.fromisoformat(_Q4_SHIP_AFTER), type=pa.timestamp("us")
+    )
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"]
+    )
+
+    def sel_o(b: pa.Table) -> pa.Table:
+        b = b.filter(
+            pc.and_(
+                pc.greater_equal(b["o_orderdate"], lo),
+                pc.less(b["o_orderdate"], hi),
+            )
+        )
+        return pa.table(
+            {
+                "orderkey": pc.cast(b["o_orderkey"], pa.int64()),
+                "o_orderpriority": b["o_orderpriority"],
+            }
+        )
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+    def keys_only(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater(b["l_shipdate"], after))
+        return pa.table(
+            {"orderkey": pc.unique(pc.cast(b["l_orderkey"], pa.int64()))}
+        )
+
+    sj = hash_join(
+        orders.map_batches(sel_o, batch_format="pyarrow"),
+        li.map_batches(keys_only, batch_format="pyarrow"),
+        on="orderkey",
+        how="semi",
+    )
+    out = bounded_groupby_sum(
+        sj.select_columns(["o_orderpriority"]),
+        ["o_orderpriority"],
+        count_alias="n",
+    )
+    return _with_schema(
+        out, pa.schema([("o_orderpriority", pa.string()), ("n", pa.int64())])
+    )
+
+
+def _q_token_entropy(sf_dir: str):
+    """Per-document word-distribution Shannon entropy
+    (stages/text_analysis.py token_entropy): integer-exact micro-ln
+    terms summed order-free, one stateless streaming pass."""
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        ta.token_entropy, batch_format="pyarrow"
+    )
+
+
+def _q_source_similarity(sf_dir: str):
+    """Pairwise source-level Jaccard estimate from mergeable per-source
+    MinHash sketches (stages/dedup.py source_minhash_similarity): one
+    streaming signature pass, ≤|sources| bounded rows folded min-wise,
+    |sources|² driver-side pairing."""
+    return dd.source_minhash_similarity(
+        _docs(sf_dir, ["source", "text"])
+    )
+
+
+def _q_length_token_corr(sf_dir: str):
+    """Per-source Pearson correlation between n_chars and whitespace
+    token count — the moment-sketch analytics shape: per-row integer
+    products fold through ``bounded_groupby_sum`` (five int64 moment
+    sums + a count per source, all order-free and overflow-bounded —
+    Σxy ≤ docs·(chars·tokens) needs ~2·10¹⁸ at 10¹²-doc scale, the
+    int64 edge; the 128-bit escape is splitting each sum into
+    hi/lo 32-bit halves), then one vectorized finalization whose float
+    expression tree the SQL oracle replays operation-for-operation (the
+    int sums are exact, every double op is IEEE-identical)."""
+    from docling_api_ray.stages.text_analysis import WS_TOKEN_RE, _count
+
+    ds = _docs(sf_dir, ["text", "source", "n_chars"])
+
+    def moments(b: pa.Table) -> pa.Table:
+        x = np.asarray(b["n_chars"], dtype=np.int64)
+        y = np.asarray(
+            _count(b["text"], WS_TOKEN_RE), dtype=np.int64
+        )
+        return pa.table(
+            {
+                "source": b["source"],
+                "x": pa.array(x, type=pa.int64()),
+                "y": pa.array(y, type=pa.int64()),
+                "xy": pa.array(x * y, type=pa.int64()),
+                "xx": pa.array(x * x, type=pa.int64()),
+                "yy": pa.array(y * y, type=pa.int64()),
+            }
+        )
+
+    folded = bounded_groupby_sum(
+        ds.map_batches(moments, batch_format="pyarrow"),
+        ["source"],
+        sum_cols={"sx": "x", "sy": "y", "sxy": "xy", "sxx": "xx", "syy": "yy"},
+        count_alias="n",
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = np.asarray(b["n"], dtype=np.float64)
+        sx = np.asarray(b["sx"], dtype=np.float64)
+        sy = np.asarray(b["sy"], dtype=np.float64)
+        sxy = np.asarray(b["sxy"], dtype=np.float64)
+        sxx = np.asarray(b["sxx"], dtype=np.float64)
+        syy = np.asarray(b["syy"], dtype=np.float64)
+        num = n * sxy - sx * sy
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        prod = vx * vy
+        corr = np.where(prod > 0, num / np.sqrt(np.where(prod > 0, prod, 1.0)), 0.0)
+        return pa.table(
+            {
+                "source": b["source"],
+                "n": pc.cast(b["n"], pa.int64()),
+                "corr": pa.array(corr, type=pa.float64()),
+            }
+        )
+
+    return _with_schema(
+        folded.map_batches(finish, batch_format="pyarrow"),
+        pa.schema(
+            [("source", pa.string()), ("n", pa.int64()), ("corr", pa.float64())]
+        ),
+    )
+
+
+def _source_sim_oracle_sql(num_perm: int = 64) -> str:
+    """Exact SQL mirror of stages/dedup.py source_minhash_similarity:
+    the minhash shingle/permutation arithmetic grouped per SOURCE
+    instead of per doc, then pairwise agreement over the |sources|²
+    signature table."""
+    from docling_api_ray.stages.dedup import MinHasher
+
+    mh = MinHasher(num_perm=num_perm)
+    perm_rows = ", ".join(
+        f"({p}, CAST({int(a)} AS HUGEINT), CAST({int(b)} AS HUGEINT))"
+        for p, (a, b) in enumerate(zip(mh.a, mh.b), 1)
+    )
+    return f"""
+        WITH {_sql_shingle_ctes()},
+        expl AS (SELECT doc_id, unnest(sh) AS h FROM sh),
+        exps AS (SELECT d.source, e.h
+                 FROM expl e JOIN documents d USING (doc_id)),
+        perms AS (SELECT * FROM (VALUES {perm_rows}) AS t(p, a, b)),
+        sigc AS (SELECT s.source, p.p,
+                        min((((p.a * s.h) % {_W}) + p.b) % {_W}) AS c
+                 FROM exps s CROSS JOIN perms p GROUP BY 1, 2),
+        sig AS (SELECT source, list(c ORDER BY p) AS sig FROM sigc GROUP BY 1)
+        SELECT l.source AS left_source, r.source AS right_source,
+               list_sum(list_transform(generate_series(1, {num_perm}),
+                 i -> CASE WHEN l.sig[i] = r.sig[i] THEN 1 ELSE 0 END))
+                 / {num_perm}.0 AS est_jaccard
+        FROM sig l JOIN sig r ON l.source < r.source
+    """
+
+
 # fixed probe vocabulary for the count-min sketch query: language-marker
 # words + common synthetic-corpus tokens (deterministic literal list
 # shared with the SQL oracle)
@@ -2201,6 +2503,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling_z": _q_events_rolling_z,
         "ngram_backoff": _q_ngram_backoff,
         "mixture_select": _q_mixture_select,
+        "large_volume_orders": _q_large_volume_orders,
+        "order_priority_counts": _q_order_priority_counts,
+        "token_entropy": _q_token_entropy,
+        "source_similarity": _q_source_similarity,
+        "length_token_corr": _q_length_token_corr,
     }
 
 
@@ -3880,6 +4187,99 @@ def oracle_sql() -> dict[str, str]:
                              / (p.n_tokens * 1000000.0)
                         ELSE 0.0 END AS avg_lp
             FROM documents doc LEFT JOIN per p ON doc.doc_id = p.doc_id
+        """,
+        # mirrors _q_large_volume_orders: int-hundredths quantity sums,
+        # threshold filter, (qty_c DESC, orderkey) top-100, name lookup
+        "large_volume_orders": f"""
+            WITH s AS (SELECT l_orderkey AS orderkey,
+                              CAST(sum(CAST(round(l_quantity * 100) AS BIGINT))
+                                   AS BIGINT) AS qty_c
+                       FROM lineitem GROUP BY 1),
+                 q AS (SELECT orderkey, qty_c FROM s
+                       WHERE qty_c > {_Q18_QTY_TH_C}),
+                 j AS (SELECT o.o_orderkey AS orderkey,
+                              o.o_custkey AS custkey,
+                              o.o_totalprice, q.qty_c
+                       FROM orders o JOIN q ON o.o_orderkey = q.orderkey),
+                 t AS (SELECT * FROM j
+                       ORDER BY qty_c DESC, orderkey LIMIT 100)
+            SELECT t.orderkey, t.custkey, c.c_name,
+                   CAST(t.qty_c AS DOUBLE) / 100.0 AS total_qty,
+                   t.o_totalprice
+            FROM t JOIN customer c ON c.c_custkey = t.custkey
+        """,
+        # mirrors _q_order_priority_counts: EXISTS semi-join + bounded
+        # priority-domain count
+        "order_priority_counts": f"""
+            SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
+            FROM orders o
+            WHERE o.o_orderdate >= TIMESTAMP '{_Q4_ORD_LO}'
+              AND o.o_orderdate <  TIMESTAMP '{_Q4_ORD_HI}'
+              AND EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_shipdate > TIMESTAMP '{_Q4_SHIP_AFTER}')
+            GROUP BY 1
+        """,
+        # mirrors stages/text_analysis.py token_entropy: u64 word-hash
+        # counts per doc, per-term micro-quantized ln, one exact division
+        "token_entropy": f"""
+            WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+                       FROM documents WHERE text <> ''),
+                 tok AS (SELECT doc_id, ws[CAST(i AS INTEGER)] AS w
+                         FROM d, unnest(range(1, len(ws) + 1)) AS t(i)),
+                 c AS (SELECT doc_id, {_sql_u64('w')} AS hw,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM tok GROUP BY 1, 2),
+                 per AS (SELECT doc_id,
+                                CAST(sum(n) AS BIGINT) AS n_tokens,
+                                CAST(sum(n * CAST(round(
+                                  ln(CAST(n AS DOUBLE)) * 1000000)
+                                  AS BIGINT)) AS BIGINT) AS s
+                         FROM c GROUP BY 1)
+            SELECT doc.doc_id,
+                   COALESCE(p.n_tokens, 0) AS n_tokens,
+                   COALESCE(p.n_tokens * CAST(round(
+                     ln(CAST(p.n_tokens AS DOUBLE)) * 1000000) AS BIGINT)
+                     - p.s, 0) AS ent_micro,
+                   CASE WHEN p.n_tokens > 0
+                        THEN CAST(p.n_tokens * CAST(round(
+                               ln(CAST(p.n_tokens AS DOUBLE)) * 1000000)
+                               AS BIGINT) - p.s AS DOUBLE)
+                             / (p.n_tokens * 1000000.0)
+                        ELSE 0.0 END AS entropy
+            FROM documents doc LEFT JOIN per p ON doc.doc_id = p.doc_id
+        """,
+        # mirrors stages/dedup.py source_minhash_similarity (builder below)
+        "source_similarity": _source_sim_oracle_sql(),
+        # mirrors _q_length_token_corr: exact int64 moment sums per
+        # source, identical double expression tree for the finalization
+        "length_token_corr": f"""
+            WITH m AS (SELECT source,
+                              CAST(n_chars AS BIGINT) AS x,
+                              CAST(length(regexp_extract_all(text,
+                                $${ta.WS_TOKEN_RE}$$)) AS BIGINT) AS y
+                       FROM documents),
+                 s AS (SELECT source,
+                              CAST(count(*) AS BIGINT) AS n,
+                              CAST(sum(x) AS BIGINT) AS sx,
+                              CAST(sum(y) AS BIGINT) AS sy,
+                              CAST(sum(x * y) AS BIGINT) AS sxy,
+                              CAST(sum(x * x) AS BIGINT) AS sxx,
+                              CAST(sum(y * y) AS BIGINT) AS syy
+                       FROM m GROUP BY 1)
+            SELECT source, n,
+                   CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                             * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+                        THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                             / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                        ELSE 0.0 END AS corr
+            FROM s
         """,
         # mirrors stages/windows.py rolling_zscore: ROWS frame 7
         # PRECEDING..CURRENT, z = (v·n − S)/sqrt(n·SS − S²) from exact

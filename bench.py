@@ -141,6 +141,11 @@ def _bench_once() -> dict:
         "events_rolling_z",
         "ngram_backoff",
         "mixture_select",
+        "large_volume_orders",
+        "order_priority_counts",
+        "token_entropy",
+        "source_similarity",
+        "length_token_corr",
         "conversion_metrics",
     ]
     # INTERLEAVED repetitions + medians (VERDICT r2 #1): this container's
@@ -156,7 +161,9 @@ def _bench_once() -> dict:
     for _ in range(q_reps):
         for name in bench_queries:
             t0 = time.time()
-            qs[name](sf_dir).count()
+            r = qs[name](sf_dir)
+            # driver-side-final queries return a pyarrow Table, not a Dataset
+            r.count() if isinstance(r, ray.data.Dataset) else len(r)
             q_raw[name].append(round(time.time() - t0, 3))
     qt = {
         name: sorted(ts)[len(ts) // 2] for name, ts in q_raw.items()

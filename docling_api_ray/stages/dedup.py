@@ -1318,3 +1318,98 @@ def dup_ngram_coverage(
         )
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def source_minhash_similarity(
+    ds: ray.data.Dataset,
+    *,
+    num_perm: int = 64,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> pa.Table:
+    """Corpus-level near-duplication BETWEEN SOURCES: estimated Jaccard
+    similarity of each source pair's 3-word-shingle SETS, from
+    per-source MinHash signatures (the cross-corpus overlap audit run
+    before mixing training sources — e.g. CC snapshot vs curated dump).
+
+    Min is associative and commutative, so the per-source signature is
+    a MERGEABLE SKETCH: a source's minhash = elementwise min of its
+    documents' minhashes (each doc's = min over its shingles, so the
+    composition is the min over all the source's shingles — empty docs
+    contribute no shingles and are masked out).  Each batch folds to
+    ≤|sources| rows of ``num_perm`` u64 mins — bounded and
+    corpus-independent — then the shared two-level min-fold
+    (stages/common.py two_level_fold) combines partials; only the
+    |sources|×num_perm table reaches the driver, where the |sources|²
+    pairing is trivial.  No shuffle, no doc-pair explosion: 100 TB cost
+    is one streaming signature pass.
+
+    Output (pa.Table): (left_source, right_source, est_jaccard) for
+    left < right lexicographically; est_jaccard = fraction of agreeing
+    signature components."""
+    mh = MinHasher(num_perm=num_perm)
+    sig_type = pa.list_(pa.uint64(), num_perm)
+
+    def partial(b: pa.Table) -> pa.Table:
+        texts = [t if t is not None else "" for t in b[text_col].to_pylist()]
+        srcs = np.asarray(b[source_col].to_pylist(), dtype=object)
+        sigs = mh.signatures(texts)  # (n, P) u64; empty docs stay 0
+        nonempty = np.asarray([t != "" for t in texts], dtype=bool)
+        srcs, sigs = srcs[nonempty], sigs[nonempty]
+        uniq, inv = np.unique(srcs, return_inverse=True)
+        mins = np.full((len(uniq), num_perm), np.iinfo(np.uint64).max, np.uint64)
+        np.minimum.at(mins, inv, sigs)
+        return pa.table(
+            {
+                source_col: pa.array(uniq, type=pa.string()),
+                "sig": pa.FixedSizeListArray.from_arrays(
+                    mins.reshape(-1), num_perm
+                ),
+            }
+        )
+
+    def fold(b: pa.Table) -> pa.Table:
+        srcs = np.asarray(b[source_col].to_pylist(), dtype=object)
+        col = b["sig"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        mat = np.asarray(col.flatten()).reshape(-1, num_perm).astype(np.uint64)
+        uniq, inv = np.unique(srcs, return_inverse=True)
+        mins = np.full((len(uniq), num_perm), np.iinfo(np.uint64).max, np.uint64)
+        np.minimum.at(mins, inv, mat)
+        return pa.table(
+            {
+                source_col: pa.array(uniq, type=pa.string()),
+                "sig": pa.FixedSizeListArray.from_arrays(
+                    mins.reshape(-1), num_perm
+                ),
+            }
+        )
+
+    from docling_api_ray.stages.common import two_level_fold
+
+    rows = two_level_fold(
+        ds.select_columns([source_col, text_col]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        fold,
+    ).take_all()  # ≤ |sources| rows — bounded by the source domain
+
+    rows.sort(key=lambda r: r[source_col])
+    names = [r[source_col] for r in rows]
+    mat = np.asarray([r["sig"] for r in rows], dtype=np.uint64).reshape(
+        len(rows), num_perm
+    )
+    left, right, est = [], [], []
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            left.append(names[i])
+            right.append(names[j])
+            est.append(float(np.mean(mat[i] == mat[j])))
+    return pa.table(
+        {
+            "left_source": pa.array(left, type=pa.string()),
+            "right_source": pa.array(right, type=pa.string()),
+            "est_jaccard": pa.array(est, type=pa.float64()),
+        }
+    )

@@ -447,3 +447,55 @@ def repetition_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
             "dup2_frac": pa.array(dup2 / safe, type=pa.float64()),
         }
     )
+
+
+def token_entropy(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-document Shannon entropy of the word distribution — the
+    lexical-diversity quality signal (low entropy = template/spam text;
+    a standard corpus-filtering feature alongside the Gopher rules).
+
+    H = ln n − (1/n)·Σ_w c_w·ln c_w over word counts c_w.  Exactness:
+    every ln is individually micro-quantized (``r(x) = round(ln x·1e6)``
+    int64), so ``ent_micro = n·r(ln n) − Σ c_w·r(ln c_w)`` is an integer
+    summed ORDER-FREE (reshard/parallelism-proof) and
+    ``entropy = ent_micro / (n·1e6)`` is one IEEE division — the DuckDB
+    oracle replays both bit-for-bit.  Words are compared by their
+    ``u64_md5`` hash (collisions merge counts identically on both
+    sides).  Stateless vectorized map: one lexsort per batch over
+    (doc, hash), run-length counts, integer segment sums — 100 TB shape
+    is one streaming pass, no shuffle."""
+    from docling_api_ray.functions.hashing import batch_word_hashes
+
+    texts = [t if t is not None else "" for t in batch[text_col].to_pylist()]
+    hashes, offsets = batch_word_hashes(texts)
+    lens = np.diff(offsets)
+    ndocs = len(texts)
+    s = np.zeros(ndocs, dtype=np.int64)
+    if len(hashes):
+        doc_of = np.repeat(np.arange(ndocs, dtype=np.int64), lens)
+        order = np.lexsort((hashes, doc_of))
+        sd = doc_of[order]
+        sh = hashes[order]
+        run_start = np.ones(len(sh), dtype=bool)
+        run_start[1:] = (sd[1:] != sd[:-1]) | (sh[1:] != sh[:-1])
+        starts = np.flatnonzero(run_start)
+        counts = np.diff(np.append(starts, len(sh)))
+        terms = counts * np.rint(
+            np.log(counts.astype(np.float64)) * 1e6
+        ).astype(np.int64)
+        np.add.at(s, sd[starts], terms)  # int64 adds — exact
+    r_n = np.zeros(ndocs, dtype=np.int64)
+    nz = lens > 0
+    r_n[nz] = np.rint(np.log(lens[nz].astype(np.float64)) * 1e6).astype(
+        np.int64
+    )
+    ent = lens * r_n - s
+    entropy = np.where(nz, ent / (np.maximum(lens, 1) * 1e6), 0.0)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(lens, type=pa.int64()),
+            "ent_micro": pa.array(ent, type=pa.int64()),
+            "entropy": pa.array(entropy, type=pa.float64()),
+        }
+    )

@@ -361,3 +361,31 @@ def test_dup_ngram_coverage_multiplicity_counts_positions():
         for r in dup_ngram_coverage(ray.data.from_arrow(docs)).take_all()
     }
     assert out == {1: (4, 2), 2: (2, 1)}
+
+
+def test_source_minhash_similarity_identical_and_disjoint():
+    import ray.data
+
+    from docling_api_ray.stages.dedup import source_minhash_similarity
+
+    rows = {
+        "doc_id": list(range(8)),
+        "source": ["A", "A", "B", "B", "C", "C", "D", "D"],
+        "text": [
+            "alpha beta gamma delta", "epsilon zeta eta theta",
+            # B = exactly A's shingle set (same two texts)
+            "alpha beta gamma delta", "epsilon zeta eta theta",
+            # C disjoint vocabulary
+            "one two three four", "five six seven eight",
+            # D: only empty docs -> no shingles -> excluded entirely
+            "", "",
+        ],
+    }
+    out = source_minhash_similarity(
+        ray.data.from_arrow(pa.table(rows)).repartition(3)
+    )
+    got = {(r["left_source"], r["right_source"]): r["est_jaccard"]
+           for r in out.to_pylist()}
+    assert set(got) == {("A", "B"), ("A", "C"), ("B", "C")}
+    assert got[("A", "B")] == 1.0
+    assert got[("A", "C")] < 0.5 and got[("B", "C")] < 0.5

@@ -99,3 +99,92 @@ def test_asof_picks_latest_prior():
     )
     out = asof_join_events(ds, left_type="purchase", right_type="click").take_all()
     assert out[0]["matched_event_id"] == 2
+
+
+def _sf(tmp_path, orders_rows, lineitem_rows, customer_rows):
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path)
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([r[0] for r in orders_rows], pa.int64()),
+                "o_custkey": pa.array([r[1] for r in orders_rows], pa.int64()),
+                "o_totalprice": pa.array(
+                    [r[2] for r in orders_rows], pa.float64()
+                ),
+                "o_orderdate": pa.array(
+                    [r[3] for r in orders_rows], pa.timestamp("us")
+                ),
+                "o_orderpriority": pa.array(
+                    [r[4] for r in orders_rows], pa.string()
+                ),
+            }
+        ),
+        f"{d}/orders.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([r[0] for r in lineitem_rows], pa.int64()),
+                "l_quantity": pa.array(
+                    [r[1] for r in lineitem_rows], pa.float64()
+                ),
+                "l_shipdate": pa.array(
+                    [r[2] for r in lineitem_rows], pa.timestamp("us")
+                ),
+            }
+        ),
+        f"{d}/lineitem.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([r[0] for r in customer_rows], pa.int64()),
+                "c_name": pa.array([r[1] for r in customer_rows], pa.string()),
+            }
+        ),
+        f"{d}/customer.parquet",
+    )
+    return d
+
+
+def test_large_volume_orders_threshold_join_and_topk(tmp_path):
+    from __ray_entry__ import _q_large_volume_orders
+
+    day = dt.datetime(1995, 2, 1)
+    # order 1: qty 300 (qualifies), order 2: qty 100 (no), order 3: 260 (yes)
+    orders = [(1, 10, 111.0, day, "1-URGENT"), (2, 11, 222.0, day, "2-HIGH"),
+              (3, 10, 333.0, day, "5-LOW")]
+    li = [(1, 150.0, day), (1, 150.0, day), (2, 100.0, day),
+          (3, 200.0, day), (3, 60.0, day)]
+    cust = [(10, "cust-ten"), (11, "cust-eleven")]
+    out = _q_large_volume_orders(_sf(tmp_path, orders, li, cust))
+    rows = sorted(out.to_pylist(), key=lambda r: r["orderkey"])
+    assert [(r["orderkey"], r["c_name"], r["total_qty"]) for r in rows] == [
+        (1, "cust-ten", 300.0),
+        (3, "cust-ten", 260.0),
+    ]
+
+
+def test_order_priority_counts_exists_semantics(tmp_path):
+    from __ray_entry__ import _q_order_priority_counts
+
+    q1 = dt.datetime(1995, 2, 1)
+    late = dt.datetime(1995, 7, 1)
+    early = dt.datetime(1995, 5, 1)
+    # order 1: in window, has a late lineitem -> counted
+    # order 2: in window, only early lineitems -> not counted
+    # order 3: outside window, late lineitem -> not counted
+    # order 4: in window, two late lineitems -> counted ONCE (exists)
+    orders = [
+        (1, 10, 1.0, q1, "1-URGENT"),
+        (2, 10, 1.0, q1, "1-URGENT"),
+        (3, 10, 1.0, dt.datetime(1996, 1, 1), "2-HIGH"),
+        (4, 10, 1.0, q1, "3-MEDIUM"),
+    ]
+    li = [(1, 1.0, late), (2, 1.0, early), (3, 1.0, late),
+          (4, 1.0, late), (4, 2.0, late)]
+    out = _q_order_priority_counts(_sf(tmp_path, orders, li, [(10, "c")]))
+    got = {r["o_orderpriority"]: r["n"] for r in out.take_all()}
+    assert got == {"1-URGENT": 1, "3-MEDIUM": 1}

@@ -360,3 +360,32 @@ def test_mixture_select_quotas_and_determinism():
     again = mixture_select(_docs(rows).repartition(7), budget=10).take_all()
     key = lambda r: (r["source"], r["doc_id"])
     assert sorted(again, key=key) == sorted(out, key=key)
+
+
+def test_length_token_corr_perfect_and_degenerate(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from __ray_entry__ import _q_length_token_corr
+
+    # linear source: n_chars = 10*tokens -> corr exactly 1.0
+    # flat source: constant n_chars AND constant tokens -> 0 variance -> 0.0
+    texts = ["w " * k + "w" for k in (1, 2, 3, 4)] + ["a b", "c d", "e f"]
+    srcs = ["lin"] * 4 + ["flat"] * 3
+    chars = [10 * (k + 1) for k in (1, 2, 3, 4)] + [7, 7, 7]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(7)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * 7, pa.string()),
+                "source": pa.array(srcs, pa.string()),
+                "n_chars": pa.array(chars, pa.int64()),
+            }
+        ),
+        f"{tmp_path}/documents.parquet",
+    )
+    out = {r["source"]: r for r in
+           _q_length_token_corr(str(tmp_path)).take_all()}
+    assert out["lin"]["n"] == 4 and abs(out["lin"]["corr"] - 1.0) < 1e-12
+    assert out["flat"]["n"] == 3 and out["flat"]["corr"] == 0.0

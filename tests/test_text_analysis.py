@@ -215,3 +215,25 @@ def test_charlm_scores_edge_cases():
     assert c.sum() == sum(r["n_pairs"] for r in rows.values())
     t1, t2 = micro_log_table(c), micro_log_table(train_counts(ds))
     assert (t1 == t2).all()
+
+
+def test_token_entropy_exact_values():
+    import math
+
+    import numpy as np
+
+    from docling_api_ray.stages.text_analysis import token_entropy
+
+    out = token_entropy(_tbl(["a a b b", "a a a a", "a b c d", "", "x"]))
+    lens = out["n_tokens"].to_pylist()
+    assert lens == [4, 4, 4, 0, 1]
+    ent = out["ent_micro"].to_pylist()
+    r = lambda x: int(np.rint(math.log(x) * 1e6))
+    # "a a b b": 4·r(ln4) − 2·(2·r(ln2))
+    assert ent[0] == 4 * r(4) - 2 * (2 * r(2))
+    # uniform repeats → 0; all-distinct → 4·r(ln4); degenerate → 0
+    assert ent[1] == 4 * r(4) - 4 * r(4) == 0
+    assert ent[2] == 4 * r(4)
+    assert ent[3] == 0 and ent[4] == 0
+    e = out["entropy"].to_pylist()
+    assert abs(e[2] - math.log(4)) < 1e-5 and e[1] == 0.0 and e[3] == 0.0
