@@ -2022,6 +2022,18 @@ def _q_mixture_select(sf_dir: str):
     )
 
 
+def _q_interleave_order(sf_dir: str):
+    """First 200 rows of the deterministic weighted source-interleave
+    training stream (stages/mixture.py interleave_order): bucketed
+    two-phase per-source hash ranks, stride-scheduling position keys,
+    rank≤budget prune, two-level bounded head."""
+    from docling_api_ray.stages.mixture import interleave_order
+
+    return interleave_order(
+        _docs(sf_dir, ["doc_id", "source", "text"]), budget=200
+    )
+
+
 def _q_ngram_backoff(sf_dir: str):
     """Hashed-bucket stupid-backoff bigram LM scores (stages/ngramlm.py
     — the Brants et al. 2007 web-scale LM recipe): one bounded-sketch
@@ -2508,6 +2520,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_entropy": _q_token_entropy,
         "source_similarity": _q_source_similarity,
         "length_token_corr": _q_length_token_corr,
+        "interleave_order": _q_interleave_order,
     }
 
 
@@ -4248,6 +4261,37 @@ def oracle_sql() -> dict[str, str]:
                              / (p.n_tokens * 1000000.0)
                         ELSE 0.0 END AS entropy
             FROM documents doc LEFT JOIN per p ON doc.doc_id = p.doc_id
+        """,
+        # mirrors stages/mixture.py interleave_order: same weight CTEs as
+        # mixture_select, row_number per source over (hkey, doc_id),
+        # stride-scheduling integer keys, (pos_key, source, rnk) LIMIT
+        "interleave_order": f"""
+            WITH t AS (SELECT source,
+                              CAST(sum(length(regexp_extract_all(
+                                text, $${ta.WS_TOKEN_RE}$$))) AS BIGINT)
+                                AS n_tokens
+                       FROM documents GROUP BY source),
+                 tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tt FROM t),
+                 w AS (SELECT source,
+                              CAST(floor(sqrt(CAST(n_tokens AS DOUBLE) / tt)
+                                         * 1000000) AS BIGINT) AS w_micro
+                       FROM t, tot),
+                 h AS (SELECT doc_id, source,
+                              CAST({_sql_u64("CAST(doc_id AS VARCHAR)")} // 2
+                                   AS BIGINT) AS hkey
+                       FROM documents),
+                 r AS (SELECT h.*,
+                              row_number() OVER (
+                                PARTITION BY source
+                                ORDER BY hkey, doc_id) AS rnk
+                       FROM h),
+                 k AS (SELECT r.doc_id, r.source, CAST(r.rnk AS BIGINT) AS rnk,
+                              CAST((r.rnk * 1000000000) // w.w_micro
+                                   AS BIGINT) AS pos_key
+                       FROM r JOIN w USING (source)
+                       WHERE w.w_micro > 0)
+            SELECT doc_id, source, rnk, pos_key FROM k
+            ORDER BY pos_key, source, rnk LIMIT 200
         """,
         # mirrors stages/dedup.py source_minhash_similarity (builder below)
         "source_similarity": _source_sim_oracle_sql(),

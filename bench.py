@@ -146,6 +146,7 @@ def _bench_once() -> dict:
         "token_entropy",
         "source_similarity",
         "length_token_corr",
+        "interleave_order",
         "conversion_metrics",
     ]
     # INTERLEAVED repetitions + medians (VERDICT r2 #1): this container's

@@ -389,3 +389,27 @@ def test_length_token_corr_perfect_and_degenerate(tmp_path):
            _q_length_token_corr(str(tmp_path)).take_all()}
     assert out["lin"]["n"] == 4 and abs(out["lin"]["corr"] - 1.0) < 1e-12
     assert out["flat"]["n"] == 3 and out["flat"]["corr"] == 0.0
+
+
+def test_interleave_order_weighted_stream_and_determinism():
+    from docling_api_ray.stages.mixture import interleave_order
+
+    rows = [(i, "w " * 9 + "w", "big" if i < 30 else "small")
+            for i in range(40)]
+    out = interleave_order(_docs(rows).repartition(4), budget=12).take_all()
+    out.sort(key=lambda r: (r["pos_key"], r["source"], r["rnk"]))
+    assert len(out) == 12
+    # weights: sqrt(.75)=866025 vs sqrt(.25)=500000 micro -> the 12-row
+    # prefix holds ceil-proportional counts (keys r*1e9//w):
+    # big keys ~1154.7*r, small ~2000*r -> positions interleave ~1.73:1
+    from collections import Counter
+    got = Counter(r["source"] for r in out)
+    assert got["big"] > got["small"] >= 3
+    # ranks within each source are the contiguous prefix 1..k
+    for s in ("big", "small"):
+        rnks = sorted(r["rnk"] for r in out if r["source"] == s)
+        assert rnks == list(range(1, len(rnks) + 1))
+    # reshard-stable
+    again = interleave_order(_docs(rows).repartition(7), budget=12).take_all()
+    again.sort(key=lambda r: (r["pos_key"], r["source"], r["rnk"]))
+    assert again == out
