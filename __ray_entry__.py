@@ -1716,6 +1716,267 @@ def _q_large_volume_orders(sf_dir: str):
     )
 
 
+_Q17_BRAND = "Brand#23"
+
+
+def _q_small_qty_revenue(sf_dir: str):
+    """TPC-H Q17 shape — small-quantity-order revenue: a per-group
+    (part) mean joined BACK onto the fact rows it was computed from, a
+    row-vs-its-group-aggregate predicate, then one global sum.
+
+    Scale shape: the brand predicate prunes parts to ~|parts|/|brands|
+    AT THE READ (parquet row-group filter), and only that bounded
+    keyset is value-captured for one vectorized per-batch ``np.isin``
+    prune BEFORE any exchange (escape hatch for an unbounded part
+    side: co-grouped semi-join on the same mod-P key, stages/joins.py
+    ``how="semi"``).  Quantities are DISCRETE, so per-batch partials
+    collapse surviving fact rows to (partkey, qty_c) → (cnt, price_c)
+    distribution rows — the one co-group exchange carries the
+    compressed per-part quantity histogram, never raw fact rows.  The
+    per-bucket fold resolves the mean and the Q17 predicate in INTEGER
+    arithmetic (q < Σq/(5n) ⇔ 5·q_c·n < Σq_c — no float average, so
+    summation order cannot flip a boundary row), emitting ONE partial
+    revenue int64 per bucket; the ≤P-row final fold divides once.
+    Reference parity: the TPC-H Q17 aggregate-join-back idiom
+    re-expressed as map-side histogram partials + a single co-group."""
+    import pandas as pd
+
+    from docling_api_ray.stages.common import shuffle_partitions
+
+    P = shuffle_partitions()
+    pk_tbl = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey"],
+        filters=[("p_brand", "==", _Q17_BRAND)],
+    )
+    pkeys = np.sort(np.asarray(pk_tbl["p_partkey"], dtype=np.int64))
+
+    li = _read(
+        sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"]
+    )
+    part_schema = pa.schema(
+        [
+            ("partkey", pa.int64()),
+            ("qty_c", pa.int64()),
+            ("cnt", pa.int64()),
+            ("price_c", pa.int64()),
+            ("__b", pa.int64()),
+        ]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        k = np.asarray(b["l_partkey"], dtype=np.int64)
+        keep = np.isin(k, pkeys)
+        k = k[keep]
+        qc = np.rint(np.asarray(b["l_quantity"])[keep] * 100).astype(np.int64)
+        ec = np.rint(
+            np.asarray(b["l_extendedprice"])[keep] * 100
+        ).astype(np.int64)
+        df = pd.DataFrame({"partkey": k, "qty_c": qc, "price_c": ec})
+        g = (
+            df.groupby(["partkey", "qty_c"], sort=False)["price_c"]
+            .agg(["size", "sum"])
+            .reset_index()
+            .rename(columns={"size": "cnt", "sum": "price_c"})
+        )
+        g["__b"] = g["partkey"] % P
+        return pa.Table.from_pandas(
+            g[part_schema.names], schema=part_schema, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    def fold(df: pd.DataFrame) -> pa.Table:
+        g = (
+            df.groupby(["partkey", "qty_c"], sort=False)[["cnt", "price_c"]]
+            .sum()
+            .reset_index()
+        )
+        g["qsum"] = g["qty_c"] * g["cnt"]
+        per = g.groupby("partkey", sort=False).agg(
+            sq=("qsum", "sum"), n=("cnt", "sum")
+        )
+        m = g.join(per, on="partkey")
+        keep = 5 * m["qty_c"] * m["n"] < m["sq"]
+        rev = int(m.loc[keep, "price_c"].sum())
+        return pa.table({"rev_c": pa.array([rev], type=pa.int64())})
+
+    partials = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(fold, batch_format="pandas")
+    )
+
+    def final(b: pa.Table) -> pa.Table:
+        tot = pc.sum(b["rev_c"]).as_py() or 0
+        return pa.table(
+            {
+                "brand": pa.array([_Q17_BRAND], type=pa.string()),
+                "avg_yearly": pa.array([tot / 700.0], type=pa.float64()),
+            }
+        )
+
+    return partials.repartition(1).map_batches(
+        final, batch_format="pyarrow", batch_size=None
+    )
+
+
+_Q15_START_US = 820_454_400_000_000  # 1996-01-01 epoch µs
+_Q15_END_US = 828_316_800_000_000  # 1996-04-01 epoch µs
+
+
+def _q_top_supplier(sf_dir: str):
+    """TPC-H Q15 shape — top supplier(s) by windowed revenue: grouped
+    revenue → global ARGMAX WITH TIES → dimension lookup.
+
+    Scale shape: per-batch (suppkey → rev_c) partials after the
+    shipdate window filter (revenue exact as price_c·(100−disc_k)
+    int64 — order-free, so no float summation tie ambiguity at the
+    argmax boundary), ONE mod-P co-group exchange of narrow int64
+    pairs, an in-partition fold to the ≤|suppliers|-row (suppkey,
+    rev_c) table.  That table is materialized ONCE (narrow,
+    supplier-proportional — the documented bound) because it is
+    consumed twice: ``Dataset.max`` streams out the scalar winner
+    revenue, an integer-equality filter keeps the winners (ties
+    preserved, TPC-H Q15 spec), and only the tiny winner keyset
+    reaches the supplier dimension scan (value-captured ``np.isin``
+    — never a supplier-table shuffle)."""
+    import pandas as pd
+
+    from docling_api_ray.stages.common import shuffle_partitions
+
+    P = shuffle_partitions()
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    pair_schema = pa.schema([("suppkey", pa.int64()), ("rev_c", pa.int64())])
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = np.asarray(pc.cast(b["l_shipdate"], pa.int64()))
+        keep = (us >= _Q15_START_US) & (us < _Q15_END_US)
+        sk = np.asarray(b["l_suppkey"], dtype=np.int64)[keep]
+        ec = np.rint(
+            np.asarray(b["l_extendedprice"])[keep] * 100
+        ).astype(np.int64)
+        dk = np.rint(np.asarray(b["l_discount"])[keep] * 100).astype(np.int64)
+        rev = ec * (100 - dk)
+        keys, inv = np.unique(sk, return_inverse=True)
+        sums = np.zeros(len(keys), dtype=np.int64)
+        np.add.at(sums, inv, rev)
+        return pa.table(
+            {
+                "suppkey": pa.array(keys, type=pa.int64()),
+                "rev_c": pa.array(sums, type=pa.int64()),
+                "__b": pa.array(keys % P, type=pa.int64()),
+            }
+        )
+
+    def fold(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("suppkey", sort=False)["rev_c"].sum().reset_index()
+        return pa.Table.from_pandas(
+            g[pair_schema.names], schema=pair_schema, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    folded = _with_schema(
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(fold, batch_format="pandas"),
+        pair_schema,
+    ).materialize()  # ≤|suppliers| narrow rows — consumed twice below
+    out_schema = pa.schema(
+        [
+            ("suppkey", pa.int64()),
+            ("s_name", pa.string()),
+            ("total_revenue", pa.float64()),
+        ]
+    )
+    mx = folded.max("rev_c")
+    if mx is None:
+        return out_schema.empty_table()
+
+    def winners(b: pa.Table) -> pa.Table:
+        keep = np.asarray(b["rev_c"], dtype=np.int64) == np.int64(mx)
+        return b.filter(pa.array(keep))
+
+    w = pd.DataFrame(
+        folded.map_batches(winners, batch_format="pyarrow").take_all()
+    )  # ties only — tiny by the argmax bound
+    skeys = np.sort(w["suppkey"].unique().astype(np.int64))
+
+    def sel_sup(b: pa.Table) -> pa.Table:
+        keep = np.isin(np.asarray(b["s_suppkey"], dtype=np.int64), skeys)
+        return b.filter(pa.array(keep))
+
+    sup = (
+        _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+        .map_batches(sel_sup, batch_format="pyarrow")
+        .rename_columns({"s_suppkey": "suppkey"})
+        .to_pandas()  # ≤|winners| rows by the key-set bound
+    )
+    out = w.merge(sup, on="suppkey")
+    out["total_revenue"] = out["rev_c"] / 10000.0
+    return pa.Table.from_pandas(
+        out[out_schema.names], schema=out_schema, preserve_index=False
+    ).replace_schema_metadata(None)
+
+
+def _q_knn_recall(sf_dir: str):
+    """ANN index EVALUATION — recall@k of the IVF index against exact
+    brute force: both top-k result sets are computed by their own
+    distributed pipelines (never re-ranked here), tagged, unioned, and
+    co-grouped per query; hits count with one vectorized ``np.isin``.
+
+    Scale shape: each side is ≤ queries·k rows BY CONSTRUCTION (the
+    top-k pipelines already bounded them), so a query group is exactly
+    ≤2k rows — the groupby moves index-output-proportional rows, never
+    corpus rows."""
+    import pandas as pd
+
+    bf = _q_knn(sf_dir).select_columns(["query_id", "vec_id"])
+    iv = _q_knn_ivf(sf_dir).select_columns(["query_id", "vec_id"])
+
+    def tag(side: int):
+        def f(b: pa.Table) -> pa.Table:
+            return b.append_column(
+                "side",
+                pa.array(np.full(b.num_rows, side, dtype=np.int64)),
+            )
+
+        return f
+
+    u = bf.map_batches(tag(0), batch_format="pyarrow").union(
+        iv.map_batches(tag(1), batch_format="pyarrow")
+    )
+    out_schema = pa.schema(
+        [
+            ("query_id", pa.int64()),
+            ("hits", pa.int64()),
+            ("recall", pa.float64()),
+        ]
+    )
+
+    def per_query(df: pd.DataFrame) -> pa.Table:
+        exact = df.loc[df["side"] == 0, "vec_id"].to_numpy()
+        approx = df.loc[df["side"] == 1, "vec_id"].to_numpy()
+        h = int(np.isin(approx, exact).sum())
+        return pa.Table.from_pandas(
+            pd.DataFrame(
+                {
+                    "query_id": [int(df["query_id"].iloc[0])],
+                    "hits": [h],
+                    "recall": [h / _KNN_K],
+                }
+            ),
+            schema=out_schema,
+            preserve_index=False,
+        ).replace_schema_metadata(None)
+
+    return _with_schema(
+        u.groupby("query_id").map_groups(per_query, batch_format="pandas"),
+        out_schema,
+    )
+
+
 def _q_order_priority_counts(sf_dir: str):
     """TPC-H Q4 shape — EXISTS semi-join: orders placed in 1995-Q1 with
     at least one lineitem shipping after the cutoff, counted by
@@ -2521,6 +2782,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_similarity": _q_source_similarity,
         "length_token_corr": _q_length_token_corr,
         "interleave_order": _q_interleave_order,
+        "small_qty_revenue": _q_small_qty_revenue,
+        "top_supplier": _q_top_supplier,
+        "knn_recall": _q_knn_recall,
     }
 
 
@@ -3109,7 +3373,7 @@ def oracle_sql() -> dict[str, str]:
         for lang, words in ta.LANG_MARKERS.items()
     )
 
-    return {
+    out = {
         "classify_format": f"SELECT doc_id, {_SQL_FORMAT} AS format FROM documents",
         "format_counts": f"""
             SELECT {_SQL_FORMAT} AS format, count(*) AS n_docs
@@ -4509,3 +4773,43 @@ def oracle_sql() -> dict[str, str]:
             FROM rho GROUP BY source, bucket
         """,
     }
+    out["small_qty_revenue"] = f"""
+        WITH pk AS (SELECT p_partkey FROM part WHERE p_brand = '{_Q17_BRAND}'),
+             l AS (SELECT l_partkey,
+                          CAST(round(l_quantity * 100) AS BIGINT) AS qc,
+                          CAST(round(l_extendedprice * 100) AS BIGINT) AS ec
+                   FROM lineitem
+                   WHERE l_partkey IN (SELECT p_partkey FROM pk)),
+             a AS (SELECT l_partkey, sum(qc) AS sq, count(*) AS n
+                   FROM l GROUP BY 1)
+        SELECT '{_Q17_BRAND}' AS brand,
+               CAST(coalesce(sum(l.ec), 0) AS DOUBLE) / 700.0 AS avg_yearly
+        FROM l JOIN a ON l.l_partkey = a.l_partkey
+        WHERE 5 * l.qc * a.n < a.sq
+    """
+    out["top_supplier"] = """
+        WITH r AS (SELECT l_suppkey AS suppkey,
+                          sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                              * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                            AS rc
+                   FROM lineitem
+                   WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                     AND l_shipdate < TIMESTAMP '1996-04-01'
+                   GROUP BY 1)
+        SELECT r.suppkey, s.s_name, CAST(r.rc AS DOUBLE) / 10000.0 AS total_revenue
+        FROM r JOIN supplier s ON s.s_suppkey = r.suppkey
+        WHERE r.rc = (SELECT max(rc) FROM r)
+    """
+    # recall@k composes the two index oracles verbatim — any drift in
+    # either index's SQL mirror propagates here automatically
+    out["knn_recall"] = f"""
+        WITH bf AS (SELECT query_id, vec_id FROM ({out["knn_bruteforce"]})),
+             iv AS (SELECT query_id, vec_id FROM ({out["knn_ivf"]}))
+        SELECT b.query_id,
+               CAST(count(i.vec_id) AS BIGINT) AS hits,
+               CAST(count(i.vec_id) AS DOUBLE) / {_KNN_K} AS recall
+        FROM bf b LEFT JOIN iv i
+          ON i.query_id = b.query_id AND i.vec_id = b.vec_id
+        GROUP BY 1
+    """
+    return out

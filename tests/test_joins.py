@@ -188,3 +188,96 @@ def test_order_priority_counts_exists_semantics(tmp_path):
     out = _q_order_priority_counts(_sf(tmp_path, orders, li, [(10, "c")]))
     got = {r["o_orderpriority"]: r["n"] for r in out.take_all()}
     assert got == {"1-URGENT": 1, "3-MEDIUM": 1}
+
+
+def _sf_q17_q15(tmp_path, parts, lineitems, suppliers):
+    """part/lineitem/supplier fixture for the Q17/Q15 shapes.
+
+    parts: (partkey, brand); lineitems: (partkey, suppkey, qty, price,
+    discount, shipdate); suppliers: (suppkey, name)."""
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path)
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array([r[0] for r in parts], pa.int64()),
+                "p_brand": pa.array([r[1] for r in parts], pa.string()),
+            }
+        ),
+        f"{d}/part.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "l_partkey": pa.array([r[0] for r in lineitems], pa.int64()),
+                "l_suppkey": pa.array([r[1] for r in lineitems], pa.int64()),
+                "l_quantity": pa.array([r[2] for r in lineitems], pa.float64()),
+                "l_extendedprice": pa.array(
+                    [r[3] for r in lineitems], pa.float64()
+                ),
+                "l_discount": pa.array([r[4] for r in lineitems], pa.float64()),
+                "l_shipdate": pa.array(
+                    [r[5] for r in lineitems], pa.timestamp("us")
+                ),
+            }
+        ),
+        f"{d}/lineitem.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "s_suppkey": pa.array([r[0] for r in suppliers], pa.int64()),
+                "s_name": pa.array([r[1] for r in suppliers], pa.string()),
+            }
+        ),
+        f"{d}/supplier.parquet",
+    )
+    return d
+
+
+def test_small_qty_revenue_q17_integer_mean_predicate(tmp_path):
+    from __ray_entry__ import _Q17_BRAND, _q_small_qty_revenue
+
+    day = dt.datetime(1996, 2, 1)
+    parts = [(1, _Q17_BRAND), (2, _Q17_BRAND), (3, "Brand#99")]
+    # part 1: qtys 10,10,10,1 -> avg 7.75, 0.2*avg = 1.55 -> only the
+    # qty-1 row (price 70.00) qualifies; part 2: qtys 5,5 -> 0.2*avg = 1,
+    # nothing strictly below; part 3: wrong brand, must be pruned.
+    li = [
+        (1, 1, 10.0, 500.0, 0.0, day),
+        (1, 1, 10.0, 500.0, 0.0, day),
+        (1, 1, 10.0, 500.0, 0.0, day),
+        (1, 1, 1.0, 70.0, 0.0, day),
+        (2, 1, 5.0, 200.0, 0.0, day),
+        (2, 1, 5.0, 200.0, 0.0, day),
+        (3, 1, 1.0, 999.0, 0.0, day),
+    ]
+    out = _q_small_qty_revenue(
+        _sf_q17_q15(tmp_path, parts, li, [(1, "s")])
+    ).take_all()
+    assert out == [{"brand": _Q17_BRAND, "avg_yearly": 70.0 / 7.0}]
+
+
+def test_top_supplier_q15_window_discount_and_ties(tmp_path):
+    from __ray_entry__ import _q_top_supplier
+
+    inside = dt.datetime(1996, 2, 15)
+    outside = dt.datetime(1996, 6, 1)
+    parts = [(1, "Brand#1")]
+    # supp 1: 125.00 at 20% discount -> 100.0; supp 2: 100.00 flat ->
+    # 100.0 (exact integer tie); supp 3: 99.99 in-window plus a huge
+    # out-of-window row that must NOT count.
+    li = [
+        (1, 1, 1.0, 125.0, 0.20, inside),
+        (1, 2, 1.0, 100.0, 0.0, inside),
+        (1, 3, 1.0, 99.99, 0.0, inside),
+        (1, 3, 1.0, 100000.0, 0.0, outside),
+    ]
+    sup = [(1, "supp-A"), (2, "supp-B"), (3, "supp-C")]
+    out = _q_top_supplier(_sf_q17_q15(tmp_path, parts, li, sup))
+    rows = sorted(out.to_pylist(), key=lambda r: r["suppkey"])
+    assert rows == [
+        {"suppkey": 1, "s_name": "supp-A", "total_revenue": 100.0},
+        {"suppkey": 2, "s_name": "supp-B", "total_revenue": 100.0},
+    ]

@@ -187,3 +187,21 @@ def test_pq_trained_recall_against_bruteforce():
     again = pq_knn(ds, qids, qmat, cb, k=10).take_all()
     key = lambda r: (r["query_id"], r["rank"])
     assert sorted(again, key=key) == sorted(pqr, key=key)
+
+
+def test_knn_recall_query_matches_set_intersection():
+    from __ray_entry__ import _KNN_K, _N_QUERIES, _q_knn, _q_knn_ivf, _q_knn_recall
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["query_id"]: r for r in _q_knn_recall(sf).take_all()}
+    assert sorted(got) == list(range(_N_QUERIES))
+    bf, iv = {}, {}
+    for r in _q_knn(sf).take_all():
+        bf.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for r in _q_knn_ivf(sf).take_all():
+        iv.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for q in range(_N_QUERIES):
+        h = len(bf[q] & iv.get(q, set()))
+        assert got[q]["hits"] == h
+        assert got[q]["recall"] == h / _KNN_K
+        assert 0 <= got[q]["hits"] <= _KNN_K
