@@ -147,6 +147,9 @@ def _bench_once() -> dict:
         "source_similarity",
         "length_token_corr",
         "interleave_order",
+        "small_qty_revenue",
+        "top_supplier",
+        "knn_recall",
         "conversion_metrics",
     ]
     # INTERLEAVED repetitions + medians (VERDICT r2 #1): this container's
