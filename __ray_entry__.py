@@ -1977,6 +1977,205 @@ def _q_knn_recall(sf_dir: str):
     )
 
 
+_Q7_NATIONS = ("NATION_1", "NATION_2")
+
+
+def _q_nation_trade_volume(sf_dir: str):
+    """TPC-H Q7 shape — cross-nation trade volume by year: the deepest
+    join composition in the battery, lineitem ⋈ supplier-nation ⋈
+    (orders ⋈ customer-nation) ⋈ nation², then a bounded
+    (nation-pair × year) aggregate.
+
+    Scale shape: nation is ≤25 rows — read once driver-side and
+    value-captured as a nationkey→name dict (never shuffled).
+    Supplier/customer project to (key, nationkey) AND filter to the two
+    nations BEFORE their joins, so each dimension side of a hash join
+    carries only ~2/|nations| of its rows.  lineitem pre-reduces
+    per-batch to (orderkey, suppkey, year, rev_c) with exact int64
+    revenue ec·(100−dk); the one unavoidable big-big exchange
+    (lineitem⋈orders) is the bucketed co-group ``hash_join`` on
+    orderkey.  The OR-of-two-nation-pairs predicate is exactly
+    ``s_nk ≠ c_nk`` once both sides are pre-filtered to the pair; the
+    final aggregate domain is 2 pairs × years — ``bounded_groupby_sum``
+    tree fold, one division at the end."""
+    from docling_api_ray.stages.joins import hash_join
+
+    ntbl = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name"],
+    )
+    name_of = {
+        int(k): n
+        for k, n in zip(
+            ntbl["n_nationkey"].to_pylist(), ntbl["n_name"].to_pylist()
+        )
+        if n in _Q7_NATIONS
+    }
+    nks = np.sort(np.fromiter(name_of, dtype=np.int64, count=len(name_of)))
+
+    def dim_prep(key_col: str, nk_col: str, out_key: str, out_nk: str):
+        def f(b: pa.Table) -> pa.Table:
+            nk = np.asarray(b[nk_col], dtype=np.int64)
+            keep = np.isin(nk, nks)
+            return pa.table(
+                {
+                    out_key: pa.array(
+                        np.asarray(b[key_col], dtype=np.int64)[keep],
+                        type=pa.int64(),
+                    ),
+                    out_nk: pa.array(nk[keep], type=pa.int64()),
+                }
+            )
+
+        return f
+
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).map_batches(
+        dim_prep("s_suppkey", "s_nationkey", "suppkey", "s_nk"),
+        batch_format="pyarrow",
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        dim_prep("c_custkey", "c_nationkey", "custkey", "c_nk"),
+        batch_format="pyarrow",
+    )
+
+    def li_prep(b: pa.Table) -> pa.Table:
+        ec = np.rint(np.asarray(b["l_extendedprice"]) * 100).astype(np.int64)
+        dk = np.rint(np.asarray(b["l_discount"]) * 100).astype(np.int64)
+        return pa.table(
+            {
+                "orderkey": pc.cast(b["l_orderkey"], pa.int64()),
+                "suppkey": pc.cast(b["l_suppkey"], pa.int64()),
+                "l_year": pc.cast(pc.year(b["l_shipdate"]), pa.int64()),
+                "rev_c": pa.array(ec * (100 - dk), type=pa.int64()),
+            }
+        )
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(li_prep, batch_format="pyarrow")
+
+    def o_prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "orderkey": pc.cast(b["o_orderkey"], pa.int64()),
+                "custkey": pc.cast(b["o_custkey"], pa.int64()),
+            }
+        )
+
+    oc = hash_join(
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+            o_prep, batch_format="pyarrow"
+        ),
+        cust,
+        on="custkey",
+    ).select_columns(["orderkey", "c_nk"])
+
+    joined = hash_join(hash_join(li, supp, on="suppkey"), oc, on="orderkey")
+
+    def pair_names(b: pa.Table) -> pa.Table:
+        s_nk = np.asarray(b["s_nk"], dtype=np.int64)
+        c_nk = np.asarray(b["c_nk"], dtype=np.int64)
+        keep = s_nk != c_nk
+        lut = {k: v for k, v in name_of.items()}
+        return pa.table(
+            {
+                "supp_nation": pa.array(
+                    [lut[int(k)] for k in s_nk[keep]], type=pa.string()
+                ),
+                "cust_nation": pa.array(
+                    [lut[int(k)] for k in c_nk[keep]], type=pa.string()
+                ),
+                "l_year": pa.array(
+                    np.asarray(b["l_year"], dtype=np.int64)[keep],
+                    type=pa.int64(),
+                ),
+                "rev_c": pa.array(
+                    np.asarray(b["rev_c"], dtype=np.int64)[keep],
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    agg = bounded_groupby_sum(
+        joined.map_batches(pair_names, batch_format="pyarrow"),
+        ["supp_nation", "cust_nation", "l_year"],
+        sum_cols={"rev_c": "rev_c"},
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        rev = np.asarray(b["rev_c"], dtype=np.int64) / 10000.0
+        return pa.table(
+            {
+                "supp_nation": b["supp_nation"],
+                "cust_nation": b["cust_nation"],
+                "l_year": b["l_year"],
+                "revenue": pa.array(rev, type=pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+_CHUNK_SIZE = 64  # tokens per chunk
+_CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
+
+
+def _q_chunk_overlap(sf_dir: str):
+    """RAG / context-window CHUNKING — sliding token windows with
+    overlap: every document explodes into ⌈n_tokens/stride⌉ chunks of
+    ≤CHUNK_SIZE whitespace tokens, consecutive chunks sharing
+    (size−stride) tokens, the standard retrieval-corpus preprocessing
+    step.
+
+    Scale shape: a stateless per-batch flat expansion — NO shuffle, no
+    state, no driver traffic; output volume is input-proportional
+    (×size/stride text amplification), so the stage streams and the
+    sink absorbs the fan-out block by block.  The per-document loop IS
+    the work (token splitting + window slicing on variable-length
+    strings, same class as the document parsers), not an avoidable
+    anti-pattern; the regex is compiled once per worker via the module
+    cache."""
+    import re as _re
+
+    tok = _re.compile(ta.WS_TOKEN_RE)
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("chunk_idx", pa.int64()),
+            ("n_tokens", pa.int64()),
+            ("chunk", pa.string()),
+        ]
+    )
+
+    def expand(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        texts = b["text"].to_pylist()
+        o_id, o_idx, o_n, o_text = [], [], [], []
+        for did, t in zip(ids, texts):
+            ws = tok.findall(t or "")
+            for ci, start in enumerate(range(0, len(ws), _CHUNK_STRIDE)):
+                seg = ws[start : start + _CHUNK_SIZE]
+                o_id.append(did)
+                o_idx.append(ci)
+                o_n.append(len(seg))
+                o_text.append(" ".join(seg))
+        return pa.table(
+            {
+                "doc_id": pa.array(o_id, type=pa.int64()),
+                "chunk_idx": pa.array(o_idx, type=pa.int64()),
+                "n_tokens": pa.array(o_n, type=pa.int64()),
+                "chunk": pa.array(o_text, type=pa.string()),
+            },
+            schema=out_schema,
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        expand, batch_format="pyarrow"
+    )
+
+
 def _q_order_priority_counts(sf_dir: str):
     """TPC-H Q4 shape — EXISTS semi-join: orders placed in 1995-Q1 with
     at least one lineitem shipping after the cutoff, counted by
@@ -2785,6 +2984,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "small_qty_revenue": _q_small_qty_revenue,
         "top_supplier": _q_top_supplier,
         "knn_recall": _q_knn_recall,
+        "chunk_overlap": _q_chunk_overlap,
+        "nation_trade_volume": _q_nation_trade_volume,
     }
 
 
@@ -4799,6 +5000,45 @@ def oracle_sql() -> dict[str, str]:
         SELECT r.suppkey, s.s_name, CAST(r.rc AS DOUBLE) / 10000.0 AS total_revenue
         FROM r JOIN supplier s ON s.s_suppkey = r.suppkey
         WHERE r.rc = (SELECT max(rc) FROM r)
+    """
+    # mirrors _q_nation_trade_volume: same two-nation prefilter, exact
+    # int64 revenue, pair predicate reduces to supp<>cust after filter
+    out["nation_trade_volume"] = f"""
+        WITH sn AS (SELECT s_suppkey AS suppkey, n_name AS supp_nation
+                    FROM supplier JOIN nation ON n_nationkey = s_nationkey
+                    WHERE n_name IN ('{_Q7_NATIONS[0]}', '{_Q7_NATIONS[1]}')),
+             cn AS (SELECT c_custkey AS custkey, n_name AS cust_nation
+                    FROM customer JOIN nation ON n_nationkey = c_nationkey
+                    WHERE n_name IN ('{_Q7_NATIONS[0]}', '{_Q7_NATIONS[1]}')),
+             oc AS (SELECT o_orderkey AS orderkey, cust_nation
+                    FROM orders JOIN cn ON custkey = o_custkey),
+             v AS (SELECT supp_nation, cust_nation,
+                          CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                          CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                            AS rc
+                   FROM lineitem
+                   JOIN sn ON sn.suppkey = l_suppkey
+                   JOIN oc ON oc.orderkey = l_orderkey)
+        SELECT supp_nation, cust_nation, l_year,
+               CAST(sum(rc) AS DOUBLE) / 10000.0 AS revenue
+        FROM v WHERE supp_nation <> cust_nation
+        GROUP BY 1, 2, 3
+    """
+    # mirrors _q_chunk_overlap: duckdb list slices are 1-based inclusive,
+    # so ws[start+1 : start+SIZE] is exactly tokens[start : start+SIZE]
+    out["chunk_overlap"] = f"""
+        WITH t AS (SELECT doc_id,
+                          regexp_extract_all(text, $${ta.WS_TOKEN_RE}$$) AS ws
+                   FROM documents),
+             s AS (SELECT doc_id, ws,
+                          unnest(range(0, len(ws), {_CHUNK_STRIDE})) AS start
+                   FROM t WHERE len(ws) > 0)
+        SELECT doc_id,
+               CAST(start // {_CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+               CAST(least({_CHUNK_SIZE}, len(ws) - start) AS BIGINT) AS n_tokens,
+               array_to_string(ws[start + 1 : start + {_CHUNK_SIZE}], ' ') AS chunk
+        FROM s
     """
     # recall@k composes the two index oracles verbatim — any drift in
     # either index's SQL mirror propagates here automatically

@@ -150,6 +150,8 @@ def _bench_once() -> dict:
         "small_qty_revenue",
         "top_supplier",
         "knn_recall",
+        "chunk_overlap",
+        "nation_trade_volume",
         "conversion_metrics",
     ]
     # INTERLEAVED repetitions + medians (VERDICT r2 #1): this container's

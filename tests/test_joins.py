@@ -281,3 +281,78 @@ def test_top_supplier_q15_window_discount_and_ties(tmp_path):
         {"suppkey": 1, "s_name": "supp-A", "total_revenue": 100.0},
         {"suppkey": 2, "s_name": "supp-B", "total_revenue": 100.0},
     ]
+
+
+def test_nation_trade_volume_q7_pair_filter(tmp_path):
+    import pyarrow.parquet as pq
+
+    from __ray_entry__ import _Q7_NATIONS, _q_nation_trade_volume
+
+    d = str(tmp_path)
+    na, nb = _Q7_NATIONS
+    pq.write_table(
+        pa.table(
+            {
+                "n_nationkey": pa.array([1, 2, 3], pa.int32()),
+                "n_name": pa.array([na, nb, "NATION_OTHER"], pa.string()),
+            }
+        ),
+        f"{d}/nation.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "s_suppkey": pa.array([10, 11, 12], pa.int64()),
+                "s_nationkey": pa.array([1, 2, 3], pa.int32()),
+            }
+        ),
+        f"{d}/supplier.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([20, 21, 22], pa.int64()),
+                "c_nationkey": pa.array([2, 1, 3], pa.int32()),
+            }
+        ),
+        f"{d}/customer.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([100, 101, 102], pa.int64()),
+                "o_custkey": pa.array([20, 21, 22], pa.int64()),
+            }
+        ),
+        f"{d}/orders.parquet",
+    )
+    day95 = dt.datetime(1995, 6, 1)
+    day96 = dt.datetime(1996, 6, 1)
+    # rows: (orderkey, suppkey, price, disc, date)
+    # 100/supp10: nation A -> cust nation B (keep, 1995): 125*0.8 = 100
+    # 100/supp11: nation B -> cust nation B (same nation, drop)
+    # 101/supp11: nation B -> cust nation A (keep, 1996): 50 flat
+    # 102/supp10: nation A -> cust OTHER (drop: cust filtered out)
+    # 101/supp12: OTHER -> A (drop: supp filtered out)
+    li = pa.table(
+        {
+            "l_orderkey": pa.array([100, 100, 101, 102, 101], pa.int64()),
+            "l_suppkey": pa.array([10, 11, 11, 10, 12], pa.int64()),
+            "l_extendedprice": pa.array(
+                [125.0, 10.0, 50.0, 999.0, 999.0], pa.float64()
+            ),
+            "l_discount": pa.array([0.20, 0.0, 0.0, 0.0, 0.0], pa.float64()),
+            "l_shipdate": pa.array(
+                [day95, day95, day96, day95, day96], pa.timestamp("us")
+            ),
+        }
+    )
+    pq.write_table(li, f"{d}/lineitem.parquet")
+    out = sorted(
+        _q_nation_trade_volume(d).take_all(),
+        key=lambda r: (r["supp_nation"], r["l_year"]),
+    )
+    assert out == [
+        {"supp_nation": na, "cust_nation": nb, "l_year": 1995, "revenue": 100.0},
+        {"supp_nation": nb, "cust_nation": na, "l_year": 1996, "revenue": 50.0},
+    ]

@@ -413,3 +413,43 @@ def test_interleave_order_weighted_stream_and_determinism():
     again = interleave_order(_docs(rows).repartition(7), budget=12).take_all()
     again.sort(key=lambda r: (r["pos_key"], r["source"], r["rnk"]))
     assert again == out
+
+
+def test_chunk_overlap_boundaries(tmp_path):
+    import pyarrow.parquet as pq
+
+    from __ray_entry__ import _CHUNK_SIZE, _CHUNK_STRIDE, _q_chunk_overlap
+
+    n_long = _CHUNK_SIZE + 10  # spills into a second, overlapping chunk
+    texts = [
+        "",  # 0 tokens -> no chunks
+        "alpha beta",  # < size -> one short chunk
+        " ".join(f"t{i}" for i in range(n_long)),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * 3, pa.string()),
+                "source": pa.array(["s"] * 3, pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        f"{tmp_path}/documents.parquet",
+    )
+    out = _q_chunk_overlap(str(tmp_path)).take_all()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 1 not in by_doc
+    assert [(r["chunk_idx"], r["n_tokens"], r["chunk"]) for r in by_doc[2]] == [
+        (0, 2, "alpha beta")
+    ]
+    chunks = sorted(by_doc[3], key=lambda r: r["chunk_idx"])
+    assert [r["chunk_idx"] for r in chunks] == [0, 1]
+    assert chunks[0]["n_tokens"] == _CHUNK_SIZE
+    assert chunks[1]["n_tokens"] == n_long - _CHUNK_STRIDE
+    # overlap: chunk 1 starts at token `stride`, inside chunk 0
+    assert chunks[1]["chunk"].split()[0] == f"t{_CHUNK_STRIDE}"
+    assert chunks[0]["chunk"].split()[-1] == f"t{_CHUNK_SIZE - 1}"
