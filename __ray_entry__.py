@@ -2104,18 +2104,35 @@ def _q_nation_trade_volume(sf_dir: str):
         sum_cols={"rev_c": "rev_c"},
     )
 
-    def finalize(b: pa.Table) -> pa.Table:
-        rev = np.asarray(b["rev_c"], dtype=np.int64) / 10000.0
-        return pa.table(
-            {
-                "supp_nation": b["supp_nation"],
-                "cust_nation": b["cust_nation"],
-                "l_year": b["l_year"],
-                "revenue": pa.array(rev, type=pa.float64()),
-            }
-        )
-
-    return agg.map_batches(finalize, batch_format="pyarrow")
+    q7_schema = pa.schema(
+        [
+            ("supp_nation", pa.string()),
+            ("cust_nation", pa.string()),
+            ("l_year", pa.int64()),
+            ("revenue", pa.float64()),
+        ]
+    )
+    # the aggregate is ≤ 2 nation-pairs × |years| rows — domain-bounded,
+    # so the final division folds driver-side into a TYPED table (an
+    # all-filtered corpus otherwise surfaces a schema-less empty block
+    # that map_batches can never recast: Ray emits empty blocks without
+    # invoking the fn on them)
+    rows = agg.take_all()
+    return pa.table(
+        {
+            "supp_nation": pa.array(
+                [r["supp_nation"] for r in rows], type=pa.string()
+            ),
+            "cust_nation": pa.array(
+                [r["cust_nation"] for r in rows], type=pa.string()
+            ),
+            "l_year": pa.array([r["l_year"] for r in rows], type=pa.int64()),
+            "revenue": pa.array(
+                [r["rev_c"] / 10000.0 for r in rows], type=pa.float64()
+            ),
+        },
+        schema=q7_schema,
+    )
 
 
 _CHUNK_SIZE = 64  # tokens per chunk

@@ -349,7 +349,7 @@ def test_nation_trade_volume_q7_pair_filter(tmp_path):
     )
     pq.write_table(li, f"{d}/lineitem.parquet")
     out = sorted(
-        _q_nation_trade_volume(d).take_all(),
+        _q_nation_trade_volume(d).to_pylist(),
         key=lambda r: (r["supp_nation"], r["l_year"]),
     )
     assert out == [
