@@ -1923,57 +1923,39 @@ def _q_top_supplier(sf_dir: str):
 def _q_knn_recall(sf_dir: str):
     """ANN index EVALUATION — recall@k of the IVF index against exact
     brute force: both top-k result sets are computed by their own
-    distributed pipelines (never re-ranked here), tagged, unioned, and
-    co-grouped per query; hits count with one vectorized ``np.isin``.
+    distributed pipelines (all corpus-proportional work happens inside
+    them), then the set intersection folds driver-side.
 
-    Scale shape: each side is ≤ queries·k rows BY CONSTRUCTION (the
-    top-k pipelines already bounded them), so a query group is exactly
-    ≤2k rows — the groupby moves index-output-proportional rows, never
-    corpus rows."""
-    import pandas as pd
-
-    bf = _q_knn(sf_dir).select_columns(["query_id", "vec_id"])
-    iv = _q_knn_ivf(sf_dir).select_columns(["query_id", "vec_id"])
-
-    def tag(side: int):
-        def f(b: pa.Table) -> pa.Table:
-            return b.append_column(
-                "side",
-                pa.array(np.full(b.num_rows, side, dtype=np.int64)),
-            )
-
-        return f
-
-    u = bf.map_batches(tag(0), batch_format="pyarrow").union(
-        iv.map_batches(tag(1), batch_format="pyarrow")
+    Scale shape: each side is ≤ queries·k rows BY CONSTRUCTION — the
+    top-k pipelines already bounded their outputs, and the query set is
+    driver-supplied, so the evaluation join is index-output-
+    proportional at ANY corpus size.  (A union-the-two-Datasets +
+    per-query co-group variant was measured to nondeterministically
+    stall Ray 2.49's streaming executor — two actor-pool branches under
+    one UnionOperator froze with zero running tasks — so the bounded
+    driver fold is also the RELIABLE shape.)"""
+    bf_rows = (
+        _q_knn(sf_dir).select_columns(["query_id", "vec_id"]).take_all()
     )
-    out_schema = pa.schema(
-        [
-            ("query_id", pa.int64()),
-            ("hits", pa.int64()),
-            ("recall", pa.float64()),
-        ]
+    iv_rows = (
+        _q_knn_ivf(sf_dir).select_columns(["query_id", "vec_id"]).take_all()
     )
-
-    def per_query(df: pd.DataFrame) -> pa.Table:
-        exact = df.loc[df["side"] == 0, "vec_id"].to_numpy()
-        approx = df.loc[df["side"] == 1, "vec_id"].to_numpy()
-        h = int(np.isin(approx, exact).sum())
-        return pa.Table.from_pandas(
-            pd.DataFrame(
-                {
-                    "query_id": [int(df["query_id"].iloc[0])],
-                    "hits": [h],
-                    "recall": [h / _KNN_K],
-                }
+    exact: dict[int, set] = {}
+    for r in bf_rows:
+        exact.setdefault(int(r["query_id"]), set()).add(int(r["vec_id"]))
+    approx: dict[int, set] = {}
+    for r in iv_rows:
+        approx.setdefault(int(r["query_id"]), set()).add(int(r["vec_id"]))
+    qids = sorted(exact)  # oracle groups over the brute-force side
+    hits = [len(exact[q] & approx.get(q, set())) for q in qids]
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "hits": pa.array(hits, type=pa.int64()),
+            "recall": pa.array(
+                [h / _KNN_K for h in hits], type=pa.float64()
             ),
-            schema=out_schema,
-            preserve_index=False,
-        ).replace_schema_metadata(None)
-
-    return _with_schema(
-        u.groupby("query_id").map_groups(per_query, batch_format="pandas"),
-        out_schema,
+        }
     )
 
 

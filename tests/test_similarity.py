@@ -193,7 +193,7 @@ def test_knn_recall_query_matches_set_intersection():
     from __ray_entry__ import _KNN_K, _N_QUERIES, _q_knn, _q_knn_ivf, _q_knn_recall
 
     sf = "/root/testdata/sf0.001"
-    got = {r["query_id"]: r for r in _q_knn_recall(sf).take_all()}
+    got = {r["query_id"]: r for r in _q_knn_recall(sf).to_pylist()}
     assert sorted(got) == list(range(_N_QUERIES))
     bf, iv = {}, {}
     for r in _q_knn(sf).take_all():
