@@ -74,14 +74,15 @@ def _bench_once() -> dict:
     # reps can land 2-in-3 inside one bad window (BENCH_r02 raw
     # 4.09/3.99/6.05 vs a clean 3.35/2.31/3.42); raw reps go in the JSON
     headline_reps = int(os.environ.get("GRAFT_HEADLINE_REPS", "5"))
-    raw_headline: list[float] = []
-    for _ in range(headline_reps):
+
+    def _headline_rep() -> float:
         out_dir = "/tmp/bench_out"
         shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.time()
         flagship(sf_dir, cfg, amplify=amplify).write_parquet(out_dir)
-        raw_headline.append(round(time.time() - t0, 3))
-    headline = sorted(raw_headline)[len(raw_headline) // 2]
+        return round(time.time() - t0, 3)
+
+    raw_headline: list[float] = []
     ndocs = n_base * amplify
 
     # ---- query battery (each timed separately, consumed via count) ------
@@ -163,6 +164,18 @@ def _bench_once() -> dict:
     # load window inflates one rep of many queries, which the median
     # discards; raw per-rep times ship in the JSON for auditability.
     q_reps = int(os.environ.get("GRAFT_QUERY_REPS", "3"))
+    # the HEADLINE reps interleave with the battery rounds for the same
+    # reason the battery interleaves with itself: 5 back-to-back reps at
+    # bench start all land inside one co-tenant window (measured 03:13
+    # run: first-rep column 2-5x the medians) — spreading them across the
+    # multi-minute battery lets the median discard a single bad window
+    up_front = (
+        headline_reps
+        if not bench_queries
+        else max(1, headline_reps - q_reps)
+    )
+    for _ in range(up_front):
+        raw_headline.append(_headline_rep())
     q_raw: dict[str, list[float]] = {name: [] for name in bench_queries}
     for _ in range(q_reps):
         for name in bench_queries:
@@ -171,6 +184,9 @@ def _bench_once() -> dict:
             # driver-side-final queries return a pyarrow Table, not a Dataset
             r.count() if isinstance(r, ray.data.Dataset) else len(r)
             q_raw[name].append(round(time.time() - t0, 3))
+        if bench_queries and len(raw_headline) < headline_reps:
+            raw_headline.append(_headline_rep())
+    headline = sorted(raw_headline)[len(raw_headline) // 2]
     qt = {
         name: sorted(ts)[len(ts) // 2] for name, ts in q_raw.items()
     }
