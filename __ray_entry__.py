@@ -1099,6 +1099,68 @@ def _q_events_distinct_users(sf_dir: str):
     return pairs.groupby("event_type").aggregate(Count(alias_name="n_users"))
 
 
+def _q_events_new_users(sf_dir: str):
+    """Daily NEW-user counts with a cumulative total — the growth-curve
+    query every event pipeline runs: first-seen day per user, fold to
+    per-day arrival counts, prefix-scan to cumulative.
+
+    Scale shape: per-batch partial (user → min day) shrinks each block
+    to its distinct users before the ONE mod-P co-group exchange of
+    narrow (user, day) int64 pairs; the in-partition min fold emits one
+    row per user, which ``bounded_groupby_sum`` tree-folds to the
+    ≤|days| arrival table (days do not grow with corpus size at fixed
+    retention) — only that bounded table reaches the driver for the
+    prefix scan, never anything user-proportional."""
+    import pandas as pd
+
+    from docling_api_ray.stages.common import shuffle_partitions
+
+    P = shuffle_partitions()
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    DAY_US = 86_400_000_000
+
+    def partial(b: pa.Table) -> pa.Table:
+        uid = np.asarray(b["user_id"], dtype=np.int64)
+        day = np.asarray(pc.cast(b["ts"], pa.int64())) // DAY_US
+        keys, inv = np.unique(uid, return_inverse=True)
+        mins = np.full(len(keys), np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(mins, inv, day)
+        return pa.table(
+            {
+                "user_id": pa.array(keys, type=pa.int64()),
+                "d": pa.array(mins, type=pa.int64()),
+                "__b": pa.array(keys % P, type=pa.int64()),
+            }
+        )
+
+    first_schema = pa.schema([("d", pa.int64())])
+
+    def fold(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("user_id", sort=False)["d"].min()
+        return pa.Table.from_pandas(
+            g.reset_index()[["d"]], schema=first_schema, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    arrivals = bounded_groupby_sum(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(fold, batch_format="pandas"),
+        ["d"],
+        count_alias="new_users",
+    )
+    rows = sorted(arrivals.take_all(), key=lambda r: r["d"])  # ≤|days| rows
+    days = [int(r["d"]) for r in rows]
+    new = [int(r["new_users"]) for r in rows]
+    cum = np.cumsum(new).tolist()
+    return pa.table(
+        {
+            "day_start": pa.array([d * 86400 for d in days], type=pa.int64()),
+            "new_users": pa.array(new, type=pa.int64()),
+            "cum_users": pa.array(cum, type=pa.int64()),
+        }
+    )
+
+
 def _q_events_props_extract(sf_dir: str):
     """Semi-structured extraction: pull the int field k out of the props
     JSON string with the shared RE2 pattern, aggregate per event_type."""
@@ -2985,6 +3047,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_recall": _q_knn_recall,
         "chunk_overlap": _q_chunk_overlap,
         "nation_trade_volume": _q_nation_trade_volume,
+        "events_new_users": _q_events_new_users,
     }
 
 
@@ -4999,6 +5062,18 @@ def oracle_sql() -> dict[str, str]:
         SELECT r.suppkey, s.s_name, CAST(r.rc AS DOUBLE) / 10000.0 AS total_revenue
         FROM r JOIN supplier s ON s.s_suppkey = r.suppkey
         WHERE r.rc = (SELECT max(rc) FROM r)
+    """
+    # mirrors _q_events_new_users: first-seen day per user, arrivals,
+    # window prefix sum
+    out["events_new_users"] = """
+        WITH f AS (SELECT user_id,
+                          min(epoch_us(ts) // 86400000000) AS d
+                   FROM events GROUP BY 1),
+             c AS (SELECT d, count(*) AS n FROM f GROUP BY 1)
+        SELECT CAST(d * 86400 AS BIGINT) AS day_start,
+               CAST(n AS BIGINT) AS new_users,
+               CAST(sum(n) OVER (ORDER BY d) AS BIGINT) AS cum_users
+        FROM c
     """
     # mirrors _q_nation_trade_volume: same two-nation prefilter, exact
     # int64 revenue, pair predicate reduces to supp<>cust after filter

@@ -153,6 +153,7 @@ def _bench_once() -> dict:
         "knn_recall",
         "chunk_overlap",
         "nation_trade_volume",
+        "events_new_users",
         "conversion_metrics",
     ]
     # INTERLEAVED repetitions + medians (VERDICT r2 #1): this container's

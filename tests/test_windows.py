@@ -132,3 +132,46 @@ def test_funnel_reached_ordering_semantics():
     )
     out = {r["user_id"]: r["reached"] for r in funnel_reached(ds).take_all()}
     assert out == {1: 3, 2: 1, 3: 2, 5: 1, 6: 2}
+
+
+def test_events_new_users_first_seen_and_cumulative(tmp_path):
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from __ray_entry__ import _q_events_new_users
+
+    d0 = dt.datetime(2024, 1, 1)
+
+    def at(day, hour):
+        return d0 + dt.timedelta(days=day, hours=hour)
+
+    # user 1 appears day0 and day2 (counts once, day0); user 2 only day2;
+    # user 3 twice within day1 (counts once); late-day timestamps stay in
+    # their day bucket
+    rows = [
+        (1, at(0, 5)), (1, at(2, 1)),
+        (2, at(2, 23)),
+        (3, at(1, 0)), (3, at(1, 23)),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(len(rows)), pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "event_type": pa.array(["c"] * len(rows), pa.string()),
+                "value": pa.array([0.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        ),
+        f"{tmp_path}/events.parquet",
+    )
+    out = _q_events_new_users(str(tmp_path)).to_pylist()
+    base = int(d0.timestamp())
+    assert out == [
+        {"day_start": base, "new_users": 1, "cum_users": 1},
+        {"day_start": base + 86400, "new_users": 1, "cum_users": 2},
+        {"day_start": base + 2 * 86400, "new_users": 1, "cum_users": 3},
+    ]
