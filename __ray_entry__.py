@@ -951,7 +951,14 @@ def _q_orders_per_customer(sf_dir: str):
         )
         .rename_columns({"o_custkey": "custkey"})
     )
-    joined = hash_join(cust, agg, on="custkey", how="left")
+    joined = hash_join(
+        cust, agg, on="custkey", how="left",
+        schemas=(
+            pa.schema([("custkey", pa.int64()), ("c_name", pa.string())]),
+            pa.schema([("custkey", pa.int64()), ("n_orders", pa.int64()),
+                       ("total_price", pa.float64())]),
+        ),
+    )
     from docling_api_ray.stages.windows import quantize6
 
     def finish(b: pa.Table) -> pa.Table:
@@ -1035,7 +1042,15 @@ def _q_shipping_priority(sf_dir: str):
         )
 
     l = li.map_batches(sel_li, batch_format="pyarrow")
-    joined = hash_join(l, o, on="o_orderkey")
+    joined = hash_join(
+        l, o, on="o_orderkey",
+        schemas=(
+            pa.schema([("o_orderkey", pa.int64()), ("rev", pa.float64())]),
+            pa.schema([("o_orderkey", pa.int64()),
+                       ("o_orderdate", pa.timestamp("us")),
+                       ("o_orderpriority", pa.string())]),
+        ),
+    )
 
     out_schema = pa.schema(
         [
@@ -1519,7 +1534,14 @@ def _q_customers_no_orders(sf_dir: str):
         return pa.table({"custkey": pc.unique(pc.cast(b["o_custkey"], pa.int64()))})
 
     o = orders.map_batches(keys_only, batch_format="pyarrow")
-    out = hash_join(cust, o, on="custkey", how="anti")
+    out = hash_join(
+        cust, o, on="custkey", how="anti",
+        schemas=(
+            pa.schema([("custkey", pa.int64()), ("c_name", pa.string()),
+                       ("c_acctbal", pa.float64())]),
+            pa.schema([("custkey", pa.int64())]),
+        ),
+    )
     out_schema = pa.schema(
         [("custkey", pa.int64()), ("c_name", pa.string()), ("c_acctbal", pa.float64())]
     )
@@ -1605,7 +1627,13 @@ def _q_local_supplier_volume(sf_dir: str):
         )
 
     o = orders.map_batches(sel_orders, batch_format="pyarrow")
-    oc = hash_join(o, c, on="custkey").select_columns(["orderkey", "c_nat"])
+    oc = hash_join(
+        o, c, on="custkey",
+        schemas=(
+            pa.schema([("orderkey", pa.int64()), ("custkey", pa.int64())]),
+            pa.schema([("custkey", pa.int64()), ("c_nat", pa.int64())]),
+        ),
+    ).select_columns(["orderkey", "c_nat"])
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
 
@@ -1622,7 +1650,14 @@ def _q_local_supplier_volume(sf_dir: str):
         )
 
     l = li.map_batches(sel_li, batch_format="pyarrow")
-    j = hash_join(l, oc, on="orderkey")
+    j = hash_join(
+        l, oc, on="orderkey",
+        schemas=(
+            pa.schema([("orderkey", pa.int64()), ("suppkey", pa.int64()),
+                       ("rev", pa.float64())]),
+            pa.schema([("orderkey", pa.int64()), ("c_nat", pa.int64())]),
+        ),
+    )
 
     def local_only(b: pa.Table) -> pa.Table:
         sn = ray.get(snat_ref)[np.asarray(b["suppkey"], dtype=np.int64)]
@@ -1720,7 +1755,12 @@ def _q_large_volume_orders(sf_dir: str):
         )
 
     j = hash_join(
-        orders.map_batches(o_prep, batch_format="pyarrow"), qual, on="orderkey"
+        orders.map_batches(o_prep, batch_format="pyarrow"), qual, on="orderkey",
+        schemas=(
+            pa.schema([("orderkey", pa.int64()), ("custkey", pa.int64()),
+                       ("o_totalprice", pa.float64())]),
+            qual_schema,
+        ),
     )
 
     K = 100
@@ -2114,9 +2154,31 @@ def _q_nation_trade_volume(sf_dir: str):
         ),
         cust,
         on="custkey",
+        schemas=(
+            pa.schema([("orderkey", pa.int64()), ("custkey", pa.int64())]),
+            pa.schema([("custkey", pa.int64()), ("c_nk", pa.int64())]),
+        ),
     ).select_columns(["orderkey", "c_nk"])
 
-    joined = hash_join(hash_join(li, supp, on="suppkey"), oc, on="orderkey")
+    li_schema = pa.schema(
+        [("orderkey", pa.int64()), ("suppkey", pa.int64()),
+         ("l_year", pa.int64()), ("rev_c", pa.int64())]
+    )
+    supp_schema = pa.schema([("suppkey", pa.int64()), ("s_nk", pa.int64())])
+    # hash_join output columns are [on] + left-others + right-others
+    ls_schema = pa.schema(
+        [("suppkey", pa.int64()), ("orderkey", pa.int64()),
+         ("l_year", pa.int64()), ("rev_c", pa.int64()), ("s_nk", pa.int64())]
+    )
+    joined = hash_join(
+        hash_join(li, supp, on="suppkey", schemas=(li_schema, supp_schema)),
+        oc,
+        on="orderkey",
+        schemas=(
+            ls_schema,
+            pa.schema([("orderkey", pa.int64()), ("c_nk", pa.int64())]),
+        ),
+    )
 
     def pair_names(b: pa.Table) -> pa.Table:
         s_nk = np.asarray(b["s_nk"], dtype=np.int64)
@@ -2286,6 +2348,11 @@ def _q_order_priority_counts(sf_dir: str):
         li.map_batches(keys_only, batch_format="pyarrow"),
         on="orderkey",
         how="semi",
+        schemas=(
+            pa.schema([("orderkey", pa.int64()),
+                       ("o_orderpriority", pa.string())]),
+            pa.schema([("orderkey", pa.int64())]),
+        ),
     )
     out = bounded_groupby_sum(
         sj.select_columns(["o_orderpriority"]),

@@ -40,7 +40,11 @@ def curate_pack(
         docs, para_words=para_words
     ).select_columns(["doc_id", "clean_text"])
     with_src = hash_join(
-        cleaned, docs.select_columns(["doc_id", "source"]), on="doc_id"
+        cleaned, docs.select_columns(["doc_id", "source"]), on="doc_id",
+        schemas=(
+            pa.schema([("doc_id", pa.int64()), ("clean_text", pa.string())]),
+            pa.schema([("doc_id", pa.int64()), ("source", pa.string())]),
+        ),
     )
 
     def keep_quality(b: pa.Table) -> pa.Table:

@@ -1299,7 +1299,13 @@ def dup_ngram_coverage(
     tot = ds.select_columns([id_col, text_col]).map_batches(
         totals, batch_format="pyarrow"
     )
-    joined = hash_join(tot, dups, on=id_col, how="left")
+    joined = hash_join(
+        tot, dups, on=id_col, how="left",
+        schemas=(
+            pa.schema([(id_col, pa.int64()), ("n_grams", pa.int64())]),
+            partial_schema,
+        ),
+    )
 
     out_schema = pa.schema(
         [(id_col, pa.int64()), ("n_grams", pa.int64()), ("dup_grams", pa.int64())]

@@ -51,6 +51,7 @@ def hash_join(
     on: str,
     how: str = "inner",
     num_buckets: int = 32,
+    schemas: tuple[pa.Schema, pa.Schema] | None = None,
 ) -> ray.data.Dataset:
     """Partitioned hash join of two datasets on an int64 key column named
     ``on`` in BOTH sides; non-key column names must be disjoint.
@@ -58,7 +59,16 @@ def hash_join(
     ``how`` accepts pandas merge modes plus the existence joins
     ``"semi"`` / ``"anti"`` (left rows whose key does / does not appear
     on the right — project the right side to its key column before
-    calling; per-bucket one vectorized ``isin``, no row multiplication)."""
+    calling; per-bucket one vectorized ``isin``, no row multiplication).
+
+    ``schemas=(left_schema, right_schema)`` skips the ``ds.schema()``
+    probes.  Pass it whenever the caller statically knows both layouts:
+    each probe EXECUTES a limit-1 dataset, and the resulting rapid
+    create/teardown churn of tiny datasets is what races Ray 2.49's
+    driver reference counter (reference_count.cc:581
+    ``submitted_task_ref_count > 0`` CHECK crash, observed 2026-08-18
+    03:40 during a bench battery — the probe pair for one join finished
+    back-to-back <1 s before the crash)."""
     def arrow_schema(ds: ray.data.Dataset) -> pa.Schema:
         # pandas-block datasets (e.g. a prior hash_join's map_groups
         # output) expose a PandasBlockSchema whose base_schema is a list,
@@ -71,8 +81,11 @@ def hash_join(
             [pa.field(n, t) for n, t in zip(s.names, s.types)]
         )
 
-    lschema = arrow_schema(left)
-    rschema = arrow_schema(right)
+    if schemas is not None:
+        lschema, rschema = schemas
+    else:
+        lschema = arrow_schema(left)
+        rschema = arrow_schema(right)
     lcols = [f for f in lschema if f.name != on]
     rcols = [f for f in rschema if f.name != on]
     combined = pa.schema(
