@@ -35,11 +35,18 @@ def _resolve(format: str) -> str:
 
 
 def read_table(uri: str, *, format: str = "auto", **kwargs) -> ray.data.Dataset:
-    """Read a documents/results table; columns= pushdown supported by both
-    backends."""
+    """Read a documents/results table; columns= pushdown supported by the
+    lance/parquet backends.  ``format="jsonl"`` reads newline-delimited
+    JSON — the interchange format LLM text corpora actually ship in
+    (one document object per line); Ray's ``read_json`` streams it
+    block-wise like the columnar readers (no column pruning at the read
+    — convert to parquet for repeated analytical passes)."""
     fmt = _resolve(format)
     if fmt == "lance":
         return ray.data.read_lance(uri, **kwargs)
+    if fmt == "jsonl":
+        kwargs.pop("columns", None)  # row-oriented source: no pushdown
+        return ray.data.read_json(uri, **kwargs)
     return ray.data.read_parquet(uri, **kwargs)
 
 
@@ -47,4 +54,6 @@ def write_table(ds: ray.data.Dataset, uri: str, *, format: str = "auto", **kwarg
     fmt = _resolve(format)
     if fmt == "lance":
         return ds.write_lance(uri, **kwargs)
+    if fmt == "jsonl":
+        return ds.write_json(uri, **kwargs)
     return ds.write_parquet(uri, **kwargs)

@@ -31,3 +31,32 @@ def test_lance_roundtrip(tmp_path):
     out = str(tmp_path / "t3.lance")
     write_table(ds, out, format="lance")
     assert read_table(out, format="lance").count() == 2
+
+
+def test_jsonl_roundtrip(tmp_path):
+    # the LLM-corpus interchange format: one JSON object per line
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(["a b", "c", 'quote " and \\ slash'], pa.string()),
+            }
+        )
+    )
+    out = str(tmp_path / "corpus")
+    write_table(ds, out, format="jsonl")
+    back = read_table(out, format="jsonl")
+    rows = sorted(back.take_all(), key=lambda r: r["doc_id"])
+    assert [(r["doc_id"], r["text"]) for r in rows] == [
+        (1, "a b"), (2, "c"), (3, 'quote " and \\ slash'),
+    ]
+    # files on disk are genuinely newline-delimited JSON
+    import glob
+    import json
+
+    files = glob.glob(f"{out}/*.json")
+    assert files
+    lines = [json.loads(ln) for f in files for ln in open(f) if ln.strip()]
+    assert sorted(r["doc_id"] for r in lines) == [1, 2, 3]
+    # columns kwarg is tolerated (dropped) on the row-oriented path
+    assert read_table(out, format="jsonl", columns=["text"]).count() == 3
