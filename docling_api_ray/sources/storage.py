@@ -47,6 +47,9 @@ def read_table(uri: str, *, format: str = "auto", **kwargs) -> ray.data.Dataset:
     if fmt == "jsonl":
         kwargs.pop("columns", None)  # row-oriented source: no pushdown
         return ray.data.read_json(uri, **kwargs)
+    if fmt == "csv":
+        kwargs.pop("columns", None)  # row-oriented source: no pushdown
+        return ray.data.read_csv(uri, **kwargs)
     return ray.data.read_parquet(uri, **kwargs)
 
 
@@ -56,4 +59,6 @@ def write_table(ds: ray.data.Dataset, uri: str, *, format: str = "auto", **kwarg
         return ds.write_lance(uri, **kwargs)
     if fmt == "jsonl":
         return ds.write_json(uri, **kwargs)
+    if fmt == "csv":
+        return ds.write_csv(uri, **kwargs)
     return ds.write_parquet(uri, **kwargs)

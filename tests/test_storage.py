@@ -60,3 +60,21 @@ def test_jsonl_roundtrip(tmp_path):
     assert sorted(r["doc_id"] for r in lines) == [1, 2, 3]
     # columns kwarg is tolerated (dropped) on the row-oriented path
     assert read_table(out, format="jsonl", columns=["text"]).count() == 3
+
+
+def test_csv_roundtrip(tmp_path):
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array(["plain", "with, comma"], pa.string()),
+            }
+        )
+    )
+    out = str(tmp_path / "csv")
+    write_table(ds, out, format="csv")
+    back = read_table(out, format="csv")
+    rows = sorted(back.take_all(), key=lambda r: r["doc_id"])
+    assert [(r["doc_id"], r["text"]) for r in rows] == [
+        (1, "plain"), (2, "with, comma"),
+    ]
