@@ -1114,6 +1114,26 @@ def _q_events_distinct_users(sf_dir: str):
     return pairs.groupby("event_type").aggregate(Count(alias_name="n_users"))
 
 
+def _q_session_type_pairs(sf_dir: str):
+    """Within-session event-type co-occurrence counts
+    (stages/windows.py session_type_pairs): gap-sessionize per user
+    (mod-P co-group, vectorized across users), distinct (session, type),
+    self-merge for unordered pairs, |types|²-bounded tree fold."""
+    from docling_api_ray.stages.windows import session_type_pairs
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    return _with_schema(
+        session_type_pairs(ds),
+        pa.schema(
+            [
+                ("type_a", pa.string()),
+                ("type_b", pa.string()),
+                ("n_sessions", pa.int64()),
+            ]
+        ),
+    )
+
+
 def _q_events_new_users(sf_dir: str):
     """Daily NEW-user counts with a cumulative total — the growth-curve
     query every event pipeline runs: first-seen day per user, fold to
@@ -3115,6 +3135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_overlap": _q_chunk_overlap,
         "nation_trade_volume": _q_nation_trade_volume,
         "events_new_users": _q_events_new_users,
+        "session_type_pairs": _q_session_type_pairs,
     }
 
 
@@ -5129,6 +5150,33 @@ def oracle_sql() -> dict[str, str]:
         SELECT r.suppkey, s.s_name, CAST(r.rc AS DOUBLE) / 10000.0 AS total_revenue
         FROM r JOIN supplier s ON s.s_suppkey = r.suppkey
         WHERE r.rc = (SELECT max(rc) FROM r)
+    """
+    # mirrors stages/windows.py session_type_pairs: same sessionization
+    # CTE as events_sessions, distinct (session, type), self-join pairs
+    out["session_type_pairs"] = """
+        WITH e AS (SELECT user_id, epoch_us(ts) // 1000000 AS sec,
+                          event_type, event_id
+                   FROM events),
+             f AS (SELECT *,
+                          CASE WHEN lag(sec) OVER w IS NULL THEN 1
+                               WHEN sec - lag(sec) OVER w > 1800 THEN 1
+                               ELSE 0 END AS is_new
+                   FROM e
+                   WINDOW w AS (PARTITION BY user_id
+                                ORDER BY sec, event_id)),
+             g AS (SELECT *,
+                          sum(is_new) OVER (PARTITION BY user_id
+                                            ORDER BY sec, event_id
+                                            ROWS UNBOUNDED PRECEDING)
+                            AS sid
+                   FROM f),
+             d AS (SELECT DISTINCT user_id, sid, event_type FROM g),
+             p AS (SELECT a.event_type AS type_a, b.event_type AS type_b
+                   FROM d a JOIN d b
+                     ON a.user_id = b.user_id AND a.sid = b.sid
+                    AND a.event_type < b.event_type)
+        SELECT type_a, type_b, count(*) AS n_sessions
+        FROM p GROUP BY 1, 2
     """
     # mirrors _q_events_new_users: first-seen day per user, arrivals,
     # window prefix sum

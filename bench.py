@@ -154,6 +154,7 @@ def _bench_once() -> dict:
         "chunk_overlap",
         "nation_trade_volume",
         "events_new_users",
+        "session_type_pairs",
         "conversion_metrics",
     ]
     # INTERLEAVED repetitions + medians (VERDICT r2 #1): this container's

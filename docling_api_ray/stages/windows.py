@@ -428,3 +428,72 @@ def rolling_zscore(
         .groupby("__part")
         .map_groups(fold, batch_format="pandas")
     )
+
+
+def session_type_pairs(
+    ds: ray.data.Dataset,
+    *,
+    key: str = "user_id",
+    gap_s: int = 1800,
+) -> ray.data.Dataset:
+    """Within-session event-type CO-OCCURRENCE: for every gap-based
+    session (same definition as ``session_windows``), each unordered
+    pair of DISTINCT event types present in that session counts once;
+    output (type_a, type_b, n_sessions) with ``type_a < type_b`` — the
+    market-basket / next-action-affinity primitive over event streams.
+
+    Partitioning: the same key-mod-P co-group as ``session_windows``
+    (sessions never span partitions), fully vectorized inside each
+    partition (sort + gap cumsum, one ``drop_duplicates`` to distinct
+    (session, type), one self-merge on session id for the pairs —
+    per-session type sets are tiny, so the self-merge is linear in
+    practice); the per-partition pair counts are ≤|types|² rows each,
+    and the cross-partition fold is a bounded tree
+    (``bounded_groupby_sum`` over the |types|²-bounded pair domain)."""
+    from docling_api_ray.stages.common import bounded_groupby_sum
+
+    P = _parts()
+
+    def add_part(b: pa.Table) -> pa.Table:
+        part = pc.subtract(b[key], pc.multiply(pc.divide(b[key], P), P))
+        return b.append_column("__part", pc.cast(part, pa.int64()))
+
+    pair_schema = pa.schema(
+        [
+            ("type_a", pa.string()),
+            ("type_b", pa.string()),
+            ("n", pa.int64()),
+        ]
+    )
+
+    def pairs_part(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values([key, "ts"], kind="stable")
+        keys = df[key].to_numpy()
+        sec = df["ts"].astype("int64").to_numpy() // US
+        new = np.ones(len(df), dtype=bool)
+        if len(df) > 1:
+            new[1:] = (keys[1:] != keys[:-1]) | ((sec[1:] - sec[:-1]) > gap_s)
+        sid = np.cumsum(new) - 1
+        d = pd.DataFrame(
+            {"sid": sid, "t": df["event_type"].to_numpy()}
+        ).drop_duplicates()
+        m = d.merge(d, on="sid")
+        m = m[m["t_x"] < m["t_y"]]
+        g = (
+            m.groupby(["t_x", "t_y"], sort=False)
+            .size()
+            .reset_index(name="n")
+            .rename(columns={"t_x": "type_a", "t_y": "type_b"})
+        )
+        return pa.Table.from_pandas(
+            g[pair_schema.names], schema=pair_schema, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    partials = (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(pairs_part, batch_format="pandas")
+    )
+    return bounded_groupby_sum(
+        partials, ["type_a", "type_b"], sum_cols={"n_sessions": "n"}
+    )

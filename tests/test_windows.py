@@ -175,3 +175,43 @@ def test_events_new_users_first_seen_and_cumulative(tmp_path):
         {"day_start": base + 86400, "new_users": 1, "cum_users": 2},
         {"day_start": base + 2 * 86400, "new_users": 1, "cum_users": 3},
     ]
+
+
+def test_session_type_pairs_gap_and_distinct(tmp_path):
+    import datetime as dt
+
+    import pyarrow as pa
+    import ray.data
+
+    from docling_api_ray.stages.windows import session_type_pairs
+
+    d0 = dt.datetime(2024, 1, 1)
+
+    def at(mins):
+        return d0 + dt.timedelta(minutes=mins)
+
+    # user 1 session A: types a,b,a (distinct {a,b} -> one (a,b));
+    # 31-min gap; session B: types b,c -> one (b,c)
+    # user 2 one session: type a alone -> no pairs
+    rows = [
+        (1, at(0), "a"), (1, at(5), "b"), (1, at(10), "a"),
+        (1, at(41), "b"), (1, at(50), "c"),
+        (2, at(0), "a"),
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "event_type": pa.array([r[2] for r in rows], pa.string()),
+            }
+        )
+    )
+    out = sorted(
+        session_type_pairs(ds, gap_s=1800).take_all(),
+        key=lambda r: (r["type_a"], r["type_b"]),
+    )
+    assert out == [
+        {"type_a": "a", "type_b": "b", "n_sessions": 1},
+        {"type_a": "b", "type_b": "c", "n_sessions": 1},
+    ]
