@@ -1114,6 +1114,85 @@ def _q_events_distinct_users(sf_dir: str):
     return pairs.groupby("event_type").aggregate(Count(alias_name="n_users"))
 
 
+def _q_events_retention(sf_dir: str):
+    """Cohort RETENTION matrix — for each first-seen-day cohort, how
+    many of its users were active again `offset` days later (offset 0 =
+    cohort size): the canonical growth-analytics triangle.
+
+    Scale shape: ONE user-mod-P co-group exchange of (user, day)
+    per-batch-distinct pairs — every event of a user lands in one
+    partition, so the user's first day AND distinct active days resolve
+    in-partition with a vectorized sort + first + merge (no second
+    pass, no join); per-partition output is ≤|days|² (cohort, offset)
+    partials, folded by the bounded tree."""
+    import pandas as pd
+
+    from docling_api_ray.stages.common import shuffle_partitions
+
+    P = shuffle_partitions()
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    DAY_US = 86_400_000_000
+
+    def partial(b: pa.Table) -> pa.Table:
+        uid = np.asarray(b["user_id"], dtype=np.int64)
+        day = np.asarray(pc.cast(b["ts"], pa.int64())) // DAY_US
+        df = pd.DataFrame({"u": uid, "d": day}).drop_duplicates()
+        return pa.table(
+            {
+                "u": pa.array(df["u"].to_numpy(), type=pa.int64()),
+                "d": pa.array(df["d"].to_numpy(), type=pa.int64()),
+                "__b": pa.array(
+                    df["u"].to_numpy() % P, type=pa.int64()
+                ),
+            }
+        )
+
+    pair_schema = pa.schema(
+        [("cohort_day", pa.int64()), ("day_offset", pa.int64()),
+         ("n", pa.int64())]
+    )
+
+    def fold(df: pd.DataFrame) -> pa.Table:
+        df = df.drop_duplicates(["u", "d"])
+        first = df.groupby("u", sort=False)["d"].min().rename("f")
+        m = df.join(first, on="u")
+        m["off"] = m["d"] - m["f"]
+        g = (
+            m.groupby(["f", "off"], sort=False)
+            .size()
+            .reset_index(name="n")
+            .rename(columns={"f": "cohort_day", "off": "day_offset"})
+        )
+        return pa.Table.from_pandas(
+            g[pair_schema.names], schema=pair_schema, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    agg = bounded_groupby_sum(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(fold, batch_format="pandas"),
+        ["cohort_day", "day_offset"],
+        sum_cols={"n_users": "n"},
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cohort_day": pc.multiply(b["cohort_day"], 86400),
+                "day_offset": b["day_offset"],
+                "n_users": b["n_users"],
+            }
+        )
+
+    return _with_schema(
+        agg.map_batches(finalize, batch_format="pyarrow"),
+        pa.schema(
+            [("cohort_day", pa.int64()), ("day_offset", pa.int64()),
+             ("n_users", pa.int64())]
+        ),
+    )
+
+
 def _q_session_type_pairs(sf_dir: str):
     """Within-session event-type co-occurrence counts
     (stages/windows.py session_type_pairs): gap-sessionize per user
@@ -3136,6 +3215,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_trade_volume": _q_nation_trade_volume,
         "events_new_users": _q_events_new_users,
         "session_type_pairs": _q_session_type_pairs,
+        "events_retention": _q_events_retention,
     }
 
 
@@ -5150,6 +5230,19 @@ def oracle_sql() -> dict[str, str]:
         SELECT r.suppkey, s.s_name, CAST(r.rc AS DOUBLE) / 10000.0 AS total_revenue
         FROM r JOIN supplier s ON s.s_suppkey = r.suppkey
         WHERE r.rc = (SELECT max(rc) FROM r)
+    """
+    # mirrors _q_events_retention: first-seen day per user, distinct
+    # active days, (cohort, offset) counts
+    out["events_retention"] = """
+        WITH d AS (SELECT DISTINCT user_id,
+                          epoch_us(ts) // 86400000000 AS d
+                   FROM events),
+             f AS (SELECT user_id, min(d) AS fd FROM d GROUP BY 1)
+        SELECT CAST(f.fd * 86400 AS BIGINT) AS cohort_day,
+               CAST(d.d - f.fd AS BIGINT) AS day_offset,
+               count(*) AS n_users
+        FROM d JOIN f USING (user_id)
+        GROUP BY 1, 2
     """
     # mirrors stages/windows.py session_type_pairs: same sessionization
     # CTE as events_sessions, distinct (session, type), self-join pairs

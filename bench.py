@@ -155,6 +155,7 @@ def _bench_once() -> dict:
         "nation_trade_volume",
         "events_new_users",
         "session_type_pairs",
+        "events_retention",
         "conversion_metrics",
     ]
     # INTERLEAVED repetitions + medians (VERDICT r2 #1): this container's

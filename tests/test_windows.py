@@ -215,3 +215,46 @@ def test_session_type_pairs_gap_and_distinct(tmp_path):
         {"type_a": "a", "type_b": "b", "n_sessions": 1},
         {"type_a": "b", "type_b": "c", "n_sessions": 1},
     ]
+
+
+def test_events_retention_cohort_offsets(tmp_path):
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from __ray_entry__ import _q_events_retention
+
+    d0 = dt.datetime(2024, 1, 1)
+
+    def at(day):
+        return d0 + dt.timedelta(days=day, hours=3)
+
+    # user 1: days 0,2 (cohort 0: offsets 0 and 2; two events on day 0
+    # count once); user 2: day 0 only; user 3: days 1,2 (cohort 1)
+    rows = [(1, at(0)), (1, at(0)), (1, at(2)), (2, at(0)),
+            (3, at(1)), (3, at(2))]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(len(rows)), pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "event_type": pa.array(["c"] * len(rows), pa.string()),
+                "value": pa.array([0.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        ),
+        f"{tmp_path}/events.parquet",
+    )
+    out = sorted(
+        _q_events_retention(str(tmp_path)).take_all(),
+        key=lambda r: (r["cohort_day"], r["day_offset"]),
+    )
+    base = int(d0.timestamp())
+    assert out == [
+        {"cohort_day": base, "day_offset": 0, "n_users": 2},
+        {"cohort_day": base, "day_offset": 2, "n_users": 1},
+        {"cohort_day": base + 86400, "day_offset": 0, "n_users": 1},
+        {"cohort_day": base + 86400, "day_offset": 1, "n_users": 1},
+    ]
