@@ -3104,6 +3104,420 @@ def _q_knn_pq(sf_dir: str):
     ).select_columns(["query_id", "vec_id", "adc", "rank"])
 
 
+_Q10_START = "1996-01-01"
+_Q10_END = "1996-07-01"
+
+
+def _q_returned_top_customers(sf_dir: str):
+    """TPC-H Q10 shape — returned-item revenue report: which customers
+    returned the most merchandise in a half-year window.  lineitem
+    (l_returnflag='R') pre-reduces per batch to exact int64
+    (orderkey, rev_c); orders prune to the date window and project
+    (orderkey, custkey); ONE bucketed hash join on orderkey, then a
+    per-customer revenue sum via a second co-group exchange.
+
+    Scale shape: the top-20 head folds with the two-level bounded-head
+    pattern (per-block head → one 20·blocks-row block → final head), so
+    only 20·P rows ever concentrate; the customer/nation NAME columns
+    join AFTER the head — 20 keys, read driver-side with a pruned scan —
+    so the wide dimension tables never enter an exchange (the docling
+    analog of join-narrow-first; reference has no joins, SURVEY §2.4)."""
+    from docling_api_ray.stages.joins import hash_join
+
+    from datetime import datetime
+
+    lo = pa.scalar(datetime.fromisoformat(_Q10_START), type=pa.timestamp("us"))
+    hi = pa.scalar(datetime.fromisoformat(_Q10_END), type=pa.timestamp("us"))
+
+    def li_prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["l_returnflag"], "R"))
+        ec = np.rint(np.asarray(b["l_extendedprice"]) * 100).astype(np.int64)
+        dk = np.rint(np.asarray(b["l_discount"]) * 100).astype(np.int64)
+        return pa.table(
+            {
+                "orderkey": pc.cast(b["l_orderkey"], pa.int64()),
+                "rev_c": pa.array(ec * (100 - dk), type=pa.int64()),
+            }
+        )
+
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    ).map_batches(li_prep, batch_format="pyarrow")
+
+    def o_prep(b: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(b["o_orderdate"], lo), pc.less(b["o_orderdate"], hi)
+        )
+        b = b.filter(keep)
+        return pa.table(
+            {
+                "orderkey": pc.cast(b["o_orderkey"], pa.int64()),
+                "custkey": pc.cast(b["o_custkey"], pa.int64()),
+            }
+        )
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(o_prep, batch_format="pyarrow")
+
+    joined = hash_join(
+        li, orders, on="orderkey",
+        schemas=(
+            pa.schema([("orderkey", pa.int64()), ("rev_c", pa.int64())]),
+            pa.schema([("orderkey", pa.int64()), ("custkey", pa.int64())]),
+        ),
+    )
+
+    per_cust = (
+        coalesce_for_shuffle(joined.select_columns(["custkey", "rev_c"]))
+        .groupby("custkey")
+        .aggregate(Sum("rev_c", alias_name="rev_c"))
+    )
+
+    head_schema = pa.schema([("custkey", pa.int64()), ("rev_c", pa.int64())])
+
+    def head(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().sort_values(
+            ["rev_c", "custkey"], ascending=[False, True], kind="stable"
+        ).head(20)
+        return pa.Table.from_pandas(df, preserve_index=False).cast(head_schema)
+
+    top = (
+        per_cust.map_batches(head, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(head, batch_format="pyarrow", batch_size=None)
+        .take_all()  # ≤20 rows by the head bound
+    )
+    ckeys = np.sort(np.array([r["custkey"] for r in top], dtype=np.int64))
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name", "c_nationkey"],
+        filters=[("c_custkey", "in", ckeys.tolist())] if len(ckeys) else None,
+    )
+    ntbl = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    )
+    cmap = {
+        int(k): (nm, int(nk))
+        for k, nm, nk in zip(
+            cust["c_custkey"].to_pylist(),
+            cust["c_name"].to_pylist(),
+            cust["c_nationkey"].to_pylist(),
+        )
+    }
+    nmap = {
+        int(k): v
+        for k, v in zip(
+            ntbl["n_nationkey"].to_pylist(), ntbl["n_name"].to_pylist()
+        )
+    }
+    return pa.table(
+        {
+            "custkey": pa.array([int(r["custkey"]) for r in top], pa.int64()),
+            "c_name": pa.array(
+                [cmap[int(r["custkey"])][0] for r in top], pa.string()
+            ),
+            "n_name": pa.array(
+                [nmap[cmap[int(r["custkey"])][1]] for r in top], pa.string()
+            ),
+            "revenue": pa.array(
+                [int(r["rev_c"]) / 10000.0 for r in top], pa.float64()
+            ),
+        }
+    )
+
+
+_Q14_YEAR = 1996
+
+
+def _q_promo_revenue_share(sf_dir: str):
+    """TPC-H Q14 shape — promotion revenue share per month: the
+    canonical broadcast-join + conditional aggregate.  The part table
+    projects to a partkey→is_promo BITMAP (sorted key array + boolean
+    array, ~1 byte/part) put in the object store ONCE and looked up per
+    batch with np.searchsorted — no shuffle touches the fact table.
+    Escape hatch at 100 TB: if part outgrows worker heaps the lookup
+    becomes the bucketed ``hash_join`` on partkey (stages/joins.py).
+    Monthly sums are exact int64 cents through the bounded (≤12-row)
+    tree fold; the single division happens driver-side on the folded
+    rows."""
+    from datetime import datetime
+
+    lo = pa.scalar(datetime(_Q14_YEAR, 1, 1), type=pa.timestamp("us"))
+    hi = pa.scalar(datetime(_Q14_YEAR + 1, 1, 1), type=pa.timestamp("us"))
+    ptbl = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_type"]
+    )
+    pk = np.asarray(ptbl["p_partkey"], dtype=np.int64)
+    order = np.argsort(pk, kind="stable")
+    # value-captured closure state (sorted keys + promo bitmap, ~9
+    # bytes/part): serialized once per task — see the clustering.py
+    # value-capture note (closure ObjectRefs under rapid job submission
+    # tripped Ray 2.49's driver ref counter).  Scale escape: hash_join
+    # on partkey when part outgrows task closures.
+    part_keys = pk[order]
+    part_promo = (np.asarray(ptbl["p_type"]) == "PROMO")[order]
+
+    def li_prep(b: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(b["l_shipdate"], lo), pc.less(b["l_shipdate"], hi)
+        )
+        b = b.filter(keep)
+        ec = np.rint(np.asarray(b["l_extendedprice"]) * 100).astype(np.int64)
+        dk = np.rint(np.asarray(b["l_discount"]) * 100).astype(np.int64)
+        rev = ec * (100 - dk)
+        idx = np.searchsorted(
+            part_keys, np.asarray(b["l_partkey"], dtype=np.int64)
+        )
+        idx = np.clip(idx, 0, max(len(part_keys) - 1, 0))
+        is_promo = (
+            part_promo[idx] if len(part_keys) else np.zeros(len(b), dtype=bool)
+        )
+        return pa.table(
+            {
+                "month": pc.cast(pc.month(b["l_shipdate"]), pa.int64()),
+                "rev_c": pa.array(rev, type=pa.int64()),
+                "promo_c": pa.array(
+                    np.where(is_promo, rev, 0), type=pa.int64()
+                ),
+            }
+        )
+
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    ).map_batches(li_prep, batch_format="pyarrow")
+
+    folded = bounded_groupby_sum(
+        li, ["month"], sum_cols={"rev_c": "rev_c", "promo_c": "promo_c"}
+    ).take_all()  # ≤12 rows — month-bounded
+    folded.sort(key=lambda r: int(r["month"]))
+    share = [
+        round(100.0 * int(r["promo_c"]) / int(r["rev_c"]), 6)
+        if int(r["rev_c"])
+        else 0.0
+        for r in folded
+    ]
+    return pa.table(
+        {
+            "month": pa.array([int(r["month"]) for r in folded], pa.int64()),
+            "promo_share": pa.array(share, pa.float64()),
+        }
+    )
+
+
+def _q_supplier_part_counts(sf_dir: str):
+    """TPC-H Q16 shape — how many distinct suppliers can supply each
+    (brand, type, size) bucket, excluding a brand and a bad-supplier
+    set.  The synthetic schema has no partsupp table; the observed
+    (l_partkey, l_suppkey) pairs in lineitem play its role (SURVEY has
+    no join ops; this exercises anti-set + distinct-count composition).
+
+    Scale shape: the bad-supplier set (s_acctbal < 0) is a bounded id
+    array broadcast once (np.isin per batch); lineitem pre-distincts
+    (partkey, suppkey) per batch, then ONE co-group exchange on partkey
+    both distincts the pair globally AND joins the part attributes
+    (hash_join on partkey); the distinct supplier count per bucket is
+    the two-grouped-aggregates pattern (events_distinct_users) — never
+    a count(distinct) over raw rows."""
+    from docling_api_ray.stages.joins import hash_join
+
+    stbl = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_acctbal"],
+    )
+    # bad-supplier id set: bounded, value-captured (clustering.py note)
+    bad = np.sort(
+        np.asarray(stbl["s_suppkey"], dtype=np.int64)[
+            np.asarray(stbl["s_acctbal"]) < 0.0
+        ]
+    )
+
+    def li_prep(b: pa.Table) -> pa.Table:
+        pk = np.asarray(b["l_partkey"], dtype=np.int64)
+        sk = np.asarray(b["l_suppkey"], dtype=np.int64)
+        keep = ~np.isin(sk, bad)
+        pairs = np.unique(
+            np.stack([pk[keep], sk[keep]], axis=1), axis=0
+        )
+        return pa.table(
+            {
+                "partkey": pa.array(pairs[:, 0], pa.int64()),
+                "suppkey": pa.array(pairs[:, 1], pa.int64()),
+            }
+        )
+
+    pairs = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"]).map_batches(
+        li_prep, batch_format="pyarrow"
+    )
+
+    def p_prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.invert(pc.equal(b["p_brand"], "Brand#1")))
+        return pa.table(
+            {
+                "partkey": pc.cast(b["p_partkey"], pa.int64()),
+                "p_brand": b["p_brand"],
+                "p_type": b["p_type"],
+                "p_size": pc.cast(b["p_size"], pa.int64()),
+            }
+        )
+
+    part = _read(
+        sf_dir, "part", ["p_partkey", "p_brand", "p_type", "p_size"]
+    ).map_batches(p_prep, batch_format="pyarrow")
+
+    joined = hash_join(
+        pairs, part, on="partkey",
+        schemas=(
+            pa.schema([("partkey", pa.int64()), ("suppkey", pa.int64())]),
+            pa.schema(
+                [
+                    ("partkey", pa.int64()),
+                    ("p_brand", pa.string()),
+                    ("p_type", pa.string()),
+                    ("p_size", pa.int64()),
+                ]
+            ),
+        ),
+    )
+
+    # distinct-count tail: ONE int-keyed co-group instead of two chained
+    # multi-string-column groupbys (measured 75 s → ~2 s at sf0.01/8cpu:
+    # Ray's sort shuffle on wide string keys dominates).  Bucket =
+    # hash(brand,type,size) mod P, so every row of a (b,t,s) bucket
+    # lands in one group and the fold is an exact vectorized
+    # drop_duplicates + nunique; P bounds group count, attrs disambiguate
+    # collisions inside the fold.
+    import pandas as pd
+
+    from docling_api_ray.functions.hashing import u64_md5
+
+    P = 64
+    out_schema = pa.schema(
+        [
+            ("p_brand", pa.string()),
+            ("p_type", pa.string()),
+            ("p_size", pa.int64()),
+            ("supplier_cnt", pa.int64()),
+        ]
+    )
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        key = [
+            f"{br}|{ty}|{sz}"
+            for br, ty, sz in zip(
+                b["p_brand"].to_pylist(),
+                b["p_type"].to_pylist(),
+                b["p_size"].to_pylist(),
+            )
+        ]
+        h = u64_md5(key) % P
+        # hash_join emits pandas blocks; their arrow conversion carries a
+        # pandas-metadata dict that breaks Ray's schema hashing in the
+        # shuffle reduce — strip it before the groupby
+        return b.append_column(
+            "__b", pa.array(h.astype(np.int64))
+        ).replace_schema_metadata(None)
+
+    def fold(df: "pd.DataFrame") -> pa.Table:
+        d = df[["p_brand", "p_type", "p_size", "suppkey"]].drop_duplicates()
+        g = (
+            d.groupby(["p_brand", "p_type", "p_size"], sort=False)["suppkey"]
+            .nunique()
+            .reset_index(name="supplier_cnt")
+        )
+        return pa.Table.from_pandas(
+            g, preserve_index=False
+        ).cast(out_schema).replace_schema_metadata(None)
+
+    return _with_schema(
+        joined.select_columns(["p_brand", "p_type", "p_size", "suppkey"])
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(fold, batch_format="pandas"),
+        out_schema,
+    )
+
+
+_Q19_BANDS = (
+    ("Brand#5", 5, 1, 11),
+    ("Brand#14", 10, 10, 20),
+    ("Brand#20", 15, 20, 30),
+)
+
+
+def _q_quantity_band_revenue(sf_dir: str):
+    """TPC-H Q19 shape — OR-of-ANDs predicate revenue: three
+    (brand, max-size, quantity-band) disjuncts evaluated against a
+    broadcast part attribute table.  part projects to parallel sorted
+    arrays (key, brand-code int8, size int8) put ONCE; each lineitem
+    batch resolves its partkeys with one np.searchsorted and evaluates
+    the whole disjunction vectorized — the predicate never becomes a
+    join.  The global sum is exact int64 cents through a single
+    bounded fold row."""
+    ptbl = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_brand", "p_size"],
+    )
+    pk = np.asarray(ptbl["p_partkey"], dtype=np.int64)
+    order = np.argsort(pk, kind="stable")
+    brands = np.asarray(ptbl["p_brand"])[order]
+    brand_code = np.full(len(brands), -1, dtype=np.int8)
+    for i, (b_name, _, _, _) in enumerate(_Q19_BANDS):
+        brand_code[brands == b_name] = i
+    # value-captured lookup arrays (~11 bytes/part; clustering.py note)
+    part_keys = pk[order]
+    part_code = brand_code
+    part_size = np.asarray(ptbl["p_size"], dtype=np.int16)[order]
+
+    def li_prep(b: pa.Table) -> pa.Table:
+        idx = np.clip(
+            np.searchsorted(
+                part_keys, np.asarray(b["l_partkey"], dtype=np.int64)
+            ),
+            0,
+            max(len(part_keys) - 1, 0),
+        )
+        code = part_code[idx]
+        size = part_size[idx]
+        qty = np.asarray(b["l_quantity"])
+        keep = np.zeros(len(b), dtype=bool)
+        for i, (_, max_size, qlo, qhi) in enumerate(_Q19_BANDS):
+            keep |= (
+                (code == i)
+                & (size >= 1)
+                & (size <= max_size)
+                & (qty >= qlo)
+                & (qty <= qhi)
+            )
+        ec = np.rint(np.asarray(b["l_extendedprice"]) * 100).astype(np.int64)
+        dk = np.rint(np.asarray(b["l_discount"]) * 100).astype(np.int64)
+        return pa.table(
+            {
+                "one": pa.array(np.ones(int(keep.sum()), dtype=np.int64)),
+                "rev_c": pa.array((ec * (100 - dk))[keep], type=pa.int64()),
+            }
+        )
+
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    ).map_batches(li_prep, batch_format="pyarrow")
+    rows = bounded_groupby_sum(
+        li, ["one"], sum_cols={"rev_c": "rev_c"}, count_alias="n_items"
+    ).take_all()  # exactly ≤1 row
+    rev_c = int(rows[0]["rev_c"]) if rows else 0
+    n = int(rows[0]["n_items"]) if rows else 0
+    return pa.table(
+        {
+            "revenue": pa.array([rev_c / 10000.0], pa.float64()),
+            "n_items": pa.array([n], pa.int64()),
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "classify_format": _q_classify,
@@ -3216,6 +3630,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_new_users": _q_events_new_users,
         "session_type_pairs": _q_session_type_pairs,
         "events_retention": _q_events_retention,
+        "returned_top_customers": _q_returned_top_customers,
+        "promo_revenue_share": _q_promo_revenue_share,
+        "supplier_part_counts": _q_supplier_part_counts,
+        "quantity_band_revenue": _q_quantity_band_revenue,
     }
 
 
@@ -5333,5 +5751,83 @@ def oracle_sql() -> dict[str, str]:
         FROM bf b LEFT JOIN iv i
           ON i.query_id = b.query_id AND i.vec_id = b.vec_id
         GROUP BY 1
+    """
+    # mirrors _q_returned_top_customers: exact int64 cents revenue
+    # ec·(100−dk), (rev desc, custkey asc) top-20, names joined after
+    out["returned_top_customers"] = f"""
+        WITH li AS (
+          SELECT l_orderkey AS orderkey,
+                 CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_c
+          FROM lineitem WHERE l_returnflag = 'R'
+        ),
+        o AS (
+          SELECT o_orderkey AS orderkey, o_custkey AS custkey
+          FROM orders
+          WHERE o_orderdate >= TIMESTAMP '{_Q10_START}'
+            AND o_orderdate <  TIMESTAMP '{_Q10_END}'
+        ),
+        g AS (
+          SELECT custkey, sum(rev_c) AS rev_c
+          FROM li JOIN o ON li.orderkey = o.orderkey
+          GROUP BY custkey
+        ),
+        top AS (
+          SELECT custkey, rev_c FROM g
+          ORDER BY rev_c DESC, custkey ASC LIMIT 20
+        )
+        SELECT t.custkey, c.c_name, n.n_name,
+               CAST(t.rev_c AS DOUBLE) / 10000.0 AS revenue
+        FROM top t
+        JOIN customer c ON c.c_custkey = t.custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+    """
+    # mirrors _q_promo_revenue_share: int64-exact monthly sums, one
+    # division per month row, round to 6dp like the Ray side
+    out["promo_revenue_share"] = f"""
+        WITH li AS (
+          SELECT CAST(month(l_shipdate) AS BIGINT) AS month,
+                 CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_c,
+                 (p_type = 'PROMO') AS is_promo
+          FROM lineitem JOIN part ON p_partkey = l_partkey
+          WHERE l_shipdate >= TIMESTAMP '{_Q14_YEAR}-01-01'
+            AND l_shipdate <  TIMESTAMP '{_Q14_YEAR + 1}-01-01'
+        )
+        SELECT month,
+               round(100.0 * sum(CASE WHEN is_promo THEN rev_c ELSE 0 END)
+                     / sum(rev_c), 6) AS promo_share
+        FROM li GROUP BY month
+    """
+    # mirrors _q_supplier_part_counts: same bad-supplier anti-set,
+    # brand exclusion, distinct-pair count per bucket
+    out["supplier_part_counts"] = """
+        WITH bad AS (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0),
+        pairs AS (
+          SELECT DISTINCT l_partkey AS partkey, l_suppkey AS suppkey
+          FROM lineitem WHERE l_suppkey NOT IN (SELECT s_suppkey FROM bad)
+        )
+        SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+               CAST(count(DISTINCT suppkey) AS BIGINT) AS supplier_cnt
+        FROM pairs JOIN part ON p_partkey = partkey
+        WHERE p_brand <> 'Brand#1'
+        GROUP BY 1, 2, 3
+    """
+    # mirrors _q_quantity_band_revenue: the same three OR-of-ANDs bands
+    bands_sql = " OR ".join(
+        f"(p_brand = '{b}' AND p_size BETWEEN 1 AND {ms}"
+        f" AND l_quantity BETWEEN {ql} AND {qh})"
+        for b, ms, ql, qh in _Q19_BANDS
+    )
+    out["quantity_band_revenue"] = f"""
+        WITH li AS (
+          SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_c
+          FROM lineitem JOIN part ON p_partkey = l_partkey
+          WHERE {bands_sql}
+        )
+        SELECT CAST(coalesce(sum(rev_c), 0) AS DOUBLE) / 10000.0 AS revenue,
+               CAST(count(*) AS BIGINT) AS n_items
+        FROM li
     """
     return out
