@@ -3104,6 +3104,40 @@ def _q_knn_pq(sf_dir: str):
     ).select_columns(["query_id", "vec_id", "adc", "rank"])
 
 
+def _q_session_transitions(sf_dir: str):
+    """Markov next-event transition matrix over gap sessions
+    (stages/windows.py session_transitions) — ordered adjacency, the
+    directional counterpart of session_type_pairs' co-occurrence."""
+    from docling_api_ray.stages.windows import session_transitions
+
+    return session_transitions(
+        _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"]),
+        gap_s=1800,
+    )
+
+
+def _q_user_top_event(sf_dir: str):
+    """Mode per group (stages/windows.py top_event_per_user): each
+    user's most frequent event type, ties to the smallest type."""
+    from docling_api_ray.stages.windows import top_event_per_user
+
+    return top_event_per_user(_read(sf_dir, "events", ["user_id", "event_type"]))
+
+
+_WAU_DAYS = 7
+
+
+def _q_events_wau(sf_dir: str):
+    """Trailing 7-day distinct active users per observed day
+    (stages/windows.py rolling_active_users) — the sliding-DISTINCT
+    aggregate that plain windowed sums cannot express."""
+    from docling_api_ray.stages.windows import rolling_active_users
+
+    return rolling_active_users(
+        _read(sf_dir, "events", ["user_id", "ts"]), window_days=_WAU_DAYS
+    )
+
+
 _Q10_START = "1996-01-01"
 _Q10_END = "1996-07-01"
 
@@ -3634,6 +3668,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "promo_revenue_share": _q_promo_revenue_share,
         "supplier_part_counts": _q_supplier_part_counts,
         "quantity_band_revenue": _q_quantity_band_revenue,
+        "session_transitions": _q_session_transitions,
+        "user_top_event": _q_user_top_event,
+        "events_wau": _q_events_wau,
     }
 
 
@@ -5829,5 +5866,47 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(coalesce(sum(rev_c), 0) AS DOUBLE) / 10000.0 AS revenue,
                CAST(count(*) AS BIGINT) AS n_items
         FROM li
+    """
+    # mirrors stages/windows.py session_transitions: lag over the same
+    # (sec, event_id) order; is_new=0 ⟺ same user AND gap ≤ 1800
+    out["session_transitions"] = """
+        WITH e AS (SELECT user_id, epoch_us(ts) // 1000000 AS sec,
+                          event_type, event_id
+                   FROM events),
+             f AS (SELECT event_type,
+                          lag(event_type) OVER w AS from_type,
+                          CASE WHEN lag(sec) OVER w IS NULL THEN 1
+                               WHEN sec - lag(sec) OVER w > 1800 THEN 1
+                               ELSE 0 END AS is_new
+                   FROM e
+                   WINDOW w AS (PARTITION BY user_id
+                                ORDER BY sec, event_id))
+        SELECT from_type, event_type AS to_type,
+               CAST(count(*) AS BIGINT) AS n_trans
+        FROM f WHERE is_new = 0 GROUP BY 1, 2
+    """
+    # mirrors stages/windows.py top_event_per_user: (n desc, type asc)
+    # argmax per user
+    out["user_top_event"] = """
+        WITH c AS (SELECT user_id, event_type, count(*) AS n
+                   FROM events GROUP BY 1, 2)
+        SELECT user_id, event_type AS top_type, CAST(n AS BIGINT) AS n
+        FROM c
+        QUALIFY row_number() OVER (PARTITION BY user_id
+                                   ORDER BY n DESC, event_type ASC) = 1
+    """
+    # mirrors stages/windows.py rolling_active_users: observed days only,
+    # trailing [d-(w-1), d] distinct users
+    out["events_wau"] = f"""
+        WITH ud AS (SELECT DISTINCT user_id,
+                           epoch_us(ts) // 86400000000 AS day
+                    FROM events),
+             days AS (SELECT DISTINCT day FROM ud),
+             w AS (SELECT d.day, u.user_id
+                   FROM days d JOIN ud u
+                     ON u.day BETWEEN d.day - {_WAU_DAYS - 1} AND d.day)
+        SELECT CAST(day * 86400 AS BIGINT) AS day_start,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
+        FROM w GROUP BY 1
     """
     return out

@@ -497,3 +497,233 @@ def session_type_pairs(
     return bounded_groupby_sum(
         partials, ["type_a", "type_b"], sum_cols={"n_sessions": "n"}
     )
+
+
+def session_transitions(
+    ds: ray.data.Dataset,
+    *,
+    key: str = "user_id",
+    gap_s: int = 1800,
+) -> ray.data.Dataset:
+    """Ordered next-event TRANSITIONS within sessions — the Markov-chain
+    counterpart of ``session_type_pairs``: for consecutive events of the
+    same session (ordered by (second, event_id), matching the SQL
+    ``lag() OVER (ORDER BY sec, event_id)`` discipline), count each
+    (from_type, to_type) adjacency; output (from_type, to_type, n_trans).
+
+    Partitioning: the same key-mod-P co-group (sessions never span
+    partitions); inside a partition the adjacency extraction is one
+    sort + two shifted array compares — no per-user python.  The
+    transition matrix is ≤|types|² rows, so the cross-partition fold is
+    the bounded tree (``bounded_groupby_sum``)."""
+    from docling_api_ray.stages.common import bounded_groupby_sum
+
+    P = _parts()
+
+    def add_part(b: pa.Table) -> pa.Table:
+        part = pc.subtract(b[key], pc.multiply(pc.divide(b[key], P), P))
+        return b.append_column("__part", pc.cast(part, pa.int64()))
+
+    t_schema = pa.schema(
+        [
+            ("from_type", pa.string()),
+            ("to_type", pa.string()),
+            ("n", pa.int64()),
+        ]
+    )
+
+    def trans_part(df: pd.DataFrame) -> pa.Table:
+        sec = df["ts"].astype("int64").to_numpy() // US
+        df = (
+            df.assign(__sec=sec)
+            .sort_values([key, "__sec", "event_id"], kind="stable")
+        )
+        keys = df[key].to_numpy()
+        sec = df["__sec"].to_numpy()
+        types = df["event_type"].to_numpy()
+        if len(df) < 2:
+            return t_schema.empty_table()
+        same_session = (keys[1:] == keys[:-1]) & (
+            (sec[1:] - sec[:-1]) <= gap_s
+        )
+        g = (
+            pd.DataFrame(
+                {
+                    "from_type": types[:-1][same_session],
+                    "to_type": types[1:][same_session],
+                }
+            )
+            .groupby(["from_type", "to_type"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.Table.from_pandas(
+            g[["from_type", "to_type", "n"]], preserve_index=False
+        ).cast(t_schema).replace_schema_metadata(None)
+
+    partials = (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(trans_part, batch_format="pandas")
+    )
+    return bounded_groupby_sum(
+        partials, ["from_type", "to_type"], sum_cols={"n_trans": "n"}
+    )
+
+
+def top_event_per_user(
+    ds: ray.data.Dataset,
+    *,
+    key: str = "user_id",
+) -> ray.data.Dataset:
+    """Mode per group — each user's most frequent event type (ties break
+    to the lexicographically smallest type): the per-entity dominant-
+    category primitive (dominant language per domain, majority label per
+    cluster, ...).
+
+    Scale shape: per-batch PARTIAL (user, type, n) counts shrink the
+    exchange to distinct-pair volume; ONE key-mod-P co-group then folds
+    exact counts and takes the per-user argmax vectorized (sort by
+    (user, n desc, type asc) + first-row-per-user mask — no per-user
+    python).  Output is one row per user — corpus-proportional like any
+    grouped result, but never concentrated: each partition emits only
+    its own users."""
+    P = _parts()
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {key: pc.cast(b[key], pa.int64()), "event_type": b["event_type"]}
+        )
+        g = t.group_by([key, "event_type"]).aggregate([([], "count_all")])
+        g = g.rename_columns([key, "event_type", "n"])
+        part = pc.subtract(
+            g[key], pc.multiply(pc.divide(g[key], P), P)
+        )
+        return g.append_column("__part", pc.cast(part, pa.int64()))
+
+    out_schema = pa.schema(
+        [
+            (key, pa.int64()),
+            ("top_type", pa.string()),
+            ("n", pa.int64()),
+        ]
+    )
+
+    def argmax_part(df: pd.DataFrame) -> pa.Table:
+        g = (
+            df.groupby([key, "event_type"], sort=False)["n"]
+            .sum()
+            .reset_index()
+        )
+        g = g.sort_values(
+            [key, "n", "event_type"],
+            ascending=[True, False, True],
+            kind="stable",
+        )
+        first = g.drop_duplicates(subset=[key], keep="first")
+        first = first.rename(columns={"event_type": "top_type"})
+        return pa.Table.from_pandas(
+            first[[key, "top_type", "n"]], preserve_index=False
+        ).cast(out_schema).replace_schema_metadata(None)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(argmax_part, batch_format="pandas")
+    )
+
+
+def rolling_active_users(
+    ds: ray.data.Dataset,
+    *,
+    key: str = "user_id",
+    window_days: int = 7,
+) -> ray.data.Dataset:
+    """Trailing-window distinct actives (WAU for ``window_days=7``): for
+    every OBSERVED activity day d, the number of distinct users active
+    in [d−(w−1), d] — the sliding-distinct aggregate, which no plain
+    grouped aggregate expresses because distinct does not decompose
+    across overlapping windows.
+
+    Scale shape: per-batch distinct (user, day) pairs first (activity
+    compresses to user·day granularity before anything explodes); each
+    pair then fans out to the ≤w report days it covers — the classic
+    explode-to-window trick bounded by w, not the corpus; ONE
+    (day-mod-P) co-group distincts (report_day, user) exactly and
+    counts per day.  The observed-day set is TIME-bounded (days, not
+    corpus rows) — folded once via a bounded grouped count and
+    value-captured into the fan-out filter."""
+    from docling_api_ray.stages.common import bounded_groupby_sum
+
+    day_us = 86_400 * US
+
+    def day_pairs(b: pa.Table) -> pa.Table:
+        day = (
+            pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+            // day_us
+        )
+        uid = pc.cast(b[key], pa.int64()).to_numpy(zero_copy_only=False)
+        pairs = np.unique(np.stack([uid, day], axis=1), axis=0)
+        return pa.table(
+            {
+                key: pa.array(pairs[:, 0], pa.int64()),
+                "day": pa.array(pairs[:, 1], pa.int64()),
+            }
+        )
+
+    pairs = ds.map_batches(day_pairs, batch_format="pyarrow")
+    # observed-day set: bounded by the time range — fold + value-capture
+    observed = np.sort(
+        np.array(
+            [
+                r["day"]
+                for r in bounded_groupby_sum(
+                    pairs.select_columns(["day"]), ["day"], count_alias="n"
+                ).take_all()
+            ],
+            dtype=np.int64,
+        )
+    )
+
+    P = _parts()
+
+    def fan_out(b: pa.Table) -> pa.Table:
+        uid = np.asarray(b[key], dtype=np.int64)
+        day = np.asarray(b["day"], dtype=np.int64)
+        u = np.repeat(uid, window_days)
+        d = (
+            np.repeat(day, window_days)
+            + np.tile(np.arange(window_days, dtype=np.int64), len(day))
+        )
+        keep = np.isin(d, observed)
+        u, d = u[keep], d[keep]
+        part = d % P
+        return pa.table(
+            {
+                key: pa.array(u, pa.int64()),
+                "report_day": pa.array(d, pa.int64()),
+                "__part": pa.array(part, pa.int64()),
+            }
+        )
+
+    out_schema = pa.schema(
+        [("day_start", pa.int64()), ("active_users", pa.int64())]
+    )
+
+    def count_part(df: pd.DataFrame) -> pa.Table:
+        d = df[["report_day", key]].drop_duplicates()
+        g = (
+            d.groupby("report_day", sort=False)[key]
+            .nunique()
+            .reset_index(name="active_users")
+        )
+        g["day_start"] = g["report_day"] * 86_400
+        return pa.Table.from_pandas(
+            g[["day_start", "active_users"]], preserve_index=False
+        ).cast(out_schema).replace_schema_metadata(None)
+
+    return (
+        pairs.map_batches(fan_out, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(count_part, batch_format="pandas")
+    )

@@ -258,3 +258,110 @@ def test_events_retention_cohort_offsets(tmp_path):
         {"cohort_day": base + 86400, "day_offset": 0, "n_users": 1},
         {"cohort_day": base + 86400, "day_offset": 1, "n_users": 1},
     ]
+
+
+def test_session_transitions_gap_order_and_ties(tmp_path):
+    import datetime as dt
+
+    import pyarrow as pa
+    import ray.data
+
+    from docling_api_ray.stages.windows import session_transitions
+
+    d0 = dt.datetime(2024, 1, 1)
+
+    def at(secs):
+        return d0 + dt.timedelta(seconds=secs)
+
+    # user 1: a->b (gap 1800 = SAME session, boundary inclusive),
+    #         b->c dropped (gap 1801 = new session), then c->a;
+    # same-second pair ordered by event_id: (5,a)=id4 then (5,b)=id5
+    # user 2: single event, no transitions
+    rows = [
+        (1, 1, at(0), "a"),
+        (2, 1, at(1800), "b"),
+        (3, 1, at(3601), "c"),
+        (4, 1, at(3606), "a"),
+        (5, 2, at(0), "z"),
+        (6, 3, at(5), "a"),
+        (7, 3, at(5), "b"),
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "user_id": pa.array([r[1] for r in rows], pa.int64()),
+                "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+            }
+        )
+    )
+    out = sorted(
+        session_transitions(ds, gap_s=1800).take_all(),
+        key=lambda r: (r["from_type"], r["to_type"]),
+    )
+    assert out == [
+        {"from_type": "a", "to_type": "b", "n_trans": 2},
+        {"from_type": "c", "to_type": "a", "n_trans": 1},
+    ]
+
+
+def test_top_event_per_user_tie_to_smallest_type():
+    import pyarrow as pa
+    import ray.data
+
+    from docling_api_ray.stages.windows import top_event_per_user
+
+    # user 1: b x2, a x2 (tie -> 'a'); user 2: c x1
+    t = pa.table(
+        {
+            "user_id": pa.array([1, 1, 1, 1, 2], pa.int64()),
+            "event_type": pa.array(["b", "a", "b", "a", "c"], pa.string()),
+        }
+    )
+    # two single-row-ish blocks so partial counts must fold across batches
+    ds = ray.data.from_arrow(t).repartition(3)
+    out = sorted(
+        top_event_per_user(ds).take_all(), key=lambda r: r["user_id"]
+    )
+    assert out == [
+        {"user_id": 1, "top_type": "a", "n": 2},
+        {"user_id": 2, "top_type": "c", "n": 1},
+    ]
+
+
+def test_rolling_active_users_window_and_observed_days():
+    import datetime as dt
+
+    import pyarrow as pa
+    import ray.data
+
+    from docling_api_ray.stages.windows import rolling_active_users
+
+    day = 86400
+
+    def on(d, u):
+        return (dt.datetime(2024, 1, 1) + dt.timedelta(days=d), u)
+
+    # observed days: 0 (u1,u2), 2 (u1 twice -> distinct), 9 (u3)
+    # w=3: day0 -> {u1,u2}; day2 -> {u1,u2} (day0 within [0,2]) + u1
+    #      -> {u1,u2}; day9 -> {u3} (day2 outside [7,9])
+    rows = [on(0, 1), on(0, 2), on(2, 1), on(2, 1), on(9, 3)]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([r[1] for r in rows], pa.int64()),
+                "ts": pa.array([r[0] for r in rows], pa.timestamp("us")),
+            }
+        )
+    )
+    base = int(dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp())
+    out = sorted(
+        rolling_active_users(ds, window_days=3).take_all(),
+        key=lambda r: r["day_start"],
+    )
+    assert out == [
+        {"day_start": base, "active_users": 2},
+        {"day_start": base + 2 * day, "active_users": 2},
+        {"day_start": base + 9 * day, "active_users": 1},
+    ]
