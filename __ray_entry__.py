@@ -3104,6 +3104,45 @@ def _q_knn_pq(sf_dir: str):
     ).select_columns(["query_id", "vec_id", "adc", "rank"])
 
 
+_CONTAIN_TH = 0.3
+
+
+def _q_ngram_containment(sf_dir: str):
+    """Bigram-shingle containment pairs within the source blocking key
+    (stages/dedup.py ngram_containment_pairs) — the subset-inclusion
+    near-dup metric Jaccard misses."""
+    return _with_schema(
+        dd.ngram_containment_pairs(
+            _docs(sf_dir, ["doc_id", "text", "source"]),
+            block_col="source",
+            n=2,
+            threshold=_CONTAIN_TH,
+        ),
+        pa.schema(
+            [
+                ("left_id", pa.int64()),
+                ("right_id", pa.int64()),
+                ("containment", pa.float64()),
+            ]
+        ),
+    )
+
+
+_VOTE_MOD = 10
+_VOTE_K = 5
+
+
+def _q_knn_label_vote(sf_dir: str):
+    """k-NN label-vote evaluation (stages/similarity.py knn_label_vote):
+    per-label leave-out accuracy of a majority-vote classifier over the
+    embedding space."""
+    return sim.knn_label_vote(
+        _emb(sf_dir, ["vec_id", "embedding", "label"]),
+        sample_mod=_VOTE_MOD,
+        k=_VOTE_K,
+    )
+
+
 def _q_session_transitions(sf_dir: str):
     """Markov next-event transition matrix over gap sessions
     (stages/windows.py session_transitions) — ordered adjacency, the
@@ -3671,6 +3710,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_transitions": _q_session_transitions,
         "user_top_event": _q_user_top_event,
         "events_wau": _q_events_wau,
+        "ngram_containment": _q_ngram_containment,
+        "knn_label_vote": _q_knn_label_vote,
     }
 
 
@@ -5907,6 +5948,58 @@ def oracle_sql() -> dict[str, str]:
                      ON u.day BETWEEN d.day - {_WAU_DAYS - 1} AND d.day)
         SELECT CAST(day * 86400 AS BIGINT) AS day_start,
                CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
+        FROM w GROUP BY 1
+    """
+    # mirrors stages/dedup.py ngram_containment_pairs: distinct bigram
+    # shingles, containment = |A∩B| / min(|A|,|B|), same source blocking;
+    # docs with <2 words have empty shingle sets on both sides
+    out["ngram_containment"] = f"""
+        WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+                   FROM documents),
+             g AS (SELECT doc_id, source,
+                          list_distinct(
+                            [ws[i] || ' ' || ws[i+1]
+                             for i in range(1, len(ws))]) AS sh
+                   FROM w WHERE len(ws) >= 2),
+             p AS (SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+                          round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                                / least(len(a.sh), len(b.sh)), 6)
+                            AS containment
+                   FROM g a JOIN g b
+                     ON a.source = b.source AND a.doc_id < b.doc_id)
+        SELECT left_id, right_id, containment
+        FROM p WHERE containment >= {_CONTAIN_TH}
+    """
+    # mirrors stages/similarity.py knn_label_vote: held-out queries
+    # (vec_id % mod = 0), corpus = rest, quant-6 cosine with the
+    # knn_bruteforce tie discipline, (n desc, label asc) vote
+    out["knn_label_vote"] = f"""
+        WITH q AS (SELECT vec_id AS query_id,
+                          CAST(embedding AS DOUBLE[]) AS qv,
+                          CAST(label AS BIGINT) AS tl
+                   FROM embeddings WHERE vec_id % {_VOTE_MOD} = 0),
+             c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv,
+                          CAST(label AS BIGINT) AS label
+                   FROM embeddings WHERE vec_id % {_VOTE_MOD} <> 0),
+             s AS (SELECT q.query_id, q.tl, c.vec_id, c.label,
+                          round(list_cosine_similarity(c.cv, q.qv) * 1000000)
+                            / 1000000.0 AS cosine
+                   FROM q CROSS JOIN c),
+             r AS (SELECT *, row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cosine DESC, vec_id) AS rank
+                   FROM s),
+             v AS (SELECT query_id, tl, label, count(*) AS n
+                   FROM r WHERE rank <= {_VOTE_K} GROUP BY 1, 2, 3),
+             w AS (SELECT query_id, tl, label AS vote FROM v
+                   QUALIFY row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY n DESC, label ASC) = 1)
+        SELECT tl AS label, CAST(count(*) AS BIGINT) AS n_eval,
+               CAST(sum(CASE WHEN vote = tl THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_correct,
+               round(CAST(sum(CASE WHEN vote = tl THEN 1 ELSE 0 END)
+                          AS DOUBLE) / count(*), 6) AS accuracy
         FROM w GROUP BY 1
     """
     return out

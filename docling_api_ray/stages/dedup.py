@@ -939,6 +939,53 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    ds: ray.data.Dataset,
+    *,
+    block_col: str = "source",
+    n: int = 2,
+    threshold: float = 0.8,
+) -> ray.data.Dataset:
+    """Shingle CONTAINMENT pairs within a blocking key: containment =
+    |A∩B| / min(|A|,|B|) over word n-gram sets — the subset-detection
+    metric Jaccard misses (a doc pasted inside a larger doc scores ~1.0
+    containment but low Jaccard, the classic quote/boilerplate-inclusion
+    case in web corpora).  Symmetric via the min so pairs stay canonical
+    (left_id < right_id).
+
+    Same O(group²) confinement contract as ``ngram_jaccard_pairs``: the
+    blocking column must bound group size; at scale this is the
+    verification tier under an LSH candidate generator."""
+
+    def block(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", kind="stable")
+        ids = g["doc_id"].to_numpy()
+        sets = []
+        for t in g["text"]:
+            ws = (t or "").split()
+            sets.append(
+                {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+            )
+        rows = []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                m = min(len(sets[i]), len(sets[j]))
+                if not m:
+                    continue
+                cont = len(sets[i] & sets[j]) / m
+                if cont >= threshold:
+                    rows.append((int(ids[i]), int(ids[j]), round(cont, 6)))
+        return pd.DataFrame(
+            rows, columns=["left_id", "right_id", "containment"]
+        ).astype(
+            {"left_id": "int64", "right_id": "int64", "containment": "float64"}
+        )
+
+    return coalesce_for_shuffle(ds).groupby(block_col).map_groups(
+        block, batch_format="pandas"
+    )
+
+
 # ---------------------------------------------------------------------------
 # embedding-cosine near-dup (within a blocking key)
 # ---------------------------------------------------------------------------

@@ -472,3 +472,108 @@ def filtered_knn(
     return partial.repartition(_reduce_partitions(len(qids))).groupby(
         "query_id"
     ).map_groups(_final_topk(k), batch_format="pandas")
+
+
+def knn_label_vote(
+    ds: ray.data.Dataset,
+    *,
+    sample_mod: int = 10,
+    k: int = 5,
+) -> ray.data.Dataset:
+    """k-NN classifier EVALUATION — hold out every ``sample_mod``-th
+    vector as a query, predict its label by the (n desc, label asc)
+    majority vote of its k nearest corpus neighbors, and report per-label
+    accuracy: the label-quality / embedding-space-coherence probe of a
+    curation pipeline (noisy-label detection, split leakage checks).
+
+    Scale shape: the query set is rate-bounded (1/sample_mod of the
+    corpus — tune the rate so queries fit a broadcast, as any sampled
+    eval must); the corpus side streams through the established
+    ``knn_bruteforce`` partial-top-k (the all-to-all moves k·blocks
+    rows).  Neighbor labels resolve via a pruned parquet read over the
+    BOUNDED q·k neighbor-id set; the vote and the ≤|labels|-row accuracy
+    fold are driver-side on bounded data (the knn_recall discipline)."""
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq  # noqa: F401  (callers pass paths below)
+
+    # 1. rate-bounded query sample, gathered distributed-first
+    def pick(b: pa.Table) -> pa.Table:
+        vid = np.asarray(b["vec_id"], dtype=np.int64)
+        return b.filter(pa.array(vid % sample_mod == 0))
+
+    q = ds.map_batches(pick, batch_format="pyarrow").take_all()
+    q.sort(key=lambda r: int(r["vec_id"]))
+    qids = [int(r["vec_id"]) for r in q]
+    qlabel = {int(r["vec_id"]): int(r["label"]) for r in q}
+    if not qids:
+        return pa.schema(
+            [
+                ("label", pa.int64()),
+                ("n_eval", pa.int64()),
+                ("n_correct", pa.int64()),
+                ("accuracy", pa.float64()),
+            ]
+        ).empty_table()
+    qmat = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in q])
+
+    # 2. exact top-k against the held-in corpus (drops ALL query rows)
+    knn = knn_bruteforce(
+        ds.drop_columns(["label"]), qids, qmat, k=k, exclude_self=True
+    ).take_all()  # ≤ q·k rows by construction
+
+    # 3. neighbor labels from the bounded id set — one streamed filter
+    nid = sorted({int(r["vec_id"]) for r in knn})
+    nid_arr = pa.array(nid, type=pa.int64())
+
+    def label_rows(b: pa.Table) -> pa.Table:
+        m = pc.is_in(pc.cast(b["vec_id"], pa.int64()), value_set=nid_arr)
+        b = b.filter(m)
+        return pa.table(
+            {
+                "vec_id": pc.cast(b["vec_id"], pa.int64()),
+                "label": pc.cast(b["label"], pa.int64()),
+            }
+        )
+
+    lab = {
+        int(r["vec_id"]): int(r["label"])
+        for r in ds.select_columns(["vec_id", "label"])
+        .map_batches(label_rows, batch_format="pyarrow")
+        .take_all()
+    }
+
+    # 4. majority vote per query (n desc, label asc), per-label accuracy
+    votes: dict[int, dict[int, int]] = {}
+    for r in knn:
+        d = votes.setdefault(int(r["query_id"]), {})
+        l = lab[int(r["vec_id"])]
+        d[l] = d.get(l, 0) + 1
+    per_label: dict[int, list[int]] = {}
+    for qid in qids:
+        counts = votes.get(qid, {})
+        if not counts:
+            continue
+        vote = min(counts, key=lambda l: (-counts[l], l))
+        tl = qlabel[qid]
+        acc = per_label.setdefault(tl, [0, 0])
+        acc[0] += 1
+        acc[1] += int(vote == tl)
+    labels = sorted(per_label)
+    return pa.table(
+        {
+            "label": pa.array(labels, pa.int64()),
+            "n_eval": pa.array([per_label[l][0] for l in labels], pa.int64()),
+            "n_correct": pa.array(
+                [per_label[l][1] for l in labels], pa.int64()
+            ),
+            "accuracy": pa.array(
+                [
+                    round(per_label[l][1] / per_label[l][0], 6)
+                    for l in labels
+                ],
+                pa.float64(),
+            ),
+        }
+    )

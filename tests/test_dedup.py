@@ -389,3 +389,37 @@ def test_source_minhash_similarity_identical_and_disjoint():
     assert set(got) == {("A", "B"), ("A", "C"), ("B", "C")}
     assert got[("A", "B")] == 1.0
     assert got[("A", "C")] < 0.5 and got[("B", "C")] < 0.5
+
+
+def test_ngram_containment_subset_detection():
+    import pyarrow as pa
+    import ray.data
+
+    from docling_api_ray.stages.dedup import ngram_containment_pairs
+
+    # doc 1 is fully contained in doc 2 (containment 1.0, jaccard only
+    # 3/7); doc 3 shares nothing; doc 4 is in another block; doc 5 has a
+    # single word (empty shingle set -> never pairs)
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "text": pa.array(
+                [
+                    "a b c d",
+                    "x y a b c d z w",
+                    "p q r s",
+                    "a b c d",
+                    "lonely",
+                ],
+                pa.string(),
+            ),
+            "source": pa.array(["s1", "s1", "s1", "s2", "s1"], pa.string()),
+        }
+    )
+    out = sorted(
+        ngram_containment_pairs(
+            ray.data.from_arrow(docs), block_col="source", n=2, threshold=0.9
+        ).take_all(),
+        key=lambda r: (r["left_id"], r["right_id"]),
+    )
+    assert out == [{"left_id": 1, "right_id": 2, "containment": 1.0}]

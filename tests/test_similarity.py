@@ -205,3 +205,76 @@ def test_knn_recall_query_matches_set_intersection():
         assert got[q]["hits"] == h
         assert got[q]["recall"] == h / _KNN_K
         assert 0 <= got[q]["hits"] <= _KNN_K
+
+
+def test_knn_label_vote_majority_and_tiebreak():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from docling_api_ray.stages.similarity import knn_label_vote
+
+    # queries: vec_id 0 and 10 (mod 10). corpus: 8 vectors in two tight
+    # clusters along axes 0 and 1.
+    # q0 = axis0, true label 7 -> k=3 neighbors all label 7 (correct)
+    # q10 = axis1, true label 3 -> neighbors labels 9,9,3 -> vote 9 (wrong)
+    def v(axis, eps=0.0):
+        x = np.zeros(4)
+        x[axis] = 1.0
+        x[(axis + 1) % 4] = eps
+        return x.tolist()
+
+    ids = [0, 10, 1, 2, 3, 11, 12, 13]
+    vecs = [
+        v(0), v(1),
+        v(0, 0.01), v(0, 0.02), v(0, 0.03),   # labels 7,7,7
+        v(1, 0.01), v(1, 0.02), v(1, 0.03),   # labels 9,9,3
+    ]
+    labels = [7, 3, 7, 7, 7, 9, 9, 3]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(vecs, pa.list_(pa.float32())),
+                "label": pa.array(labels, pa.int32()),
+            }
+        )
+    )
+    out = sorted(
+        knn_label_vote(ds, sample_mod=10, k=3).to_pylist(),
+        key=lambda r: r["label"],
+    )
+    assert out == [
+        {"label": 3, "n_eval": 1, "n_correct": 0, "accuracy": 0.0},
+        {"label": 7, "n_eval": 1, "n_correct": 1, "accuracy": 1.0},
+    ]
+
+
+def test_knn_label_vote_tie_prefers_smaller_label():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from docling_api_ray.stages.similarity import knn_label_vote
+
+    # q0 with k=4 neighbors split 2-2 between labels 5 and 2 -> vote 2
+    base = np.eye(4)[0]
+    vecs = [base.tolist()]
+    ids, labels = [0], [2]
+    for i, lab in enumerate([5, 5, 2, 2], start=1):
+        x = base.copy()
+        x[1] = 0.01 * i
+        vecs.append(x.tolist())
+        ids.append(i)
+        labels.append(lab)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(vecs, pa.list_(pa.float32())),
+                "label": pa.array(labels, pa.int32()),
+            }
+        )
+    )
+    out = knn_label_vote(ds, sample_mod=10, k=4).to_pylist()
+    assert out == [{"label": 2, "n_eval": 1, "n_correct": 1, "accuracy": 1.0}]
