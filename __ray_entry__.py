@@ -3189,34 +3189,25 @@ def _q_returned_top_customers(sf_dir: str):
     (orderkey, custkey); ONE bucketed hash join on orderkey, then a
     per-customer revenue sum via a second co-group exchange.
 
-    Scale shape: the top-20 head folds with the two-level bounded-head
-    pattern (per-block head → one 20·blocks-row block → final head), so
-    only 20·P rows ever concentrate; the customer/nation NAME columns
+    Scale shape: the date-windowed orders slice is a TIME-bounded
+    fraction of the orders table; it folds to parallel sorted
+    (orderkey → custkey) arrays broadcast once into the lineitem map
+    (the shipping_priority segment-slice discipline — searchsorted per
+    batch, no fact-side exchange; escape hatch when the window slice
+    outgrows worker heaps = the bucketed ``hash_join`` on orderkey,
+    measured 6.6 s vs 1.5 s for the broadcast at sf0.1/32cpu).  Each
+    batch pre-sums revenue per custkey, so the ONE co-group exchange
+    moves per-batch partials, and the top-20 head folds with the
+    two-level bounded-head pattern; the customer/nation NAME columns
     join AFTER the head — 20 keys, read driver-side with a pruned scan —
     so the wide dimension tables never enter an exchange (the docling
     analog of join-narrow-first; reference has no joins, SURVEY §2.4)."""
-    from docling_api_ray.stages.joins import hash_join
+    import pandas as pd
 
     from datetime import datetime
 
     lo = pa.scalar(datetime.fromisoformat(_Q10_START), type=pa.timestamp("us"))
     hi = pa.scalar(datetime.fromisoformat(_Q10_END), type=pa.timestamp("us"))
-
-    def li_prep(b: pa.Table) -> pa.Table:
-        b = b.filter(pc.equal(b["l_returnflag"], "R"))
-        ec = np.rint(np.asarray(b["l_extendedprice"]) * 100).astype(np.int64)
-        dk = np.rint(np.asarray(b["l_discount"]) * 100).astype(np.int64)
-        return pa.table(
-            {
-                "orderkey": pc.cast(b["l_orderkey"], pa.int64()),
-                "rev_c": pa.array(ec * (100 - dk), type=pa.int64()),
-            }
-        )
-
-    li = _read(
-        sf_dir, "lineitem",
-        ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
-    ).map_batches(li_prep, batch_format="pyarrow")
 
     def o_prep(b: pa.Table) -> pa.Table:
         keep = pc.and_(
@@ -3230,25 +3221,66 @@ def _q_returned_top_customers(sf_dir: str):
             }
         )
 
-    orders = _read(
-        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
-    ).map_batches(o_prep, batch_format="pyarrow")
+    o_parts = [
+        b
+        for b in _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+        .map_batches(o_prep, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+        if len(b)
+    ]
+    if o_parts:
+        otbl = pa.concat_tables(o_parts)
+        okeys = np.asarray(otbl["orderkey"], dtype=np.int64)
+        order = np.argsort(okeys, kind="stable")
+        okeys = okeys[order]
+        ocust = np.asarray(otbl["custkey"], dtype=np.int64)[order]
+    else:
+        okeys = np.empty(0, dtype=np.int64)
+        ocust = np.empty(0, dtype=np.int64)
 
-    joined = hash_join(
-        li, orders, on="orderkey",
-        schemas=(
-            pa.schema([("orderkey", pa.int64()), ("rev_c", pa.int64())]),
-            pa.schema([("orderkey", pa.int64()), ("custkey", pa.int64())]),
-        ),
-    )
+    P = 32
+    head_schema = pa.schema([("custkey", pa.int64()), ("rev_c", pa.int64())])
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["l_returnflag"], "R"))
+        if len(b) == 0 or len(okeys) == 0:
+            return pa.schema(
+                [("custkey", pa.int64()), ("rev_c", pa.int64()),
+                 ("__part", pa.int64())]
+            ).empty_table()
+        lk = np.asarray(b["l_orderkey"], dtype=np.int64)
+        idx = np.clip(np.searchsorted(okeys, lk), 0, len(okeys) - 1)
+        hit = okeys[idx] == lk
+        ec = np.rint(np.asarray(b["l_extendedprice"])[hit] * 100).astype(np.int64)
+        dk = np.rint(np.asarray(b["l_discount"])[hit] * 100).astype(np.int64)
+        ck = ocust[idx[hit]]
+        # map-side combine: one partial row per customer per batch
+        uck, inv = np.unique(ck, return_inverse=True)
+        sums = np.zeros(len(uck), dtype=np.int64)
+        np.add.at(sums, inv, ec * (100 - dk))
+        return pa.table(
+            {
+                "custkey": pa.array(uck, pa.int64()),
+                "rev_c": pa.array(sums, pa.int64()),
+                "__part": pa.array(uck % P, pa.int64()),
+            }
+        )
+
+    def sum_part(df: "pd.DataFrame") -> pa.Table:
+        g = df.groupby("custkey", sort=False)["rev_c"].sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False).cast(
+            head_schema
+        ).replace_schema_metadata(None)
 
     per_cust = (
-        coalesce_for_shuffle(joined.select_columns(["custkey", "rev_c"]))
-        .groupby("custkey")
-        .aggregate(Sum("rev_c", alias_name="rev_c"))
+        _read(
+            sf_dir, "lineitem",
+            ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(li_partial, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(sum_part, batch_format="pandas")
     )
-
-    head_schema = pa.schema([("custkey", pa.int64()), ("rev_c", pa.int64())])
 
     def head(b: pa.Table) -> pa.Table:
         df = b.to_pandas().sort_values(

@@ -156,6 +156,15 @@ def _bench_once() -> dict:
         "events_new_users",
         "session_type_pairs",
         "events_retention",
+        "returned_top_customers",
+        "promo_revenue_share",
+        "supplier_part_counts",
+        "quantity_band_revenue",
+        "session_transitions",
+        "user_top_event",
+        "events_wau",
+        "ngram_containment",
+        "knn_label_vote",
         "conversion_metrics",
     ]
     # INTERLEAVED repetitions + medians (VERDICT r2 #1): this container's
