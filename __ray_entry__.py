@@ -3104,6 +3104,42 @@ def _q_knn_pq(sf_dir: str):
     ).select_columns(["query_id", "vec_id", "adc", "rank"])
 
 
+def _q_readability(sf_dir: str):
+    """Flesch-style readability filter signals
+    (stages/text_analysis.py readability_scores) — stateless vectorized
+    map, one Arrow regex-count kernel per component."""
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        ta.readability_scores, batch_format="pyarrow"
+    )
+
+
+def _q_robust_stats(sf_dir: str):
+    """Outlier-robust per-source token stats (stages/stats.py
+    robust_stats_by_group): exact median / MAD / 5%-trimmed mean from
+    one bounded (source × count)-domain histogram fold."""
+    from docling_api_ray.stages.stats import robust_stats_by_group
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": b["source"],
+                "v": pc.cast(
+                    pc.count_substring_regex(b["text"], ta.WS_TOKEN_RE),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return robust_stats_by_group(
+        _docs(sf_dir, ["text", "source"]).map_batches(
+            prep, batch_format="pyarrow"
+        ),
+        group_col="source",
+        value_col="v",
+        trim=0.05,
+    )
+
+
 _CONTAIN_TH = 0.3
 
 
@@ -3744,6 +3780,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_wau": _q_events_wau,
         "ngram_containment": _q_ngram_containment,
         "knn_label_vote": _q_knn_label_vote,
+        "readability": _q_readability,
+        "robust_stats_by_source": _q_robust_stats,
     }
 
 
@@ -6033,5 +6071,65 @@ def oracle_sql() -> dict[str, str]:
                round(CAST(sum(CASE WHEN vote = tl THEN 1 ELSE 0 END)
                           AS DOUBLE) / count(*), 6) AS accuracy
         FROM w GROUP BY 1
+    """
+    # mirrors stages/text_analysis.py readability_scores: the score
+    # derives from the RAW ratios, quantization applies at the end
+    out["readability"] = """
+        WITH c AS (
+          SELECT doc_id,
+                 CAST(length(regexp_extract_all(text, $$\\S+$$)) AS DOUBLE)
+                   AS w,
+                 CAST(length(regexp_extract_all(text, $$[.!?]$$)) AS DOUBLE)
+                   AS s,
+                 CAST(length(regexp_extract_all(text, $$[aeiouyAEIOUY]+$$))
+                      AS DOUBLE) AS y
+          FROM documents),
+        r AS (SELECT doc_id, w, s, y,
+                     w / greatest(s, 1.0) AS wps_raw,
+                     y / greatest(w, 1.0) AS spw_raw
+              FROM c)
+        SELECT doc_id,
+               CAST(w AS BIGINT) AS n_words,
+               CAST(s AS BIGINT) AS n_sentences,
+               CAST(y AS BIGINT) AS n_syllables,
+               round(wps_raw * 1000000) / 1000000.0 AS wps,
+               round(spw_raw * 1000000) / 1000000.0 AS spw,
+               round((206.835 - 1.015 * wps_raw - 84.6 * spw_raw) * 1000000)
+                 / 1000000.0 AS flesch
+        FROM r
+    """
+    # mirrors stages/stats.py robust_stats_by_group: ceil-rank median /
+    # MAD, rank-window trimmed mean, quant-6 division
+    out["robust_stats_by_source"] = """
+        WITH t AS (SELECT source,
+                          CAST(length(regexp_extract_all(text, $$\\S+$$))
+                               AS BIGINT) AS v
+                   FROM documents),
+             r AS (SELECT source, v,
+                          row_number() OVER (PARTITION BY source
+                                             ORDER BY v) AS rn,
+                          count(*) OVER (PARTITION BY source) AS n
+                   FROM t),
+             med AS (SELECT source, v AS median FROM r
+                     WHERE rn = greatest(1, CAST(ceil(0.5 * n) AS BIGINT))),
+             d AS (SELECT t.source, abs(t.v - m.median) AS a
+                   FROM t JOIN med m ON t.source = m.source),
+             rd AS (SELECT source, a,
+                           row_number() OVER (PARTITION BY source
+                                              ORDER BY a) AS rn,
+                           count(*) OVER (PARTITION BY source) AS n
+                    FROM d),
+             mad AS (SELECT source, a AS mad FROM rd
+                     WHERE rn = greatest(1, CAST(ceil(0.5 * n) AS BIGINT))),
+             tr AS (SELECT source,
+                           round(CAST(sum(v) AS DOUBLE) / count(*) * 1000000)
+                             / 1000000.0 AS trimmed_mean
+                    FROM r
+                    WHERE rn > CAST(floor(0.05 * n) AS BIGINT)
+                      AND rn <= n - CAST(floor(0.05 * n) AS BIGINT)
+                    GROUP BY source)
+        SELECT med.source, CAST(median AS BIGINT) AS median,
+               CAST(mad AS BIGINT) AS mad, trimmed_mean
+        FROM med JOIN mad USING (source) JOIN tr USING (source)
     """
     return out

@@ -165,6 +165,8 @@ def _bench_once() -> dict:
         "events_wau",
         "ngram_containment",
         "knn_label_vote",
+        "readability",
+        "robust_stats_by_source",
         "conversion_metrics",
     ]
     # INTERLEAVED repetitions + medians (VERDICT r2 #1): this container's

@@ -499,3 +499,37 @@ def token_entropy(batch: pa.Table, text_col: str = "text") -> pa.Table:
             "entropy": pa.array(entropy, type=pa.float64()),
         }
     )
+
+
+SENT_RE = r"[.!?]"
+SYLL_RE = r"[aeiouyAEIOUY]+"
+
+
+def readability_scores(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Flesch-style readability per doc, fully vectorized: words-per-
+    sentence and vowel-group-per-word ratios (vowel runs are the
+    standard cheap syllable proxy — a space always breaks a run, so the
+    whole-text count equals the per-word sum), combined as
+    206.835 − 1.015·wps − 84.6·spw.  A curation filter tier: extreme
+    scores flag boilerplate lists (tiny wps) and OCR noise (huge spw).
+    All ratios quantized to 6 decimals (rint) for the exact oracle
+    compare."""
+    t = batch[text_col]
+    words = np.asarray(_count(t, WS_TOKEN_RE), dtype=np.float64)
+    sents = np.asarray(_count(t, SENT_RE), dtype=np.float64)
+    syll = np.asarray(_count(t, SYLL_RE), dtype=np.float64)
+    wps = words / np.maximum(sents, 1.0)
+    spw = syll / np.maximum(words, 1.0)
+    score = 206.835 - 1.015 * wps - 84.6 * spw
+    q6 = lambda x: np.rint(x * 1e6) / 1e6  # noqa: E731
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_words": pa.array(words.astype(np.int64), pa.int64()),
+            "n_sentences": pa.array(sents.astype(np.int64), pa.int64()),
+            "n_syllables": pa.array(syll.astype(np.int64), pa.int64()),
+            "wps": pa.array(q6(wps), pa.float64()),
+            "spw": pa.array(q6(spw), pa.float64()),
+            "flesch": pa.array(q6(score), pa.float64()),
+        }
+    )

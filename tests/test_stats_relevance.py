@@ -241,3 +241,32 @@ def test_countmin_upper_bound_and_exactness():
     # CMS never underestimates; at 7 distinct words in a 4x1024 grid
     # there are no collisions, so estimates are exact here
     assert got == {"a": exact["a"], "b": exact["b"], "z": 0}
+
+
+def test_robust_stats_by_group_median_mad_trim():
+    import pyarrow as pa
+    import ray.data
+
+    from docling_api_ray.stages.stats import robust_stats_by_group
+
+    # group a: values 1..20 plus outlier 1000 (n=21):
+    #   median = ceil(10.5)=rank 11 -> 11
+    #   deviations |v-11|: 0,1,1,2,2,...,10,989 -> rank 11 -> 5
+    #   trim=0.05: t=floor(1.05)=1 -> drop rank 1 (v=1) and rank 21
+    #   (v=1000): mean(2..20) = 11.0
+    vals = list(range(1, 21)) + [1000]
+    t = pa.table(
+        {
+            "g": pa.array(["a"] * len(vals), pa.string()),
+            "v": pa.array(vals, pa.int64()),
+        }
+    )
+    out = robust_stats_by_group(
+        ray.data.from_arrow(t).repartition(4),
+        group_col="g",
+        value_col="v",
+        trim=0.05,
+    ).take_all()
+    assert out == [
+        {"g": "a", "median": 11, "mad": 5, "trimmed_mean": 11.0}
+    ]

@@ -237,3 +237,30 @@ def test_token_entropy_exact_values():
     assert ent[3] == 0 and ent[4] == 0
     e = out["entropy"].to_pylist()
     assert abs(e[2] - math.log(4)) < 1e-5 and e[1] == 0.0 and e[3] == 0.0
+
+
+def test_readability_scores_hand_values():
+    import numpy as np
+    import pyarrow as pa
+
+    from docling_api_ray.stages.text_analysis import readability_scores
+
+    # doc 1: "go on. stop now!" -> 4 words, 2 sentences, 4 vowel groups
+    #   wps=2.0, spw=1.0, flesch = 206.835 - 2.03 - 84.6 = 120.205
+    # doc 2: empty -> all zero denominators guarded
+    b = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["go on. stop now!", ""], pa.string()),
+        }
+    )
+    out = readability_scores(b).to_pylist()
+    assert out[0]["n_words"] == 4
+    assert out[0]["n_sentences"] == 2
+    assert out[0]["n_syllables"] == 4
+    assert out[0]["wps"] == 2.0
+    assert out[0]["spw"] == 1.0
+    assert out[0]["flesch"] == round(206.835 - 1.015 * 2 - 84.6, 6)
+    assert out[1]["n_words"] == 0
+    assert out[1]["wps"] == 0.0 and out[1]["spw"] == 0.0
+    assert out[1]["flesch"] == 206.835
