@@ -3659,6 +3659,515 @@ def _q_quantity_band_revenue(sf_dir: str):
     )
 
 
+_Q6_YEAR = 1996
+
+
+def _q_revenue_forecast(sf_dir: str):
+    """TPC-H Q6 shape — the canonical scan-filter-aggregate: one pruned
+    pass over lineitem, a fully vectorized conjunctive predicate
+    (shipdate year, discount band, quantity cap), and a single exact
+    int64-cents revenue scalar.  No exchange of any kind: each batch
+    folds to one partial row and ``Dataset.sum`` streams the partials.
+    The discount band compares ROUNDED integer percent points on both
+    engines, so the float column can never straddle the band edge
+    differently here and in the oracle."""
+    from datetime import datetime
+
+    lo = pa.scalar(datetime(_Q6_YEAR, 1, 1), type=pa.timestamp("us"))
+    hi = pa.scalar(datetime(_Q6_YEAR + 1, 1, 1), type=pa.timestamp("us"))
+
+    def prep(b: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(b["l_shipdate"], lo), pc.less(b["l_shipdate"], hi)
+        )
+        b = b.filter(keep)
+        dk = np.rint(np.asarray(b["l_discount"]) * 100).astype(np.int64)
+        m = (dk >= 5) & (dk <= 7) & (np.asarray(b["l_quantity"]) < 24)
+        ec = np.rint(np.asarray(b["l_extendedprice"])[m] * 100).astype(np.int64)
+        return pa.table(
+            {
+                "rev_c": pa.array([int((ec * dk[m]).sum())], pa.int64()),
+                "n_items": pa.array([int(m.sum())], pa.int64()),
+            }
+        )
+
+    rows = bounded_groupby_sum(
+        _read(
+            sf_dir, "lineitem",
+            ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+        )
+        .map_batches(prep, batch_format="pyarrow")
+        .map_batches(
+            lambda t: t.append_column("one", pa.array([1] * len(t), pa.int64())),
+            batch_format="pyarrow",
+        ),
+        ["one"],
+        sum_cols={"rev_c": "rev_c", "n_items": "n_items"},
+    ).take_all()
+    rev_c = int(rows[0]["rev_c"]) if rows else 0
+    n = int(rows[0]["n_items"]) if rows else 0
+    return pa.table(
+        {
+            "revenue": pa.array([rev_c / 10000.0], pa.float64()),
+            "n_items": pa.array([n], pa.int64()),
+        }
+    )
+
+
+def _q_nation_profit_by_year(sf_dir: str):
+    """TPC-H Q9 shape — product-line profit by supplier nation and order
+    year.  Two dimension sides broadcast as value-captured sorted arrays
+    (part → is-'red' bitmap; supplier → nation code), so the only
+    exchange is the narrow fact×fact ``hash_join`` of the filtered
+    lineitem projection (orderkey, nation, profit_c) against the orders
+    projection (orderkey, year) — both sides pre-projected to ≤17
+    bytes/row before any data moves.  The (nation × year) aggregate is
+    bounded (≤25×8 rows) and folds with the two-level tree; nation NAMES
+    attach driver-side to the folded rows (dimension strings never enter
+    the exchange).  Reference has no joins (SURVEY §2.4 gap-fill)."""
+    from docling_api_ray.stages.joins import hash_join
+
+    ptbl = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_name"]
+    )
+    pk = np.asarray(ptbl["p_partkey"], dtype=np.int64)
+    order = np.argsort(pk, kind="stable")
+    part_keys = pk[order]
+    part_red = np.char.find(
+        np.asarray(ptbl["p_name"], dtype=str), "red"
+    )[order] >= 0
+
+    stbl = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_nationkey"],
+    )
+    sk = np.asarray(stbl["s_suppkey"], dtype=np.int64)
+    sorder = np.argsort(sk, kind="stable")
+    supp_keys = sk[sorder]
+    supp_nation = np.asarray(stbl["s_nationkey"], dtype=np.int64)[sorder]
+
+    def li_prep(b: pa.Table) -> pa.Table:
+        lpk = np.asarray(b["l_partkey"], dtype=np.int64)
+        idx = np.clip(
+            np.searchsorted(part_keys, lpk), 0, max(len(part_keys) - 1, 0)
+        )
+        hit = (
+            (part_keys[idx] == lpk) & part_red[idx]
+            if len(part_keys)
+            else np.zeros(len(b), dtype=bool)
+        )
+        b = b.filter(pa.array(hit))
+        ec = np.rint(np.asarray(b["l_extendedprice"]) * 100).astype(np.int64)
+        dk = np.rint(np.asarray(b["l_discount"]) * 100).astype(np.int64)
+        lsk = np.asarray(b["l_suppkey"], dtype=np.int64)
+        sidx = np.clip(
+            np.searchsorted(supp_keys, lsk), 0, max(len(supp_keys) - 1, 0)
+        )
+        return pa.table(
+            {
+                "orderkey": pc.cast(b["l_orderkey"], pa.int64()),
+                "nationkey": pa.array(supp_nation[sidx], pa.int64()),
+                "profit_c": pa.array(ec * (100 - dk), pa.int64()),
+            }
+        )
+
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(li_prep, batch_format="pyarrow")
+
+    def o_prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "orderkey": pc.cast(b["o_orderkey"], pa.int64()),
+                "o_year": pc.cast(pc.year(b["o_orderdate"]), pa.int64()),
+            }
+        )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"]).map_batches(
+        o_prep, batch_format="pyarrow"
+    )
+    joined = hash_join(
+        li, orders, on="orderkey",
+        schemas=(
+            pa.schema(
+                [("orderkey", pa.int64()), ("nationkey", pa.int64()),
+                 ("profit_c", pa.int64())]
+            ),
+            pa.schema([("orderkey", pa.int64()), ("o_year", pa.int64())]),
+        ),
+    )
+    folded = bounded_groupby_sum(
+        joined.select_columns(["nationkey", "o_year", "profit_c"]),
+        ["nationkey", "o_year"],
+        sum_cols={"profit_c": "profit_c"},
+    ).take_all()  # ≤ |nations| × |years| rows
+    ntbl = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    )
+    nmap = {
+        int(k): v
+        for k, v in zip(ntbl["n_nationkey"].to_pylist(), ntbl["n_name"].to_pylist())
+    }
+    return pa.table(
+        {
+            "n_name": pa.array(
+                [nmap[int(r["nationkey"])] for r in folded], pa.string()
+            ),
+            "o_year": pa.array([int(r["o_year"]) for r in folded], pa.int64()),
+            "profit": pa.array(
+                [int(r["profit_c"]) / 10000.0 for r in folded], pa.float64()
+            ),
+        }
+    )
+
+
+def _q_part_value_share(sf_dir: str):
+    """TPC-H Q11 shape — per-part value concentration: parts whose
+    revenue (through one third of supplier nations) exceeds 1.6× the
+    mean part value.  The supplier filter is a broadcast sorted-array
+    nation lookup (never a join); per-part values reduce map-side then
+    through ONE partkey co-group into a PART-DIMENSION-bounded narrow
+    table, which is materialized once (it is re-consumed by the global
+    total AND the filter — re-execution would rescan lineitem twice).
+    The threshold compares with exact integer cross-multiplication
+    (val·10·n > 16·total) so no float division can flip a borderline
+    part differently here and in the DuckDB mirror.  int64 bound: val ≤
+    ~1e13 cents·pct and n ≤ ~1e7 parts keeps val·10·n < 2^63 up to
+    ~100 TB of lineitem; past that the comparison becomes object-int
+    driver math on the same folded scalars."""
+    stbl = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_nationkey"],
+    )
+    sk = np.asarray(stbl["s_suppkey"], dtype=np.int64)
+    sorder = np.argsort(sk, kind="stable")
+    supp_keys = sk[sorder]
+    supp_in = (np.asarray(stbl["s_nationkey"], dtype=np.int64) % 3 == 0)[sorder]
+
+    P = 32
+    part_schema = pa.schema([("partkey", pa.int64()), ("val", pa.int64())])
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        lsk = np.asarray(b["l_suppkey"], dtype=np.int64)
+        sidx = np.clip(
+            np.searchsorted(supp_keys, lsk), 0, max(len(supp_keys) - 1, 0)
+        )
+        hit = (
+            (supp_keys[sidx] == lsk) & supp_in[sidx]
+            if len(supp_keys)
+            else np.zeros(len(b), dtype=bool)
+        )
+        ec = np.rint(np.asarray(b["l_extendedprice"])[hit] * 100).astype(np.int64)
+        dk = np.rint(np.asarray(b["l_discount"])[hit] * 100).astype(np.int64)
+        pkk = np.asarray(b["l_partkey"], dtype=np.int64)[hit]
+        upk, inv = np.unique(pkk, return_inverse=True)
+        sums = np.zeros(len(upk), dtype=np.int64)
+        np.add.at(sums, inv, ec * (100 - dk))
+        return pa.table(
+            {
+                "partkey": pa.array(upk, pa.int64()),
+                "val": pa.array(sums, pa.int64()),
+                "__part": pa.array(upk % P, pa.int64()),
+            }
+        )
+
+    def sum_part(df) -> pa.Table:
+        g = df.groupby("partkey", sort=False)["val"].sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False).cast(
+            part_schema
+        ).replace_schema_metadata(None)
+
+    per_part = (
+        _read(
+            sf_dir, "lineitem",
+            ["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(li_partial, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(sum_part, batch_format="pandas")
+        .materialize()  # part-dimension-bounded narrow table, read twice
+    )
+    total = int(per_part.sum("val", ignore_nulls=True) or 0)
+    n_parts = per_part.count()
+
+    def keep(b: pa.Table) -> pa.Table:
+        v = np.asarray(b["val"], dtype=np.int64)
+        return b.filter(pa.array(v * 10 * n_parts > 16 * total))
+
+    out = per_part.map_batches(keep, batch_format="pyarrow")
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "partkey": t["partkey"],
+                "value": pc.divide(pc.cast(t["val"], pa.float64()), 10000.0),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _q_custdist(sf_dir: str):
+    """TPC-H Q13 shape — customer order-count distribution INCLUDING
+    zero-order customers: the double aggregate (count per customer →
+    counts-of-counts).  First level is one custkey co-group over
+    map-side (custkey, n) partials; second level is
+    ``bounded_groupby_sum`` over the count value (bounded by the max
+    orders any customer has, not by the customer count).  The zero
+    bucket needs only two scalars — total customers from the parquet
+    FOOTER (no data read) and the distinct-custkey count the first
+    level already produced — so no customer×orders join ever runs
+    (referential integrity o_custkey ⊆ customer is a generator
+    invariant, asserted in tests)."""
+    P = 32
+    cnt_schema = pa.schema([("custkey", pa.int64()), ("n", pa.int64())])
+
+    def o_partial(b: pa.Table) -> pa.Table:
+        ck = np.asarray(b["o_custkey"], dtype=np.int64)
+        uck, counts = np.unique(ck, return_counts=True)
+        return pa.table(
+            {
+                "custkey": pa.array(uck, pa.int64()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+                "__part": pa.array(uck % P, pa.int64()),
+            }
+        )
+
+    def sum_part(df) -> pa.Table:
+        g = df.groupby("custkey", sort=False)["n"].sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False).cast(
+            cnt_schema
+        ).replace_schema_metadata(None)
+
+    per_cust = (
+        _read(sf_dir, "orders", ["o_custkey"])
+        .map_batches(o_partial, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(sum_part, batch_format="pandas")
+    )
+    dist = bounded_groupby_sum(
+        per_cust.map_batches(
+            lambda t: pa.table(
+                {"c_count": t["n"], "one": pa.array([1] * len(t), pa.int64())}
+            ),
+            batch_format="pyarrow",
+        ),
+        ["c_count"],
+        sum_cols={"custdist": "one"},
+    ).take_all()  # bounded by max orders per customer
+    n_customers = pq.read_metadata(
+        os.path.join(sf_dir, "customer.parquet")
+    ).num_rows
+    n_with_orders = sum(int(r["custdist"]) for r in dist)
+    rows = [(int(r["c_count"]), int(r["custdist"])) for r in dist]
+    if n_customers - n_with_orders > 0:
+        rows.append((0, n_customers - n_with_orders))
+    rows.sort()
+    return pa.table(
+        {
+            "c_count": pa.array([r[0] for r in rows], pa.int64()),
+            "custdist": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+
+
+_Q20_QTY = 80
+
+
+def _q_promo_part_suppliers(sf_dir: str):
+    """TPC-H Q20 shape — the semi-join chain: suppliers who moved more
+    than ``_Q20_QTY`` units of any 'red' part through some single
+    (part, supplier) lane.  The part predicate is the broadcast bitmap
+    lookup; (suppkey, partkey) quantity sums reduce map-side then
+    through ONE co-group keyed on the PAIR hash; the qualifying
+    distinct-supplier id set is then the LEFT side of a ``hash_join``
+    ``how="semi"`` against the supplier dimension — existence only, no
+    row multiplication, name columns attach in the semi probe's own
+    bucket.  Output is supplier-dimension-bounded."""
+    from docling_api_ray.stages.joins import hash_join
+
+    ptbl = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_name"]
+    )
+    pk = np.asarray(ptbl["p_partkey"], dtype=np.int64)
+    order = np.argsort(pk, kind="stable")
+    part_keys = pk[order]
+    part_red = np.char.find(
+        np.asarray(ptbl["p_name"], dtype=str), "red"
+    )[order] >= 0
+
+    P = 32
+    pair_schema = pa.schema(
+        [("suppkey", pa.int64()), ("partkey", pa.int64()), ("qty", pa.int64())]
+    )
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        lpk = np.asarray(b["l_partkey"], dtype=np.int64)
+        idx = np.clip(
+            np.searchsorted(part_keys, lpk), 0, max(len(part_keys) - 1, 0)
+        )
+        hit = (
+            (part_keys[idx] == lpk) & part_red[idx]
+            if len(part_keys)
+            else np.zeros(len(b), dtype=bool)
+        )
+        sk = np.asarray(b["l_suppkey"], dtype=np.int64)[hit]
+        pkk = lpk[hit]
+        qty = np.asarray(b["l_quantity"])[hit]
+        # quantities are integral doubles in the generator; rint keeps the
+        # sum exact in int64 (asserted against the oracle's SUM(DOUBLE))
+        qi = np.rint(qty).astype(np.int64)
+        key = sk * 1_000_003 + pkk
+        ukey, inv = np.unique(key, return_inverse=True)
+        sums = np.zeros(len(ukey), dtype=np.int64)
+        np.add.at(sums, inv, qi)
+        first = np.zeros(len(ukey), dtype=np.int64)
+        first[inv] = np.arange(len(key))
+        return pa.table(
+            {
+                "suppkey": pa.array(sk[first], pa.int64()),
+                "partkey": pa.array(pkk[first], pa.int64()),
+                "qty": pa.array(sums, pa.int64()),
+                "__part": pa.array(np.abs(ukey) % P, pa.int64()),
+            }
+        )
+
+    def sum_part(df) -> pa.Table:
+        g = (
+            df.groupby(["suppkey", "partkey"], sort=False)["qty"]
+            .sum()
+            .reset_index()
+        )
+        g = g[g["qty"] > _Q20_QTY][["suppkey"]].drop_duplicates()
+        return pa.Table.from_pandas(g, preserve_index=False).cast(
+            pa.schema([("suppkey", pa.int64())])
+        ).replace_schema_metadata(None)
+
+    qualifying = (
+        _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_quantity"])
+        .map_batches(li_partial, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(sum_part, batch_format="pandas")
+    )
+    # per-bucket distinct suppkeys may repeat across buckets (a supplier
+    # qualifies through pairs hashed to different buckets) — the semi
+    # join is existence-only, but the LEFT side is the supplier DIM, so
+    # duplicates on the right are harmless
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name"]).map_batches(
+        lambda t: pa.table(
+            {"suppkey": pc.cast(t["s_suppkey"], pa.int64()), "s_name": t["s_name"]}
+        ),
+        batch_format="pyarrow",
+    )
+    out = hash_join(
+        supp, qualifying.select_columns(["suppkey"]), on="suppkey", how="semi",
+        schemas=(
+            pa.schema([("suppkey", pa.int64()), ("s_name", pa.string())]),
+            pa.schema([("suppkey", pa.int64())]),
+        ),
+    )
+    return out.select_columns(["suppkey", "s_name"])
+
+
+def _q_sole_return_suppliers(sf_dir: str):
+    """TPC-H Q21 shape — EXISTS / NOT-EXISTS within a group: for
+    multi-supplier orders where EXACTLY ONE supplier's items were
+    returned, blame that supplier; report the 10 most-blamed.  The
+    correlated-subquery pair collapses into ONE orderkey co-group:
+    every order's rows land whole in one partition (orderkey % P), so
+    'another supplier exists' and 'no OTHER supplier returned' are both
+    decidable in-partition from the per-(order, supplier) distinct
+    partials the map side already reduced to.  Per-supplier blame
+    counts then fold through the supplier-bounded tree and the top-10
+    head is the two-level bounded-head pattern; names attach
+    driver-side to ≤10 rows."""
+    P = 32
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        ok = np.asarray(b["l_orderkey"], dtype=np.int64)
+        sk = np.asarray(b["l_suppkey"], dtype=np.int64)
+        ret = (np.asarray(b["l_returnflag"]) == "R").astype(np.int64)
+        key = ok * 1_000_003 + sk
+        ukey, inv = np.unique(key, return_inverse=True)
+        rmax = np.zeros(len(ukey), dtype=np.int64)
+        np.maximum.at(rmax, inv, ret)
+        first = np.zeros(len(ukey), dtype=np.int64)
+        first[inv] = np.arange(len(key))
+        return pa.table(
+            {
+                "orderkey": pa.array(ok[first], pa.int64()),
+                "suppkey": pa.array(sk[first], pa.int64()),
+                "ret": pa.array(rmax, pa.int64()),
+                "__part": pa.array(ok[first] % P, pa.int64()),
+            }
+        )
+
+    blame_schema = pa.schema([("suppkey", pa.int64()), ("n_orders", pa.int64())])
+
+    def blame(df) -> pa.Table:
+        # re-distinct across batches, then the group decision per order
+        g = (
+            df.groupby(["orderkey", "suppkey"], sort=False)["ret"]
+            .max()
+            .reset_index()
+        )
+        per_o = g.groupby("orderkey", sort=False).agg(
+            ns=("suppkey", "size"), nr=("ret", "sum")
+        )
+        ok_orders = per_o[(per_o["ns"] > 1) & (per_o["nr"] == 1)].index
+        blamed = g[(g["orderkey"].isin(ok_orders)) & (g["ret"] == 1)]
+        out = (
+            blamed.groupby("suppkey", sort=False)
+            .size()
+            .reset_index(name="n_orders")
+        )
+        return pa.Table.from_pandas(out, preserve_index=False).cast(
+            blame_schema
+        ).replace_schema_metadata(None)
+
+    per_supp = (
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_returnflag"])
+        .map_batches(li_partial, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(blame, batch_format="pandas")
+    )
+    folded = bounded_groupby_sum(
+        per_supp, ["suppkey"], sum_cols={"n_orders": "n_orders"}
+    )
+
+    def head(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().sort_values(
+            ["n_orders", "suppkey"], ascending=[False, True], kind="stable"
+        ).head(10)
+        return pa.Table.from_pandas(df, preserve_index=False).cast(
+            pa.schema([("suppkey", pa.int64()), ("n_orders", pa.int64())])
+        )
+
+    top = (
+        folded.map_batches(head, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(head, batch_format="pyarrow", batch_size=None)
+        .take_all()  # ≤10 rows by the head bound
+    )
+    skeys = [int(r["suppkey"]) for r in top]
+    stbl = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_name"],
+        filters=[("s_suppkey", "in", skeys)] if skeys else None,
+    )
+    smap = {
+        int(k): v
+        for k, v in zip(stbl["s_suppkey"].to_pylist(), stbl["s_name"].to_pylist())
+    }
+    return pa.table(
+        {
+            "suppkey": pa.array(skeys, pa.int64()),
+            "s_name": pa.array([smap[k] for k in skeys], pa.string()),
+            "n_orders": pa.array([int(r["n_orders"]) for r in top], pa.int64()),
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "classify_format": _q_classify,
@@ -3782,6 +4291,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_label_vote": _q_knn_label_vote,
         "readability": _q_readability,
         "robust_stats_by_source": _q_robust_stats,
+        "revenue_forecast": _q_revenue_forecast,
+        "nation_profit_by_year": _q_nation_profit_by_year,
+        "part_value_share": _q_part_value_share,
+        "custdist": _q_custdist,
+        "promo_part_suppliers": _q_promo_part_suppliers,
+        "sole_return_suppliers": _q_sole_return_suppliers,
     }
 
 
@@ -6131,5 +6646,90 @@ def oracle_sql() -> dict[str, str]:
         SELECT med.source, CAST(median AS BIGINT) AS median,
                CAST(mad AS BIGINT) AS mad, trimmed_mean
         FROM med JOIN mad USING (source) JOIN tr USING (source)
+    """
+    # mirrors _q_revenue_forecast (TPC-H Q6): the discount band compares
+    # ROUNDED integer percent points on both engines
+    out["revenue_forecast"] = f"""
+        WITH f AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS ec,
+                          CAST(round(l_discount * 100) AS BIGINT) AS dk
+                   FROM lineitem
+                   WHERE l_shipdate >= TIMESTAMP '{_Q6_YEAR}-01-01'
+                     AND l_shipdate < TIMESTAMP '{_Q6_YEAR + 1}-01-01'
+                     AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+                     AND l_quantity < 24)
+        SELECT CAST(coalesce(sum(ec * dk), 0) AS DOUBLE) / 10000.0 AS revenue,
+               CAST(count(*) AS BIGINT) AS n_items
+        FROM f
+    """
+    # mirrors _q_nation_profit_by_year (TPC-H Q9): exact int64
+    # cents×pct profit, nation names joined after the fold
+    out["nation_profit_by_year"] = """
+        SELECT n_name,
+               CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                    AS DOUBLE) / 10000.0 AS profit
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%red%'
+        GROUP BY n_name, o_year
+    """
+    # mirrors _q_part_value_share (TPC-H Q11): integer
+    # cross-multiplication threshold — no float division on either side
+    out["part_value_share"] = """
+        WITH v AS (SELECT l_partkey AS partkey,
+                          sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                              * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                            AS val
+                   FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                   WHERE s_nationkey % 3 = 0
+                   GROUP BY 1),
+             t AS (SELECT sum(val) AS total, count(*) AS n FROM v)
+        SELECT partkey, CAST(val AS DOUBLE) / 10000.0 AS value
+        FROM v, t
+        WHERE CAST(val AS HUGEINT) * 10 * n > 16 * CAST(total AS HUGEINT)
+    """
+    # mirrors _q_custdist (TPC-H Q13): zero-order customers included
+    out["custdist"] = """
+        WITH o AS (SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1)
+        SELECT CAST(coalesce(n, 0) AS BIGINT) AS c_count,
+               CAST(count(*) AS BIGINT) AS custdist
+        FROM customer LEFT JOIN o ON c_custkey = o_custkey
+        GROUP BY 1
+    """
+    # mirrors _q_promo_part_suppliers (TPC-H Q20): quantity sums compare
+    # as exact integers (generator quantities are integral doubles)
+    out["promo_part_suppliers"] = f"""
+        WITH rq AS (SELECT l_suppkey, l_partkey,
+                           sum(CAST(round(l_quantity) AS BIGINT)) AS q
+                    FROM lineitem JOIN part ON l_partkey = p_partkey
+                    WHERE p_name LIKE '%red%'
+                    GROUP BY 1, 2)
+        SELECT DISTINCT s_suppkey AS suppkey, s_name
+        FROM supplier
+        JOIN rq ON s_suppkey = l_suppkey
+        WHERE q > {_Q20_QTY}
+    """
+    # mirrors _q_sole_return_suppliers (TPC-H Q21): EXISTS/NOT-EXISTS
+    # collapsed to per-order distinct-supplier counts; top-10 by
+    # (n_orders DESC, suppkey ASC) is a total order, so LIMIT is exact
+    out["sole_return_suppliers"] = """
+        WITH d AS (SELECT l_orderkey, l_suppkey,
+                          max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                            AS ret
+                   FROM lineitem GROUP BY 1, 2),
+             o AS (SELECT l_orderkey, count(*) AS ns, sum(ret) AS nr,
+                          max(CASE WHEN ret = 1 THEN l_suppkey END) AS blamed
+                   FROM d GROUP BY 1)
+        SELECT blamed AS suppkey, s_name,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM o JOIN supplier ON blamed = s_suppkey
+        WHERE ns > 1 AND nr = 1
+        GROUP BY 1, 2
+        ORDER BY n_orders DESC, suppkey ASC
+        LIMIT 10
     """
     return out

@@ -167,6 +167,12 @@ def _bench_once() -> dict:
         "knn_label_vote",
         "readability",
         "robust_stats_by_source",
+        "revenue_forecast",
+        "nation_profit_by_year",
+        "part_value_share",
+        "custdist",
+        "promo_part_suppliers",
+        "sole_return_suppliers",
         "conversion_metrics",
     ]
     # INTERLEAVED repetitions + medians (VERDICT r2 #1): this container's

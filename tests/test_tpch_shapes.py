@@ -232,3 +232,171 @@ def test_quantity_band_revenue_boundaries_and_empty(tmp_path):
     assert _q_quantity_band_revenue(empty).to_pylist() == [
         {"revenue": 0.0, "n_items": 0}
     ]
+
+
+def _write_li(d, rows):
+    cols = {
+        "l_orderkey": pa.int64(), "l_partkey": pa.int64(),
+        "l_suppkey": pa.int64(), "l_quantity": pa.float64(),
+        "l_extendedprice": pa.float64(), "l_discount": pa.float64(),
+        "l_returnflag": pa.string(), "l_shipdate": pa.timestamp("us"),
+    }
+    tbl = pa.table(
+        {
+            name: pa.array([r.get(name, _LI_DEFAULTS[name]) for r in rows], t)
+            for name, t in cols.items()
+        }
+    )
+    pq.write_table(tbl, f"{d}/lineitem.parquet")
+
+
+_LI_DEFAULTS = {
+    "l_orderkey": 1, "l_partkey": 1, "l_suppkey": 1, "l_quantity": 1.0,
+    "l_extendedprice": 100.0, "l_discount": 0.0, "l_returnflag": "N",
+    "l_shipdate": dt.datetime(1996, 6, 1),
+}
+
+
+def test_revenue_forecast_band_and_window_edges(tmp_path):
+    from __ray_entry__ import _q_revenue_forecast
+
+    d = str(tmp_path)
+    _write_li(d, [
+        # in: year 1996, discount 5-7%, qty < 24
+        {"l_discount": 0.05, "l_quantity": 23.0, "l_extendedprice": 1000.0},
+        {"l_discount": 0.07, "l_quantity": 1.0, "l_extendedprice": 2000.0},
+        # out: discount below band / above band / qty at cap / wrong year
+        {"l_discount": 0.04, "l_quantity": 1.0},
+        {"l_discount": 0.08, "l_quantity": 1.0},
+        {"l_discount": 0.06, "l_quantity": 24.0},
+        {"l_discount": 0.06, "l_shipdate": dt.datetime(1995, 12, 31)},
+        {"l_discount": 0.06, "l_shipdate": dt.datetime(1997, 1, 1)},
+    ])
+    out = _q_revenue_forecast(d)
+    # 1000*0.05 + 2000*0.07 = 50 + 140
+    assert out["revenue"].to_pylist() == [190.0]
+    assert out["n_items"].to_pylist() == [2]
+
+
+def test_sole_return_suppliers_exists_not_exists(tmp_path):
+    from __ray_entry__ import _q_sole_return_suppliers
+
+    d = str(tmp_path)
+    pq.write_table(
+        pa.table(
+            {
+                "s_suppkey": pa.array([1, 2, 3], pa.int64()),
+                "s_name": pa.array(["s1", "s2", "s3"], pa.string()),
+            }
+        ),
+        f"{d}/supplier.parquet",
+    )
+    _write_li(d, [
+        # order 10: two suppliers, only supp 1 returned → blame 1
+        {"l_orderkey": 10, "l_suppkey": 1, "l_returnflag": "R"},
+        {"l_orderkey": 10, "l_suppkey": 1, "l_returnflag": "N"},  # same supp
+        {"l_orderkey": 10, "l_suppkey": 2, "l_returnflag": "N"},
+        # order 11: two suppliers BOTH returned → excluded (nr=2)
+        {"l_orderkey": 11, "l_suppkey": 1, "l_returnflag": "R"},
+        {"l_orderkey": 11, "l_suppkey": 2, "l_returnflag": "R"},
+        # order 12: single-supplier order with a return → excluded (ns=1)
+        {"l_orderkey": 12, "l_suppkey": 3, "l_returnflag": "R"},
+        # order 13: multi-supplier, no returns → excluded (nr=0)
+        {"l_orderkey": 13, "l_suppkey": 2, "l_returnflag": "N"},
+        {"l_orderkey": 13, "l_suppkey": 3, "l_returnflag": "N"},
+        # order 14: blame supp 2 (tie-break check: same count as supp 1)
+        {"l_orderkey": 14, "l_suppkey": 2, "l_returnflag": "R"},
+        {"l_orderkey": 14, "l_suppkey": 3, "l_returnflag": "N"},
+    ])
+    out = _q_sole_return_suppliers(d)
+    # supp1 and supp2 each blamed once; tie broken by suppkey asc
+    assert out["suppkey"].to_pylist() == [1, 2]
+    assert out["n_orders"].to_pylist() == [1, 1]
+    assert out["s_name"].to_pylist() == ["s1", "s2"]
+
+
+def test_custdist_includes_zero_bucket(tmp_path):
+    from __ray_entry__ import _q_custdist
+
+    d = str(tmp_path)
+    pq.write_table(
+        pa.table({"c_custkey": pa.array([1, 2, 3, 4], pa.int64())}),
+        f"{d}/customer.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+                "o_custkey": pa.array([1, 1, 2], pa.int64()),
+            }
+        ),
+        f"{d}/orders.parquet",
+    )
+    out = _q_custdist(d)
+    assert out["c_count"].to_pylist() == [0, 1, 2]
+    # custs 3,4 have zero orders; cust 2 has one; cust 1 has two
+    assert out["custdist"].to_pylist() == [2, 1, 1]
+
+
+def test_part_value_share_threshold_is_exact(tmp_path):
+    from __ray_entry__ import _q_part_value_share
+
+    d = str(tmp_path)
+    pq.write_table(
+        pa.table(
+            {
+                "s_suppkey": pa.array([1, 2], pa.int64()),
+                # nationkey 3 → in (3%3==0); 4 → out
+                "s_nationkey": pa.array([3, 4], pa.int64()),
+            }
+        ),
+        f"{d}/supplier.parquet",
+    )
+    _write_li(d, [
+        # part 1 value 10000c*100, part 2 value 100c*100 via supp 1;
+        # part 3 only via excluded supp 2
+        {"l_partkey": 1, "l_suppkey": 1, "l_extendedprice": 100.0},
+        {"l_partkey": 2, "l_suppkey": 1, "l_extendedprice": 1.0},
+        {"l_partkey": 3, "l_suppkey": 2, "l_extendedprice": 999.0},
+    ])
+    out = _q_part_value_share(d).to_pandas()
+    # mean value = 5050*100c; only part 1 exceeds 1.6x the mean
+    assert out["partkey"].tolist() == [1]
+    assert out["value"].tolist() == [100.0]
+
+
+def test_promo_part_suppliers_semi_join_pair_lane(tmp_path):
+    from __ray_entry__ import _Q20_QTY, _q_promo_part_suppliers
+
+    d = str(tmp_path)
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array([1, 2], pa.int64()),
+                "p_name": pa.array(["big red thing", "plain blue"], pa.string()),
+            }
+        ),
+        f"{d}/part.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "s_suppkey": pa.array([1, 2, 3], pa.int64()),
+                "s_name": pa.array(["s1", "s2", "s3"], pa.string()),
+            }
+        ),
+        f"{d}/supplier.parquet",
+    )
+    q = float(_Q20_QTY)
+    _write_li(d, [
+        # supp 1: one red lane over threshold (split across rows)
+        {"l_partkey": 1, "l_suppkey": 1, "l_quantity": q},
+        {"l_partkey": 1, "l_suppkey": 1, "l_quantity": 1.0},
+        # supp 2: exactly AT threshold → excluded (strict >)
+        {"l_partkey": 1, "l_suppkey": 2, "l_quantity": q},
+        # supp 3: over threshold but on a NON-red part → excluded
+        {"l_partkey": 2, "l_suppkey": 3, "l_quantity": q + 1},
+    ])
+    out = _q_promo_part_suppliers(d).to_pandas().sort_values("suppkey")
+    assert out["suppkey"].tolist() == [1]
+    assert out["s_name"].tolist() == ["s1"]
