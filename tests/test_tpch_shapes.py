@@ -400,3 +400,20 @@ def test_promo_part_suppliers_semi_join_pair_lane(tmp_path):
     out = _q_promo_part_suppliers(d).to_pandas().sort_values("suppkey")
     assert out["suppkey"].tolist() == [1]
     assert out["s_name"].tolist() == ["s1"]
+
+
+def test_generator_referential_integrity_orders_customers():
+    """_q_custdist derives the zero-order bucket from customer-table
+    minus with-orders counts, which is exact only under the generator
+    invariant o_custkey ⊆ customer.c_custkey — assert it holds."""
+    import numpy as np
+
+    o = pq.read_table(
+        "/root/testdata/sf0.001/orders.parquet", columns=["o_custkey"]
+    )
+    c = pq.read_table(
+        "/root/testdata/sf0.001/customer.parquet", columns=["c_custkey"]
+    )
+    ok = np.unique(np.asarray(o["o_custkey"], dtype=np.int64))
+    ck = np.asarray(c["c_custkey"], dtype=np.int64)
+    assert np.isin(ok, ck).all()
