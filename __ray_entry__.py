@@ -4168,6 +4168,68 @@ def _q_sole_return_suppliers(sf_dir: str):
     )
 
 
+def _append_split(sf_dir: str) -> tuple[ray.data.Dataset, ray.data.Dataset]:
+    """Deterministic committed/incoming split of the documents table
+    (doc_id % 10 < 8 = committed history, ≥ 8 = incoming batch) — the
+    append-dedup queries' stand-in for a crawl increment."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def side_filter(is_new: bool):
+        def f(b: pa.Table) -> pa.Table:
+            ids = np.asarray(b["doc_id"], dtype=np.int64)
+            m = pa.array(ids % 10 >= 8)
+            return b.filter(m if is_new else pc.invert(m))
+
+        return f
+
+    return (
+        docs.map_batches(side_filter(False), batch_format="pyarrow"),
+        docs.map_batches(side_filter(True), batch_format="pyarrow"),
+    )
+
+
+def _q_append_dedup_exact(sf_dir: str):
+    """Append-mode exact dedup against committed history
+    (stages/incremental.py incremental_exact_keep), fingerprinting on
+    the 200-char document prefix — the boilerplate/head dedup a crawl
+    pipeline applies before full-content hashing.  Prefix slicing is
+    code-unit based on the engine side and character based in the SQL
+    mirror — identical on this ASCII corpus, documented divergence for
+    non-ASCII."""
+    from docling_api_ray.stages.incremental import incremental_exact_keep
+
+    old, new = _append_split(sf_dir)
+
+    def fp(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.cast(b["doc_id"], pa.int64()),
+                "fp": pc.utf8_slice_codeunits(
+                    pc.fill_null(b["text"], ""), 0, 200
+                ),
+            }
+        )
+
+    return incremental_exact_keep(
+        old.map_batches(fp, batch_format="pyarrow"),
+        new.map_batches(fp, batch_format="pyarrow"),
+        key_col="fp",
+    )
+
+
+def _q_append_dedup_minhash(sf_dir: str):
+    """Append-mode NEAR-dup dedup against committed history
+    (stages/incremental.py incremental_minhash_keep): same seeded
+    MinHash/LSH arithmetic as ``dedup_minhash`` (bit-exact SQL mirror
+    via the shared cand CTE), but candidate generation skips every
+    bucket without an incoming member — the committed corpus never
+    pays old×old work on an append."""
+    from docling_api_ray.stages.incremental import incremental_minhash_keep
+
+    old, new = _append_split(sf_dir)
+    return incremental_minhash_keep(old, new, threshold=0.7)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "classify_format": _q_classify,
@@ -4297,6 +4359,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "custdist": _q_custdist,
         "promo_part_suppliers": _q_promo_part_suppliers,
         "sole_return_suppliers": _q_sole_return_suppliers,
+        "append_dedup_exact": _q_append_dedup_exact,
+        "append_dedup_minhash": _q_append_dedup_minhash,
     }
 
 
@@ -4508,12 +4572,12 @@ def _kmeans_oracle_sql(k: int = 8, iters: int = 2) -> str:
     return "".join(parts)
 
 
-def _minhash_oracle_sql(threshold: float, num_perm: int = 64, bands: int = 16) -> str:
-    """Exact SQL mirror of MinHasher + explode_bands + pair verification
-    (stages/dedup.py): same word hashes, shingle combine, permutation
-    constants (embedded literals from the same seeded RandomState) and
-    banding; candidate pairs join on raw band-component tuples instead of
-    the engine's internal mixed bucket ints — the same doc partition."""
+def _minhash_ctes(num_perm: int = 64, bands: int = 16) -> str:
+    """The shared CTE chain of the minhash oracles — shingles →
+    signatures → bands → ``cand`` (all band-colliding pairs with their
+    est-Jaccard, UNFILTERED).  ``_minhash_oracle_sql`` and the
+    append-dedup oracle both build on it so the signature arithmetic is
+    mirrored in exactly one place."""
     from docling_api_ray.stages.dedup import MinHasher
 
     mh = MinHasher(num_perm=num_perm)
@@ -4523,8 +4587,7 @@ def _minhash_oracle_sql(threshold: float, num_perm: int = 64, bands: int = 16) -
     )
     zeros = "[" + ", ".join(["CAST(0 AS HUGEINT)"] * num_perm) + "]"
     r = num_perm // bands
-    return f"""
-        WITH {_sql_shingle_ctes()},
+    return f"""{_sql_shingle_ctes()},
         expl AS (SELECT doc_id, unnest(sh) AS h FROM sh),
         perms AS (SELECT * FROM (VALUES {perm_rows}) AS t(p, a, b)),
         sigc AS (SELECT e.doc_id, p.p,
@@ -4541,9 +4604,39 @@ def _minhash_oracle_sql(threshold: float, num_perm: int = 64, bands: int = 16) -
                           i -> CASE WHEN l.sig[i] = r.sig[i] THEN 1 ELSE 0 END))
                           / {num_perm}.0 AS est_jaccard
                  FROM bands l JOIN bands r
-                   ON l.b = r.b AND l.band = r.band AND l.doc_id < r.doc_id)
+                   ON l.b = r.b AND l.band = r.band AND l.doc_id < r.doc_id)"""
+
+
+def _minhash_oracle_sql(threshold: float, num_perm: int = 64, bands: int = 16) -> str:
+    """Exact SQL mirror of MinHasher + explode_bands + pair verification
+    (stages/dedup.py): same word hashes, shingle combine, permutation
+    constants (embedded literals from the same seeded RandomState) and
+    banding; candidate pairs join on raw band-component tuples instead of
+    the engine's internal mixed bucket ints — the same doc partition."""
+    return f"""
+        WITH {_minhash_ctes(num_perm, bands)}
         SELECT left_id, right_id, est_jaccard
         FROM cand WHERE est_jaccard >= {threshold}
+    """
+
+
+def _append_minhash_oracle_sql(
+    threshold: float, num_perm: int = 64, bands: int = 16
+) -> str:
+    """Mirror of _q_append_dedup_minhash: incoming docs (doc_id%10 ≥ 8)
+    dropped by ANY qualifying pair where they are the larger id
+    (old-or-new partner), or where their partner is old with a larger
+    id — history wins regardless of id order."""
+    return f"""
+        WITH {_minhash_ctes(num_perm, bands)},
+        pairs AS (SELECT left_id, right_id FROM cand
+                  WHERE est_jaccard >= {threshold})
+        SELECT doc_id FROM documents
+        WHERE doc_id % 10 >= 8
+          AND NOT EXISTS (
+            SELECT 1 FROM pairs p
+            WHERE p.right_id = documents.doc_id
+               OR (p.left_id = documents.doc_id AND p.right_id % 10 < 8))
     """
 
 
@@ -6732,4 +6825,17 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY n_orders DESC, suppkey ASC
         LIMIT 10
     """
+    # mirrors _q_append_dedup_exact: prefix-fingerprint dedup of the
+    # incoming slice against committed history; history wins, then
+    # min-id-first within the batch
+    out["append_dedup_exact"] = """
+        WITH d AS (SELECT doc_id, md5(substr(text, 1, 200)) AS h
+                   FROM documents),
+             old AS (SELECT h FROM d WHERE doc_id % 10 < 8),
+             nw AS (SELECT doc_id, h FROM d WHERE doc_id % 10 >= 8)
+        SELECT doc_id FROM nw n
+        WHERE NOT EXISTS (SELECT 1 FROM old o WHERE o.h = n.h)
+          AND doc_id = (SELECT min(doc_id) FROM nw n2 WHERE n2.h = n.h)
+    """
+    out["append_dedup_minhash"] = _append_minhash_oracle_sql(0.7)
     return out

@@ -173,6 +173,8 @@ def _bench_once() -> dict:
         "custdist",
         "promo_part_suppliers",
         "sole_return_suppliers",
+        "append_dedup_exact",
+        "append_dedup_minhash",
         "conversion_metrics",
     ]
     # INTERLEAVED repetitions + medians (VERDICT r2 #1): this container's

@@ -1,0 +1,182 @@
+"""Incremental (append-mode) deduplication — new-batch vs committed-corpus.
+
+The production shape for a continuously-crawled corpus: the committed
+corpus is huge and already deduplicated; each incoming batch must be
+checked against HISTORY plus itself, and history always wins regardless
+of id.  The reference engine processes uploads one request at a time
+(document_converter/service.py:101-104 iterates documents sequentially)
+and has no corpus-level state; these operators are the corpus-scale
+analog of "don't re-ingest what the store already has".
+
+Scale shape shared by both operators: the committed side contributes
+only fixed-width digests/signatures to the exchange (never text), the
+incoming side is batch-sized, and old×old work is SKIPPED ENTIRELY —
+the committed corpus was already deduplicated when it was committed, so
+candidate generation only fires for buckets/hashes that contain at
+least one incoming row.  That asymmetry is what makes append-mode cheap
+at 100 TB: the per-append cost is proportional to the batch and its
+collision structure, not to history.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from docling_api_ray.stages.dedup import (
+    MinHasher,
+    _cogrouped,
+    _keep_hot_buckets,
+    add_content_hash,
+    explode_bands,
+)
+
+
+def _tag(ds: ray.data.Dataset, side: int) -> ray.data.Dataset:
+    def add(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "side", pa.array(np.full(len(b), side, dtype=np.int64))
+        )
+
+    return ds.map_batches(add, batch_format="pyarrow")
+
+
+def incremental_exact_keep(
+    old_ds: ray.data.Dataset,
+    new_ds: ray.data.Dataset,
+    *,
+    key_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Exact append-dedup: incoming ids whose ``key_col`` digest appears
+    neither in the committed corpus nor earlier (smaller id) in the
+    incoming batch itself.  ``key_col`` is whatever the caller
+    fingerprints on — full text, a normalized form, or a prefix.
+
+    One digest co-group over (digest, id, side) — ~25 bytes/row
+    regardless of document size; each hash group is decided entirely
+    in-partition (any old row poisons the hash; otherwise the min-id
+    new row survives).  Returns a Dataset of kept incoming ids."""
+    def narrow(b: pa.Table) -> pa.Table:
+        h = add_content_hash(b, key_col)
+        return h.select([id_col, "side", "content_hash", "__ckey"])
+
+    union = _tag(old_ds, 0).union(_tag(new_ds, 1)).map_batches(
+        narrow, batch_format="pyarrow"
+    )
+    # NOTE: at tiny scales Ray's sort-based co-group emits schema-less
+    # blocks for empty key ranges (the executor's 'different schema'
+    # warning) — same cosmetic behavior as exact_dedup over the same
+    # exchange; results are unaffected (typed Arrow fold output).
+    out_schema = pa.schema([(id_col, pa.int64())])
+
+    def fold(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("content_hash", sort=False).agg(
+            has_old=("side", "min"),
+        )
+        clean = g[g["has_old"] == 1].index  # no side-0 row in the group
+        nw = df[(df["side"] == 1) & df["content_hash"].isin(clean)]
+        kept = nw.groupby("content_hash", sort=False)[id_col].min()
+        return pa.table({id_col: pa.array(kept.to_numpy(), pa.int64())}).cast(
+            out_schema
+        )
+
+    return _cogrouped(union, "__ckey").map_groups(fold, batch_format="pandas")
+
+
+def _incremental_drops(df: pd.DataFrame, threshold: float) -> pa.Table:
+    """Per-partition drop ids: for every INCOMING doc in a ≥2-member
+    bucket, compare its full signature against all committed docs in the
+    bucket plus smaller-id incoming docs; est-Jaccard ≥ threshold on any
+    partner drops it.  Buckets with no incoming member are skipped
+    outright — the old×old quadratic work never runs (the whole point
+    of append mode)."""
+    drops: set[int] = set()
+    df = df[df.duplicated("bucket", keep=False)]
+    for _, g in df.groupby("bucket", sort=False):
+        side = g["side"].to_numpy()
+        if len(g) < 2 or not (side == 1).any():
+            continue
+        g = g.sort_values("doc_id", kind="stable")
+        ids = g["doc_id"].to_numpy()
+        side = g["side"].to_numpy()
+        sigs = np.stack([np.asarray(s, dtype=np.int64) for s in g["signature"]])
+        pos = np.arange(len(ids))
+        for i in np.flatnonzero(side == 1):
+            if int(ids[i]) in drops:
+                continue
+            partners = ((side == 0) | ((side == 1) & (pos < i))) & (
+                ids != ids[i]
+            )
+            if not partners.any():
+                continue
+            est = (sigs[partners] == sigs[i]).mean(axis=1)
+            if (est >= threshold).any():
+                drops.add(int(ids[i]))
+    return pa.table({"doc_id": pa.array(sorted(drops), type=pa.int64())})
+
+
+def incremental_minhash_keep(
+    old_ds: ray.data.Dataset,
+    new_ds: ray.data.Dataset,
+    *,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Near-dup append-dedup: incoming ids kept unless their minhash
+    est-Jaccard ≥ ``threshold`` against ANY committed doc (history wins
+    regardless of id) or against a smaller-id incoming doc.
+
+    Both sides sign with the same seeded ``MinHasher`` (at a real
+    deployment the committed side's signatures are read back from the
+    store, not recomputed — the signature column is the index the
+    pipeline would persist); bands explode to fixed-width bucket rows,
+    the hot-bucket semi-join drops singleton buckets, and ONE bucket
+    co-group emits the drop set.  The drop set is bounded by the
+    incoming batch size, so it broadcasts (``ray.put``) to a streaming
+    anti-filter over the incoming ids — same escape hatch as
+    ``dedup_keep`` if a pathological batch outgrows the driver: swap
+    the broadcast for a co-grouped anti-join on doc_id."""
+    hasher = MinHasher(num_perm=num_perm)
+
+    def sign_side(ds: ray.data.Dataset, side: int) -> ray.data.Dataset:
+        signed = ds.map_batches(
+            hasher, batch_format="pyarrow", batch_size=1024
+        )
+        exploded = signed.map_batches(
+            lambda b: explode_bands(b, bands=bands), batch_format="pyarrow"
+        )
+        return _tag(exploded, side)
+
+    exploded = sign_side(old_ds, 0).union(sign_side(new_ds, 1)).materialize()
+    new_ids = new_ds.select_columns([id_col])
+    kept = _keep_hot_buckets(exploded)
+    if kept is None:
+        return new_ids
+    hot, _ = kept
+    drop_rows = (
+        _cogrouped(hot, "bucket")
+        .map_groups(
+            lambda df: _incremental_drops(df, threshold),
+            batch_format="pandas",
+        )
+        .take_all()  # bounded by the incoming batch size
+    )
+    drop = pa.array(
+        sorted({int(r["doc_id"]) for r in drop_rows}), type=pa.int64()
+    )
+    ref = ray.put(drop)
+
+    def anti(b: pa.Table) -> pa.Table:
+        return b.filter(
+            pc.invert(pc.is_in(b[id_col], value_set=ray.get(ref)))
+        )
+
+    return new_ids.map_batches(anti, batch_format="pyarrow")

@@ -1,0 +1,82 @@
+"""Hand-built fixtures for append-mode dedup (stages/incremental.py):
+history-wins precedence (even when the committed doc has the LARGER
+id), within-batch min-id-first, and the no-collision passthrough."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from docling_api_ray.stages.incremental import (
+    incremental_exact_keep,
+    incremental_minhash_keep,
+)
+
+
+def _ds(rows):
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+    )
+
+
+def _kept(ds):
+    return sorted(r["doc_id"] for r in ds.take_all())
+
+
+def test_exact_history_wins_even_with_larger_id():
+    old = _ds([(9, "alpha beta"), (20, "gamma")])
+    # doc 8 < 9 but history wins; doc 30 collides within-batch with 31
+    new = _ds([(8, "alpha beta"), (30, "delta"), (31, "delta"), (40, "unique")])
+    out = incremental_exact_keep(
+        old.map_batches(lambda b: b.rename_columns(["doc_id", "fp"]), batch_format="pyarrow"),
+        new.map_batches(lambda b: b.rename_columns(["doc_id", "fp"]), batch_format="pyarrow"),
+        key_col="fp",
+    )
+    assert _kept(out) == [30, 40]
+
+
+def test_exact_empty_history_keeps_batch_minids():
+    old = _ds([])
+    new = _ds([(1, "x"), (2, "x"), (3, "y")])
+    out = incremental_exact_keep(
+        old.map_batches(lambda b: b.rename_columns(["doc_id", "fp"]), batch_format="pyarrow"),
+        new.map_batches(lambda b: b.rename_columns(["doc_id", "fp"]), batch_format="pyarrow"),
+        key_col="fp",
+    )
+    assert _kept(out) == [1, 3]
+
+
+_BASE = "the quick brown fox jumps over the lazy dog again and again " * 4
+
+
+def test_minhash_history_wins_and_batch_order():
+    # identical text → signature est 1.0 ≥ any threshold
+    old = _ds([(100, _BASE)])
+    new = _ds([
+        (8, _BASE),            # near-dup of history (larger id) → dropped
+        (50, _BASE + "tail"),  # near-dup of history → dropped
+        (60, "completely different words entirely " * 10),  # kept
+        (70, "completely different words entirely " * 10),  # dup of 60 → dropped
+    ])
+    out = incremental_minhash_keep(old, new, threshold=0.7)
+    assert _kept(out) == [60]
+
+
+def test_minhash_no_collisions_keeps_all():
+    old = _ds([(1, "one two three " * 10)])
+    new = _ds([(8, "totally unrelated content here " * 10)])
+    out = incremental_minhash_keep(old, new, threshold=0.7)
+    assert _kept(out) == [8]
+
+
+def test_minhash_skips_old_only_buckets():
+    """A bucket containing ONLY committed docs must produce no work and
+    no drops — the incoming doc shares nothing with history."""
+    old = _ds([(1, _BASE), (2, _BASE)])  # old near-dup pair (pre-committed)
+    new = _ds([(8, "fresh novel text with new words " * 8)])
+    out = incremental_minhash_keep(old, new, threshold=0.7)
+    assert _kept(out) == [8]
