@@ -196,34 +196,61 @@ def _bench_once() -> dict:
         if not bench_queries
         else max(1, headline_reps - q_reps)
     )
+    # FAULT ISOLATION: one crashing rep (a transient Ray error, a noisy
+    # OOM) must cost ONE data point, never the whole battery — without
+    # it a single failure late in a 30-minute run leaves the driver
+    # with rc!=0 and NO JSON line at all.  Failed reps record as the
+    # string "err:<Type>" in the raw arrays (auditable) and the median
+    # is taken over the successful reps only.
+    errors: dict[str, int] = {}
+
+    def _guarded(fn, key: str):
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001 — harness boundary
+            errors[key] = errors.get(key, 0) + 1
+            return f"err:{type(e).__name__}"
+
     for _ in range(up_front):
-        raw_headline.append(_headline_rep())
-    q_raw: dict[str, list[float]] = {name: [] for name in bench_queries}
+        raw_headline.append(_guarded(_headline_rep, "headline"))
+    q_raw: dict[str, list] = {name: [] for name in bench_queries}
+
+    def _query_rep(name: str) -> float:
+        t0 = time.time()
+        r = qs[name](sf_dir)
+        # driver-side-final queries return a pyarrow Table, not a Dataset
+        r.count() if isinstance(r, ray.data.Dataset) else len(r)
+        return round(time.time() - t0, 3)
+
     for _ in range(q_reps):
         for name in bench_queries:
-            t0 = time.time()
-            r = qs[name](sf_dir)
-            # driver-side-final queries return a pyarrow Table, not a Dataset
-            r.count() if isinstance(r, ray.data.Dataset) else len(r)
-            q_raw[name].append(round(time.time() - t0, 3))
+            q_raw[name].append(
+                _guarded(lambda n=name: _query_rep(n), name)
+            )
         if bench_queries and len(raw_headline) < headline_reps:
-            raw_headline.append(_headline_rep())
-    headline = sorted(raw_headline)[len(raw_headline) // 2]
-    qt = {
-        name: sorted(ts)[len(ts) // 2] for name, ts in q_raw.items()
-    }
+            raw_headline.append(_guarded(_headline_rep, "headline"))
+
+    def _median(ts: list) -> float | None:
+        ok = sorted(t for t in ts if isinstance(t, (int, float)))
+        return ok[len(ok) // 2] if ok else None
+
+    headline = _median(raw_headline)
+    qt = {name: _median(ts) for name, ts in q_raw.items()}
 
     result = {
         "metric": "flagship_conversion_sec",
-        "value": round(headline, 3),
+        "value": round(headline, 3) if headline is not None else None,
         "unit": "sec",
         "raw_headline_secs": raw_headline,
         "queries": qt,
         "raw_query_secs": q_raw,
+        "errors": errors,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "num_cpus": ncpu,
         "docs": ndocs,
-        "docs_per_sec": round(ndocs / headline, 1),
+        "docs_per_sec": (
+            round(ndocs / headline, 1) if headline else None
+        ),
     }
     ray.shutdown()
     return result
