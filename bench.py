@@ -20,6 +20,7 @@ import os
 import shutil
 import subprocess
 import sys
+import threading
 import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
@@ -203,13 +204,38 @@ def _bench_once() -> dict:
     # string "err:<Type>" in the raw arrays (auditable) and the median
     # is taken over the successful reps only.
     errors: dict[str, int] = {}
+    # watchdog: a pathological executor stall (cf. the union-stall
+    # forensic, BENCH/BASELINE.md) must cost one rep, not the driver's
+    # whole bench window.  SIGALRM fires in the main thread and lands in
+    # the blocking count()/write; the streaming executor tears down on
+    # the exception path.  0 disables.
+    rep_timeout = int(os.environ.get("GRAFT_REP_TIMEOUT", "600"))
+
+    class _RepTimeout(Exception):
+        pass
 
     def _guarded(fn, key: str):
+        import signal
+
+        use_alarm = (
+            rep_timeout > 0
+            and threading.current_thread() is threading.main_thread()
+        )
+        if use_alarm:
+            def _on_alarm(signum, frame):
+                raise _RepTimeout(f"{key} exceeded {rep_timeout}s")
+
+            prev = signal.signal(signal.SIGALRM, _on_alarm)
+            signal.alarm(rep_timeout)
         try:
             return fn()
         except Exception as e:  # noqa: BLE001 — harness boundary
             errors[key] = errors.get(key, 0) + 1
             return f"err:{type(e).__name__}"
+        finally:
+            if use_alarm:
+                signal.alarm(0)
+                signal.signal(signal.SIGALRM, prev)
 
     for _ in range(up_front):
         raw_headline.append(_guarded(_headline_rep, "headline"))

@@ -80,3 +80,31 @@ def test_minhash_skips_old_only_buckets():
     new = _ds([(8, "fresh novel text with new words " * 8)])
     out = incremental_minhash_keep(old, new, threshold=0.7)
     assert _kept(out) == [8]
+
+
+def test_minhash_adversarial_all_dup_batch():
+    """Worst-case append: EVERY incoming doc near-dups history — the
+    drop set reaches its bound (the whole batch) and the keep result
+    is empty, with no mega-block or driver blowup."""
+    base = "every incoming document duplicates this exact history text " * 6
+    old = _ds([(i, base) for i in range(10)])
+    new = _ds([(1000 + i, base + f" v{i % 2}") for i in range(40)])
+    out = incremental_minhash_keep(old, new, threshold=0.7)
+    assert _kept(out) == []
+
+
+def test_exact_adversarial_all_dup_batch():
+    old = _ds([(i, f"h{i % 5}") for i in range(10)])
+    new = _ds([(1000 + i, f"h{i % 5}") for i in range(50)])
+    out = incremental_exact_keep(
+        old.map_batches(
+            lambda b: b.rename_columns(["doc_id", "fp"]),
+            batch_format="pyarrow",
+        ),
+        new.map_batches(
+            lambda b: b.rename_columns(["doc_id", "fp"]),
+            batch_format="pyarrow",
+        ),
+        key_col="fp",
+    )
+    assert _kept(out) == []
