@@ -4217,6 +4217,45 @@ def _q_append_dedup_exact(sf_dir: str):
     )
 
 
+def _q_knn_append(sf_dir: str):
+    """Incremental ANN — the index-append shape completing the
+    append-mode triad: incoming vectors (vec_id % 10 ≥ 8, the new crawl
+    increment) are searched top-k against the COMMITTED corpus's IVF
+    index (fixed coarse quantizer, nprobe pruning) — near-dup triage /
+    link-to-existing before the increment is admitted.  The incoming
+    batch is driver-held query state (bounded by the append, the same
+    discipline as ``_query_vectors``); the committed side streams
+    through the same ``ivf_knn`` bucket-pruned scan as ``knn_ivf``."""
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    ids = np.asarray(tbl["vec_id"], dtype=np.int64)
+    m = ids % 10 >= 8
+    qids = sorted(int(i) for i in ids[m])
+    by_id = {
+        int(i): np.asarray(v, dtype=np.float64)
+        for i, v in zip(ids[m], np.asarray(tbl["embedding"].to_pylist())[m])
+    }
+    qmat = np.stack([by_id[i] for i in qids])
+
+    def committed(b: pa.Table) -> pa.Table:
+        vid = np.asarray(b["vec_id"], dtype=np.int64)
+        return b.filter(pa.array(vid % 10 < 8))
+
+    return sim.ivf_knn(
+        _emb(sf_dir, ["vec_id", "embedding"]).map_batches(
+            committed, batch_format="pyarrow"
+        ),
+        qids,
+        qmat,
+        _fixed_centroids(),
+        k=_KNN_K,
+        nprobe=_IVF_NPROBE,
+        exclude_self=False,
+    ).select_columns(["query_id", "vec_id", "cosine", "rank"])
+
+
 def _q_append_dedup_minhash(sf_dir: str):
     """Append-mode NEAR-dup dedup against committed history
     (stages/incremental.py incremental_minhash_keep): same seeded
@@ -4361,6 +4400,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sole_return_suppliers": _q_sole_return_suppliers,
         "append_dedup_exact": _q_append_dedup_exact,
         "append_dedup_minhash": _q_append_dedup_minhash,
+        "knn_append": _q_knn_append,
     }
 
 
@@ -4787,12 +4827,19 @@ def _fp_rolling_oracle_sql() -> str:
     """
 
 
-def _knn_ivf_oracle_sql() -> str:
+def _knn_ivf_oracle_sql(
+    q_pred: str | None = None, c_pred: str | None = None
+) -> str:
     """Exact SQL mirror of ivf_knn over the fixed coarse quantizer: the
     8 unit centroids are embedded as full-precision literals (algorithm
     constants, like the minhash permutation table); vector→centroid
     assignment, per-query nprobe probe sets, bucket-pruned cosine and the
-    (rounded cosine, vec_id) ranking are all computed in SQL."""
+    (rounded cosine, vec_id) ranking are all computed in SQL.
+    ``q_pred``/``c_pred`` select the query and corpus slices (defaults =
+    the conformance split; the append variant passes the incoming /
+    committed id split)."""
+    q_pred = q_pred or f"vec_id < {_N_QUERIES}"
+    c_pred = c_pred or f"vec_id >= {_N_QUERIES}"
     cents = _fixed_centroids()
     rows = ", ".join(
         "({}, [{}])".format(i, ", ".join(repr(float(x)) for x in cents[i]))
@@ -4802,9 +4849,9 @@ def _knn_ivf_oracle_sql() -> str:
         WITH cents AS (SELECT cid, CAST(cv AS DOUBLE[]) AS cv
                        FROM (VALUES {rows}) AS t(cid, cv)),
         q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-              FROM embeddings WHERE vec_id < {_N_QUERIES}),
+              FROM embeddings WHERE {q_pred}),
         c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-              FROM embeddings WHERE vec_id >= {_N_QUERIES}),
+              FROM embeddings WHERE {c_pred}),
         casg AS (SELECT vec_id, v, cid FROM (
             SELECT c.vec_id, c.v, ce.cid,
                    row_number() OVER (
@@ -6838,4 +6885,9 @@ def oracle_sql() -> dict[str, str]:
           AND doc_id = (SELECT min(doc_id) FROM nw n2 WHERE n2.h = n.h)
     """
     out["append_dedup_minhash"] = _append_minhash_oracle_sql(0.7)
+    # mirrors _q_knn_append: the knn_ivf oracle with the incoming /
+    # committed id split as the query / corpus predicates
+    out["knn_append"] = _knn_ivf_oracle_sql(
+        q_pred="vec_id % 10 >= 8", c_pred="vec_id % 10 < 8"
+    )
     return out

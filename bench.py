@@ -176,6 +176,7 @@ def _bench_once() -> dict:
         "sole_return_suppliers",
         "append_dedup_exact",
         "append_dedup_minhash",
+        "knn_append",
         "conversion_metrics",
     ]
     # INTERLEAVED repetitions + medians (VERDICT r2 #1): this container's
