@@ -4017,6 +4017,8 @@ def _q_promo_part_suppliers(sf_dir: str):
         # quantities are integral doubles in the generator; rint keeps the
         # sum exact in int64 (asserted against the oracle's SUM(DOUBLE))
         qi = np.rint(qty).astype(np.int64)
+        # packed (suppkey, partkey) batch-combine key — same collision
+        # bound note as sole_return_suppliers (partkey < 1e6+3 here)
         key = sk * 1_000_003 + pkk
         ukey, inv = np.unique(key, return_inverse=True)
         sums = np.zeros(len(ukey), dtype=np.int64)
@@ -4087,6 +4089,9 @@ def _q_sole_return_suppliers(sf_dir: str):
         ok = np.asarray(b["l_orderkey"], dtype=np.int64)
         sk = np.asarray(b["l_suppkey"], dtype=np.int64)
         ret = (np.asarray(b["l_returnflag"]) == "R").astype(np.int64)
+        # packed (orderkey, suppkey) batch-combine key: collision-free
+        # while suppkey < 1e6+3; at catalog scales beyond that switch to
+        # np.unique over a 2-column stack (supplier_part_counts pattern)
         key = ok * 1_000_003 + sk
         ukey, inv = np.unique(key, return_inverse=True)
         rmax = np.zeros(len(ukey), dtype=np.int64)
