@@ -724,6 +724,33 @@ def _q_knn_ivf(sf_dir: str):
     ).select_columns(["query_id", "vec_id", "cosine", "rank"])
 
 
+def _q_knn_ivf_partitioned(sf_dir: str):
+    """The persisted-index IVF path (stages/similarity.py
+    ivf_write_index + ivf_knn_partitioned): build the
+    centroid-partitioned Parquet index under /tmp once, then answer the
+    conformance queries with FILE-level partition pruning — only the
+    probed ``centroid=`` directories are ever read.  Same oracle as
+    ``knn_ivf`` because the results are required to be identical; the
+    pruning itself is proven by tests/test_similarity.py (unprobed
+    cells deleted, query unaffected)."""
+    import shutil
+    import tempfile
+
+    qids, qmat = _query_vectors(sf_dir)
+    cents = _fixed_centroids()
+    index_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"ivf_index_{os.path.basename(sf_dir.rstrip(os.sep))}",
+    )
+    shutil.rmtree(index_dir, ignore_errors=True)
+    sim.ivf_write_index(
+        _emb(sf_dir, ["vec_id", "embedding"]), cents, index_dir
+    )
+    return sim.ivf_knn_partitioned(
+        index_dir, qids, qmat, cents, k=_KNN_K, nprobe=_IVF_NPROBE
+    ).select_columns(["query_id", "vec_id", "cosine", "rank"])
+
+
 def _q_events_hourly(sf_dir: str):
     ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
 
@@ -4406,6 +4433,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "append_dedup_exact": _q_append_dedup_exact,
         "append_dedup_minhash": _q_append_dedup_minhash,
         "knn_append": _q_knn_append,
+        "knn_ivf_partitioned": _q_knn_ivf_partitioned,
     }
 
 
@@ -6895,4 +6923,6 @@ def oracle_sql() -> dict[str, str]:
     out["knn_append"] = _knn_ivf_oracle_sql(
         q_pred="vec_id % 10 >= 8", c_pred="vec_id % 10 < 8"
     )
+    # the persisted-index path must return EXACTLY what knn_ivf returns
+    out["knn_ivf_partitioned"] = _knn_ivf_oracle_sql()
     return out

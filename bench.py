@@ -177,6 +177,7 @@ def _bench_once() -> dict:
         "append_dedup_exact",
         "append_dedup_minhash",
         "knn_append",
+        "knn_ivf_partitioned",
         "conversion_metrics",
     ]
     # INTERLEAVED repetitions + medians (VERDICT r2 #1): this container's

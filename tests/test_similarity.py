@@ -278,3 +278,71 @@ def test_knn_label_vote_tie_prefers_smaller_label():
     )
     out = knn_label_vote(ds, sample_mod=10, k=4).to_pylist()
     assert out == [{"label": 2, "n_eval": 1, "n_correct": 1, "accuracy": 1.0}]
+
+
+def test_ivf_partitioned_matches_inmemory_and_prunes(tmp_path):
+    """The persisted centroid-partitioned index must (a) return exactly
+    what the in-memory ivf_knn returns, and (b) actually PRUNE: after
+    deleting every unprobed centroid= directory the query still answers
+    identically — proof no unprobed byte is needed."""
+    import os
+    import shutil
+
+    import numpy as np
+    import pandas as pd
+
+    from __ray_entry__ import (
+        _IVF_NPROBE,
+        _KNN_K,
+        _emb,
+        _fixed_centroids,
+        _query_vectors,
+    )
+    from docling_api_ray.stages.similarity import (
+        ivf_knn,
+        ivf_knn_partitioned,
+        ivf_write_index,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    qids, qmat = _query_vectors(sf)
+    cents = _fixed_centroids()
+
+    def norm(ds):
+        df = ds.to_pandas()[["query_id", "vec_id", "cosine", "rank"]]
+        return df.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+    expected = norm(
+        ivf_knn(
+            _emb(sf, ["vec_id", "embedding"]), qids, qmat, cents,
+            k=_KNN_K, nprobe=_IVF_NPROBE,
+        )
+    )
+
+    index_dir = str(tmp_path / "ivf")
+    ivf_write_index(_emb(sf, ["vec_id", "embedding"]), cents, index_dir)
+    got = norm(
+        ivf_knn_partitioned(
+            index_dir, qids, qmat, cents, k=_KNN_K, nprobe=_IVF_NPROBE
+        )
+    )
+    pd.testing.assert_frame_equal(got, expected)
+
+    # pruning proof: remove every centroid directory OUTSIDE the probe
+    # union; identical answers mean those cells were never read
+    qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    probe = np.argsort(-(qn @ cents.T), axis=1)[:, :_IVF_NPROBE]
+    probed = {int(c) for row in probe for c in row}
+    removed = 0
+    for d in os.listdir(index_dir):
+        if d.startswith("centroid=") and int(d.split("=")[1]) not in probed:
+            shutil.rmtree(os.path.join(index_dir, d))
+            removed += 1
+    got2 = norm(
+        ivf_knn_partitioned(
+            index_dir, qids, qmat, cents, k=_KNN_K, nprobe=_IVF_NPROBE
+        )
+    )
+    pd.testing.assert_frame_equal(got2, expected)
+    # the fixture must exercise real pruning (some cell must be unprobed)
+    assert removed >= 1 or len(probed) == len(cents)
