@@ -4249,6 +4249,32 @@ def _q_append_dedup_exact(sf_dir: str):
     )
 
 
+def _q_append_dedup_indexed(sf_dir: str):
+    """The index-backed append path (stages/incremental.py
+    write_dedup_index + incremental_minhash_keep_indexed): the committed
+    slice's dedup index (digest + minhash signature, one pass, ~0.5
+    KB/doc) persists under /tmp, then the incoming slice dedups against
+    the INDEX — committed text is never re-read or re-hashed.  Same
+    oracle as ``append_dedup_minhash`` because the results must be
+    identical."""
+    import shutil
+    import tempfile
+
+    from docling_api_ray.stages.incremental import (
+        incremental_minhash_keep_indexed,
+        write_dedup_index,
+    )
+
+    old, new = _append_split(sf_dir)
+    index_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"dedup_index_{os.path.basename(sf_dir.rstrip(os.sep))}",
+    )
+    shutil.rmtree(index_dir, ignore_errors=True)
+    write_dedup_index(old, index_dir)
+    return incremental_minhash_keep_indexed(index_dir, new, threshold=0.7)
+
+
 def _q_knn_append(sf_dir: str):
     """Incremental ANN — the index-append shape completing the
     append-mode triad: incoming vectors (vec_id % 10 ≥ 8, the new crawl
@@ -4434,6 +4460,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "append_dedup_minhash": _q_append_dedup_minhash,
         "knn_append": _q_knn_append,
         "knn_ivf_partitioned": _q_knn_ivf_partitioned,
+        "append_dedup_indexed": _q_append_dedup_indexed,
     }
 
 
@@ -6925,4 +6952,6 @@ def oracle_sql() -> dict[str, str]:
     )
     # the persisted-index path must return EXACTLY what knn_ivf returns
     out["knn_ivf_partitioned"] = _knn_ivf_oracle_sql()
+    # index-backed append path: identical results to append_dedup_minhash
+    out["append_dedup_indexed"] = _append_minhash_oracle_sql(0.7)
     return out

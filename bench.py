@@ -178,6 +178,7 @@ def _bench_once() -> dict:
         "append_dedup_minhash",
         "knn_append",
         "knn_ivf_partitioned",
+        "append_dedup_indexed",
         "conversion_metrics",
     ]
     # INTERLEAVED repetitions + medians (VERDICT r2 #1): this container's

@@ -145,17 +145,44 @@ def incremental_minhash_keep(
     ``dedup_keep`` if a pathological batch outgrows the driver: swap
     the broadcast for a co-grouped anti-join on doc_id."""
     hasher = MinHasher(num_perm=num_perm)
+    old_exploded = _explode_signed(
+        old_ds.map_batches(hasher, batch_format="pyarrow", batch_size=1024),
+        bands=bands,
+        side=0,
+    )
+    return _minhash_keep_tail(
+        old_exploded, new_ds, hasher,
+        bands=bands, threshold=threshold, id_col=id_col,
+    )
 
-    def sign_side(ds: ray.data.Dataset, side: int) -> ray.data.Dataset:
-        signed = ds.map_batches(
-            hasher, batch_format="pyarrow", batch_size=1024
-        )
-        exploded = signed.map_batches(
-            lambda b: explode_bands(b, bands=bands), batch_format="pyarrow"
-        )
-        return _tag(exploded, side)
 
-    exploded = sign_side(old_ds, 0).union(sign_side(new_ds, 1)).materialize()
+def _explode_signed(
+    signed: ray.data.Dataset, *, bands: int, side: int
+) -> ray.data.Dataset:
+    exploded = signed.map_batches(
+        lambda b: explode_bands(b, bands=bands), batch_format="pyarrow"
+    )
+    return _tag(exploded, side)
+
+
+def _minhash_keep_tail(
+    old_exploded: ray.data.Dataset,
+    new_ds: ray.data.Dataset,
+    hasher: MinHasher,
+    *,
+    bands: int,
+    threshold: float,
+    id_col: str,
+) -> ray.data.Dataset:
+    """Shared tail of the recompute and index-backed append paths: union
+    the side-tagged band tables, hot-bucket semi-join, one bucket
+    co-group for the drop set, broadcast anti-filter over incoming ids."""
+    new_exploded = _explode_signed(
+        new_ds.map_batches(hasher, batch_format="pyarrow", batch_size=1024),
+        bands=bands,
+        side=1,
+    )
+    exploded = old_exploded.union(new_exploded).materialize()
     new_ids = new_ds.select_columns([id_col])
     kept = _keep_hot_buckets(exploded)
     if kept is None:
@@ -180,3 +207,108 @@ def incremental_minhash_keep(
         )
 
     return new_ids.map_batches(anti, batch_format="pyarrow")
+
+
+def write_dedup_index(
+    ds: ray.data.Dataset,
+    out_dir: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+) -> None:
+    """Persist the committed corpus's DEDUP INDEX: one narrow Parquet
+    table of (doc_id, content_hash, __ckey, signature) — the exact
+    digest and the minhash signature in one pass over the text.  This
+    is what a production append pipeline stores at commit time so no
+    future append ever re-reads or re-hashes history; ~0.5 KB/doc
+    regardless of document size.  Written via the storage seam so it
+    lands next to the corpus partitions."""
+    hasher = MinHasher(num_perm=num_perm)
+
+    def index_row(b: pa.Table) -> pa.Table:
+        h = add_content_hash(b, text_col)
+        signed = hasher(b)
+        return pa.table(
+            {
+                id_col: h[id_col],
+                "content_hash": h["content_hash"],
+                "__ckey": h["__ckey"],
+                "signature": signed["signature"],
+            }
+        )
+
+    ds.map_batches(index_row, batch_format="pyarrow").write_parquet(out_dir)
+
+
+def incremental_minhash_keep_indexed(
+    index_dir: str,
+    new_ds: ray.data.Dataset,
+    *,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """``incremental_minhash_keep`` against a PERSISTED
+    ``write_dedup_index`` directory: committed signatures are READ BACK
+    (columns-pruned — the digest columns never leave storage) instead
+    of recomputed from text.  Results are required to be identical to
+    the recompute path (same oracle)."""
+    hasher = MinHasher(num_perm=num_perm)
+    old_signed = ray.data.read_parquet(
+        index_dir, columns=[id_col, "signature"]
+    ).map_batches(
+        lambda b: b.replace_schema_metadata(None), batch_format="pyarrow"
+    )
+    return _minhash_keep_tail(
+        _explode_signed(old_signed, bands=bands, side=0),
+        new_ds,
+        hasher,
+        bands=bands,
+        threshold=threshold,
+        id_col=id_col,
+    )
+
+
+def incremental_exact_keep_indexed(
+    index_dir: str,
+    new_ds: ray.data.Dataset,
+    *,
+    key_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """``incremental_exact_keep`` against a persisted index: committed
+    (content_hash, __ckey) digests read back columns-pruned; the
+    incoming side hashes its ``key_col`` as usual.  One digest co-group,
+    same in-partition decision."""
+    def narrow_new(b: pa.Table) -> pa.Table:
+        h = add_content_hash(b, key_col)
+        return h.select([id_col, "content_hash", "__ckey"])
+
+    old = _tag(
+        ray.data.read_parquet(
+            index_dir, columns=[id_col, "content_hash", "__ckey"]
+        ).map_batches(
+            lambda b: b.replace_schema_metadata(None), batch_format="pyarrow"
+        ),
+        0,
+    )
+    new = _tag(
+        new_ds.map_batches(narrow_new, batch_format="pyarrow"), 1
+    )
+    union = old.union(new)
+    out_schema = pa.schema([(id_col, pa.int64())])
+
+    def fold(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("content_hash", sort=False).agg(
+            has_old=("side", "min"),
+        )
+        clean = g[g["has_old"] == 1].index
+        nw = df[(df["side"] == 1) & df["content_hash"].isin(clean)]
+        kept = nw.groupby("content_hash", sort=False)[id_col].min()
+        return pa.table({id_col: pa.array(kept.to_numpy(), pa.int64())}).cast(
+            out_schema
+        )
+
+    return _cogrouped(union, "__ckey").map_groups(fold, batch_format="pandas")

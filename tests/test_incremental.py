@@ -108,3 +108,29 @@ def test_exact_adversarial_all_dup_batch():
         key_col="fp",
     )
     assert _kept(out) == []
+
+
+def test_indexed_paths_match_recompute(tmp_path):
+    """write_dedup_index + the *_indexed readers must reproduce the
+    recompute paths exactly — committed text is never re-read."""
+    from docling_api_ray.stages.incremental import (
+        incremental_exact_keep_indexed,
+        incremental_minhash_keep_indexed,
+        write_dedup_index,
+    )
+
+    old = _ds([(100, _BASE), (2, "gamma delta " * 8)])
+    new = _ds([
+        (8, _BASE),                                   # dup of history
+        (60, "completely different words here " * 10),
+        (70, "completely different words here " * 10),  # dup of 60
+    ])
+    idx = str(tmp_path / "dedup_index")
+    write_dedup_index(old, idx)
+
+    got_mh = _kept(incremental_minhash_keep_indexed(idx, new, threshold=0.7))
+    exp_mh = _kept(incremental_minhash_keep(old, new, threshold=0.7))
+    assert got_mh == exp_mh == [60]
+
+    got_ex = _kept(incremental_exact_keep_indexed(idx, new))
+    assert got_ex == [60]  # 8 exact-dups history, 70 loses to 60
