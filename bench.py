@@ -240,6 +240,17 @@ def _bench_once() -> dict:
                 signal.alarm(0)
                 signal.signal(signal.SIGALRM, prev)
 
+    # WALL-CLOCK BUDGET: the battery is ~90 queries × 3 reps — fine in a
+    # quiet window (~8 min), but a co-tenant plateau can stretch it past
+    # whatever patience the caller has, and a killed process prints NO
+    # JSON.  When the budget trips, remaining battery rounds are skipped
+    # (medians fall back to the reps already taken; zero-rep queries
+    # report null) and the HEADLINE reps — the north metric — always run
+    # to completion.
+    bench_budget = int(os.environ.get("GRAFT_BENCH_BUDGET", "1200"))
+    t_start = time.time()
+    budget_exceeded = False
+
     for _ in range(up_front):
         raw_headline.append(_guarded(_headline_rep, "headline"))
     q_raw: dict[str, list] = {name: [] for name in bench_queries}
@@ -253,11 +264,19 @@ def _bench_once() -> dict:
 
     for _ in range(q_reps):
         for name in bench_queries:
+            if time.time() - t_start > bench_budget:
+                budget_exceeded = True
+                break
             q_raw[name].append(
                 _guarded(lambda n=name: _query_rep(n), name)
             )
+        if budget_exceeded:
+            break
         if bench_queries and len(raw_headline) < headline_reps:
             raw_headline.append(_guarded(_headline_rep, "headline"))
+    # the headline is the contract metric — finish its reps regardless
+    while len(raw_headline) < headline_reps:
+        raw_headline.append(_guarded(_headline_rep, "headline"))
 
     def _median(ts: list) -> float | None:
         ok = sorted(t for t in ts if isinstance(t, (int, float)))
@@ -274,6 +293,7 @@ def _bench_once() -> dict:
         "queries": qt,
         "raw_query_secs": q_raw,
         "errors": errors,
+        "budget_exceeded": budget_exceeded,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "num_cpus": ncpu,
         "docs": ndocs,
