@@ -3849,6 +3849,174 @@ def _q_nation_profit_by_year(sf_dir: str):
     )
 
 
+_Q8_TYPE = "ECONOMY"
+_Q8_REGION_KEY = 1  # 'AMERICA' (region table is 5 rows, key fixed by gen)
+_Q8_NATION_KEY = 19  # target supplier nation whose share we track
+
+
+def _q_mkt_share_by_year(sf_dir: str):
+    """TPC-H Q8 shape — national market share: of all '{type}' parts
+    sold to customers in one region during 1995–1996, what fraction of
+    revenue (by order year) was supplied by one nation.  Same exchange
+    discipline as Q9 (`_q_nation_profit_by_year`): part/supplier/
+    customer dimensions broadcast as value-captured sorted arrays, the
+    only shuffle is the narrow fact×fact ``hash_join`` of the filtered
+    lineitem projection (orderkey, supp-nation, volume_c ≤ 24 B/row)
+    against the region+window-filtered orders projection (orderkey,
+    o_year ≤ 16 B/row).  The (year × nation) aggregate is bounded
+    (≤ 2×25 rows) and the share division happens driver-side on exact
+    int cents — float64-cast numerator/denominator mirror the oracle's
+    CAST(...AS DOUBLE) order of operations bit-for-bit.  At web scale
+    the customer lookup becomes a second hash_join; the broadcast here
+    is bounded by |customer| ≪ |lineitem| (docstring contract as in
+    Q10's windowed-orders broadcast).  Reference has no joins (SURVEY
+    §2.4 gap-fill)."""
+    from datetime import datetime
+    from docling_api_ray.stages.joins import hash_join
+
+    ptbl = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_type"]
+    )
+    pk = np.asarray(ptbl["p_partkey"], dtype=np.int64)
+    porder = np.argsort(pk, kind="stable")
+    part_keys = pk[porder]
+    part_hit = (np.asarray(ptbl["p_type"], dtype=str) == _Q8_TYPE)[porder]
+
+    stbl = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_nationkey"],
+    )
+    sk = np.asarray(stbl["s_suppkey"], dtype=np.int64)
+    sorder = np.argsort(sk, kind="stable")
+    supp_keys = sk[sorder]
+    supp_nation = np.asarray(stbl["s_nationkey"], dtype=np.int64)[sorder]
+
+    ctbl = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"],
+    )
+    ck = np.asarray(ctbl["c_custkey"], dtype=np.int64)
+    corder = np.argsort(ck, kind="stable")
+    cust_keys = ck[corder]
+    ntbl = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_regionkey"],
+    )
+    nat_region = np.zeros(
+        int(max(ntbl["n_nationkey"].to_pylist() or [0])) + 1, dtype=np.int64
+    )
+    nat_region[np.asarray(ntbl["n_nationkey"], dtype=np.int64)] = np.asarray(
+        ntbl["n_regionkey"], dtype=np.int64
+    )
+    cust_in_region = (
+        nat_region[np.asarray(ctbl["c_nationkey"], dtype=np.int64)]
+        == _Q8_REGION_KEY
+    )[corder]
+
+    def li_prep(b: pa.Table) -> pa.Table:
+        lpk = np.asarray(b["l_partkey"], dtype=np.int64)
+        idx = np.clip(
+            np.searchsorted(part_keys, lpk), 0, max(len(part_keys) - 1, 0)
+        )
+        hit = (
+            (part_keys[idx] == lpk) & part_hit[idx]
+            if len(part_keys)
+            else np.zeros(len(b), dtype=bool)
+        )
+        b = b.filter(pa.array(hit))
+        ec = np.rint(np.asarray(b["l_extendedprice"]) * 100).astype(np.int64)
+        dk = np.rint(np.asarray(b["l_discount"]) * 100).astype(np.int64)
+        lsk = np.asarray(b["l_suppkey"], dtype=np.int64)
+        sidx = np.clip(
+            np.searchsorted(supp_keys, lsk), 0, max(len(supp_keys) - 1, 0)
+        )
+        return pa.table(
+            {
+                "orderkey": pc.cast(b["l_orderkey"], pa.int64()),
+                "snat": pa.array(supp_nation[sidx], pa.int64()),
+                "volume_c": pa.array(ec * (100 - dk), pa.int64()),
+            }
+        )
+
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(li_prep, batch_format="pyarrow")
+
+    lo = pa.scalar(datetime(1995, 1, 1), type=pa.timestamp("us"))
+    hi = pa.scalar(datetime(1997, 1, 1), type=pa.timestamp("us"))
+
+    def o_prep(b: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(b["o_orderdate"], lo), pc.less(b["o_orderdate"], hi)
+        )
+        b = b.filter(keep)
+        ok = np.asarray(b["o_custkey"], dtype=np.int64)
+        cidx = np.clip(
+            np.searchsorted(cust_keys, ok), 0, max(len(cust_keys) - 1, 0)
+        )
+        hit = (
+            (cust_keys[cidx] == ok) & cust_in_region[cidx]
+            if len(cust_keys)
+            else np.zeros(len(b), dtype=bool)
+        )
+        b = b.filter(pa.array(hit))
+        return pa.table(
+            {
+                "orderkey": pc.cast(b["o_orderkey"], pa.int64()),
+                "o_year": pc.cast(pc.year(b["o_orderdate"]), pa.int64()),
+            }
+        )
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(o_prep, batch_format="pyarrow")
+    joined = hash_join(
+        li, orders, on="orderkey",
+        schemas=(
+            pa.schema(
+                [("orderkey", pa.int64()), ("snat", pa.int64()),
+                 ("volume_c", pa.int64())]
+            ),
+            pa.schema([("orderkey", pa.int64()), ("o_year", pa.int64())]),
+        ),
+    )
+
+    def tag(b: pa.Table) -> pa.Table:
+        is_nat = pc.equal(b["snat"], pa.scalar(_Q8_NATION_KEY, pa.int64()))
+        nat_c = pc.if_else(is_nat, b["volume_c"], pa.scalar(0, pa.int64()))
+        return pa.table(
+            {"o_year": b["o_year"], "tot_c": b["volume_c"], "nat_c": nat_c}
+        )
+
+    folded = bounded_groupby_sum(
+        joined.map_batches(tag, batch_format="pyarrow"),
+        ["o_year"],
+        sum_cols={"tot_c": "tot_c", "nat_c": "nat_c"},
+    ).take_all()  # ≤ |years| rows
+    years = sorted(int(r["o_year"]) for r in folded)
+    by_year = {int(r["o_year"]): r for r in folded}
+    return pa.table(
+        {
+            "o_year": pa.array(years, pa.int64()),
+            "mkt_share": pa.array(
+                [
+                    float(int(by_year[y]["nat_c"]))
+                    / float(int(by_year[y]["tot_c"]))
+                    for y in years
+                ],
+                pa.float64(),
+            ),
+            "nation_volume": pa.array(
+                [int(by_year[y]["nat_c"]) / 10000.0 for y in years], pa.float64()
+            ),
+            "total_volume": pa.array(
+                [int(by_year[y]["tot_c"]) / 10000.0 for y in years], pa.float64()
+            ),
+        }
+    )
+
+
 def _q_part_value_share(sf_dir: str):
     """TPC-H Q11 shape — per-part value concentration: parts whose
     revenue (through one third of supplier nations) exceeds 1.6× the
@@ -4452,6 +4620,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "robust_stats_by_source": _q_robust_stats,
         "revenue_forecast": _q_revenue_forecast,
         "nation_profit_by_year": _q_nation_profit_by_year,
+        "mkt_share_by_year": _q_mkt_share_by_year,
         "part_value_share": _q_part_value_share,
         "custdist": _q_custdist,
         "promo_part_suppliers": _q_promo_part_suppliers,
@@ -6876,6 +7045,35 @@ def oracle_sql() -> dict[str, str]:
         JOIN nation ON s_nationkey = n_nationkey
         WHERE p_name LIKE '%red%'
         GROUP BY n_name, o_year
+    """
+    # mirrors _q_mkt_share_by_year (TPC-H Q8): exact int64 cents×pct
+    # volumes; share division is DOUBLE(nat)/DOUBLE(tot) on both sides
+    out["mkt_share_by_year"] = """
+        WITH v AS (
+            SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                     AS volume_c,
+                   s_nationkey AS snat
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation cn ON c_nationkey = cn.n_nationkey
+            WHERE cn.n_regionkey = 1 AND p_type = 'ECONOMY'
+              AND o_orderdate >= DATE '1995-01-01'
+              AND o_orderdate < DATE '1997-01-01'),
+             a AS (
+            SELECT o_year,
+                   sum(volume_c) AS tot_c,
+                   sum(CASE WHEN snat = 19 THEN volume_c ELSE 0 END) AS nat_c
+            FROM v GROUP BY 1)
+        SELECT o_year,
+               CAST(nat_c AS DOUBLE) / CAST(tot_c AS DOUBLE) AS mkt_share,
+               CAST(nat_c AS DOUBLE) / 10000.0 AS nation_volume,
+               CAST(tot_c AS DOUBLE) / 10000.0 AS total_volume
+        FROM a
     """
     # mirrors _q_part_value_share (TPC-H Q11): integer
     # cross-multiplication threshold — no float division on either side
