@@ -224,21 +224,43 @@ def _bench_once() -> dict:
             rep_timeout > 0
             and threading.current_thread() is threading.main_thread()
         )
-        if use_alarm:
-            def _on_alarm(signum, frame):
-                raise _RepTimeout(f"{key} exceeded {rep_timeout}s")
+        # LATE-ALARM RACE (ADVICE r3): the alarm can fire AFTER fn()
+        # returns but BEFORE alarm(0) runs — an armed handler raising
+        # there would escape the inner try and kill the battery, the
+        # exact failure the watchdog exists to contain.  Two layers:
+        # the handler only raises while ``armed`` (disarmed first thing
+        # after fn() returns), and the whole body — including the
+        # finally cleanup — sits inside an outer _RepTimeout catch so
+        # even the one-bytecode disarm window cannot propagate.
+        armed = [False]
 
-            prev = signal.signal(signal.SIGALRM, _on_alarm)
-            signal.alarm(rep_timeout)
-        try:
-            return fn()
-        except Exception as e:  # noqa: BLE001 — harness boundary
-            errors[key] = errors.get(key, 0) + 1
-            return f"err:{type(e).__name__}"
-        finally:
+        def _run():
             if use_alarm:
-                signal.alarm(0)
-                signal.signal(signal.SIGALRM, prev)
+                def _on_alarm(signum, frame):
+                    if armed[0]:
+                        raise _RepTimeout(f"{key} exceeded {rep_timeout}s")
+
+                prev = signal.signal(signal.SIGALRM, _on_alarm)
+                armed[0] = True
+                signal.alarm(rep_timeout)
+            try:
+                result = fn()
+                armed[0] = False
+                return result
+            except Exception as e:  # noqa: BLE001 — harness boundary
+                errors[key] = errors.get(key, 0) + 1
+                return f"err:{type(e).__name__}"
+            finally:
+                if use_alarm:
+                    armed[0] = False
+                    signal.alarm(0)
+                    signal.signal(signal.SIGALRM, prev)
+
+        try:
+            return _run()
+        except _RepTimeout:
+            errors[key] = errors.get(key, 0) + 1
+            return "err:_RepTimeout"
 
     # WALL-CLOCK BUDGET: the battery is ~90 queries × 3 reps — fine in a
     # quiet window (~8 min), but a co-tenant plateau can stretch it past
@@ -546,4 +568,20 @@ if __name__ == "__main__":
     elif "--skew" in sys.argv:
         _skew_bench()
     else:
-        print(json.dumps(_bench_once()))
+        result = _bench_once()
+        # full record first (raw rep arrays — auditable), then a COMPACT
+        # contract line LAST: the driver parses the final stdout line and
+        # its tail capture is finite — r3's 133-query raw-array line
+        # overflowed it and recorded `parsed: null` (VERDICT r3 #4).  The
+        # compact line carries the whole contract (metric/value/unit/
+        # queries-medians/sf/num_cpus) at a size independent of rep count.
+        print(json.dumps(result))
+        compact = {
+            k: result[k]
+            for k in (
+                "metric", "value", "unit", "queries", "errors",
+                "budget_exceeded", "sf", "num_cpus", "docs",
+                "docs_per_sec",
+            )
+        }
+        print(json.dumps(compact))
