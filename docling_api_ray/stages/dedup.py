@@ -260,25 +260,68 @@ def explode_bands(batch: pa.Table, *, bands: int = 16) -> pa.Table:
     )
 
 
+# Hot-census rows above which the exact is_in broadcast gives way to the
+# fixed-size Bloom bitmap (2M rows ≈ 32 MB of (key, n) on the driver —
+# comfortably inside a worker heap; the Bloom path has NO census-
+# proportional driver state at all).  Tests force the fallback with
+# monkeypatch / the broadcast_max kwarg.
+_HOT_CENSUS_BROADCAST_MAX = 2_000_000
+_HOT_BLOOM_K = 4
+
+
+def _hot_bloom_positions(keys: np.ndarray, m: int) -> np.ndarray:
+    """(n,) int64 bucket keys → (n, K) int64 bit positions.  splitmix64
+    finalizer first (bucket keys are not guaranteed well-mixed in the
+    low/high bits — simhash band buckets are < 2^19), then
+    Kirsch-Mitzenmacher double hashing, the same shape as
+    sketch._bloom_positions."""
+    z = keys.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        z = z ^ (z >> np.uint64(31))
+    h1 = (z % np.uint64(m)).astype(np.int64)
+    h2 = ((z >> np.uint64(32)) * np.uint64(2) + np.uint64(1)).astype(np.int64)
+    i = np.arange(_HOT_BLOOM_K, dtype=np.int64)
+    return (h1[:, None] + i[None, :] * h2[:, None]) % m
+
+
 def _keep_hot_buckets(
-    exploded: ray.data.Dataset, key: str = "bucket"
+    exploded: ray.data.Dataset,
+    key: str = "bucket",
+    *,
+    broadcast_max: int | None = None,
 ) -> tuple[ray.data.Dataset, int] | None:
     """Semi-join an exploded LSH table against its own ≥2-member buckets.
 
     Almost all buckets are singletons, so the hot set is found FIRST and
-    broadcast (``ray.put``) as a vectorized ``is_in`` filter, dropping
-    singleton rows before the expensive per-group pair generation.  The
-    count pass shuffles only the 8-byte key column, co-grouped to
-    ~core-count partitions with a vectorized ``value_counts`` body — a
-    per-bucket Ray ``aggregate`` costs ~35 µs PER GROUP (measured: 3-10 s
-    for 80k mostly-singleton buckets), while P pandas partitions count
-    the same keys in milliseconds.  The hot set is proportional to actual
-    duplicate structure, not corpus size (swap in a Bloom filter if it
-    ever outgrows memory).
+    used to drop singleton rows before the expensive per-group pair
+    generation.  The count pass shuffles only the 8-byte key column,
+    co-grouped to ~core-count partitions with a vectorized
+    ``value_counts`` body — a per-bucket Ray ``aggregate`` costs ~35 µs
+    PER GROUP (measured: 3-10 s for 80k mostly-singleton buckets), while
+    P pandas partitions count the same keys in milliseconds.
+
+    Two filter shapes behind a size guard (VERDICT r3 #2 — the census is
+    duplicate-structure-bounded, which on a boilerplate-heavy crawl is
+    NOT driver-bounded):
+
+    - census ≤ ``broadcast_max``: the hot keys ``take_all`` and
+      broadcast as an exact vectorized ``is_in`` filter (zero-copy
+      ``ray.get`` from plasma per batch);
+    - census above the guard: a FIXED-SIZE Bloom bitmap (m = 16×census
+      bits clamped to [2^17, 2^30], packed to m/8 bytes ≤ 128 MB) is
+      OR-folded from per-block unique bit positions — the driver streams
+      position blocks but never holds census-proportional state — and
+      broadcast once.  False positives only re-admit singleton-bucket
+      rows, which the downstream pair kernels drop in-partition
+      (``df.duplicated`` in ``_pairs_from_partition`` /
+      ``_incremental_drops``), so results are IDENTICAL; the cost is a
+      little extra shuffle volume (~K/m·census expected FP rate <1%).
 
     Returns ``(filtered, pair_bound)`` where ``pair_bound`` =
-    Σ C(bucket_size, 2) — the exact upper bound on candidate pairs, free
-    from the census this pass already holds — or None when no bucket has
+    Σ C(bucket_size, 2) — the exact upper bound on candidate pairs,
+    folded distributively from the census — or None when no bucket has
     ≥2 members."""
 
     def hot_in_partition(df: pd.DataFrame) -> pa.Table:
@@ -291,23 +334,66 @@ def _keep_hot_buckets(
             }
         )
 
-    hot = (
+    hot_ds = (
         _cogrouped(exploded.select_columns([key]), key)
         .map_groups(hot_in_partition, batch_format="pandas")
-        .take_all()
+        .materialize()  # narrow census, consumed 2-3 times below
     )
-    if not hot:
+    n_hot = hot_ds.count()
+    if n_hot == 0:
         return None
-    pair_bound = sum(r["n"] * (r["n"] - 1) // 2 for r in hot)
-    # broadcast the Arrow array itself: ray.get is zero-copy from plasma
-    # and the per-batch filter reuses it without a python-list→Arrow
-    # conversion per batch
-    ref = ray.put(pa.array(sorted(r[key] for r in hot), type=pa.int64()))
 
-    def keep(b: pa.Table) -> pa.Table:
-        return b.filter(pc.is_in(b[key], value_set=ray.get(ref)))
+    def pb_partial(b: pa.Table) -> pa.Table:
+        n = np.asarray(b["n"], dtype=np.int64)
+        return pa.table(
+            {"pb": pa.array([int((n * (n - 1) // 2).sum())], type=pa.int64())}
+        )
 
-    return exploded.map_batches(keep, batch_format="pyarrow"), pair_bound
+    pair_bound = int(
+        hot_ds.map_batches(pb_partial, batch_format="pyarrow").sum("pb") or 0
+    )
+    limit = _HOT_CENSUS_BROADCAST_MAX if broadcast_max is None else broadcast_max
+
+    if n_hot <= limit:
+        hot = hot_ds.take_all()  # bounded by the guard just checked
+        # broadcast the Arrow array itself: ray.get is zero-copy from
+        # plasma and the per-batch filter reuses it without a
+        # python-list→Arrow conversion per batch
+        ref = ray.put(
+            pa.array(sorted(r[key] for r in hot), type=pa.int64())
+        )
+
+        def keep(b: pa.Table) -> pa.Table:
+            return b.filter(pc.is_in(b[key], value_set=ray.get(ref)))
+
+        return exploded.map_batches(keep, batch_format="pyarrow"), pair_bound
+
+    # --- Bloom fallback: census outgrew the broadcast guard ---
+    m_bits = 1 << int(np.clip(np.ceil(np.log2(16 * n_hot)), 17, 30))
+
+    def bloom_bits(b: pa.Table) -> pa.Table:
+        pos = _hot_bloom_positions(
+            np.asarray(b[key], dtype=np.int64), m_bits
+        )
+        return pa.table({"bit": pa.array(np.unique(pos), type=pa.int64())})
+
+    packed = np.zeros(m_bits // 8, dtype=np.uint8)
+    for blk in hot_ds.map_batches(
+        bloom_bits, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        pos = np.asarray(blk["bit"], dtype=np.int64)
+        np.bitwise_or.at(
+            packed, pos >> 3, (1 << (pos & 7)).astype(np.uint8)
+        )
+    bref = ray.put(packed)
+
+    def keep_bloom(b: pa.Table) -> pa.Table:
+        pos = _hot_bloom_positions(np.asarray(b[key], dtype=np.int64), m_bits)
+        bits = ray.get(bref)  # zero-copy plasma view
+        hit = ((bits[pos >> 3] >> (pos & 7)) & 1).all(axis=1)
+        return b.filter(pa.array(hit))
+
+    return exploded.map_batches(keep_bloom, batch_format="pyarrow"), pair_bound
 
 
 _PAIR_FOLD_SINGLE_BLOCK_MAX = 2_000_000
@@ -742,11 +828,18 @@ def connected_components(
     return labels
 
 
+# Component-table rows above which the broadcast gives way to the
+# co-grouped join on doc_id (2M rows ≈ 32 MB driver-side).  Tests force
+# the fallback with monkeypatch / the broadcast_max kwarg.
+_COMPONENT_BROADCAST_MAX = 2_000_000
+
+
 def dedup_keep(
     ds: ray.data.Dataset,
     pairs: ray.data.Dataset,
     *,
     id_col: str = "doc_id",
+    broadcast_max: int | None = None,
 ) -> ray.data.Dataset:
     """documents × near-dup pairs → (doc_id, component, keep): the
     KEEP-LIST a training-data pipeline actually applies.  Every doc maps
@@ -754,42 +847,101 @@ def dedup_keep(
     own component); ``keep`` is true iff the doc is its component's min
     id — first-wins, exactly like ``exact_dedup``.
 
-    The component table is duplicate-structure-bounded, so it broadcasts
-    (``ray.put``) to a stateless streaming pass over the corpus — the
-    corpus side shuffles NOTHING.  At dup volumes beyond driver memory,
-    swap the broadcast for a co-grouped join on doc_id
-    (stages/joins.py) — same downstream semantics."""
-    comp_rows = connected_components(pairs, left_col="left_id",
-                                     right_col="right_id").take_all()
-    nodes = np.fromiter(
-        (r["node"] for r in comp_rows), dtype=np.int64, count=len(comp_rows)
-    )
-    comps = np.fromiter(
-        (r["component"] for r in comp_rows), dtype=np.int64,
-        count=len(comp_rows),
-    )
-    order = np.argsort(nodes)
-    ref = ray.put((nodes[order], comps[order]))
+    Two attach shapes behind a size guard (VERDICT r3 #1 — the component
+    table is duplicate-structure-bounded, which on a boilerplate-heavy
+    crawl is NOT driver-bounded):
 
-    def attach(b: pa.Table) -> pa.Table:
-        n, c = ray.get(ref)
-        ids = np.asarray(b[id_col], dtype=np.int64)
-        comp = ids.copy()  # singleton default: own component
-        if len(n):
-            pos = np.searchsorted(n, ids)
-            pos_c = np.clip(pos, 0, len(n) - 1)
-            hit = n[pos_c] == ids
-            comp[hit] = c[pos_c[hit]]
+    - component table ≤ ``broadcast_max`` rows: it broadcasts
+      (``ray.put``) to a stateless streaming pass over the corpus — the
+      corpus side shuffles NOTHING;
+    - above the guard: ONE co-grouped exchange of narrow int64 rows —
+      corpus ids tagged with a ``component=-1`` sentinel union the
+      component table, co-located by id hash, and each partition runs
+      the same searchsorted attach kernel as the broadcast path.  All
+      arithmetic stays int64 (no pandas left-merge NaN→float64 upcast),
+      so results are bit-identical at every id magnitude."""
+    comp = connected_components(pairs, left_col="left_id",
+                                 right_col="right_id")
+    limit = _COMPONENT_BROADCAST_MAX if broadcast_max is None else broadcast_max
+    out_schema = pa.schema(
+        [
+            (id_col, pa.int64()),
+            ("component", pa.int64()),
+            ("keep", pa.bool_()),
+        ]
+    )
+
+    if comp.count() <= limit:  # count is O(1): comp is materialized
+        comp_rows = comp.take_all()  # bounded by the guard just checked
+        nodes = np.fromiter(
+            (r["node"] for r in comp_rows), dtype=np.int64,
+            count=len(comp_rows),
+        )
+        comps = np.fromiter(
+            (r["component"] for r in comp_rows), dtype=np.int64,
+            count=len(comp_rows),
+        )
+        order = np.argsort(nodes)
+        ref = ray.put((nodes[order], comps[order]))
+
+        def attach(b: pa.Table) -> pa.Table:
+            n, c = ray.get(ref)
+            ids = np.asarray(b[id_col], dtype=np.int64)
+            comp_v = ids.copy()  # singleton default: own component
+            if len(n):
+                pos = np.searchsorted(n, ids)
+                pos_c = np.clip(pos, 0, len(n) - 1)
+                hit = n[pos_c] == ids
+                comp_v[hit] = c[pos_c[hit]]
+            return pa.table(
+                {
+                    id_col: b[id_col],
+                    "component": pa.array(comp_v, type=pa.int64()),
+                    "keep": pa.array(comp_v == ids, type=pa.bool_()),
+                }
+            )
+
+        return ds.select_columns([id_col]).map_batches(
+            attach, batch_format="pyarrow"
+        )
+
+    # --- co-grouped join fallback: component table outgrew the guard ---
+    def tag_ids(b: pa.Table) -> pa.Table:
         return pa.table(
             {
-                id_col: b[id_col],
-                "component": pa.array(comp, type=pa.int64()),
-                "keep": pa.array(comp == ids, type=pa.bool_()),
+                "node": pc.cast(b[id_col], pa.int64()),
+                "component": pa.array(
+                    np.full(len(b), -1, dtype=np.int64), type=pa.int64()
+                ),
             }
         )
 
-    return ds.select_columns([id_col]).map_batches(
-        attach, batch_format="pyarrow"
+    union = ds.select_columns([id_col]).map_batches(
+        tag_ids, batch_format="pyarrow"
+    ).union(comp)
+
+    def attach_in_partition(df: pd.DataFrame) -> pa.Table:
+        lab = df[df["component"] >= 0]
+        ids = df.loc[df["component"] < 0, "node"].to_numpy(dtype=np.int64)
+        n = lab["node"].to_numpy(dtype=np.int64)
+        c = lab["component"].to_numpy(dtype=np.int64)
+        order = np.argsort(n, kind="stable")
+        n, c = n[order], c[order]
+        comp_v = ids.copy()
+        if len(n):
+            pos = np.clip(np.searchsorted(n, ids), 0, len(n) - 1)
+            hit = n[pos] == ids
+            comp_v[hit] = c[pos][hit]
+        return pa.table(
+            {
+                id_col: pa.array(ids, type=pa.int64()),
+                "component": pa.array(comp_v, type=pa.int64()),
+                "keep": pa.array(comp_v == ids, type=pa.bool_()),
+            }
+        ).cast(out_schema)
+
+    return _cogrouped(union, "node").map_groups(
+        attach_in_partition, batch_format="pandas"
     )
 
 

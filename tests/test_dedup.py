@@ -148,6 +148,118 @@ def test_dedup_pairs_cogrouped_fallback(monkeypatch):
     assert len(sim) >= 7600
 
 
+def _alldup_corpus():
+    # adversarial amplified all-dup corpus (VERDICT r3 #1/#2): EVERY doc
+    # has ≥1 near-dup — 40 distinct texts × 20 exact copies each, so the
+    # hot-bucket census and the component table are both corpus-scale
+    texts, ids = [], []
+    for t in range(40):
+        body = f"unique text body number {t} " + " ".join(
+            f"w{t}x{j}" for j in range(30)
+        )
+        for c in range(20):
+            ids.append(t * 100 + c)
+            texts.append(body)
+    return ray.data.from_arrow(pa.table({"doc_id": ids, "text": texts}))
+
+
+def test_hot_bucket_bloom_fallback(monkeypatch):
+    # force the census over the broadcast guard: the Bloom-bitmap filter
+    # must admit every genuinely hot bucket (no false negatives by
+    # construction) and produce EXACTLY the same verified pair set —
+    # false positives only re-admit singleton rows the pair kernel drops
+    import docling_api_ray.stages.dedup as dd
+
+    ds = _alldup_corpus()
+
+    def run():
+        return {
+            (r["left_id"], r["right_id"], r["est_jaccard"])
+            for r in minhash_lsh_pairs(ds, threshold=0.9).take_all()
+        }
+
+    broadcast = run()
+    monkeypatch.setattr(dd, "_HOT_CENSUS_BROADCAST_MAX", 0)
+    bloom = run()
+    assert len(broadcast) >= 7600  # 40 · C(20,2) exact pairs minimum
+    assert bloom == broadcast
+
+
+def test_hot_bucket_bloom_positions_in_range():
+    from docling_api_ray.stages.dedup import (
+        _HOT_BLOOM_K,
+        _hot_bloom_positions,
+    )
+
+    keys = np.array([0, 1, 2**18, -1, 2**62, 17], dtype=np.int64)
+    for m in (1 << 17, 1 << 24, 1 << 30):
+        pos = _hot_bloom_positions(keys, m)
+        assert pos.shape == (len(keys), _HOT_BLOOM_K)
+        assert pos.min() >= 0 and pos.max() < m
+    # low-entropy keys (simhash-band shape) still spread: all rows distinct
+    low = np.arange(64, dtype=np.int64)
+    pos = _hot_bloom_positions(low, 1 << 17)
+    assert len({tuple(r) for r in pos}) == len(low)
+
+
+def test_dedup_keep_cogrouped_fallback(monkeypatch):
+    # force the component table over the broadcast guard: the co-grouped
+    # attach must match the broadcast path row-for-row on a corpus where
+    # every doc belongs to a 20-member component
+    import docling_api_ray.stages.dedup as dd
+    from docling_api_ray.stages.dedup import dedup_keep
+
+    ds = _alldup_corpus()
+    pairs = minhash_lsh_pairs(ds, threshold=0.9).materialize()
+
+    def run():
+        return sorted(
+            (r["doc_id"], r["component"], r["keep"])
+            for r in dedup_keep(ds, pairs).take_all()
+        )
+
+    broadcast = run()
+    monkeypatch.setattr(dd, "_COMPONENT_BROADCAST_MAX", 0)
+    cogrouped = run()
+    assert cogrouped == broadcast
+    assert len(broadcast) == 800
+    # exactly one keeper per 20-member component, and it is the min id
+    keeps = [d for d, _, k in broadcast if k]
+    assert keeps == [t * 100 for t in range(40)]
+
+
+def test_incremental_minhash_bloom_fallback(monkeypatch):
+    # the append path rides the same hot-bucket filter: forcing the Bloom
+    # fallback must not change which incoming docs survive
+    import docling_api_ray.stages.dedup as dd
+    from docling_api_ray.stages.incremental import incremental_minhash_keep
+
+    ds = _alldup_corpus()
+
+    def half(lo: bool):
+        def fn(b: pa.Table) -> pa.Table:
+            c = np.asarray(b["doc_id"], dtype=np.int64) % 100
+            return b.filter(pa.array(c < 10 if lo else c >= 10))
+
+        return fn
+
+    old = ds.map_batches(half(True), batch_format="pyarrow")
+    new = ds.map_batches(half(False), batch_format="pyarrow")
+
+    def run():
+        return sorted(
+            r["doc_id"]
+            for r in incremental_minhash_keep(old, new, threshold=0.9)
+            .take_all()
+        )
+
+    broadcast = run()
+    monkeypatch.setattr(dd, "_HOT_CENSUS_BROADCAST_MAX", 0)
+    bloom = run()
+    assert bloom == broadcast
+    assert broadcast == []  # every incoming doc duplicates history
+
+
 def test_connected_components_chain():
     # a 6-node chain (diameter 5 — forces multiple propagation rounds),
     # a triangle, and an isolated edge
