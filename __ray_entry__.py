@@ -4419,6 +4419,397 @@ def _q_sole_return_suppliers(sf_dir: str):
     )
 
 
+_Q2_TYPE = "STANDARD"
+_Q2_SIZE_MOD = 5
+_Q2_REGION = "EUROPE"
+_Q2_TOPN = 100
+
+
+def _q_min_cost_supplier(sf_dir: str):
+    """TPC-H Q2 shape — correlated per-part ARGMIN over a filtered
+    supplier universe: for STANDARD parts with size % 5 = 0, the
+    cheapest EUROPE supplier(s), top-100 by (acctbal DESC, n_name,
+    s_name, partkey).  The testdata has no partsupp table, so the
+    part×supplier "supply cost" fact is derived from lineitem as
+    MIN(int-cent extendedprice) per (partkey, suppkey) — same join
+    topology and argmin-with-ties semantics as the spec query
+    (reference has no joins at all; this is the engine extension suite,
+    SURVEY.md §2.4).
+
+    Scale shape: region→nation→supplier collapse to a broadcast
+    sorted-key attribute lookup (bounded dimension by TPC-H
+    construction); the part filter broadcasts sorted qualifying
+    partkeys (same documented bound as promo_part_suppliers'
+    part_red); lineitem pre-reduces per batch to per-(part, supplier)
+    int64 min-cost partials over a 2-column np.unique (no packed-key
+    collision bound), then ONE partkey co-group decides both the
+    cross-batch min-fold AND the per-part argmin-with-ties entirely
+    in-partition.  The top-100 head is the two-level bounded-head
+    pattern; only ≤100 rows ever reach the driver."""
+    ntbl = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    )
+    rtbl = pq.read_table(
+        os.path.join(sf_dir, "region.parquet"),
+        columns=["r_regionkey", "r_name"],
+    )
+    eu_regions = set(
+        np.asarray(rtbl["r_regionkey"], dtype=np.int64)[
+            np.asarray(rtbl["r_name"].to_pylist(), dtype=object) == _Q2_REGION
+        ].tolist()
+    )
+    nkey = np.asarray(ntbl["n_nationkey"], dtype=np.int64)
+    nname = np.asarray(ntbl["n_name"].to_pylist(), dtype=object)
+    nmap = {
+        int(k): str(n)
+        for k, n, r in zip(
+            nkey, nname, np.asarray(ntbl["n_regionkey"], dtype=np.int64)
+        )
+        if int(r) in eu_regions
+    }
+
+    stbl = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+    )
+    s_nat = np.asarray(stbl["s_nationkey"], dtype=np.int64)
+    s_in = np.fromiter((int(n) in nmap for n in s_nat), dtype=bool,
+                       count=len(s_nat))
+    sk_all = np.asarray(stbl["s_suppkey"], dtype=np.int64)[s_in]
+    order = np.argsort(sk_all, kind="stable")
+    supp_keys = sk_all[order]
+    supp_bal_c = np.rint(
+        np.asarray(stbl["s_acctbal"])[s_in] * 100
+    ).astype(np.int64)[order]
+    supp_name = np.asarray(stbl["s_name"].to_pylist(), dtype=object)[s_in][order]
+    supp_nname = np.asarray(
+        [nmap[int(n)] for n in s_nat[s_in]], dtype=object
+    )[order]
+
+    ptbl = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_type", "p_size"],
+    )
+    psel = (
+        np.asarray(ptbl["p_type"].to_pylist(), dtype=object) == _Q2_TYPE
+    ) & (np.asarray(ptbl["p_size"], dtype=np.int64) % _Q2_SIZE_MOD == 0)
+    part_keys = np.sort(np.asarray(ptbl["p_partkey"], dtype=np.int64)[psel])
+
+    P = 32
+    cost_schema = pa.schema(
+        [("partkey", pa.int64()), ("suppkey", pa.int64()),
+         ("cost_c", pa.int64())]
+    )
+
+    def _in_sorted(keys: np.ndarray, sorted_set: np.ndarray) -> np.ndarray:
+        if not len(sorted_set):
+            return np.zeros(len(keys), dtype=bool)
+        pos = np.clip(np.searchsorted(sorted_set, keys), 0,
+                      len(sorted_set) - 1)
+        return sorted_set[pos] == keys
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        pkk = np.asarray(b["l_partkey"], dtype=np.int64)
+        sk = np.asarray(b["l_suppkey"], dtype=np.int64)
+        hit = _in_sorted(pkk, part_keys) & _in_sorted(sk, supp_keys)
+        pkk, sk = pkk[hit], sk[hit]
+        ec = np.rint(
+            np.asarray(b["l_extendedprice"])[hit] * 100
+        ).astype(np.int64)
+        # 2-column np.unique combine — no packed-key collision bound
+        stack = np.stack([pkk, sk], axis=1)
+        upairs, inv = np.unique(stack, axis=0, return_inverse=True)
+        mins = np.full(len(upairs), np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(mins, inv, ec)
+        return pa.table(
+            {
+                "partkey": pa.array(upairs[:, 0], pa.int64()),
+                "suppkey": pa.array(upairs[:, 1], pa.int64()),
+                "cost_c": pa.array(mins, pa.int64()),
+                "__part": pa.array(upairs[:, 0] % P, pa.int64()),
+            }
+        )
+
+    def argmin_fold(df) -> pa.Table:
+        g = (
+            df.groupby(["partkey", "suppkey"], sort=False)["cost_c"]
+            .min()
+            .reset_index()
+        )
+        part_min = g.groupby("partkey", sort=False)["cost_c"].transform("min")
+        w = g[g["cost_c"] == part_min]
+        return pa.Table.from_pandas(
+            w[cost_schema.names], preserve_index=False
+        ).cast(cost_schema).replace_schema_metadata(None)
+
+    winners = (
+        _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_extendedprice"])
+        .map_batches(li_partial, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(argmin_fold, batch_format="pandas")
+    )
+
+    wide_schema = pa.schema(
+        [
+            ("acctbal_c", pa.int64()),
+            ("s_name", pa.string()),
+            ("n_name", pa.string()),
+            ("p_partkey", pa.int64()),
+            ("cost_c", pa.int64()),
+        ]
+    )
+
+    def attach(b: pa.Table) -> pa.Table:
+        sk = np.asarray(b["suppkey"], dtype=np.int64)
+        pos = np.searchsorted(supp_keys, sk)  # every winner is in-universe
+        return pa.table(
+            {
+                "acctbal_c": pa.array(supp_bal_c[pos], pa.int64()),
+                "s_name": pa.array(supp_name[pos], pa.string()),
+                "n_name": pa.array(supp_nname[pos], pa.string()),
+                "p_partkey": b["partkey"],
+                "cost_c": b["cost_c"],
+            }
+        )
+
+    def head(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().sort_values(
+            ["acctbal_c", "n_name", "s_name", "p_partkey"],
+            ascending=[False, True, True, True],
+            kind="stable",
+        ).head(_Q2_TOPN)
+        return pa.Table.from_pandas(df, preserve_index=False).cast(
+            wide_schema
+        ).replace_schema_metadata(None)
+
+    top = (
+        _with_schema(winners.map_batches(attach, batch_format="pyarrow"),
+                     wide_schema)
+        .map_batches(head, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(head, batch_format="pyarrow", batch_size=None)
+        .take_all()  # ≤100 rows by the head bound
+    )
+    return pa.table(
+        {
+            "s_acctbal": pa.array(
+                [r["acctbal_c"] / 100.0 for r in top], pa.float64()
+            ),
+            "s_name": pa.array([r["s_name"] for r in top], pa.string()),
+            "n_name": pa.array([r["n_name"] for r in top], pa.string()),
+            "p_partkey": pa.array(
+                [r["p_partkey"] for r in top], pa.int64()
+            ),
+            "supplycost": pa.array(
+                [r["cost_c"] / 100.0 for r in top], pa.float64()
+            ),
+        }
+    )
+
+
+_Q12_LO_US = 852_076_800_000_000  # 1997-01-01 epoch µs
+_Q12_HI_US = 883_612_800_000_000  # 1998-01-01 epoch µs
+_Q12_HIGH = ("1-URGENT", "2-HIGH")
+_Q12_MODES = ("MAIL", "SHIP", "TRUCK")
+
+
+def _q_shipmode_priority(sf_dir: str):
+    """TPC-H Q12 shape — big-big join + two-flag conditional aggregate:
+    line counts by ship mode split into high/low order priority, for
+    lineitems shipped within 1997.  The testdata has no l_shipmode
+    column, so the mode is the deterministic l_linenumber % 3 →
+    (MAIL, SHIP, TRUCK) projection — the join topology (lineitem ⋈
+    orders on orderkey) and the CASE-sum shape are the spec query's.
+
+    Scale shape: lineitem pre-reduces per batch to (orderkey, mode, n)
+    partials — the packed orderkey·3+mode combine key is
+    collision-free BY CONSTRUCTION (mode < 3), no enforcement needed —
+    and orders projects (orderkey, is_high 0/1); ONE bucketed hash
+    join co-locates them, per-batch CASE-sums reduce the joined rows
+    to ≤3-row partials, and the final fold is ``bounded_groupby_sum``
+    over the 3-value mode domain."""
+    from docling_api_ray.stages.joins import hash_join
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        us = np.asarray(pc.cast(b["l_shipdate"], pa.int64()))
+        keep = (us >= _Q12_LO_US) & (us < _Q12_HI_US)
+        ok = np.asarray(b["l_orderkey"], dtype=np.int64)[keep]
+        mode = np.asarray(b["l_linenumber"], dtype=np.int64)[keep] % 3
+        key = ok * 3 + mode  # exact: mode ∈ [0,3)
+        ukey, counts = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "orderkey": pa.array(ukey // 3, pa.int64()),
+                "mode_id": pa.array(ukey % 3, pa.int64()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def o_proj(b: pa.Table) -> pa.Table:
+        pr = np.asarray(b["o_orderpriority"].to_pylist(), dtype=object)
+        high = np.isin(pr, _Q12_HIGH).astype(np.int64)
+        return pa.table(
+            {
+                "orderkey": pc.cast(b["o_orderkey"], pa.int64()),
+                "high": pa.array(high, pa.int64()),
+            }
+        )
+
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_shipdate"]
+    ).map_batches(li_partial, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]).map_batches(
+        o_proj, batch_format="pyarrow"
+    )
+    joined = hash_join(
+        li, orders, on="orderkey", how="inner",
+        schemas=(
+            pa.schema([("orderkey", pa.int64()), ("mode_id", pa.int64()),
+                       ("n", pa.int64())]),
+            pa.schema([("orderkey", pa.int64()), ("high", pa.int64())]),
+        ),
+    )
+    modes = np.asarray(_Q12_MODES, dtype=object)
+
+    def case_sum(b: pa.Table) -> pa.Table:
+        n = np.asarray(b["n"], dtype=np.int64)
+        high = np.asarray(b["high"], dtype=np.int64)
+        mode = np.asarray(b["mode_id"], dtype=np.int64)
+        return pa.table(
+            {
+                "shipmode": pa.array(modes[mode], pa.string()),
+                "high_n": pa.array(n * high, pa.int64()),
+                "low_n": pa.array(n * (1 - high), pa.int64()),
+            }
+        )
+
+    return bounded_groupby_sum(
+        joined.map_batches(case_sum, batch_format="pyarrow"),
+        ["shipmode"],
+        sum_cols={"high_line_count": "high_n", "low_line_count": "low_n"},
+    )
+
+
+_Q22_MOD = 7
+_Q22_CODES = (0, 2, 4)
+_Q22_CUTOFF_US = 915_148_800_000_000  # 1999-01-01 epoch µs
+_Q22_CUTOFF = "1999-01-01"
+
+
+def _q_sales_opportunity(sf_dir: str):
+    """TPC-H Q22 shape — scalar AVG subquery + anti-join: customers in
+    selected "country codes" (no c_phone in the testdata → cntrycode :=
+    c_nationkey % 7) whose balance exceeds the positive-balance average
+    of those codes AND who have placed no RECENT order (none on/after
+    1999-01-01 — the spec's "no orders for 7 years" flavor; this
+    generator gives every customer at least one all-time order);
+    grouped count + balance sum per code.  Reuses the
+    ``customers_no_orders`` anti-join machinery.
+
+    Scale shape: the AVG is two folded int64 scalars (Σ bal_c, n) from
+    per-batch partials; the threshold compare is rewritten exactly as
+    bal_c ≥ ⌊tot/n⌋ + 1 in unbounded Python ints (the part_value_share
+    discipline — no cross-multiply overflow at any scale).  Qualifying
+    customers anti-join the orders keyset (map-side unique custkeys per
+    block, bucketed hash anti-join — both sides large, nothing
+    driver-side), and the final fold is ``bounded_groupby_sum`` over
+    the ≤7-value code domain."""
+    from docling_api_ray.stages.joins import hash_join
+
+    codes = np.asarray(_Q22_CODES, dtype=np.int64)
+
+    def c_proj(b: pa.Table) -> pa.Table:
+        code = np.asarray(b["c_nationkey"], dtype=np.int64) % _Q22_MOD
+        keep = np.isin(code, codes)
+        bal_c = np.rint(
+            np.asarray(b["c_acctbal"])[keep] * 100
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "custkey": pc.cast(b["c_custkey"], pa.int64()).filter(
+                    pa.array(keep)
+                ),
+                "cntrycode": pa.array(code[keep], pa.int64()),
+                "bal_c": pa.array(bal_c, pa.int64()),
+            }
+        )
+
+    cs = _read(
+        sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"]
+    ).map_batches(c_proj, batch_format="pyarrow").materialize()
+    # narrow (custkey, code, bal_c) projection — customer-dimension-
+    # bounded, consumed twice (avg fold + qualify filter)
+
+    def avg_partial(b: pa.Table) -> pa.Table:
+        bal = np.asarray(b["bal_c"], dtype=np.int64)
+        pos = bal[bal > 0]
+        return pa.table(
+            {
+                "tot": pa.array([int(pos.sum())], pa.int64()),
+                "n": pa.array([len(pos)], pa.int64()),
+            }
+        )
+
+    folded = cs.map_batches(avg_partial, batch_format="pyarrow").sum(
+        ["tot", "n"]
+    )
+    tot, n = int(folded["sum(tot)"] or 0), int(folded["sum(n)"] or 0)
+    out_schema = pa.schema(
+        [("cntrycode", pa.int64()), ("numcust", pa.int64()),
+         ("totacctbal", pa.float64())]
+    )
+    if n == 0:
+        return out_schema.empty_table()
+    # bal_c · n > tot  ⟺  bal_c ≥ ⌊tot/n⌋ + 1 (exact rational threshold)
+    thresh = tot // n + 1
+
+    def qualify(b: pa.Table) -> pa.Table:
+        return b.filter(
+            pa.array(np.asarray(b["bal_c"], dtype=np.int64) >= thresh)
+        )
+
+    def o_keys(b: pa.Table) -> pa.Table:
+        us = np.asarray(pc.cast(b["o_orderdate"], pa.int64()))
+        b = b.filter(pa.array(us >= _Q22_CUTOFF_US))
+        return pa.table(
+            {"custkey": pc.unique(pc.cast(b["o_custkey"], pa.int64()))}
+        )
+
+    no_orders = hash_join(
+        cs.map_batches(qualify, batch_format="pyarrow"),
+        _read(sf_dir, "orders", ["o_custkey", "o_orderdate"]).map_batches(
+            o_keys, batch_format="pyarrow"
+        ),
+        on="custkey",
+        how="anti",
+        schemas=(
+            pa.schema([("custkey", pa.int64()), ("cntrycode", pa.int64()),
+                       ("bal_c", pa.int64())]),
+            pa.schema([("custkey", pa.int64())]),
+        ),
+    )
+    agg = bounded_groupby_sum(
+        no_orders, ["cntrycode"], sum_cols={"totbal_c": "bal_c"},
+        count_alias="numcust",
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cntrycode": pc.cast(b["cntrycode"], pa.int64()),
+                "numcust": b["numcust"],
+                "totacctbal": pc.divide(
+                    pc.cast(b["totbal_c"], pa.float64()), 100.0
+                ),
+            }
+        )
+
+    return _with_schema(
+        agg.map_batches(finish, batch_format="pyarrow"), out_schema
+    )
+
+
 def _append_split(sf_dir: str) -> tuple[ray.data.Dataset, ray.data.Dataset]:
     """Deterministic committed/incoming split of the documents table
     (doc_id % 10 < 8 = committed history, ≥ 8 = incoming batch) — the
@@ -4675,6 +5066,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_append": _q_knn_append,
         "knn_ivf_partitioned": _q_knn_ivf_partitioned,
         "append_dedup_indexed": _q_append_dedup_indexed,
+        "min_cost_supplier": _q_min_cost_supplier,
+        "shipmode_priority": _q_shipmode_priority,
+        "sales_opportunity": _q_sales_opportunity,
     }
 
 
@@ -7199,4 +7593,76 @@ def oracle_sql() -> dict[str, str]:
     out["knn_ivf_partitioned"] = _knn_ivf_oracle_sql()
     # index-backed append path: identical results to append_dedup_minhash
     out["append_dedup_indexed"] = _append_minhash_oracle_sql(0.7)
+    # mirrors _q_min_cost_supplier (TPC-H Q2): supply cost derived from
+    # lineitem as MIN int-cent extendedprice per (part, supplier); the
+    # ORDER BY sorts acctbal by its CENTS (the engine's sort key) so the
+    # LIMIT boundary is a shared total order — (s_name, partkey) is
+    # unique within equal cents, making the top-100 set deterministic
+    out["min_cost_supplier"] = f"""
+        WITH cost AS (SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+                             min(CAST(round(l_extendedprice * 100) AS BIGINT))
+                               AS cost_c
+                      FROM lineitem GROUP BY 1, 2),
+             eu AS (SELECT s_suppkey, s_name, n_name,
+                           CAST(round(s_acctbal * 100) AS BIGINT) AS bal_c
+                    FROM supplier
+                    JOIN nation ON s_nationkey = n_nationkey
+                    JOIN region ON n_regionkey = r_regionkey
+                    WHERE r_name = '{_Q2_REGION}'),
+             p AS (SELECT p_partkey FROM part
+                   WHERE p_type = '{_Q2_TYPE}'
+                     AND p_size % {_Q2_SIZE_MOD} = 0),
+             pc AS (SELECT c.partkey, c.suppkey, c.cost_c, e.s_name,
+                           e.n_name, e.bal_c
+                    FROM cost c
+                    JOIN p ON c.partkey = p.p_partkey
+                    JOIN eu e ON c.suppkey = e.s_suppkey),
+             m AS (SELECT partkey, min(cost_c) AS mc FROM pc GROUP BY 1)
+        SELECT pc.bal_c / 100.0 AS s_acctbal, pc.s_name, pc.n_name,
+               pc.partkey AS p_partkey, pc.cost_c / 100.0 AS supplycost
+        FROM pc JOIN m ON pc.partkey = m.partkey AND pc.cost_c = m.mc
+        ORDER BY pc.bal_c DESC, pc.n_name, pc.s_name, pc.partkey
+        LIMIT {_Q2_TOPN}
+    """
+    # mirrors _q_shipmode_priority (TPC-H Q12): derived shipmode =
+    # l_linenumber % 3, high = urgent/high order priority
+    high_list = ", ".join(f"'{p}'" for p in _Q12_HIGH)
+    out["shipmode_priority"] = f"""
+        SELECT CASE l_linenumber % 3 WHEN 0 THEN '{_Q12_MODES[0]}'
+                    WHEN 1 THEN '{_Q12_MODES[1]}'
+                    ELSE '{_Q12_MODES[2]}' END AS shipmode,
+               CAST(sum(CASE WHEN o_orderpriority IN ({high_list})
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                 AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority IN ({high_list})
+                             THEN 0 ELSE 1 END) AS BIGINT)
+                 AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1
+    """
+    # mirrors _q_sales_opportunity (TPC-H Q22): the avg threshold is the
+    # same exact integer comparison (bal_c·n > tot ⟺ the engine's
+    # floor+1 rewrite), cntrycode = c_nationkey % 7
+    codes_list = ", ".join(str(c) for c in _Q22_CODES)
+    out["sales_opportunity"] = f"""
+        WITH cs AS (SELECT c_custkey,
+                           CAST(c_nationkey % {_Q22_MOD} AS BIGINT)
+                             AS cntrycode,
+                           CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+                    FROM customer
+                    WHERE c_nationkey % {_Q22_MOD} IN ({codes_list})),
+             s AS (SELECT sum(bal_c) AS tot, count(*) AS n
+                   FROM cs WHERE bal_c > 0),
+             q AS (SELECT cs.* FROM cs, s
+                   WHERE CAST(bal_c AS HUGEINT) * n > CAST(tot AS HUGEINT)
+                     AND NOT EXISTS (SELECT 1 FROM orders
+                                     WHERE o_custkey = cs.c_custkey
+                                       AND o_orderdate >=
+                                           TIMESTAMP '{_Q22_CUTOFF}'))
+        SELECT cntrycode, CAST(count(*) AS BIGINT) AS numcust,
+               sum(bal_c) / 100.0 AS totacctbal
+        FROM q GROUP BY 1
+    """
     return out

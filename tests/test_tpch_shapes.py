@@ -417,3 +417,178 @@ def test_generator_referential_integrity_orders_customers():
     ok = np.unique(np.asarray(o["o_custkey"], dtype=np.int64))
     ck = np.asarray(c["c_custkey"], dtype=np.int64)
     assert np.isin(ok, ck).all()
+
+
+def test_min_cost_supplier_argmin_ties_and_filters(tmp_path):
+    """Q2 shape: per-part argmin WITH TIES over the EU supplier universe;
+    cheaper non-EU offers and filtered-out parts must not leak in, and
+    the head orders by acctbal cents DESC."""
+    from __ray_entry__ import _q_min_cost_supplier
+
+    d = str(tmp_path)
+    pq.write_table(
+        pa.table(
+            {
+                "r_regionkey": pa.array([0, 1], pa.int32()),
+                "r_name": pa.array(["EUROPE", "ASIA"], pa.string()),
+            }
+        ),
+        f"{d}/region.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "n_nationkey": pa.array([10, 11], pa.int32()),
+                "n_name": pa.array(["GERMANY", "CHINA"], pa.string()),
+                "n_regionkey": pa.array([0, 1], pa.int32()),
+            }
+        ),
+        f"{d}/nation.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "s_suppkey": pa.array([1, 2, 3], pa.int64()),
+                "s_name": pa.array(["s1", "s2", "s3"], pa.string()),
+                "s_nationkey": pa.array([10, 10, 11], pa.int32()),
+                "s_acctbal": pa.array([100.0, 50.0, 999.0], pa.float64()),
+            }
+        ),
+        f"{d}/supplier.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array([1, 2, 3], pa.int64()),
+                "p_type": pa.array(
+                    ["STANDARD", "STANDARD", "PROMO"], pa.string()
+                ),
+                "p_size": pa.array([5, 7, 10], pa.int32()),
+            }
+        ),
+        f"{d}/part.parquet",
+    )
+    rows = [
+        # part 1: s1 min 8.00 (across two rows), s2 ties at 8.00,
+        # s3 cheaper but non-EU → excluded
+        {"l_partkey": 1, "l_suppkey": 1, "l_extendedprice": 10.0},
+        {"l_partkey": 1, "l_suppkey": 1, "l_extendedprice": 8.0},
+        {"l_partkey": 1, "l_suppkey": 2, "l_extendedprice": 8.0},
+        {"l_partkey": 1, "l_suppkey": 3, "l_extendedprice": 1.0},
+        # part 2: wrong size (7 % 5 != 0); part 3: wrong type
+        {"l_partkey": 2, "l_suppkey": 1, "l_extendedprice": 5.0},
+        {"l_partkey": 3, "l_suppkey": 1, "l_extendedprice": 5.0},
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "l_partkey": pa.array(
+                    [r["l_partkey"] for r in rows], pa.int64()
+                ),
+                "l_suppkey": pa.array(
+                    [r["l_suppkey"] for r in rows], pa.int64()
+                ),
+                "l_extendedprice": pa.array(
+                    [r["l_extendedprice"] for r in rows], pa.float64()
+                ),
+            }
+        ),
+        f"{d}/lineitem.parquet",
+    )
+    out = _q_min_cost_supplier(d)
+    assert out["s_name"].to_pylist() == ["s1", "s2"]  # acctbal desc
+    assert out["p_partkey"].to_pylist() == [1, 1]
+    assert out["supplycost"].to_pylist() == [8.0, 8.0]
+    assert out["s_acctbal"].to_pylist() == [100.0, 50.0]
+    assert out["n_name"].to_pylist() == ["GERMANY", "GERMANY"]
+
+
+def test_shipmode_priority_window_and_split(tmp_path):
+    """Q12 shape: [1997-01-01, 1998-01-01) boundary discipline, the
+    linenumber % 3 mode projection, and the high/low priority split."""
+    from __ray_entry__ import _q_shipmode_priority
+
+    d = str(tmp_path)
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+                "o_orderpriority": pa.array(
+                    ["1-URGENT", "5-LOW", "2-HIGH"], pa.string()
+                ),
+            }
+        ),
+        f"{d}/orders.parquet",
+    )
+    li = [
+        # (orderkey, linenumber, shipdate, expected lane)
+        (1, 3, _ts(1997, 1, 1)),    # MAIL, high — AT window start
+        (1, 1, _ts(1996, 12, 31)),  # excluded: before window
+        (2, 2, _ts(1997, 6, 1)),    # TRUCK, low
+        (3, 6, _ts(1997, 12, 31)),  # MAIL, high — last in-window day
+        (2, 3, _ts(1998, 1, 1)),    # excluded: AT window end
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([r[0] for r in li], pa.int64()),
+                "l_linenumber": pa.array([r[1] for r in li], pa.int32()),
+                "l_shipdate": pa.array(
+                    [r[2] for r in li], pa.timestamp("us")
+                ),
+            }
+        ),
+        f"{d}/lineitem.parquet",
+    )
+    out = {
+        r["shipmode"]: (r["high_line_count"], r["low_line_count"])
+        for r in _q_shipmode_priority(d).take_all()
+    }
+    assert out == {"MAIL": (2, 0), "TRUCK": (0, 1)}
+
+
+def test_sales_opportunity_threshold_and_recent_order(tmp_path):
+    """Q22 shape: strict > avg (a balance exactly AT the positive-balance
+    average is excluded), negative balances excluded from the average,
+    out-of-set country codes ignored, and an order AT the cutoff counts
+    as recent (anti-joins the customer away)."""
+    from __ray_entry__ import _q_sales_opportunity
+
+    d = str(tmp_path)
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+                # codes: nk % 7 → 0,0,2,1(out),0,2
+                "c_nationkey": pa.array([0, 7, 2, 1, 14, 9], pa.int32()),
+                # positive-balance avg over in-set = (100+200+300)/3 = 200
+                "c_acctbal": pa.array(
+                    [100.0, 200.0, 300.0, 1000.0, -50.0, 400.0],
+                    pa.float64(),
+                ),
+            }
+        ),
+        f"{d}/customer.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "o_custkey": pa.array([3, 6, 1], pa.int64()),
+                "o_orderdate": pa.array(
+                    [
+                        _ts(1998, 5, 1),   # old order: c3 still qualifies
+                        _ts(2000, 1, 1),   # recent: c6 excluded
+                        _ts(1999, 1, 1),   # AT cutoff = recent (c1 moot)
+                    ],
+                    pa.timestamp("us"),
+                ),
+            }
+        ),
+        f"{d}/orders.parquet",
+    )
+    out = _q_sales_opportunity(d).to_pandas()
+    # only c3: bal 300 > 200 (c2 AT avg → excluded; c6 recent order;
+    # c4 out-of-set code; c5 negative)
+    assert out["cntrycode"].tolist() == [2]
+    assert out["numcust"].tolist() == [1]
+    assert out["totacctbal"].tolist() == [300.0]
