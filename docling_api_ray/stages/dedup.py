@@ -95,7 +95,9 @@ def exact_dedup(
         # otherwise surface schema-less blocks → executor warnings)
         return pa.Table.from_pandas(out, schema=out_schema, preserve_index=False)
 
-    return _cogrouped(hashed, "__ckey").map_groups(fold, batch_format="pandas")
+    return _cogrouped(hashed, "__ckey", coalesce=True).map_groups(
+        fold, batch_format="pandas"
+    )
 
 
 def exact_dedup_rows(
@@ -213,6 +215,25 @@ class MinHasher:
                 ),
             }
         )
+
+
+def _coalesce_small_materialized(
+    ds: ray.data.Dataset, max_rows: int = 1_000_000
+) -> ray.data.Dataset:
+    """Tiny-scale block hygiene for a MATERIALIZED signature-carrying
+    table about to feed a bucket co-group: the co-group's sort emits one
+    output range per input block, and a small over-split input (the
+    reader targets 2×CPU parallelism regardless of size) leaves most
+    ranges empty — schema-less blocks, executor warnings (VERDICT r3
+    #5).  ``count()`` is free on materialized data, so small tables
+    coalesce to ~core-count blocks; large corpora keep their natural
+    block count — a fixed-P repartition of wide rows would create
+    corpus/P monster blocks."""
+    from docling_api_ray.stages.common import shuffle_partitions
+
+    if ds.count() <= max_rows:
+        return ds.repartition(shuffle_partitions()).materialize()
+    return ds
 
 
 _BAND_MIX = np.uint64(0x9E3779B97F4A7C15)  # splitmix64 multiplier
@@ -335,7 +356,7 @@ def _keep_hot_buckets(
         )
 
     hot_ds = (
-        _cogrouped(exploded.select_columns([key]), key)
+        _cogrouped(exploded.select_columns([key]), key, coalesce=True)
         .map_groups(hot_in_partition, batch_format="pandas")
         .materialize()  # narrow census, consumed 2-3 times below
     )
@@ -349,8 +370,14 @@ def _keep_hot_buckets(
             {"pb": pa.array([int((n * (n - 1) // 2).sum())], type=pa.int64())}
         )
 
-    pair_bound = int(
-        hot_ds.map_batches(pb_partial, batch_format="pyarrow").sum("pb") or 0
+    # one int per block streamed to the driver — no Aggregate all-to-all
+    # (whose empty tiny-scale partitions would log schema warnings)
+    pair_bound = sum(
+        int(blk["pb"][0].as_py())
+        for blk in hot_ds.map_batches(
+            pb_partial, batch_format="pyarrow"
+        ).iter_batches(batch_format="pyarrow")
+        if len(blk)
     )
     limit = _HOT_CENSUS_BROADCAST_MAX if broadcast_max is None else broadcast_max
 
@@ -445,17 +472,44 @@ def _dedup_pairs(
         )
 
     return _cogrouped(
-        pairs.map_batches(add_key, batch_format="pyarrow"), "__ckey"
+        pairs.map_batches(add_key, batch_format="pyarrow"), "__ckey",
+        coalesce=True,
     ).map_groups(fold, batch_format="pandas")
 
 
-def _cogrouped(ds: ray.data.Dataset, key: str):
+def _cogrouped(ds: ray.data.Dataset, key: str, *, coalesce: bool = False):
     """Co-locate all rows of each ``key`` value using ~core-count Ray
     groups (key hash mod P), so per-key work can run as a cheap pandas
-    groupby inside each group instead of one Ray dispatch per key."""
+    groupby inside each group instead of one Ray dispatch per key.
+
+    ``coalesce=True`` first merges the input into ~1M-row bundles —
+    pass it for NARROW inputs (digests, ids, pair keys; never
+    signature-carrying rows).  Ray's sort-based co-group emits one
+    output range per INPUT block; at small scale the reader over-splits
+    and the surplus ranges beyond the P distinct ``__part`` values are
+    empty, materializing as schema-LESS blocks (the executor's
+    'different schema' warning, VERDICT r3 #5).  The merge is the
+    ``two_level_fold`` bundling trick — an identity ``map_batches``
+    whose large ``batch_size`` makes Ray bundle small blocks into one
+    task (NO all-to-all), scale-safe where a fixed ``repartition(P)``
+    is not: tiny inputs collapse to one block (zero empty ranges), a
+    corpus-proportional digest table still flows as bounded ~30-130 MB
+    blocks.  ``num_cpus=0.9`` blocks fusion with the upstream map —
+    fusion would propagate the 1M-row min-bundle upstream onto WIDE
+    corpus rows and starve read parallelism (max-of-chain rule,
+    config.py classify_batch_size note).  ``repartition(target_num_
+    rows_per_block=...)`` cannot do this job: it only SPLITS blocks,
+    never merges them (verified on Ray 2.49)."""
     from docling_api_ray.stages.common import shuffle_partitions
 
     P = shuffle_partitions()
+    if coalesce:
+        ds = ds.map_batches(
+            lambda b: b,
+            batch_format="pyarrow",
+            batch_size=1_000_000,
+            num_cpus=0.9,
+        )
 
     def add_part(b: pa.Table) -> pa.Table:
         part = pc.subtract(b[key], pc.multiply(pc.divide(b[key], P), P))
@@ -520,6 +574,7 @@ def minhash_lsh_pairs(
     exploded = signed.map_batches(
         lambda b: explode_bands(b, bands=bands), batch_format="pyarrow"
     ).materialize()
+    exploded = _coalesce_small_materialized(exploded)
     kept = _keep_hot_buckets(exploded)
     if kept is None:
         return ray.data.from_arrow(
@@ -666,7 +721,7 @@ def simhash_pairs(
     # co-grouped path (est_pairs=None) — the whole query stays ONE lazy
     # streaming job with no driver-fits assumption anywhere.
     exploded = signed.map_batches(explode, batch_format="pyarrow")
-    pairs = _cogrouped(exploded, "bucket").map_groups(
+    pairs = _cogrouped(exploded, "bucket", coalesce=True).map_groups(
         partition_pairs, batch_format="pandas"
     )
     return _dedup_pairs(pairs, "hamming", "min")
@@ -740,7 +795,8 @@ def connected_components(
 
     labels = (
         _cogrouped(
-            edges.map_batches(init_labels, batch_format="pyarrow"), "node"
+            edges.map_batches(init_labels, batch_format="pyarrow"), "node",
+            coalesce=True,
         )
         .map_groups(dedup_nodes, batch_format="pandas")
         .materialize()
@@ -796,7 +852,7 @@ def connected_components(
 
         # round exchange 2: regroup messages by destination, fold min
         new_labels = (
-            _cogrouped(tagged, "node")
+            _cogrouped(tagged, "node", coalesce=True)
             .map_groups(emit_messages, batch_format="pandas")
             .map_batches(
                 lambda b: pa.table(
@@ -806,7 +862,7 @@ def connected_components(
             )
         )
         new_labels = (
-            _cogrouped(new_labels, "node")
+            _cogrouped(new_labels, "node", coalesce=True)
             .map_groups(dedup_nodes, batch_format="pandas")
             .materialize()
         )
@@ -940,7 +996,7 @@ def dedup_keep(
             }
         ).cast(out_schema)
 
-    return _cogrouped(union, "node").map_groups(
+    return _cogrouped(union, "node", coalesce=True).map_groups(
         attach_in_partition, batch_format="pandas"
     )
 
