@@ -4918,6 +4918,98 @@ def _q_knn_append(sf_dir: str):
     ).select_columns(["query_id", "vec_id", "cosine", "rank"])
 
 
+def _q_append_commit(sf_dir: str):
+    """END-TO-END incremental-commit pipeline (pipelines/append.py
+    run_append) — the production composition the append triad was built
+    for: the corpus arrives as two successive increments ([0, 60%·n)
+    then [60%·n, n)); each is triaged against the committed store's
+    PERSISTED dedup index (exact digest + minhash signature — history
+    text is never re-read or re-hashed), survivors are converted by the
+    flagship pipeline and committed as resumable partitions, and the
+    dedup index is appended between the two increments so the second
+    sees the first as history.  The store builds once per process at
+    commit time (the _persisted_index_dir contract, ADVICE r3); the
+    query returns the committed (doc_id, append_id) table.  Reference
+    contrast: service.py:101-104 converts uploads with no corpus state
+    at all."""
+    from docling_api_ray.pipelines.append import (
+        committed_corpus_dataset,
+        init_store,
+        run_append,
+    )
+
+    docs = os.path.join(sf_dir, "documents.parquet")
+    n = pq.read_metadata(docs).num_rows
+    cut = (n * 6) // 10  # integer arithmetic, mirrored exactly in SQL
+
+    def build(d: str) -> None:
+        init_store(d)
+        run_append(d, docs, 0, cut, npartitions=4)
+        run_append(d, docs, cut, n, npartitions=4)
+
+    store = _persisted_index_dir("append_store", sf_dir, build)
+    ds = committed_corpus_dataset(store, columns=["doc_id", "append"])
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.cast(b["doc_id"], pa.int64()),
+                "append_id": pc.cast(b["append"], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+def _append_commit_oracle_sql(
+    threshold: float = 0.7, num_perm: int = 64, bands: int = 16
+) -> str:
+    """Mirror of _q_append_commit: two sequential appends, each exact
+    (full-text min-id; any history hit poisons the whole hash group)
+    then minhash (drop on est ≥ th vs ANY committed doc regardless of
+    id, or vs a smaller-id exact-survivor of the same increment — the
+    _incremental_drops ∃-partner rule, which never consults the
+    partner's own fate).  ``cand`` pairs carry left_id < right_id, so
+    "smaller-id partner of e" = pairs with right_id = e."""
+    return f"""
+        WITH {_minhash_ctes(num_perm, bands)},
+        pairs AS (SELECT left_id, right_id FROM cand
+                  WHERE est_jaccard >= {threshold}),
+        cut AS (SELECT (count(*) * 6) // 10 AS c FROM documents),
+        a AS (SELECT doc_id, text FROM documents
+              WHERE doc_id < (SELECT c FROM cut)),
+        a_exact AS (SELECT min(doc_id) AS doc_id FROM a GROUP BY text),
+        a_kept AS (
+          SELECT e.doc_id FROM a_exact e
+          WHERE NOT EXISTS (
+            SELECT 1 FROM pairs p
+            WHERE p.right_id = e.doc_id
+              AND p.left_id IN (SELECT doc_id FROM a_exact))),
+        a_kept_docs AS (
+          SELECT d.doc_id, d.text FROM documents d
+          JOIN a_kept k USING (doc_id)),
+        b AS (SELECT doc_id, text FROM documents
+              WHERE doc_id >= (SELECT c FROM cut)),
+        b_ex AS (
+          SELECT b.doc_id, b.text FROM b
+          WHERE NOT EXISTS (
+            SELECT 1 FROM a_kept_docs k WHERE k.text = b.text)),
+        b_exact AS (SELECT min(doc_id) AS doc_id FROM b_ex GROUP BY text),
+        b_kept AS (
+          SELECT e.doc_id FROM b_exact e
+          WHERE NOT EXISTS (
+            SELECT 1 FROM pairs p
+            WHERE (p.right_id = e.doc_id
+                   AND (p.left_id IN (SELECT doc_id FROM a_kept)
+                        OR p.left_id IN (SELECT doc_id FROM b_exact)))
+               OR (p.left_id = e.doc_id
+                   AND p.right_id IN (SELECT doc_id FROM a_kept))))
+        SELECT doc_id, CAST(0 AS BIGINT) AS append_id FROM a_kept
+        UNION ALL
+        SELECT doc_id, CAST(1 AS BIGINT) AS append_id FROM b_kept
+    """
+
+
 def _q_append_dedup_minhash(sf_dir: str):
     """Append-mode NEAR-dup dedup against committed history
     (stages/incremental.py incremental_minhash_keep): same seeded
@@ -5066,6 +5158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_append": _q_knn_append,
         "knn_ivf_partitioned": _q_knn_ivf_partitioned,
         "append_dedup_indexed": _q_append_dedup_indexed,
+        "append_commit": _q_append_commit,
         "min_cost_supplier": _q_min_cost_supplier,
         "shipmode_priority": _q_shipmode_priority,
         "sales_opportunity": _q_sales_opportunity,
@@ -7593,6 +7686,8 @@ def oracle_sql() -> dict[str, str]:
     out["knn_ivf_partitioned"] = _knn_ivf_oracle_sql()
     # index-backed append path: identical results to append_dedup_minhash
     out["append_dedup_indexed"] = _append_minhash_oracle_sql(0.7)
+    # mirrors _q_append_commit: the full two-increment commit pipeline
+    out["append_commit"] = _append_commit_oracle_sql(0.7)
     # mirrors _q_min_cost_supplier (TPC-H Q2): supply cost derived from
     # lineitem as MIN int-cent extendedprice per (part, supplier); the
     # ORDER BY sorts acctbal by its CENTS (the engine's sort key) so the

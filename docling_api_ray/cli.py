@@ -21,7 +21,83 @@ import os
 import sys
 
 
+def _append_main(argv: list[str]) -> int:
+    """``append`` subcommand — the end-to-end incremental-commit run
+    (pipelines/append.py): triage the increment against the committed
+    store's persisted indexes, convert survivors, commit partitions,
+    append the dedup/IVF indexes.  Resumable: rerunning the same
+    increment spec resumes at the first uncommitted stage/partition.
+
+        python -m docling_api_ray.cli append --store /out/corpus \
+            --input /data/documents.parquet --lo 0 --hi 300000 \
+            [--embeddings /data/embeddings.parquet --ivf-k 64] \
+            [--knn-threshold 0.99]
+    """
+    ap = argparse.ArgumentParser(prog="docling_api_ray.cli append")
+    ap.add_argument("--store", required=True, help="committed store directory")
+    ap.add_argument("--input", required=True, help="increment documents parquet")
+    ap.add_argument("--lo", type=int, required=True)
+    ap.add_argument("--hi", type=int, required=True)
+    ap.add_argument("--embeddings", default=None)
+    ap.add_argument("--ivf-k", type=int, default=0,
+                    help="on first use of a fresh store: fix the IVF coarse "
+                         "quantizer to the k smallest-vec_id increment "
+                         "vectors (deterministic, the kmeans init discipline)")
+    ap.add_argument("--partitions", type=int, default=8)
+    ap.add_argument("--minhash-threshold", type=float, default=0.7)
+    ap.add_argument("--knn-threshold", type=float, default=None)
+    ap.add_argument("--num-cpus", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = dict(address=None, include_dashboard=False,
+                      logging_level="ERROR")
+        addr_env = os.environ.get("RAY_ADDRESS", "")
+        if args.num_cpus and (not addr_env or addr_env == "local"):
+            kwargs["num_cpus"] = args.num_cpus
+        ray.init(**kwargs)
+
+    from docling_api_ray.pipelines.append import init_store, run_append
+
+    if not os.path.exists(os.path.join(args.store, "_manifest", "store.json")):
+        centroids = None
+        if args.ivf_k and args.embeddings:
+            import numpy as np
+            import pyarrow.parquet as pq
+
+            head = pq.read_table(
+                args.embeddings,
+                columns=["vec_id", "embedding"],
+                filters=[("vec_id", ">=", args.lo), ("vec_id", "<", args.hi)],
+            ).to_pylist()
+            head.sort(key=lambda r: r["vec_id"])
+            centroids = np.asarray(
+                [r["embedding"] for r in head[: args.ivf_k]], dtype=np.float64
+            )
+        init_store(args.store, centroids=centroids)
+
+    rec = run_append(
+        args.store,
+        args.input,
+        args.lo,
+        args.hi,
+        embeddings_path=args.embeddings,
+        npartitions=args.partitions,
+        minhash_threshold=args.minhash_threshold,
+        knn_cos_threshold=args.knn_threshold,
+    )
+    print(json.dumps(rec, default=str))
+    ray.shutdown()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
+    if argv is None:
+        argv = sys.argv[1:]
+    if argv and argv[0] == "append":
+        return _append_main(argv[1:])
     ap = argparse.ArgumentParser(description="docling_api_ray batch driver")
     ap.add_argument("--input", required=True, help="sf_dir containing documents.parquet")
     ap.add_argument("--output", required=True, help="output directory (partitioned)")

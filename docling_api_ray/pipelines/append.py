@@ -1,0 +1,490 @@
+"""End-to-end incremental-commit pipeline — the production append shape.
+
+The reference processes each upload request in isolation
+(document_converter/service.py:101-104) and keeps no corpus state; a
+continuously-crawled training corpus needs the opposite: every incoming
+increment must be triaged against HISTORY before it is converted and
+committed, and the committed store must carry the indexes that make the
+NEXT append cheap.  This module composes the pieces built for that —
+index-backed exact + minhash dedup (stages/incremental.py), optional
+embedding near-dup triage against the persisted IVF index
+(stages/similarity.py ivf_knn_partitioned), the flagship conversion
+pipeline, and partition-granular checkpointing (pipelines/checkpoint.py
+discipline) — into ONE resumable run per increment.
+
+Store layout (all commits are write-to-tmp + atomic rename):
+
+    store_dir/
+      corpus/append=<a>/part=<i>/...parquet   converted survivor docs
+      dedup_index/append=<a>/...parquet       (doc_id, content_hash,
+                                               __ckey, signature) per
+                                               committed append
+      ivf_index/append=<a>/centroid=<c>/...   centroid-partitioned
+                                               survivor embeddings
+      _staging/append=<a>/keep/               triage keep-list (narrow)
+      _manifest/store.json                    centroids + hash params
+      _manifest/append=<a>/{keep.json, part-<i>.json,
+                            dedup_index.json, ivf_index.json}
+      _manifest/append-<a>.json               the append's commit record
+
+Scale shape: history contributes ONLY its persisted digests/signatures
+(~0.5 KB/doc, columns-pruned reads) — committed text is never re-read
+or re-hashed on an append; old×old candidate work is skipped entirely
+(stages/incremental.py docstring).  The keep/drop id lists are bounded
+by the INCREMENT size (the same driver-boundedness contract as
+``incremental_minhash_keep``'s drop set), so broadcasting them to the
+survivor filter is batch-bounded, not corpus-bounded.  The expensive
+stage — conversion — is partition-granular: a crashed run resumes at
+the first uncommitted partition with the triage stage read back from
+its staging commit, not recomputed.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+
+from docling_api_ray.config import DEFAULT_CONFIG, PipelineConfig
+from docling_api_ray.pipelines.convert import convert_pipeline
+from docling_api_ray.sources.testdata import synthesize_raw_batch
+from docling_api_ray.stages.incremental import (
+    incremental_exact_keep_indexed,
+    incremental_minhash_keep_indexed,
+    write_dedup_index,
+)
+
+_INDEX_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("content_hash", pa.string()),
+        ("__ckey", pa.int64()),
+        ("signature", pa.list_(pa.int64())),
+    ]
+)
+
+
+# ---------------------------------------------------------------------------
+# store bootstrap + manifest helpers
+# ---------------------------------------------------------------------------
+
+def init_store(
+    store_dir: str,
+    *,
+    centroids: np.ndarray | None = None,
+    num_perm: int = 64,
+    bands: int = 16,
+) -> None:
+    """Create an empty committed store.  The dedup index is seeded with
+    a zero-row TYPED parquet (under its own ``append=-1`` hive leaf so
+    partition discovery stays consistent once real appends land) —
+    every append then runs the identical indexed code path whether or
+    not history exists.  ``centroids`` freezes the IVF coarse quantizer
+    for the store's lifetime (appends must share it or probes would be
+    incomparable across appends)."""
+    os.makedirs(os.path.join(store_dir, "_manifest"), exist_ok=True)
+    seed_dir = os.path.join(store_dir, "dedup_index", "append=-1")
+    os.makedirs(seed_dir, exist_ok=True)
+    pq.write_table(
+        _INDEX_SCHEMA.empty_table(), os.path.join(seed_dir, "seed.parquet")
+    )
+    meta = {
+        "num_perm": num_perm,
+        "bands": bands,
+        "centroids": (
+            np.asarray(centroids, dtype=np.float64).tolist()
+            if centroids is not None
+            else None
+        ),
+    }
+    _atomic_json(os.path.join(store_dir, "_manifest", "store.json"), meta)
+
+
+def _atomic_json(path: str, obj) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+    os.replace(tmp, path)
+
+
+def _store_meta(store_dir: str) -> dict:
+    with open(os.path.join(store_dir, "_manifest", "store.json")) as f:
+        return json.load(f)
+
+
+def _append_record_path(store_dir: str, aid: int) -> str:
+    return os.path.join(store_dir, "_manifest", f"append-{aid}.json")
+
+
+def committed_appends(store_dir: str) -> list[dict]:
+    mdir = os.path.join(store_dir, "_manifest")
+    recs = []
+    if not os.path.isdir(mdir):
+        return recs
+    for fn in sorted(os.listdir(mdir)):
+        if fn.startswith("append-") and fn.endswith(".json"):
+            try:
+                with open(os.path.join(mdir, fn)) as f:
+                    rec = json.load(f)
+            except (ValueError, json.JSONDecodeError):
+                continue  # torn write → not committed
+            if rec.get("status") == "done":
+                recs.append(rec)
+    return sorted(recs, key=lambda r: r["append_id"])
+
+
+def _resolve_append_id(store_dir: str, spec: dict) -> int:
+    """Reattach by input lineage: a rerun of the same increment spec
+    resumes its append id; a NEW spec gets the next id.  A done append
+    with the same spec is idempotent (returns its id; run_append then
+    short-circuits)."""
+    mdir = os.path.join(store_dir, "_manifest")
+    used = set()
+    for fn in os.listdir(mdir):
+        if not (fn.startswith("append=") or fn.startswith("append-")):
+            continue
+        aid = int(fn.split("=")[-1].split("-")[-1].split(".")[0])
+        used.add(aid)
+        spec_path = os.path.join(mdir, f"append={aid}", "spec.json")
+        if os.path.exists(spec_path):
+            with open(spec_path) as f:
+                prior = json.load(f)
+            if prior == spec:
+                return aid
+    return max(used, default=-1) + 1
+
+
+def _stage_path(store_dir: str, aid: int, name: str) -> str:
+    return os.path.join(store_dir, "_manifest", f"append={aid}", name)
+
+
+def _stage_done(store_dir: str, aid: int, name: str) -> dict | None:
+    p = _stage_path(store_dir, aid, name)
+    if not os.path.exists(p):
+        return None
+    try:
+        with open(p) as f:
+            rec = json.load(f)
+    except (ValueError, json.JSONDecodeError):
+        return None
+    return rec if rec.get("status") == "done" else None
+
+
+def _commit_dir(tmp_dir: str, final_dir: str) -> None:
+    shutil.rmtree(final_dir, ignore_errors=True)
+    os.replace(tmp_dir, final_dir)
+
+
+# ---------------------------------------------------------------------------
+# the append run
+# ---------------------------------------------------------------------------
+
+def run_append(
+    store_dir: str,
+    docs_path: str,
+    lo: int,
+    hi: int,
+    *,
+    embeddings_path: str | None = None,
+    config: PipelineConfig = DEFAULT_CONFIG,
+    npartitions: int = 4,
+    minhash_threshold: float = 0.7,
+    knn_cos_threshold: float | None = None,
+    knn_nprobe: int = 4,
+    fail_after: int | None = None,
+) -> dict:
+    """Ingest the increment ``docs_path[doc_id ∈ [lo, hi))`` into the
+    store: triage (index-backed exact + minhash dedup, optional IVF
+    embedding near-dup triage), convert the survivors, commit corpus
+    partitions, and append to the persisted dedup/IVF indexes — one
+    resumable run.  ``fail_after=k`` aborts after k convert partitions
+    (the kill/resume test hook).  Returns the append's commit record."""
+    meta = _store_meta(store_dir)
+    spec = {"docs_path": os.path.abspath(docs_path), "lo": lo, "hi": hi,
+            "embeddings_path": (
+                os.path.abspath(embeddings_path) if embeddings_path else None
+            )}
+    aid = _resolve_append_id(store_dir, spec)
+    done_rec = committed_appends(store_dir)
+    for r in done_rec:
+        if r["append_id"] == aid:
+            return r  # idempotent rerun of a committed increment
+    mdir = os.path.join(store_dir, "_manifest", f"append={aid}")
+    os.makedirs(mdir, exist_ok=True)
+    spec_path = os.path.join(mdir, "spec.json")
+    if os.path.exists(spec_path):
+        with open(spec_path) as f:
+            prior = json.load(f)
+        if prior != spec:
+            raise ValueError(
+                f"append {aid} was started with spec {prior}; rerun passes "
+                f"{spec} — refusing to resume a different increment"
+            )
+    else:
+        _atomic_json(spec_path, spec)
+
+    dedup_index_dir = os.path.join(store_dir, "dedup_index")
+    ivf_index_dir = os.path.join(store_dir, "ivf_index")
+
+    def increment_docs() -> ray.data.Dataset:
+        return ray.data.read_parquet(
+            docs_path,
+            columns=["doc_id", "text"],
+            filter=(pads.field("doc_id") >= lo) & (pads.field("doc_id") < hi),
+        )
+
+    # ---- stage 1: triage — committed text never read, only its index ----
+    keep_dir = os.path.join(store_dir, "_staging", f"append={aid}", "keep")
+    keep_rec = _stage_done(store_dir, aid, "keep.json")
+    if keep_rec is None:
+        new = increment_docs()
+        kept_exact = incremental_exact_keep_indexed(dedup_index_dir, new)
+        k1 = pa.array(
+            sorted(r["doc_id"] for r in kept_exact.take_all()),  # increment-bounded
+            type=pa.int64(),
+        )
+        k1_ref = ray.put(k1)
+
+        def keep1(b: pa.Table) -> pa.Table:
+            return b.filter(pc.is_in(b["doc_id"], value_set=ray.get(k1_ref)))
+
+        surv1 = new.map_batches(keep1, batch_format="pyarrow")
+        kept_near = incremental_minhash_keep_indexed(
+            dedup_index_dir,
+            surv1,
+            num_perm=meta["num_perm"],
+            bands=meta["bands"],
+            threshold=minhash_threshold,
+        )
+        keep_ids = sorted(r["doc_id"] for r in kept_near.take_all())
+        n_after_minhash = len(keep_ids)
+
+        # optional embedding near-dup triage vs the committed IVF index
+        n_after_knn = n_after_minhash
+        if (
+            knn_cos_threshold is not None
+            and embeddings_path
+            and meta.get("centroids")
+            and os.path.isdir(ivf_index_dir)
+            and any(e.startswith("append=") for e in os.listdir(ivf_index_dir))
+        ):
+            from docling_api_ray.stages.similarity import ivf_knn_partitioned
+
+            emb = pq.read_table(
+                embeddings_path, columns=["vec_id", "embedding"],
+                filters=[("vec_id", ">=", lo), ("vec_id", "<", hi)],
+            )  # increment-bounded query state, same as knn_append
+            by_id = {
+                int(i): np.asarray(v, dtype=np.float64)
+                for i, v in zip(
+                    emb["vec_id"].to_pylist(), emb["embedding"].to_pylist()
+                )
+            }
+            qids = [i for i in keep_ids if i in by_id]
+            if qids:
+                qmat = np.stack([by_id[i] for i in qids])
+                cents = np.asarray(meta["centroids"], dtype=np.float64)
+                hits = ivf_knn_partitioned(
+                    ivf_index_dir, qids, qmat, cents,
+                    k=1, nprobe=knn_nprobe, exclude_self=False,
+                ).take_all()  # ≤ |increment| rows
+                near = {
+                    int(r["query_id"])
+                    for r in hits
+                    if r["cosine"] >= knn_cos_threshold
+                }
+                keep_ids = [i for i in keep_ids if i not in near]
+            n_after_knn = len(keep_ids)
+
+        tmp = keep_dir + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp, exist_ok=True)
+        pq.write_table(
+            pa.table({"doc_id": pa.array(keep_ids, type=pa.int64())}),
+            os.path.join(tmp, "keep.parquet"),
+        )
+        _commit_dir(tmp, keep_dir)
+        keep_rec = {
+            "status": "done",
+            "n_input": int(hi - lo),
+            "n_after_exact": len(k1),
+            "n_after_minhash": n_after_minhash,
+            "n_after_knn": n_after_knn,
+        }
+        _atomic_json(_stage_path(store_dir, aid, "keep.json"), keep_rec)
+
+    keep_tbl = pq.read_table(os.path.join(keep_dir, "keep.parquet"))
+    keep_ids = keep_tbl["doc_id"].to_pylist()
+    keep_arr = pa.array(keep_ids, type=pa.int64())
+
+    # ---- stage 2: convert survivors, partition-granular commits ---------
+    # contiguous id-range chunks over the SORTED keep list → each
+    # partition is a pruned read (range predicate) + a bounded is_in
+    step = max(1, (len(keep_ids) + npartitions - 1) // npartitions)
+    chunks = [
+        keep_ids[i : i + step] for i in range(0, len(keep_ids), step)
+    ] or [[]]
+    keep_ref = ray.put(keep_arr)
+    n_processed = 0
+    for i, chunk in enumerate(chunks):
+        if _stage_done(store_dir, aid, f"part-{i}.json") is not None:
+            continue
+        if fail_after is not None and n_processed >= fail_after:
+            raise RuntimeError(
+                f"injected failure after {fail_after} convert partitions"
+            )
+        final_dir = os.path.join(
+            store_dir, "corpus", f"append={aid}", f"part={i}"
+        )
+        os.makedirs(os.path.dirname(final_dir), exist_ok=True)
+        tmp_dir = final_dir + ".tmp"
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        row_count = 0
+        if chunk:
+            ds = ray.data.read_parquet(
+                docs_path,
+                columns=["doc_id", "text"],
+                filter=(pads.field("doc_id") >= chunk[0])
+                & (pads.field("doc_id") <= chunk[-1]),
+            ).map_batches(
+                lambda b: b.filter(
+                    pc.is_in(b["doc_id"], value_set=ray.get(keep_ref))
+                ),
+                batch_format="pyarrow",
+            )
+            raw = ds.map_batches(synthesize_raw_batch, batch_format="pyarrow")
+            convert_pipeline(raw, config).write_parquet(tmp_dir)
+            _commit_dir(tmp_dir, final_dir)
+            row_count = sum(
+                pq.read_metadata(os.path.join(final_dir, f)).num_rows
+                for f in os.listdir(final_dir)
+                if f.endswith(".parquet")
+            )
+        _atomic_json(
+            _stage_path(store_dir, aid, f"part-{i}.json"),
+            {
+                "status": "done",
+                "partition_id": i,
+                "input_ref": f"{docs_path}[keep ids {i * step}:{i * step + len(chunk)}]",
+                "row_count": row_count,
+            },
+        )
+        n_processed += 1
+
+    def survivors() -> ray.data.Dataset:
+        return increment_docs().map_batches(
+            lambda b: b.filter(
+                pc.is_in(b["doc_id"], value_set=ray.get(keep_ref))
+            ),
+            batch_format="pyarrow",
+        )
+
+    # ---- stage 3: append the persisted indexes --------------------------
+    # index tmp dirs live under _staging, NOT adjacent to the hive
+    # leaves — a crash must never leave an `append=<a>.tmp` dir where
+    # directory expansion of the live index would pick it up
+    stage_root = os.path.join(store_dir, "_staging", f"append={aid}")
+    if _stage_done(store_dir, aid, "dedup_index.json") is None:
+        final_dir = os.path.join(dedup_index_dir, f"append={aid}")
+        tmp_dir = os.path.join(stage_root, "dedup_index.tmp")
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        write_dedup_index(
+            survivors(), tmp_dir, num_perm=meta["num_perm"]
+        )
+        if not os.path.isdir(tmp_dir):
+            # zero survivors → write_parquet emitted nothing; commit a
+            # typed empty leaf so the hive layout stays consistent
+            os.makedirs(tmp_dir, exist_ok=True)
+            pq.write_table(
+                _INDEX_SCHEMA.empty_table(),
+                os.path.join(tmp_dir, "empty.parquet"),
+            )
+        _commit_dir(tmp_dir, final_dir)
+        _atomic_json(
+            _stage_path(store_dir, aid, "dedup_index.json"),
+            {"status": "done", "rows": len(keep_ids)},
+        )
+    if embeddings_path and meta.get("centroids"):
+        if _stage_done(store_dir, aid, "ivf_index.json") is None:
+            from docling_api_ray.stages.similarity import ivf_write_index
+
+            emb_ds = ray.data.read_parquet(
+                embeddings_path,
+                columns=["vec_id", "embedding"],
+                filter=(pads.field("vec_id") >= lo)
+                & (pads.field("vec_id") < hi),
+            ).map_batches(
+                lambda b: b.filter(
+                    pc.is_in(b["vec_id"], value_set=ray.get(keep_ref))
+                ).replace_schema_metadata(None),
+                batch_format="pyarrow",
+            )
+            final_dir = os.path.join(ivf_index_dir, f"append={aid}")
+            os.makedirs(ivf_index_dir, exist_ok=True)
+            tmp_dir = os.path.join(stage_root, "ivf_index.tmp")
+            shutil.rmtree(tmp_dir, ignore_errors=True)
+            ivf_write_index(
+                emb_ds,
+                np.asarray(meta["centroids"], dtype=np.float64),
+                tmp_dir,
+            )
+            if os.path.isdir(tmp_dir):
+                _commit_dir(tmp_dir, final_dir)
+            # zero survivors → no centroid leaves; nothing to commit
+            # (ivf_knn_partitioned over the remaining appends is intact)
+            _atomic_json(
+                _stage_path(store_dir, aid, "ivf_index.json"),
+                {"status": "done", "rows": len(keep_ids)},
+            )
+
+    # ---- stage 4: the append's commit record -----------------------------
+    rec = {
+        "append_id": aid,
+        "spec": spec,
+        **{k: v for k, v in keep_rec.items() if k != "status"},
+        "n_committed": len(keep_ids),
+        "row_count": sum(
+            (_stage_done(store_dir, aid, f"part-{i}.json") or {}).get(
+                "row_count", 0
+            )
+            for i in range(len(chunks))
+        ),
+        "status": "done",
+    }
+    _atomic_json(_append_record_path(store_dir, aid), rec)
+    return rec
+
+
+def committed_corpus_dataset(
+    store_dir: str, *, columns: list[str] | None = None
+) -> ray.data.Dataset:
+    """All committed corpus partitions as ONE streaming dataset (never
+    driver-concatenated).  Only partitions of DONE appends are listed —
+    a crashed append's committed partitions stay invisible until its
+    commit record lands."""
+    files = []
+    for rec in committed_appends(store_dir):
+        adir = os.path.join(store_dir, "corpus", f"append={rec['append_id']}")
+        if not os.path.isdir(adir):
+            continue  # append committed zero survivors
+        for part in sorted(os.listdir(adir)):
+            if part.endswith(".tmp"):
+                continue
+            pdir = os.path.join(adir, part)
+            files.extend(
+                os.path.join(pdir, f)
+                for f in sorted(os.listdir(pdir))
+                if f.endswith(".parquet")
+            )
+    if not files:
+        raise FileNotFoundError(f"no committed appends under {store_dir}")
+    return ray.data.read_parquet(files, columns=columns)

@@ -1,0 +1,249 @@
+"""End-to-end incremental-commit pipeline (pipelines/append.py).
+
+Synthetic corpus with hand-computable triage outcomes:
+
+  append A = ids [0, 10): ten long distinct texts.
+  append B = ids [10, 20):
+    10 — exact copy of text 0      → dropped (exact vs history index)
+    11 — near-dup of text 1        → dropped (minhash vs history index)
+    13 — exact copy of text 12     → dropped (exact within the batch)
+    14 — fresh text, embedding copied from committed vec 2
+                                   → dropped by IVF knn triage
+    12, 15..19 — fresh             → kept
+"""
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import ray
+
+from docling_api_ray.pipelines.append import (
+    committed_appends,
+    committed_corpus_dataset,
+    init_store,
+    run_append,
+)
+
+DIM = 8
+_WORDS = [f"w{i:03d}" for i in range(400)]
+
+
+def _text(rng: np.random.RandomState, n: int = 120) -> str:
+    return " ".join(rng.choice(_WORDS, size=n))
+
+
+def _mk_corpus(tmp_path) -> tuple[str, str]:
+    rng = np.random.RandomState(42)
+    texts = [_text(rng) for _ in range(10)]  # ids 0..9 (append A)
+    near = texts[1].split()
+    near[5], near[50], near[90] = "zz1", "zz2", "zz3"  # ~97% shingle overlap
+    fresh = [_text(rng) for _ in range(7)]
+    texts_b = [
+        texts[0],          # 10: exact dup of history
+        " ".join(near),    # 11: near-dup of history
+        fresh[0],          # 12: fresh
+        fresh[0],          # 13: exact dup within batch
+        fresh[1],          # 14: fresh text (dropped by knn triage)
+        *fresh[2:],        # 15..19: fresh
+    ]
+    docs = tmp_path / "docs.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(20), pa.int64()),
+                "text": pa.array(texts + texts_b),
+            }
+        ),
+        str(docs),
+    )
+    vecs = np.random.RandomState(7).randn(20, DIM)
+    vecs[14] = vecs[2]  # embedding near-dup of committed vec 2
+    emb = tmp_path / "emb.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(20), pa.int64()),
+                "embedding": pa.array(
+                    [v.tolist() for v in vecs], pa.list_(pa.float32())
+                ),
+            }
+        ),
+        str(emb),
+    )
+    return str(docs), str(emb)
+
+
+def _centroids() -> np.ndarray:
+    return np.random.RandomState(3).randn(4, DIM)
+
+
+def _committed_ids(store: str) -> dict[int, list[int]]:
+    out: dict[int, list[int]] = {}
+    ds = committed_corpus_dataset(store)
+    for r in ds.select_columns(["doc_id", "append"]).take_all():
+        out.setdefault(int(r["append"]), []).append(int(r["doc_id"]))
+    return {k: sorted(v) for k, v in out.items()}
+
+
+def _run_two_appends(store: str, docs: str, emb: str, **kw) -> list[dict]:
+    init_store(store, centroids=_centroids())
+    r0 = run_append(store, docs, 0, 10, embeddings_path=emb,
+                    npartitions=3, **kw)
+    r1 = run_append(store, docs, 10, 20, embeddings_path=emb,
+                    npartitions=3, knn_cos_threshold=0.99, **kw)
+    return [r0, r1]
+
+
+def test_two_appends_triage_and_commit(tmp_path):
+    docs, emb = _mk_corpus(tmp_path)
+    store = str(tmp_path / "store")
+    r0, r1 = _run_two_appends(store, docs, emb)
+
+    assert r0["n_committed"] == 10 and r0["row_count"] == 10
+    # B: 10 exact-vs-history, 13 exact-within, 11 minhash, 14 knn
+    assert r1["n_after_exact"] == 8          # 10, 13 dropped
+    assert r1["n_after_minhash"] == 7        # 11 dropped
+    assert r1["n_after_knn"] == 6            # 14 dropped
+    assert _committed_ids(store) == {
+        0: list(range(10)),
+        1: [12, 15, 16, 17, 18, 19],
+    }
+    # both indexes appended
+    assert os.path.isdir(os.path.join(store, "dedup_index", "append=1"))
+    assert os.path.isdir(os.path.join(store, "ivf_index", "append=0"))
+
+    # idempotent rerun of a committed increment returns its record
+    again = run_append(store, docs, 10, 20, embeddings_path=emb,
+                       npartitions=3, knn_cos_threshold=0.99)
+    assert again == r1
+
+
+def test_append_uses_index_not_history_text(tmp_path):
+    """Index-reuse proof: after append A commits, gut the corpus text
+    entirely — append B must still triage correctly because history
+    participates ONLY via its persisted digest/signature/IVF indexes."""
+    docs, emb = _mk_corpus(tmp_path)
+    store = str(tmp_path / "store")
+    init_store(store, centroids=_centroids())
+    run_append(store, docs, 0, 10, embeddings_path=emb, npartitions=2)
+    shutil.rmtree(os.path.join(store, "corpus"))
+    r1 = run_append(store, docs, 10, 20, embeddings_path=emb,
+                    npartitions=2, knn_cos_threshold=0.99)
+    assert r1["n_committed"] == 6
+
+
+def test_kill_resume_two_successive_appends(tmp_path):
+    """Kill mid-convert on each append, resume, and prove (a) the final
+    state equals an uninterrupted run and (b) the triage stage is read
+    back from its staging commit, not recomputed."""
+    docs, emb = _mk_corpus(tmp_path)
+    store = str(tmp_path / "store")
+    init_store(store, centroids=_centroids())
+
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_append(store, docs, 0, 10, embeddings_path=emb,
+                   npartitions=3, fail_after=1)
+    # stage 1 committed, convert partially committed, append NOT committed
+    keep_file = os.path.join(
+        store, "_staging", "append=0", "keep", "keep.parquet"
+    )
+    assert os.path.exists(keep_file)
+    assert committed_appends(store) == []
+    with pytest.raises(FileNotFoundError):
+        committed_corpus_dataset(store)  # crashed append is invisible
+    keep_mtime = os.path.getmtime(keep_file)
+
+    r0 = run_append(store, docs, 0, 10, embeddings_path=emb, npartitions=3)
+    assert r0["status"] == "done" and r0["n_committed"] == 10
+    assert os.path.getmtime(keep_file) == keep_mtime  # triage not re-run
+
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_append(store, docs, 10, 20, embeddings_path=emb,
+                   npartitions=3, knn_cos_threshold=0.99, fail_after=2)
+    r1 = run_append(store, docs, 10, 20, embeddings_path=emb,
+                    npartitions=3, knn_cos_threshold=0.99)
+    assert r1["n_committed"] == 6
+
+    # the interrupted-then-resumed store equals an uninterrupted run
+    store2 = str(tmp_path / "store2")
+    _run_two_appends(store2, docs, emb)
+    assert _committed_ids(store) == _committed_ids(store2)
+    a1 = {r["append_id"]: r["n_committed"] for r in committed_appends(store)}
+    a2 = {r["append_id"]: r["n_committed"] for r in committed_appends(store2)}
+    assert a1 == a2
+
+
+def test_spec_mismatch_refused(tmp_path):
+    docs, emb = _mk_corpus(tmp_path)
+    store = str(tmp_path / "store")
+    init_store(store, centroids=_centroids())
+    with pytest.raises(RuntimeError):
+        run_append(store, docs, 0, 10, npartitions=2, fail_after=0)
+    # resuming append 0 with a different id range must refuse; a fresh
+    # spec allocates the NEXT id instead of clobbering the in-progress one
+    r = run_append(store, docs, 0, 5, npartitions=2)
+    assert r["append_id"] == 1
+
+
+def test_append_commit_query_matches_manual_composition(tmp_path):
+    """The sf-table queries() entry composes the same decisions as the
+    library calls it is built from (exact → minhash, two appends)."""
+    import __ray_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    out = e.queries()["append_commit"](sf)
+    rows = out.take_all() if isinstance(out, ray.data.Dataset) else out
+    got = sorted((int(r["doc_id"]), int(r["append_id"])) for r in rows)
+    assert len(got) == len({d for d, _ in got})  # each doc committed once
+    n = pq.read_metadata(os.path.join(sf, "documents.parquet")).num_rows
+    cut = (n * 6) // 10
+    assert all(a == (0 if d < cut else 1) for d, a in got)
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{os.path.join(sf, 'documents.parquet')}')"
+    )
+    oracle = con.execute(e.oracle_sql()["append_commit"]).fetchall()
+    assert got == sorted((int(d), int(a)) for d, a in oracle)
+
+
+def test_cli_append_subcommand(tmp_path):
+    """The append subcommand through a real subprocess: ingest two
+    increments (second resumes nothing — fresh spec), then rerun the
+    second as a no-op resume returning the committed record."""
+    import subprocess
+    import sys
+
+    docs, emb = _mk_corpus(tmp_path)
+    store = str(tmp_path / "store")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def run(lo, hi):
+        env = dict(os.environ, PYTHONPATH=repo)
+        out = subprocess.run(
+            [sys.executable, "-m", "docling_api_ray.cli", "append",
+             "--store", store, "--input", docs, "--lo", str(lo),
+             "--hi", str(hi), "--embeddings", emb, "--ivf-k", "4",
+             "--partitions", "2", "--knn-threshold", "0.99",
+             "--num-cpus", "4"],
+            capture_output=True, text=True, timeout=240, env=env, cwd=repo,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    r0 = run(0, 10)
+    assert r0["append_id"] == 0 and r0["n_committed"] == 10
+    r1 = run(10, 20)
+    # CLI quantizer (first 4 increment vectors) differs from _centroids(),
+    # but vec 14 == vec 2 lands in the same cell under ANY quantizer, so
+    # the knn triage outcome is unchanged
+    assert r1["append_id"] == 1 and r1["n_committed"] == 6
+    assert run(10, 20) == r1  # idempotent rerun
