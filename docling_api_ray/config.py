@@ -42,6 +42,16 @@ class PipelineConfig:
     # GPU actor pools — EasyOCR/layout models would run here; the sandbox
     # has no GPU so this stays 0 and is covered by a config-surface test)
     convert_num_gpus: float = 0.0
+    # non-empty → these formats convert in a DEDICATED actor pool
+    # (stages/convert.py convert_documents_split): the per-format
+    # GPU-pool split behind a persisted classify step that the J1
+    # dispatch docstring documents as the heavyweight-model escape
+    # hatch.  The dedicated pool takes ``convert_num_gpus`` per actor
+    # and ``gpu_pool_concurrency`` actors; all other formats stay on
+    # the CPU pool (num_gpus=0).  Empty (default) → single-pool J1
+    # dispatch, fully lazy.
+    gpu_formats: tuple[str, ...] = ()
+    gpu_pool_concurrency: int = 2
 
     # span assembly rule for text-only formats: words per text span
     words_per_span: int = 8

@@ -31,6 +31,10 @@ def convert_pipeline(
     ds = add_format_column(raw, config)
     if config.rebalance_target_cost:
         ds = rebalance_by_cost(ds, target_cost=config.rebalance_target_cost)
+    if config.gpu_formats:
+        from docling_api_ray.stages.convert import convert_documents_split
+
+        return convert_documents_split(ds, config)
     return convert_documents(ds, config)
 
 

@@ -249,6 +249,71 @@ class ConvertActor:
         )
 
 
+def convert_documents_split(
+    ds: ray.data.Dataset,
+    config: PipelineConfig = DEFAULT_CONFIG,
+    converter_overrides: dict | None = None,
+    gpu_converter_overrides: dict | None = None,
+) -> ray.data.Dataset:
+    """Per-format split-pool path — the J1 docstring's heavyweight-model
+    escape hatch made real: formats in ``config.gpu_formats`` (the
+    OCR/layout-model tiers when torch exists) convert in a DEDICATED
+    actor pool sized ``gpu_pool_concurrency`` × ``convert_num_gpus``;
+    every other format stays on the CPU pool (num_gpus forced to 0).
+
+    ``ds`` must already carry the ``format`` column and is materialized
+    here — the 'cheap persisted classify step': without it each branch
+    filter would re-execute the upstream read+classify lineage, doubling
+    the scan.  The classified table is (doc_id, filename, payload,
+    format) — the same bytes the convert pool reads anyway, held as
+    object-store blocks (spillable); at 100 TB the equivalent persist is
+    the checkpointed classify partition written once and read by both
+    pools.  In this sandbox ``convert_num_gpus`` stays 0 so the split
+    pool schedules CPU-only; when a GPU tier exists the config flips and
+    nothing else changes (the A2 drop-in boundary).
+
+    ``gpu_converter_overrides`` extends/overrides the handler registry
+    for the dedicated pool only — where the real OCR/layout backend
+    would be injected (§2.10 extension surface)."""
+    import dataclasses
+
+    import pyarrow.compute as pc
+
+    gpu_fmts = pa.array(
+        sorted(set(config.gpu_formats)), type=pa.string()
+    )
+    classified = ds.materialize()
+
+    def _mask(b: pa.Table) -> pa.ChunkedArray:
+        # fill_null(False): an unclassified (null) format must route to
+        # the CPU pool, not silently drop from BOTH branches
+        return pc.fill_null(
+            pc.is_in(b["format"], value_set=gpu_fmts), False
+        )
+
+    def gpu_part(b: pa.Table) -> pa.Table:
+        return b.filter(_mask(b))
+
+    def cpu_part(b: pa.Table) -> pa.Table:
+        return b.filter(pc.invert(_mask(b)))
+
+    gpu_cfg = dataclasses.replace(
+        config, convert_concurrency=config.gpu_pool_concurrency
+    )
+    cpu_cfg = dataclasses.replace(config, convert_num_gpus=0.0)
+    gpu_pool = convert_documents(
+        classified.map_batches(gpu_part, batch_format="pyarrow"),
+        gpu_cfg,
+        {**(converter_overrides or {}), **(gpu_converter_overrides or {})},
+    )
+    cpu_pool = convert_documents(
+        classified.map_batches(cpu_part, batch_format="pyarrow"),
+        cpu_cfg,
+        converter_overrides,
+    )
+    return cpu_pool.union(gpu_pool)
+
+
 def convert_documents(
     ds: ray.data.Dataset,
     config: PipelineConfig = DEFAULT_CONFIG,
