@@ -5467,7 +5467,7 @@ def _bm25_oracle_sql(terms: list[str]) -> str:
         total = f"({total} + {c})"
     return f"""
         WITH toks AS (
-          SELECT doc_id, regexp_extract_all(text, $$\S+$$) AS toks
+          SELECT doc_id, regexp_extract_all(text, $$\\S+$$) AS toks
           FROM documents
         ),
         per_doc AS (
@@ -5840,7 +5840,7 @@ def oracle_sql() -> dict[str, str]:
         "normalize_text": f"""
             SELECT doc_id,
                    trim(regexp_replace(regexp_replace(lower(text),
-                        $${ta.PUNCT_RE}$$, '', 'g'), $$\s+$$, ' ', 'g'))
+                        $${ta.PUNCT_RE}$$, '', 'g'), $$\\s+$$, ' ', 'g'))
                      AS norm_text
             FROM documents
         """,
