@@ -24,7 +24,10 @@ import pyarrow.parquet as pq
 import ray.data
 
 from docling_api_ray.config import PipelineConfig
-from docling_api_ray.stages.common import bounded_groupby_sum, coalesce_for_shuffle
+from docling_api_ray.stages.common import (
+    bounded_groupby_sum,
+    coalesce_narrow,
+)
 from docling_api_ray.pipelines.convert import flagship
 from docling_api_ray.sources.synth import make_html_page
 from docling_api_ray.stages import dedup as dd
@@ -326,7 +329,9 @@ def _distributed_count_topk(
         )
 
     totals = (
-        partials.map_batches(add_part, batch_format="pyarrow")
+        coalesce_narrow(
+            partials.map_batches(add_part, batch_format="pyarrow")
+        )
         .groupby("__part")
         .map_groups(fold, batch_format="pandas")
     )
@@ -426,7 +431,7 @@ def _q_dedup_exact_stats(sf_dir: str):
         )
 
     agg = (
-        coalesce_for_shuffle(deduped.map_batches(shrink, batch_format="pyarrow"))
+        coalesce_narrow(deduped.map_batches(shrink, batch_format="pyarrow"))
         .groupby("one")
         .aggregate(
             Count(alias_name="n_groups"),
@@ -585,6 +590,31 @@ def _q_quality_logit(sf_dir: str):
     )
 
 
+def _q_score_quantiles(sf_dir: str):
+    """Exact float quantiles of the quality-classifier logit
+    (stages/selection.py quantile_select) — distributed quickselect by
+    deterministic bracket refinement: (n, min, max) fold, ≤2 shared
+    histogram-refinement passes (one atomic list<int64> row per
+    partial), bounded final collect.  No sort, no sketch, no
+    corpus-proportional driver state; ties count-resolve.  The narrow
+    logit projection materializes once because selection re-scans it
+    per pass."""
+    from docling_api_ray.stages.selection import quantile_select
+
+    scored = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(ta.quality_scores, batch_format="pyarrow")
+        .map_batches(ta.quality_logit, batch_format="pyarrow")
+        .select_columns(["logit"])
+        .materialize()  # narrow float column — one value per doc
+    )
+    return quantile_select(
+        scored,
+        value_col="logit",
+        quantiles=(0.1, 0.25, 0.5, 0.75, 0.9, 0.99),
+    )
+
+
 def _q_lang_entropy(sf_dir: str):
     """Per-source language-distribution entropy (stages/stats.py
     grouped_entropy): bounded (source x lang) partial counts, integer
@@ -701,6 +731,18 @@ _IVF_SEED = 123
 _INDEX_CACHE: dict[tuple[str, str], str] = {}
 
 
+
+def _rename_inline(ds, mapping: dict):
+    """Column rename fused into a map — a standalone ``rename_columns``
+    op logs a spurious cross-bundle schema warning at tiny scale."""
+    def r(b: pa.Table) -> pa.Table:
+        return b.rename_columns(
+            [mapping.get(c, c) for c in b.column_names]
+        )
+
+    return ds.map_batches(r, batch_format="pyarrow")
+
+
 def _persisted_index_dir(kind: str, sf_dir: str, build) -> str:
     """Per-process scratch dir for a persisted index, built ONCE per
     (kind, corpus) and reused by later calls in the same process —
@@ -792,7 +834,7 @@ def _q_events_hourly(sf_dir: str):
         )
 
     agg = (
-        coalesce_for_shuffle(ds.map_batches(add_window, batch_format="pyarrow"))
+        coalesce_narrow(ds.map_batches(add_window, batch_format="pyarrow"))
         .groupby(["event_type", "window_start"])
         .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
     )
@@ -992,17 +1034,18 @@ def _q_orders_per_customer(sf_dir: str):
     pre-aggregating the fact side — aggregate first, join narrow."""
     from docling_api_ray.stages.joins import hash_join
 
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"]).rename_columns(
-        {"c_custkey": "custkey"}
+    cust = _rename_inline(
+        _read(sf_dir, "customer", ["c_custkey", "c_name"]),
+        {"c_custkey": "custkey"},
     )
     orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
-    agg = (
-        coalesce_for_shuffle(orders)
+    agg = _rename_inline(
+        coalesce_narrow(orders)
         .groupby("o_custkey")
         .aggregate(
             Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total_price")
-        )
-        .rename_columns({"o_custkey": "custkey"})
+        ),
+        {"o_custkey": "custkey"},
     )
     joined = hash_join(
         cust, agg, on="custkey", how="left",
@@ -1159,7 +1202,7 @@ def _q_events_distinct_users(sf_dir: str):
     pairs, then count per type) — no per-group python."""
     ds = _read(sf_dir, "events", ["event_type", "user_id"])
     pairs = (
-        coalesce_for_shuffle(ds)
+        coalesce_narrow(ds)
         .groupby(["event_type", "user_id"])
         .aggregate(Count(alias_name="dummy"))
         .select_columns(["event_type"])
@@ -1222,6 +1265,10 @@ def _q_events_retention(sf_dir: str):
 
     agg = bounded_groupby_sum(
         ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(  # coalesce_narrow inline — bundle tiny partial blocks
+            lambda b: b, batch_format="pyarrow",
+            batch_size=1_000_000, num_cpus=0.9,
+        )
         .groupby("__b")
         .map_groups(fold, batch_format="pandas"),
         ["cohort_day", "day_offset"],
@@ -1310,6 +1357,10 @@ def _q_events_new_users(sf_dir: str):
 
     arrivals = bounded_groupby_sum(
         ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(  # coalesce_narrow inline — bundle tiny partial blocks
+            lambda b: b, batch_format="pyarrow",
+            batch_size=1_000_000, num_cpus=0.9,
+        )
         .groupby("__b")
         .map_groups(fold, batch_format="pandas"),
         ["d"],
@@ -1466,7 +1517,7 @@ def _q_media_phash_dups(sf_dir: str):
         PerceptualHash, batch_format="pyarrow", batch_size=64, concurrency=(1, 4)
     ).select_columns(["phash"])
     counts = (
-        coalesce_for_shuffle(ph)
+        coalesce_narrow(ph)
         .groupby("phash")
         .aggregate(Count(alias_name="n_blobs"))
     )
@@ -1652,7 +1703,7 @@ def _q_events_gaps(sf_dir: str):
         )
 
     return _with_schema(
-        ds.map_batches(add_part, batch_format="pyarrow")
+        coalesce_narrow(ds.map_batches(add_part, batch_format="pyarrow"))
         .groupby("__part")
         .map_groups(per_partition, batch_format="pandas"),
         out_schema,
@@ -1676,8 +1727,9 @@ def _q_customers_no_orders(sf_dir: str):
     cutoff = pa.scalar(
         datetime.fromisoformat(_NOORD_CUTOFF), type=pa.timestamp("us")
     )
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"]).rename_columns(
-        {"c_custkey": "custkey"}
+    cust = _rename_inline(
+        _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"]),
+        {"c_custkey": "custkey"},
     )
     orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
 
@@ -1891,6 +1943,10 @@ def _q_large_volume_orders(sf_dir: str):
 
     qual = (
         li.map_batches(partial, batch_format="pyarrow")
+        .map_batches(  # coalesce_narrow inline — bundle tiny partial blocks
+            lambda b: b, batch_format="pyarrow",
+            batch_size=1_000_000, num_cpus=0.9,
+        )
         .groupby("__b")
         .map_groups(fold, batch_format="pandas")
     )
@@ -1960,7 +2016,12 @@ def _q_large_volume_orders(sf_dir: str):
     cdf = (
         _read(sf_dir, "customer", ["c_custkey", "c_name"])
         .map_batches(sel_cust, batch_format="pyarrow")
-        .rename_columns({"c_custkey": "custkey"})
+        .map_batches(
+            lambda b: b.rename_columns(
+                ["custkey" if c == "c_custkey" else c for c in b.column_names]
+            ),
+            batch_format="pyarrow",
+        )
         .to_pandas()  # ≤100 rows by the key-set bound
     )
     out = tdf.merge(cdf, on="custkey")
@@ -2055,6 +2116,10 @@ def _q_small_qty_revenue(sf_dir: str):
 
     partials = (
         li.map_batches(partial, batch_format="pyarrow")
+        .map_batches(  # coalesce_narrow inline — bundle tiny partial blocks
+            lambda b: b, batch_format="pyarrow",
+            batch_size=1_000_000, num_cpus=0.9,
+        )
         .groupby("__b")
         .map_groups(fold, batch_format="pandas")
     )
@@ -2133,6 +2198,10 @@ def _q_top_supplier(sf_dir: str):
 
     folded = _with_schema(
         li.map_batches(partial, batch_format="pyarrow")
+        .map_batches(  # coalesce_narrow inline — bundle tiny partial blocks
+            lambda b: b, batch_format="pyarrow",
+            batch_size=1_000_000, num_cpus=0.9,
+        )
         .groupby("__b")
         .map_groups(fold, batch_format="pandas"),
         pair_schema,
@@ -2159,12 +2228,19 @@ def _q_top_supplier(sf_dir: str):
 
     def sel_sup(b: pa.Table) -> pa.Table:
         keep = np.isin(np.asarray(b["s_suppkey"], dtype=np.int64), skeys)
-        return b.filter(pa.array(keep))
+        b = b.filter(pa.array(keep))
+        # rename inside the map (a separate rename_columns op logs a
+        # spurious cross-bundle schema warning at tiny scale)
+        return pa.table(
+            {
+                "suppkey": pc.cast(b["s_suppkey"], pa.int64()),
+                "s_name": b["s_name"],
+            }
+        )
 
     sup = (
         _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
         .map_batches(sel_sup, batch_format="pyarrow")
-        .rename_columns({"s_suppkey": "suppkey"})
         .to_pandas()  # ≤|winners| rows by the key-set bound
     )
     out = w.merge(sup, on="suppkey")
@@ -3367,6 +3443,10 @@ def _q_returned_top_customers(sf_dir: str):
             ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
         )
         .map_batches(li_partial, batch_format="pyarrow")
+        .map_batches(  # coalesce_narrow inline — bundle tiny partial blocks
+            lambda b: b, batch_format="pyarrow",
+            batch_size=1_000_000, num_cpus=0.9,
+        )
         .groupby("__part")
         .map_groups(sum_part, batch_format="pandas")
     )
@@ -3629,6 +3709,10 @@ def _q_supplier_part_counts(sf_dir: str):
     return _with_schema(
         joined.select_columns(["p_brand", "p_type", "p_size", "suppkey"])
         .map_batches(add_bucket, batch_format="pyarrow")
+        .map_batches(  # coalesce_narrow inline — bundle tiny partial blocks
+            lambda b: b, batch_format="pyarrow",
+            batch_size=1_000_000, num_cpus=0.9,
+        )
         .groupby("__b")
         .map_groups(fold, batch_format="pandas"),
         out_schema,
@@ -4107,6 +4191,10 @@ def _q_part_value_share(sf_dir: str):
             ["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
         )
         .map_batches(li_partial, batch_format="pyarrow")
+        .map_batches(  # coalesce_narrow inline — bundle tiny partial blocks
+            lambda b: b, batch_format="pyarrow",
+            batch_size=1_000_000, num_cpus=0.9,
+        )
         .groupby("__part")
         .map_groups(sum_part, batch_format="pandas")
         .materialize()  # part-dimension-bounded narrow table, read twice
@@ -4172,6 +4260,10 @@ def _q_custdist(sf_dir: str):
     per_cust = (
         _read(sf_dir, "orders", ["o_custkey"])
         .map_batches(o_partial, batch_format="pyarrow")
+        .map_batches(  # coalesce_narrow inline
+            lambda b: b, batch_format="pyarrow",
+            batch_size=1_000_000, num_cpus=0.9,
+        )
         .groupby("__part")
         .map_groups(sum_part, batch_format="pandas")
     )
@@ -4287,6 +4379,10 @@ def _q_promo_part_suppliers(sf_dir: str):
     qualifying = (
         _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_quantity"])
         .map_batches(li_partial, batch_format="pyarrow")
+        .map_batches(  # coalesce_narrow inline — bundle tiny partial blocks
+            lambda b: b, batch_format="pyarrow",
+            batch_size=1_000_000, num_cpus=0.9,
+        )
         .groupby("__part")
         .map_groups(sum_part, batch_format="pandas")
     )
@@ -4379,6 +4475,10 @@ def _q_sole_return_suppliers(sf_dir: str):
     per_supp = (
         _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_returnflag"])
         .map_batches(li_partial, batch_format="pyarrow")
+        .map_batches(  # coalesce_narrow inline — bundle tiny partial blocks
+            lambda b: b, batch_format="pyarrow",
+            batch_size=1_000_000, num_cpus=0.9,
+        )
         .groupby("__part")
         .map_groups(blame, batch_format="pandas")
     )
@@ -4546,6 +4646,10 @@ def _q_min_cost_supplier(sf_dir: str):
     winners = (
         _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_extendedprice"])
         .map_batches(li_partial, batch_format="pyarrow")
+        .map_batches(  # coalesce_narrow inline — bundle tiny partial blocks
+            lambda b: b, batch_format="pyarrow",
+            batch_size=1_000_000, num_cpus=0.9,
+        )
         .groupby("__part")
         .map_groups(argmin_fold, batch_format="pandas")
     )
@@ -5061,6 +5165,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shipping_priority": _q_shipping_priority,
         "lang_entropy": _q_lang_entropy,
         "quality_logit": _q_quality_logit,
+        "score_quantiles": _q_score_quantiles,
         "events_funnel": _q_events_funnel,
         "heavy_hitters": _q_heavy_hitters,
         "hll_registers": _q_hll_registers,
@@ -6017,6 +6122,46 @@ def oracle_sql() -> dict[str, str]:
                    (round((1.0 / (1.0 + exp(-logit))) * 1000000) / 1000000.0
                      >= 0.5) AS keep
             FROM l
+        """,
+        # mirrors _q_score_quantiles: quantile_disc (= the engine's
+        # ceil(q·n) k-th smallest, verified rank rule) over the SAME
+        # quantized logit column as quality_logit — the float-exact
+        # element selection proves stages/selection.py bit-identical
+        "score_quantiles": f"""
+            WITH f AS (
+              SELECT doc_id,
+                     CAST(length(regexp_extract_all(text, $${wsre}$$)) AS BIGINT)
+                       AS n_words,
+                     round(length(regexp_extract_all(text, $${punct}$$))
+                           / greatest(length(text), 1), 6) AS punct_ratio,
+                     round(length(regexp_extract_all(text, $${stop}$$))
+                           / greatest(length(regexp_extract_all(text, $${wsre}$$)), 1), 6)
+                       AS stopword_ratio,
+                     round((length(text) - (length(regexp_extract_all(text, $${wsre}$$)) - 1))
+                           / greatest(length(regexp_extract_all(text, $${wsre}$$)), 1), 6)
+                       AS mean_word_len
+              FROM documents
+            ),
+            l AS (
+              SELECT round(((((-0.6 + (-8.0 * punct_ratio))
+                              + (6.0 * stopword_ratio))
+                             + (-0.25 * mean_word_len))
+                            + (0.35 * ln(1.0 + n_words))) * 1000000)
+                       / 1000000.0 AS logit
+              FROM f
+            )
+            SELECT CAST(0.1 AS DOUBLE) AS q,
+                   quantile_disc(logit, 0.1) AS value FROM l
+            UNION ALL
+            SELECT CAST(0.25 AS DOUBLE), quantile_disc(logit, 0.25) FROM l
+            UNION ALL
+            SELECT CAST(0.5 AS DOUBLE), quantile_disc(logit, 0.5) FROM l
+            UNION ALL
+            SELECT CAST(0.75 AS DOUBLE), quantile_disc(logit, 0.75) FROM l
+            UNION ALL
+            SELECT CAST(0.9 AS DOUBLE), quantile_disc(logit, 0.9) FROM l
+            UNION ALL
+            SELECT CAST(0.99 AS DOUBLE), quantile_disc(logit, 0.99) FROM l
         """,
         "lang_id": f"""
             WITH c AS (SELECT doc_id, {lang_counts} FROM documents)

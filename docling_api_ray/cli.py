@@ -93,11 +93,40 @@ def _append_main(argv: list[str]) -> int:
     return 0
 
 
+def _compact_main(argv: list[str]) -> int:
+    """``compact`` subcommand — LSM-style store maintenance: merge the
+    per-append dedup/IVF index leaves into one consolidated leaf each
+    (pipelines/append.py compact_store); triage semantics are unchanged
+    by construction."""
+    ap = argparse.ArgumentParser(prog="docling_api_ray.cli compact")
+    ap.add_argument("--store", required=True)
+    ap.add_argument("--num-cpus", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = dict(address=None, include_dashboard=False,
+                      logging_level="ERROR")
+        addr_env = os.environ.get("RAY_ADDRESS", "")
+        if args.num_cpus and (not addr_env or addr_env == "local"):
+            kwargs["num_cpus"] = args.num_cpus
+        ray.init(**kwargs)
+
+    from docling_api_ray.pipelines.append import compact_store
+
+    print(json.dumps(compact_store(args.store)))
+    ray.shutdown()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     if argv is None:
         argv = sys.argv[1:]
     if argv and argv[0] == "append":
         return _append_main(argv[1:])
+    if argv and argv[0] == "compact":
+        return _compact_main(argv[1:])
     ap = argparse.ArgumentParser(description="docling_api_ray batch driver")
     ap.add_argument("--input", required=True, help="sf_dir containing documents.parquet")
     ap.add_argument("--output", required=True, help="output directory (partitioned)")

@@ -488,3 +488,74 @@ def committed_corpus_dataset(
     if not files:
         raise FileNotFoundError(f"no committed appends under {store_dir}")
     return ray.data.read_parquet(files, columns=columns)
+
+
+def compact_store(store_dir: str) -> dict:
+    """Store MAINTENANCE: merge the per-append index leaves into one
+    consolidated ``append=-1`` leaf each, so a store that has absorbed
+    thousands of small increments stops paying per-append file overhead
+    (open/footers/partition discovery) on every triage.  The production
+    cadence is the LSM discipline: appends write small leaves, a
+    periodic compaction folds them.
+
+    Semantics-preserving BY CONSTRUCTION: triage reads the indexes as
+    one concatenated table (read_parquet over the hive root, column-
+    pruned), so re-laying the same rows out in fewer files cannot change
+    any keep/drop decision — asserted by the compaction test, which
+    re-runs an append before and after and compares bit-identical
+    results.  Streaming: each index rewrites via read_parquet →
+    write_parquet (never driver-held); the swap is atomic per index
+    (staging + rename of the whole index dir).  The corpus parquet
+    partitions are untouched — they are already immutable committed
+    output, and their manifest lineage must stay append-granular.
+
+    Returns ``{"dedup_files_before": n, "dedup_files_after": m, ...}``."""
+    out: dict[str, int] = {}
+    for kind, part_cols in (("dedup_index", []), ("ivf_index", ["centroid"])):
+        root = os.path.join(store_dir, kind)
+        if not os.path.isdir(root):
+            continue
+        leaves = sorted(
+            d for d in os.listdir(root)
+            if d.startswith("append=") and not d.endswith(".tmp")
+        )
+        files = [
+            os.path.join(root, d, f)
+            for d in leaves
+            for f in sorted(os.listdir(os.path.join(root, d)))
+            if f.endswith(".parquet")
+        ]
+        out[f"{kind.split('_')[0]}_files_before"] = len(files)
+        if len(files) <= 1:
+            out[f"{kind.split('_')[0]}_files_after"] = len(files)
+            continue
+        ds = ray.data.read_parquet(files).map_batches(
+            lambda b: b.replace_schema_metadata(None), batch_format="pyarrow"
+        )
+        stage = os.path.join(store_dir, "_staging", f"compact_{kind}.tmp")
+        shutil.rmtree(stage, ignore_errors=True)
+        merged_leaf = os.path.join(stage, "append=-1")
+        if part_cols:
+            # hive-partitioned rewrite keeps ivf_knn_partitioned's
+            # file-level pruning intact (centroid= leaves under the
+            # consolidated append)
+            ds.write_parquet(merged_leaf, partition_cols=part_cols)
+        else:
+            ds.write_parquet(merged_leaf)
+        new_root = root + ".new"
+        shutil.rmtree(new_root, ignore_errors=True)
+        os.makedirs(new_root, exist_ok=True)
+        os.replace(merged_leaf, os.path.join(new_root, "append=-1"))
+        old_root = root + ".old"
+        shutil.rmtree(old_root, ignore_errors=True)
+        os.replace(root, old_root)       # atomic swap, old kept until
+        os.replace(new_root, root)       # the new root is in place
+        shutil.rmtree(old_root, ignore_errors=True)
+        shutil.rmtree(stage, ignore_errors=True)
+        out[f"{kind.split('_')[0]}_files_after"] = sum(
+            1
+            for d in os.listdir(root)
+            for f in os.listdir(os.path.join(root, d))
+            if f.endswith(".parquet")
+        )
+    return out

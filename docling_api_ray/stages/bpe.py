@@ -61,6 +61,10 @@ def corpus_word_counts(
             batch_format="pyarrow",
         )
         .map_batches(add_part, batch_format="pyarrow")
+        .map_batches(  # inline coalesce_narrow (common.py) — bundle tiny blocks
+            lambda b: b, batch_format="pyarrow",
+            batch_size=1_000_000, num_cpus=0.9,
+        )
         .groupby("__part")
         .map_groups(fold, batch_format="pandas")
         .take_all()

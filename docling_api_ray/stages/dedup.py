@@ -48,7 +48,7 @@ from docling_api_ray.functions.hashing import (
     popcount64,
     shingle_hashes,
 )
-from docling_api_ray.stages.common import coalesce_for_shuffle
+from docling_api_ray.stages.common import coalesce_narrow
 
 _MERSENNE = (1 << 61) - 1
 
@@ -477,7 +477,13 @@ def _dedup_pairs(
     ).map_groups(fold, batch_format="pandas")
 
 
-def _cogrouped(ds: ray.data.Dataset, key: str, *, coalesce: bool = False):
+def _cogrouped(
+    ds: ray.data.Dataset,
+    key: str,
+    *,
+    coalesce: bool = True,
+    coalesce_rows: int = 1_000_000,
+):
     """Co-locate all rows of each ``key`` value using ~core-count Ray
     groups (key hash mod P), so per-key work can run as a cheap pandas
     groupby inside each group instead of one Ray dispatch per key.
@@ -500,16 +506,13 @@ def _cogrouped(ds: ray.data.Dataset, key: str, *, coalesce: bool = False):
     config.py classify_batch_size note).  ``repartition(target_num_
     rows_per_block=...)`` cannot do this job: it only SPLITS blocks,
     never merges them (verified on Ray 2.49)."""
-    from docling_api_ray.stages.common import shuffle_partitions
+    from docling_api_ray.stages.common import coalesce_narrow, shuffle_partitions
 
     P = shuffle_partitions()
     if coalesce:
-        ds = ds.map_batches(
-            lambda b: b,
-            batch_format="pyarrow",
-            batch_size=1_000_000,
-            num_cpus=0.9,
-        )
+        # cap at coalesce_rows — pass a smaller cap (65k) for rows that
+        # carry signatures or paragraph text rather than bare digests
+        ds = coalesce_narrow(ds, max_rows=coalesce_rows)
 
     def add_part(b: pa.Table) -> pa.Table:
         part = pc.subtract(b[key], pc.multiply(pc.divide(b[key], P), P))
@@ -587,7 +590,7 @@ def minhash_lsh_pairs(
             )
         )
     hot, pair_bound = kept
-    pairs = _cogrouped(hot, "bucket").map_groups(
+    pairs = _cogrouped(hot, "bucket", coalesce_rows=65_536).map_groups(
         lambda df: _pairs_from_partition(df, threshold), batch_format="pandas"
     )
     return _dedup_pairs(pairs, "est_jaccard", "max", est_pairs=pair_bound)
@@ -1142,7 +1145,7 @@ def ngram_jaccard_pairs(
             {"left_id": "int64", "right_id": "int64", "jaccard": "float64"}
         )
 
-    return coalesce_for_shuffle(ds).groupby(block_col).map_groups(
+    return coalesce_narrow(ds).groupby(block_col).map_groups(
         block, batch_format="pandas"
     )
 
@@ -1189,7 +1192,7 @@ def ngram_containment_pairs(
             {"left_id": "int64", "right_id": "int64", "containment": "float64"}
         )
 
-    return coalesce_for_shuffle(ds).groupby(block_col).map_groups(
+    return coalesce_narrow(ds).groupby(block_col).map_groups(
         block, batch_format="pandas"
     )
 
@@ -1226,7 +1229,7 @@ def embedding_neardup_pairs(
             {"left_id": "int64", "right_id": "int64", "cosine": "float64"}
         )
 
-    return coalesce_for_shuffle(ds).groupby(block_col).map_groups(
+    return coalesce_narrow(ds).groupby(block_col).map_groups(
         block, batch_format="pandas"
     )
 
@@ -1359,7 +1362,7 @@ def paragraph_dedup(
             out, schema=marked_schema, preserve_index=False
         )
 
-    marked = _cogrouped(exploded, "__pkey").map_groups(
+    marked = _cogrouped(exploded, "__pkey", coalesce_rows=65_536).map_groups(
         mark_winners, batch_format="pandas"
     )
 
@@ -1391,7 +1394,7 @@ def paragraph_dedup(
             out, schema=out_schema, preserve_index=False
         )
 
-    return _cogrouped(marked, id_col).map_groups(
+    return _cogrouped(marked, id_col, coalesce_rows=65_536).map_groups(
         reassemble, batch_format="pandas"
     )
 

@@ -195,7 +195,7 @@ def _minhash_keep_tail(
         return new_ids
     hot, _ = kept
     drop_rows = (
-        _cogrouped(hot, "bucket")
+        _cogrouped(hot, "bucket", coalesce_rows=65_536)
         .map_groups(
             lambda df: _incremental_drops(df, threshold),
             batch_format="pandas",

@@ -23,7 +23,6 @@ import pyarrow.compute as pc
 
 import ray.data
 
-from docling_api_ray.stages.common import coalesce_for_shuffle
 
 US = 1_000_000
 
@@ -133,9 +132,15 @@ def hash_join(
         out = lpart.merge(rpart, on=on, how=how)
         return out
 
-    return coalesce_for_shuffle(union).groupby("__bucket").map_groups(
-        merge, batch_format="pandas"
-    )
+    # bundle-coalesce, not repartition: merges tiny blocks into one task
+    # with NO all-to-all (repartition(P) leaves P blocks → up to P empty
+    # sort ranges when distinct buckets < P, the schema-warning source);
+    # 65k-row cap since generic join rows can be wide
+    from docling_api_ray.stages.common import coalesce_narrow
+
+    return coalesce_narrow(union, max_rows=65_536).groupby(
+        "__bucket"
+    ).map_groups(merge, batch_format="pandas")
 
 
 def asof_join_events(
@@ -216,8 +221,13 @@ def asof_join_events(
             preserve_index=False,
         ).cast(out_schema)
 
+    from docling_api_ray.stages.common import coalesce_narrow
+
     return (
-        filtered.map_batches(add_part, batch_format="pyarrow")
+        coalesce_narrow(
+            filtered.map_batches(add_part, batch_format="pyarrow"),
+            max_rows=65_536,
+        )
         .groupby("__part")
         .map_groups(per_partition, batch_format="pandas")
     )

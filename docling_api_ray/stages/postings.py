@@ -121,11 +121,15 @@ def inverted_postings(
             }
         )
 
+    from docling_api_ray.stages.common import coalesce_narrow
+
     return (
-        ds.map_batches(
-            _term_doc_pairs(term_list),
-            batch_format="pyarrow",
-            batch_size=1024,
+        coalesce_narrow(
+            ds.map_batches(
+                _term_doc_pairs(term_list),
+                batch_format="pyarrow",
+                batch_size=1024,
+            )
         )
         .groupby("__part")
         .map_groups(fold, batch_format="pandas")

@@ -164,7 +164,7 @@ def tfidf_topterms(
     import pandas as pd
 
     from docling_api_ray.stages.common import (
-        coalesce_for_shuffle,
+        coalesce_narrow,
         shuffle_partitions,
     )
     from docling_api_ray.stages.windows import quantize6_np
@@ -215,11 +215,13 @@ def tfidf_topterms(
         lambda b: tf_pairs(b, text_col=text_col, id_col=id_col),
         batch_format="pyarrow",
     )
-    heads = pairs.groupby("__part").map_groups(
+    from docling_api_ray.stages.common import coalesce_narrow
+
+    heads = coalesce_narrow(pairs).groupby("__part").map_groups(
         score_fold, batch_format="pandas"
     )
     return (
-        coalesce_for_shuffle(heads)
+        coalesce_narrow(heads)
         .groupby("__p2")
         .map_groups(final_fold, batch_format="pandas")
     )

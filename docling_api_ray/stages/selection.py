@@ -1,0 +1,318 @@
+"""Distributed EXACT selection — quantiles over FLOAT columns.
+
+``stages/stats.py`` computes exact quantiles from the value HISTOGRAM,
+which needs an integer (bounded-domain) metric; its docstring defers
+float metrics to an approximate KLL/t-digest sketch.  This module does
+better than a sketch: EXACT float quantiles in a constant number of
+streaming passes via iterative bracket refinement — the distributed
+form of quickselect with a deterministic pivot grid instead of random
+pivots:
+
+  pass 0   fold (n, min, max) — one narrow two-level reduction.
+  round r  split each unresolved quantile's bracket into ``bins``
+           equal-width cells; ONE shared streaming pass counts every
+           (quantile, cell) occupancy (vectorized searchsorted per
+           batch, all active quantiles in the same pass, each partial
+           an ATOMIC list<int64> row so Ray's batch slicing cannot
+           split a histogram); the bounded fold is ≤ |quantiles| rows
+           of ``bins`` ints.  The cell containing the target rank
+           becomes the next bracket.
+  final    brackets whose occupancy ≤ ``collect_threshold`` collect
+           their in-bracket values (bounded by construction) and the
+           exact k-th smallest is taken driver-side.
+
+Brackets are HALF-OPEN ``[lo, hi)`` — except the rightmost lineage,
+which stays closed at the global max — so a value on a cell edge is
+counted in exactly one round's cell and exactly one child bracket.
+Massive-tie degeneracy (a bracket narrowed to ≤2 representable floats
+whose occupancy never shrinks) resolves by COUNTING values equal to
+``lo`` instead of collecting them, so no tie pattern can ever pull
+corpus-proportional rows to the driver.
+
+Rounds needed: log_bins(n / collect_threshold) — TWO refinement passes
+cover 10^12 rows at bins=4096, collect_threshold=10^5, so a 100 TB
+column is ~4 streaming passes total; every fold payload is
+quantile-count-bounded, never row-bounded.  Fully deterministic (no
+sampling).
+
+Rank semantics are SQL ``quantile_disc`` / ``percentile_disc``: the
+k-th smallest with k = ceil(q·n), verified against DuckDB for the
+oracle mirrors.  NaN/null values are excluded from n (SQL aggregate
+semantics).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from docling_api_ray.stages.common import two_level_fold
+
+
+def _valid(b: pa.Table, value_col: str) -> np.ndarray:
+    v = np.asarray(b[value_col], dtype=np.float64)
+    return v[~np.isnan(v)]
+
+
+def _in_bracket(v: np.ndarray, lo: float, hi: float, closed: bool) -> np.ndarray:
+    m = v >= lo
+    m &= (v <= hi) if closed else (v < hi)
+    return v[m]
+
+
+def _minmax_count(
+    ds: ray.data.Dataset, value_col: str
+) -> tuple[int, float, float]:
+    def partial(b: pa.Table) -> pa.Table:
+        v = _valid(b, value_col)
+        return pa.table(
+            {
+                "n": pa.array([len(v)], pa.int64()),
+                "mn": pa.array(
+                    [float(v.min()) if len(v) else np.inf], pa.float64()
+                ),
+                "mx": pa.array(
+                    [float(v.max()) if len(v) else -np.inf], pa.float64()
+                ),
+            }
+        )
+
+    def fold(b: pa.Table) -> pa.Table:
+        n = np.asarray(b["n"], dtype=np.int64)
+        mn = np.asarray(b["mn"], dtype=np.float64)
+        mx = np.asarray(b["mx"], dtype=np.float64)
+        return pa.table(
+            {
+                "n": pa.array([int(n.sum())], pa.int64()),
+                "mn": pa.array(
+                    [float(mn.min()) if len(mn) else np.inf], pa.float64()
+                ),
+                "mx": pa.array(
+                    [float(mx.max()) if len(mx) else -np.inf], pa.float64()
+                ),
+            }
+        )
+
+    rows = two_level_fold(
+        ds.map_batches(partial, batch_format="pyarrow"), fold
+    ).take_all()
+    r = rows[0]
+    return int(r["n"]), float(r["mn"]), float(r["mx"])
+
+
+def quantile_select(
+    ds: ray.data.Dataset,
+    *,
+    value_col: str,
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+    bins: int = 4096,
+    collect_threshold: int = 100_000,
+    max_rounds: int = 128,
+) -> pa.Table:
+    """Exact ``quantile_disc`` values of a float column as a bounded
+    (q, value) Arrow table — see the module docstring for the pass
+    structure and scale shape.  ``ds`` is consumed ``2 + rounds`` times;
+    pass a materialized dataset or a pruned parquet read (which
+    re-executes as a pruned read)."""
+    qs = sorted(set(float(q) for q in quantiles))
+    out_schema = pa.schema([("q", pa.float64()), ("value", pa.float64())])
+    n, mn, mx = _minmax_count(ds, value_col)
+    if n == 0:
+        return out_schema.empty_table()
+
+    # per-quantile bracket state; k is the 1-indexed rank WITHIN the
+    # bracket (values below the bracket were subtracted when the
+    # bracket narrowed); "closed" marks the rightmost lineage
+    state: dict[float, dict] = {}
+    for q in qs:
+        k = max(1, math.ceil(q * n))
+        state[q] = {
+            "lo": mn, "hi": mx, "k": k, "cnt": n,
+            "closed": True, "done": mn == mx,
+        }
+        if state[q]["done"]:
+            state[q]["value"] = mn
+
+    def _two_float(st: dict) -> bool:
+        return np.nextafter(st["lo"], st["hi"]) >= st["hi"]
+
+    rounds = 0
+    while True:
+        # degenerate tie brackets: ≤2 representable floats — resolve by
+        # COUNTING values == lo (one shared pass), never by collecting
+        ties = [
+            q for q in qs
+            if not state[q]["done"] and _two_float(state[q])
+        ]
+        if ties:
+            specs = tuple(
+                (q, state[q]["lo"], state[q]["hi"], state[q]["closed"])
+                for q in ties
+            )
+
+            def tie_partial(b: pa.Table, specs=specs) -> pa.Table:
+                v = _valid(b, value_col)
+                return pa.table(
+                    {
+                        f"t{i}": pa.array(
+                            [int((_in_bracket(v, lo, hi, cl) == lo).sum())],
+                            pa.int64(),
+                        )
+                        for i, (q, lo, hi, cl) in enumerate(specs)
+                    }
+                )
+
+            def tie_fold(b: pa.Table) -> pa.Table:
+                return pa.table(
+                    {
+                        name: pa.array(
+                            [int(np.asarray(b[name], dtype=np.int64).sum())],
+                            pa.int64(),
+                        )
+                        for name in b.column_names
+                    }
+                )
+
+            row = two_level_fold(
+                ds.map_batches(tie_partial, batch_format="pyarrow"), tie_fold
+            ).take_all()[0]
+            for i, q in enumerate(ties):
+                st = state[q]
+                n_lo = int(row[f"t{i}"])
+                st["value"] = st["lo"] if st["k"] <= n_lo else st["hi"]
+                st["done"] = True
+
+        active = [
+            q for q in qs
+            if not state[q]["done"] and state[q]["cnt"] > collect_threshold
+        ]
+        if not active or rounds >= max_rounds:
+            break
+        rounds += 1
+        specs = tuple(
+            (q, state[q]["lo"], state[q]["hi"], state[q]["closed"])
+            for q in active
+        )
+        edges = {
+            q: np.linspace(lo, hi, bins + 1)
+            for (q, lo, hi, _c) in specs
+        }
+
+        def hist_partial(
+            b: pa.Table, specs=specs, edges=edges
+        ) -> pa.Table:
+            v = _valid(b, value_col)
+            cols = {}
+            for i, (q, lo, hi, cl) in enumerate(specs):
+                iv = _in_bracket(v, lo, hi, cl)
+                cell = np.clip(
+                    np.searchsorted(edges[q], iv, side="right") - 1,
+                    0,
+                    bins - 1,
+                )
+                # one ATOMIC list row per histogram — Ray batch slicing
+                # can never split it
+                cols[f"h{i}"] = pa.array(
+                    [np.bincount(cell, minlength=bins).astype(np.int64)],
+                    type=pa.list_(pa.int64()),
+                )
+            return pa.table(cols)
+
+        def hist_fold(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    name: pa.array(
+                        [
+                            np.sum(
+                                np.stack(
+                                    [
+                                        np.asarray(x, dtype=np.int64)
+                                        for x in b[name].to_pylist()
+                                    ]
+                                ),
+                                axis=0,
+                            )
+                        ],
+                        type=pa.list_(pa.int64()),
+                    )
+                    for name in b.column_names
+                }
+            )
+
+        row = two_level_fold(
+            ds.map_batches(hist_partial, batch_format="pyarrow"), hist_fold
+        ).take_all()[0]
+        for i, (q, lo, hi, cl) in enumerate(specs):
+            st = state[q]
+            hist = np.asarray(row[f"h{i}"], dtype=np.int64)
+            cum = np.cumsum(hist)
+            cell = int(np.searchsorted(cum, st["k"]))
+            e = edges[q]
+            below = int(cum[cell - 1]) if cell > 0 else 0
+            st["k"] -= below
+            st["lo"], st["hi"] = float(e[cell]), float(e[cell + 1])
+            st["closed"] = cl and (cell == bins - 1)
+            st["cnt"] = int(hist[cell])
+            if st["lo"] == st["hi"]:
+                st["value"] = st["lo"]
+                st["done"] = True
+
+    # final: collect in-bracket values (≤ collect_threshold each, by
+    # construction — tie degeneracy was count-resolved above)
+    unresolved = [q for q in qs if not state[q]["done"]]
+    for q in unresolved:
+        if state[q]["cnt"] > 10 * collect_threshold:
+            # loud failure beats a silent corpus-proportional collect;
+            # unreachable in practice (tie brackets count-resolve and
+            # max_rounds covers the full float64 width at bins=4096)
+            raise RuntimeError(
+                f"quantile_select: bracket for q={q} still holds "
+                f"{state[q]['cnt']} rows after {max_rounds} rounds"
+            )
+    if unresolved:
+        specs = tuple(
+            (q, state[q]["lo"], state[q]["hi"], state[q]["closed"])
+            for q in unresolved
+        )
+
+        def collect(b: pa.Table, specs=specs) -> pa.Table:
+            v = _valid(b, value_col)
+            qs_, vs_ = [], []
+            for q, lo, hi, cl in specs:
+                iv = _in_bracket(v, lo, hi, cl)
+                qs_.append(np.full(len(iv), q, dtype=np.float64))
+                vs_.append(iv)
+            return pa.table(
+                {
+                    "q": pa.array(
+                        np.concatenate(qs_) if qs_ else
+                        np.zeros(0, dtype=np.float64)
+                    ),
+                    "value": pa.array(
+                        np.concatenate(vs_) if vs_ else
+                        np.zeros(0, dtype=np.float64),
+                        type=pa.float64(),
+                    ),
+                }
+            )
+
+        rows = ds.map_batches(collect, batch_format="pyarrow").take_all()
+        by_q: dict[float, list[float]] = {q: [] for q in unresolved}
+        for r in rows:
+            by_q[float(r["q"])].append(float(r["value"]))
+        for q in unresolved:
+            st = state[q]
+            vals = np.sort(np.asarray(by_q[q], dtype=np.float64))
+            st["value"] = float(vals[st["k"] - 1])
+            st["done"] = True
+
+    return pa.table(
+        {
+            "q": pa.array(qs, pa.float64()),
+            "value": pa.array([state[q]["value"] for q in qs], pa.float64()),
+        }
+    ).cast(out_schema)

@@ -110,8 +110,10 @@ def vocab_source_coverage(
             }
         ).cast(out_schema)
 
+    from docling_api_ray.stages.common import coalesce_narrow
+
     return (
-        ds.map_batches(partial, batch_format="pyarrow")
+        coalesce_narrow(ds.map_batches(partial, batch_format="pyarrow"))
         .groupby("__part")
         .map_groups(fold, batch_format="pandas")
     )

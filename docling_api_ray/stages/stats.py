@@ -27,7 +27,7 @@ import pyarrow as pa
 
 import ray.data
 
-from docling_api_ray.stages.common import bounded_groupby_sum
+from docling_api_ray.stages.common import bounded_groupby_sum, coalesce_narrow
 
 
 def grouped_int_quantiles(
@@ -158,7 +158,7 @@ def global_rank(
         return pa.table(cols)
 
     return (
-        ds.map_batches(add_part, batch_format="pyarrow")
+        coalesce_narrow(ds.map_batches(add_part, batch_format="pyarrow"))
         .groupby("__part")
         .map_groups(tie_rank, batch_format="pandas")
     )
@@ -237,7 +237,7 @@ def grouped_zscore(
     fold switches to float128/HUGEINT — documented bound), and the
     final expression is two IEEE ops the SQL oracle evaluates
     identically.  Zero-variance groups emit z = 0."""
-    from docling_api_ray.stages.common import bounded_groupby_sum
+    from docling_api_ray.stages.common import bounded_groupby_sum, coalesce_narrow
 
     def add_sq(b: pa.Table) -> pa.Table:
         x = np.asarray(b[value_col], dtype=np.int64)

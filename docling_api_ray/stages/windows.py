@@ -27,7 +27,7 @@ import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Count, Sum
 
-from docling_api_ray.stages.common import coalesce_for_shuffle
+from docling_api_ray.stages.common import coalesce_narrow
 
 US = 1_000_000  # microseconds per second
 
@@ -83,7 +83,7 @@ def sliding_window_agg(
         )
 
     agg = (
-        coalesce_for_shuffle(ds.map_batches(explode, batch_format="pyarrow"))
+        coalesce_narrow(ds.map_batches(explode, batch_format="pyarrow"))
         .groupby([key, "window_start"])
         .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
     )
@@ -160,7 +160,7 @@ def session_windows(
         ).cast(out_schema)
 
     return (
-        ds.map_batches(add_part, batch_format="pyarrow")
+        coalesce_narrow(ds.map_batches(add_part, batch_format="pyarrow"))
         .groupby("__part")
         .map_groups(sessions_part, batch_format="pandas")
     )
@@ -236,7 +236,7 @@ def funnel_reached(
         )
 
     return (
-        ds.map_batches(prep, batch_format="pyarrow")
+        coalesce_narrow(ds.map_batches(prep, batch_format="pyarrow"))
         .groupby("__part")
         .map_groups(fold, batch_format="pandas")
     )
@@ -331,7 +331,7 @@ def moving_window_avg(
         ).cast(out_schema)
 
     return (
-        ds.map_batches(prep, batch_format="pyarrow")
+        coalesce_narrow(ds.map_batches(prep, batch_format="pyarrow"))
         .groupby("__part")
         .map_groups(fold, batch_format="pandas")
     )
@@ -424,7 +424,7 @@ def rolling_zscore(
         ).cast(out_schema)
 
     return (
-        ds.map_batches(prep, batch_format="pyarrow")
+        coalesce_narrow(ds.map_batches(prep, batch_format="pyarrow"))
         .groupby("__part")
         .map_groups(fold, batch_format="pandas")
     )
@@ -490,7 +490,7 @@ def session_type_pairs(
         ).replace_schema_metadata(None)
 
     partials = (
-        ds.map_batches(add_part, batch_format="pyarrow")
+        coalesce_narrow(ds.map_batches(add_part, batch_format="pyarrow"))
         .groupby("__part")
         .map_groups(pairs_part, batch_format="pandas")
     )
@@ -562,7 +562,7 @@ def session_transitions(
         ).cast(t_schema).replace_schema_metadata(None)
 
     partials = (
-        ds.map_batches(add_part, batch_format="pyarrow")
+        coalesce_narrow(ds.map_batches(add_part, batch_format="pyarrow"))
         .groupby("__part")
         .map_groups(trans_part, batch_format="pandas")
     )
@@ -627,7 +627,7 @@ def top_event_per_user(
         ).cast(out_schema).replace_schema_metadata(None)
 
     return (
-        ds.map_batches(partial, batch_format="pyarrow")
+        coalesce_narrow(ds.map_batches(partial, batch_format="pyarrow"))
         .groupby("__part")
         .map_groups(argmax_part, batch_format="pandas")
     )
@@ -723,7 +723,7 @@ def rolling_active_users(
         ).cast(out_schema).replace_schema_metadata(None)
 
     return (
-        pairs.map_batches(fan_out, batch_format="pyarrow")
+        coalesce_narrow(pairs.map_batches(fan_out, batch_format="pyarrow"))
         .groupby("__part")
         .map_groups(count_part, batch_format="pandas")
     )

@@ -247,3 +247,71 @@ def test_cli_append_subcommand(tmp_path):
     # the knn triage outcome is unchanged
     assert r1["append_id"] == 1 and r1["n_committed"] == 6
     assert run(10, 20) == r1  # idempotent rerun
+
+
+def _mk_third_increment(tmp_path, docs_path, emb_path):
+    """Extend the synthetic corpus with ids [20, 30): a mix of
+    exact-dup-of-history (20), near-dup-of-history (21), fresh (22,
+    24..29) and an embedding dup of committed vec 7 (23)."""
+    rng = np.random.RandomState(99)
+    base = pq.read_table(docs_path)
+    texts = base["text"].to_pylist()
+    near = texts[5].split()
+    near[10], near[60] = "qq1", "qq2"
+    new_texts = [texts[3], " ".join(near)] + [_text(rng) for _ in range(8)]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(
+                    list(range(20)) + list(range(20, 30)), pa.int64()
+                ),
+                "text": pa.array(texts + new_texts),
+            }
+        ),
+        docs_path,
+    )
+    emb = pq.read_table(emb_path)
+    vecs = np.asarray(emb["embedding"].to_pylist(), dtype=np.float64)
+    new_vecs = np.random.RandomState(23).randn(10, DIM)
+    new_vecs[3] = vecs[7]  # id 23 == committed vec 7
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(30), pa.int64()),
+                "embedding": pa.array(
+                    [v.tolist() for v in np.vstack([vecs, new_vecs])],
+                    pa.list_(pa.float32()),
+                ),
+            }
+        ),
+        emb_path,
+    )
+
+
+def test_compact_store_preserves_triage_decisions(tmp_path):
+    """LSM-style index compaction: merging the per-append index leaves
+    into one consolidated leaf must not change ANY subsequent triage
+    decision — proven by running the same third increment into a
+    compacted and an uncompacted twin store."""
+    from docling_api_ray.pipelines.append import compact_store
+
+    docs, emb = _mk_corpus(tmp_path)
+    stores = [str(tmp_path / "s1"), str(tmp_path / "s2")]
+    for st in stores:
+        _run_two_appends(st, docs, emb)
+    stats = compact_store(stores[0])
+    assert stats["dedup_files_after"] < stats["dedup_files_before"]
+    assert stats["ivf_files_after"] <= stats["ivf_files_before"]
+
+    _mk_third_increment(tmp_path, docs, emb)
+    recs = [
+        run_append(st, docs, 20, 30, embeddings_path=emb,
+                   npartitions=2, knn_cos_threshold=0.99)
+        for st in stores
+    ]
+    keys = ("n_input", "n_after_exact", "n_after_minhash",
+            "n_after_knn", "n_committed")
+    assert {k: recs[0][k] for k in keys} == {k: recs[1][k] for k in keys}
+    # 20 exact-hist, 21 minhash-hist, 23 knn-dup → 7 committed
+    assert recs[0]["n_committed"] == 7
+    assert _committed_ids(stores[0]) == _committed_ids(stores[1])
