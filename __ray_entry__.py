@@ -615,6 +615,78 @@ def _q_score_quantiles(sf_dir: str):
     )
 
 
+def _scored_source_logits(sf_dir: str) -> "ray.data.Dataset":
+    """Narrow (doc_id, source, logit) projection: quality_scores +
+    quality_logit fused into ONE stateless pass that carries the source
+    key through (the standalone kernels project it away), materialized
+    because grouped selection re-scans it per refinement pass."""
+
+    def scored(b: pa.Table) -> pa.Table:
+        lg = ta.quality_logit(ta.quality_scores(b))
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "source": b["source"],
+                "logit": lg["logit"],
+            }
+        )
+
+    return (
+        _docs(sf_dir, ["doc_id", "text", "source"])
+        .map_batches(scored, batch_format="pyarrow")
+        .materialize()
+    )
+
+
+def _q_source_score_quantiles(sf_dir: str):
+    """Per-source exact quality-logit quantiles (p25/p50/p90) via
+    stages/selection.py grouped_quantile_select — every (source, q)
+    bracket refines in SHARED histogram passes (one atomic list<int64>
+    row per bracket per batch), so the pass count is independent of
+    |sources| and the fold payload is |brackets| x bins ints, never
+    row-bounded.  quantile_disc rank rule, DuckDB-verified."""
+    from docling_api_ray.stages.selection import grouped_quantile_select
+
+    return grouped_quantile_select(
+        _scored_source_logits(sf_dir),
+        key_col="source",
+        value_col="logit",
+        quantiles=(0.25, 0.5, 0.9),
+    )
+
+
+def _q_quality_gate_by_source(sf_dir: str):
+    """Per-source median quality gate — the production quality-filter
+    shape: grouped exact selection computes each source's
+    quantile_disc(0.5) logit threshold (a |sources|-bounded table), the
+    threshold dict is value-captured into a stateless vectorized filter
+    pass, and docs at/above their source's median survive.  Nothing
+    corpus-proportional reaches the driver; the gate itself is one
+    streaming pass."""
+    from docling_api_ray.stages.selection import grouped_quantile_select
+
+    scored = _scored_source_logits(sf_dir)
+    thr_tbl = grouped_quantile_select(
+        scored, key_col="source", value_col="logit", quantiles=(0.5,)
+    )
+    thr = {
+        str(s): float(v)
+        for s, v in zip(
+            thr_tbl["source"].to_pylist(), thr_tbl["value"].to_pylist()
+        )
+    }
+
+    def gate(b: pa.Table, thr=thr) -> pa.Table:
+        import pandas as pd
+
+        src = pd.Series(b["source"].to_pylist(), dtype=object)
+        t = src.map(thr).to_numpy(dtype=np.float64)
+        lg = np.asarray(b["logit"], dtype=np.float64)
+        return b.filter(pa.array(lg >= t))
+
+    return scored.map_batches(gate, batch_format="pyarrow")
+
+
 def _q_lang_entropy(sf_dir: str):
     """Per-source language-distribution entropy (stages/stats.py
     grouped_entropy): bounded (source x lang) partial counts, integer
@@ -5166,6 +5238,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_entropy": _q_lang_entropy,
         "quality_logit": _q_quality_logit,
         "score_quantiles": _q_score_quantiles,
+        "source_score_quantiles": _q_source_score_quantiles,
+        "quality_gate_by_source": _q_quality_gate_by_source,
         "events_funnel": _q_events_funnel,
         "heavy_hitters": _q_heavy_hitters,
         "hll_registers": _q_hll_registers,
@@ -6162,6 +6236,75 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(0.9 AS DOUBLE), quantile_disc(logit, 0.9) FROM l
             UNION ALL
             SELECT CAST(0.99 AS DOUBLE), quantile_disc(logit, 0.99) FROM l
+        """,
+        # mirrors _q_source_score_quantiles: per-source quantile_disc
+        # over the SAME quantized logit column (grouped selection)
+        "source_score_quantiles": f"""
+            WITH f AS (
+              SELECT doc_id, source,
+                     CAST(length(regexp_extract_all(text, $${wsre}$$)) AS BIGINT)
+                       AS n_words,
+                     round(length(regexp_extract_all(text, $${punct}$$))
+                           / greatest(length(text), 1), 6) AS punct_ratio,
+                     round(length(regexp_extract_all(text, $${stop}$$))
+                           / greatest(length(regexp_extract_all(text, $${wsre}$$)), 1), 6)
+                       AS stopword_ratio,
+                     round((length(text) - (length(regexp_extract_all(text, $${wsre}$$)) - 1))
+                           / greatest(length(regexp_extract_all(text, $${wsre}$$)), 1), 6)
+                       AS mean_word_len
+              FROM documents
+            ),
+            l AS (
+              SELECT source,
+                     round(((((-0.6 + (-8.0 * punct_ratio))
+                              + (6.0 * stopword_ratio))
+                             + (-0.25 * mean_word_len))
+                            + (0.35 * ln(1.0 + n_words))) * 1000000)
+                       / 1000000.0 AS logit
+              FROM f
+            )
+            SELECT source, CAST(0.25 AS DOUBLE) AS q,
+                   quantile_disc(logit, 0.25) AS value FROM l GROUP BY source
+            UNION ALL
+            SELECT source, CAST(0.5 AS DOUBLE),
+                   quantile_disc(logit, 0.5) FROM l GROUP BY source
+            UNION ALL
+            SELECT source, CAST(0.9 AS DOUBLE),
+                   quantile_disc(logit, 0.9) FROM l GROUP BY source
+        """,
+        # mirrors _q_quality_gate_by_source: docs at/above their
+        # source's median logit (same quantized column both sides)
+        "quality_gate_by_source": f"""
+            WITH f AS (
+              SELECT doc_id, source,
+                     CAST(length(regexp_extract_all(text, $${wsre}$$)) AS BIGINT)
+                       AS n_words,
+                     round(length(regexp_extract_all(text, $${punct}$$))
+                           / greatest(length(text), 1), 6) AS punct_ratio,
+                     round(length(regexp_extract_all(text, $${stop}$$))
+                           / greatest(length(regexp_extract_all(text, $${wsre}$$)), 1), 6)
+                       AS stopword_ratio,
+                     round((length(text) - (length(regexp_extract_all(text, $${wsre}$$)) - 1))
+                           / greatest(length(regexp_extract_all(text, $${wsre}$$)), 1), 6)
+                       AS mean_word_len
+              FROM documents
+            ),
+            l AS (
+              SELECT doc_id, source,
+                     round(((((-0.6 + (-8.0 * punct_ratio))
+                              + (6.0 * stopword_ratio))
+                             + (-0.25 * mean_word_len))
+                            + (0.35 * ln(1.0 + n_words))) * 1000000)
+                       / 1000000.0 AS logit
+              FROM f
+            ),
+            thr AS (
+              SELECT source, quantile_disc(logit, 0.5) AS t
+              FROM l GROUP BY source
+            )
+            SELECT l.doc_id, l.source, l.logit
+            FROM l JOIN thr USING (source)
+            WHERE l.logit >= thr.t
         """,
         "lang_id": f"""
             WITH c AS (SELECT doc_id, {lang_counts} FROM documents)

@@ -316,3 +316,312 @@ def quantile_select(
             "value": pa.array([state[q]["value"] for q in qs], pa.float64()),
         }
     ).cast(out_schema)
+
+# ---------------------------------------------------------------------------
+# grouped exact selection — per-key quantile_disc in SHARED passes
+# ---------------------------------------------------------------------------
+
+def grouped_quantile_select(
+    ds: ray.data.Dataset,
+    *,
+    key_col: str,
+    value_col: str,
+    quantiles: tuple[float, ...] = (0.5,),
+    bins: int = 1024,
+    collect_threshold: int = 100_000,
+    max_rounds: int = 128,
+    max_brackets: int = 20_000,
+) -> pa.Table:
+    """Per-group exact ``quantile_disc`` over a FLOAT column — the
+    grouped form of :func:`quantile_select`, refined in SHARED streaming
+    passes: every round histograms ALL active (group, quantile) brackets
+    in one pass over the dataset (one atomic list<int64> row per
+    bracket per batch), so the pass count stays log_bins(n_max /
+    collect_threshold) regardless of how many groups exist.  The fold
+    payload per pass is |brackets| x ``bins`` ints, never row-bounded.
+
+    Designed for BOUNDED group domains (sources, languages, formats —
+    |groups| x |quantiles| <= ``max_brackets`` enforced loudly); an
+    unbounded key would need a hash-partitioned per-group sort instead.
+    Same rank rule as the global operator (k = ceil(q*n), NaN/null
+    excluded), verified against DuckDB ``quantile_disc`` mirrors.
+    """
+    qs = sorted(set(float(q) for q in quantiles))
+    out_schema = pa.schema(
+        [(key_col, pa.string()), ("q", pa.float64()), ("value", pa.float64())]
+    )
+
+    import pandas as pd
+
+    # ---- pass 0: per-group (n, min, max) — bounded keyed fold ----
+    def mm_partial(b: pa.Table) -> pa.Table:
+        df = b.select([key_col, value_col]).to_pandas()
+        v = df[value_col].to_numpy(dtype=np.float64)
+        df = df.loc[~np.isnan(v)]
+        if not len(df):
+            return pa.schema(
+                [(key_col, pa.string()), ("n", pa.int64()),
+                 ("mn", pa.float64()), ("mx", pa.float64())]
+            ).empty_table()
+        g = (
+            df.groupby(key_col, sort=False)[value_col]
+            .agg(n="count", mn="min", mx="max")
+            .reset_index()
+        )
+        return pa.table(
+            {
+                key_col: pa.array(g[key_col].astype(str)),
+                "n": pa.array(g["n"].to_numpy(dtype=np.int64)),
+                "mn": pa.array(g["mn"].to_numpy(dtype=np.float64)),
+                "mx": pa.array(g["mx"].to_numpy(dtype=np.float64)),
+            }
+        )
+
+    def mm_fold(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        g = (
+            df.groupby(key_col, sort=False)
+            .agg(n=("n", "sum"), mn=("mn", "min"), mx=("mx", "max"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                key_col: pa.array(g[key_col].astype(str)),
+                "n": pa.array(g["n"].to_numpy(dtype=np.int64)),
+                "mn": pa.array(g["mn"].to_numpy(dtype=np.float64)),
+                "mx": pa.array(g["mx"].to_numpy(dtype=np.float64)),
+            }
+        )
+
+    groups = two_level_fold(
+        ds.map_batches(mm_partial, batch_format="pyarrow"), mm_fold
+    ).take_all()  # bounded: one row per group
+    if not groups:
+        return out_schema.empty_table()
+    if len(groups) * len(qs) > max_brackets:
+        raise RuntimeError(
+            f"grouped_quantile_select: {len(groups)} groups x {len(qs)} "
+            f"quantiles exceeds max_brackets={max_brackets}; use a "
+            "hash-partitioned per-group sort for unbounded key domains"
+        )
+
+    # bracket state keyed by (group_key, q); k is the rank WITHIN the
+    # current bracket, "closed" marks the rightmost lineage
+    state: dict[tuple[str, float], dict] = {}
+    for r in groups:
+        key = str(r[key_col])
+        n, mn, mx = int(r["n"]), float(r["mn"]), float(r["mx"])
+        for q in qs:
+            st = {
+                "lo": mn, "hi": mx, "k": max(1, math.ceil(q * n)),
+                "cnt": n, "closed": True, "done": mn == mx,
+            }
+            if st["done"]:
+                st["value"] = mn
+            state[(key, q)] = st
+
+    def _two_float(st: dict) -> bool:
+        return np.nextafter(st["lo"], st["hi"]) >= st["hi"]
+
+    def _group_values(b: pa.Table) -> dict[str, np.ndarray]:
+        df = b.select([key_col, value_col]).to_pandas()
+        v = df[value_col].to_numpy(dtype=np.float64)
+        ok = ~np.isnan(v)
+        ks = df[key_col].astype(str).to_numpy()[ok]
+        vv = v[ok]
+        order = np.argsort(ks, kind="stable")
+        ks, vv = ks[order], vv[order]
+        cuts = np.flatnonzero(
+            np.concatenate(([True], ks[1:] != ks[:-1]))
+        )
+        out = {}
+        for i, s in enumerate(cuts):
+            e = cuts[i + 1] if i + 1 < len(cuts) else len(ks)
+            out[ks[s]] = vv[s:e]
+        return out
+
+    rounds = 0
+    while True:
+        # degenerate tie brackets: count values == lo (one shared pass)
+        ties = [
+            bk for bk, st in state.items()
+            if not st["done"] and _two_float(st)
+        ]
+        if ties:
+            specs = tuple(
+                (bk[0], state[bk]["lo"], state[bk]["hi"], state[bk]["closed"])
+                for bk in ties
+            )
+
+            def tie_partial(b: pa.Table, specs=specs) -> pa.Table:
+                gv = _group_values(b)
+                cnts = []
+                for key, lo, hi, cl in specs:
+                    v = gv.get(key)
+                    cnts.append(
+                        int((_in_bracket(v, lo, hi, cl) == lo).sum())
+                        if v is not None else 0
+                    )
+                return pa.table(
+                    {
+                        "bid": pa.array(
+                            np.arange(len(specs), dtype=np.int64)
+                        ),
+                        "c": pa.array(np.asarray(cnts, dtype=np.int64)),
+                    }
+                )
+
+            def tie_fold(b: pa.Table) -> pa.Table:
+                df = b.to_pandas()
+                g = df.groupby("bid", sort=True)["c"].sum().reset_index()
+                return pa.table(
+                    {
+                        "bid": pa.array(g["bid"].to_numpy(dtype=np.int64)),
+                        "c": pa.array(g["c"].to_numpy(dtype=np.int64)),
+                    }
+                )
+
+            rows = two_level_fold(
+                ds.map_batches(tie_partial, batch_format="pyarrow"), tie_fold
+            ).take_all()
+            by_bid = {int(r["bid"]): int(r["c"]) for r in rows}
+            for i, bk in enumerate(ties):
+                st = state[bk]
+                n_lo = by_bid.get(i, 0)
+                st["value"] = st["lo"] if st["k"] <= n_lo else st["hi"]
+                st["done"] = True
+
+        active = [
+            bk for bk, st in state.items()
+            if not st["done"] and st["cnt"] > collect_threshold
+        ]
+        if not active or rounds >= max_rounds:
+            break
+        rounds += 1
+        specs = tuple(
+            (bk[0], state[bk]["lo"], state[bk]["hi"], state[bk]["closed"])
+            for bk in active
+        )
+        edges = [np.linspace(lo, hi, bins + 1) for (_k, lo, hi, _c) in specs]
+
+        def hist_partial(b: pa.Table, specs=specs, edges=edges) -> pa.Table:
+            gv = _group_values(b)
+            hists = []
+            for i, (key, lo, hi, cl) in enumerate(specs):
+                v = gv.get(key)
+                if v is None:
+                    hists.append(np.zeros(bins, dtype=np.int64))
+                    continue
+                iv = _in_bracket(v, lo, hi, cl)
+                cell = np.clip(
+                    np.searchsorted(edges[i], iv, side="right") - 1,
+                    0, bins - 1,
+                )
+                hists.append(np.bincount(cell, minlength=bins).astype(np.int64))
+            return pa.table(
+                {
+                    "bid": pa.array(np.arange(len(specs), dtype=np.int64)),
+                    "h": pa.array(list(hists), type=pa.list_(pa.int64())),
+                }
+            )
+
+        def hist_fold(b: pa.Table) -> pa.Table:
+            bid = np.asarray(b["bid"], dtype=np.int64)
+            hs = [np.asarray(x, dtype=np.int64) for x in b["h"].to_pylist()]
+            ub = np.unique(bid)
+            out = []
+            m = np.stack(hs) if hs else np.zeros((0, bins), dtype=np.int64)
+            for u in ub:
+                out.append(m[bid == u].sum(axis=0))
+            return pa.table(
+                {
+                    "bid": pa.array(ub),
+                    "h": pa.array(out, type=pa.list_(pa.int64())),
+                }
+            )
+
+        rows = two_level_fold(
+            ds.map_batches(hist_partial, batch_format="pyarrow"), hist_fold
+        ).take_all()
+        by_bid = {
+            int(r["bid"]): np.asarray(r["h"], dtype=np.int64) for r in rows
+        }
+        for i, (key, lo, hi, cl) in enumerate(specs):
+            st = state[active[i]]
+            hist = by_bid.get(i, np.zeros(bins, dtype=np.int64))
+            cum = np.cumsum(hist)
+            cell = int(np.searchsorted(cum, st["k"]))
+            e = edges[i]
+            below = int(cum[cell - 1]) if cell > 0 else 0
+            st["k"] -= below
+            st["lo"], st["hi"] = float(e[cell]), float(e[cell + 1])
+            st["closed"] = cl and (cell == bins - 1)
+            st["cnt"] = int(hist[cell])
+            if st["lo"] == st["hi"]:
+                st["value"] = st["lo"]
+                st["done"] = True
+
+    unresolved = [bk for bk, st in state.items() if not st["done"]]
+    for bk in unresolved:
+        if state[bk]["cnt"] > 10 * collect_threshold:
+            raise RuntimeError(
+                f"grouped_quantile_select: bracket {bk} still holds "
+                f"{state[bk]['cnt']} rows after {max_rounds} rounds"
+            )
+    if unresolved:
+        specs = tuple(
+            (bk[0], state[bk]["lo"], state[bk]["hi"], state[bk]["closed"])
+            for bk in unresolved
+        )
+
+        def collect(b: pa.Table, specs=specs) -> pa.Table:
+            gv = _group_values(b)
+            bids, vals = [], []
+            for i, (key, lo, hi, cl) in enumerate(specs):
+                v = gv.get(key)
+                if v is None:
+                    continue
+                iv = _in_bracket(v, lo, hi, cl)
+                bids.append(np.full(len(iv), i, dtype=np.int64))
+                vals.append(iv)
+            return pa.table(
+                {
+                    "bid": pa.array(
+                        np.concatenate(bids) if bids else
+                        np.zeros(0, dtype=np.int64)
+                    ),
+                    "value": pa.array(
+                        np.concatenate(vals) if vals else
+                        np.zeros(0, dtype=np.float64),
+                        type=pa.float64(),
+                    ),
+                }
+            )
+
+        rows = ds.map_batches(collect, batch_format="pyarrow").take_all()
+        by_bid_v: dict[int, list[float]] = {
+            i: [] for i in range(len(unresolved))
+        }
+        for r in rows:
+            by_bid_v[int(r["bid"])].append(float(r["value"]))
+        for i, bk in enumerate(unresolved):
+            st = state[bk]
+            vals = np.sort(np.asarray(by_bid_v[i], dtype=np.float64))
+            st["value"] = float(vals[st["k"] - 1])
+            st["done"] = True
+
+    keys_sorted = sorted({bk[0] for bk in state})
+    return pa.table(
+        {
+            key_col: pa.array(
+                [k for k in keys_sorted for _ in qs], pa.string()
+            ),
+            "q": pa.array(
+                [q for _k in keys_sorted for q in qs], pa.float64()
+            ),
+            "value": pa.array(
+                [state[(k, q)]["value"] for k in keys_sorted for q in qs],
+                pa.float64(),
+            ),
+        }
+    ).cast(out_schema)

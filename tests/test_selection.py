@@ -97,3 +97,107 @@ def test_matches_duckdb_quantile_disc():
             f"SELECT quantile_disc(x, {q}) FROM t"
         ).fetchone()
         assert got[q] == exp, (q, got[q], exp)
+
+
+# ---------------------------------------------------------------------------
+# grouped exact selection
+# ---------------------------------------------------------------------------
+
+from docling_api_ray.stages.selection import grouped_quantile_select
+
+
+def _gds(keys, vals):
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array(list(keys), type=pa.string()),
+                "x": pa.array(list(vals), type=pa.float64()),
+            }
+        )
+    ).repartition(8)
+
+
+def _gcheck(keys, vals, qs=(0.25, 0.5, 0.9), **kw):
+    out = grouped_quantile_select(
+        _gds(keys, vals), key_col="k", value_col="x", quantiles=qs, **kw
+    )
+    got = {(r["k"], r["q"]): r["value"] for r in out.to_pylist()}
+    keys = np.asarray(keys, dtype=object)
+    vals = np.asarray(vals, dtype=np.float64)
+    for k in sorted(set(keys)):
+        kv = vals[keys == k]
+        kv = kv[~np.isnan(kv)]
+        for q in qs:
+            assert got[(k, q)] == _expect(kv, q), (k, q)
+
+
+def test_grouped_matches_rank_rule_random():
+    rng = np.random.RandomState(3)
+    keys = rng.choice(["a", "b", "c", "d", "e"], 6000)
+    vals = rng.randn(6000) * 11.0
+    _gcheck(keys, vals)
+
+
+def test_grouped_multi_round_and_skewed_groups():
+    """One giant group + one tiny group + one constant group, with
+    bins=4 / collect_threshold=1 forcing deep shared refinement."""
+    rng = np.random.RandomState(9)
+    keys = ["big"] * 4000 + ["tiny"] * 3 + ["const"] * 500
+    vals = np.concatenate(
+        [rng.uniform(-500, 500, 4000), [7.0, -1.0, 3.5], np.full(500, 42.0)]
+    )
+    _gcheck(keys, vals, bins=4, collect_threshold=1)
+
+
+def test_grouped_ties_and_nans():
+    keys = ["a"] * 5000 + ["b"] * 100
+    vals = np.array([1.5] * 4500 + [2.5] * 500 + list(range(100)), dtype=np.float64)
+    vals[7] = np.nan  # excluded from group a's n
+    out = grouped_quantile_select(
+        _gds(keys, vals), key_col="k", value_col="x",
+        quantiles=(0.5, 0.99), collect_threshold=10,
+    )
+    got = {(r["k"], r["q"]): r["value"] for r in out.to_pylist()}
+    a = vals[:5000]
+    a = a[~np.isnan(a)]
+    assert got[("a", 0.5)] == _expect(a, 0.5)
+    assert got[("a", 0.99)] == _expect(a, 0.99)
+    assert got[("b", 0.5)] == _expect(vals[5000:], 0.5)
+
+
+def test_grouped_bracket_bound_enforced():
+    with pytest.raises(RuntimeError, match="max_brackets"):
+        grouped_quantile_select(
+            _gds(["a", "b"], [1.0, 2.0]), key_col="k", value_col="x",
+            quantiles=(0.5,), max_brackets=1,
+        )
+
+
+def test_grouped_matches_duckdb_quantile_disc():
+    import duckdb
+    import pandas as pd
+
+    rng = np.random.RandomState(17)
+    df = pd.DataFrame(
+        {
+            "k": rng.choice(["x", "y", "z"], 4000),
+            "x": np.round(rng.randn(4000), 6),
+        }
+    )
+    out = grouped_quantile_select(
+        ray.data.from_pandas(df).repartition(8),
+        key_col="k", value_col="x", quantiles=(0.25, 0.5, 0.9),
+        collect_threshold=50,
+    )
+    got = {(r["k"], r["q"]): r["value"] for r in out.to_pylist()}
+    con = duckdb.connect()
+    con.register("t", df)
+    exp = con.execute(
+        """
+        SELECT k, 0.25 AS q, quantile_disc(x, 0.25) AS v FROM t GROUP BY k
+        UNION ALL SELECT k, 0.5, quantile_disc(x, 0.5) FROM t GROUP BY k
+        UNION ALL SELECT k, 0.9, quantile_disc(x, 0.9) FROM t GROUP BY k
+        """
+    ).fetchall()
+    for k, q, v in exp:
+        assert got[(k, float(q))] == float(v), (k, q)
