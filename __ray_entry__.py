@@ -456,6 +456,18 @@ def _q_dup_ngrams(sf_dir: str):
     return dup_ngram_coverage(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def _q_dup_span_strip(sf_dir: str):
+    """Exact duplicated-span STRIP with reassembly (stages/dedup.py
+    dup_span_strip) — the apply-side of dup_ngram_coverage: word
+    positions covered by a multi-document 3-word shingle are removed
+    and each doc is rebuilt from its survivors.  Occurrence rows are
+    int64-only, the covered-position table is duplicate-structure-
+    bounded with a broadcast/co-group size guard (dedup_keep's shape)."""
+    from docling_api_ray.stages.dedup import dup_span_strip
+
+    return dup_span_strip(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def _q_decontaminate(sf_dir: str):
     """Benchmark decontamination: per-doc count of 3-word shingles that
     appear in the benchmark subset (doc_id % 50 == 0), broadcast
@@ -5226,6 +5238,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "decontaminate": _q_decontaminate,
         "dup_ngrams": _q_dup_ngrams,
+        "dup_span_strip": _q_dup_span_strip,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_minhash_keep": _q_dedup_minhash_keep,
         "split_assign": _q_split_assign,
@@ -6595,6 +6608,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT s.doc_id, CAST(len(s.sh) AS BIGINT) AS n_grams,
                    CAST(coalesce(d.dup_grams, 0) AS BIGINT) AS dup_grams
             FROM sh s LEFT JOIN dup d USING (doc_id)
+        """,
+        # mirrors stages/dedup.py dup_span_strip: 1-based word
+        # subscripts; shingle at subscript i covers words i..i+2 (the
+        # overflow past a short doc's length is harmless on both sides)
+        "dup_span_strip": f"""
+            WITH {_sql_shingle_ctes()},
+            occ AS (SELECT doc_id, unnest(sh) AS h,
+                           generate_subscripts(sh, 1) AS i
+                    FROM sh),
+            shared AS (SELECT h FROM occ
+                       GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+            cov AS (SELECT DISTINCT o.doc_id, o.i + u.d AS j
+                    FROM occ o JOIN shared s USING (h)
+                    CROSS JOIN (SELECT unnest([0, 1, 2]) AS d) u),
+            w AS (SELECT doc_id, unnest(ws) AS w,
+                         generate_subscripts(ws, 1) AS i
+                  FROM docs),
+            kept AS (SELECT w.doc_id, w.w, w.i
+                     FROM w LEFT JOIN cov
+                       ON w.doc_id = cov.doc_id AND w.i = cov.j
+                     WHERE cov.j IS NULL),
+            agg AS (SELECT doc_id, string_agg(w, ' ' ORDER BY i) AS txt,
+                           count(*) AS n_kept
+                    FROM kept GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(a.txt, '') AS kept_text,
+                   CAST(len(d.ws) AS BIGINT) AS n_words,
+                   CAST(len(d.ws) - coalesce(a.n_kept, 0) AS BIGINT)
+                     AS n_removed
+            FROM docs d LEFT JOIN agg a USING (doc_id)
         """,
         "dedup_simhash": _simhash_oracle_sql(3),
         "dedup_exact": """

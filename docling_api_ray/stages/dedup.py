@@ -1584,6 +1584,270 @@ def dup_ngram_coverage(
     return joined.map_batches(finish, batch_format="pyarrow")
 
 
+_SPAN_STRIP_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("kept_text", pa.string()),
+        ("n_words", pa.int64()),
+        ("n_removed", pa.int64()),
+    ]
+)
+
+
+def _strip_kernel(
+    ids: np.ndarray,
+    col: pa.Array,
+    cov_lookup: dict[int, np.ndarray],
+    id_col: str,
+) -> pa.Table:
+    """Vectorized strip + reassembly for one batch of (doc_id, text):
+    drop every word position named in ``cov_lookup`` and rebuild the doc
+    with one ``binary_join`` over a filtered ListArray view.  The only
+    python loop is over batch ROWS that actually have covered positions
+    (a dict probe each) — never over words."""
+    col = pc.fill_null(col, "")
+    n = len(ids)
+    nonempty = np.asarray(pc.greater(pc.utf8_length(col), 0), dtype=bool)
+    words = pc.split_pattern(col, " ")
+    raw_lens = pc.list_value_length(words).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    lens = np.where(nonempty, raw_lens, 0)  # '' splits to [''] — force 0
+    flat = pc.list_flatten(words)
+    total = int(raw_lens.sum())
+    starts = np.concatenate(([0], np.cumsum(raw_lens)[:-1]))
+    keep = np.ones(total, dtype=bool)
+    if total:
+        keep[starts[~nonempty]] = False  # the '' artifact of empty docs
+    removed = np.zeros(n, dtype=np.int64)
+    for i in range(n):
+        cp = cov_lookup.get(int(ids[i]))
+        if cp is None or not nonempty[i]:
+            continue
+        cp = cp[cp < lens[i]]
+        keep[starts[i] + cp] = False
+        removed[i] = len(cp)
+    flat_kept = flat.filter(pa.array(keep))
+    doc_of = np.repeat(np.arange(n, dtype=np.int64), raw_lens)
+    kept_per_doc = np.bincount(doc_of[keep], minlength=n).astype(np.int64)
+    offsets = np.concatenate(([0], np.cumsum(kept_per_doc))).astype(np.int32)
+    kept_text = pc.binary_join(
+        pa.ListArray.from_arrays(pa.array(offsets), flat_kept), " "
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(ids),
+            "kept_text": kept_text,
+            "n_words": pa.array(lens),
+            "n_removed": pa.array(removed),
+        },
+        schema=_SPAN_STRIP_SCHEMA,
+    )
+
+
+def dup_span_strip(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_max: int | None = None,
+) -> ray.data.Dataset:
+    """Exact duplicated-SPAN strip with document reassembly — the
+    apply-side of ``dup_ngram_coverage`` and the shingle-hash analog of
+    exact-substring training-data dedup (Lee et al. 2022,
+    arXiv:2107.06499 §4.1): every word position covered by a 3-word
+    shingle that occurs in >= 2 DISTINCT documents is REMOVED, and each
+    document is rebuilt from its surviving words.  The strip is
+    symmetric (every copy loses the span — the decontamination-grade
+    form; keep-one-copy is ``dedup_keep``'s job at document granularity).
+
+    Scale shape (mirrors ``dedup_keep``'s guard, VERDICT r3 #1):
+    1. one streaming pass emits (doc_id, pos, gram, gkey) int64 rows per
+       shingle OCCURRENCE — text never enters the exchange;
+    2. grams co-group on the 63-bit key; a vectorized pandas fold keeps
+       occurrences of multi-doc grams (full-64-bit compare) and expands
+       each to its covered positions p..p+2 — output is
+       duplicate-structure-bounded, distinct per (doc, position);
+    3. attach: covered positions <= ``broadcast_max`` broadcast via
+       ``ray.put`` into a stateless streaming strip pass (the corpus
+       shuffles NOTHING); above the guard, corpus text and covered rows
+       union-tag into ONE doc-id co-grouped exchange and the same strip
+       kernel runs per partition.
+    Short docs (<3 words) follow ``shingle_hashes`` semantics: their
+    single shingle covers the whole document.
+    """
+    from docling_api_ray.functions.hashing import (
+        FP_MASK63,
+        MASK32,
+        SHINGLE_A,
+        SHINGLE_B,
+        batch_word_hashes,
+    )
+
+    occ_schema = pa.schema(
+        [
+            (id_col, pa.int64()),
+            ("pos", pa.int64()),
+            ("gram", pa.int64()),
+            ("gkey", pa.int64()),
+        ]
+    )
+
+    def occ_rows(b: pa.Table) -> pa.Table:
+        texts = [t if t is not None else "" for t in b[text_col].to_pylist()]
+        ids = np.asarray(b[id_col], dtype=np.int64)
+        hashes, offsets = batch_word_hashes(texts)
+        lens = np.diff(offsets)
+        w32 = hashes & MASK32
+        grams_l: list[np.ndarray] = []
+        rows_l: list[np.ndarray] = []
+        pos_l: list[np.ndarray] = []
+        if len(w32) >= 3:
+            doc_of = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
+            sh = (
+                w32[:-2] * SHINGLE_A + w32[1:-1] * SHINGLE_B + w32[2:]
+            ).astype(np.uint64)
+            valid = doc_of[:-2] == doc_of[2:]  # window stays in one doc
+            grams_l.append(sh[valid])
+            rows_l.append(doc_of[:-2][valid])
+            gpos = np.arange(len(sh), dtype=np.int64) - offsets[
+                doc_of[:-2]
+            ]
+            pos_l.append(gpos[valid])
+        for short_len in (1, 2):  # shingle_hashes short-doc semantics
+            idx = np.flatnonzero(lens == short_len)
+            if len(idx):
+                s = offsets[idx]
+                if short_len == 1:
+                    g = (w32[s] * SHINGLE_A).astype(np.uint64)
+                else:
+                    g = (w32[s] * SHINGLE_A + w32[s + 1] * SHINGLE_B).astype(
+                        np.uint64
+                    )
+                grams_l.append(g)
+                rows_l.append(idx)
+                pos_l.append(np.zeros(len(idx), dtype=np.int64))
+        if not grams_l:
+            return occ_schema.empty_table()
+        gram = np.concatenate(grams_l)
+        row = np.concatenate(rows_l)
+        pos = np.concatenate(pos_l)
+        return pa.table(
+            {
+                id_col: pa.array(ids[row]),
+                "pos": pa.array(pos),
+                "gram": pa.array(gram.view(np.int64)),
+                "gkey": pa.array((gram & FP_MASK63).view(np.int64)),
+            },
+            schema=occ_schema,
+        )
+
+    cov_schema = pa.schema([(id_col, pa.int64()), ("cov", pa.int64())])
+
+    def cov_fold(df: pd.DataFrame) -> pa.Table:
+        multi = df.groupby("gram", sort=False)[id_col].transform("nunique") >= 2
+        d = df.loc[multi]
+        if not len(d):
+            return cov_schema.empty_table()
+        doc = np.repeat(d[id_col].to_numpy(dtype=np.int64), 3)
+        cov = (
+            d["pos"].to_numpy(dtype=np.int64)[:, None]
+            + np.arange(3, dtype=np.int64)
+        ).ravel()
+        out = pd.DataFrame({id_col: doc, "cov": cov}).drop_duplicates()
+        return pa.Table.from_pandas(
+            out, schema=cov_schema, preserve_index=False
+        )
+
+    occ = ds.select_columns([id_col, text_col]).map_batches(
+        occ_rows, batch_format="pyarrow"
+    )
+    covered = (
+        _cogrouped(occ, "gkey")
+        .map_groups(cov_fold, batch_format="pandas")
+        .materialize()
+    )
+    docs = ds.select_columns([id_col, text_col])
+    limit = _COMPONENT_BROADCAST_MAX if broadcast_max is None else broadcast_max
+
+    if covered.count() <= limit:
+        cov_rows = covered.take_all()  # bounded by the guard just checked
+        by_doc: dict[int, list[int]] = {}
+        for r in cov_rows:
+            by_doc.setdefault(int(r[id_col]), []).append(int(r["cov"]))
+        lookup = {
+            k: np.unique(np.asarray(v, dtype=np.int64))
+            for k, v in by_doc.items()
+        }
+        ref = ray.put(lookup)
+
+        def strip(b: pa.Table) -> pa.Table:
+            col = b[text_col]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            return _strip_kernel(
+                np.asarray(b[id_col], dtype=np.int64),
+                col,
+                ray.get(ref),
+                id_col,
+            )
+
+        return docs.map_batches(strip, batch_format="pyarrow")
+
+    # co-grouped attach: union-tag (text rows pos=-1, covered rows
+    # text=null), co-locate by doc id, strip per partition
+    tag_schema = pa.schema(
+        [(id_col, pa.int64()), (text_col, pa.string()), ("cov", pa.int64())]
+    )
+
+    def tag_docs(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: pc.cast(b[id_col], pa.int64()),
+                text_col: pc.fill_null(b[text_col], ""),
+                "cov": pa.array(
+                    np.full(len(b), -1, dtype=np.int64)
+                ),
+            },
+            schema=tag_schema,
+        )
+
+    def tag_cov(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: b[id_col],
+                text_col: pa.array([None] * len(b), type=pa.string()),
+                "cov": b["cov"],
+            },
+            schema=tag_schema,
+        )
+
+    union = docs.map_batches(tag_docs, batch_format="pyarrow").union(
+        covered.map_batches(tag_cov, batch_format="pyarrow")
+    )
+
+    def strip_part(df: pd.DataFrame) -> pa.Table:
+        is_doc = df["cov"].to_numpy(dtype=np.int64) == -1
+        dd = df.loc[is_doc]
+        if not len(dd):
+            return _SPAN_STRIP_SCHEMA.empty_table()
+        cd = df.loc[~is_doc]
+        lookup = {
+            int(k): np.unique(g.to_numpy(dtype=np.int64))
+            for k, g in cd.groupby(id_col, sort=False)["cov"]
+        } if len(cd) else {}
+        return _strip_kernel(
+            dd[id_col].to_numpy(dtype=np.int64),
+            pa.array(dd[text_col].astype(str)),
+            lookup,
+            id_col,
+        )
+
+    return _cogrouped(union, id_col, coalesce_rows=65_536).map_groups(
+        strip_part, batch_format="pandas"
+    )
+
+
 def source_minhash_similarity(
     ds: ray.data.Dataset,
     *,

@@ -535,3 +535,78 @@ def test_ngram_containment_subset_detection():
         key=lambda r: (r["left_id"], r["right_id"]),
     )
     assert out == [{"left_id": 1, "right_id": 2, "containment": 1.0}]
+
+
+def test_dup_span_strip_removes_shared_spans_both_paths():
+    """Words covered by a multi-doc shingle vanish from EVERY copy;
+    unique content survives; short docs follow shingle_hashes semantics
+    (their single shingle covers the whole doc).  The broadcast attach
+    and the forced co-grouped attach (broadcast_max=0) must agree."""
+    import pandas as pd
+
+    from docling_api_ray.stages.dedup import dup_span_strip
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(8),
+            "text": [
+                "the quick brown fox jumps",
+                "the quick brown cat sits here",
+                "",
+                "solo",
+                "two words",
+                "two words",
+                "alpha beta gamma delta",
+                "xx yy",
+            ],
+        }
+    )
+    outs = []
+    for bm in (None, 0):
+        ds = ray.data.from_pandas(docs).repartition(4)
+        out = (
+            dup_span_strip(ds, broadcast_max=bm)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        outs.append(out)
+    a, b = outs
+    assert a.equals(b), "broadcast and co-grouped attach diverge"
+    got = dict(zip(a["doc_id"], a["kept_text"]))
+    # "the quick brown" is shared between docs 0 and 1 -> covers words
+    # 0..2 in both; the tails survive
+    assert got[0] == "fox jumps"
+    assert got[1] == "cat sits here"
+    assert got[2] == "" and got[3] == "solo"
+    # exact short dups: the whole-doc shingle is shared -> fully stripped
+    assert got[4] == "" and got[5] == ""
+    assert got[6] == "alpha beta gamma delta"
+    assert got[7] == "xx yy"
+    assert dict(zip(a["doc_id"], a["n_removed"]))[0] == 3
+    assert dict(zip(a["doc_id"], a["n_words"]))[2] == 0
+
+
+def test_dup_span_strip_overlapping_spans_counted_once():
+    """Overlapping shared shingles must not double-remove: covered
+    positions are a SET per doc."""
+    import pandas as pd
+
+    from docling_api_ray.stages.dedup import dup_span_strip
+
+    shared = "one two three four five"  # 3 overlapping shared shingles
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": [shared + " tailA unique", shared + " tailB other"],
+        }
+    )
+    out = (
+        dup_span_strip(ray.data.from_pandas(docs).repartition(2))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(out["kept_text"]) == ["tailA unique", "tailB other"]
+    assert list(out["n_removed"]) == [5, 5]
+    assert list(out["n_words"]) == [7, 7]
