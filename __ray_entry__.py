@@ -1854,7 +1854,7 @@ def _q_local_supplier_volume(sf_dir: str):
     groupby over |nations| rows with order-independent quantization."""
     from datetime import datetime
 
-    from docling_api_ray.stages.joins import hash_join
+    from docling_api_ray.stages.joins import broadcast_join, hash_join
 
     lo = pa.scalar(datetime.fromisoformat(_Q5_YEAR_LO), type=pa.timestamp("us"))
     hi = pa.scalar(datetime.fromisoformat(_Q5_YEAR_HI), type=pa.timestamp("us"))
@@ -1915,7 +1915,8 @@ def _q_local_supplier_volume(sf_dir: str):
         )
 
     o = orders.map_batches(sel_orders, batch_format="pyarrow")
-    oc = hash_join(
+    # one-nation customer cut is tiny -> broadcast (size-guarded)
+    oc = broadcast_join(
         o, c, on="custkey",
         schemas=(
             pa.schema([("orderkey", pa.int64()), ("custkey", pa.int64())]),
@@ -1997,7 +1998,7 @@ def _q_large_volume_orders(sf_dir: str):
     import pandas as pd
 
     from docling_api_ray.stages.common import shuffle_partitions
-    from docling_api_ray.stages.joins import hash_join
+    from docling_api_ray.stages.joins import broadcast_join, hash_join
 
     P = shuffle_partitions()
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
@@ -2046,7 +2047,8 @@ def _q_large_volume_orders(sf_dir: str):
             }
         )
 
-    j = hash_join(
+    # qualifying orderkeys (HAVING sum(qty) > th) are a tiny set -> broadcast
+    j = broadcast_join(
         orders.map_batches(o_prep, batch_format="pyarrow"), qual, on="orderkey",
         schemas=(
             pa.schema([("orderkey", pa.int64()), ("custkey", pa.int64()),
@@ -2393,8 +2395,16 @@ def _q_nation_trade_volume(sf_dir: str):
     orderkey.  The OR-of-two-nation-pairs predicate is exactly
     ``s_nk ≠ c_nk`` once both sides are pre-filtered to the pair; the
     final aggregate domain is 2 pairs × years — ``bounded_groupby_sum``
-    tree fold, one division at the end."""
-    from docling_api_ray.stages.joins import hash_join
+    tree fold, one division at the end.
+
+    The two DIMENSION attaches (orders⋈customer, lineitem⋈supplier) go
+    through ``broadcast_join`` — the pre-filtered dimension is tiny, so
+    it ships once via ``ray.put`` and the fact side shuffles NOTHING;
+    above the size guard it degrades to the bucketed ``hash_join``
+    automatically (at 100 TB a 2-nation customer cut is ~8% of 15B rows
+    — past the guard — and the co-group path takes over).  Only the
+    big-big lineitem⋈orders exchange remains an all-to-all."""
+    from docling_api_ray.stages.joins import broadcast_join, hash_join
 
     ntbl = pq.read_table(
         os.path.join(sf_dir, "nation.parquet"),
@@ -2460,7 +2470,7 @@ def _q_nation_trade_volume(sf_dir: str):
             }
         )
 
-    oc = hash_join(
+    oc = broadcast_join(
         _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
             o_prep, batch_format="pyarrow"
         ),
@@ -2483,7 +2493,9 @@ def _q_nation_trade_volume(sf_dir: str):
          ("l_year", pa.int64()), ("rev_c", pa.int64()), ("s_nk", pa.int64())]
     )
     joined = hash_join(
-        hash_join(li, supp, on="suppkey", schemas=(li_schema, supp_schema)),
+        broadcast_join(
+            li, supp, on="suppkey", schemas=(li_schema, supp_schema)
+        ),
         oc,
         on="orderkey",
         schemas=(
@@ -3680,7 +3692,7 @@ def _q_supplier_part_counts(sf_dir: str):
     (hash_join on partkey); the distinct supplier count per bucket is
     the two-grouped-aggregates pattern (events_distinct_users) — never
     a count(distinct) over raw rows."""
-    from docling_api_ray.stages.joins import hash_join
+    from docling_api_ray.stages.joins import broadcast_join, hash_join
 
     stbl = pq.read_table(
         os.path.join(sf_dir, "supplier.parquet"),
@@ -3726,7 +3738,9 @@ def _q_supplier_part_counts(sf_dir: str):
         sf_dir, "part", ["p_partkey", "p_brand", "p_type", "p_size"]
     ).map_batches(p_prep, batch_format="pyarrow")
 
-    joined = hash_join(
+    # the filtered part dimension is orders-of-magnitude below partsupp
+    # pairs -> broadcast (size-guarded; co-group join above the guard)
+    joined = broadcast_join(
         pairs, part, on="partkey",
         schemas=(
             pa.schema([("partkey", pa.int64()), ("suppkey", pa.int64())]),
@@ -4390,7 +4404,7 @@ def _q_promo_part_suppliers(sf_dir: str):
     ``how="semi"`` against the supplier dimension — existence only, no
     row multiplication, name columns attach in the semi probe's own
     bucket.  Output is supplier-dimension-bounded."""
-    from docling_api_ray.stages.joins import hash_join
+    from docling_api_ray.stages.joins import broadcast_join, hash_join
 
     ptbl = pq.read_table(
         os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_name"]
@@ -4480,7 +4494,8 @@ def _q_promo_part_suppliers(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
-    out = hash_join(
+    # argmax-qualifying suppliers are a handful of keys -> broadcast semi
+    out = broadcast_join(
         supp, qualifying.select_columns(["suppkey"]), on="suppkey", how="semi",
         schemas=(
             pa.schema([("suppkey", pa.int64()), ("s_name", pa.string())]),

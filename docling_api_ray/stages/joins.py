@@ -143,6 +143,122 @@ def hash_join(
     ).map_groups(merge, batch_format="pandas")
 
 
+def broadcast_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    on: str,
+    how: str = "inner",
+    schemas: tuple[pa.Schema, pa.Schema] | None = None,
+    broadcast_max: int = 5_000_000,
+) -> ray.data.Dataset:
+    """Join where the RIGHT side is expected small (a pre-filtered
+    dimension): the right table materializes once, and if it holds at
+    most ``broadcast_max`` rows it is ``ray.put`` ONCE and attached in a
+    stateless vectorized pass over the streaming left side — the big
+    side shuffles NOTHING (vs ``hash_join``'s all-to-all of both).
+    Above the guard it falls back to ``hash_join`` transparently, so
+    callers can use it wherever a dimension is *usually* small without
+    betting correctness or memory on it (the dedup_keep guard pattern).
+
+    Same contract as ``hash_join``: int64 key named ``on`` in both
+    sides, disjoint non-key names, output columns [on] + left-others +
+    right-others.  ``how``: inner / left / semi / anti.  Unique-key
+    right sides attach via one ``np.searchsorted`` per batch; duplicate
+    keys fall back to a per-batch ``pd.merge`` against the broadcast
+    frame (still vectorized, rows multiply as SQL requires)."""
+    right = right.materialize()
+    if right.count() > broadcast_max:
+        return hash_join(
+            left, right, on=on, how=how, schemas=schemas
+        )
+    rtbl = pa.concat_tables(
+        [pa.table(dict(zip(b.column_names, b.columns))) for b in
+         right.iter_batches(batch_format="pyarrow", batch_size=None)]
+    ) if right.count() else None
+    if schemas is not None:
+        lschema, rschema = schemas
+    else:
+        lschema = None
+        rschema = None
+    if rtbl is None:
+        # empty right: build an empty table from the declared schema so
+        # inner/semi produce typed empties and left/anti pass through
+        assert rschema is not None, (
+            "broadcast_join on an empty right side needs schemas="
+        )
+        rtbl = rschema.empty_table()
+    rnames = [c for c in rtbl.column_names if c != on]
+    rkeys_raw = np.asarray(rtbl[on], dtype=np.int64)
+    order = np.argsort(rkeys_raw, kind="stable")
+    rkeys = rkeys_raw[order]
+    unique_right = bool(len(rkeys) == 0 or (rkeys[1:] != rkeys[:-1]).all())
+    rcols_sorted = {
+        c: rtbl[c].combine_chunks().take(pa.array(order)) for c in rnames
+    }
+    ref = ray.put((rkeys, rcols_sorted, unique_right))
+
+    import pandas as pd
+
+    rdf = rtbl.to_pandas() if not unique_right else None
+    rdf_ref = ray.put(rdf)
+
+    def attach(b: pa.Table) -> pa.Table:
+        keys = np.asarray(pc.cast(b[on], pa.int64()))
+        k, cols_sorted, uniq = ray.get(ref)
+        if how in ("semi", "anti"):
+            pos = np.searchsorted(k, keys)
+            posc = np.clip(pos, 0, max(len(k) - 1, 0))
+            hit = (k[posc] == keys) if len(k) else np.zeros(
+                len(keys), dtype=bool
+            )
+            return b.filter(pa.array(hit if how == "semi" else ~hit))
+        if uniq:
+            pos = np.searchsorted(k, keys)
+            posc = np.clip(pos, 0, max(len(k) - 1, 0))
+            hit = (k[posc] == keys) if len(k) else np.zeros(
+                len(keys), dtype=bool
+            )
+            if how == "inner":
+                bsel = b.filter(pa.array(hit))
+                take = pa.array(posc[hit])
+                out = pa.table(
+                    {on: pc.cast(bsel[on], pa.int64())}
+                    | {c: bsel[c] for c in b.column_names if c != on}
+                    | {c: cols_sorted[c].take(take) for c in rnames}
+                )
+                return out
+            # left join: misses become nulls
+            out_cols = {on: pc.cast(b[on], pa.int64())}
+            out_cols |= {c: b[c] for c in b.column_names if c != on}
+            if len(k) == 0:
+                for c in rnames:
+                    out_cols[c] = pa.nulls(
+                        len(b), type=cols_sorted[c].type
+                    )
+                return pa.table(out_cols)
+            take = pa.array(
+                np.where(hit, posc, 0).astype(np.int64)
+            )
+            hit_arr = pa.array(hit)
+            for c in rnames:
+                vals = cols_sorted[c].take(take)
+                out_cols[c] = pc.if_else(
+                    hit_arr, vals, pa.scalar(None, vals.type)
+                )
+            return pa.table(out_cols)
+        # duplicate right keys: per-batch pandas merge (rows multiply)
+        ldf = b.to_pandas()
+        ldf[on] = ldf[on].astype(np.int64)
+        merged = ldf.merge(ray.get(rdf_ref), on=on, how=how)
+        lnames = [c for c in b.column_names if c != on]
+        return pa.Table.from_pandas(
+            merged[[on] + lnames + rnames], preserve_index=False
+        )
+
+    return left.map_batches(attach, batch_format="pyarrow")
+
+
 def asof_join_events(
     events: ray.data.Dataset,
     *,

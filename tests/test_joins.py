@@ -356,3 +356,83 @@ def test_nation_trade_volume_q7_pair_filter(tmp_path):
         {"supp_nation": na, "cust_nation": nb, "l_year": 1995, "revenue": 100.0},
         {"supp_nation": nb, "cust_nation": na, "l_year": 1996, "revenue": 50.0},
     ]
+
+
+def test_broadcast_join_matches_hash_join_all_modes():
+    """broadcast_join is a drop-in for hash_join when the right side is
+    small: identical rows and column order for inner/left/semi/anti over
+    unique-key, duplicate-key and empty right sides."""
+    import numpy as np
+    import pandas as pd
+
+    from docling_api_ray.stages.joins import broadcast_join
+
+    rng = np.random.default_rng(0)
+    L = pd.DataFrame(
+        {
+            "k": rng.integers(0, 50, 500).astype(np.int64),
+            "lv": rng.integers(0, 1000, 500).astype(np.int64),
+        }
+    )
+    Ru = pd.DataFrame(
+        {
+            "k": np.arange(0, 40, dtype=np.int64),
+            "rv": np.arange(100, 140, dtype=np.int64),
+        }
+    )
+    Rd = pd.concat([Ru, Ru.assign(rv=Ru.rv + 1000)]).reset_index(drop=True)
+    ls = pa.schema([("k", pa.int64()), ("lv", pa.int64())])
+    rs = pa.schema([("k", pa.int64()), ("rv", pa.int64())])
+
+    def run(join_fn, R, how):
+        left = ray.data.from_pandas(L).repartition(4)
+        right = (
+            ray.data.from_pandas(R).repartition(2)
+            if len(R)
+            else ray.data.from_arrow(rs.empty_table())
+        )
+        out = join_fn(
+            left, right, on="k", how=how, schemas=(ls, rs)
+        ).to_pandas()
+        cols = sorted(out.columns)
+        return (
+            out[cols]
+            .astype({c: "float64" for c in cols})
+            .sort_values(cols)
+            .reset_index(drop=True)
+        )
+
+    for R in (Ru, Rd, Ru.iloc[:0]):
+        for how in ("inner", "left", "semi", "anti"):
+            a = run(hash_join, R, how)
+            b = run(broadcast_join, R, how)
+            assert a.equals(b), (how, len(R))
+
+
+def test_broadcast_join_guard_falls_back_to_hash_join():
+    """Above broadcast_max the right side must NOT be collected — the
+    call degrades to the bucketed hash_join and stays correct."""
+    import numpy as np
+    import pandas as pd
+
+    from docling_api_ray.stages.joins import broadcast_join
+
+    L = pd.DataFrame({"k": np.arange(100, dtype=np.int64)})
+    R = pd.DataFrame(
+        {
+            "k": np.arange(50, dtype=np.int64),
+            "rv": np.arange(50, dtype=np.int64) * 2,
+        }
+    )
+    ls = pa.schema([("k", pa.int64())])
+    rs = pa.schema([("k", pa.int64()), ("rv", pa.int64())])
+    out = broadcast_join(
+        ray.data.from_pandas(L).repartition(3),
+        ray.data.from_pandas(R).repartition(2),
+        on="k",
+        schemas=(ls, rs),
+        broadcast_max=10,  # force the fallback
+    ).to_pandas()
+    assert len(out) == 50
+    assert sorted(out["k"]) == list(range(50))
+    assert dict(zip(out["k"], out["rv"]))[7] == 14
