@@ -468,6 +468,17 @@ def _q_dup_span_strip(sf_dir: str):
     return dup_span_strip(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def _q_dup_span_keep_first(sf_dir: str):
+    """Keep-one-copy duplicated-span strip (Lee et al. 2022 rule): each
+    duplicated shingle's lexicographic-min (doc_id, pos) occurrence
+    keeps its span, every other occurrence strips.  Winners are
+    decidable inside the gram co-group partition (all occurrences of a
+    gram co-locate), so the shape is identical to dup_span_strip."""
+    from docling_api_ray.stages.dedup import dup_span_strip
+
+    return dup_span_strip(_docs(sf_dir, ["doc_id", "text"]), keep_first=True)
+
+
 def _q_decontaminate(sf_dir: str):
     """Benchmark decontamination: per-doc count of 3-word shingles that
     appear in the benchmark subset (doc_id % 50 == 0), broadcast
@@ -5254,6 +5265,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _q_decontaminate,
         "dup_ngrams": _q_dup_ngrams,
         "dup_span_strip": _q_dup_span_strip,
+        "dup_span_keep_first": _q_dup_span_keep_first,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_minhash_keep": _q_dedup_minhash_keep,
         "split_assign": _q_split_assign,
@@ -6637,6 +6649,40 @@ def oracle_sql() -> dict[str, str]:
             cov AS (SELECT DISTINCT o.doc_id, o.i + u.d AS j
                     FROM occ o JOIN shared s USING (h)
                     CROSS JOIN (SELECT unnest([0, 1, 2]) AS d) u),
+            w AS (SELECT doc_id, unnest(ws) AS w,
+                         generate_subscripts(ws, 1) AS i
+                  FROM docs),
+            kept AS (SELECT w.doc_id, w.w, w.i
+                     FROM w LEFT JOIN cov
+                       ON w.doc_id = cov.doc_id AND w.i = cov.j
+                     WHERE cov.j IS NULL),
+            agg AS (SELECT doc_id, string_agg(w, ' ' ORDER BY i) AS txt,
+                           count(*) AS n_kept
+                    FROM kept GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(a.txt, '') AS kept_text,
+                   CAST(len(d.ws) AS BIGINT) AS n_words,
+                   CAST(len(d.ws) - coalesce(a.n_kept, 0) AS BIGINT)
+                     AS n_removed
+            FROM docs d LEFT JOIN agg a USING (doc_id)
+        """,
+        # keep-first variant: the rn=1 occurrence per shared shingle
+        # (ORDER BY doc_id, i) keeps its span; rn>1 occurrences strip
+        "dup_span_keep_first": f"""
+            WITH {_sql_shingle_ctes()},
+            occ AS (SELECT doc_id, unnest(sh) AS h,
+                           generate_subscripts(sh, 1) AS i
+                    FROM sh),
+            shared AS (SELECT h FROM occ
+                       GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+            so AS (SELECT o.doc_id, o.h, o.i,
+                          row_number() OVER (
+                            PARTITION BY o.h ORDER BY o.doc_id, o.i
+                          ) AS rn
+                   FROM occ o JOIN shared s USING (h)),
+            cov AS (SELECT DISTINCT doc_id, i + u.d AS j
+                    FROM so CROSS JOIN (SELECT unnest([0, 1, 2]) AS d) u
+                    WHERE rn > 1),
             w AS (SELECT doc_id, unnest(ws) AS w,
                          generate_subscripts(ws, 1) AS i
                   FROM docs),

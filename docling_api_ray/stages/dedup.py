@@ -1651,6 +1651,7 @@ def dup_span_strip(
     text_col: str = "text",
     id_col: str = "doc_id",
     broadcast_max: int | None = None,
+    keep_first: bool = False,
 ) -> ray.data.Dataset:
     """Exact duplicated-SPAN strip with document reassembly — the
     apply-side of ``dup_ngram_coverage`` and the shingle-hash analog of
@@ -1675,6 +1676,13 @@ def dup_span_strip(
        kernel runs per partition.
     Short docs (<3 words) follow ``shingle_hashes`` semantics: their
     single shingle covers the whole document.
+
+    ``keep_first=True`` switches to Lee et al.'s keep-one-copy rule:
+    each duplicated shingle's WINNER occurrence (lexicographic min
+    (doc_id, position) corpus-wide) keeps its span; every other
+    occurrence strips.  Positions a doc wins under one shingle can
+    still strip under an overlapping shingle it loses — inherent to
+    span-granular first-wins, identical on the SQL side.
     """
     from docling_api_ray.functions.hashing import (
         FP_MASK63,
@@ -1747,6 +1755,16 @@ def dup_span_strip(
     def cov_fold(df: pd.DataFrame) -> pa.Table:
         multi = df.groupby("gram", sort=False)[id_col].transform("nunique") >= 2
         d = df.loc[multi]
+        if keep_first and len(d):
+            # all occurrences of a gram co-locate (gkey partition), so
+            # the corpus-wide winner is decidable here: lexicographic
+            # min (doc_id, pos) per gram keeps its span
+            d = d.sort_values(
+                ["gram", id_col, "pos"], kind="stable"
+            )
+            g = d["gram"].to_numpy()
+            first = np.concatenate(([True], g[1:] != g[:-1]))
+            d = d.loc[~first]
         if not len(d):
             return cov_schema.empty_table()
         doc = np.repeat(d[id_col].to_numpy(dtype=np.int64), 3)

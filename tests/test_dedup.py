@@ -610,3 +610,35 @@ def test_dup_span_strip_overlapping_spans_counted_once():
     assert list(out["kept_text"]) == ["tailA unique", "tailB other"]
     assert list(out["n_removed"]) == [5, 5]
     assert list(out["n_words"]) == [7, 7]
+
+
+def test_dup_span_keep_first_winner_retains_span():
+    """keep_first=True: the lexicographic-min (doc_id, pos) occurrence
+    of each shared shingle survives; later copies strip."""
+    import pandas as pd
+
+    from docling_api_ray.stages.dedup import dup_span_strip
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "one two three tailA",   # winner of "one two three"
+                "one two three tailB",   # loser -> words 0..2 strip
+                "fresh unique content here",
+            ],
+        }
+    )
+    out = (
+        dup_span_strip(
+            ray.data.from_pandas(docs).repartition(3), keep_first=True
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    got = dict(zip(out["doc_id"], out["kept_text"]))
+    assert got[0] == "one two three tailA"
+    assert got[1] == "tailB"
+    assert got[2] == "fresh unique content here"
+    assert list(out["n_removed"]) == [0, 3, 0]
