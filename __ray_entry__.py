@@ -3141,6 +3141,25 @@ def _q_value_quantiles_by_type(sf_dir: str):
     )
 
 
+def _q_user_value_quantiles(sf_dir: str):
+    """Exact per-USER value quantiles (p50/p90) — the UNBOUNDED-key
+    quantile regime (stages/selection.py grouped_quantile_cogroup):
+    users grow with the corpus, so groups co-locate once via a key-hash
+    co-group of narrow (user_id, value) rows and a vectorized partition
+    kernel gathers every group's k-th elements.  Nothing driver-side;
+    completes the quantile family (bounded-int histogram / global float
+    selection / bounded-group shared brackets / unbounded-group
+    co-group)."""
+    from docling_api_ray.stages.selection import grouped_quantile_cogroup
+
+    return grouped_quantile_cogroup(
+        _read(sf_dir, "events", ["user_id", "value"]),
+        key_col="user_id",
+        value_col="value",
+        quantiles=(0.5, 0.9),
+    )
+
+
 def _q_kl_by_source(sf_dir: str):
     """Per-source KL divergence from the corpus word distribution over
     the DSIR 1024-bucket hashed feature space (stages/dsir.py
@@ -5335,6 +5354,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zscore_by_source": _q_zscore_by_source,
         "kl_by_source": _q_kl_by_source,
         "value_quantiles_by_type": _q_value_quantiles_by_type,
+        "user_value_quantiles": _q_user_value_quantiles,
         "pmi_collocations": _q_pmi_collocations,
         "corpus_diff": _q_corpus_diff,
         "events_rolling_z": _q_events_rolling_z,
@@ -7478,6 +7498,18 @@ def oracle_sql() -> dict[str, str]:
                          CAST(round(value * 1000000) AS BIGINT) AS v
                   FROM events)
             GROUP BY event_type
+        """,
+        # mirrors _q_user_value_quantiles: percentile_disc selects an
+        # ELEMENT, so the raw-double compare is exact
+        "user_value_quantiles": """
+            SELECT user_id, CAST(0.5 AS DOUBLE) AS q,
+                   percentile_disc(0.5) WITHIN GROUP (ORDER BY value)
+                     AS value
+            FROM events GROUP BY user_id
+            UNION ALL
+            SELECT user_id, CAST(0.9 AS DOUBLE),
+                   percentile_disc(0.9) WITHIN GROUP (ORDER BY value)
+            FROM events GROUP BY user_id
         """,
         # mirrors stages/dsir.py kl_by_group: dense (source x 1024)
         # Laplace-smoothed distributions, nano-quantized terms summed

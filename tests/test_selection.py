@@ -201,3 +201,52 @@ def test_grouped_matches_duckdb_quantile_disc():
     ).fetchall()
     for k, q, v in exp:
         assert got[(k, float(q))] == float(v), (k, q)
+
+
+def test_grouped_cogroup_matches_duckdb_percentile_disc():
+    """Unbounded-key variant: one co-group exchange, per-partition
+    vectorized k-th-element gather — exact percentile_disc per group,
+    NaNs excluded, groups spread across partitions."""
+    import duckdb
+    import pandas as pd
+
+    from docling_api_ray.stages.selection import grouped_quantile_cogroup
+
+    rng = np.random.RandomState(23)
+    df = pd.DataFrame(
+        {
+            "k": rng.randint(0, 300, 5000).astype(np.int64),
+            "x": np.round(rng.randn(5000), 6),
+        }
+    )
+    df.loc[5, "x"] = np.nan
+    out = (
+        grouped_quantile_cogroup(
+            ray.data.from_pandas(df).repartition(8),
+            key_col="k",
+            value_col="x",
+            quantiles=(0.25, 0.5, 0.9),
+        )
+        .to_pandas()
+        .sort_values(["k", "q"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    exp = con.execute(
+        """
+        SELECT k, 0.25 AS q,
+               percentile_disc(0.25) WITHIN GROUP (ORDER BY x) AS v
+        FROM t WHERE x IS NOT NULL AND NOT isnan(x) GROUP BY k
+        UNION ALL
+        SELECT k, 0.5, percentile_disc(0.5) WITHIN GROUP (ORDER BY x)
+        FROM t WHERE x IS NOT NULL AND NOT isnan(x) GROUP BY k
+        UNION ALL
+        SELECT k, 0.9, percentile_disc(0.9) WITHIN GROUP (ORDER BY x)
+        FROM t WHERE x IS NOT NULL AND NOT isnan(x) GROUP BY k
+        ORDER BY k, q
+        """
+    ).df()
+    assert len(out) == len(exp) == 300 * 3
+    assert (out["k"].to_numpy() == exp["k"].to_numpy()).all()
+    assert (out["value"].to_numpy() == exp["v"].to_numpy()).all()
