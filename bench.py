@@ -180,6 +180,18 @@ def _bench_once() -> dict:
         "knn_ivf_partitioned",
         "append_dedup_indexed",
         "conversion_metrics",
+        # round-4 additions
+        "score_quantiles",
+        "mkt_share_by_year",
+        "min_cost_supplier",
+        "shipmode_priority",
+        "sales_opportunity",
+        "append_commit",
+        "dup_span_strip",
+        "dup_span_keep_first",
+        "source_score_quantiles",
+        "quality_gate_by_source",
+        "user_value_quantiles",
     ]
     # INTERLEAVED repetitions + medians (VERDICT r2 #1): this container's
     # co-tenant jitter is ±30-50% and can hold a multi-second plateau —
