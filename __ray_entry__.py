@@ -2009,7 +2009,7 @@ def _q_large_volume_orders(sf_dir: str):
     import pandas as pd
 
     from docling_api_ray.stages.common import shuffle_partitions
-    from docling_api_ray.stages.joins import broadcast_join, hash_join
+    from docling_api_ray.stages.joins import broadcast_join
 
     P = shuffle_partitions()
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
@@ -3722,7 +3722,7 @@ def _q_supplier_part_counts(sf_dir: str):
     (hash_join on partkey); the distinct supplier count per bucket is
     the two-grouped-aggregates pattern (events_distinct_users) — never
     a count(distinct) over raw rows."""
-    from docling_api_ray.stages.joins import broadcast_join, hash_join
+    from docling_api_ray.stages.joins import broadcast_join
 
     stbl = pq.read_table(
         os.path.join(sf_dir, "supplier.parquet"),
@@ -4434,7 +4434,7 @@ def _q_promo_part_suppliers(sf_dir: str):
     ``how="semi"`` against the supplier dimension — existence only, no
     row multiplication, name columns attach in the semi probe's own
     bucket.  Output is supplier-dimension-bounded."""
-    from docling_api_ray.stages.joins import broadcast_join, hash_join
+    from docling_api_ray.stages.joins import broadcast_join
 
     ptbl = pq.read_table(
         os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_name"]

@@ -1598,7 +1598,6 @@ def _strip_kernel(
     ids: np.ndarray,
     col: pa.Array,
     cov_lookup: dict[int, np.ndarray],
-    id_col: str,
 ) -> pa.Table:
     """Vectorized strip + reassembly for one batch of (doc_id, text):
     drop every word position named in ``cov_lookup`` and rebuild the doc
@@ -1789,26 +1788,43 @@ def dup_span_strip(
     limit = _COMPONENT_BROADCAST_MAX if broadcast_max is None else broadcast_max
 
     if covered.count() <= limit:
-        cov_rows = covered.take_all()  # bounded by the guard just checked
-        by_doc: dict[int, list[int]] = {}
-        for r in cov_rows:
-            by_doc.setdefault(int(r[id_col]), []).append(int(r["cov"]))
-        lookup = {
-            k: np.unique(np.asarray(v, dtype=np.int64))
-            for k, v in by_doc.items()
-        }
-        ref = ray.put(lookup)
+        # flat sorted int64 arrays, not a python dict: numpy buffers
+        # deserialize zero-copy from the object store on every batch
+        # (dedup_keep's attach representation; review r4)
+        cdf = covered.to_pandas()  # bounded by the guard just checked
+        doc = cdf[id_col].to_numpy(dtype=np.int64)
+        cov = cdf["cov"].to_numpy(dtype=np.int64)
+        order = np.lexsort((cov, doc))
+        doc, cov = doc[order], cov[order]
+        if len(doc):
+            # a doc's position can be covered by grams in DIFFERENT
+            # gkey partitions — dedupe (doc, cov) pairs across folds
+            uniq = np.concatenate(
+                ([True], (doc[1:] != doc[:-1]) | (cov[1:] != cov[:-1]))
+            )
+            doc, cov = doc[uniq], cov[uniq]
+        starts = np.flatnonzero(
+            np.concatenate(([True], doc[1:] != doc[:-1]))
+        ) if len(doc) else np.zeros(0, dtype=np.int64)
+        udoc = doc[starts] if len(doc) else doc
+        bounds = np.append(starts, len(doc)).astype(np.int64)
+        ref = ray.put((udoc, bounds, cov))
 
         def strip(b: pa.Table) -> pa.Table:
+            udoc, bounds, cov = ray.get(ref)
             col = b[text_col]
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()
-            return _strip_kernel(
-                np.asarray(b[id_col], dtype=np.int64),
-                col,
-                ray.get(ref),
-                id_col,
-            )
+            ids = np.asarray(b[id_col], dtype=np.int64)
+            lookup: dict[int, np.ndarray] = {}
+            if len(udoc):
+                pos = np.searchsorted(udoc, ids)
+                posc = np.clip(pos, 0, len(udoc) - 1)
+                hit = udoc[posc] == ids
+                for i in np.flatnonzero(hit):
+                    j = posc[i]
+                    lookup[int(ids[i])] = cov[bounds[j]:bounds[j + 1]]
+            return _strip_kernel(ids, col, lookup)
 
         return docs.map_batches(strip, batch_format="pyarrow")
 
@@ -1834,7 +1850,7 @@ def dup_span_strip(
         return pa.table(
             {
                 id_col: b[id_col],
-                text_col: pa.array([None] * len(b), type=pa.string()),
+                text_col: pa.nulls(len(b), type=pa.string()),
                 "cov": b["cov"],
             },
             schema=tag_schema,
@@ -1858,7 +1874,6 @@ def dup_span_strip(
             dd[id_col].to_numpy(dtype=np.int64),
             pa.array(dd[text_col].astype(str)),
             lookup,
-            id_col,
         )
 
     return _cogrouped(union, id_col, coalesce_rows=65_536).map_groups(

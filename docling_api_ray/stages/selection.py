@@ -384,6 +384,18 @@ def grouped_quantile_select(
             .agg(n=("n", "sum"), mn=("mn", "min"), mx=("mx", "max"))
             .reset_index()
         )
+        # enforce the bounded-domain contract INSIDE the fold, before
+        # repartition(1)/take_all can concentrate an unbounded group
+        # table on one worker or the driver (review r4): any bundle
+        # with more distinct keys than the bracket budget proves the
+        # key domain is over it
+        if len(g) * len(qs) > max_brackets:
+            raise RuntimeError(
+                f"grouped_quantile_select: >= {len(g)} groups x "
+                f"{len(qs)} quantiles exceeds max_brackets="
+                f"{max_brackets}; use grouped_quantile_cogroup for "
+                "unbounded key domains"
+            )
         return pa.table(
             {
                 key_col: pa.array(g[key_col].astype(str)),
@@ -429,6 +441,8 @@ def grouped_quantile_select(
         ok = ~np.isnan(v)
         ks = df[key_col].astype(str).to_numpy()[ok]
         vv = v[ok]
+        if not len(ks):  # empty block / all-NaN batch
+            return {}
         order = np.argsort(ks, kind="stable")
         ks, vv = ks[order], vv[order]
         cuts = np.flatnonzero(
@@ -662,21 +676,11 @@ def grouped_quantile_cogroup(
     import pandas as pd
     import pyarrow.compute as pc
 
-    from docling_api_ray.stages.common import (
-        coalesce_narrow,
-        shuffle_partitions,
-    )
-
-    P = shuffle_partitions()
-
     def project(b: pa.Table) -> pa.Table:
-        k = pc.cast(b[key_col], pa.int64())
-        part = pc.subtract(k, pc.multiply(pc.divide(k, P), P))
         return pa.table(
             {
-                key_col: k,
+                key_col: pc.cast(b[key_col], pa.int64()),
                 value_col: pc.cast(b[value_col], pa.float64()),
-                "__part": pc.cast(part, pa.int64()),
             }
         )
 
@@ -712,11 +716,13 @@ def grouped_quantile_cogroup(
             schema=out_schema,
         )
 
-    narrow = coalesce_narrow(
-        ds.select_columns([key_col, value_col]).map_batches(
-            project, batch_format="pyarrow"
-        )
+    # the key-hash co-group exchange is dedup's _cogrouped verbatim
+    # (coalesce-narrow bundling + key mod P partitions) — reuse it
+    from docling_api_ray.stages.dedup import _cogrouped
+
+    narrow = ds.select_columns([key_col, value_col]).map_batches(
+        project, batch_format="pyarrow"
     )
-    return narrow.groupby("__part").map_groups(
+    return _cogrouped(narrow, key_col).map_groups(
         fold, batch_format="pandas"
     )

@@ -166,7 +166,9 @@ def test_grouped_ties_and_nans():
 
 
 def test_grouped_bracket_bound_enforced():
-    with pytest.raises(RuntimeError, match="max_brackets"):
+    # the guard fires INSIDE the fold task (before anything unbounded
+    # can concentrate), so it surfaces as a wrapped Ray task error
+    with pytest.raises(Exception, match="max_brackets"):
         grouped_quantile_select(
             _gds(["a", "b"], [1.0, 2.0]), key_col="k", value_col="x",
             quantiles=(0.5,), max_brackets=1,
@@ -250,3 +252,34 @@ def test_grouped_cogroup_matches_duckdb_percentile_disc():
     assert len(out) == len(exp) == 300 * 3
     assert (out["k"].to_numpy() == exp["k"].to_numpy()).all()
     assert (out["value"].to_numpy() == exp["v"].to_numpy()).all()
+
+
+def test_grouped_select_survives_empty_and_all_nan_blocks():
+    """Review r4 regression: a dataset containing an empty block or an
+    all-NaN block must not crash the shared tie/histogram/collect
+    passes (the per-batch group-values kernel sees zero valid rows)."""
+    t1 = pa.table(
+        {
+            "k": pa.array(["a"] * 2000 + ["b"] * 2000, type=pa.string()),
+            "x": pa.array(
+                list(np.linspace(0, 1, 2000)) + [np.nan] * 2000,
+                type=pa.float64(),
+            ),
+        }
+    )
+    empty = pa.schema(
+        [("k", pa.string()), ("x", pa.float64())]
+    ).empty_table()
+    ds = ray.data.from_arrow([t1, empty]).repartition(6)
+    from docling_api_ray.stages.selection import grouped_quantile_select
+
+    out = grouped_quantile_select(
+        ds, key_col="k", value_col="x", quantiles=(0.5,),
+        collect_threshold=100,
+    )
+    got = {(r["k"], r["q"]): r["value"] for r in out.to_pylist()}
+    vals = np.linspace(0, 1, 2000)
+    assert got[("a", 0.5)] == _expect(vals, 0.5)
+    assert ("b", 0.5) not in got or True  # group b is all-NaN: n=0
+    # group b contributed no valid values -> it must simply be absent
+    assert set(k for k, _ in got) == {"a"}
