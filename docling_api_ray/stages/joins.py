@@ -193,41 +193,45 @@ def broadcast_join(
     order = np.argsort(rkeys_raw, kind="stable")
     rkeys = rkeys_raw[order]
     unique_right = bool(len(rkeys) == 0 or (rkeys[1:] != rkeys[:-1]).all())
-    rcols_sorted = {
-        c: rtbl[c].combine_chunks().take(pa.array(order)) for c in rnames
-    }
-    ref = ray.put((rkeys, rcols_sorted, unique_right))
 
-    import pandas as pd
+    def _hits(k: np.ndarray, keys: np.ndarray):
+        pos = np.searchsorted(k, keys)
+        posc = np.clip(pos, 0, max(len(k) - 1, 0))
+        hit = (k[posc] == keys) if len(k) else np.zeros(
+            len(keys), dtype=bool
+        )
+        return posc, hit
 
-    rdf = rtbl.to_pandas() if not unique_right else None
-    rdf_ref = ray.put(rdf)
+    # ship exactly ONE broadcast object, holding only what the chosen
+    # path reads (review r4: the dict+frame double-put fetched both per
+    # batch); `how`/`unique_right` are plain closure captures
+    if how in ("semi", "anti"):
+        ref = ray.put(rkeys)  # existence joins read keys only
 
-    def attach(b: pa.Table) -> pa.Table:
-        keys = np.asarray(pc.cast(b[on], pa.int64()))
-        k, cols_sorted, uniq = ray.get(ref)
-        if how in ("semi", "anti"):
-            pos = np.searchsorted(k, keys)
-            posc = np.clip(pos, 0, max(len(k) - 1, 0))
-            hit = (k[posc] == keys) if len(k) else np.zeros(
-                len(keys), dtype=bool
-            )
+        def attach(b: pa.Table) -> pa.Table:
+            keys = np.asarray(pc.cast(b[on], pa.int64()))
+            _posc, hit = _hits(ray.get(ref), keys)
             return b.filter(pa.array(hit if how == "semi" else ~hit))
-        if uniq:
-            pos = np.searchsorted(k, keys)
-            posc = np.clip(pos, 0, max(len(k) - 1, 0))
-            hit = (k[posc] == keys) if len(k) else np.zeros(
-                len(keys), dtype=bool
-            )
+
+    elif unique_right:
+        rcols_sorted = {
+            c: rtbl[c].combine_chunks().take(pa.array(order))
+            for c in rnames
+        }
+        ref = ray.put((rkeys, rcols_sorted))
+
+        def attach(b: pa.Table) -> pa.Table:
+            k, cols_sorted = ray.get(ref)
+            keys = np.asarray(pc.cast(b[on], pa.int64()))
+            posc, hit = _hits(k, keys)
             if how == "inner":
                 bsel = b.filter(pa.array(hit))
                 take = pa.array(posc[hit])
-                out = pa.table(
+                return pa.table(
                     {on: pc.cast(bsel[on], pa.int64())}
                     | {c: bsel[c] for c in b.column_names if c != on}
                     | {c: cols_sorted[c].take(take) for c in rnames}
                 )
-                return out
             # left join: misses become nulls
             out_cols = {on: pc.cast(b[on], pa.int64())}
             out_cols |= {c: b[c] for c in b.column_names if c != on}
@@ -247,14 +251,19 @@ def broadcast_join(
                     hit_arr, vals, pa.scalar(None, vals.type)
                 )
             return pa.table(out_cols)
+
+    else:
         # duplicate right keys: per-batch pandas merge (rows multiply)
-        ldf = b.to_pandas()
-        ldf[on] = ldf[on].astype(np.int64)
-        merged = ldf.merge(ray.get(rdf_ref), on=on, how=how)
-        lnames = [c for c in b.column_names if c != on]
-        return pa.Table.from_pandas(
-            merged[[on] + lnames + rnames], preserve_index=False
-        )
+        ref = ray.put(rtbl.to_pandas())
+
+        def attach(b: pa.Table) -> pa.Table:
+            ldf = b.to_pandas()
+            ldf[on] = ldf[on].astype(np.int64)
+            merged = ldf.merge(ray.get(ref), on=on, how=how)
+            lnames = [c for c in b.column_names if c != on]
+            return pa.Table.from_pandas(
+                merged[[on] + lnames + rnames], preserve_index=False
+            )
 
     return left.map_batches(attach, batch_format="pyarrow")
 
