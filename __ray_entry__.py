@@ -590,6 +590,18 @@ def _q_global_rank(sf_dir: str):
     return global_rank(_docs(sf_dir, ["doc_id", "n_chars"]))
 
 
+def _q_source_percent_rank(sf_dir: str):
+    """Per-source percent_rank of document size (stages/stats.py
+    grouped_percent_rank): RANK semantics need no tiebreak, so the
+    whole window function reduces to ONE bounded (source x n_chars)
+    histogram broadcast + a stateless attach — zero corpus movement."""
+    from docling_api_ray.stages.stats import grouped_percent_rank
+
+    return grouped_percent_rank(
+        _docs(sf_dir, ["doc_id", "source", "n_chars"])
+    )
+
+
 def _q_events_funnel(sf_dir: str):
     """Ordered view->click->purchase funnel per user (stages/windows.py
     funnel_reached): type-pruned scan, ONE user-hash exchange of
@@ -5293,6 +5305,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_topterms": _q_tfidf_topterms,
         "charlm_scores": _q_charlm,
         "global_rank": _q_global_rank,
+        "source_percent_rank": _q_source_percent_rank,
         "shipping_priority": _q_shipping_priority,
         "lang_entropy": _q_lang_entropy,
         "quality_logit": _q_quality_logit,
@@ -6374,6 +6387,15 @@ def oracle_sql() -> dict[str, str]:
                         WHEN c_de >= c_fr THEN 'de'
                         ELSE 'fr' END AS predicted_lang
             FROM c
+        """,
+        # mirrors stages/stats.py grouped_percent_rank: RANK-semantics
+        # percent_rank, (#less)/(N-1) as one int/int double division
+        "source_percent_rank": """
+            SELECT doc_id, source, n_chars,
+                   percent_rank() OVER (
+                     PARTITION BY source ORDER BY n_chars
+                   ) AS pct_rank
+            FROM documents
         """,
         "fingerprint_md5": "SELECT doc_id, md5(text) AS fp_md5 FROM documents",
         "fingerprint_rolling": _fp_rolling_oracle_sql(),

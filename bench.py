@@ -192,6 +192,7 @@ def _bench_once() -> dict:
         "source_score_quantiles",
         "quality_gate_by_source",
         "user_value_quantiles",
+        "source_percent_rank",
     ]
     # INTERLEAVED repetitions + medians (VERDICT r2 #1): this container's
     # co-tenant jitter is ±30-50% and can hold a multi-second plateau —

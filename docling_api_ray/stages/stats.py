@@ -373,3 +373,78 @@ def robust_stats_by_group(
         batch_format="pyarrow",
         batch_size=None,
     )
+
+
+def grouped_percent_rank(
+    ds: ray.data.Dataset,
+    *,
+    group_col: str = "source",
+    value_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """SQL ``percent_rank() OVER (PARTITION BY group ORDER BY value)``
+    with ZERO data movement beyond one bounded (group x value)
+    histogram: RANK semantics share a rank across ties, so no per-row
+    tiebreak exchange exists at all (contrast ``global_rank``'s
+    row_number tie pass).  The per-group ascending prefix — count of
+    strictly-smaller values — broadcasts once via ``ray.put`` and a
+    stateless streaming pass attaches ``(#less) / (N_g - 1)`` (0.0 for
+    singleton groups, SQL's convention).  The single int/int double
+    division is bit-identical to DuckDB's.
+
+    100 TB shape: histogram rows are |groups| x |value domain| (both
+    corpus-independent here), the prefix map is KBs, the corpus side is
+    one map_batches."""
+    import pandas as pd
+
+    hist = ds.groupby([group_col, value_col]).count().take_all()
+    by_g: dict[str, list[tuple[int, int]]] = {}
+    for r in hist:
+        by_g.setdefault(str(r[group_col]), []).append(
+            (int(r[value_col]), int(r["count()"]))
+        )
+    lut: dict[str, tuple[np.ndarray, np.ndarray, int]] = {}
+    for g, pairs in by_g.items():
+        pairs.sort()
+        vals = np.fromiter((p[0] for p in pairs), dtype=np.int64,
+                           count=len(pairs))
+        cnts = np.fromiter((p[1] for p in pairs), dtype=np.int64,
+                           count=len(pairs))
+        less = np.concatenate(([0], np.cumsum(cnts)[:-1]))
+        lut[g] = (vals, less, int(cnts.sum()))
+    ref = ray.put(lut)
+
+    out_schema = pa.schema(
+        [
+            (id_col, pa.int64()),
+            (group_col, pa.string()),
+            (value_col, pa.int64()),
+            ("pct_rank", pa.float64()),
+        ]
+    )
+
+    def attach(b: pa.Table) -> pa.Table:
+        lut_ = ray.get(ref)
+        ids = np.asarray(b[id_col], dtype=np.int64)
+        v = np.asarray(b[value_col], dtype=np.int64)
+        gs = np.asarray(b[group_col].to_pylist(), dtype=object)
+        pct = np.zeros(len(v), dtype=np.float64)
+        for g in pd.unique(gs):  # bounded group domain per batch
+            m = gs == g
+            vals, less, n = lut_[str(g)]
+            idx = np.searchsorted(vals, v[m])
+            if n > 1:
+                pct[m] = less[idx] / (n - 1)
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                group_col: pa.array([str(x) for x in gs], pa.string()),
+                value_col: pa.array(v),
+                "pct_rank": pa.array(pct),
+            },
+            schema=out_schema,
+        )
+
+    return ds.select_columns([id_col, group_col, value_col]).map_batches(
+        attach, batch_format="pyarrow"
+    )

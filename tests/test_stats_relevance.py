@@ -270,3 +270,33 @@ def test_robust_stats_by_group_median_mad_trim():
     assert out == [
         {"g": "a", "median": 11, "mad": 5, "trimmed_mean": 11.0}
     ]
+
+
+def test_grouped_percent_rank_ties_and_singleton():
+    """RANK-semantics percent_rank: ties share (#less)/(N-1); singleton
+    groups return 0.0 (SQL convention); zero data movement design."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from docling_api_ray.stages.stats import grouped_percent_rank
+
+    df = pd.DataFrame(
+        {
+            "doc_id": range(7),
+            "source": ["a", "a", "a", "a", "b", "b", "c"],
+            "n_chars": [10, 20, 20, 30, 5, 9, 77],
+        }
+    )
+    out = (
+        grouped_percent_rank(ray.data.from_pandas(df).repartition(3))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    got = dict(zip(out["doc_id"], out["pct_rank"]))
+    assert got[0] == 0.0
+    assert got[1] == got[2] == 1 / 3  # tied 20s share rank 2 -> (1)/(4-1)
+    assert got[3] == 1.0
+    assert got[4] == 0.0 and got[5] == 1.0
+    assert got[6] == 0.0  # singleton group
