@@ -381,6 +381,7 @@ def grouped_percent_rank(
     group_col: str = "source",
     value_col: str = "n_chars",
     id_col: str = "doc_id",
+    max_hist_rows: int = 2_000_000,
 ) -> ray.data.Dataset:
     """SQL ``percent_rank() OVER (PARTITION BY group ORDER BY value)``
     with ZERO data movement beyond one bounded (group x value)
@@ -394,10 +395,24 @@ def grouped_percent_rank(
 
     100 TB shape: histogram rows are |groups| x |value domain| (both
     corpus-independent here), the prefix map is KBs, the corpus side is
-    one map_batches."""
+    one map_batches.  ``max_hist_rows`` guards the bounded-domain
+    contract loudly (review r4): a corpus-proportional value column
+    (per-doc-unique ints, floats) must use global_rank-style tie
+    machinery, not this histogram."""
     import pandas as pd
 
-    hist = ds.groupby([group_col, value_col]).count().take_all()
+    hist = (
+        ds.select_columns([group_col, value_col])
+        .groupby([group_col, value_col])
+        .count()
+        .take_all()
+    )
+    if len(hist) > max_hist_rows:
+        raise RuntimeError(
+            f"grouped_percent_rank: {len(hist)} (group, value) cells "
+            f"exceed max_hist_rows={max_hist_rows}; the value domain "
+            "is not bounded"
+        )
     by_g: dict[str, list[tuple[int, int]]] = {}
     for r in hist:
         by_g.setdefault(str(r[group_col]), []).append(

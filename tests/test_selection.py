@@ -280,6 +280,5 @@ def test_grouped_select_survives_empty_and_all_nan_blocks():
     got = {(r["k"], r["q"]): r["value"] for r in out.to_pylist()}
     vals = np.linspace(0, 1, 2000)
     assert got[("a", 0.5)] == _expect(vals, 0.5)
-    assert ("b", 0.5) not in got or True  # group b is all-NaN: n=0
     # group b contributed no valid values -> it must simply be absent
     assert set(k for k, _ in got) == {"a"}
