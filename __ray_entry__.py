@@ -795,6 +795,54 @@ def _q_dedup_minhash_keep(sf_dir: str):
     return _with_schema(dd.dedup_keep(docs, pairs), _KEEP_SCHEMA)
 
 
+def _q_dedup_cluster_sizes(sf_dir: str):
+    """Near-dup cluster-size HISTOGRAM — the dedup reporting tier a
+    curation run publishes (how much of the corpus sits in 2-dup /
+    10-dup / mega clusters): LSH pairs → connected components →
+    one narrow (component) count exchange → a bounded counts-of-counts
+    tree fold (custdist's shape over the dedup graph).  Singletons are
+    size-1 clusters.  Nothing corpus-proportional reaches the driver;
+    the histogram domain is bounded by the max cluster size."""
+    from docling_api_ray.stages.common import two_level_fold
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    pairs = dd.minhash_lsh_pairs(docs, threshold=0.7)
+    keep = dd.dedup_keep(docs, pairs)
+    sizes = keep.groupby("component").count()
+
+    hist_schema = pa.schema(
+        [("cluster_size", pa.int64()), ("n_clusters", pa.int64())]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        c = np.asarray(b["count()"], dtype=np.int64)
+        u, n = np.unique(c, return_counts=True)
+        return pa.table(
+            {
+                "cluster_size": pa.array(u),
+                "n_clusters": pa.array(n.astype(np.int64)),
+            },
+            schema=hist_schema,
+        )
+
+    def fold(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = b.to_pandas()
+        g = (
+            df.groupby("cluster_size", sort=True)["n_clusters"]
+            .sum()
+            .reset_index()
+        )
+        return pa.Table.from_pandas(
+            g, schema=hist_schema, preserve_index=False
+        )
+
+    return two_level_fold(
+        sizes.map_batches(partial, batch_format="pyarrow"), fold
+    )
+
+
 def _q_embedding_neardup(sf_dir: str):
     return _with_schema(
         dd.embedding_neardup_pairs(
@@ -5299,6 +5347,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_span_keep_first": _q_dup_span_keep_first,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_minhash_keep": _q_dedup_minhash_keep,
+        "dedup_cluster_sizes": _q_dedup_cluster_sizes,
         "split_assign": _q_split_assign,
         "token_quantiles_by_source": _q_token_quantiles,
         "bm25_scores": _q_bm25,
@@ -6435,6 +6484,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_minhash": _minhash_oracle_sql(0.7),
         "dedup_minhash_keep": _minhash_keep_oracle_sql(0.7),
+        # counts-of-counts over the SAME verified component CTE
+        "dedup_cluster_sizes": f"""
+            WITH k AS ({_minhash_keep_oracle_sql(0.7)}),
+            sizes AS (SELECT component, count(*) AS s FROM k GROUP BY 1)
+            SELECT CAST(s AS BIGINT) AS cluster_size,
+                   CAST(count(*) AS BIGINT) AS n_clusters
+            FROM sizes GROUP BY s
+        """,
         "bm25_scores": _bm25_oracle_sql(_BM25_TERMS),
         # mirrors stages/relevance.py tfidf_topterms: \S+ tokens, one tf
         # row per (doc, word), df = count of tf rows per word,

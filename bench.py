@@ -193,6 +193,7 @@ def _bench_once() -> dict:
         "quality_gate_by_source",
         "user_value_quantiles",
         "source_percent_rank",
+        "dedup_cluster_sizes",
     ]
     # INTERLEAVED repetitions + medians (VERDICT r2 #1): this container's
     # co-tenant jitter is ±30-50% and can hold a multi-second plateau —
