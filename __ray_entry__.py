@@ -5316,6 +5316,74 @@ def _q_append_dedup_minhash(sf_dir: str):
     return incremental_minhash_keep(old, new, threshold=0.7)
 
 
+def _q_random_projection(sf_dir: str):
+    """Sparse-sign Johnson-Lindenstrauss projection (stages/linalg.py
+    random_projection): per-batch int64 matmul against the content-
+    addressed ±1 sign matrix — zero shuffle, exact integer arithmetic
+    the oracle mirrors with an embedded VALUES sign table."""
+    from docling_api_ray.stages.linalg import random_projection
+
+    return random_projection(_emb(sf_dir, ["vec_id", "embedding"]), out_dim=8)
+
+
+def _q_pca_project(sf_dir: str):
+    """Top-4 PCA projection (stages/linalg.py pca_project): one bounded
+    moment fold (dim²+dim+1 integer rows) → driver-side eigh on the
+    64×64 covariance → broadcast projection map.  Eigen is not
+    SQL-expressible; pinned by tests/test_linalg.py against a one-shot
+    numpy PCA of the same rows."""
+    from docling_api_ray.stages.linalg import pca_project
+
+    return pca_project(_emb(sf_dir, ["vec_id", "embedding"]), k=4)
+
+
+_INTERVAL_W_S = 21_600  # 6 h trailing window
+
+
+def _q_interval_join(sf_dir: str):
+    """Range join (stages/joins.py interval_join_events): each purchase
+    with the count + quantized value-sum of the same user's clicks in
+    the trailing 6 h window — bucketed-replication co-group, rights
+    shipped exactly twice, vectorized searchsorted probe."""
+    from docling_api_ray.stages.joins import interval_join_events
+
+    ds = _read(
+        sf_dir, "events", ["event_id", "user_id", "event_type", "ts", "value"]
+    )
+    return interval_join_events(
+        ds, left_type="purchase", right_type="click", window_s=_INTERVAL_W_S
+    )
+
+
+def _q_edit_distance_pairs(sf_dir: str):
+    """Prefix-blocked Levenshtein verification tier (stages/editdist.py):
+    exact edit distance over 120-char heads for every 16-char-prefix
+    block pair — the ground-truth scorer behind the MinHash/SimHash
+    approximations, confined to blocks like ngram_jaccard_pairs."""
+    from docling_api_ray.stages.editdist import edit_distance_pairs
+
+    return edit_distance_pairs(
+        _docs(sf_dir, ["doc_id", "text"]), prefix_len=16, cap=120
+    )
+
+
+def _q_customer_running_total(sf_dir: str):
+    """Per-customer cumulative revenue (stages/windows.py
+    grouped_running_total): SUM OVER (PARTITION BY custkey ORDER BY
+    date, orderkey) via one key-mod-P co-group + vectorized cumsum."""
+    from docling_api_ray.stages.windows import grouped_running_total
+
+    ds = _read(
+        sf_dir, "orders", ["o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"]
+    )
+    return grouped_running_total(
+        ds,
+        key="o_custkey",
+        order=["o_orderdate", "o_orderkey"],
+        val="o_totalprice",
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "classify_format": _q_classify,
@@ -5463,6 +5531,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "min_cost_supplier": _q_min_cost_supplier,
         "shipmode_priority": _q_shipmode_priority,
         "sales_opportunity": _q_sales_opportunity,
+        "random_projection": _q_random_projection,
+        "pca_project": _q_pca_project,
+        "interval_join": _q_interval_join,
+        "edit_distance_pairs": _q_edit_distance_pairs,
+        "customer_running_total": _q_customer_running_total,
     }
 
 
@@ -8262,5 +8335,64 @@ def oracle_sql() -> dict[str, str]:
         SELECT cntrycode, CAST(count(*) AS BIGINT) AS numcust,
                sum(bal_c) / 100.0 AS totacctbal
         FROM q GROUP BY 1
+    """
+    # mirrors _q_random_projection: the ±1 sign matrix is content-
+    # addressed (md5 of "rp:i:j"), so the oracle embeds the identical
+    # matrix as a VALUES literal — exact int64 arithmetic on both sides
+    from docling_api_ray.stages.linalg import rp_sign_values_sql
+
+    out["random_projection"] = f"""
+        WITH vq AS (SELECT vec_id,
+                           list_transform(embedding, e ->
+                               CAST(floor(CAST(e AS DOUBLE) * 1000000
+                                          + 0.5) AS BIGINT)) AS q
+                    FROM embeddings),
+             vu AS (SELECT vec_id, unnest(q) AS v,
+                           unnest(range(len(q))) AS i
+                    FROM vq),
+             r(i, j, s) AS {rp_sign_values_sql(64, 8)}
+        SELECT vu.vec_id AS vec_id, CAST(r.j AS BIGINT) AS j,
+               CAST(sum(vu.v * r.s) AS BIGINT) AS proj
+        FROM vu JOIN r ON vu.i = r.i
+        GROUP BY 1, 2
+    """
+    # mirrors _q_interval_join: trailing [t-W, t) window in exact
+    # integer microseconds (epoch_us both sides), micro-unit value sum
+    out["interval_join"] = f"""
+        SELECT l.event_id AS event_id, l.user_id AS user_id,
+               CAST(count(r.event_id) AS BIGINT) AS n_prior,
+               CAST(coalesce(sum(CAST(floor(r.value * 1000000 + 0.5)
+                                      AS BIGINT)), 0) AS BIGINT)
+                 AS sum_value_q
+        FROM events l LEFT JOIN events r
+          ON r.user_id = l.user_id AND r.event_type = 'click'
+         AND epoch_us(r.ts) >= epoch_us(l.ts) - {_INTERVAL_W_S * 1_000_000}
+         AND epoch_us(r.ts) < epoch_us(l.ts)
+        WHERE l.event_type = 'purchase'
+        GROUP BY 1, 2
+    """
+    # mirrors _q_edit_distance_pairs: DuckDB's levenshtein is the same
+    # unit-cost metric as stages/editdist.levenshtein
+    out["edit_distance_pairs"] = """
+        SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+               CAST(levenshtein(substr(a.text, 1, 120),
+                                substr(b.text, 1, 120)) AS BIGINT) AS dist
+        FROM documents a JOIN documents b
+          ON substr(a.text, 1, 16) = substr(b.text, 1, 16)
+         AND a.doc_id < b.doc_id
+    """
+    # mirrors _q_customer_running_total: micro-unit quantize BEFORE the
+    # window accumulation, tie-broken by orderkey
+    out["customer_running_total"] = """
+        SELECT o_custkey, CAST(epoch_us(o_orderdate) AS BIGINT)
+                 AS o_orderdate,
+               o_orderkey, running_q
+        FROM (SELECT o_custkey, o_orderdate, o_orderkey,
+                     CAST(sum(CAST(floor(o_totalprice * 1000000 + 0.5)
+                                   AS BIGINT))
+                          OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey)
+                          AS BIGINT) AS running_q
+              FROM orders)
     """
     return out

@@ -194,6 +194,11 @@ def _bench_once() -> dict:
         "user_value_quantiles",
         "source_percent_rank",
         "dedup_cluster_sizes",
+        "random_projection",
+        "pca_project",
+        "interval_join",
+        "edit_distance_pairs",
+        "customer_running_total",
     ]
     # INTERLEAVED repetitions + medians (VERDICT r2 #1): this container's
     # co-tenant jitter is ±30-50% and can hold a multi-second plateau —

@@ -1,0 +1,143 @@
+"""Edit-distance near-duplicate verification tier.
+
+Levenshtein is the ground-truth string metric the cheap near-dup
+signals (MinHash / SimHash, stages/dedup.py) approximate — but it is
+O(L²) per PAIR, so at corpus scale it is only ever run as a
+VERIFICATION tier behind a blocking key that bounds group sizes
+(the same discipline as ``dedup.ngram_jaccard_pairs``: candidate
+generation is banded/bucketed, exact scoring confined to blocks).
+
+``edit_distance_pairs`` blocks documents on their first ``prefix_len``
+characters (boilerplate-heavy near-dups share prefixes; the blocking
+key is a tunable — callers with a MinHash candidate table can pass
+its bucket instead), then scores every in-block pair on the first
+``cap`` characters.  The DP inner loop is the vectorized
+minimum-accumulate formulation: one numpy pass per row of the matrix
+(O(L) numpy kernels of width L), no per-cell python.
+
+Scale shape: one (prefix-hash mod P) co-group exchange of
+(doc_id, prefix, capped-text) rows; per-partition work is
+Σ_blocks g²·cap² with g bounded by the blocking key — the operator
+REFUSES silent blowups by capping per-block pair counts and raising
+on overflow rather than quietly degrading.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from docling_api_ray.functions.hashing import u64_md5
+from docling_api_ray.stages.common import coalesce_narrow, shuffle_partitions
+
+_MAX_BLOCK = 4096  # pairs-per-block guard: 4096² DP cells ≈ verification tier
+
+
+def levenshtein(a: str, b: str) -> int:
+    """Unit-cost Levenshtein distance, vectorized row DP.
+
+    Semantics identical to DuckDB's ``levenshtein`` (insert/delete/
+    substitute each cost 1) — the oracle depends on exact agreement.
+    The left-neighbor dependency is removed with the standard
+    minimum-accumulate transform: with u[j] = cur[j] - j,
+    cur[j] = min(cand[j], cur[j-1]+1) becomes
+    u = cummin(cand - arange), an O(L) numpy kernel per row."""
+    if a == b:
+        return 0
+    if not a:
+        return len(b)
+    if not b:
+        return len(a)
+    bv = np.fromiter(map(ord, b), dtype=np.int64, count=len(b))
+    prev = np.arange(len(b) + 1, dtype=np.int64)
+    steps = np.arange(len(b) + 1, dtype=np.int64)
+    for i, ca in enumerate(a, 1):
+        cand = np.empty(len(b) + 1, dtype=np.int64)
+        cand[0] = i
+        np.minimum(prev[1:] + 1, prev[:-1] + (bv != ord(ca)), out=cand[1:])
+        prev = np.minimum.accumulate(cand - steps) + steps
+    return int(prev[-1])
+
+
+def edit_distance_pairs(
+    docs: ray.data.Dataset,
+    *,
+    prefix_len: int = 16,
+    cap: int = 120,
+) -> ray.data.Dataset:
+    """All same-prefix document pairs scored by Levenshtein distance over
+    the first ``cap`` characters: (left_id, right_id, dist) with
+    left_id < right_id.  Input needs (doc_id, text)."""
+
+    keyed_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("prefix", pa.string()),
+            ("head", pa.string()),
+            ("__part", pa.int64()),
+        ]
+    )
+    P = shuffle_partitions()
+
+    def keyed(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return keyed_schema.empty_table()
+        texts = b["text"].to_pylist()
+        prefixes = [t[:prefix_len] for t in texts]
+        part = (u64_md5(prefixes) % np.uint64(P)).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"].cast(pa.int64()),
+                "prefix": pa.array(prefixes, type=pa.string()),
+                "head": pa.array([t[:cap] for t in texts], type=pa.string()),
+                "__part": pa.array(part),
+            }
+        )
+
+    out_schema = pa.schema(
+        [
+            ("left_id", pa.int64()),
+            ("right_id", pa.int64()),
+            ("dist", pa.int64()),
+        ]
+    )
+
+    def per_partition(g: pd.DataFrame) -> pa.Table:
+        lids, rids, dists = [], [], []
+        for _, blk in g.groupby("prefix", sort=False):
+            n = len(blk)
+            if n < 2:
+                continue
+            if n > _MAX_BLOCK:
+                raise ValueError(
+                    f"edit-distance block of {n} docs exceeds {_MAX_BLOCK}; "
+                    "use a finer blocking key (longer prefix / LSH bucket)"
+                )
+            blk = blk.sort_values("doc_id", kind="stable")
+            ids = blk["doc_id"].to_numpy()
+            heads = blk["head"].tolist()
+            for x in range(n):
+                for y in range(x + 1, n):
+                    lids.append(ids[x])
+                    rids.append(ids[y])
+                    dists.append(levenshtein(heads[x], heads[y]))
+        if not lids:
+            return out_schema.empty_table()
+        return pa.table(
+            {
+                "left_id": pa.array(np.asarray(lids, dtype=np.int64)),
+                "right_id": pa.array(np.asarray(rids, dtype=np.int64)),
+                "dist": pa.array(np.asarray(dists, dtype=np.int64)),
+            }
+        )
+
+    return (
+        coalesce_narrow(
+            docs.map_batches(keyed, batch_format="pyarrow"), max_rows=65_536
+        )
+        .groupby("__part")
+        .map_groups(per_partition, batch_format="pandas")
+    )

@@ -356,3 +356,146 @@ def asof_join_events(
         .groupby("__part")
         .map_groups(per_partition, batch_format="pandas")
     )
+
+
+def interval_join_events(
+    events: ray.data.Dataset,
+    *,
+    left_type: str,
+    right_type: str,
+    window_s: int,
+    key: str = "user_id",
+) -> ray.data.Dataset:
+    """Range (interval) join: for each event of ``left_type``, the count
+    and quantized value-sum of same-``key`` ``right_type`` events in the
+    trailing window ``[ts - window_s, ts)`` — the sliding-window join
+    shape (ad attribution, fraud velocity checks) that Ray Data has no
+    native operator for.
+
+    Output: (event_id, user_id, n_prior, sum_value_q) for EVERY left
+    event (zeros when the window is empty); values quantized to int64
+    micro-units (floor(v·1e6 + 0.5)) so the DuckDB mirror matches
+    exactly.
+
+    Scale shape — bucketed replication co-group (the standard bounded-
+    range join plan): time is cut into buckets of exactly the window
+    width, each RIGHT event is replicated to its own bucket and the
+    next (a trailing window spans at most 2 buckets), and the pair
+    (key, bucket) is hash-co-grouped mod P.  Every left's full window
+    is then resolvable inside one partition, each right candidate
+    appears exactly once per group, and the exchange moves each
+    filtered right row exactly twice — never an all-pairs blowup, and
+    skewed keys still spread across time buckets.  Inside a partition
+    the probe is fully vectorized: group-offset composite keys +
+    ``np.searchsorted`` + prefix sums (no per-row or per-group python).
+    Composite-key headroom: key = g·(2W+2) + rel with rel < 2W, so it
+    needs groups-per-partition × 2W < 2⁶³ — at W = hours that allows
+    ~10⁷ groups per partition; raise P before that.
+    """
+    window_us = int(window_s) * US
+    span = 2 * window_us + 2
+
+    from docling_api_ray.stages.common import coalesce_narrow, shuffle_partitions
+
+    P = shuffle_partitions()
+
+    tag_schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            (key, pa.int64()),
+            ("ts_us", pa.int64()),
+            ("vq", pa.int64()),
+            ("bucket", pa.int64()),
+            ("__side", pa.int8()),
+            ("__part", pa.int64()),
+        ]
+    )
+
+    def tag(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return tag_schema.empty_table()
+        et = b["event_type"]
+        ts = np.asarray(pc.cast(b["ts"], pa.int64()))
+        uid = np.asarray(b[key], dtype=np.int64)
+        eid = np.asarray(b["event_id"], dtype=np.int64)
+        val = np.asarray(b["value"], dtype=np.float64)
+        vq = np.floor(val * 1e6 + 0.5).astype(np.int64)
+        bucket = ts // window_us
+        is_l = np.asarray(pc.equal(et, left_type))
+        is_r = np.asarray(pc.equal(et, right_type))
+
+        parts = []
+        for side, mask, bshift in ((0, is_l, 0), (1, is_r, 0), (1, is_r, 1)):
+            if not mask.any():
+                continue
+            bk = bucket[mask] + bshift
+            parts.append(
+                pa.table(
+                    {
+                        "event_id": pa.array(eid[mask]),
+                        key: pa.array(uid[mask]),
+                        "ts_us": pa.array(ts[mask]),
+                        "vq": pa.array(vq[mask]),
+                        "bucket": pa.array(bk),
+                        "__side": pa.array(
+                            np.full(mask.sum(), side, dtype=np.int8)
+                        ),
+                        "__part": pa.array(
+                            (uid[mask] * 2654435761 + bk) % P
+                        ),
+                    }
+                )
+            )
+        if not parts:
+            return tag_schema.empty_table()
+        return pa.concat_tables(parts).cast(tag_schema)
+
+    out_schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            (key, pa.int64()),
+            ("n_prior", pa.int64()),
+            ("sum_value_q", pa.int64()),
+        ]
+    )
+
+    def per_partition(g: pd.DataFrame) -> pa.Table:
+        left = g[g["__side"] == 0]
+        if len(left) == 0:
+            return out_schema.empty_table()
+        # group ids over (key, bucket) across both sides — one C pass
+        gid = g.groupby([key, "bucket"], sort=False).ngroup().to_numpy()
+        gl, gr = gid[(g["__side"] == 0).to_numpy()], gid[(g["__side"] == 1).to_numpy()]
+        right = g[g["__side"] == 1]
+
+        lt = left["ts_us"].to_numpy()
+        lb = left["bucket"].to_numpy()
+        rt = right["ts_us"].to_numpy()
+        rb = right["bucket"].to_numpy()
+        rv = right["vq"].to_numpy()
+
+        # composite sort keys: rel ∈ [0, 2W) offsets from (bucket-1)·W
+        kr = gr * span + (rt - (rb - 1) * window_us) + 1
+        order = np.argsort(kr, kind="stable")
+        kr = kr[order]
+        psum = np.concatenate([[0], np.cumsum(rv[order])])
+
+        klo = gl * span + (lt - window_us - (lb - 1) * window_us) + 1
+        khi = gl * span + (lt - (lb - 1) * window_us) + 1
+        ilo = np.searchsorted(kr, klo, side="left")
+        ihi = np.searchsorted(kr, khi, side="left")
+        return pa.table(
+            {
+                "event_id": pa.array(left["event_id"].to_numpy()),
+                key: pa.array(left[key].to_numpy()),
+                "n_prior": pa.array((ihi - ilo).astype(np.int64)),
+                "sum_value_q": pa.array(psum[ihi] - psum[ilo]),
+            }
+        ).cast(out_schema)
+
+    filtered = events.map_batches(tag, batch_format="pyarrow")
+    return (
+        coalesce_narrow(filtered, max_rows=65_536)
+        .groupby("__part")
+        .map_groups(per_partition, batch_format="pandas")
+    )

@@ -22,13 +22,16 @@ corpus' magnitudes (|x| < 1) the slack is ×10⁴ wider still.
 
 from __future__ import annotations
 
+import hashlib
+from functools import lru_cache
+
 import numpy as np
 import pyarrow as pa
 
 import ray.data
 
 from docling_api_ray.stages.clustering import quantized_matrix
-from docling_api_ray.stages.common import bounded_groupby_sum
+from docling_api_ray.stages.common import bounded_groupby_sum, two_level_fold
 
 
 def gram_matrix(ds: ray.data.Dataset) -> ray.data.Dataset:
@@ -59,3 +62,181 @@ def gram_matrix(ds: ray.data.Dataset) -> ray.data.Dataset:
         ["i", "j"],
         sum_cols={"gram": "gram"},
     )
+
+
+@lru_cache(maxsize=8)
+def rp_sign_matrix(dim: int, out_dim: int) -> np.ndarray:
+    """Deterministic (dim × out_dim) ±1 sign matrix for the sparse
+    Johnson-Lindenstrauss projection: sign(i, j) from one md5 bit of the
+    string ``"rp:{i}:{j}"``.  Content-addressed, so every actor (and the
+    DuckDB oracle, which embeds the same matrix as a VALUES literal via
+    ``rp_sign_values_sql``) regenerates the identical matrix with no
+    broadcast — the matrix is dim·out_dim ints, corpus-independent."""
+    signs = np.empty((dim, out_dim), dtype=np.int64)
+    for i in range(dim):
+        for j in range(out_dim):
+            bit = hashlib.md5(f"rp:{i}:{j}".encode()).digest()[0] & 1
+            signs[i, j] = 1 if bit else -1
+    return signs
+
+
+def rp_sign_values_sql(dim: int, out_dim: int) -> str:
+    """The sign matrix as a SQL ``(VALUES ...)`` literal ``r(i, j, s)``
+    so the oracle reproduces the projection bit-for-bit."""
+    signs = rp_sign_matrix(dim, out_dim)
+    rows = ",".join(
+        f"({i},{j},{int(signs[i, j])})"
+        for i in range(dim)
+        for j in range(out_dim)
+    )
+    return f"(VALUES {rows})"
+
+
+def random_projection(ds: ray.data.Dataset, out_dim: int = 8) -> ray.data.Dataset:
+    """Sparse-sign Johnson-Lindenstrauss projection of the quantized
+    ``embedding`` column: ``proj[r, j] = Σ_i q[r, i] · sign(i, j)`` as
+    long-format (vec_id, j, proj) int64 rows — the dimensionality-
+    reduction primitive for sketching / LSH seeding at 100 TB.
+
+    Scale shape: a pure per-batch map (one int64 matmul against the
+    content-addressed sign matrix), NO shuffle, no driver state; output
+    rows = out_dim × corpus rows, streamed.  Exactness: integer
+    arithmetic end-to-end (micro-unit quantizer × ±1), so the DuckDB
+    mirror (unnest + VALUES join) matches bit-for-bit.  Overflow bound:
+    |proj| ≤ dim·1e6·max|x| — at dim 64, |x| ≤ 10 that is ≤ 6.4e8,
+    ~10¹⁰ headroom in int64."""
+    out_schema = pa.schema(
+        [("vec_id", pa.int64()), ("j", pa.int64()), ("proj", pa.int64())]
+    )
+
+    def project(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return out_schema.empty_table()
+        q = quantized_matrix(b["embedding"])
+        if q.size == 0:
+            return out_schema.empty_table()
+        signs = rp_sign_matrix(q.shape[1], out_dim)
+        p = q @ signs  # (n, out_dim) int64 — exact
+        vid = np.asarray(b["vec_id"], dtype=np.int64)
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(vid, out_dim)),
+                "j": pa.array(
+                    np.tile(np.arange(out_dim, dtype=np.int64), len(vid))
+                ),
+                "proj": pa.array(p.ravel()),
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+def _moment_partials(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Fold (count, per-dim sums, gram) in ONE bounded exchange as
+    (i, j, v) rows: (-1, -1) → row count, (i, -1) → Σ q_i, (i, j) →
+    Σ q_i·q_j.  Domain = dim² + dim + 1 rows, corpus-independent."""
+
+    schema = pa.schema([("i", pa.int64()), ("j", pa.int64()), ("v", pa.int64())])
+
+    def partial(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return schema.empty_table()
+        q = quantized_matrix(b["embedding"])
+        if q.size == 0:
+            return schema.empty_table()
+        dim = q.shape[1]
+        g = q.T @ q
+        s = q.sum(axis=0)
+        i = np.concatenate(
+            [
+                np.repeat(np.arange(dim, dtype=np.int64), dim),
+                np.arange(dim, dtype=np.int64),
+                np.array([-1], dtype=np.int64),
+            ]
+        )
+        j = np.concatenate(
+            [
+                np.tile(np.arange(dim, dtype=np.int64), dim),
+                np.full(dim, -1, dtype=np.int64),
+                np.array([-1], dtype=np.int64),
+            ]
+        )
+        v = np.concatenate([g.ravel(), s, np.array([len(q)], dtype=np.int64)])
+        return pa.table({"i": pa.array(i), "j": pa.array(j), "v": pa.array(v)})
+
+    def fold(b: pa.Table) -> pa.Table:
+        g = b.group_by(["i", "j"]).aggregate([("v", "sum")])
+        return g.rename_columns(["i", "j", "v"])
+
+    return two_level_fold(
+        ds.map_batches(partial, batch_format="pyarrow"), fold
+    )
+
+
+def pca_components(
+    ds: ray.data.Dataset, k: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Top-``k`` principal components of the ``embedding`` column.
+
+    Distribution shape: the corpus never leaves the stream — one
+    ``_moment_partials`` fold reduces it to dim² + dim + 1 integer rows;
+    the eigendecomposition runs DRIVER-SIDE on the folded dim×dim
+    covariance (dim is a model constant, 64 here — the classic
+    "covariance fits, data doesn't" regime).  Sign convention: each
+    component is flipped so its largest-|coordinate| entry (first index
+    on ties) is positive, making the output deterministic across BLAS
+    builds up to eigenvalue multiplicity.
+
+    Returns (mean (dim,), eigenvalues (k,), components (dim, k)) in
+    ORIGINAL float units (micro-unit quantization divided back out)."""
+    rows = _moment_partials(ds).take_all()
+    n = next(r["v"] for r in rows if r["i"] == -1)
+    dim = max(r["i"] for r in rows) + 1
+    s = np.zeros(dim, dtype=np.float64)
+    g = np.zeros((dim, dim), dtype=np.float64)
+    for r in rows:
+        if r["i"] == -1:
+            continue
+        if r["j"] == -1:
+            s[r["i"]] = r["v"]
+        else:
+            g[r["i"], r["j"]] = r["v"]
+    mean = s / n
+    cov = (g - np.outer(mean, s)) / n
+    w, v = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(w)[::-1][:k]
+    comps = v[:, order]
+    flips = np.where(comps[np.abs(comps).argmax(axis=0), np.arange(k)] < 0, -1.0, 1.0)
+    comps = comps * flips
+    scale = 1e-6  # micro-units → original float units
+    return mean * scale, w[order] * (scale * scale), comps
+
+
+def pca_project(ds: ray.data.Dataset, k: int = 4) -> ray.data.Dataset:
+    """Project each embedding onto the top-``k`` principal components:
+    (vec_id, pc0..pc{k-1}) rounded to 6 dp for cross-platform stability.
+
+    Two streaming passes over the input (moment fold, then a stateless
+    projection map with the (dim×k) component matrix value-captured into
+    the task closure — kilobytes, shipped once per task not per batch);
+    no full materialization anywhere.  Not SQL-expressible (eigen), so
+    the correctness pin is ``tests/test_linalg.py`` against a one-shot
+    numpy PCA on the same rows."""
+    mean, _, comps = pca_components(ds, k)
+    names = [f"pc{j}" for j in range(k)]
+    out_schema = pa.schema(
+        [("vec_id", pa.int64())] + [(nm, pa.float64()) for nm in names]
+    )
+    mean_q = mean * 1e6
+
+    def project(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return out_schema.empty_table()
+        q = quantized_matrix(b["embedding"]).astype(np.float64)
+        p = ((q - mean_q) * 1e-6) @ comps
+        cols = {"vec_id": pa.array(np.asarray(b["vec_id"], dtype=np.int64))}
+        for jj, nm in enumerate(names):
+            cols[nm] = pa.array(np.round(p[:, jj], 6))
+        return pa.table(cols)
+
+    return ds.map_batches(project, batch_format="pyarrow")

@@ -727,3 +727,66 @@ def rolling_active_users(
         .groupby("__part")
         .map_groups(count_part, batch_format="pandas")
     )
+
+
+def grouped_running_total(
+    ds: ray.data.Dataset,
+    *,
+    key: str,
+    order: list[str],
+    val: str,
+    out: str = "running_q",
+) -> ray.data.Dataset:
+    """Per-key cumulative sum — ``sum(val) OVER (PARTITION BY key ORDER
+    BY order...)`` — the prefix-aggregation window shape (running spend,
+    cumulative token budget per source).
+
+    ``val`` is a float column; it is quantized to int64 micro-units
+    (floor(v·1e6 + 0.5)) BEFORE accumulation so the prefix sums are
+    exact integers the DuckDB mirror reproduces bit-for-bit.
+
+    Scale shape: ONE (key mod P) co-group exchange — all rows of a key
+    land in one partition, where a single vectorized lexsort +
+    ``groupby(key).cumsum`` (both C kernels) resolves every key in the
+    partition at once.  Assumes a single key's rows fit a partition
+    (orders-per-customer-class bound, same assumption as
+    ``asof_join_events``); corpus growth adds partitions, not per-key
+    rows.  Output: (key, order..., out) for every input row."""
+    P = _parts()
+
+    in_schema = pa.schema(
+        [(key, pa.int64())]
+        + [(c, pa.int64()) for c in order]
+        + [("vq", pa.int64()), ("__part", pa.int64())]
+    )
+
+    def keyed(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return in_schema.empty_table()
+        k = np.asarray(pc.cast(b[key], pa.int64()))
+        v = np.asarray(b[val], dtype=np.float64)
+        cols = {key: pa.array(k)}
+        for c in order:
+            cols[c] = pc.cast(b[c], pa.int64())
+        cols["vq"] = pa.array(np.floor(v * 1e6 + 0.5).astype(np.int64))
+        cols["__part"] = pa.array(k % P)
+        return pa.table(cols).cast(in_schema)
+
+    out_schema = pa.schema(
+        [(key, pa.int64())]
+        + [(c, pa.int64()) for c in order]
+        + [(out, pa.int64())]
+    )
+
+    def per_partition(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values([key, *order], kind="stable")
+        g[out] = g.groupby(key, sort=False)["vq"].cumsum()
+        return pa.Table.from_pandas(
+            g[[key, *order, out]], preserve_index=False
+        ).cast(out_schema).replace_schema_metadata(None)
+
+    return (
+        coalesce_narrow(ds.map_batches(keyed, batch_format="pyarrow"))
+        .groupby("__part")
+        .map_groups(per_partition, batch_format="pandas")
+    )

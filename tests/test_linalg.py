@@ -1,0 +1,205 @@
+"""Linear-algebra stages: random projection, PCA, and the new window /
+join / edit-distance operators' edge cases on hand-built data."""
+
+import datetime as dt
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from docling_api_ray.stages.editdist import edit_distance_pairs, levenshtein
+from docling_api_ray.stages.joins import interval_join_events
+from docling_api_ray.stages.linalg import (
+    pca_components,
+    pca_project,
+    random_projection,
+    rp_sign_matrix,
+)
+from docling_api_ray.stages.windows import grouped_running_total
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _emb_ds(rows=64, dim=8, seed=7):
+    rng = np.random.default_rng(seed)
+    mat = rng.normal(size=(rows, dim)).astype(np.float32)
+    return (
+        ray.data.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array(np.arange(rows, dtype=np.int64)),
+                    "embedding": pa.array(
+                        [list(map(float, r)) for r in mat],
+                        type=pa.list_(pa.float32()),
+                    ),
+                }
+            )
+        ),
+        mat,
+    )
+
+
+def test_random_projection_matches_numpy():
+    ds, mat = _emb_ds(rows=50, dim=8)
+    out = {(r["vec_id"], r["j"]): r["proj"] for r in random_projection(ds, 3).take_all()}
+    q = np.floor(mat.astype(np.float64) * 1e6 + 0.5).astype(np.int64)
+    expect = q @ rp_sign_matrix(8, 3)
+    for i in range(50):
+        for j in range(3):
+            assert out[(i, j)] == expect[i, j]
+
+
+def test_rp_sign_matrix_deterministic_pm1():
+    s = rp_sign_matrix(16, 4)
+    assert set(np.unique(s)) <= {-1, 1}
+    assert np.array_equal(s, rp_sign_matrix(16, 4))
+
+
+def test_pca_project_matches_numpy_full():
+    """Engine PCA (moment fold + driver eigh) == one-shot numpy PCA on
+    the quantized matrix, including the sign convention."""
+    ds, mat = _emb_ds(rows=120, dim=6)
+    k = 3
+    got = {r["vec_id"]: (r["pc0"], r["pc1"], r["pc2"])
+           for r in pca_project(ds, k=k).take_all()}
+
+    q = np.floor(mat.astype(np.float64) * 1e6 + 0.5).astype(np.int64)
+    x = q * 1e-6
+    mean = x.mean(axis=0)
+    c = (x - mean).T @ (x - mean) / len(x)
+    w, v = np.linalg.eigh(c)
+    order = np.argsort(w)[::-1][:k]
+    comps = v[:, order]
+    flips = np.where(
+        comps[np.abs(comps).argmax(axis=0), np.arange(k)] < 0, -1.0, 1.0
+    )
+    comps = comps * flips
+    p = np.round((x - mean) @ comps, 6)
+    for i in range(120):
+        assert np.allclose(got[i], p[i], atol=2e-6), i
+
+
+def test_pca_components_variance_order():
+    mean, eig, comps = pca_components(
+        ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet",
+                              columns=["vec_id", "embedding"]),
+        k=4,
+    )
+    assert mean.shape == (64,) and comps.shape == (64, 4)
+    assert all(eig[i] >= eig[i + 1] for i in range(3))
+    # components are orthonormal
+    assert np.allclose(comps.T @ comps, np.eye(4), atol=1e-9)
+
+
+def test_levenshtein_reference_cases():
+    assert levenshtein("kitten", "sitting") == 3
+    assert levenshtein("", "abc") == 3
+    assert levenshtein("abc", "") == 3
+    assert levenshtein("abc", "abc") == 0
+    assert levenshtein("flaw", "lawn") == 2
+    # random cross-check against the O(L²) scalar DP
+    rng = np.random.default_rng(3)
+
+    def scalar_dp(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[-1]
+
+    for _ in range(25):
+        a = "".join(rng.choice(list("abcd"), size=rng.integers(0, 12)))
+        b = "".join(rng.choice(list("abcd"), size=rng.integers(0, 12)))
+        assert levenshtein(a, b) == scalar_dp(a, b), (a, b)
+
+
+def test_edit_distance_pairs_blocked():
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+                "text": [
+                    "shared prefix one two three",
+                    "shared prefix one two four",  # same 16-char block as 1, 3
+                    "shared prefix one - different tail",
+                    "unique start here",
+                    "another lone doc",
+                ],
+            }
+        )
+    )
+    rows = edit_distance_pairs(docs, prefix_len=16, cap=120).take_all()
+    got = {(r["left_id"], r["right_id"]): r["dist"] for r in rows}
+    assert set(got) == {(1, 2), (1, 3), (2, 3)}
+    assert got[(1, 2)] == levenshtein(
+        "shared prefix one two three", "shared prefix one two four"
+    )
+
+
+def _ts(minute):
+    return dt.datetime(2024, 1, 1, 0, minute, 0)
+
+
+def test_interval_join_window_bounds():
+    """Window is [t-W, t): an event exactly W before counts, an event at
+    exactly t does not; bucket-boundary candidates resolve correctly."""
+    W = 600  # 10 min
+    rows = [
+        # user 1: purchase at :20; clicks at :10 (= t-W, in), :15 (in),
+        # :20 (= t, out), :25 (after, out)
+        (1, 1, "click", _ts(10), 1.5),
+        (2, 1, "click", _ts(15), 2.25),
+        (3, 1, "purchase", _ts(20), 9.0),
+        (4, 1, "click", _ts(20), 4.0),
+        (5, 1, "click", _ts(25), 8.0),
+        # user 2: purchase with no clicks
+        (6, 2, "purchase", _ts(30), 1.0),
+        # user 3: click crossing a bucket boundary relative to purchase
+        (7, 3, "click", _ts(9), 0.5),
+        (8, 3, "purchase", _ts(11), 2.0),
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                "user_id": pa.array([r[1] for r in rows], type=pa.int64()),
+                "event_type": [r[2] for r in rows],
+                "ts": pa.array([r[3] for r in rows], type=pa.timestamp("us")),
+                "value": pa.array([r[4] for r in rows], type=pa.float64()),
+            }
+        )
+    )
+    out = {
+        r["event_id"]: (r["n_prior"], r["sum_value_q"])
+        for r in interval_join_events(
+            ds, left_type="purchase", right_type="click", window_s=W
+        ).take_all()
+    }
+    assert out[3] == (2, 1_500_000 + 2_250_000)
+    assert out[6] == (0, 0)
+    assert out[8] == (1, 500_000)
+    assert set(out) == {3, 6, 8}
+
+
+def test_grouped_running_total_hand_case():
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1, 1, 1, 2, 2], type=pa.int64()),
+                "o": pa.array([3, 1, 2, 1, 2], type=pa.int64()),
+                "v": pa.array([1.5, 2.0, 3.25, 10.0, 0.5], type=pa.float64()),
+            }
+        )
+    )
+    rows = grouped_running_total(ds, key="k", order=["o"], val="v").take_all()
+    got = {(r["k"], r["o"]): r["running_q"] for r in rows}
+    assert got == {
+        (1, 1): 2_000_000,
+        (1, 2): 5_250_000,
+        (1, 3): 6_750_000,
+        (2, 1): 10_000_000,
+        (2, 2): 10_500_000,
+    }
