@@ -5384,6 +5384,19 @@ def _q_customer_running_total(sf_dir: str):
     )
 
 
+def _q_pagerank_neardup(sf_dir: str):
+    """PageRank centrality over the MinHash near-dup candidate graph
+    (stages/graph.py): the canonical-copy selection signal — one
+    component-labeling pass + one component co-group, ALL damping
+    iterations vectorized in-partition (no per-iteration shuffle).
+    Integer micro-unit spec mirrored exactly by the unrolled SQL."""
+    from docling_api_ray.stages.graph import pagerank
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    pairs = dd.minhash_lsh_pairs(docs, threshold=0.7)
+    return pagerank(_docs(sf_dir, ["doc_id"]), pairs, iters=3)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "classify_format": _q_classify,
@@ -5536,6 +5549,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_join": _q_interval_join,
         "edit_distance_pairs": _q_edit_distance_pairs,
         "customer_running_total": _q_customer_running_total,
+        "pagerank_neardup": _q_pagerank_neardup,
     }
 
 
@@ -5869,6 +5883,44 @@ def _bm25_oracle_sql(terms: list[str]) -> str:
         SELECT d.doc_id,
                round(({total}) * 1000000) / 1000000.0 AS score
         FROM normed d CROSS JOIN stats s
+    """
+
+
+def _pagerank_oracle_sql(iters: int = 3, threshold: float = 0.7) -> str:
+    """Exact SQL mirror of stages/graph.py pagerank over the verified
+    minhash pair set: the same integer micro-unit recurrence
+    rank' = 150000 + (850000 · Σ rank//deg) // 1000000, unrolled
+    ``iters`` times (each step one join+aggregate over the bidirected
+    edge list).  HUGEINT guards the 850000·s product; every division is
+    integer floor on non-negative values, matching numpy int64 ``//``."""
+    steps = []
+    prev = "r0"
+    for t in range(1, iters + 1):
+        steps.append(f"""
+        c{t} AS (SELECT e.dst AS node,
+                        CAST(sum(r.rq // d.deg) AS BIGINT) AS c
+                 FROM edges e
+                 JOIN {prev} r ON r.node = e.node
+                 JOIN deg d ON d.node = e.node
+                 GROUP BY 1),
+        r{t} AS (SELECT n.node,
+                        CAST(150000 + (CAST(850000 AS HUGEINT)
+                                       * coalesce(c.c, 0)) // 1000000
+                             AS BIGINT) AS rq
+                 FROM r0 n LEFT JOIN c{t} c USING (node))""")
+        prev = f"r{t}"
+    return f"""
+        WITH pairs AS (
+          SELECT left_id, right_id FROM ({_minhash_oracle_sql(threshold)}) q
+        ),
+        edges AS (SELECT left_id AS node, right_id AS dst FROM pairs
+                  UNION ALL
+                  SELECT right_id, left_id FROM pairs),
+        deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+                FROM edges GROUP BY 1),
+        r0 AS (SELECT doc_id AS node, CAST(1000000 AS BIGINT) AS rq
+               FROM documents),{",".join(steps)}
+        SELECT node AS doc_id, rq AS rank_q FROM {prev}
     """
 
 
@@ -8395,4 +8447,5 @@ def oracle_sql() -> dict[str, str]:
                           AS BIGINT) AS running_q
               FROM orders)
     """
+    out["pagerank_neardup"] = _pagerank_oracle_sql(iters=3, threshold=0.7)
     return out

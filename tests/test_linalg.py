@@ -203,3 +203,41 @@ def test_grouped_running_total_hand_case():
         (2, 1): 10_000_000,
         (2, 2): 10_500_000,
     }
+
+
+def test_pagerank_hand_graph():
+    """Star a-center + 2-cycle + isolated node, 2 iterations, checked
+    against a scalar reference of the integer recurrence."""
+    from docling_api_ray.stages.graph import pagerank
+
+    nodes = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([1, 2, 3, 4, 10, 11, 99], type=pa.int64())})
+    )
+    # star: 1-2, 1-3, 1-4 ; cycle: 10-11 ; isolated: 99
+    pairs = ray.data.from_arrow(
+        pa.table(
+            {
+                "left_id": pa.array([1, 1, 1, 10], type=pa.int64()),
+                "right_id": pa.array([2, 3, 4, 11], type=pa.int64()),
+            }
+        )
+    )
+    got = {
+        r["doc_id"]: r["rank_q"]
+        for r in pagerank(nodes, pairs, iters=2).take_all()
+    }
+
+    # scalar reference
+    adj = {1: [2, 3, 4], 2: [1], 3: [1], 4: [1], 10: [11], 11: [10], 99: []}
+    rq = {v: 1_000_000 for v in adj}
+    for _ in range(2):
+        contrib = {v: (rq[v] // len(adj[v])) if adj[v] else 0 for v in adj}
+        nxt = {}
+        for v in adj:
+            s = sum(contrib[u] for u in adj if v in adj[u])
+            nxt[v] = 150_000 + (850_000 * s) // 1_000_000
+        rq = nxt
+    assert got == rq
+    # the hub out-ranks the leaves
+    assert got[1] > got[2] == got[3] == got[4]
+    assert got[99] == 150_000
