@@ -5397,6 +5397,20 @@ def _q_pagerank_neardup(sf_dir: str):
     return pagerank(_docs(sf_dir, ["doc_id"]), pairs, iters=3)
 
 
+def _q_ridge_predict(sf_dir: str):
+    """Closed-form distributed ridge regression of ``label`` on the
+    embedding column (stages/linalg.py ridge_fit/ridge_predict): ONE
+    exact integer sufficient-statistics fold (dim²+2·dim+2 rows) →
+    driver-side normal-equation solve → stateless scoring pass.  Matrix
+    solve is not SQL-expressible; pinned against one-shot numpy in
+    tests/test_linalg.py."""
+    from docling_api_ray.stages.linalg import ridge_predict
+
+    return ridge_predict(
+        _emb(sf_dir, ["vec_id", "embedding", "label"]), lam=1.0
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "classify_format": _q_classify,
@@ -5550,6 +5564,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edit_distance_pairs": _q_edit_distance_pairs,
         "customer_running_total": _q_customer_running_total,
         "pagerank_neardup": _q_pagerank_neardup,
+        "ridge_predict": _q_ridge_predict,
     }
 
 

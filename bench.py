@@ -200,6 +200,7 @@ def _bench_once() -> dict:
         "edit_distance_pairs",
         "customer_running_total",
         "pagerank_neardup",
+        "ridge_predict",
     ]
     # INTERLEAVED repetitions + medians (VERDICT r2 #1): this container's
     # co-tenant jitter is ±30-50% and can hold a multi-second plateau —

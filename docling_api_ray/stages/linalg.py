@@ -240,3 +240,108 @@ def pca_project(ds: ray.data.Dataset, k: int = 4) -> ray.data.Dataset:
         return pa.table(cols)
 
     return ds.map_batches(project, batch_format="pyarrow")
+
+
+def ridge_fit(
+    ds: ray.data.Dataset,
+    *,
+    label_col: str = "label",
+    lam: float = 1.0,
+) -> tuple[np.ndarray, float]:
+    """Closed-form ridge regression of ``label_col`` on the embedding
+    column — the linear-probe fit behind embedding-quality classifiers,
+    in the same "sufficient statistics fit, data doesn't" regime as
+    ``pca_components``.
+
+    ONE streaming pass folds the exact integer sufficient statistics
+    (XᵀX via the gram partial, Xᵀy and Σy via label-weighted sums,
+    count) into dim² + 2·dim + 2 rows; the driver then solves the
+    (dim+1)×(dim+1) centered normal equations.  No iteration, no
+    materialization, deterministic (integer folds are order-free).
+
+    Returns (weights (dim,), intercept)."""
+    schema = pa.schema([("i", pa.int64()), ("j", pa.int64()), ("v", pa.int64())])
+
+    def partial(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return schema.empty_table()
+        q = quantized_matrix(b["embedding"])
+        if q.size == 0:
+            return schema.empty_table()
+        y = np.asarray(b[label_col], dtype=np.int64)
+        dim = q.shape[1]
+        g = q.T @ q                      # (i, j): Σ q_i q_j
+        xy = q.T @ y                     # (i, -2): Σ q_i y
+        s = q.sum(axis=0)                # (i, -1): Σ q_i
+        rng = np.arange(dim, dtype=np.int64)
+        i = np.concatenate(
+            [np.repeat(rng, dim), rng, rng,
+             np.array([-1, -2], dtype=np.int64)]
+        )
+        j = np.concatenate(
+            [np.tile(rng, dim),
+             np.full(dim, -1, dtype=np.int64),
+             np.full(dim, -2, dtype=np.int64),
+             np.array([-1, -2], dtype=np.int64)]
+        )
+        v = np.concatenate(
+            [g.ravel(), s, xy,
+             np.array([len(q), y.sum()], dtype=np.int64)]
+        )
+        return pa.table({"i": pa.array(i), "j": pa.array(j), "v": pa.array(v)})
+
+    def fold(b: pa.Table) -> pa.Table:
+        g = b.group_by(["i", "j"]).aggregate([("v", "sum")])
+        return g.rename_columns(["i", "j", "v"])
+
+    rows = two_level_fold(
+        ds.map_batches(partial, batch_format="pyarrow"), fold
+    ).take_all()
+    n = next(r["v"] for r in rows if r["i"] == -1 and r["j"] == -1)
+    ysum = next(r["v"] for r in rows if r["i"] == -2 and r["j"] == -2)
+    dim = max(r["i"] for r in rows) + 1
+    s = np.zeros(dim, dtype=np.float64)
+    xy = np.zeros(dim, dtype=np.float64)
+    g = np.zeros((dim, dim), dtype=np.float64)
+    for r in rows:
+        if r["i"] < 0:
+            continue
+        if r["j"] == -1:
+            s[r["i"]] = r["v"]
+        elif r["j"] == -2:
+            xy[r["i"]] = r["v"]
+        else:
+            g[r["i"], r["j"]] = r["v"]
+    sc = 1e-6  # micro-units → original float units
+    mean = s * sc / n
+    ymean = ysum / n
+    # centered normal equations: (XcᵀXc + λI) w = Xcᵀyc
+    xtx = g * sc * sc - np.outer(mean, s * sc)
+    xty = xy * sc - mean * ysum
+    w = np.linalg.solve(xtx + lam * np.eye(dim), xty)
+    return w, float(ymean - mean @ w)
+
+
+def ridge_predict(
+    ds: ray.data.Dataset, *, label_col: str = "label", lam: float = 1.0
+) -> ray.data.Dataset:
+    """Fit ridge on the full stream, then score every row in a second
+    stateless pass (weights value-captured, kilobytes per task):
+    (vec_id, pred) with pred rounded to 6 dp.  Not SQL-expressible
+    (matrix solve) — pinned against a one-shot numpy solve in
+    tests/test_linalg.py."""
+    w, b0 = ridge_fit(ds, label_col=label_col, lam=lam)
+    out_schema = pa.schema([("vec_id", pa.int64()), ("pred", pa.float64())])
+
+    def score(bt: pa.Table) -> pa.Table:
+        if len(bt) == 0:
+            return out_schema.empty_table()
+        q = quantized_matrix(bt["embedding"]).astype(np.float64) * 1e-6
+        return pa.table(
+            {
+                "vec_id": pa.array(np.asarray(bt["vec_id"], dtype=np.int64)),
+                "pred": pa.array(np.round(q @ w + b0, 6)),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")

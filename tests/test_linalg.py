@@ -241,3 +241,38 @@ def test_pagerank_hand_graph():
     # the hub out-ranks the leaves
     assert got[1] > got[2] == got[3] == got[4]
     assert got[99] == 150_000
+
+
+def test_ridge_fit_matches_numpy():
+    """Distributed sufficient-statistics ridge == one-shot numpy solve on
+    the quantized matrix."""
+    from docling_api_ray.stages.linalg import ridge_fit
+
+    rng = np.random.default_rng(11)
+    n, dim = 200, 5
+    mat = rng.normal(size=(n, dim)).astype(np.float32)
+    w_true = np.array([1.0, -2.0, 0.5, 0.0, 3.0])
+    y = (mat @ w_true + 0.7 + rng.normal(scale=0.1, size=n)).astype(np.int64)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                "embedding": pa.array(
+                    [list(map(float, r)) for r in mat],
+                    type=pa.list_(pa.float32()),
+                ),
+                "label": pa.array(y, type=pa.int64()),
+            }
+        )
+    )
+    w, b0 = ridge_fit(ds, lam=1.0)
+
+    q = np.floor(mat.astype(np.float64) * 1e6 + 0.5).astype(np.int64)
+    x = q * 1e-6
+    xm = x.mean(axis=0)
+    ym = y.mean()
+    xc = x - xm
+    w_ref = np.linalg.solve(xc.T @ xc + np.eye(dim), xc.T @ (y - ym))
+    b_ref = ym - xm @ w_ref
+    assert np.allclose(w, w_ref, atol=1e-9)
+    assert abs(b0 - b_ref) < 1e-9
