@@ -512,6 +512,19 @@ def _q_ngram_jaccard(sf_dir: str):
     )
 
 
+def _q_prefix_filter(sf_dir: str):
+    """EXACT global Jaccard self-join via prefix filtering (AllPairs /
+    PPJoin candidate generation, stages/dedup.prefix_filter_pairs) — no
+    blocking column, no signature approximation: the exact tier the
+    MinHash pipeline hands suspect ranges to at 100 TB."""
+    return _with_schema(
+        dd.prefix_filter_pairs(
+            _docs(sf_dir, ["doc_id", "text"]), threshold=0.8
+        ),
+        _PAIRS_J,
+    )
+
+
 def _q_dedup_minhash(sf_dir: str):
     return _with_schema(
         dd.minhash_lsh_pairs(_docs(sf_dir, ["doc_id", "text"]), threshold=0.7),
@@ -5436,6 +5449,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_stats": _q_dedup_exact_stats,
         "dedup_exact_rows": _q_dedup_exact_rows,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "prefix_filter_pairs": _q_prefix_filter,
         "decontaminate": _q_decontaminate,
         "dup_ngrams": _q_dup_ngrams,
         "dup_span_strip": _q_dup_span_strip,
@@ -6967,6 +6981,25 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
                   / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws)))
                   >= {_JACCARD_TH}
+        """,
+        # the 4/5 integer length filter is implied by jaccard >= 0.8 (a
+        # float 0.8*greatest join filter would EXCLUDE exact-4/5 pairs:
+        # fl(0.8) > 4/5, e.g. lw 4 vs 5 with a 4-token intersection);
+        # the threshold applies to the RAW quotient, rounding only in
+        # the projection (ADVICE r3 lesson)
+        "prefix_filter_pairs": """
+            WITH w AS (SELECT doc_id,
+                              list_distinct(string_split(text, ' ')) AS ws,
+                              len(list_distinct(string_split(text, ' '))) AS lw
+                       FROM documents WHERE length(text) > 0)
+            SELECT left_id, right_id, round(j, 6) AS jaccard FROM (
+              SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+                     CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+                       / (a.lw + b.lw - len(list_intersect(a.ws, b.ws))) AS j
+              FROM w a JOIN w b
+                ON a.doc_id < b.doc_id
+               AND least(a.lw, b.lw) * 5 >= greatest(a.lw, b.lw) * 4)
+            WHERE j >= 0.8
         """,
         "embedding_neardup": f"""
             WITH e AS (SELECT vec_id, label,

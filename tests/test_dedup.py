@@ -642,3 +642,98 @@ def test_dup_span_keep_first_winner_retains_span():
     assert got[1] == "tailB"
     assert got[2] == "fresh unique content here"
     assert list(out["n_removed"]) == [0, 3, 0]
+
+
+def _brute_jaccard_pairs(ids, texts, threshold):
+    """All-pairs set Jaccard over string_split(text, ' ') tokens — the
+    reference semantics prefix_filter_pairs claims to match exactly."""
+    sets = {i: set(t.split(" ")) if t else set() for i, t in zip(ids, texts)}
+    out = {}
+    ks = sorted(sets)
+    for ai in range(len(ks)):
+        for bi in range(ai + 1, len(ks)):
+            a, b = ks[ai], ks[bi]
+            if not sets[a] or not sets[b]:
+                continue
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            j = inter / union
+            if j >= threshold:
+                out[(a, b)] = round(j, 6)
+    return out
+
+
+def test_prefix_filter_pairs_planted():
+    from docling_api_ray.stages.dedup import prefix_filter_pairs
+
+    out = prefix_filter_pairs(_docs(), threshold=0.8).take_all()
+    pairs = {(r["left_id"], r["right_id"]): r["jaccard"] for r in out}
+    assert pairs[(0, 1)] == 1.0          # exact dup
+    assert pairs.get((0, 2), 0) >= 0.8   # 1-word swap near-dup
+    assert not any(3 in p for p in pairs)  # FAR doc matches nothing
+
+
+def test_prefix_filter_pairs_exact_vs_bruteforce():
+    """Prefix filtering is EXACT: every qualifying pair — including the
+    boundary min_len*5 == max_len*4 case a float length filter would
+    drop — must appear, with the exact Jaccard, and nothing else."""
+    from docling_api_ray.stages.dedup import prefix_filter_pairs
+
+    rng = np.random.RandomState(11)
+    vocab = [f"w{i:03d}" for i in range(120)]
+    ids, texts = [], []
+    # clique of 6 near-dups around one 20-word base (heavy overlap)
+    base = [vocab[i] for i in rng.choice(120, 20, replace=False)]
+    for i in range(6):
+        ws = list(base)
+        if i:  # swap one word -> jaccard 19/21 ~ 0.905
+            ws[i] = vocab[100 + i]
+        ids.append(i)
+        texts.append(" ".join(ws))
+    # boundary pair: |A|=4, A subset of B, |B|=5 -> jaccard exactly 4/5
+    ids += [50, 51]
+    texts += ["a b c d", "a b c d e"]
+    # random background docs, mostly below threshold
+    for i in range(60, 100):
+        n = rng.randint(5, 25)
+        ids.append(i)
+        texts.append(" ".join(vocab[j] for j in rng.choice(120, n, replace=False)))
+    # empties and repeated-word docs (distinct-set semantics)
+    ids += [200, 201, 202]
+    texts += ["", "dup dup dup dup", "dup x"]
+
+    expected = _brute_jaccard_pairs(ids, texts, 0.8)
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": ids, "text": texts})
+    ).repartition(5)
+    got = {
+        (r["left_id"], r["right_id"]): r["jaccard"]
+        for r in prefix_filter_pairs(ds, threshold=0.8).take_all()
+    }
+    assert (50, 51) in expected and expected[(50, 51)] == 0.8  # boundary planted
+    assert got == expected
+
+
+def test_prefix_filter_pairs_tiny_head():
+    """top_f smaller than the vocabulary: the frequency-banded order
+    stays a consistent total order, so the result is still exact."""
+    from docling_api_ray.stages.dedup import prefix_filter_pairs
+
+    ids = list(range(8))
+    texts = [
+        "alpha beta gamma delta",
+        "alpha beta gamma delta",
+        "alpha beta gamma epsilon",
+        "zeta eta theta iota kappa",
+        "zeta eta theta iota kappa lamda",
+        "solo words here only once",
+        "alpha zeta solo mix four",
+        "",
+    ]
+    expected = _brute_jaccard_pairs(ids, texts, 0.7)
+    ds = ray.data.from_arrow(pa.table({"doc_id": ids, "text": texts}))
+    got = {
+        (r["left_id"], r["right_id"]): r["jaccard"]
+        for r in prefix_filter_pairs(ds, threshold=0.7, top_f=3).take_all()
+    }
+    assert got == expected
