@@ -5424,6 +5424,135 @@ def _q_ridge_predict(sf_dir: str):
     )
 
 
+def _q_triangle_neardup(sf_dir: str):
+    """Per-document triangle count + degree over the MinHash near-dup
+    candidate graph (stages/graph.py triangle_counts): the
+    cluster-cohesion signal — a doc whose neighbors also pair with each
+    other sits inside a tight template cluster; a high-degree
+    zero-triangle doc is a boilerplate bridge.  Reuses pagerank's
+    component co-group; the wedge join is degree-oriented (compact
+    forward), so triangles are each generated once and the in-partition
+    candidate set is m^1.5-bounded."""
+    from docling_api_ray.stages.graph import triangle_counts
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    pairs = dd.minhash_lsh_pairs(docs, threshold=0.7)
+    return triangle_counts(_docs(sf_dir, ["doc_id"]), pairs)
+
+
+def _q_cube_counts(sf_dir: str):
+    """GROUP BY CUBE(source, lang) counts + char totals: all four
+    grouping sets derived from the ONE bounded leaf aggregate
+    (|sources|x|langs| rows, corpus-independent) in a single-block pass
+    — the corpus is scanned exactly once, same plan as rollup_counts
+    with the missing (lang) set added.  '<all>' sentinels replace the
+    SQL NULLs."""
+    import pandas as pd
+
+    leaf = bounded_groupby_sum(
+        _docs(sf_dir, ["source", "lang", "n_chars"]),
+        ["source", "lang"],
+        sum_cols={"chars_total": "n_chars"},
+        count_alias="n_docs",
+    )
+
+    out_schema = pa.schema(
+        [
+            ("source", pa.string()),
+            ("lang", pa.string()),
+            ("n_docs", pa.int64()),
+            ("chars_total", pa.int64()),
+        ]
+    )
+
+    def cube(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        cols = ["source", "lang", "n_docs", "chars_total"]
+        vals = ["n_docs", "chars_total"]
+        by_src = (
+            df.groupby("source", as_index=False)[vals]
+            .sum()
+            .assign(lang="<all>")
+        )
+        by_lang = (
+            df.groupby("lang", as_index=False)[vals]
+            .sum()
+            .assign(source="<all>")
+        )
+        total = pd.DataFrame(
+            {
+                "source": ["<all>"],
+                "lang": ["<all>"],
+                "n_docs": [df["n_docs"].sum()],
+                "chars_total": [df["chars_total"].sum()],
+            }
+        )
+        out = pd.concat(
+            [df[cols], by_src[cols], by_lang[cols], total[cols]],
+            ignore_index=True,
+        )
+        return pa.Table.from_pandas(out, preserve_index=False).cast(out_schema)
+
+    return leaf.map_batches(cube, batch_format="pyarrow", batch_size=None)
+
+
+def _q_source_ntile(sf_dir: str):
+    """Exact SQL NTILE(4) per source over (n_chars, doc_id) order
+    (stages/stats.py grouped_ntile): equal-population quality-band
+    assignment with SQL's remainder rule — one bounded (source x
+    n_chars) histogram broadcast + one minimal-payload tie exchange, no
+    corpus-wide sort."""
+    from docling_api_ray.stages.stats import grouped_ntile
+
+    return grouped_ntile(
+        _docs(sf_dir, ["doc_id", "source", "n_chars"]), tiles=4
+    )
+
+
+def _q_pareto_frontier(sf_dir: str):
+    """Pareto frontier over (n_words, quality logit) — the documents no
+    other doc beats on BOTH length and classifier quality
+    (stages/selection.py skyline_max2).  The skyline fold is
+    associative + idempotent, so the whole operator is one
+    two_level_fold: zero shuffle, zero driver state; exact float
+    compare holds because the logit is quantized to 1e-6 before
+    folding (same contract as quality_logit)."""
+    from docling_api_ray.stages.selection import skyline_max2
+
+    def scored(b: pa.Table) -> pa.Table:
+        qs = ta.quality_scores(b)
+        lg = ta.quality_logit(qs)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_words": qs["n_words"],
+                "logit": lg["logit"],
+            }
+        )
+
+    return skyline_max2(
+        _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            scored, batch_format="pyarrow"
+        ),
+        x_col="n_words",
+        y_col="logit",
+    )
+
+
+def _q_user_event_sequence(sf_dir: str):
+    """Ordered collect_list per user (stages/windows.py
+    user_event_sequences): first 12 event types by (ts, event_id)
+    joined into a '>' path string + total event count — ONE user-hash
+    exchange of the minimal payload, sequence assembly vectorized
+    in-partition."""
+    from docling_api_ray.stages.windows import user_event_sequences
+
+    return user_event_sequences(
+        _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"]),
+        k=12,
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "classify_format": _q_classify,
@@ -5578,6 +5707,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edit_distance_pairs": _q_edit_distance_pairs,
         "customer_running_total": _q_customer_running_total,
         "pagerank_neardup": _q_pagerank_neardup,
+        "triangle_neardup": _q_triangle_neardup,
+        "cube_counts": _q_cube_counts,
+        "source_ntile": _q_source_ntile,
+        "pareto_frontier": _q_pareto_frontier,
+        "user_event_sequence": _q_user_event_sequence,
         "ridge_predict": _q_ridge_predict,
     }
 
@@ -8496,4 +8630,96 @@ def oracle_sql() -> dict[str, str]:
               FROM orders)
     """
     out["pagerank_neardup"] = _pagerank_oracle_sql(iters=3, threshold=0.7)
+    # mirrors _q_triangle_neardup: pairs are left<right distinct, so a
+    # triangle a<b<c is generated exactly once by (a,b)+(b,c)+(a,c)
+    out["triangle_neardup"] = f"""
+        WITH pairs AS (
+          SELECT left_id, right_id FROM ({_minhash_oracle_sql(0.7)}) q
+        ),
+        tri AS (SELECT p1.left_id AS a, p1.right_id AS b, p2.right_id AS c
+                FROM pairs p1
+                JOIN pairs p2 ON p2.left_id = p1.right_id
+                JOIN pairs p3 ON p3.left_id = p1.left_id
+                             AND p3.right_id = p2.right_id),
+        tn AS (SELECT a AS node FROM tri
+               UNION ALL SELECT b FROM tri
+               UNION ALL SELECT c FROM tri),
+        tc AS (SELECT node, CAST(count(*) AS BIGINT) AS triangles
+               FROM tn GROUP BY 1),
+        ed AS (SELECT left_id AS node FROM pairs
+               UNION ALL SELECT right_id FROM pairs),
+        dg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+               FROM ed GROUP BY 1)
+        SELECT d.doc_id,
+               CAST(coalesce(tc.triangles, 0) AS BIGINT) AS triangles,
+               CAST(coalesce(dg.deg, 0) AS BIGINT) AS deg
+        FROM documents d
+        LEFT JOIN tc ON tc.node = d.doc_id
+        LEFT JOIN dg ON dg.node = d.doc_id
+    """
+    # mirrors _q_cube_counts ('<all>' sentinels for the rollup NULLs;
+    # the synthetic corpus has no NULL/'<all>' source or lang values)
+    out["cube_counts"] = """
+        SELECT coalesce(source, '<all>') AS source,
+               coalesce(lang, '<all>') AS lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS chars_total
+        FROM documents GROUP BY CUBE (source, lang)
+    """
+    # mirrors _q_source_ntile: NTILE's exact remainder semantics with
+    # the deterministic (n_chars, doc_id) tiebreak
+    out["source_ntile"] = """
+        SELECT doc_id, source, n_chars,
+               CAST(ntile(4) OVER (PARTITION BY source
+                                   ORDER BY n_chars, doc_id)
+                    AS BIGINT) AS tile
+        FROM documents
+    """
+    # mirrors _q_pareto_frontier: the same quantized quality_logit
+    # feature CTEs, then textbook NOT-EXISTS dominance (>= both, > one)
+    out["pareto_frontier"] = f"""
+        WITH f AS (
+          SELECT doc_id,
+                 CAST(length(regexp_extract_all(text, $${wsre}$$)) AS BIGINT)
+                   AS n_words,
+                 round(length(regexp_extract_all(text, $${punct}$$))
+                       / greatest(length(text), 1), 6) AS punct_ratio,
+                 round(length(regexp_extract_all(text, $${stop}$$))
+                       / greatest(length(regexp_extract_all(text, $${wsre}$$)), 1), 6)
+                   AS stopword_ratio,
+                 round((length(text) - (length(regexp_extract_all(text, $${wsre}$$)) - 1))
+                       / greatest(length(regexp_extract_all(text, $${wsre}$$)), 1), 6)
+                   AS mean_word_len
+          FROM documents
+        ),
+        l AS (
+          SELECT doc_id, n_words,
+                 round(((((-0.6 + (-8.0 * punct_ratio))
+                          + (6.0 * stopword_ratio))
+                         + (-0.25 * mean_word_len))
+                        + (0.35 * ln(1.0 + n_words))) * 1000000)
+                   / 1000000.0 AS logit
+          FROM f
+        )
+        SELECT a.doc_id, a.n_words, a.logit
+        FROM l a
+        WHERE NOT EXISTS (
+          SELECT 1 FROM l b
+          WHERE b.n_words >= a.n_words AND b.logit >= a.logit
+            AND (b.n_words > a.n_words OR b.logit > a.logit))
+    """
+    # mirrors _q_user_event_sequence: ordered string_agg over the first
+    # 12 events per user by (ts, event_id)
+    out["user_event_sequence"] = """
+        WITH r AS (SELECT user_id, event_type, ts, event_id,
+                          row_number() OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS rn
+                   FROM events),
+        n AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+              FROM events GROUP BY 1),
+        s AS (SELECT user_id,
+                     string_agg(event_type, '>' ORDER BY ts, event_id) AS seq
+              FROM r WHERE rn <= 12 GROUP BY 1)
+        SELECT n.user_id, n.n_events, s.seq FROM n JOIN s USING (user_id)
+    """
     return out

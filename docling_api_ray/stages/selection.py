@@ -726,3 +726,72 @@ def grouped_quantile_cogroup(
     return _cogrouped(narrow, key_col).map_groups(
         fold, batch_format="pandas"
     )
+
+
+def skyline_max2(
+    ds: ray.data.Dataset,
+    *,
+    x_col: str,
+    y_col: str,
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Pareto frontier (2-D skyline, maximize both columns) — the
+    "no document is both longer AND higher-quality" selection set a
+    curation run keeps when two desiderata trade off.
+
+    Dominance: a row is dropped iff some other row is >= on both
+    dimensions and strictly > on at least one; exact-duplicate points
+    all survive (neither strictly dominates).
+
+    Scale shape: the skyline operator is a textbook associative,
+    IDEMPOTENT fold — skyline(A ∪ B) = skyline(skyline(A) ∪
+    skyline(B)) — so it rides ``two_level_fold``: every batch reduces
+    to its local frontier with one vectorized grouped-max scan (sort by
+    x desc, prefix-strict-max of y), bundles fold pairwise, and only
+    the final frontier (bounded by the distinct-x domain of surviving
+    points, corpus-independent for quantized metrics) reaches one
+    block.  No shuffle, no driver state.
+
+    Output: (id, x, y) — frontier rows only."""
+    from docling_api_ray.stages.common import two_level_fold
+
+    out_schema = pa.schema(
+        [
+            (id_col, pa.int64()),
+            (x_col, pa.int64()),
+            (y_col, pa.float64()),
+        ]
+    )
+
+    def fold(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return out_schema.empty_table()
+        ids = np.asarray(b[id_col], dtype=np.int64)
+        x = np.asarray(b[x_col], dtype=np.int64)
+        y = np.asarray(b[y_col], dtype=np.float64)
+        # group rows by distinct x descending; a row survives iff its y
+        # equals its x-group max AND that max strictly exceeds every
+        # higher-x group's max (>= from a higher x dominates)
+        order = np.lexsort((ids, -y, -x))
+        xs, ys = x[order], y[order]
+        grp_start = np.concatenate(([True], xs[1:] != xs[:-1]))
+        gidx = np.cumsum(grp_start) - 1  # group ordinal per sorted row
+        gmax = ys[grp_start]  # first row of each x-group = its max y
+        # strict running max of y over strictly-greater x groups
+        prev = np.concatenate(
+            ([-np.inf], np.maximum.accumulate(gmax)[:-1])
+        )
+        keep_grp = gmax > prev
+        keep = keep_grp[gidx] & (ys == gmax[gidx])
+        sel = order[keep]
+        return pa.table(
+            {
+                id_col: pa.array(ids[sel]),
+                x_col: pa.array(x[sel]),
+                y_col: pa.array(y[sel]),
+            }
+        )
+
+    return two_level_fold(
+        ds.select_columns([id_col, x_col, y_col]), fold
+    )

@@ -463,3 +463,109 @@ def grouped_percent_rank(
     return ds.select_columns([id_col, group_col, value_col]).map_batches(
         attach, batch_format="pyarrow"
     )
+
+
+def grouped_ntile(
+    ds: ray.data.Dataset,
+    *,
+    tiles: int = 4,
+    group_col: str = "source",
+    value_col: str = "n_chars",
+    id_col: str = "doc_id",
+    max_hist_rows: int = 2_000_000,
+) -> ray.data.Dataset:
+    """SQL ``ntile(k) OVER (PARTITION BY group ORDER BY value, id)`` —
+    the equal-population bucketing step of per-source curriculum /
+    quality-band assignment, with SQL's exact remainder rule (the first
+    ``n mod k`` tiles get the extra row).
+
+    NTILE is row_number-based, so unlike ``grouped_percent_rank`` a tie
+    among equal values must be broken (by ``id``).  Same split as
+    ``global_rank``: the per-(group, value) strictly-less prefix and the
+    per-group totals come from ONE bounded histogram broadcast, and the
+    within-tie id-order comes from ONE minimal-payload exchange hashed
+    by ``value`` — every row of a tie group lands in the same partition,
+    where a stable in-partition sort + cumcount resolves it.  No
+    corpus-wide sort; the exchange payload is (id, group, value).
+
+    Output: (id, group, value, tile int64 1-based)."""
+    import pandas as pd
+
+    from docling_api_ray.stages.common import coalesce_narrow, shuffle_partitions
+
+    hist = (
+        ds.select_columns([group_col, value_col])
+        .groupby([group_col, value_col])
+        .count()
+        .take_all()
+    )
+    if len(hist) > max_hist_rows:
+        raise RuntimeError(
+            f"grouped_ntile: {len(hist)} (group, value) cells exceed "
+            f"max_hist_rows={max_hist_rows}; the value domain is not "
+            "bounded"
+        )
+    hist.sort(key=lambda r: (str(r[group_col]), int(r[value_col])))
+    less: dict[tuple[str, int], int] = {}
+    totals: dict[str, int] = {}
+    for r in hist:
+        g = str(r[group_col])
+        acc = totals.get(g, 0)
+        less[(g, int(r[value_col]))] = acc
+        totals[g] = acc + int(r["count()"])
+    ref = ray.put((less, totals))
+
+    def add_part(b: pa.Table) -> pa.Table:
+        v = np.asarray(b[value_col], dtype=np.int64)
+        return b.select([id_col, group_col, value_col]).append_column(
+            "__part",
+            pa.array(
+                np.abs(v * 2654435761 % 2**31) % shuffle_partitions(),
+                type=pa.int64(),
+            ),
+        )
+
+    def tie_tile(df: "pd.DataFrame") -> pa.Table:
+        less_, totals_ = ray.get(ref)
+        df = df.sort_values([group_col, value_col, id_col], kind="stable")
+        tie = (
+            df.groupby([group_col, value_col], sort=False)
+            .cumcount()
+            .to_numpy(dtype=np.int64)
+        )
+        base = np.fromiter(
+            (
+                less_[(str(g), int(v))]
+                for g, v in zip(df[group_col], df[value_col])
+            ),
+            dtype=np.int64,
+            count=len(df),
+        )
+        rank = base + tie + 1  # 1-based row_number within the group
+        n_g = df[group_col].map(totals_).to_numpy(dtype=np.int64)
+        # SQL NTILE remainder rule: with q = n//k, r = n%k, the first r
+        # tiles hold q+1 rows; branch on which region the rank falls in
+        q, r = n_g // tiles, n_g % tiles
+        cut = r * (q + 1)
+        in_big = rank <= cut
+        tile = np.where(
+            in_big,
+            (rank - 1) // np.maximum(q + 1, 1) + 1,
+            r + (rank - cut - 1) // np.maximum(q, 1) + 1,
+        ).astype(np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(df[id_col].to_numpy(dtype=np.int64)),
+                group_col: pa.array(df[group_col].astype(str)),
+                value_col: pa.array(
+                    df[value_col].to_numpy(dtype=np.int64)
+                ),
+                "tile": pa.array(tile),
+            }
+        )
+
+    return (
+        coalesce_narrow(ds.map_batches(add_part, batch_format="pyarrow"))
+        .groupby("__part")
+        .map_groups(tie_tile, batch_format="pandas")
+    )

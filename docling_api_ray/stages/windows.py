@@ -790,3 +790,65 @@ def grouped_running_total(
         .groupby("__part")
         .map_groups(per_partition, batch_format="pandas")
     )
+
+
+def user_event_sequences(
+    ds: ray.data.Dataset,
+    *,
+    k: int = 12,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    sep: str = ">",
+) -> ray.data.Dataset:
+    """Ordered collect_list per user: the first ``k`` event types by
+    ``(ts, event_id)`` joined into one path string — the behavioral
+    "journey" feature a sequence model or funnel analysis trains on.
+
+    Shape: ONE (user mod P) exchange of the minimal (user, ts, id,
+    type) payload, then everything in-partition: a stable vectorized
+    sort, grouped cumcount head-``k`` mask, and the per-user join.  The
+    string join itself is per-USER work (bounded by distinct users in
+    the partition, each concatenating ≤ k short tokens) — not per-event
+    python.  Truncating to ``k`` before the join bounds the output row
+    width regardless of how hot a user is.
+
+    Output: (user_id, n_events int64 = total events, seq string)."""
+    P = _parts()
+
+    def add_part(b: pa.Table) -> pa.Table:
+        u = np.asarray(b[user_col], dtype=np.int64)
+        return b.select([user_col, ts_col, id_col, type_col]).append_column(
+            "__part", pa.array(u % P, type=pa.int64())
+        )
+
+    out_schema = pa.schema(
+        [
+            (user_col, pa.int64()),
+            ("n_events", pa.int64()),
+            ("seq", pa.string()),
+        ]
+    )
+
+    def fold(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return out_schema.empty_table()
+        df = df.sort_values([user_col, ts_col, id_col], kind="stable")
+        n = df.groupby(user_col, sort=True)[type_col].size()
+        rn = df.groupby(user_col, sort=False).cumcount()
+        head = df[rn.to_numpy() < k]
+        seq = head.groupby(user_col, sort=True)[type_col].agg(sep.join)
+        return pa.table(
+            {
+                user_col: pa.array(seq.index.to_numpy(dtype=np.int64)),
+                "n_events": pa.array(n.to_numpy(dtype=np.int64)),
+                "seq": pa.array(seq.to_numpy(dtype=object), type=pa.string()),
+            }
+        )
+
+    return (
+        coalesce_narrow(ds.map_batches(add_part, batch_format="pyarrow"))
+        .groupby("__part")
+        .map_groups(fold, batch_format="pandas")
+    )

@@ -276,3 +276,38 @@ def test_ridge_fit_matches_numpy():
     b_ref = ym - xm @ w_ref
     assert np.allclose(w, w_ref, atol=1e-9)
     assert abs(b0 - b_ref) < 1e-9
+
+
+def test_triangle_counts_hand_graph():
+    """K4 (every vertex in 3 triangles) + a triangle-free path + an
+    isolated node; degree-oriented wedge join checked exactly."""
+    from docling_api_ray.stages.graph import triangle_counts
+
+    nodes = ray.data.from_arrow(
+        pa.table(
+            {"doc_id": pa.array([1, 2, 3, 4, 5, 6, 7, 99], type=pa.int64())}
+        )
+    )
+    # K4 on 1-4; path 5-6-7
+    pairs = ray.data.from_arrow(
+        pa.table(
+            {
+                "left_id": pa.array([1, 1, 1, 2, 2, 3, 5, 6], type=pa.int64()),
+                "right_id": pa.array([2, 3, 4, 3, 4, 4, 6, 7], type=pa.int64()),
+            }
+        )
+    )
+    got = {
+        r["doc_id"]: (r["triangles"], r["deg"])
+        for r in triangle_counts(nodes, pairs).take_all()
+    }
+    assert got == {
+        1: (3, 3),
+        2: (3, 3),
+        3: (3, 3),
+        4: (3, 3),
+        5: (0, 1),
+        6: (0, 2),
+        7: (0, 1),
+        99: (0, 0),
+    }

@@ -282,3 +282,26 @@ def test_grouped_select_survives_empty_and_all_nan_blocks():
     assert got[("a", 0.5)] == _expect(vals, 0.5)
     # group b contributed no valid values -> it must simply be absent
     assert set(k for k, _ in got) == {"a"}
+
+
+def test_skyline_max2_duplicates_and_dominance():
+    """Exact-duplicate frontier points all survive; >=/> dominance
+    drops interior points; fold is exercised across partitions."""
+    import pandas as pd
+    import ray.data
+
+    from docling_api_ray.stages.selection import skyline_max2
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5, 6, 7],
+            "x": [12, 10, 10, 9, 10, 12, 15],
+            "y": [0.5, 1.0, 1.0, 0.9, 0.9, 0.4, 0.2],
+        }
+    )
+    out = skyline_max2(
+        ray.data.from_pandas(df).repartition(4),
+        x_col="x",
+        y_col="y",
+    ).take_all()
+    assert sorted(r["doc_id"] for r in out) == [1, 2, 3, 7]

@@ -300,3 +300,36 @@ def test_grouped_percent_rank_ties_and_singleton():
     assert got[3] == 1.0
     assert got[4] == 0.0 and got[5] == 1.0
     assert got[6] == 0.0  # singleton group
+
+
+def test_grouped_ntile_remainder_and_small_groups():
+    """SQL NTILE remainder rule: 6 rows / 4 tiles -> sizes 2,2,1,1;
+    a group smaller than k gives one row per leading tile; ties on the
+    value break by doc_id."""
+    import pandas as pd
+    import ray.data
+
+    from docling_api_ray.stages.stats import grouped_ntile
+
+    df = pd.DataFrame(
+        {
+            "doc_id": range(13),
+            "source": ["a"] * 6 + ["b"] * 2 + ["c"] * 5,
+            "n_chars": [5, 5, 5, 5, 9, 9, 7, 3, 1, 2, 3, 4, 5],
+        }
+    )
+    out = (
+        grouped_ntile(
+            ray.data.from_pandas(df).repartition(4), tiles=4
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    got = dict(zip(out["doc_id"], out["tile"]))
+    # group a: order by (n_chars, doc_id) = docs 0,1,2,3,4,5 -> 1,1,2,2,3,4
+    assert [got[i] for i in range(6)] == [1, 1, 2, 2, 3, 4]
+    # group b: 2 rows < 4 tiles -> ranks become tiles (3 sorts before 7)
+    assert got[7] == 1 and got[6] == 2
+    # group c: 5 rows -> sizes 2,1,1,1 over ascending n_chars 1,2,3,4,5
+    assert [got[i] for i in range(8, 13)] == [1, 1, 2, 3, 4]

@@ -365,3 +365,31 @@ def test_rolling_active_users_window_and_observed_days():
         {"day_start": base + 2 * day, "active_users": 2},
         {"day_start": base + 9 * day, "active_users": 1},
     ]
+
+
+def test_user_event_sequences_truncation_and_ties():
+    """Head-k truncation, (ts, event_id) tie order, and total counts."""
+    import pandas as pd
+    import ray.data
+
+    from docling_api_ray.stages.windows import user_event_sequences
+
+    ts = pd.to_datetime(
+        ["2026-01-01 00:00:00"] * 2 + ["2026-01-01 00:00:01"] * 3,
+    )
+    df = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 1, 2],
+            "ts": list(ts[:4]) + [ts[4]],
+            "event_id": [11, 10, 12, 13, 20],
+            "event_type": ["b", "a", "c", "d", "x"],
+        }
+    )
+    out = {
+        r["user_id"]: (r["n_events"], r["seq"])
+        for r in user_event_sequences(
+            ray.data.from_pandas(df).repartition(3), k=3
+        ).take_all()
+    }
+    # user 1: ties at t0 order by event_id -> a,b then c (d truncated)
+    assert out == {1: (4, "a>b>c"), 2: (1, "x")}
