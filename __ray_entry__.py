@@ -5539,6 +5539,17 @@ def _q_pareto_frontier(sf_dir: str):
     )
 
 
+def _q_embedding_quantize(sf_dir: str):
+    """INT8 post-training quantization of the embedding column
+    (stages/linalg.py quantize_embeddings): per-dim min/max affine
+    codes — one dim-bounded range fold + broadcast, then a stateless
+    integer code pass.  Floor division on a non-negative numerator
+    makes the DuckDB ``//`` mirror bit-exact."""
+    from docling_api_ray.stages.linalg import quantize_embeddings
+
+    return quantize_embeddings(_emb(sf_dir, ["vec_id", "embedding"]))
+
+
 def _q_user_event_sequence(sf_dir: str):
     """Ordered collect_list per user (stages/windows.py
     user_event_sequences): first 12 event types by (ts, event_id)
@@ -5712,6 +5723,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_ntile": _q_source_ntile,
         "pareto_frontier": _q_pareto_frontier,
         "user_event_sequence": _q_user_event_sequence,
+        "embedding_quantize": _q_embedding_quantize,
         "ridge_predict": _q_ridge_predict,
     }
 
@@ -8707,6 +8719,24 @@ def oracle_sql() -> dict[str, str]:
           SELECT 1 FROM l b
           WHERE b.n_words >= a.n_words AND b.logit >= a.logit
             AND (b.n_words > a.n_words OR b.logit > a.logit))
+    """
+    # mirrors _q_embedding_quantize: same micro-unit quantizer CTE as
+    # random_projection, per-dim min/max, integer affine floor-div code
+    out["embedding_quantize"] = """
+        WITH vq AS (SELECT vec_id,
+                           list_transform(embedding, e ->
+                               CAST(floor(CAST(e AS DOUBLE) * 1000000
+                                          + 0.5) AS BIGINT)) AS q
+                    FROM embeddings),
+             vu AS (SELECT vec_id, unnest(q) AS v,
+                           unnest(range(len(q))) AS i
+                    FROM vq),
+             rng AS (SELECT i, min(v) AS mn, max(v) AS mx
+                     FROM vu GROUP BY 1)
+        SELECT vu.vec_id AS vec_id, CAST(vu.i AS BIGINT) AS i,
+               CAST((vu.v - r.mn) * 254 // greatest(r.mx - r.mn, 1) - 127
+                    AS BIGINT) AS code
+        FROM vu JOIN rng r USING (i)
     """
     # mirrors _q_user_event_sequence: ordered string_agg over the first
     # 12 events per user by (ts, event_id)

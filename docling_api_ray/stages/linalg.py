@@ -345,3 +345,101 @@ def ridge_predict(
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def quantize_embeddings(
+    ds: ray.data.Dataset,
+    *,
+    levels: int = 254,
+    id_col: str = "vec_id",
+) -> ray.data.Dataset:
+    """Post-training INT8 quantization of the embedding column — the
+    4x-storage-compression step a 100 TB vector corpus pays before ANN
+    serving: per-dimension min/max affine codes in [-levels/2, levels/2]
+    (symmetric 254-level int8 for the default).
+
+    Two passes, both bounded:
+      1. per-dim (min, max) RANGE fold — each batch reduces to ``dim``
+         rows, folded through ``two_level_fold`` (idempotent grouped
+         min/max), and only the dim-bounded result (64 rows here,
+         corpus-independent) reaches the driver for the broadcast.
+      2. stateless code pass — pure int64 affine
+         ``code = (q - mn) * levels // max(mx - mn, 1) - levels//2``
+         over the micro-unit quantized matrix; floor division on a
+         non-negative numerator, so the DuckDB ``//`` mirror is
+         bit-exact.
+
+    Output: long-format (vec_id, i, code) int64 rows (the same layout
+    as ``random_projection``, oracle-friendly and schema-stable)."""
+    rng_schema = pa.schema(
+        [("i", pa.int64()), ("mn", pa.int64()), ("mx", pa.int64())]
+    )
+
+    def rng_partial(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return rng_schema.empty_table()
+        q = quantized_matrix(b["embedding"])
+        if q.size == 0:
+            return rng_schema.empty_table()
+        return pa.table(
+            {
+                "i": pa.array(np.arange(q.shape[1], dtype=np.int64)),
+                "mn": pa.array(q.min(axis=0)),
+                "mx": pa.array(q.max(axis=0)),
+            }
+        )
+
+    def rng_fold(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return rng_schema.empty_table()
+        df = b.to_pandas()
+        agg = (
+            df.groupby("i", sort=True)
+            .agg(mn=("mn", "min"), mx=("mx", "max"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "i": pa.array(agg["i"].to_numpy(dtype=np.int64)),
+                "mn": pa.array(agg["mn"].to_numpy(dtype=np.int64)),
+                "mx": pa.array(agg["mx"].to_numpy(dtype=np.int64)),
+            }
+        )
+
+    # dim-bounded rows (corpus-independent) — driver collect is safe
+    rng_rows = two_level_fold(
+        ds.map_batches(rng_partial, batch_format="pyarrow"), rng_fold
+    ).take_all()
+    dim = len(rng_rows)
+    mn = np.zeros(dim, dtype=np.int64)
+    mx = np.zeros(dim, dtype=np.int64)
+    for r in rng_rows:
+        mn[int(r["i"])] = int(r["mn"])
+        mx[int(r["i"])] = int(r["mx"])
+    ref = ray.put((mn, mx))
+    half = levels // 2
+
+    out_schema = pa.schema(
+        [(id_col, pa.int64()), ("i", pa.int64()), ("code", pa.int64())]
+    )
+
+    def encode(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return out_schema.empty_table()
+        q = quantized_matrix(b["embedding"])
+        if q.size == 0:
+            return out_schema.empty_table()
+        mn_, mx_ = ray.get(ref)
+        span = np.maximum(mx_ - mn_, 1)
+        code = (q - mn_) * levels // span - half
+        vid = np.asarray(b[id_col], dtype=np.int64)
+        d = q.shape[1]
+        return pa.table(
+            {
+                id_col: pa.array(np.repeat(vid, d)),
+                "i": pa.array(np.tile(np.arange(d, dtype=np.int64), len(vid))),
+                "code": pa.array(code.ravel()),
+            }
+        )
+
+    return ds.map_batches(encode, batch_format="pyarrow")

@@ -311,3 +311,29 @@ def test_triangle_counts_hand_graph():
         7: (0, 1),
         99: (0, 0),
     }
+
+
+def test_quantize_embeddings_extremes_and_constant_dim():
+    """Min/max map to -127/+127; a constant dimension (span 0) codes
+    to -127 everywhere; interior value floors correctly."""
+    from docling_api_ray.stages.linalg import quantize_embeddings
+
+    t = pa.table(
+        {
+            "vec_id": pa.array([0, 1, 2], type=pa.int64()),
+            "embedding": pa.array(
+                [[0.0, 5.0], [1.0, 5.0], [0.4, 5.0]],
+                type=pa.list_(pa.float32()),
+            ),
+        }
+    )
+    out = {
+        (r["vec_id"], r["i"]): r["code"]
+        for r in quantize_embeddings(
+            ray.data.from_arrow(t).repartition(2)
+        ).take_all()
+    }
+    assert out[(0, 0)] == -127 and out[(1, 0)] == 127
+    # q=400000, span=1000000: 400000*254//1000000 - 127 = 101 - 127
+    assert out[(2, 0)] == -26
+    assert out[(0, 1)] == out[(1, 1)] == out[(2, 1)] == -127
