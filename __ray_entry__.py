@@ -5539,6 +5539,16 @@ def _q_pareto_frontier(sf_dir: str):
     )
 
 
+def _q_feature_corr(sf_dir: str):
+    """Pearson correlation matrix over the four raw text-count features
+    (stages/stats.py feature_corr): one 15-row integer moment fold, the
+    correlations computed from exact unbounded-int sufficient stats with
+    one deterministic float expression per pair."""
+    from docling_api_ray.stages.stats import feature_corr
+
+    return feature_corr(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def _q_embedding_quantize(sf_dir: str):
     """INT8 post-training quantization of the embedding column
     (stages/linalg.py quantize_embeddings): per-dim min/max affine
@@ -5724,6 +5734,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pareto_frontier": _q_pareto_frontier,
         "user_event_sequence": _q_user_event_sequence,
         "embedding_quantize": _q_embedding_quantize,
+        "feature_corr": _q_feature_corr,
         "ridge_predict": _q_ridge_predict,
     }
 
@@ -8751,5 +8762,42 @@ def oracle_sql() -> dict[str, str]:
                      string_agg(event_type, '>' ORDER BY ts, event_id) AS seq
               FROM r WHERE rn <= 12 GROUP BY 1)
         SELECT n.user_id, n.n_events, s.seq FROM n JOIN s USING (user_id)
+    """
+    # mirrors _q_feature_corr: identical regex-count features, HUGEINT
+    # exact sufficient statistics, the same floor-quantized float
+    # expression per pair (zero-variance pairs define corr = 0)
+    feats = {
+        "n_chars": "CAST(length(text) AS BIGINT)",
+        "n_words": f"CAST(length(regexp_extract_all(text, $${wsre}$$)) AS BIGINT)",
+        "n_punct": f"CAST(length(regexp_extract_all(text, $${punct}$$)) AS BIGINT)",
+        "n_stop": f"CAST(length(regexp_extract_all(text, $${stop}$$)) AS BIGINT)",
+    }
+    fk = list(feats)
+    sums = ", ".join(
+        ["CAST(count(*) AS HUGEINT) AS n"]
+        + [f"CAST(sum({feats[a]}) AS HUGEINT) AS s_{a}" for a in fk]
+        + [
+            f"CAST(sum({feats[a]} * {feats[b]}) AS HUGEINT) AS p_{a}_{b}"
+            for ai, a in enumerate(fk)
+            for b in fk[ai:]
+        ]
+    )
+    pair_rows = "\n        UNION ALL\n".join(
+        f"""
+        SELECT '{a}' AS fx, '{b}' AS fy,
+               CASE WHEN (n*p_{a}_{a} - s_{a}*s_{a}) = 0
+                      OR (n*p_{b}_{b} - s_{b}*s_{b}) = 0 THEN 0.0
+                    ELSE floor(CAST(n*p_{a}_{b} - s_{a}*s_{b} AS DOUBLE)
+                               / sqrt(CAST(n*p_{a}_{a} - s_{a}*s_{a} AS DOUBLE)
+                                      * CAST(n*p_{b}_{b} - s_{b}*s_{b} AS DOUBLE))
+                               * 1000000 + 0.5) / 1000000.0
+               END AS corr
+        FROM s"""
+        for ai, a in enumerate(fk)
+        for b in fk[ai + 1:]
+    )
+    out["feature_corr"] = f"""
+        WITH s AS (SELECT {sums} FROM documents)
+        {pair_rows}
     """
     return out

@@ -201,6 +201,13 @@ def _bench_once() -> dict:
         "customer_running_total",
         "pagerank_neardup",
         "ridge_predict",
+        "prefix_filter_pairs",
+        "triangle_neardup",
+        "cube_counts",
+        "source_ntile",
+        "pareto_frontier",
+        "user_event_sequence",
+        "embedding_quantize",
     ]
     # INTERLEAVED repetitions + medians (VERDICT r2 #1): this container's
     # co-tenant jitter is ±30-50% and can hold a multi-second plateau —

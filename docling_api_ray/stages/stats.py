@@ -24,6 +24,7 @@ import math
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -568,4 +569,105 @@ def grouped_ntile(
         coalesce_narrow(ds.map_batches(add_part, batch_format="pyarrow"))
         .groupby("__part")
         .map_groups(tie_tile, batch_format="pandas")
+    )
+
+
+_CORR_FEATS = ("n_chars", "n_words", "n_punct", "n_stop")
+
+
+def feature_corr(ds: ray.data.Dataset, *, text_col: str = "text") -> pa.Table:
+    """Pearson correlation matrix over the four raw text-count features
+    (n_chars, n_words, n_punct, n_stop) — the corpus-profiling step that
+    tells a curation run which quality signals are redundant before it
+    weights them.
+
+    Textbook distributed sufficient statistics: each batch reduces to
+    the EXACT integer moment rows (count, per-feature sums, pairwise
+    product sums — 1 + 4 + 10 rows) via vectorized regex-count kernels
+    shared with quality_scores; partials tree-fold through
+    ``bounded_groupby_sum`` (domain = 15 rows, corpus-independent).  The
+    correlation itself is computed from the folded ints in exact Python
+    arithmetic (num = n·Σxy − Σx·Σy etc. as unbounded ints), with ONE
+    deterministic float expression per pair —
+    ``floor(num/sqrt(d1·d2)·1e6 + 0.5)/1e6`` — that the DuckDB mirror
+    reproduces op-for-op.  Zero-variance features define corr = 0.
+
+    Overflow bound: per-doc products ≤ ~1e8 (counts ≤ 1e4), so int64
+    partials hold to ~10¹⁰ docs; beyond that the partial splits into
+    hi/lo limbs exactly like the gram-matrix note (stages/linalg.py).
+
+    Output: (fx, fy, corr) for the 6 upper-triangle pairs."""
+    from docling_api_ray.stages import text_analysis as ta
+    from docling_api_ray.stages.common import bounded_groupby_sum
+
+    k = len(_CORR_FEATS)
+    schema = pa.schema(
+        [("i", pa.int64()), ("j", pa.int64()), ("v", pa.int64())]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return schema.empty_table()
+        t = b[text_col]
+        cols = np.stack(
+            [
+                np.asarray(pc.utf8_length(t), dtype=np.int64),
+                np.asarray(ta._count(t, ta.WS_TOKEN_RE), dtype=np.int64),
+                np.asarray(ta._count(t, ta.PUNCT_RE), dtype=np.int64),
+                np.asarray(ta._count(t, ta.STOPWORD_RE), dtype=np.int64),
+            ],
+            axis=1,
+        )
+        ii, jj, vv = [-1], [-1], [len(b)]
+        for a in range(k):
+            ii.append(a)
+            jj.append(-1)
+            vv.append(int(cols[:, a].sum()))
+        for a in range(k):
+            for c in range(a, k):
+                ii.append(a)
+                jj.append(c)
+                vv.append(int((cols[:, a] * cols[:, c]).sum()))
+        return pa.table(
+            {
+                "i": pa.array(np.asarray(ii, dtype=np.int64)),
+                "j": pa.array(np.asarray(jj, dtype=np.int64)),
+                "v": pa.array(np.asarray(vv, dtype=np.int64)),
+            }
+        )
+
+    folded = bounded_groupby_sum(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["i", "j"],
+        sum_cols={"v": "v"},
+    ).take_all()  # 15 rows, corpus-independent
+    m = {(int(r["i"]), int(r["j"])): int(r["v"]) for r in folded}
+    n = m[(-1, -1)]
+    rows_fx, rows_fy, rows_corr = [], [], []
+    for a in range(k):
+        for c in range(a + 1, k):
+            num = n * m[(a, c)] - m[(a, -1)] * m[(c, -1)]
+            d1 = n * m[(a, a)] - m[(a, -1)] ** 2
+            d2 = n * m[(c, c)] - m[(c, -1)] ** 2
+            if d1 == 0 or d2 == 0:
+                corr = 0.0
+            else:
+                corr = (
+                    math.floor(
+                        float(num)
+                        / math.sqrt(float(d1) * float(d2))
+                        * 1e6
+                        + 0.5
+                    )
+                    / 1e6
+                )
+            rows_fx.append(_CORR_FEATS[a])
+            rows_fy.append(_CORR_FEATS[c])
+            rows_corr.append(corr)
+    return pa.table(
+        {
+            "fx": pa.array(rows_fx, type=pa.string()),
+            "fy": pa.array(rows_fy, type=pa.string()),
+            "corr": pa.array(rows_corr, type=pa.float64()),
+        }
     )
