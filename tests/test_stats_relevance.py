@@ -333,3 +333,72 @@ def test_grouped_ntile_remainder_and_small_groups():
     assert got[7] == 1 and got[6] == 2
     # group c: 5 rows -> sizes 2,1,1,1 over ascending n_chars 1,2,3,4,5
     assert [got[i] for i in range(8, 13)] == [1, 1, 2, 3, 4]
+
+
+def test_feature_corr_matches_oneshot_numpy():
+    """feature_corr's distributed integer-moment fold must equal a
+    one-shot numpy Pearson over the same feature matrix, independent of
+    partitioning; constant features pin corr = 0 by definition."""
+    import math
+
+    import ray.data
+
+    from docling_api_ray.stages.stats import feature_corr
+    from docling_api_ray.stages import text_analysis as ta
+    import pyarrow.compute as pc
+
+    texts = [
+        "the cat sat, on the mat!",
+        "a b c d e f g h",
+        "word " * 50,
+        "punct!!! ... ;;; :::",
+        "the the the and and of",
+        "x",
+    ] * 3
+    tbl = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    out = feature_corr(ray.data.from_arrow(tbl).repartition(5))
+    got = {
+        (fx, fy): c
+        for fx, fy, c in zip(
+            out["fx"].to_pylist(), out["fy"].to_pylist(),
+            out["corr"].to_pylist(),
+        )
+    }
+    t = tbl["text"]
+    feats = {
+        "n_chars": np.asarray(pc.utf8_length(t), dtype=np.int64),
+        "n_words": np.asarray(ta._count(t, ta.WS_TOKEN_RE), dtype=np.int64),
+        "n_punct": np.asarray(ta._count(t, ta.PUNCT_RE), dtype=np.int64),
+        "n_stop": np.asarray(ta._count(t, ta.STOPWORD_RE), dtype=np.int64),
+    }
+    names = list(feats)
+    n = len(texts)
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            x, y = feats[a], feats[b]
+            num = n * int((x * y).sum()) - int(x.sum()) * int(y.sum())
+            d1 = n * int((x * x).sum()) - int(x.sum()) ** 2
+            d2 = n * int((y * y).sum()) - int(y.sum()) ** 2
+            if d1 == 0 or d2 == 0:
+                expect = 0.0
+            else:
+                expect = (
+                    math.floor(
+                        float(num) / math.sqrt(float(d1) * float(d2)) * 1e6
+                        + 0.5
+                    )
+                    / 1e6
+                )
+            assert got[(a, b)] == expect, (a, b)
+    assert len(got) == 6
+
+
+def test_feature_corr_zero_variance_defines_zero():
+    import ray.data
+
+    from docling_api_ray.stages.stats import feature_corr
+
+    # identical docs: every feature has zero variance -> all six pairs 0
+    tbl = pa.table({"doc_id": [0, 1, 2], "text": ["same text here"] * 3})
+    out = feature_corr(ray.data.from_arrow(tbl).repartition(2))
+    assert out["corr"].to_pylist() == [0.0] * 6
