@@ -5549,6 +5549,38 @@ def _q_feature_corr(sf_dir: str):
     return feature_corr(_docs(sf_dir, ["doc_id", "text"]))
 
 
+_RRF_K_EACH = 100
+_RRF_K_OUT = 20
+_RRF_QUERY_ID = 0
+
+
+def _q_hybrid_rrf(sf_dir: str):
+    """Hybrid sparse+dense retrieval fused by Reciprocal Rank Fusion
+    (stages/relevance.py hybrid_rrf): the BM25 lexical top-100 and the
+    embedding-cosine top-100 for one query, combined with the
+    integer-exact floor-quantized rrf_micro = Σ ⌊1e6/(60+rank)+0.5⌋.
+    Both lists are k-bounded end to end — the fuse touches 200 rows."""
+    import pyarrow.parquet as pq
+
+    from docling_api_ray.stages.relevance import hybrid_rrf
+
+    qtbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "=", _RRF_QUERY_ID)],
+    )
+    qvec = np.asarray(qtbl["embedding"][0].as_py(), dtype=np.float64)
+    return hybrid_rrf(
+        _docs(sf_dir, ["doc_id", "text"]),
+        _emb(sf_dir, ["vec_id", "embedding"]),
+        _BM25_TERMS,
+        _RRF_QUERY_ID,
+        qvec,
+        k_each=_RRF_K_EACH,
+        k_out=_RRF_K_OUT,
+    )
+
+
 def _q_embedding_quantize(sf_dir: str):
     """INT8 post-training quantization of the embedding column
     (stages/linalg.py quantize_embeddings): per-dim min/max affine
@@ -5735,6 +5767,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_sequence": _q_user_event_sequence,
         "embedding_quantize": _q_embedding_quantize,
         "feature_corr": _q_feature_corr,
+        "hybrid_rrf": _q_hybrid_rrf,
         "ridge_predict": _q_ridge_predict,
     }
 
@@ -8799,5 +8832,38 @@ def oracle_sql() -> dict[str, str]:
     out["feature_corr"] = f"""
         WITH s AS (SELECT {sums} FROM documents)
         {pair_rows}
+    """
+    # mirrors _q_hybrid_rrf: BM25 list (row_number over score desc,
+    # doc_id asc, truncated to k_each) FULL OUTER JOIN the quant-6
+    # cosine list for query vec_id=0, fused with the IDENTICAL
+    # floor-quantized integer micro-score; absent-list ranks -1
+    out["hybrid_rrf"] = f"""
+        WITH lex AS ({_bm25_oracle_sql(_BM25_TERMS)}),
+             lr0 AS (SELECT doc_id, row_number() OVER (
+                       ORDER BY score DESC, doc_id ASC) AS r FROM lex),
+             lr AS (SELECT * FROM lr0 WHERE r <= {_RRF_K_EACH}),
+             q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id = {_RRF_QUERY_ID}),
+             cs AS (SELECT vec_id,
+                           round(list_cosine_similarity(
+                             CAST(embedding AS DOUBLE[]), q.qv) * 1000000)
+                             / 1000000.0 AS cosine
+                    FROM embeddings CROSS JOIN q
+                    WHERE vec_id <> {_RRF_QUERY_ID}),
+             cr0 AS (SELECT vec_id AS doc_id, row_number() OVER (
+                       ORDER BY cosine DESC, vec_id ASC) AS r FROM cs),
+             cr AS (SELECT * FROM cr0 WHERE r <= {_RRF_K_EACH}),
+             f AS (SELECT COALESCE(lr.doc_id, cr.doc_id) AS doc_id,
+                          CAST(COALESCE(lr.r, -1) AS BIGINT) AS bm25_rank,
+                          CAST(COALESCE(cr.r, -1) AS BIGINT) AS cos_rank,
+                          (CASE WHEN lr.r IS NULL THEN 0
+                                ELSE CAST(floor(1000000.0 / (60 + lr.r) + 0.5)
+                                          AS BIGINT) END
+                           + CASE WHEN cr.r IS NULL THEN 0
+                                  ELSE CAST(floor(1000000.0 / (60 + cr.r) + 0.5)
+                                            AS BIGINT) END) AS rrf_micro
+                   FROM lr FULL OUTER JOIN cr ON lr.doc_id = cr.doc_id)
+        SELECT doc_id, bm25_rank, cos_rank, rrf_micro FROM f
+        ORDER BY rrf_micro DESC, doc_id ASC LIMIT {_RRF_K_OUT}
     """
     return out

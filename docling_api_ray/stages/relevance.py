@@ -270,3 +270,95 @@ def bm25_scores(
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+RRF_C = 60  # the standard reciprocal-rank-fusion constant (Cormack 2009)
+
+
+def hybrid_rrf(
+    docs: ray.data.Dataset,
+    emb: ray.data.Dataset,
+    terms: list[str],
+    query_id: int,
+    query_vec: np.ndarray,
+    *,
+    k_each: int = 100,
+    k_out: int = 20,
+    c: int = RRF_C,
+    id_col: str = "doc_id",
+) -> pa.Table:
+    """Hybrid retrieval: BM25 lexical ranks ⊕ embedding-cosine ranks,
+    fused by Reciprocal Rank Fusion — the standard two-tower RAG
+    retrieval shape (sparse + dense lists each truncated to ``k_each``,
+    rrf(d) = Σ_lists∋d 1/(c + rank_list(d))).
+
+    Scale shape: both lists are k-bounded end to end.  The lexical side
+    is one streaming BM25 pass (|terms|+2-number stats fold, broadcast,
+    stateless score) followed by per-batch partial heads (≤ k_each rows
+    per block) and ONE single-partition merge of ≤ k_each·P rows; the
+    dense side is the knn_bruteforce partial-top-k discipline against a
+    broadcast 1×D query.  Fusion touches only 2·k_each rows — no join,
+    no corpus movement beyond the two scoring passes.
+
+    Exactness: ranks are integers; the fused score is kept in integer
+    micro-units, ``rrf_micro = Σ floor(1e6/(c+rank) + 0.5)`` — the same
+    floor-quantize the DuckDB mirror spells, so ties and ordering are
+    bit-reproducible (no float summation-order dependence).  Docs
+    missing from a list contribute 0 and surface that list's rank as
+    the -1 sentinel.  Output: the fused top ``k_out`` as
+    (doc_id, bm25_rank, cos_rank, rrf_micro)."""
+    import math
+
+    from docling_api_ray.stages.similarity import knn_bruteforce
+
+    lex = bm25_scores(docs, terms, id_col=id_col)
+    lex_schema = pa.schema([(id_col, pa.int64()), ("score", pa.float64())])
+
+    def head(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return lex_schema.empty_table()
+        ids = np.asarray(b[id_col], dtype=np.int64)
+        sc = np.asarray(b["score"], dtype=np.float64)
+        order = np.lexsort((ids, -sc))[:k_each]
+        return pa.table(
+            {
+                id_col: pa.array(ids[order], type=pa.int64()),
+                "score": pa.array(sc[order], type=pa.float64()),
+            }
+        )
+
+    # per-block heads shrink the merge input to ≤ k_each·P rows; the
+    # single-partition merge is the bounded final head (take_all ≤ k_each)
+    lex_top = (
+        lex.map_batches(head, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(head, batch_format="pyarrow")
+        .take_all()
+    )
+
+    vec_top = knn_bruteforce(
+        emb, [int(query_id)], np.asarray(query_vec, dtype=np.float64)[None, :],
+        k=k_each,
+    ).take_all()  # ≤ k_each rows by construction
+
+    bm25_rank = {
+        int(r[id_col]): i + 1 for i, r in enumerate(lex_top)
+    }
+    cos_rank = {int(r["vec_id"]): int(r["rank"]) for r in vec_top}
+    fused: dict[int, int] = {}
+    for d, r in bm25_rank.items():
+        fused[d] = fused.get(d, 0) + math.floor(1e6 / (c + r) + 0.5)
+    for d, r in cos_rank.items():
+        fused[d] = fused.get(d, 0) + math.floor(1e6 / (c + r) + 0.5)
+    top = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:k_out]
+    return pa.table(
+        {
+            id_col: pa.array([d for d, _ in top], type=pa.int64()),
+            "bm25_rank": pa.array(
+                [bm25_rank.get(d, -1) for d, _ in top], type=pa.int64()
+            ),
+            "cos_rank": pa.array(
+                [cos_rank.get(d, -1) for d, _ in top], type=pa.int64()
+            ),
+            "rrf_micro": pa.array([s for _, s in top], type=pa.int64()),
+        }
+    )

@@ -402,3 +402,72 @@ def test_feature_corr_zero_variance_defines_zero():
     tbl = pa.table({"doc_id": [0, 1, 2], "text": ["same text here"] * 3})
     out = feature_corr(ray.data.from_arrow(tbl).repartition(2))
     assert out["corr"].to_pylist() == [0.0] * 6
+
+
+def test_hybrid_rrf_fusion_semantics():
+    """RRF over tiny controlled lists: a doc in both lists outranks a
+    doc that leads one list only; absent-list ranks surface as -1; the
+    micro-score is the exact floor-quantized integer."""
+    import math
+
+    import ray.data
+
+    from docling_api_ray.stages.relevance import hybrid_rrf
+
+    # corpus: doc 1 matches the query terms hard (lexical #1) but its
+    # vector is orthogonal; doc 2 is mid in both lists; doc 3 is dense #1
+    texts = {
+        1: "scan scan scan column window",
+        2: "scan column filler filler filler",
+        3: "nothing relevant lexically at all",
+        4: "also nothing here",
+    }
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": list(texts),
+                "text": [texts[i] for i in texts],
+            }
+        )
+    )
+    qv = np.array([1.0, 0.0, 0.0, 0.0])
+    vecs = {
+        1: [0.0, 1.0, 0.0, 0.0],
+        2: [0.8, 0.6, 0.0, 0.0],
+        3: [1.0, 0.0, 0.0, 0.0],
+        4: [0.5, 0.5, 0.70710678, 0.0],
+    }
+    emb = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": list(vecs),
+                "embedding": pa.array(
+                    [vecs[i] for i in vecs], type=pa.list_(pa.float32())
+                ),
+            }
+        )
+    )
+    out = hybrid_rrf(
+        docs, emb, ["scan", "column", "window"], 99, qv, k_each=3, k_out=4
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in (dict(zip(out.column_names, t)) for t in zip(
+            *[c.to_pylist() for c in out.columns]))
+    }
+    m = lambda r: math.floor(1e6 / (60 + r) + 0.5)
+    # doc 2: lexical rank 2, dense rank 2 -> fused top
+    assert rows[2]["bm25_rank"] == 2 and rows[2]["cos_rank"] == 2
+    assert rows[2]["rrf_micro"] == 2 * m(2)
+    # doc 3: dense #1, lexically absent (k_each=3 keeps 3 lexical docs,
+    # but doc 3 scores 0 -> may still place; accept either sentinel or rank)
+    assert rows[3]["cos_rank"] == 1
+    # doc 1: lexical #1, dense rank 4 -> truncated out of the k_each=3
+    # dense list -> cos_rank sentinel -1
+    assert rows[1]["bm25_rank"] == 1 and rows[1]["cos_rank"] == -1
+    assert rows[1]["rrf_micro"] == m(1)
+    # fused ordering: integer micro-scores strictly decide
+    scores = [r["rrf_micro"] for r in (rows[d] for d in sorted(rows))]
+    assert out["rrf_micro"].to_pylist() == sorted(
+        out["rrf_micro"].to_pylist(), reverse=True
+    )
