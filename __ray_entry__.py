@@ -5549,6 +5549,16 @@ def _q_feature_corr(sf_dir: str):
     return feature_corr(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def _q_source_ols(sf_dir: str):
+    """Per-source OLS of word count on char count (stages/stats.py
+    grouped_ols): regr_slope/intercept/r² from exact int64 moment
+    partials tree-folded over a |sources|-bounded domain, floats
+    computed once per group in an op order the oracle mirrors."""
+    from docling_api_ray.stages.stats import grouped_ols
+
+    return grouped_ols(_docs(sf_dir, ["doc_id", "text", "source", "n_chars"]))
+
+
 _RRF_K_EACH = 100
 _RRF_K_OUT = 20
 _RRF_QUERY_ID = 0
@@ -5768,6 +5778,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_quantize": _q_embedding_quantize,
         "feature_corr": _q_feature_corr,
         "hybrid_rrf": _q_hybrid_rrf,
+        "source_ols": _q_source_ols,
         "ridge_predict": _q_ridge_predict,
     }
 
@@ -8832,6 +8843,45 @@ def oracle_sql() -> dict[str, str]:
     out["feature_corr"] = f"""
         WITH s AS (SELECT {sums} FROM documents)
         {pair_rows}
+    """
+    # mirrors _q_source_ols: identical HUGEINT moment sums per source,
+    # the same raw-slope -> intercept -> r² float op order, the same
+    # floor-quantize; zero-variance x (or y for r²) defines 0
+    out["source_ols"] = f"""
+        WITH m AS (
+          SELECT source,
+                 CAST(count(*) AS HUGEINT) AS n,
+                 CAST(sum(x) AS HUGEINT) AS sx,
+                 CAST(sum(y) AS HUGEINT) AS sy,
+                 CAST(sum(x * x) AS HUGEINT) AS sxx,
+                 CAST(sum(x * y) AS HUGEINT) AS sxy,
+                 CAST(sum(y * y) AS HUGEINT) AS syy
+          FROM (SELECT source, CAST(n_chars AS BIGINT) AS x,
+                       CAST(length(regexp_extract_all(text, $${wsre}$$))
+                            AS BIGINT) AS y
+                FROM documents)
+          GROUP BY source),
+        r AS (
+          SELECT source, n, sx, sy,
+                 (n * sxy - sx * sy) AS num,
+                 (n * sxx - sx * sx) AS den_x,
+                 (n * syy - sy * sy) AS den_y,
+                 CASE WHEN (n * sxx - sx * sx) = 0 THEN 0.0
+                      ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                           / CAST(n * sxx - sx * sx AS DOUBLE) END
+                   AS slope_raw
+          FROM m)
+        SELECT source, CAST(n AS BIGINT) AS n_docs,
+               floor(slope_raw * 1000000 + 0.5) / 1000000.0 AS slope,
+               floor((CAST(sy AS DOUBLE) - slope_raw * CAST(sx AS DOUBLE))
+                     / CAST(n AS DOUBLE) * 1000000 + 0.5) / 1000000.0
+                 AS intercept,
+               CASE WHEN den_x = 0 OR den_y = 0 THEN 0.0
+                    ELSE floor((CAST(num AS DOUBLE) * CAST(num AS DOUBLE))
+                               / (CAST(den_x AS DOUBLE)
+                                  * CAST(den_y AS DOUBLE))
+                               * 1000000 + 0.5) / 1000000.0 END AS r2
+        FROM r
     """
     # mirrors _q_hybrid_rrf: BM25 list (row_number over score desc,
     # doc_id asc, truncated to k_each) FULL OUTER JOIN the quant-6

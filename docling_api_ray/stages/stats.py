@@ -671,3 +671,133 @@ def feature_corr(ds: ray.data.Dataset, *, text_col: str = "text") -> pa.Table:
             "corr": pa.array(rows_corr, type=pa.float64()),
         }
     )
+
+
+_OLS_SCHEMA = pa.schema(
+    [
+        ("source", pa.string()),
+        ("n", pa.int64()),
+        ("sx", pa.int64()),
+        ("sy", pa.int64()),
+        ("sxx", pa.int64()),
+        ("sxy", pa.int64()),
+        ("syy", pa.int64()),
+    ]
+)
+
+_OLS_OUT_SCHEMA = pa.schema(
+    [
+        ("source", pa.string()),
+        ("n_docs", pa.int64()),
+        ("slope", pa.float64()),
+        ("intercept", pa.float64()),
+        ("r2", pa.float64()),
+    ]
+)
+
+
+def grouped_ols(
+    ds: ray.data.Dataset,
+    *,
+    group_col: str = "source",
+    x_col: str = "n_chars",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Per-group simple linear regression of word count on ``x_col``
+    (regr_slope / regr_intercept / r² analog) — the drift diagnostic a
+    curation run uses to spot sources whose token density trends away
+    from the corpus norm.
+
+    Closed-form distributed OLS: each batch reduces to the EXACT
+    integer moment rows (n, Σx, Σy, Σx², Σxy, Σy²) per group via one
+    ``np.unique`` inverse + ``np.bincount`` sweep; partials tree-fold
+    through ``bounded_groupby_sum`` (domain = |sources|,
+    corpus-independent).  The final pass computes, per group, in a
+    fixed float op order the DuckDB mirror spells identically:
+
+        slope_raw     = (n·Σxy − Σx·Σy) / (n·Σx² − Σx²)   [0 if den=0]
+        intercept_raw = (Σy − slope_raw·Σx) / n
+        r²_raw        = num² / (den_x·den_y)               [0 if any 0]
+
+    each floor-quantized to 6 decimals.  All moment arithmetic is
+    int64-exact (per-doc products ≤ ~1e8, safe to ~10¹⁰ docs/group;
+    beyond that split hi/lo limbs per the gram-matrix note)."""
+    from docling_api_ray.stages import text_analysis as ta
+    from docling_api_ray.stages.common import bounded_groupby_sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return _OLS_SCHEMA.empty_table()
+        x = np.asarray(b[x_col], dtype=np.int64)
+        y = np.asarray(ta._count(b[text_col], ta.WS_TOKEN_RE), dtype=np.int64)
+        g = np.asarray(b[group_col])
+        uniq, inv = np.unique(g, return_inverse=True)
+        k = len(uniq)
+        return pa.table(
+            {
+                "source": pa.array(uniq.tolist(), type=pa.string()),
+                "n": pa.array(np.bincount(inv, minlength=k), type=pa.int64()),
+                "sx": pa.array(
+                    np.bincount(inv, weights=x, minlength=k).astype(np.int64)
+                ),
+                "sy": pa.array(
+                    np.bincount(inv, weights=y, minlength=k).astype(np.int64)
+                ),
+                "sxx": pa.array(
+                    np.bincount(inv, weights=x * x, minlength=k).astype(np.int64)
+                ),
+                "sxy": pa.array(
+                    np.bincount(inv, weights=x * y, minlength=k).astype(np.int64)
+                ),
+                "syy": pa.array(
+                    np.bincount(inv, weights=y * y, minlength=k).astype(np.int64)
+                ),
+            }
+        )
+
+    folded = bounded_groupby_sum(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["source"],
+        sum_cols={c: c for c in ("n", "sx", "sy", "sxx", "sxy", "syy")},
+    )
+
+    def fit(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return _OLS_OUT_SCHEMA.empty_table()
+        out = {c: [] for c in ("source", "n_docs", "slope", "intercept", "r2")}
+        for i in range(len(b)):
+            n = int(b["n"][i].as_py())
+            sx, sy = int(b["sx"][i].as_py()), int(b["sy"][i].as_py())
+            sxx, sxy = int(b["sxx"][i].as_py()), int(b["sxy"][i].as_py())
+            syy = int(b["syy"][i].as_py())
+            num = n * sxy - sx * sy  # exact unbounded ints
+            den_x = n * sxx - sx * sx
+            den_y = n * syy - sy * sy
+            q6 = lambda v: math.floor(v * 1e6 + 0.5) / 1e6
+            if den_x == 0:
+                slope_raw = 0.0
+            else:
+                slope_raw = float(num) / float(den_x)
+            intercept_raw = (float(sy) - slope_raw * float(sx)) / float(n)
+            if den_x == 0 or den_y == 0:
+                r2_raw = 0.0
+            else:
+                r2_raw = (float(num) * float(num)) / (
+                    float(den_x) * float(den_y)
+                )
+            out["source"].append(b["source"][i].as_py())
+            out["n_docs"].append(n)
+            out["slope"].append(q6(slope_raw))
+            out["intercept"].append(q6(intercept_raw))
+            out["r2"].append(q6(r2_raw))
+        return pa.table(
+            {
+                "source": pa.array(out["source"], type=pa.string()),
+                "n_docs": pa.array(out["n_docs"], type=pa.int64()),
+                "slope": pa.array(out["slope"], type=pa.float64()),
+                "intercept": pa.array(out["intercept"], type=pa.float64()),
+                "r2": pa.array(out["r2"], type=pa.float64()),
+            }
+        )
+
+    return folded.map_batches(fit, batch_format="pyarrow")

@@ -471,3 +471,66 @@ def test_hybrid_rrf_fusion_semantics():
     assert out["rrf_micro"].to_pylist() == sorted(
         out["rrf_micro"].to_pylist(), reverse=True
     )
+
+
+def test_grouped_ols_matches_oneshot_numpy():
+    import math
+
+    import ray.data
+
+    from docling_api_ray.stages.stats import grouped_ols
+
+    rng = np.random.RandomState(7)
+    rows = []
+    # group a: y correlates with x; group b: constant x (den_x = 0);
+    # group c: a singleton
+    for i in range(40):
+        x = int(rng.randint(10, 500))
+        words = max(1, x // 5 + int(rng.randint(-3, 4)))
+        rows.append(("a", x, "w " * words))
+    for i in range(10):
+        rows.append(("b", 100, "w " * int(rng.randint(1, 30))))
+    rows.append(("c", 42, "one two three"))
+    tbl = pa.table(
+        {
+            "doc_id": list(range(len(rows))),
+            "source": [r[0] for r in rows],
+            "n_chars": [r[1] for r in rows],
+            "text": [r[2].strip() for r in rows],
+        }
+    )
+    out = {
+        r["source"]: r
+        for r in grouped_ols(
+            ray.data.from_arrow(tbl).repartition(7)
+        ).take_all()
+    }
+    q6 = lambda v: math.floor(v * 1e6 + 0.5) / 1e6
+    for g in ("a", "b", "c"):
+        xs = np.array([r[1] for r in rows if r[0] == g], dtype=np.int64)
+        ys = np.array(
+            [len(r[2].split()) for r in rows if r[0] == g], dtype=np.int64
+        )
+        n = len(xs)
+        num = n * int((xs * ys).sum()) - int(xs.sum()) * int(ys.sum())
+        den_x = n * int((xs * xs).sum()) - int(xs.sum()) ** 2
+        den_y = n * int((ys * ys).sum()) - int(ys.sum()) ** 2
+        slope_raw = 0.0 if den_x == 0 else float(num) / float(den_x)
+        intercept = q6(
+            (float(ys.sum()) - slope_raw * float(xs.sum())) / float(n)
+        )
+        r2 = (
+            0.0
+            if den_x == 0 or den_y == 0
+            else q6(float(num) * float(num) / (float(den_x) * float(den_y)))
+        )
+        assert out[g]["n_docs"] == n
+        assert out[g]["slope"] == q6(slope_raw), g
+        assert out[g]["intercept"] == intercept, g
+        assert out[g]["r2"] == r2, g
+    # sanity: the correlated group's fit is meaningful
+    assert out["a"]["r2"] > 0.9 and 0.15 < out["a"]["slope"] < 0.25
+    # zero-variance x pins slope 0, intercept = mean(y)
+    assert out["b"]["slope"] == 0.0 and out["b"]["r2"] == 0.0
+    # singleton: den_x = 0 -> slope 0, intercept = its own y
+    assert out["c"]["slope"] == 0.0 and out["c"]["intercept"] == 3.0
