@@ -5549,6 +5549,34 @@ def _q_feature_corr(sf_dir: str):
     return feature_corr(_docs(sf_dir, ["doc_id", "text"]))
 
 
+_NB_VOCAB = 24
+
+
+def _q_nbayes_confusion(sf_dir: str):
+    """Multinomial Naive Bayes lang classifier trained on the corpus's
+    own labels over the global top-24 vocabulary, evaluated as a
+    |langs|²-bounded confusion matrix (stages/nbayes.py).  Training is
+    one (V+1)·L-bounded integer fold; scoring is a stateless broadcast
+    pass of int64 dot products — exactly SQL-reproducible (integer
+    micro-log-probs, floor-quantized like charlm)."""
+    from docling_api_ray.stages.nbayes import (
+        naive_bayes_confusion,
+        train_naive_bayes,
+    )
+
+    vocab_rows = _distributed_count_topk(
+        _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            ta.word_counts, batch_format="pyarrow"
+        ),
+        "word",
+        _NB_VOCAB,
+    ).take_all()  # ≤ V rows
+    vocab = [r["word"] for r in vocab_rows]
+    docs = _docs(sf_dir, ["doc_id", "text", "lang"])
+    model = train_naive_bayes(docs, vocab)
+    return naive_bayes_confusion(docs, model)
+
+
 def _q_source_ols(sf_dir: str):
     """Per-source OLS of word count on char count (stages/stats.py
     grouped_ols): regr_slope/intercept/r² from exact int64 moment
@@ -5779,6 +5807,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "feature_corr": _q_feature_corr,
         "hybrid_rrf": _q_hybrid_rrf,
         "source_ols": _q_source_ols,
+        "nbayes_confusion": _q_nbayes_confusion,
         "ridge_predict": _q_ridge_predict,
     }
 
@@ -8843,6 +8872,64 @@ def oracle_sql() -> dict[str, str]:
     out["feature_corr"] = f"""
         WITH s AS (SELECT {sums} FROM documents)
         {pair_rows}
+    """
+    # mirrors _q_nbayes_confusion: same top-V vocab selection as
+    # vocab_topk, the full Laplace grid (unseen (word,lang) cells count
+    # 0), identical floor-quantized integer micro-log-probs and priors,
+    # int64 score sums, argmax tie -> lang asc
+    out["nbayes_confusion"] = f"""
+        WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
+                   FROM documents),
+             c0 AS (SELECT word, count(*) AS n FROM w
+                    WHERE word <> '' GROUP BY 1),
+             v AS (SELECT word FROM (
+                     SELECT word, row_number() OVER (
+                       ORDER BY n DESC, word ASC) AS r FROM c0)
+                   WHERE r <= {_NB_VOCAB}),
+             langs AS (SELECT DISTINCT lang FROM documents),
+             tok AS (SELECT doc_id, lang,
+                            unnest(string_split(text, ' ')) AS word
+                     FROM documents),
+             tc AS (SELECT doc_id, lang, word,
+                           CAST(count(*) AS BIGINT) AS n
+                    FROM tok WHERE word <> '' GROUP BY ALL),
+             wl AS (SELECT t.word, t.lang, CAST(sum(t.n) AS BIGINT) AS c
+                    FROM tc t JOIN v ON v.word = t.word GROUP BY 1, 2),
+             grid AS (SELECT v.word, l.lang,
+                             COALESCE(wl.c, 0) AS c
+                      FROM v CROSS JOIN langs l
+                      LEFT JOIN wl ON wl.word = v.word AND wl.lang = l.lang),
+             tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS tot
+                     FROM grid GROUP BY 1),
+             model AS (SELECT g.word, g.lang,
+                              CAST(floor(ln((g.c + 1.0)
+                                            / (t.tot + {_NB_VOCAB}.0))
+                                         * 1000000 + 0.5) AS BIGINT) AS ilog
+                       FROM grid g JOIN tot t USING (lang)),
+             nd AS (SELECT lang, CAST(count(*) AS BIGINT) AS nl
+                    FROM documents GROUP BY 1),
+             pri AS (SELECT lang,
+                            CAST(floor(ln(CAST(nl AS DOUBLE)
+                                          / (SELECT count(*) FROM documents))
+                                       * 1000000 + 0.5) AS BIGINT) AS ip
+                     FROM nd),
+             dsc AS (SELECT t.doc_id, t.lang AS true_lang,
+                            m.lang AS cand,
+                            CAST(sum(t.n * m.ilog) AS BIGINT) AS s
+                     FROM tc t JOIN model m ON m.word = t.word
+                     GROUP BY 1, 2, 3),
+             allc AS (SELECT d.doc_id, d.lang AS true_lang, p.lang AS cand,
+                             COALESCE(dsc.s, 0) + p.ip AS score
+                      FROM documents d CROSS JOIN pri p
+                      LEFT JOIN dsc ON dsc.doc_id = d.doc_id
+                                   AND dsc.cand = p.lang),
+             pred AS (SELECT doc_id, true_lang, cand FROM allc
+                      QUALIFY row_number() OVER (
+                        PARTITION BY doc_id
+                        ORDER BY score DESC, cand ASC) = 1)
+        SELECT true_lang AS lang, cand AS pred,
+               CAST(count(*) AS BIGINT) AS n
+        FROM pred GROUP BY 1, 2
     """
     # mirrors _q_source_ols: identical HUGEINT moment sums per source,
     # the same raw-slope -> intercept -> r² float op order, the same
