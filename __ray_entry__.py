@@ -5549,6 +5549,17 @@ def _q_feature_corr(sf_dir: str):
     return feature_corr(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def _q_source_overlap(sf_dir: str):
+    """Exact cross-source 3-shingle contamination matrix
+    (stages/dedup.py source_overlap): distinct (shingle,source) rows
+    co-grouped by shingle key, per-partition unordered pair fold,
+    |sources|²-bounded count aggregate — the exact complement of the
+    sketched source_similarity."""
+    from docling_api_ray.stages.dedup import source_overlap
+
+    return source_overlap(_docs(sf_dir, ["doc_id", "text", "source"]))
+
+
 _NB_VOCAB = 24
 
 
@@ -5808,6 +5819,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hybrid_rrf": _q_hybrid_rrf,
         "source_ols": _q_source_ols,
         "nbayes_confusion": _q_nbayes_confusion,
+        "source_overlap": _q_source_overlap,
         "ridge_predict": _q_ridge_predict,
     }
 
@@ -8872,6 +8884,18 @@ def oracle_sql() -> dict[str, str]:
     out["feature_corr"] = f"""
         WITH s AS (SELECT {sums} FROM documents)
         {pair_rows}
+    """
+    # mirrors _q_source_overlap: the shared shingle CTEs (32-bit-masked
+    # md5 word hashes, mod-2^64 combine), distinct (shingle, source),
+    # self-join on shingle with source < source, count per pair
+    out["source_overlap"] = f"""
+        WITH {_sql_shingle_ctes()},
+             es AS (SELECT DISTINCT d.source, unnest(s.sh) AS h
+                    FROM sh s JOIN documents d USING (doc_id))
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(count(*) AS BIGINT) AS n
+        FROM es a JOIN es b ON a.h = b.h AND a.source < b.source
+        GROUP BY 1, 2
     """
     # mirrors _q_nbayes_confusion: same top-V vocab selection as
     # vocab_topk, the full Laplace grid (unseen (word,lang) cells count

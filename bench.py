@@ -208,6 +208,10 @@ def _bench_once() -> dict:
         "pareto_frontier",
         "user_event_sequence",
         "embedding_quantize",
+        "feature_corr",
+        "hybrid_rrf",
+        "source_ols",
+        "nbayes_confusion",
     ]
     # INTERLEAVED repetitions + medians (VERDICT r2 #1): this container's
     # co-tenant jitter is ±30-50% and can hold a multi-second plateau —

@@ -2287,3 +2287,101 @@ def source_minhash_similarity(
             "est_jaccard": pa.array(est, type=pa.float64()),
         }
     )
+
+
+_OVERLAP_SCHEMA = pa.schema(
+    [("src_a", pa.string()), ("src_b", pa.string()), ("n", pa.int64())]
+)
+
+
+def source_overlap(
+    ds: ray.data.Dataset, *, text_col: str = "text", group_col: str = "source"
+) -> ray.data.Dataset:
+    """Exact cross-source contamination matrix at 3-word-shingle
+    granularity: for every unordered source pair, the number of
+    DISTINCT shingle hashes present in both — the exact complement of
+    the sketched ``source_minhash_sim`` (a mixture audit answers "how
+    much of source B's phrasing is already in A?" before setting
+    mixture weights).
+
+    Scale shape: each batch reduces to DISTINCT (shingle, source) int64+
+    string rows (composite drop_duplicates — the per-source shingle
+    vocabulary, far smaller than the token stream); shingles co-group by
+    their int64 key, each partition folds its complete shingle groups to
+    unordered source pairs (≤ C(|sources|,2) rows per shingle, and only
+    shingles spanning ≥2 sources emit anything); the pair counts
+    tree-fold through ``bounded_groupby_sum`` (domain = |sources|²,
+    corpus-independent).  Shingle hashing is the dedup family's
+    vectorized per-unique-word md5 + mod-2^64 combine
+    (functions/hashing.py), mirrored exactly by the oracle's
+    ``_sql_shingle_ctes``."""
+    from docling_api_ray.functions.hashing import batch_word_hashes
+    from docling_api_ray.stages.common import bounded_groupby_sum
+
+    pair_schema = pa.schema(
+        [("sh", pa.int64()), ("__ckey", pa.int64()), (group_col, pa.string())]
+    )
+
+    def explode(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pair_schema.empty_table()
+        texts = [t or "" for t in b[text_col].to_pylist()]
+        word_h, off = batch_word_hashes(texts)
+        per_doc = [
+            shingle_hashes(word_h[off[i]: off[i + 1]])
+            for i in range(len(texts))
+        ]
+        lens = np.fromiter(
+            (len(s) for s in per_doc), dtype=np.int64, count=len(per_doc)
+        )
+        sh = (
+            np.concatenate([s for s in per_doc if len(s)])
+            if lens.sum()
+            else np.zeros(0, dtype=np.uint64)
+        )
+        src = np.repeat(
+            np.asarray(b[group_col].to_pylist(), dtype=object), lens
+        )
+        df = pd.DataFrame(
+            {"sh": sh.view(np.int64), group_col: src}
+        ).drop_duplicates()
+        return pa.table(
+            {
+                "sh": pa.array(df["sh"].to_numpy(), type=pa.int64()),
+                "__ckey": pa.array(
+                    df["sh"].to_numpy() & 0x7FFFFFFFFFFFFFFF,
+                    type=pa.int64(),
+                ),
+                group_col: pa.array(df[group_col].tolist(), type=pa.string()),
+            }
+        )
+
+    def pairs(df: pd.DataFrame) -> pa.Table:
+        df = df.drop_duplicates(["sh", group_col])
+        out_a, out_b = [], []
+        # group sizes are ≤ |sources| by construction (post-distinct)
+        for _, g in df.groupby("sh", sort=False):
+            if len(g) < 2:
+                continue
+            srcs = sorted(g[group_col].tolist())
+            for i in range(len(srcs)):
+                for j in range(i + 1, len(srcs)):
+                    out_a.append(srcs[i])
+                    out_b.append(srcs[j])
+        return pa.table(
+            {
+                "src_a": pa.array(out_a, type=pa.string()),
+                "src_b": pa.array(out_b, type=pa.string()),
+                "n": pa.array(np.ones(len(out_a), dtype=np.int64)),
+            }
+        )
+
+    return bounded_groupby_sum(
+        _cogrouped(
+            ds.map_batches(explode, batch_format="pyarrow"),
+            "__ckey",
+            coalesce=True,
+        ).map_groups(pairs, batch_format="pandas"),
+        ["src_a", "src_b"],
+        sum_cols={"n": "n"},
+    )

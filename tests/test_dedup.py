@@ -737,3 +737,59 @@ def test_prefix_filter_pairs_tiny_head():
         for r in prefix_filter_pairs(ds, threshold=0.7, top_f=3).take_all()
     }
     assert got == expected
+
+
+def test_source_overlap_exact_shingle_matrix():
+    """Known shared 3-shingles across sources; a shingle shared by 3
+    sources counts once for each of the 3 pairs; within-source repeats
+    never inflate counts; result is partition-count independent."""
+    import pyarrow as pa
+    import ray.data
+
+    from docling_api_ray.stages.dedup import source_overlap
+
+    rows = [
+        # "x y z" appears in a, b, c -> 3 pair hits
+        ("a", "x y z tail one"),
+        ("b", "x y z other words"),
+        ("c", "pre x y z"),
+        # "p q r" in a (twice!) and b only -> 1 hit for (a,b)
+        ("a", "p q r p q r"),
+        ("b", "p q r"),
+        # unique text -> no hits
+        ("c", "totally unique phrasing here"),
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": list(range(len(rows))),
+            "source": [r[0] for r in rows],
+            "text": [r[1] for r in rows],
+        }
+    )
+
+    def counts(parts):
+        out = source_overlap(
+            ray.data.from_arrow(tbl).repartition(parts)
+        ).take_all()
+        return {(r["src_a"], r["src_b"]): r["n"] for r in out}
+
+    got = counts(3)
+    # exact expectation from a python reference over distinct shingles
+    from docling_api_ray.functions.hashing import batch_word_hashes, shingle_hashes
+
+    per_src: dict = {}
+    for src, text in rows:
+        wh, off = batch_word_hashes([text])
+        per_src.setdefault(src, set()).update(
+            shingle_hashes(wh[off[0]: off[1]]).tolist()
+        )
+    expect = {}
+    for a in sorted(per_src):
+        for b in sorted(per_src):
+            if a < b:
+                n = len(per_src[a] & per_src[b])
+                if n:
+                    expect[(a, b)] = n
+    assert got == expect
+    assert got[("a", "b")] >= 2  # "x y z" + "p q r" at least
+    assert counts(1) == counts(5) == got
