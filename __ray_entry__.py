@@ -5549,6 +5549,16 @@ def _q_feature_corr(sf_dir: str):
     return feature_corr(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def _q_events_decay(sf_dir: str):
+    """Per-user exponentially time-decayed activity score, 1-day
+    half-life (stages/windows.py user_decay_score): integer-exact
+    ⌊1e6/2^age⌋ weights summed per user via one narrow user-mod-P
+    co-group; anchor = corpus max activity day (scalar fold)."""
+    from docling_api_ray.stages.windows import user_decay_score
+
+    return user_decay_score(_read(sf_dir, "events", ["user_id", "ts"]))
+
+
 def _q_source_overlap(sf_dir: str):
     """Exact cross-source 3-shingle contamination matrix
     (stages/dedup.py source_overlap): distinct (shingle,source) rows
@@ -5820,6 +5830,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_ols": _q_source_ols,
         "nbayes_confusion": _q_nbayes_confusion,
         "source_overlap": _q_source_overlap,
+        "events_decay_score": _q_events_decay,
         "ridge_predict": _q_ridge_predict,
     }
 
@@ -8884,6 +8895,23 @@ def oracle_sql() -> dict[str, str]:
     out["feature_corr"] = f"""
         WITH s AS (SELECT {sums} FROM documents)
         {pair_rows}
+    """
+    # mirrors _q_events_decay: anchor = max activity DATE, integer day
+    # age, weight = floor(1e6 / 2^age) — exact because the denominator
+    # is a power of two (engine computes 1_000_000 >> age), 0 from age
+    # 20 on; order-free BIGINT sums per user
+    out["events_decay_score"] = """
+        WITH a AS (SELECT max(CAST(ts AS DATE)) AS anchor FROM events),
+             e AS (SELECT user_id,
+                          datediff('day', CAST(ts AS DATE), a.anchor) AS age
+                   FROM events CROSS JOIN a)
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CASE WHEN age >= 20 THEN 0
+                             ELSE CAST(floor(1000000.0 / power(2.0, age))
+                                       AS BIGINT) END) AS BIGINT)
+                 AS decay_micro
+        FROM e GROUP BY 1
     """
     # mirrors _q_source_overlap: the shared shingle CTEs (32-bit-masked
     # md5 word hashes, mod-2^64 combine), distinct (shingle, source),

@@ -371,13 +371,17 @@ def _keep_hot_buckets(
         )
 
     # one int per block streamed to the driver — no Aggregate all-to-all
-    # (whose empty tiny-scale partitions would log schema warnings)
+    # (whose empty tiny-scale partitions would log schema warnings).
+    # iter_batches BUNDLES the one-row partials into multi-row batches:
+    # sum every row of every bundle (reading only [0] silently dropped
+    # the other partials' counts).
     pair_bound = sum(
-        int(blk["pb"][0].as_py())
+        int(v)
         for blk in hot_ds.map_batches(
             pb_partial, batch_format="pyarrow"
         ).iter_batches(batch_format="pyarrow")
         if len(blk)
+        for v in blk["pb"].to_pylist()
     )
     limit = _HOT_CENSUS_BROADCAST_MAX if broadcast_max is None else broadcast_max
 

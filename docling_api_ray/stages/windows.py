@@ -852,3 +852,112 @@ def user_event_sequences(
         .groupby("__part")
         .map_groups(fold, batch_format="pandas")
     )
+
+
+_DECAY_SCHEMA = pa.schema(
+    [
+        ("user_id", pa.int64()),
+        ("n_events", pa.int64()),
+        ("decay_micro", pa.int64()),
+    ]
+)
+
+
+def user_decay_score(
+    ds: ray.data.Dataset, *, key: str = "user_id"
+) -> ray.data.Dataset:
+    """Per-user exponentially time-decayed activity score with a 1-day
+    half-life — the recency-weighted engagement metric a data-selection
+    pass uses to weight fresh interaction data over stale.
+
+    INTEGER-exact decay: the anchor is the corpus's max activity day
+    (one scalar folded from 1-row per-block partials); an event aged
+    ``a`` days contributes ``⌊1e6 / 2^a⌋ = 1_000_000 >> a`` micro-units
+    (0 from age 20 on — the natural truncation of the half-life), so
+    per-user sums are order-free int64 arithmetic the SQL mirror
+    (floor(1e6 / power(2.0, age)), exact because the denominator is a
+    power of two) reproduces bit-for-bit.
+
+    Scale shape: each batch pre-folds to (user, n, s) partials
+    (np.unique + bincount); ONE narrow user-mod-P co-group sums the
+    partials — no corpus-wide sort, nothing driver-side but the
+    anchor scalar."""
+    from docling_api_ray.stages.common import coalesce_narrow
+
+    day_us = 86_400 * US
+
+    def day_max(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.schema([("d", pa.int64())]).empty_table()
+        day = (
+            pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+            // day_us
+        )
+        return pa.table({"d": pa.array([int(day.max())], type=pa.int64())})
+
+    # iter_batches BUNDLES the one-row partials — reduce over every row
+    # of every bundle, never just row [0]
+    anchor = max(
+        int(v)
+        for blk in ds.select_columns(["ts"])
+        .map_batches(day_max, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+        if len(blk)
+        for v in blk["d"].to_pylist()
+    )
+
+    P = _parts()
+
+    def partial(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return _DECAY_SCHEMA.empty_table()
+        uid = pc.cast(b[key], pa.int64()).to_numpy(zero_copy_only=False)
+        day = (
+            pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+            // day_us
+        )
+        age = anchor - day  # ≥ 0 by the anchor's definition
+        w = np.where(
+            age < 20, 1_000_000 >> np.minimum(age, 19), 0
+        ).astype(np.int64)
+        uniq, inv = np.unique(uid, return_inverse=True)
+        return pa.table(
+            {
+                "user_id": pa.array(uniq, type=pa.int64()),
+                "n_events": pa.array(
+                    np.bincount(inv, minlength=len(uniq)), type=pa.int64()
+                ),
+                "decay_micro": pa.array(
+                    np.bincount(inv, weights=w, minlength=len(uniq)).astype(
+                        np.int64
+                    )
+                ),
+            }
+        )
+
+    def add_part(b: pa.Table) -> pa.Table:
+        part = pc.subtract(
+            b["user_id"],
+            pc.multiply(pc.divide(b["user_id"], P), P),
+        )
+        return b.append_column("__part", pc.cast(part, pa.int64()))
+
+    def fold(df) -> pa.Table:
+        g = (
+            df.groupby("user_id", sort=False)[["n_events", "decay_micro"]]
+            .sum()
+            .reset_index()
+        )
+        return pa.Table.from_pandas(
+            g, schema=_DECAY_SCHEMA, preserve_index=False
+        )
+
+    return (
+        coalesce_narrow(
+            ds.select_columns([key, "ts"])
+            .map_batches(partial, batch_format="pyarrow")
+            .map_batches(add_part, batch_format="pyarrow")
+        )
+        .groupby("__part")
+        .map_groups(fold, batch_format="pandas")
+    )

@@ -393,3 +393,48 @@ def test_user_event_sequences_truncation_and_ties():
     }
     # user 1: ties at t0 order by event_id -> a,b then c (d truncated)
     assert out == {1: (4, "a>b>c"), 2: (1, "x")}
+
+
+def test_user_decay_score_exact_halflife():
+    """Integer half-life weights: age-a events contribute exactly
+    1_000_000 >> a micro-units against the corpus max day; age >= 20
+    contributes 0; result is partition-count independent (the anchor
+    fold must reduce over every bundled partial row, not just the
+    first — regression for the iter_batches bundling bug)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from docling_api_ray.stages.windows import user_decay_score
+
+    day = 86_400 * 1_000_000
+    base = 19_000 * day  # an arbitrary epoch day
+    rows = [
+        # user 1: ages 0, 1, 3 -> 1e6 + 5e5 + 125000
+        (1, base + 40 * day + 5),
+        (1, base + 39 * day + 7),
+        (1, base + 37 * day),
+        # user 2: ages 0 and 25 (truncated to 0 weight)
+        (2, base + 40 * day + 999),
+        (2, base + 15 * day),
+        # user 3: only ancient activity -> score 0
+        (3, base),
+    ]
+    tbl = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "ts": pa.array(
+                np.array([r[1] for r in rows], dtype="datetime64[us]")
+            ),
+        }
+    )
+    for parts in (1, 2, 6):
+        out = {
+            r["user_id"]: (r["n_events"], r["decay_micro"])
+            for r in user_decay_score(
+                ray.data.from_arrow(tbl).repartition(parts)
+            ).take_all()
+        }
+        assert out[1] == (3, 1_000_000 + 500_000 + 125_000), parts
+        assert out[2] == (2, 1_000_000), parts
+        assert out[3] == (1, 0), parts
