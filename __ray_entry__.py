@@ -5549,6 +5549,26 @@ def _q_feature_corr(sf_dir: str):
     return feature_corr(_docs(sf_dir, ["doc_id", "text"]))
 
 
+_PATH_K = 20
+
+
+def _q_event_path_topk(sf_dir: str):
+    """Top-20 ordered 3-event paths (sequential pattern mining,
+    stages/windows.py event_path_counts): one user-mod-P exchange,
+    in-partition vectorized trigram counts (|event_types|³-bounded
+    partials), the shared distributed top-k tail."""
+    from docling_api_ray.stages.windows import event_path_counts
+
+    return _distributed_count_topk(
+        event_path_counts(
+            _read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                     "event_type"])
+        ),
+        "path",
+        _PATH_K,
+    )
+
+
 def _q_events_decay(sf_dir: str):
     """Per-user exponentially time-decayed activity score, 1-day
     half-life (stages/windows.py user_decay_score): integer-exact
@@ -5831,6 +5851,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nbayes_confusion": _q_nbayes_confusion,
         "source_overlap": _q_source_overlap,
         "events_decay_score": _q_events_decay,
+        "event_path_topk": _q_event_path_topk,
         "ridge_predict": _q_ridge_predict,
     }
 
@@ -8895,6 +8916,20 @@ def oracle_sql() -> dict[str, str]:
     out["feature_corr"] = f"""
         WITH s AS (SELECT {sums} FROM documents)
         {pair_rows}
+    """
+    # mirrors _q_event_path_topk: lead() trigrams over the per-user
+    # (ts, event_id) order, count per path, (n desc, path asc) top-20
+    out["event_path_topk"] = f"""
+        WITH o AS (SELECT user_id, event_type AS t1,
+                          lead(event_type, 1) OVER w AS t2,
+                          lead(event_type, 2) OVER w AS t3
+                   FROM events
+                   WINDOW w AS (PARTITION BY user_id
+                                ORDER BY ts, event_id)),
+             p AS (SELECT t1 || '>' || t2 || '>' || t3 AS path
+                   FROM o WHERE t3 IS NOT NULL)
+        SELECT path, CAST(count(*) AS BIGINT) AS n
+        FROM p GROUP BY 1 ORDER BY n DESC, path ASC LIMIT {_PATH_K}
     """
     # mirrors _q_events_decay: anchor = max activity DATE, integer day
     # age, weight = floor(1e6 / 2^age) — exact because the denominator

@@ -961,3 +961,61 @@ def user_decay_score(
         .groupby("__part")
         .map_groups(fold, batch_format="pandas")
     )
+
+
+_PATH_SCHEMA = pa.schema([("path", pa.string()), ("n", pa.int64())])
+
+
+def event_path_counts(
+    ds: ray.data.Dataset,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    sep: str = ">",
+) -> ray.data.Dataset:
+    """Partial counts of ordered 3-event paths (t0>t1>t2 over each
+    user's (ts, event_id) timeline) — sequential pattern mining's
+    workhorse unit, feeding the shared distributed top-k tail exactly
+    like ``word_counts`` feeds vocab_topk.
+
+    Shape: ONE (user mod P) exchange of the minimal 4-column payload;
+    in-partition stable sort, trigram mask ensuring all three rows
+    belong to one user (vectorized shifted compare — no per-event
+    python), pandas value_counts partial.  Path cardinality is
+    |event_types|³-bounded, so partials are tiny regardless of corpus
+    size."""
+    P = _parts()
+
+    def add_part(b: pa.Table) -> pa.Table:
+        u = np.asarray(b[user_col], dtype=np.int64)
+        return b.select([user_col, ts_col, id_col, type_col]).append_column(
+            "__part", pa.array(u % P, type=pa.int64())
+        )
+
+    def fold(df: pd.DataFrame) -> pa.Table:
+        if len(df) < 3:
+            return _PATH_SCHEMA.empty_table()
+        df = df.sort_values([user_col, ts_col, id_col], kind="stable")
+        u = df[user_col].to_numpy()
+        t = df[type_col].to_numpy(dtype=object)
+        same = (u[:-2] == u[1:-1]) & (u[1:-1] == u[2:])
+        if not same.any():
+            return _PATH_SCHEMA.empty_table()
+        paths = (
+            t[:-2][same] + sep + t[1:-1][same] + sep + t[2:][same]
+        )
+        vals, cnts = np.unique(paths, return_counts=True)
+        return pa.table(
+            {
+                "path": pa.array(vals.tolist(), type=pa.string()),
+                "n": pa.array(cnts.astype(np.int64)),
+            }
+        )
+
+    return (
+        coalesce_narrow(ds.map_batches(add_part, batch_format="pyarrow"))
+        .groupby("__part")
+        .map_groups(fold, batch_format="pandas")
+    )

@@ -438,3 +438,38 @@ def test_user_decay_score_exact_halflife():
         assert out[1] == (3, 1_000_000 + 500_000 + 125_000), parts
         assert out[2] == (2, 1_000_000), parts
         assert out[3] == (1, 0), parts
+
+
+def test_event_path_counts_trigrams_never_span_users():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from docling_api_ray.stages.windows import event_path_counts
+
+    # user 1: a,b,c,d -> paths a>b>c, b>c>d ; user 2: x,y,z -> x>y>z
+    # user 3: only 2 events -> nothing
+    rows = [
+        (1, 10, 0, "a"), (1, 20, 1, "b"), (1, 30, 2, "c"), (1, 40, 3, "d"),
+        (2, 10, 4, "x"), (2, 20, 5, "y"), (2, 30, 6, "z"),
+        (3, 10, 7, "a"), (3, 20, 8, "b"),
+        # same-ts tie within user 1 later: order falls to event_id
+    ]
+    tbl = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "ts": pa.array(
+                np.array([r[1] * 1_000_000 for r in rows],
+                         dtype="datetime64[us]")
+            ),
+            "event_id": pa.array([r[2] for r in rows], type=pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], type=pa.string()),
+        }
+    )
+    for parts in (1, 4):
+        out = {}
+        for r in event_path_counts(
+            ray.data.from_arrow(tbl).repartition(parts)
+        ).take_all():
+            out[r["path"]] = out.get(r["path"], 0) + r["n"]
+        assert out == {"a>b>c": 1, "b>c>d": 1, "x>y>z": 1}, parts
