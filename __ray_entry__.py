@@ -5549,6 +5549,15 @@ def _q_feature_corr(sf_dir: str):
     return feature_corr(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def _q_anova_eta2(sf_dir: str):
+    """One-way ANOVA η² of n_chars across sources (stages/stats.py
+    grouped_eta2): |sources|-bounded integer moment fold, micro-
+    quantized integer sums of squares, one floor-quantized float."""
+    from docling_api_ray.stages.stats import grouped_eta2
+
+    return grouped_eta2(_docs(sf_dir, ["doc_id", "source", "n_chars"]))
+
+
 _PATH_K = 20
 
 
@@ -5852,6 +5861,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_overlap": _q_source_overlap,
         "events_decay_score": _q_events_decay,
         "event_path_topk": _q_event_path_topk,
+        "anova_eta2": _q_anova_eta2,
         "ridge_predict": _q_ridge_predict,
     }
 
@@ -8916,6 +8926,35 @@ def oracle_sql() -> dict[str, str]:
     out["feature_corr"] = f"""
         WITH s AS (SELECT {sums} FROM documents)
         {pair_rows}
+    """
+    # mirrors _q_anova_eta2: HUGEINT moments, micro-quantized integer
+    # sums of squares via // floor-division, one floor-quantized float.
+    # ST = 0 (zero total variance) defines eta2 = 0.
+    out["anova_eta2"] = """
+        WITH m AS (SELECT source,
+                          CAST(count(*) AS HUGEINT) AS n,
+                          CAST(sum(n_chars) AS HUGEINT) AS sx,
+                          CAST(sum(n_chars * n_chars) AS HUGEINT) AS sxx
+                   FROM documents GROUP BY source),
+             tot AS (SELECT CAST(sum(n) AS HUGEINT) AS nn,
+                            CAST(sum(sx) AS HUGEINT) AS tsx,
+                            CAST(sum(sxx) AS HUGEINT) AS tsxx,
+                            CAST(count(*) AS BIGINT) AS n_groups
+                     FROM m),
+             terms AS (SELECT CAST(sum((sx * sx * 1000000) // n) AS HUGEINT)
+                              AS sum_tg
+                       FROM m),
+             f AS (SELECT t.nn, t.n_groups,
+                          (s.sum_tg - (t.tsx * t.tsx * 1000000) // t.nn)
+                            AS sb,
+                          (t.tsxx * 1000000
+                           - (t.tsx * t.tsx * 1000000) // t.nn) AS st
+                   FROM tot t CROSS JOIN terms s)
+        SELECT CAST(nn AS BIGINT) AS n_docs, n_groups,
+               CASE WHEN st = 0 THEN 0.0
+                    ELSE floor(CAST(sb AS DOUBLE) / CAST(st AS DOUBLE)
+                               * 1000000 + 0.5) / 1000000.0 END AS eta2
+        FROM f
     """
     # mirrors _q_event_path_topk: lead() trigrams over the per-user
     # (ts, event_id) order, count per path, (n desc, path asc) top-20

@@ -801,3 +801,93 @@ def grouped_ols(
         )
 
     return folded.map_batches(fit, batch_format="pyarrow")
+
+
+_ETA_OUT_SCHEMA = pa.schema(
+    [
+        ("n_docs", pa.int64()),
+        ("n_groups", pa.int64()),
+        ("eta2", pa.float64()),
+    ]
+)
+
+
+def grouped_eta2(
+    ds: ray.data.Dataset,
+    *,
+    group_col: str = "source",
+    value_col: str = "n_chars",
+) -> pa.Table:
+    """One-way ANOVA effect size η² = SS_between / SS_total of an
+    integer value column across groups — "how much of document length
+    does source explain", the variance-decomposition sanity check a
+    mixture design runs before weighting sources.
+
+    Exactness: per-group integer moments (n, Σx, Σx²) fold through
+    ``bounded_groupby_sum`` (|groups| rows); the sums of squares are
+    then formed from MICRO-QUANTIZED integer terms —
+    ``t_g = ⌊Σx_g²·10⁶ / n_g⌋`` and ``t = ⌊(Σx)²·10⁶ / N⌋`` in unbounded
+    Python ints — so SS_between = Σ t_g − t and SS_total = Σx²·10⁶ − t
+    are EXACT integers with no float accumulation anywhere; the single
+    final float division is floor-quantized to 6 decimals, mirrored
+    op-for-op by HUGEINT floor-division SQL.  Zero total variance
+    defines η² = 0."""
+    from docling_api_ray.stages.common import bounded_groupby_sum
+
+    moment_schema = pa.schema(
+        [
+            ("g", pa.string()),
+            ("n", pa.int64()),
+            ("sx", pa.int64()),
+            ("sxx", pa.int64()),
+        ]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return moment_schema.empty_table()
+        x = np.asarray(b[value_col], dtype=np.int64)
+        g = np.asarray(b[group_col])
+        uniq, inv = np.unique(g, return_inverse=True)
+        k = len(uniq)
+        return pa.table(
+            {
+                "g": pa.array(uniq.tolist(), type=pa.string()),
+                "n": pa.array(np.bincount(inv, minlength=k), type=pa.int64()),
+                "sx": pa.array(
+                    np.bincount(inv, weights=x, minlength=k).astype(np.int64)
+                ),
+                "sxx": pa.array(
+                    np.bincount(inv, weights=x * x, minlength=k).astype(
+                        np.int64
+                    )
+                ),
+            }
+        )
+
+    folded = bounded_groupby_sum(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["g"],
+        sum_cols={c: c for c in ("n", "sx", "sxx")},
+    ).take_all()  # |groups| rows, domain-bounded
+
+    N = sum(int(r["n"]) for r in folded)
+    SX = sum(int(r["sx"]) for r in folded)
+    SXX = sum(int(r["sxx"]) for r in folded)
+    t_all = (SX * SX * 1_000_000) // N if N else 0
+    sb = sum(
+        (int(r["sx"]) ** 2 * 1_000_000) // int(r["n"]) for r in folded
+    ) - t_all
+    st = SXX * 1_000_000 - t_all
+    eta2 = (
+        0.0
+        if st == 0
+        else math.floor(float(sb) / float(st) * 1e6 + 0.5) / 1e6
+    )
+    return pa.table(
+        {
+            "n_docs": pa.array([N], type=pa.int64()),
+            "n_groups": pa.array([len(folded)], type=pa.int64()),
+            "eta2": pa.array([eta2], type=pa.float64()),
+        }
+    )

@@ -534,3 +534,54 @@ def test_grouped_ols_matches_oneshot_numpy():
     assert out["b"]["slope"] == 0.0 and out["b"]["r2"] == 0.0
     # singleton: den_x = 0 -> slope 0, intercept = its own y
     assert out["c"]["slope"] == 0.0 and out["c"]["intercept"] == 3.0
+
+
+def test_grouped_eta2_exact_decomposition():
+    """η² against a hand-computed reference; separable groups give high
+    η², identical group means give ~0; zero variance defines 0; result
+    is partition independent."""
+    import math
+
+    import ray.data
+
+    from docling_api_ray.stages.stats import grouped_eta2
+
+    def eta(groups, vals, parts=4):
+        tbl = pa.table(
+            {
+                "doc_id": list(range(len(vals))),
+                "source": groups,
+                "n_chars": vals,
+            }
+        )
+        out = grouped_eta2(ray.data.from_arrow(tbl).repartition(parts))
+        return (
+            out["n_docs"][0].as_py(),
+            out["n_groups"][0].as_py(),
+            out["eta2"][0].as_py(),
+        )
+
+    # fully separated: group a all 10, group b all 20 -> eta2 = 1
+    n, g, e = eta(["a"] * 5 + ["b"] * 5, [10] * 5 + [20] * 5)
+    assert (n, g) == (10, 2) and e == 1.0
+    # identical distribution in both groups -> between-group SS = 0
+    n, g, e = eta(["a", "a", "b", "b"], [1, 3, 1, 3])
+    assert e == 0.0
+    # zero total variance -> defined 0
+    _, _, e = eta(["a", "b"], [7, 7])
+    assert e == 0.0
+    # hand reference on a mixed case, quantized-int formula
+    groups = ["a"] * 3 + ["b"] * 4
+    vals = [1, 2, 6, 4, 4, 5, 9]
+    n, g, e = eta(groups, vals, parts=3)
+    import numpy as np
+
+    t_all = (sum(vals) ** 2 * 10**6) // len(vals)
+    sb = sum(
+        (sum(v for gg, v in zip(groups, vals) if gg == x) ** 2 * 10**6)
+        // groups.count(x)
+        for x in ("a", "b")
+    ) - t_all
+    st = sum(v * v for v in vals) * 10**6 - t_all
+    assert e == math.floor(sb / st * 1e6 + 0.5) / 1e6
+    assert eta(groups, vals, parts=1) == (n, g, e)
