@@ -5549,6 +5549,16 @@ def _q_feature_corr(sf_dir: str):
     return feature_corr(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def _q_source_unique_share(sf_dir: str):
+    """Per-source unique-content valuation (stages/dedup.py
+    source_unique_share): of each source's distinct 3-shingles, the
+    count and share appearing in no other source — shared explode +
+    co-group with source_overlap, |sources|-bounded fold."""
+    from docling_api_ray.stages.dedup import source_unique_share
+
+    return source_unique_share(_docs(sf_dir, ["doc_id", "text", "source"]))
+
+
 def _q_anova_eta2(sf_dir: str):
     """One-way ANOVA η² of n_chars across sources (stages/stats.py
     grouped_eta2): |sources|-bounded integer moment fold, micro-
@@ -5862,6 +5872,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_decay_score": _q_events_decay,
         "event_path_topk": _q_event_path_topk,
         "anova_eta2": _q_anova_eta2,
+        "source_unique_share": _q_source_unique_share,
         "ridge_predict": _q_ridge_predict,
     }
 
@@ -8926,6 +8937,24 @@ def oracle_sql() -> dict[str, str]:
     out["feature_corr"] = f"""
         WITH s AS (SELECT {sums} FROM documents)
         {pair_rows}
+    """
+    # mirrors _q_source_unique_share: same shingle CTEs + distinct
+    # (source, shingle); per-shingle source count decides uniqueness;
+    # per-source totals and the identical floor-quantized share
+    out["source_unique_share"] = f"""
+        WITH {_sql_shingle_ctes()},
+             es AS (SELECT DISTINCT d.source, unnest(s.sh) AS h
+                    FROM sh s JOIN documents d USING (doc_id)),
+             c AS (SELECT h, count(*) AS ns FROM es GROUP BY 1),
+             per AS (SELECT e.source,
+                            CAST(sum(CASE WHEN c.ns = 1 THEN 1 ELSE 0 END)
+                                 AS BIGINT) AS n_unique,
+                            CAST(count(*) AS BIGINT) AS n_distinct
+                     FROM es e JOIN c USING (h) GROUP BY 1)
+        SELECT source, n_unique, n_distinct,
+               floor(CAST(n_unique AS DOUBLE) / n_distinct * 1000000 + 0.5)
+                 / 1000000.0 AS unique_share
+        FROM per
     """
     # mirrors _q_anova_eta2: HUGEINT moments, micro-quantized integer
     # sums of squares via // floor-division, one floor-quantized float.

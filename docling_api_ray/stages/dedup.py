@@ -2298,37 +2298,22 @@ _OVERLAP_SCHEMA = pa.schema(
 )
 
 
-def source_overlap(
-    ds: ray.data.Dataset, *, text_col: str = "text", group_col: str = "source"
-) -> ray.data.Dataset:
-    """Exact cross-source contamination matrix at 3-word-shingle
-    granularity: for every unordered source pair, the number of
-    DISTINCT shingle hashes present in both — the exact complement of
-    the sketched ``source_minhash_sim`` (a mixture audit answers "how
-    much of source B's phrasing is already in A?" before setting
-    mixture weights).
-
-    Scale shape: each batch reduces to DISTINCT (shingle, source) int64+
-    string rows (composite drop_duplicates — the per-source shingle
-    vocabulary, far smaller than the token stream); shingles co-group by
-    their int64 key, each partition folds its complete shingle groups to
-    unordered source pairs (≤ C(|sources|,2) rows per shingle, and only
-    shingles spanning ≥2 sources emit anything); the pair counts
-    tree-fold through ``bounded_groupby_sum`` (domain = |sources|²,
-    corpus-independent).  Shingle hashing is the dedup family's
-    vectorized per-unique-word md5 + mod-2^64 combine
-    (functions/hashing.py), mirrored exactly by the oracle's
-    ``_sql_shingle_ctes``."""
+def _shingle_source_explode(text_col: str, group_col: str):
+    """Batch kernel factory: documents → DISTINCT (shingle, source)
+    rows (int64 bit-pattern shingle + its nonneg co-group key) — the
+    shared explode of ``source_overlap`` / ``source_unique_share``.
+    Shingle hashing is the dedup family's vectorized per-unique-word
+    md5 + mod-2^64 combine (functions/hashing.py), mirrored exactly by
+    the oracle's ``_sql_shingle_ctes``."""
     from docling_api_ray.functions.hashing import batch_word_hashes
-    from docling_api_ray.stages.common import bounded_groupby_sum
 
-    pair_schema = pa.schema(
+    schema = pa.schema(
         [("sh", pa.int64()), ("__ckey", pa.int64()), (group_col, pa.string())]
     )
 
     def explode(b: pa.Table) -> pa.Table:
         if len(b) == 0:
-            return pair_schema.empty_table()
+            return schema.empty_table()
         texts = [t or "" for t in b[text_col].to_pylist()]
         word_h, off = batch_word_hashes(texts)
         per_doc = [
@@ -2360,6 +2345,34 @@ def source_overlap(
             }
         )
 
+    return explode
+
+
+def source_overlap(
+    ds: ray.data.Dataset, *, text_col: str = "text", group_col: str = "source"
+) -> ray.data.Dataset:
+    """Exact cross-source contamination matrix at 3-word-shingle
+    granularity: for every unordered source pair, the number of
+    DISTINCT shingle hashes present in both — the exact complement of
+    the sketched ``source_minhash_sim`` (a mixture audit answers "how
+    much of source B's phrasing is already in A?" before setting
+    mixture weights).
+
+    Scale shape: each batch reduces to DISTINCT (shingle, source) int64+
+    string rows (composite drop_duplicates — the per-source shingle
+    vocabulary, far smaller than the token stream); shingles co-group by
+    their int64 key, each partition folds its complete shingle groups to
+    unordered source pairs (≤ C(|sources|,2) rows per shingle, and only
+    shingles spanning ≥2 sources emit anything); the pair counts
+    tree-fold through ``bounded_groupby_sum`` (domain = |sources|²,
+    corpus-independent).  Shingle hashing is the dedup family's
+    vectorized per-unique-word md5 + mod-2^64 combine
+    (functions/hashing.py), mirrored exactly by the oracle's
+    ``_sql_shingle_ctes``."""
+    from docling_api_ray.stages.common import bounded_groupby_sum
+
+    explode = _shingle_source_explode(text_col, group_col)
+
     def pairs(df: pd.DataFrame) -> pa.Table:
         df = df.drop_duplicates(["sh", group_col])
         out_a, out_b = [], []
@@ -2389,3 +2402,84 @@ def source_overlap(
         ["src_a", "src_b"],
         sum_cols={"n": "n"},
     )
+
+
+_UNIQ_SCHEMA = pa.schema(
+    [
+        ("source", pa.string()),
+        ("n_unique", pa.int64()),
+        ("n_distinct", pa.int64()),
+    ]
+)
+
+
+def source_unique_share(
+    ds: ray.data.Dataset, *, text_col: str = "text", group_col: str = "source"
+) -> ray.data.Dataset:
+    """Per-source content-diversity valuation: of each source's DISTINCT
+    3-word shingles, how many appear in NO other source — the
+    leave-one-out "what does this source uniquely contribute" number a
+    mixture design weighs against its size.
+
+    Same scale shape as ``source_overlap`` (shared explode: per-batch
+    distinct (shingle, source) rows, shingle-key co-group); each
+    partition holds every source row of its shingles, so uniqueness is
+    decided locally and folds to |sources| bounded (source, n_unique,
+    n_distinct) partials.  ``unique_share`` = floor-quantized
+    n_unique/n_distinct."""
+    from docling_api_ray.stages.common import bounded_groupby_sum
+
+    def per_shingle(df: pd.DataFrame) -> pa.Table:
+        df = df.drop_duplicates(["sh", group_col])
+        ns = df.groupby("sh")[group_col].transform("size")
+        g = (
+            pd.DataFrame(
+                {
+                    "source": df[group_col].to_numpy(),
+                    "u": (ns.to_numpy() == 1).astype(np.int64),
+                }
+            )
+            .groupby("source", sort=False)["u"]
+            .agg(["sum", "size"])
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "source": pa.array(g["source"].tolist(), type=pa.string()),
+                "n_unique": pa.array(
+                    g["sum"].to_numpy(dtype=np.int64)
+                ),
+                "n_distinct": pa.array(
+                    g["size"].to_numpy(dtype=np.int64)
+                ),
+            }
+        )
+
+    folded = bounded_groupby_sum(
+        _cogrouped(
+            ds.map_batches(
+                _shingle_source_explode(text_col, group_col),
+                batch_format="pyarrow",
+            ),
+            "__ckey",
+            coalesce=True,
+        ).map_groups(per_shingle, batch_format="pandas"),
+        ["source"],
+        sum_cols={"n_unique": "n_unique", "n_distinct": "n_distinct"},
+    )
+
+    share_schema = pa.schema(
+        list(_UNIQ_SCHEMA) + [("unique_share", pa.float64())]
+    )
+
+    def share(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return share_schema.empty_table()
+        u = np.asarray(b["n_unique"], dtype=np.int64)
+        d = np.asarray(b["n_distinct"], dtype=np.int64)
+        s = np.floor(u.astype(np.float64) / d * 1e6 + 0.5) / 1e6
+        return b.append_column(
+            "unique_share", pa.array(s, type=pa.float64())
+        )
+
+    return folded.map_batches(share, batch_format="pyarrow")

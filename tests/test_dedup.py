@@ -793,3 +793,42 @@ def test_source_overlap_exact_shingle_matrix():
     assert got == expect
     assert got[("a", "b")] >= 2  # "x y z" + "p q r" at least
     assert counts(1) == counts(5) == got
+
+
+def test_source_unique_share_counts():
+    """Controlled shingle sets: shared shingles are not unique; each
+    source's distinct total counts each shingle once however often it
+    repeats within the source; partition independent."""
+    import pyarrow as pa
+    import ray.data
+
+    from docling_api_ray.stages.dedup import source_unique_share
+
+    rows = [
+        ("a", "x y z"),          # shingle xyz shared with b
+        ("a", "u v w extra"),    # uvw + vw-extra unique to a
+        ("a", "u v w extra"),    # exact repeat: no new distinct shingles
+        ("b", "x y z"),
+        ("b", "only b phrase"),
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": list(range(len(rows))),
+            "source": [r[0] for r in rows],
+            "text": [r[1] for r in rows],
+        }
+    )
+    for parts in (1, 4):
+        out = {
+            r["source"]: (r["n_unique"], r["n_distinct"], r["unique_share"])
+            for r in source_unique_share(
+                ray.data.from_arrow(tbl).repartition(parts)
+            ).take_all()
+        }
+        # a: shingles {xyz, uvw, vw-extra} -> 2 unique of 3
+        # b: shingles {xyz, only-b-phrase} -> 1 unique of 2
+        import math
+
+        assert out["a"][:2] == (2, 3), parts
+        assert out["a"][2] == math.floor(2 / 3 * 1e6 + 0.5) / 1e6
+        assert out["b"] == (1, 2, 0.5), parts
