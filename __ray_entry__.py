@@ -5549,6 +5549,119 @@ def _q_feature_corr(sf_dir: str):
     return feature_corr(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def _q_cluster_profile(sf_dir: str):
+    """End-to-end curation composition: k-means cluster per embedding
+    (exact integer Lloyd, k=8, iters=2) hash-joined to per-document
+    text stats, folded to a k-bounded per-cluster quality profile —
+    the "which semantic clusters hold long/wordy documents" audit a
+    mixture design reads before weighting clusters.  All sums int64-
+    exact; avg_chars is the floor-quantized ratio of folded ints."""
+    from docling_api_ray.stages.clustering import kmeans_assign
+    from docling_api_ray.stages.common import bounded_groupby_sum
+    from docling_api_ray.stages.joins import hash_join
+
+    assign = _rename_inline(
+        kmeans_assign(_emb(sf_dir, ["vec_id", "embedding"]), k=8, iters=2),
+        {"vec_id": "doc_id"},
+    )
+
+    def doc_stats(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_chars_d": pc.cast(b["n_chars"], pa.int64()),
+                "n_words_d": pa.array(
+                    np.asarray(
+                        ta._count(b["text"], ta.WS_TOKEN_RE), dtype=np.int64
+                    )
+                ),
+            }
+        )
+
+    docs = _docs(sf_dir, ["doc_id", "text", "n_chars"]).map_batches(
+        doc_stats, batch_format="pyarrow"
+    )
+    joined = hash_join(
+        assign,
+        docs,
+        on="doc_id",
+        schemas=(
+            pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("cluster", pa.int64()),
+                    ("dist", pa.int64()),
+                ]
+            ),
+            pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("n_chars_d", pa.int64()),
+                    ("n_words_d", pa.int64()),
+                ]
+            ),
+        ),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.schema(
+                [
+                    ("cluster", pa.int64()),
+                    ("n_docs", pa.int64()),
+                    ("sum_chars", pa.int64()),
+                    ("sum_words", pa.int64()),
+                    ("sum_dist", pa.int64()),
+                ]
+            ).empty_table()
+        cid = np.asarray(b["cluster"], dtype=np.int64)
+        uniq, inv = np.unique(cid, return_inverse=True)
+        agg = lambda col: np.bincount(
+            inv, weights=np.asarray(b[col], dtype=np.int64),
+            minlength=len(uniq),
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "cluster": pa.array(uniq, type=pa.int64()),
+                "n_docs": pa.array(
+                    np.bincount(inv, minlength=len(uniq)), type=pa.int64()
+                ),
+                "sum_chars": pa.array(agg("n_chars_d")),
+                "sum_words": pa.array(agg("n_words_d")),
+                "sum_dist": pa.array(agg("dist")),
+            }
+        )
+
+    folded = bounded_groupby_sum(
+        joined.map_batches(partial, batch_format="pyarrow"),
+        ["cluster"],
+        sum_cols={
+            c: c for c in ("n_docs", "sum_chars", "sum_words", "sum_dist")
+        },
+    )
+
+    out_schema = pa.schema(
+        [
+            ("cluster", pa.int64()),
+            ("n_docs", pa.int64()),
+            ("sum_chars", pa.int64()),
+            ("sum_words", pa.int64()),
+            ("sum_dist", pa.int64()),
+            ("avg_chars", pa.float64()),
+        ]
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return out_schema.empty_table()
+        n = np.asarray(b["n_docs"], dtype=np.int64)
+        sc = np.asarray(b["sum_chars"], dtype=np.int64)
+        avg = np.floor(sc.astype(np.float64) / n * 1e6 + 0.5) / 1e6
+        return b.append_column("avg_chars", pa.array(avg, type=pa.float64()))
+
+    return folded.map_batches(finish, batch_format="pyarrow")
+
+
 def _q_source_unique_share(sf_dir: str):
     """Per-source unique-content valuation (stages/dedup.py
     source_unique_share): of each source's distinct 3-shingles, the
@@ -5873,6 +5986,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_path_topk": _q_event_path_topk,
         "anova_eta2": _q_anova_eta2,
         "source_unique_share": _q_source_unique_share,
+        "cluster_profile": _q_cluster_profile,
         "ridge_predict": _q_ridge_predict,
     }
 
@@ -8937,6 +9051,22 @@ def oracle_sql() -> dict[str, str]:
     out["feature_corr"] = f"""
         WITH s AS (SELECT {sums} FROM documents)
         {pair_rows}
+    """
+    # mirrors _q_cluster_profile: the shared kmeans oracle (same exact
+    # integer Lloyd) as a subquery, joined to documents, k-bounded
+    # integer aggregate + floor-quantized avg
+    out["cluster_profile"] = f"""
+        SELECT ka.cluster,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(d.n_chars) AS BIGINT) AS sum_chars,
+               CAST(sum(length(regexp_extract_all(d.text, $${wsre}$$)))
+                    AS BIGINT) AS sum_words,
+               CAST(sum(ka.dist) AS BIGINT) AS sum_dist,
+               floor(CAST(sum(d.n_chars) AS DOUBLE) / count(*)
+                     * 1000000 + 0.5) / 1000000.0 AS avg_chars
+        FROM ({_kmeans_oracle_sql(8, 2)}) ka
+        JOIN documents d ON d.doc_id = ka.vec_id
+        GROUP BY 1
     """
     # mirrors _q_source_unique_share: same shingle CTEs + distinct
     # (source, shingle); per-shingle source count decides uniqueness;
