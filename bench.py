@@ -212,6 +212,11 @@ def _bench_once() -> dict:
         "hybrid_rrf",
         "source_ols",
         "nbayes_confusion",
+        "source_overlap",
+        "events_decay_score",
+        "event_path_topk",
+        "source_unique_share",
+        "cluster_profile",
     ]
     # INTERLEAVED repetitions + medians (VERDICT r2 #1): this container's
     # co-tenant jitter is ±30-50% and can hold a multi-second plateau —
