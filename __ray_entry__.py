@@ -5549,6 +5549,28 @@ def _q_feature_corr(sf_dir: str):
     return feature_corr(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def _q_leakage_safe_split(sf_dir: str):
+    """Near-dup-leakage-safe train/val/test split (stages/splits.py
+    leakage_safe_splits): the split hash is over the dedup COMPONENT
+    label from dedup_keep, so no near-duplicate cluster straddles
+    splits — the eval-contamination guard per-doc hash splits lack."""
+    from docling_api_ray.stages.splits import leakage_safe_splits
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    pairs = dd.minhash_lsh_pairs(docs, threshold=0.7)
+    return _with_schema(
+        leakage_safe_splits(dd.dedup_keep(docs, pairs)),
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("component", pa.int64()),
+                ("bucket", pa.int64()),
+                ("split", pa.string()),
+            ]
+        ),
+    )
+
+
 def _q_cluster_profile(sf_dir: str):
     """End-to-end curation composition: k-means cluster per embedding
     (exact integer Lloyd, k=8, iters=2) hash-joined to per-document
@@ -5987,6 +6009,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anova_eta2": _q_anova_eta2,
         "source_unique_share": _q_source_unique_share,
         "cluster_profile": _q_cluster_profile,
+        "leakage_safe_split": _q_leakage_safe_split,
         "ridge_predict": _q_ridge_predict,
     }
 
@@ -9051,6 +9074,20 @@ def oracle_sql() -> dict[str, str]:
     out["feature_corr"] = f"""
         WITH s AS (SELECT {sums} FROM documents)
         {pair_rows}
+    """
+    # mirrors _q_leakage_safe_split: the verified minhash keep-list CTE
+    # (same components), md5-bucket over the COMPONENT string, the
+    # assign_splits thresholds
+    out["leakage_safe_split"] = f"""
+        WITH k AS ({_minhash_keep_oracle_sql(0.7)})
+        SELECT doc_id, component,
+               CAST(h % 100 AS BIGINT) AS bucket,
+               CASE WHEN h % 100 < 90 THEN 'train'
+                    WHEN h % 100 < 95 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT doc_id, component,
+                     {_sql_u64("CAST(component AS VARCHAR)")} AS h
+              FROM k)
     """
     # mirrors _q_cluster_profile: the shared kmeans oracle (same exact
     # integer Lloyd) as a subquery, joined to documents, k-bounded

@@ -147,3 +147,42 @@ def weighted_sample(
         .repartition(1)
         .map_batches(merge, batch_format="pyarrow", batch_size=None)
     )
+
+
+def leakage_safe_splits(
+    keep_ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    ratios: tuple[int, int, int] = DEFAULT_RATIOS,
+) -> ray.data.Dataset:
+    """Train/val/test assignment with a NEAR-DUP LEAKAGE GUARD: the
+    split hash is taken over the document's dedup COMPONENT label, not
+    its own id, so every member of a near-duplicate cluster lands in
+    the same split — the eval-contamination rule plain per-doc hash
+    splits (``assign_splits``) cannot give.  Input is ``dedup_keep``'s
+    (doc_id, component, keep) table; singletons (component = own id)
+    behave exactly like a per-doc hash.  Stateless streaming pass —
+    the component attach already paid the only exchange."""
+    if sum(ratios) != 100:
+        raise ValueError(f"ratios must sum to 100, got {ratios}")
+    train_hi = ratios[0]
+    val_hi = ratios[0] + ratios[1]
+
+    def assign(b: pa.Table) -> pa.Table:
+        comps = [str(c) for c in b["component"].to_pylist()]
+        bucket = (u64_md5(np.array(comps, dtype=object)) % 100).astype(
+            np.int64
+        )
+        split = np.where(
+            bucket < train_hi, "train", np.where(bucket < val_hi, "val", "test")
+        )
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "component": b["component"],
+                "bucket": pa.array(bucket, type=pa.int64()),
+                "split": pa.array(split, type=pa.string()),
+            }
+        )
+
+    return keep_ds.map_batches(assign, batch_format="pyarrow")

@@ -453,3 +453,39 @@ def test_chunk_overlap_boundaries(tmp_path):
     # overlap: chunk 1 starts at token `stride`, inside chunk 0
     assert chunks[1]["chunk"].split()[0] == f"t{_CHUNK_STRIDE}"
     assert chunks[0]["chunk"].split()[-1] == f"t{_CHUNK_SIZE - 1}"
+
+
+def test_leakage_safe_split_components_never_straddle():
+    """Every member of a pair-connected component gets the SAME split;
+    singleton docs behave like a per-doc component hash; ratios apply
+    to the component-hash buckets."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from docling_api_ray.stages.splits import leakage_safe_splits
+
+    # synthetic keep table: components {1: [1,2,3], 7: [7,8]}, singletons 4,5
+    keep = pa.table(
+        {
+            "doc_id": [1, 2, 3, 4, 5, 7, 8],
+            "component": [1, 1, 1, 4, 5, 7, 7],
+            "keep": [True, False, False, True, True, True, False],
+        }
+    )
+    out = {
+        r["doc_id"]: r
+        for r in leakage_safe_splits(
+            ray.data.from_arrow(keep).repartition(3)
+        ).take_all()
+    }
+    assert len({out[d]["split"] for d in (1, 2, 3)}) == 1
+    assert len({out[d]["bucket"] for d in (1, 2, 3)}) == 1
+    assert out[7]["split"] == out[8]["split"]
+    # singleton bucket equals the plain per-doc hash of its own id
+    from docling_api_ray.functions.hashing import u64_md5
+
+    # NB: int() BEFORE the mod — scalar np.uint64 % python-int detours
+    # through float64 and corrupts the residue
+    b4 = int(u64_md5(np.array(["4"], dtype=object))[0]) % 100
+    assert out[4]["bucket"] == b4
