@@ -5549,6 +5549,18 @@ def _q_feature_corr(sf_dir: str):
     return feature_corr(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def _q_rfm_segments(sf_dir: str):
+    """RFM user segmentation (stages/windows.py rfm_segments): events
+    fold once to |users| integer rows, exact percentile_disc quartile
+    thresholds per axis (threshold semantics — ties share a quartile,
+    no tie exchange), stateless broadcast assign."""
+    from docling_api_ray.stages.windows import rfm_segments
+
+    return rfm_segments(
+        _read(sf_dir, "events", ["user_id", "ts", "value"])
+    )
+
+
 def _q_leakage_safe_split(sf_dir: str):
     """Near-dup-leakage-safe train/val/test split (stages/splits.py
     leakage_safe_splits): the split hash is over the dedup COMPONENT
@@ -6010,6 +6022,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_unique_share": _q_source_unique_share,
         "cluster_profile": _q_cluster_profile,
         "leakage_safe_split": _q_leakage_safe_split,
+        "rfm_segments": _q_rfm_segments,
         "ridge_predict": _q_ridge_predict,
     }
 
@@ -9074,6 +9087,45 @@ def oracle_sql() -> dict[str, str]:
     out["feature_corr"] = f"""
         WITH s AS (SELECT {sums} FROM documents)
         {pair_rows}
+    """
+    # mirrors _q_rfm_segments: per-user fold with the round(value*1e6)
+    # micro convention, percentile_disc(.25/.5/.75) thresholds over the
+    # user table, q = 1 + #{thresholds strictly below}
+    out["rfm_segments"] = """
+        WITH a AS (SELECT max(CAST(ts AS DATE)) AS anchor FROM events),
+             u AS (SELECT user_id,
+                          datediff('day', max(CAST(ts AS DATE)),
+                                   any_value(a.anchor)) AS recency_days,
+                          CAST(count(*) AS BIGINT) AS n_events,
+                          CAST(sum(CAST(round(value * 1000000) AS BIGINT))
+                               AS BIGINT) AS v_micro
+                   FROM events CROSS JOIN a GROUP BY user_id),
+             t AS (SELECT
+                     percentile_disc(0.25) WITHIN GROUP (ORDER BY recency_days) AS r25,
+                     percentile_disc(0.50) WITHIN GROUP (ORDER BY recency_days) AS r50,
+                     percentile_disc(0.75) WITHIN GROUP (ORDER BY recency_days) AS r75,
+                     percentile_disc(0.25) WITHIN GROUP (ORDER BY n_events) AS f25,
+                     percentile_disc(0.50) WITHIN GROUP (ORDER BY n_events) AS f50,
+                     percentile_disc(0.75) WITHIN GROUP (ORDER BY n_events) AS f75,
+                     percentile_disc(0.25) WITHIN GROUP (ORDER BY v_micro) AS m25,
+                     percentile_disc(0.50) WITHIN GROUP (ORDER BY v_micro) AS m50,
+                     percentile_disc(0.75) WITHIN GROUP (ORDER BY v_micro) AS m75
+                   FROM u),
+             q AS (SELECT u.user_id, u.recency_days, u.n_events, u.v_micro,
+                          CAST(1 + (u.recency_days > t.r25)::int
+                                 + (u.recency_days > t.r50)::int
+                                 + (u.recency_days > t.r75)::int AS BIGINT) AS r_q,
+                          CAST(1 + (u.n_events > t.f25)::int
+                                 + (u.n_events > t.f50)::int
+                                 + (u.n_events > t.f75)::int AS BIGINT) AS f_q,
+                          CAST(1 + (u.v_micro > t.m25)::int
+                                 + (u.v_micro > t.m50)::int
+                                 + (u.v_micro > t.m75)::int AS BIGINT) AS m_q
+                   FROM u CROSS JOIN t)
+        SELECT user_id, recency_days, n_events, v_micro, r_q, f_q, m_q,
+               CAST(r_q AS VARCHAR) || '.' || CAST(f_q AS VARCHAR)
+                 || '.' || CAST(m_q AS VARCHAR) AS segment
+        FROM q
     """
     # mirrors _q_leakage_safe_split: the verified minhash keep-list CTE
     # (same components), md5-bucket over the COMPONENT string, the

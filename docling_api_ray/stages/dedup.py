@@ -1374,12 +1374,27 @@ def prefix_filter_pairs(
                 "ptok": pa.array(ho2[keep].view(np.int64), type=pa.int64()),
                 "doc_id": pa.array(ids[dio2[keep]], type=pa.int64()),
                 "lw": pa.array(lw[dio2[keep]], type=pa.int64()),
+                "pp": pa.array(pos_in_doc[keep], type=pa.int64()),
             }
         )
 
     prefix = ds.map_batches(prefix_rows, batch_format="pyarrow")
 
     # ---- stage 3: bucket candidates + global pair dedup ----
+    # PPJoin positional filter (Xiao et al. WWW'08): a pair sharing this
+    # bucket's token at prefix positions (pa, pb) has overlap ≤
+    # 1 + min(la-pa-1, lb-pb-1); a qualifying pair needs overlap ≥
+    # ceil(t·(la+lb)/(1+t)).  The bound is tight only at the pair's
+    # SMALLEST common token, but per-bucket pruning stays EXACT because
+    # buckets union: the smallest-common-token bucket always passes a
+    # truly-qualifying pair, and the verify stage recomputes exact
+    # Jaccard for whatever survives.  ``need`` uses floor (≤ the true
+    # ceil), so float rounding can only weaken the prune, never break
+    # exactness.  On the self-similar synthetic corpus this collapses
+    # the candidate set the length filter alone cannot (lengths are all
+    # alike there, positions are not).
+    tfrac = threshold / (1.0 + threshold)
+
     def cand_fold(g: pd.DataFrame) -> pa.Table:
         g = g[g.duplicated("ptok", keep=False)]
         L: list[np.ndarray] = []
@@ -1387,13 +1402,17 @@ def prefix_filter_pairs(
         for _, grp in g.groupby("ptok", sort=False):
             ids = grp["doc_id"].to_numpy()
             lws = grp["lw"].to_numpy()
+            pps = grp["pp"].to_numpy()
             o = np.argsort(ids, kind="stable")
-            ids, lws = ids[o], lws[o]
+            ids, lws, pps = ids[o], lws[o], pps[o]
             n = len(ids)
             for i in range(n - 1):
-                lmin = np.minimum(lws[i], lws[i + 1 :])
-                lmax = np.maximum(lws[i], lws[i + 1 :])
-                ok = lmin >= alpha_of(lmax)
+                lb, pb = lws[i + 1 :], pps[i + 1 :]
+                lmin = np.minimum(lws[i], lb)
+                lmax = np.maximum(lws[i], lb)
+                ub = 1 + np.minimum(lws[i] - pps[i] - 1, lb - pb - 1)
+                need = np.floor(tfrac * (lws[i] + lb)).astype(np.int64)
+                ok = (lmin >= alpha_of(lmax)) & (ub >= need)
                 if ok.any():
                     L.append(np.full(int(ok.sum()), ids[i], dtype=np.int64))
                     R.append(ids[i + 1 :][ok])

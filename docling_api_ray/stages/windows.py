@@ -862,6 +862,33 @@ _DECAY_SCHEMA = pa.schema(
     ]
 )
 
+_DAY_US = 86_400 * US
+
+
+def max_activity_day(ds: ray.data.Dataset, *, ts_col: str = "ts") -> int:
+    """Corpus max activity day (days since epoch) as one scalar: 1-row
+    per-block partial maxes, reduced driver-side over EVERY row of
+    every iter_batches bundle (iter_batches coalesces the one-row
+    partials — reading only row [0] silently drops partials)."""
+
+    def day_max(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.schema([("d", pa.int64())]).empty_table()
+        day = (
+            pc.cast(b[ts_col], pa.int64()).to_numpy(zero_copy_only=False)
+            // _DAY_US
+        )
+        return pa.table({"d": pa.array([int(day.max())], type=pa.int64())})
+
+    return max(
+        int(v)
+        for blk in ds.select_columns([ts_col])
+        .map_batches(day_max, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+        if len(blk)
+        for v in blk["d"].to_pylist()
+    )
+
 
 def user_decay_score(
     ds: ray.data.Dataset, *, key: str = "user_id"
@@ -884,28 +911,8 @@ def user_decay_score(
     anchor scalar."""
     from docling_api_ray.stages.common import coalesce_narrow
 
-    day_us = 86_400 * US
-
-    def day_max(b: pa.Table) -> pa.Table:
-        if len(b) == 0:
-            return pa.schema([("d", pa.int64())]).empty_table()
-        day = (
-            pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
-            // day_us
-        )
-        return pa.table({"d": pa.array([int(day.max())], type=pa.int64())})
-
-    # iter_batches BUNDLES the one-row partials — reduce over every row
-    # of every bundle, never just row [0]
-    anchor = max(
-        int(v)
-        for blk in ds.select_columns(["ts"])
-        .map_batches(day_max, batch_format="pyarrow")
-        .iter_batches(batch_format="pyarrow")
-        if len(blk)
-        for v in blk["d"].to_pylist()
-    )
-
+    day_us = _DAY_US
+    anchor = max_activity_day(ds)
     P = _parts()
 
     def partial(b: pa.Table) -> pa.Table:
@@ -1019,3 +1026,175 @@ def event_path_counts(
         .groupby("__part")
         .map_groups(fold, batch_format="pandas")
     )
+
+
+_RFM_USER_SCHEMA = pa.schema(
+    [
+        ("user_id", pa.int64()),
+        ("recency_days", pa.int64()),
+        ("n_events", pa.int64()),
+        ("v_micro", pa.int64()),
+    ]
+)
+
+_RFM_OUT_SCHEMA = pa.schema(
+    list(_RFM_USER_SCHEMA)
+    + [
+        ("r_q", pa.int64()),
+        ("f_q", pa.int64()),
+        ("m_q", pa.int64()),
+        ("segment", pa.string()),
+    ]
+)
+
+
+def rfm_segments(
+    ds: ray.data.Dataset, *, key: str = "user_id"
+) -> ray.data.Dataset:
+    """RFM segmentation: each user's (recency_days since the corpus max
+    day, event count, value sum) mapped to value-quartile codes —
+    `segment` = "r.f.m" with each axis q = 1 + #{thresholds below} over
+    the exact percentile_disc(0.25/0.5/0.75) thresholds of the USER
+    table.  Ties share a quartile (threshold semantics, not NTILE), so
+    no tie exchange is needed.
+
+    Scale shape: events fold once to |users| narrow integer rows (one
+    user-mod-P co-group; value summed in int64 micro-units np.rint·1e6,
+    the established events convention); the 9 thresholds come from
+    exact integer-histogram quantiles over that table (distinct-value
+    bounded for recency/frequency; v_micro's distinct count is
+    |users|-bounded — the loud bounded_groupby_sum histogram is the
+    documented guard, grouped_quantile_cogroup the unbounded escape);
+    the final pass is a stateless broadcast threshold attach."""
+    from docling_api_ray.stages.stats import grouped_int_quantiles
+
+    P = _parts()
+
+    def partial(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.schema(
+                [
+                    ("user_id", pa.int64()),
+                    ("n_events", pa.int64()),
+                    ("last_day", pa.int64()),
+                    ("v_micro", pa.int64()),
+                ]
+            ).empty_table()
+        uid = pc.cast(b[key], pa.int64()).to_numpy(zero_copy_only=False)
+        day = (
+            pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+            // _DAY_US
+        )
+        vm = np.rint(
+            np.asarray(b["value"], dtype=np.float64) * 1e6
+        ).astype(np.int64)
+        uniq, inv = np.unique(uid, return_inverse=True)
+        k = len(uniq)
+        last = np.full(k, np.iinfo(np.int64).min, dtype=np.int64)
+        np.maximum.at(last, inv, day)
+        return pa.table(
+            {
+                "user_id": pa.array(uniq, type=pa.int64()),
+                "n_events": pa.array(
+                    np.bincount(inv, minlength=k), type=pa.int64()
+                ),
+                "last_day": pa.array(last, type=pa.int64()),
+                "v_micro": pa.array(
+                    np.bincount(inv, weights=vm, minlength=k).astype(np.int64)
+                ),
+            }
+        )
+
+    def add_part(b: pa.Table) -> pa.Table:
+        part = pc.subtract(
+            b["user_id"], pc.multiply(pc.divide(b["user_id"], P), P)
+        )
+        return b.append_column("__part", pc.cast(part, pa.int64()))
+
+    anchor = max_activity_day(ds)
+
+    fold_schema = _RFM_USER_SCHEMA
+
+    def fold(df) -> pa.Table:
+        g = (
+            df.groupby("user_id", sort=False)
+            .agg(
+                n_events=("n_events", "sum"),
+                last_day=("last_day", "max"),
+                v_micro=("v_micro", "sum"),
+            )
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(
+                    g["user_id"].to_numpy(dtype=np.int64)
+                ),
+                "recency_days": pa.array(
+                    anchor - g["last_day"].to_numpy(dtype=np.int64)
+                ),
+                "n_events": pa.array(
+                    g["n_events"].to_numpy(dtype=np.int64)
+                ),
+                "v_micro": pa.array(
+                    g["v_micro"].to_numpy(dtype=np.int64)
+                ),
+            }
+        ).cast(fold_schema)
+
+    users = (
+        coalesce_narrow(
+            ds.select_columns([key, "ts", "value"])
+            .map_batches(partial, batch_format="pyarrow")
+            .map_batches(add_part, batch_format="pyarrow")
+        )
+        .groupby("__part")
+        .map_groups(fold, batch_format="pandas")
+        .materialize()  # |users| narrow rows, consumed 4x below
+    )
+
+    def const_all(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "g", pa.array(["all"] * len(b), type=pa.string())
+        )
+
+    tagged = users.map_batches(const_all, batch_format="pyarrow")
+    th = {}
+    for col in ("recency_days", "n_events", "v_micro"):
+        rows = grouped_int_quantiles(
+            tagged,
+            group_col="g",
+            value_col=col,
+            quantiles=(0.25, 0.5, 0.75),
+        ).take_all()  # exactly one row
+        th[col] = (rows[0]["p25"], rows[0]["p50"], rows[0]["p75"])
+    tref = ray.put(th)
+
+    def assign(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return _RFM_OUT_SCHEMA.empty_table()
+        t = ray.get(tref)
+
+        def q(col):
+            v = np.asarray(b[col], dtype=np.int64)
+            t25, t50, t75 = t[col]
+            return (
+                1 + (v > t25).astype(np.int64) + (v > t50) + (v > t75)
+            ).astype(np.int64)
+
+        rq, fq, mq = q("recency_days"), q("n_events"), q("v_micro")
+        seg = np.char.add(
+            np.char.add(
+                np.char.add(rq.astype(str), "."),
+                np.char.add(fq.astype(str), "."),
+            ),
+            mq.astype(str),
+        )
+        out = b
+        for name, arr in (("r_q", rq), ("f_q", fq), ("m_q", mq)):
+            out = out.append_column(name, pa.array(arr, type=pa.int64()))
+        return out.append_column(
+            "segment", pa.array(seg.tolist(), type=pa.string())
+        )
+
+    return users.map_batches(assign, batch_format="pyarrow")

@@ -473,3 +473,53 @@ def test_event_path_counts_trigrams_never_span_users():
         ).take_all():
             out[r["path"]] = out.get(r["path"], 0) + r["n"]
         assert out == {"a>b>c": 1, "b>c>d": 1, "x>y>z": 1}, parts
+
+
+def test_rfm_segments_thresholds_and_ties():
+    """Quartile-threshold semantics: q = 1 + #{thresholds strictly
+    below}; ties share a quartile; recency measured to the corpus max
+    day; value summed in micro units; partition independent."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from docling_api_ray.stages.windows import rfm_segments
+
+    day = 86_400 * 1_000_000
+    base = 19_000 * day
+    # 4 users with clearly ordered metrics
+    evs = []
+    # user 1: 1 event long ago, small value
+    evs.append((1, base, 1.0))
+    # user 2: 2 events, mid
+    evs += [(2, base + 10 * day, 2.0), (2, base + 11 * day, 2.0)]
+    # user 3: 3 events, recent, larger
+    evs += [(3, base + 19 * day + i, 3.0) for i in range(3)]
+    # user 4: 6 events at the max day, biggest spender
+    evs += [(4, base + 20 * day + i, 4.5) for i in range(6)]
+    tbl = pa.table(
+        {
+            "user_id": pa.array([e[0] for e in evs], type=pa.int64()),
+            "ts": pa.array(
+                np.array([e[1] for e in evs], dtype="datetime64[us]")
+            ),
+            "value": pa.array([e[2] for e in evs], type=pa.float64()),
+        }
+    )
+    for parts in (1, 3):
+        out = {
+            r["user_id"]: r
+            for r in rfm_segments(
+                ray.data.from_arrow(tbl).repartition(parts)
+            ).take_all()
+        }
+        # recency: u1=20, u2=9, u3=1, u4=0 -> thresholds disc(.25/.5/.75)
+        # over sorted [0,1,9,20] = (0, 1, 9)
+        assert [out[u]["recency_days"] for u in (1, 2, 3, 4)] == [20, 9, 1, 0]
+        assert [out[u]["r_q"] for u in (1, 2, 3, 4)] == [4, 3, 2, 1]
+        # frequency [1,2,3,6]: thresholds (1,2,3) -> q = 1,2,3,4
+        assert [out[u]["f_q"] for u in (1, 2, 3, 4)] == [1, 2, 3, 4]
+        # monetary micro [1e6, 4e6, 9e6, 27e6] -> q = 1,2,3,4
+        assert out[4]["v_micro"] == 27_000_000
+        assert [out[u]["m_q"] for u in (1, 2, 3, 4)] == [1, 2, 3, 4]
+        assert out[1]["segment"] == "4.1.1" and out[4]["segment"] == "1.4.4"
