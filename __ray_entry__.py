@@ -5549,6 +5549,21 @@ def _q_feature_corr(sf_dir: str):
     return feature_corr(_docs(sf_dir, ["doc_id", "text"]))
 
 
+_BURST_SIGMA = 2
+
+
+def _q_events_bursts(sf_dir: str):
+    """Burst/anomaly days per event type (stages/windows.py
+    burst_days): |types|·|days|-bounded zero-filled count grid, burst
+    predicate evaluated in unbounded integers — (n·D−S)² > k²(D·Q−S²)
+    — no float anywhere."""
+    from docling_api_ray.stages.windows import burst_days
+
+    return burst_days(
+        _read(sf_dir, "events", ["event_type", "ts"]), sigma=_BURST_SIGMA
+    )
+
+
 def _q_rfm_segments(sf_dir: str):
     """RFM user segmentation (stages/windows.py rfm_segments): events
     fold once to |users| integer rows, exact percentile_disc quartile
@@ -6023,6 +6038,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_profile": _q_cluster_profile,
         "leakage_safe_split": _q_leakage_safe_split,
         "rfm_segments": _q_rfm_segments,
+        "events_bursts": _q_events_bursts,
         "ridge_predict": _q_ridge_predict,
     }
 
@@ -9087,6 +9103,33 @@ def oracle_sql() -> dict[str, str]:
     out["feature_corr"] = f"""
         WITH s AS (SELECT {sums} FROM documents)
         {pair_rows}
+    """
+    # mirrors _q_events_bursts: zero-filled (type x observed-day) grid,
+    # HUGEINT moments, the literal integer burst predicate; day output
+    # as days-since-epoch
+    out["events_bursts"] = f"""
+        WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events),
+             types AS (SELECT DISTINCT event_type FROM events),
+             c AS (SELECT event_type, CAST(ts AS DATE) AS d,
+                          CAST(count(*) AS BIGINT) AS n
+                   FROM events GROUP BY 1, 2),
+             grid AS (SELECT t.event_type, dy.d, COALESCE(c.n, 0) AS n
+                      FROM types t CROSS JOIN days dy
+                      LEFT JOIN c ON c.event_type = t.event_type
+                                 AND c.d = dy.d),
+             m AS (SELECT event_type,
+                          CAST(count(*) AS HUGEINT) AS dd,
+                          CAST(sum(n) AS HUGEINT) AS s,
+                          CAST(sum(n * n) AS HUGEINT) AS q
+                   FROM grid GROUP BY 1)
+        SELECT g.event_type,
+               CAST(datediff('day', DATE '1970-01-01', g.d) AS BIGINT)
+                 AS day,
+               CAST(g.n AS BIGINT) AS n
+        FROM grid g JOIN m USING (event_type)
+        WHERE (g.n * m.dd - m.s) > 0
+          AND (g.n * m.dd - m.s) * (g.n * m.dd - m.s)
+              > {_BURST_SIGMA * _BURST_SIGMA} * (m.dd * m.q - m.s * m.s)
     """
     # mirrors _q_rfm_segments: per-user fold with the round(value*1e6)
     # micro convention, percentile_disc(.25/.5/.75) thresholds over the

@@ -1198,3 +1198,89 @@ def rfm_segments(
         )
 
     return users.map_batches(assign, batch_format="pyarrow")
+
+
+_BURST_SCHEMA = pa.schema(
+    [
+        ("event_type", pa.string()),
+        ("day", pa.int64()),
+        ("n", pa.int64()),
+    ]
+)
+
+
+def burst_days(ds: ray.data.Dataset, *, sigma: int = 2) -> pa.Table:
+    """Anomaly detection over the event stream: for each event type,
+    the days whose count exceeds that type's mean + ``sigma``·σ over the
+    corpus's observed-day grid (zero-filled — a type silent on a day
+    counts 0, so σ reflects the full timeline).
+
+    INTEGER-exact: the (type, day) counts fold through
+    ``bounded_groupby_sum`` (domain = |types|·|days|, time-bounded, not
+    corpus-bounded); the burst predicate is evaluated without a single
+    float —
+
+        n > μ + kσ  ⇔  (n·D − S) > 0  ∧  (n·D − S)² > k²·(D·Q − S²)
+
+    with D = #days, S = Σn, Q = Σn² as unbounded Python ints, which the
+    HUGEINT SQL mirror reproduces literally.  Output: the burst rows
+    (event_type, day-since-epoch, n)."""
+    from docling_api_ray.stages.common import bounded_groupby_sum
+
+    count_schema = pa.schema(
+        [("event_type", pa.string()), ("day", pa.int64()), ("n", pa.int64())]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return count_schema.empty_table()
+        day = (
+            pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+            // _DAY_US
+        )
+        et = np.asarray(b["event_type"].to_pylist(), dtype=object)
+        tu, ti = np.unique(et, return_inverse=True)
+        du, di = np.unique(day, return_inverse=True)
+        cnt = np.bincount(ti * len(du) + di, minlength=len(tu) * len(du))
+        nz = np.nonzero(cnt)[0]
+        return pa.table(
+            {
+                "event_type": pa.array(
+                    tu[nz // len(du)].tolist(), type=pa.string()
+                ),
+                "day": pa.array(du[nz % len(du)], type=pa.int64()),
+                "n": pa.array(cnt[nz].astype(np.int64)),
+            }
+        )
+
+    folded = bounded_groupby_sum(
+        ds.select_columns(["event_type", "ts"]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        ["event_type", "day"],
+        sum_cols={"n": "n"},
+    ).take_all()  # |types|·|days| rows — time-bounded domain
+
+    days = sorted({int(r["day"]) for r in folded})
+    types = sorted({r["event_type"] for r in folded})
+    D = len(days)
+    cnt = {(r["event_type"], int(r["day"])): int(r["n"]) for r in folded}
+    out_t, out_d, out_n = [], [], []
+    for t in types:
+        series = [cnt.get((t, d), 0) for d in days]
+        S = sum(series)
+        Q = sum(v * v for v in series)
+        var_d2 = D * Q - S * S  # D²·σ² — exact int
+        for d, v in zip(days, series):
+            lhs = v * D - S
+            if lhs > 0 and lhs * lhs > sigma * sigma * var_d2:
+                out_t.append(t)
+                out_d.append(d)
+                out_n.append(v)
+    return pa.table(
+        {
+            "event_type": pa.array(out_t, type=pa.string()),
+            "day": pa.array(out_d, type=pa.int64()),
+            "n": pa.array(out_n, type=pa.int64()),
+        }
+    )

@@ -523,3 +523,45 @@ def test_rfm_segments_thresholds_and_ties():
         assert out[4]["v_micro"] == 27_000_000
         assert [out[u]["m_q"] for u in (1, 2, 3, 4)] == [1, 2, 3, 4]
         assert out[1]["segment"] == "4.1.1" and out[4]["segment"] == "1.4.4"
+
+
+def test_burst_days_integer_predicate():
+    """Zero-filled grid: a type silent on most days bursts on its one
+    active day; a uniform type never bursts; the predicate is the exact
+    integer (n*D-S)^2 > k^2(D*Q-S^2) with lhs>0."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from docling_api_ray.stages.windows import burst_days
+
+    day = 86_400 * 1_000_000
+    base = 19_000 * day
+    evs = []
+    # 10 observed days via type "steady": 2 events each day -> never bursts
+    for d in range(10):
+        evs += [("steady", base + d * day), ("steady", base + d * day + 1)]
+    # type "spiky": silent except day 3 with 5 events
+    evs += [("spiky", base + 3 * day + i) for i in range(5)]
+    tbl = pa.table(
+        {
+            "event_type": pa.array([e[0] for e in evs], type=pa.string()),
+            "ts": pa.array(
+                np.array([e[1] for e in evs], dtype="datetime64[us]")
+            ),
+        }
+    )
+    for parts in (1, 4):
+        out = burst_days(
+            ray.data.from_arrow(tbl).repartition(parts), sigma=2
+        )
+        rows = sorted(
+            zip(
+                out["event_type"].to_pylist(),
+                out["day"].to_pylist(),
+                out["n"].to_pylist(),
+            )
+        )
+        # spiky: D=10, S=5, Q=25 -> lhs=5*10-5=45, var_d2=250-25=225;
+        # 45^2=2025 > 4*225=900 -> burst. steady: lhs=0 everywhere.
+        assert rows == [("spiky", 19_003, 5)], parts
