@@ -5549,6 +5549,83 @@ def _q_feature_corr(sf_dir: str):
     return feature_corr(_docs(sf_dir, ["doc_id", "text"]))
 
 
+_GRID_QS = tuple(i / 10 for i in range(1, 10))  # deciles .1 .. .9
+
+
+def _q_length_quality_grid(sf_dir: str):
+    """2-D decile density grid over (n_chars, n_words) — the joint
+    length×wordiness histogram a curriculum design reads before binning.
+    Exact percentile_disc decile thresholds per axis (threshold
+    semantics, ties share a bucket — no tie exchange), then one
+    |10×10|-bounded count fold; every step integer-exact."""
+    from docling_api_ray.stages.common import bounded_groupby_sum
+    from docling_api_ray.stages.stats import grouped_int_quantiles
+
+    def feats(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "g": pa.array(["all"] * len(b), type=pa.string()),
+                "n_chars": pc.cast(b["n_chars"], pa.int64()),
+                "n_words": pa.array(
+                    np.asarray(
+                        ta._count(b["text"], ta.WS_TOKEN_RE), dtype=np.int64
+                    )
+                ),
+            }
+        )
+
+    docs = (
+        _docs(sf_dir, ["doc_id", "text", "n_chars"])
+        .map_batches(feats, batch_format="pyarrow")
+        .materialize()  # narrow 3-col rows, consumed 3x (2 thresholds + grid)
+    )
+    th = {}
+    for col in ("n_chars", "n_words"):
+        rows = grouped_int_quantiles(
+            docs, group_col="g", value_col=col, quantiles=_GRID_QS
+        ).take_all()  # one row
+        th[col] = np.asarray(
+            [rows[0][f"p{int(q * 100)}"] for q in _GRID_QS], dtype=np.int64
+        )
+    tref = ray.put(th)
+
+    grid_schema = pa.schema(
+        [
+            ("len_decile", pa.int64()),
+            ("words_decile", pa.int64()),
+            ("n", pa.int64()),
+        ]
+    )
+
+    def assign(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return grid_schema.empty_table()
+        t = ray.get(tref)
+        lc = 1 + np.searchsorted(
+            t["n_chars"], np.asarray(b["n_chars"], dtype=np.int64),
+            side="left",
+        )
+        wc = 1 + np.searchsorted(
+            t["n_words"], np.asarray(b["n_words"], dtype=np.int64),
+            side="left",
+        )
+        cnt = np.bincount((lc - 1) * 10 + (wc - 1), minlength=100)
+        nz = np.nonzero(cnt)[0]
+        return pa.table(
+            {
+                "len_decile": pa.array(nz // 10 + 1, type=pa.int64()),
+                "words_decile": pa.array(nz % 10 + 1, type=pa.int64()),
+                "n": pa.array(cnt[nz].astype(np.int64)),
+            }
+        )
+
+    return bounded_groupby_sum(
+        docs.map_batches(assign, batch_format="pyarrow"),
+        ["len_decile", "words_decile"],
+        sum_cols={"n": "n"},
+    )
+
+
 _BURST_SIGMA = 2
 
 
@@ -6039,6 +6116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "leakage_safe_split": _q_leakage_safe_split,
         "rfm_segments": _q_rfm_segments,
         "events_bursts": _q_events_bursts,
+        "length_quality_grid": _q_length_quality_grid,
         "ridge_predict": _q_ridge_predict,
     }
 
@@ -9103,6 +9181,38 @@ def oracle_sql() -> dict[str, str]:
     out["feature_corr"] = f"""
         WITH s AS (SELECT {sums} FROM documents)
         {pair_rows}
+    """
+    # mirrors _q_length_quality_grid: identical percentile_disc decile
+    # thresholds, bucket = 1 + #{thresholds strictly below}, 10x10 count
+    out["length_quality_grid"] = f"""
+        WITH d AS (SELECT CAST(n_chars AS BIGINT) AS n_chars,
+                          CAST(length(regexp_extract_all(text, $${wsre}$$))
+                               AS BIGINT) AS n_words
+                   FROM documents),
+             t AS (SELECT percentile_disc(0.1) WITHIN GROUP (ORDER BY n_chars) AS c10,
+                     percentile_disc(0.2) WITHIN GROUP (ORDER BY n_chars) AS c20,
+                     percentile_disc(0.3) WITHIN GROUP (ORDER BY n_chars) AS c30,
+                     percentile_disc(0.4) WITHIN GROUP (ORDER BY n_chars) AS c40,
+                     percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars) AS c50,
+                     percentile_disc(0.6) WITHIN GROUP (ORDER BY n_chars) AS c60,
+                     percentile_disc(0.7) WITHIN GROUP (ORDER BY n_chars) AS c70,
+                     percentile_disc(0.8) WITHIN GROUP (ORDER BY n_chars) AS c80,
+                     percentile_disc(0.9) WITHIN GROUP (ORDER BY n_chars) AS c90,
+                     percentile_disc(0.1) WITHIN GROUP (ORDER BY n_words) AS w10,
+                     percentile_disc(0.2) WITHIN GROUP (ORDER BY n_words) AS w20,
+                     percentile_disc(0.3) WITHIN GROUP (ORDER BY n_words) AS w30,
+                     percentile_disc(0.4) WITHIN GROUP (ORDER BY n_words) AS w40,
+                     percentile_disc(0.5) WITHIN GROUP (ORDER BY n_words) AS w50,
+                     percentile_disc(0.6) WITHIN GROUP (ORDER BY n_words) AS w60,
+                     percentile_disc(0.7) WITHIN GROUP (ORDER BY n_words) AS w70,
+                     percentile_disc(0.8) WITHIN GROUP (ORDER BY n_words) AS w80,
+                     percentile_disc(0.9) WITHIN GROUP (ORDER BY n_words) AS w90
+                   FROM d),
+             b AS (SELECT CAST(1 + (d.n_chars > t.c10)::int + (d.n_chars > t.c20)::int + (d.n_chars > t.c30)::int + (d.n_chars > t.c40)::int + (d.n_chars > t.c50)::int + (d.n_chars > t.c60)::int + (d.n_chars > t.c70)::int + (d.n_chars > t.c80)::int + (d.n_chars > t.c90)::int AS BIGINT) AS len_decile,
+                          CAST(1 + (d.n_words > t.w10)::int + (d.n_words > t.w20)::int + (d.n_words > t.w30)::int + (d.n_words > t.w40)::int + (d.n_words > t.w50)::int + (d.n_words > t.w60)::int + (d.n_words > t.w70)::int + (d.n_words > t.w80)::int + (d.n_words > t.w90)::int AS BIGINT) AS words_decile
+                   FROM d CROSS JOIN t)
+        SELECT len_decile, words_decile, CAST(count(*) AS BIGINT) AS n
+        FROM b GROUP BY 1, 2
     """
     # mirrors _q_events_bursts: zero-filled (type x observed-day) grid,
     # HUGEINT moments, the literal integer burst predicate; day output
