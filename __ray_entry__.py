@@ -5549,6 +5549,18 @@ def _q_feature_corr(sf_dir: str):
     return feature_corr(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def _q_user_diversity(sf_dir: str):
+    """Per-user event-type diversity: distinct types + Shannon entropy
+    (stages/windows.py user_event_diversity): grouped_entropy's
+    integer micro-ln discipline in the unbounded-key regime — one
+    user-mod-P co-group of pre-folded (user, type, n) rows."""
+    from docling_api_ray.stages.windows import user_event_diversity
+
+    return user_event_diversity(
+        _read(sf_dir, "events", ["user_id", "event_type"])
+    )
+
+
 _GRID_QS = tuple(i / 10 for i in range(1, 10))  # deciles .1 .. .9
 
 
@@ -6117,6 +6129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rfm_segments": _q_rfm_segments,
         "events_bursts": _q_events_bursts,
         "length_quality_grid": _q_length_quality_grid,
+        "user_event_diversity": _q_user_diversity,
         "ridge_predict": _q_ridge_predict,
     }
 
@@ -9181,6 +9194,22 @@ def oracle_sql() -> dict[str, str]:
     out["feature_corr"] = f"""
         WITH s AS (SELECT {sums} FROM documents)
         {pair_rows}
+    """
+    # mirrors _q_user_diversity: identical integer micro-ln inner terms
+    # (order-free), identical outer float expression
+    out["user_event_diversity"] = """
+        WITH c AS (SELECT user_id, event_type,
+                          CAST(count(*) AS BIGINT) AS n
+                   FROM events GROUP BY 1, 2),
+             u AS (SELECT user_id,
+                          CAST(sum(n) AS BIGINT) AS n_events,
+                          CAST(count(*) AS BIGINT) AS n_types,
+                          CAST(sum(CAST(round(n * ln(n) * 1000000) AS BIGINT))
+                               AS BIGINT) AS s_micro
+                   FROM c GROUP BY 1)
+        SELECT user_id, n_events, n_types, s_micro,
+               ln(n_events) - s_micro / (n_events * 1000000.0) AS entropy
+        FROM u
     """
     # mirrors _q_length_quality_grid: identical percentile_disc decile
     # thresholds, bucket = 1 + #{thresholds strictly below}, 10x10 count

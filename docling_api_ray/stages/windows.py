@@ -1284,3 +1284,109 @@ def burst_days(ds: ray.data.Dataset, *, sigma: int = 2) -> pa.Table:
             "n": pa.array(out_n, type=pa.int64()),
         }
     )
+
+
+_DIVERSITY_SCHEMA = pa.schema(
+    [
+        ("user_id", pa.int64()),
+        ("n_events", pa.int64()),
+        ("n_types", pa.int64()),
+        ("s_micro", pa.int64()),
+        ("entropy", pa.float64()),
+    ]
+)
+
+
+def user_event_diversity(
+    ds: ray.data.Dataset, *, key: str = "user_id", type_col: str = "event_type"
+) -> ray.data.Dataset:
+    """Per-user behavioral diversity: distinct event-type count and the
+    Shannon entropy of the user's type distribution — the
+    one-trick-bot vs explorer signal interaction-data selection weighs.
+
+    The ``grouped_entropy`` integer discipline in the UNBOUNDED-key
+    regime: users grow with the corpus, so (user, type) counts
+    pre-fold per batch and co-locate once via a user-mod-P exchange;
+    per user H = ln(N) − Σᵢ⌊cᵢ·ln(cᵢ)·1e6⌉ / (N·1e6) with the inner
+    terms int64-quantized (order-free) and the outer expression two
+    deterministic float ops — bit-reproducible by the SQL mirror."""
+    P = _parts()
+
+    pair_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("n", pa.int64()),
+        ]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pair_schema.empty_table()
+        uid = pc.cast(b[key], pa.int64()).to_numpy(zero_copy_only=False)
+        et = np.asarray(b[type_col].to_pylist(), dtype=object)
+        tu, ti = np.unique(et, return_inverse=True)
+        uu, ui = np.unique(uid, return_inverse=True)
+        cnt = np.bincount(ui * len(tu) + ti, minlength=len(uu) * len(tu))
+        nz = np.nonzero(cnt)[0]
+        return pa.table(
+            {
+                "user_id": pa.array(uu[nz // len(tu)], type=pa.int64()),
+                "event_type": pa.array(
+                    tu[nz % len(tu)].tolist(), type=pa.string()
+                ),
+                "n": pa.array(cnt[nz].astype(np.int64)),
+            }
+        )
+
+    def add_part(b: pa.Table) -> pa.Table:
+        part = pc.subtract(
+            b["user_id"], pc.multiply(pc.divide(b["user_id"], P), P)
+        )
+        return b.append_column("__part", pc.cast(part, pa.int64()))
+
+    def fold(df) -> pa.Table:
+        if len(df) == 0:
+            return _DIVERSITY_SCHEMA.empty_table()
+        g = df.groupby(["user_id", "event_type"], sort=False)["n"].sum()
+        df2 = g.reset_index()
+        c = df2["n"].to_numpy(np.float64)
+        term = np.rint(c * np.log(c) * 1e6).astype(np.int64)
+        agg = pd.DataFrame(
+            {
+                "user_id": df2["user_id"].to_numpy(np.int64),
+                "n": df2["n"].to_numpy(np.int64),
+                "t": term,
+            }
+        ).groupby("user_id", sort=True).agg(
+            n_events=("n", "sum"), n_types=("n", "size"), s_micro=("t", "sum")
+        ).reset_index()
+        nf = agg["n_events"].to_numpy(np.float64)
+        ent = np.log(nf) - agg["s_micro"].to_numpy(np.float64) / (nf * 1e6)
+        return pa.table(
+            {
+                "user_id": pa.array(
+                    agg["user_id"].to_numpy(np.int64), type=pa.int64()
+                ),
+                "n_events": pa.array(
+                    agg["n_events"].to_numpy(np.int64), type=pa.int64()
+                ),
+                "n_types": pa.array(
+                    agg["n_types"].to_numpy(np.int64), type=pa.int64()
+                ),
+                "s_micro": pa.array(
+                    agg["s_micro"].to_numpy(np.int64), type=pa.int64()
+                ),
+                "entropy": pa.array(ent, type=pa.float64()),
+            }
+        )
+
+    return (
+        coalesce_narrow(
+            ds.select_columns([key, type_col])
+            .map_batches(partial, batch_format="pyarrow")
+            .map_batches(add_part, batch_format="pyarrow")
+        )
+        .groupby("__part")
+        .map_groups(fold, batch_format="pandas")
+    )
