@@ -12,6 +12,7 @@ here calls ``ray.init``/``ray.shutdown``.
 
 from __future__ import annotations
 
+import math
 import os
 from collections.abc import Callable
 from typing import Any
@@ -5549,6 +5550,77 @@ def _q_feature_corr(sf_dir: str):
     return feature_corr(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def _q_corpus_card(sf_dir: str):
+    """One-row corpus health card — the summary a curation run
+    publishes next to a dataset release: doc/token/char totals,
+    source/lang cardinalities, exact distinct-content count (the
+    dedup-summary co-group), and the floor-quantized duplicate ratio.
+    Every number is an integer fold; the only float is the final
+    ratio."""
+    from docling_api_ray.stages.common import bounded_groupby_sum
+    from docling_api_ray.stages.dedup import exact_dedup
+
+    docs = _docs(sf_dir, ["doc_id", "text", "source", "lang", "n_chars"])
+
+    tot_schema = pa.schema(
+        [("n_docs", pa.int64()), ("n_tokens", pa.int64()),
+         ("n_chars", pa.int64())]
+    )
+
+    def totals(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return tot_schema.empty_table()
+        toks = int(
+            np.asarray(
+                ta._count(b["text"], ta.WS_TOKEN_RE), dtype=np.int64
+            ).sum()
+        )
+        return pa.table(
+            {
+                "n_docs": pa.array([len(b)], type=pa.int64()),
+                "n_tokens": pa.array([toks], type=pa.int64()),
+                "n_chars": pa.array(
+                    [int(np.asarray(b["n_chars"], dtype=np.int64).sum())],
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    n_docs = n_tokens = n_chars = 0
+    for blk in docs.map_batches(totals, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        # every row of every bundle (the iter_batches bundling rule)
+        n_docs += int(pc.sum(blk["n_docs"]).as_py() or 0)
+        n_tokens += int(pc.sum(blk["n_tokens"]).as_py() or 0)
+        n_chars += int(pc.sum(blk["n_chars"]).as_py() or 0)
+
+    n_sources = bounded_groupby_sum(
+        docs.select_columns(["source"]), ["source"], count_alias="n"
+    ).count()
+    n_langs = bounded_groupby_sum(
+        docs.select_columns(["lang"]), ["lang"], count_alias="n"
+    ).count()
+    n_distinct = exact_dedup(docs).count()  # one digest co-group
+
+    dup_ratio = (
+        math.floor((n_docs - n_distinct) / n_docs * 1e6 + 0.5) / 1e6
+        if n_docs
+        else 0.0
+    )
+    return pa.table(
+        {
+            "n_docs": pa.array([n_docs], type=pa.int64()),
+            "n_tokens": pa.array([n_tokens], type=pa.int64()),
+            "n_chars": pa.array([n_chars], type=pa.int64()),
+            "n_sources": pa.array([n_sources], type=pa.int64()),
+            "n_langs": pa.array([n_langs], type=pa.int64()),
+            "n_distinct": pa.array([n_distinct], type=pa.int64()),
+            "dup_ratio": pa.array([dup_ratio], type=pa.float64()),
+        }
+    )
+
+
 def _q_user_diversity(sf_dir: str):
     """Per-user event-type diversity: distinct types + Shannon entropy
     (stages/windows.py user_event_diversity): grouped_entropy's
@@ -6130,6 +6202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_bursts": _q_events_bursts,
         "length_quality_grid": _q_length_quality_grid,
         "user_event_diversity": _q_user_diversity,
+        "corpus_card": _q_corpus_card,
         "ridge_predict": _q_ridge_predict,
     }
 
@@ -9194,6 +9267,20 @@ def oracle_sql() -> dict[str, str]:
     out["feature_corr"] = f"""
         WITH s AS (SELECT {sums} FROM documents)
         {pair_rows}
+    """
+    # mirrors _q_corpus_card: the same integer totals, exact distinct
+    # content via md5, identical floor-quantized duplicate ratio
+    out["corpus_card"] = f"""
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(length(regexp_extract_all(text, $${wsre}$$)))
+                    AS BIGINT) AS n_tokens,
+               CAST(sum(n_chars) AS BIGINT) AS n_chars,
+               CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
+               floor(CAST(count(*) - count(DISTINCT md5(text)) AS DOUBLE)
+                     / count(*) * 1000000 + 0.5) / 1000000.0 AS dup_ratio
+        FROM documents
     """
     # mirrors _q_user_diversity: identical integer micro-ln inner terms
     # (order-free), identical outer float expression
