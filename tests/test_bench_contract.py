@@ -1,0 +1,45 @@
+"""The driver-parse contract: bench.py's LAST stdout line must be a
+compact JSON object with the metric fields, regardless of battery size
+(VERDICT r3 #4 — the full record line once overflowed the driver's
+tail capture and recorded `parsed: null`)."""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_bench_last_line_is_compact_json():
+    env = dict(
+        os.environ,
+        GRAFT_SF_DIR="/root/testdata/sf0.001",
+        GRAFT_HEADLINE_ONLY="1",
+        GRAFT_HEADLINE_REPS="1",
+        GRAFT_AMPLIFY="1",
+        RAY_GRAFT_CPUS="4",
+    )
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=420,
+        check=True,
+    ).stdout
+    lines = [l for l in out.strip().splitlines() if l.startswith("{")]
+    assert len(lines) >= 2  # full record first, compact contract last
+    compact = json.loads(lines[-1])
+    for k in (
+        "metric", "value", "unit", "queries", "errors",
+        "budget_exceeded", "sf", "num_cpus", "docs", "docs_per_sec",
+    ):
+        assert k in compact, k
+    assert compact["metric"] == "flagship_conversion_sec"
+    assert compact["unit"] == "sec"
+    assert isinstance(compact["value"], (int, float))
+    assert compact["docs"] > 0
+    # the compact line must stay small however many raw reps exist
+    assert "raw_headline_secs" not in compact
+    assert len(lines[-1]) < 20_000
