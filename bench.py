@@ -217,6 +217,13 @@ def _bench_once() -> dict:
         "event_path_topk",
         "source_unique_share",
         "cluster_profile",
+        "leakage_safe_split",
+        "rfm_segments",
+        "events_bursts",
+        "anova_eta2",
+        "length_quality_grid",
+        "user_event_diversity",
+        "corpus_card",
     ]
     # INTERLEAVED repetitions + medians (VERDICT r2 #1): this container's
     # co-tenant jitter is ±30-50% and can hold a multi-second plateau —
