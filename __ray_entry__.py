@@ -5550,6 +5550,141 @@ def _q_feature_corr(sf_dir: str):
     return feature_corr(_docs(sf_dir, ["doc_id", "text"]))
 
 
+_TOPTERM_K = 8  # kmeans clusters
+_TOPTERM_TOP = 5
+
+
+def _q_cluster_topterms(sf_dir: str):
+    """Topic keywords per embedding cluster (BERTopic's c-TF-IDF shape):
+    exact-integer k-means assignment joined to document text, per-
+    (cluster, word) counts co-grouped by WORD so each word's cluster-df
+    is decided locally, integer discriminative score
+    n·⌊ln(K/df)·1e6+0.5⌋, per-cluster top-5 by (score desc, word asc)
+    via partial heads + one bounded merge.  Everything after the join
+    is narrow (cluster, word, n) rows."""
+    from docling_api_ray.stages.clustering import kmeans_assign
+    from docling_api_ray.stages.dedup import _cogrouped
+    from docling_api_ray.stages.joins import hash_join
+
+    K = _TOPTERM_K
+    assign = _rename_inline(
+        kmeans_assign(_emb(sf_dir, ["vec_id", "embedding"]), k=K, iters=2),
+        {"vec_id": "doc_id"},
+    ).select_columns(["doc_id", "cluster"])
+    joined = hash_join(
+        assign,
+        _docs(sf_dir, ["doc_id", "text"]),
+        on="doc_id",
+        schemas=(
+            pa.schema([("doc_id", pa.int64()), ("cluster", pa.int64())]),
+            pa.schema([("doc_id", pa.int64()), ("text", pa.string())]),
+        ),
+    )
+
+    cw_schema = pa.schema(
+        [("word", pa.string()), ("cluster", pa.int64()), ("n", pa.int64()),
+         ("__ckey", pa.int64())]
+    )
+
+    def cluster_word_counts(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return cw_schema.empty_table()
+        col = b["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        words = pc.split_pattern(pc.fill_null(col, ""), " ")
+        flat = np.asarray(pc.list_flatten(words), dtype=object)
+        lens = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        cl = np.repeat(
+            np.asarray(b["cluster"], dtype=np.int64), lens
+        )
+        keep = flat != ""
+        flat, cl = flat[keep], cl[keep]
+        if len(flat) == 0:
+            return cw_schema.empty_table()
+        wu, wi = np.unique(flat, return_inverse=True)
+        cnt = np.bincount(wi * K + cl, minlength=len(wu) * K)
+        nz = np.nonzero(cnt)[0]
+        w_out = wu[nz // K]
+        from docling_api_ray.functions.hashing import u64_md5
+
+        ck = (u64_md5(w_out) & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "word": pa.array(w_out.tolist(), type=pa.string()),
+                "cluster": pa.array((nz % K).astype(np.int64)),
+                "n": pa.array(cnt[nz].astype(np.int64)),
+                "__ckey": pa.array(ck, type=pa.int64()),
+            }
+        )
+
+    ilog = {
+        df: math.floor(math.log(K / df) * 1e6 + 0.5) for df in range(1, K + 1)
+    }
+
+    sc_schema = pa.schema(
+        [("cluster", pa.int64()), ("word", pa.string()), ("n", pa.int64()),
+         ("score_micro", pa.int64())]
+    )
+
+    def score_fold(df: "pd.DataFrame") -> pa.Table:
+        import pandas as pd
+
+        if len(df) == 0:
+            return sc_schema.empty_table()
+        g = (
+            df.groupby(["word", "cluster"], sort=False)["n"].sum().reset_index()
+        )
+        dfw = g.groupby("word", sort=False)["cluster"].transform("size")
+        score = g["n"].to_numpy(np.int64) * np.array(
+            [ilog[int(d)] for d in dfw.to_numpy()], dtype=np.int64
+        )
+        out = pd.DataFrame(
+            {
+                "cluster": g["cluster"].to_numpy(np.int64),
+                "word": g["word"].to_numpy(object),
+                "n": g["n"].to_numpy(np.int64),
+                "score_micro": score,
+            }
+        )
+        # per-partition head: each partition holds every cluster row of
+        # its words, so a (cluster, score, word) head of TOP per cluster
+        # is a superset filter for the global per-cluster top
+        out = out.sort_values(
+            ["cluster", "score_micro", "word"],
+            ascending=[True, False, True],
+            kind="stable",
+        )
+        out = out.groupby("cluster", sort=False).head(_TOPTERM_TOP)
+        return pa.Table.from_pandas(out, preserve_index=False).cast(sc_schema)
+
+    def final_head(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        if len(b) == 0:
+            return sc_schema.empty_table()
+        df = b.to_pandas().sort_values(
+            ["cluster", "score_micro", "word"],
+            ascending=[True, False, True],
+            kind="stable",
+        )
+        df = df.groupby("cluster", sort=False).head(_TOPTERM_TOP)
+        return pa.Table.from_pandas(df, preserve_index=False).cast(sc_schema)
+
+    return (
+        _cogrouped(
+            joined.map_batches(cluster_word_counts, batch_format="pyarrow"),
+            "__ckey",
+            coalesce=True,
+        )
+        .map_groups(score_fold, batch_format="pandas")
+        .repartition(1)
+        .map_batches(final_head, batch_format="pyarrow", batch_size=None)
+    )
+
+
 def _q_corpus_card(sf_dir: str):
     """One-row corpus health card — the summary a curation run
     publishes next to a dataset release: doc/token/char totals,
@@ -6203,6 +6338,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_quality_grid": _q_length_quality_grid,
         "user_event_diversity": _q_user_diversity,
         "corpus_card": _q_corpus_card,
+        "cluster_topterms": _q_cluster_topterms,
         "ridge_predict": _q_ridge_predict,
     }
 
@@ -9267,6 +9403,27 @@ def oracle_sql() -> dict[str, str]:
     out["feature_corr"] = f"""
         WITH s AS (SELECT {sums} FROM documents)
         {pair_rows}
+    """
+    # mirrors _q_cluster_topterms: kmeans oracle subquery, word explode
+    # with the '' filter, per-word cluster-df, the identical integer
+    # score, row_number top-5 per cluster
+    out["cluster_topterms"] = f"""
+        WITH ka AS ({_kmeans_oracle_sql(_TOPTERM_K, 2)}),
+             tok AS (SELECT ka.cluster,
+                            unnest(string_split(d.text, ' ')) AS w
+                     FROM ka JOIN documents d ON d.doc_id = ka.vec_id),
+             cw AS (SELECT cluster, w, CAST(count(*) AS BIGINT) AS n
+                    FROM tok WHERE w <> '' GROUP BY 1, 2),
+             dfw AS (SELECT w, CAST(count(*) AS BIGINT) AS df
+                     FROM cw GROUP BY 1),
+             sc AS (SELECT cluster, w AS word, n,
+                           n * CAST(floor(ln({_TOPTERM_K}.0 / df) * 1000000
+                                          + 0.5) AS BIGINT) AS score_micro
+                    FROM cw JOIN dfw USING (w)),
+             r AS (SELECT *, row_number() OVER (
+                     PARTITION BY cluster
+                     ORDER BY score_micro DESC, word ASC) AS rn FROM sc)
+        SELECT cluster, word, n, score_micro FROM r WHERE rn <= {_TOPTERM_TOP}
     """
     # mirrors _q_corpus_card: the same integer totals, exact distinct
     # content via md5, identical floor-quantized duplicate ratio
