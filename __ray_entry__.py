@@ -5685,6 +5685,18 @@ def _q_cluster_topterms(sf_dir: str):
     )
 
 
+def _q_knn_mrr(sf_dir: str):
+    """Mean-reciprocal-rank retrieval eval (stages/similarity.py
+    knn_mrr): held-out queries, first same-label neighbor rank within
+    top-k, integer micro reporting; same bounded-eval shape as
+    knn_label_vote."""
+    return sim.knn_mrr(
+        _emb(sf_dir, ["vec_id", "embedding", "label"]),
+        sample_mod=_VOTE_MOD,
+        k=_VOTE_K,
+    )
+
+
 def _q_corpus_card(sf_dir: str):
     """One-row corpus health card — the summary a curation run
     publishes next to a dataset release: doc/token/char totals,
@@ -6339,6 +6351,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_diversity": _q_user_diversity,
         "corpus_card": _q_corpus_card,
         "cluster_topterms": _q_cluster_topterms,
+        "knn_mrr": _q_knn_mrr,
         "ridge_predict": _q_ridge_predict,
     }
 
@@ -9403,6 +9416,37 @@ def oracle_sql() -> dict[str, str]:
     out["feature_corr"] = f"""
         WITH s AS (SELECT {sums} FROM documents)
         {pair_rows}
+    """
+    # mirrors _q_knn_mrr: the knn_label_vote hold-out CTEs, first
+    # same-label rank, identical floor-quantized micro reciprocal ranks
+    out["knn_mrr"] = f"""
+        WITH q AS (SELECT vec_id AS query_id,
+                          CAST(embedding AS DOUBLE[]) AS qv,
+                          CAST(label AS BIGINT) AS tl
+                   FROM embeddings WHERE vec_id % {_VOTE_MOD} = 0),
+             c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv,
+                          CAST(label AS BIGINT) AS label
+                   FROM embeddings WHERE vec_id % {_VOTE_MOD} <> 0),
+             s AS (SELECT q.query_id, q.tl, c.vec_id, c.label,
+                          round(list_cosine_similarity(c.cv, q.qv) * 1000000)
+                            / 1000000.0 AS cosine
+                   FROM q CROSS JOIN c),
+             r AS (SELECT *, row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cosine DESC, vec_id) AS rank
+                   FROM s),
+             f AS (SELECT query_id, CAST(min(rank) AS BIGINT) AS fr
+                   FROM r WHERE rank <= {_VOTE_K} AND label = tl
+                   GROUP BY 1),
+             per AS (SELECT q.query_id, q.tl,
+                            COALESCE(CAST(floor(1000000.0 / f.fr + 0.5)
+                                          AS BIGINT), 0) AS rr
+                     FROM q LEFT JOIN f USING (query_id))
+        SELECT tl AS label, CAST(count(*) AS BIGINT) AS n_eval,
+               CAST(sum(rr) AS BIGINT) AS sum_rr_micro,
+               CAST(floor(CAST(sum(rr) AS DOUBLE) / count(*) + 0.5)
+                    AS BIGINT) AS mrr_micro
+        FROM per GROUP BY 1
     """
     # mirrors _q_cluster_topterms: kmeans oracle subquery, word explode
     # with the '' filter, per-word cluster-df, the identical integer
