@@ -5685,6 +5685,45 @@ def _q_cluster_topterms(sf_dir: str):
     )
 
 
+def _q_lang_agreement(sf_dir: str):
+    """Label-noise audit: agreement matrix between the corpus ``lang``
+    label and the heuristic lang_id prediction — |langs|²-bounded
+    confusion fold over one stateless scoring pass (the curation check
+    run before trusting either signal)."""
+    from docling_api_ray.stages.common import bounded_groupby_sum
+
+    conf_schema = pa.schema(
+        [("lang", pa.string()), ("pred", pa.string()), ("n", pa.int64())]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return conf_schema.empty_table()
+        pred = np.asarray(
+            ta.lang_id(b)["predicted_lang"].to_pylist(), dtype=object
+        )
+        true = np.asarray(b["lang"].to_pylist(), dtype=object)
+        tu, ti = np.unique(true, return_inverse=True)
+        pu, pi = np.unique(pred, return_inverse=True)
+        cnt = np.bincount(ti * len(pu) + pi, minlength=len(tu) * len(pu))
+        nz = np.nonzero(cnt)[0]
+        return pa.table(
+            {
+                "lang": pa.array(tu[nz // len(pu)].tolist(), type=pa.string()),
+                "pred": pa.array(pu[nz % len(pu)].tolist(), type=pa.string()),
+                "n": pa.array(cnt[nz].astype(np.int64)),
+            }
+        )
+
+    return bounded_groupby_sum(
+        _docs(sf_dir, ["doc_id", "text", "lang"]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        ["lang", "pred"],
+        sum_cols={"n": "n"},
+    )
+
+
 def _q_knn_mrr(sf_dir: str):
     """Mean-reciprocal-rank retrieval eval (stages/similarity.py
     knn_mrr): held-out queries, first same-label neighbor rank within
@@ -6352,6 +6391,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_card": _q_corpus_card,
         "cluster_topterms": _q_cluster_topterms,
         "knn_mrr": _q_knn_mrr,
+        "lang_agreement": _q_lang_agreement,
         "ridge_predict": _q_ridge_predict,
     }
 
@@ -9416,6 +9456,15 @@ def oracle_sql() -> dict[str, str]:
     out["feature_corr"] = f"""
         WITH s AS (SELECT {sums} FROM documents)
         {pair_rows}
+    """
+    # mirrors _q_lang_agreement: the verified lang_id oracle as a
+    # subquery, joined back to the label, counted per (lang, pred)
+    out["lang_agreement"] = f"""
+        WITH p AS ({out["lang_id"]})
+        SELECT d.lang, p.predicted_lang AS pred,
+               CAST(count(*) AS BIGINT) AS n
+        FROM p JOIN documents d USING (doc_id)
+        GROUP BY 1, 2
     """
     # mirrors _q_knn_mrr: the knn_label_vote hold-out CTEs, first
     # same-label rank, identical floor-quantized micro reciprocal ranks
