@@ -5685,6 +5685,81 @@ def _q_cluster_topterms(sf_dir: str):
     )
 
 
+_VOCAB_GROWTH_BUCKET = 50
+
+
+def _q_vocab_growth(sf_dir: str):
+    """Heaps-law vocabulary growth curve: number of NEW distinct words
+    first introduced in each ``doc_id``-bucket of 50 documents — the
+    corpus-saturation diagnostic (a flattening curve says more data
+    adds no new vocabulary).  Per-batch distinct (word, min doc_id)
+    partials co-group by word hash (each word's global first
+    occurrence decided locally), then a bucket-bounded count fold."""
+    from docling_api_ray.stages.common import bounded_groupby_sum
+    from docling_api_ray.stages.dedup import _cogrouped
+
+    pair_schema = pa.schema(
+        [("word", pa.string()), ("fd", pa.int64()), ("__ckey", pa.int64())]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pair_schema.empty_table()
+        col = b["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        words = pc.split_pattern(pc.fill_null(col, ""), " ")
+        flat = np.asarray(pc.list_flatten(words), dtype=object)
+        lens = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        ids = np.repeat(np.asarray(b["doc_id"], dtype=np.int64), lens)
+        keep = flat != ""
+        flat, ids = flat[keep], ids[keep]
+        if len(flat) == 0:
+            return pair_schema.empty_table()
+        uniq, inv = np.unique(flat, return_inverse=True)
+        fd = np.full(len(uniq), np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(fd, inv, ids)
+        from docling_api_ray.functions.hashing import u64_md5
+
+        ck = (u64_md5(uniq) & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+        return pa.table(
+            {
+                "word": pa.array(uniq.tolist(), type=pa.string()),
+                "fd": pa.array(fd, type=pa.int64()),
+                "__ckey": pa.array(ck, type=pa.int64()),
+            }
+        )
+
+    bucket_schema = pa.schema(
+        [("bucket", pa.int64()), ("new_words", pa.int64())]
+    )
+
+    def bucket_fold(df) -> pa.Table:
+        if len(df) == 0:
+            return bucket_schema.empty_table()
+        g = df.groupby("word", sort=False)["fd"].min()
+        bucket = (g.to_numpy(np.int64) // _VOCAB_GROWTH_BUCKET)
+        u, c = np.unique(bucket, return_counts=True)
+        return pa.table(
+            {
+                "bucket": pa.array(u, type=pa.int64()),
+                "new_words": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    return bounded_groupby_sum(
+        _cogrouped(
+            _docs(sf_dir, ["doc_id", "text"]).map_batches(
+                partial, batch_format="pyarrow"
+            ),
+            "__ckey",
+            coalesce=True,
+        ).map_groups(bucket_fold, batch_format="pandas"),
+        ["bucket"],
+        sum_cols={"new_words": "new_words"},
+    )
+
+
 def _q_lang_agreement(sf_dir: str):
     """Label-noise audit: agreement matrix between the corpus ``lang``
     label and the heuristic lang_id prediction — |langs|²-bounded
@@ -6392,6 +6467,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_topterms": _q_cluster_topterms,
         "knn_mrr": _q_knn_mrr,
         "lang_agreement": _q_lang_agreement,
+        "vocab_growth": _q_vocab_growth,
         "ridge_predict": _q_ridge_predict,
     }
 
@@ -9456,6 +9532,17 @@ def oracle_sql() -> dict[str, str]:
     out["feature_corr"] = f"""
         WITH s AS (SELECT {sums} FROM documents)
         {pair_rows}
+    """
+    # mirrors _q_vocab_growth: min(doc_id) per word, integer bucket,
+    # count per bucket
+    out["vocab_growth"] = f"""
+        WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                   FROM documents),
+             f AS (SELECT word, CAST(min(doc_id) AS BIGINT) AS fd
+                   FROM w WHERE word <> '' GROUP BY 1)
+        SELECT CAST(fd // {_VOCAB_GROWTH_BUCKET} AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS new_words
+        FROM f GROUP BY 1
     """
     # mirrors _q_lang_agreement: the verified lang_id oracle as a
     # subquery, joined back to the label, counted per (lang, pred)
