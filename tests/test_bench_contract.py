@@ -43,3 +43,21 @@ def test_bench_last_line_is_compact_json():
     # the compact line must stay small however many raw reps exist
     assert "raw_headline_secs" not in compact
     assert len(lines[-1]) < 20_000
+
+
+def test_bench_battery_names_resolve():
+    """Every battery entry must be a real queries() key — a typo would
+    surface as an err: count in the driver's BENCH run."""
+    import re
+
+    import __ray_entry__ as E
+
+    src = open(os.path.join(REPO, "bench.py")).read()
+    m = re.search(
+        r"bench_queries = \[\] if.*?else \[(.*?)\n    \]", src, re.S
+    )
+    names = re.findall(r'"([a-z0-9_]+)"', m.group(1))
+    qs = E.queries()
+    missing = [n for n in names if n not in qs]
+    assert not missing, missing
+    assert len(names) == len(set(names)), "duplicate battery entries"
