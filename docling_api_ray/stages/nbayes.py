@@ -58,7 +58,8 @@ def _token_vocab_counts(
     toks = np.asarray(flat, dtype=object)
     keep = toks != ""
     rows, toks = rows[keep], toks[keep]
-    if len(toks) == 0:
+    if len(toks) == 0 or len(vocab_sorted) == 0:
+        # no tokens, or an empty vocabulary (every token OOV)
         return rows[:0], np.zeros(0, dtype=np.int64)
     pos = np.searchsorted(vocab_sorted, toks)
     pos_c = np.clip(pos, 0, len(vocab_sorted) - 1)

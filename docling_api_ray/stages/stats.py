@@ -642,6 +642,11 @@ def feature_corr(ds: ray.data.Dataset, *, text_col: str = "text") -> pa.Table:
         sum_cols={"v": "v"},
     ).take_all()  # 15 rows, corpus-independent
     m = {(int(r["i"]), int(r["j"])): int(r["v"]) for r in folded}
+    if not m:  # empty corpus: no moments, no correlations
+        return pa.schema(
+            [("fx", pa.string()), ("fy", pa.string()),
+             ("corr", pa.float64())]
+        ).empty_table()
     n = m[(-1, -1)]
     rows_fx, rows_fy, rows_corr = [], [], []
     for a in range(k):

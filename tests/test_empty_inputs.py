@@ -1,0 +1,95 @@
+"""Empty-corpus robustness: stage operators must return typed empty
+results (never crash, never emit schema-less blocks) when the input
+dataset has zero rows — the shape of a filter that matched nothing."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+
+def _empty_docs():
+    return ray.data.from_arrow(
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("text", pa.string()),
+                ("source", pa.string()),
+                ("lang", pa.string()),
+                ("n_chars", pa.int64()),
+            ]
+        ).empty_table()
+    )
+
+
+def _empty_events():
+    return ray.data.from_arrow(
+        pa.schema(
+            [
+                ("event_id", pa.int64()),
+                ("user_id", pa.int64()),
+                ("event_type", pa.string()),
+                ("ts", pa.timestamp("us")),
+                ("value", pa.float64()),
+            ]
+        ).empty_table()
+    )
+
+
+def test_doc_stages_empty():
+    from docling_api_ray.stages.dedup import (
+        exact_dedup,
+        source_overlap,
+        source_unique_share,
+    )
+    from docling_api_ray.stages.stats import (
+        feature_corr,
+        grouped_eta2,
+        grouped_ols,
+    )
+
+    docs = _empty_docs()
+    assert exact_dedup(docs).count() == 0
+    assert source_overlap(docs).count() == 0
+    assert source_unique_share(docs).count() == 0
+    assert grouped_ols(docs).count() == 0
+    # scalar folds: defined empty/zero results rather than crashes
+    fc = feature_corr(docs)
+    assert fc.num_rows in (0, 6)
+    eta = grouped_eta2(docs)
+    assert eta["n_docs"][0].as_py() == 0
+
+
+def test_event_stages_empty():
+    from docling_api_ray.stages.windows import (
+        event_path_counts,
+        user_event_diversity,
+    )
+
+    ev = _empty_events()
+    assert event_path_counts(ev).count() == 0
+    assert user_event_diversity(ev).count() == 0
+
+
+def test_nbayes_empty_vocab_and_corpus():
+    from docling_api_ray.stages.nbayes import (
+        naive_bayes_confusion,
+        train_naive_bayes,
+    )
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": [1, 2],
+                "lang": ["a", "b"],
+                "text": ["x y", "y z"],
+            }
+        )
+    )
+    # empty vocabulary: scoring falls back to priors everywhere
+    model = train_naive_bayes(docs, [])
+    conf = {
+        (r["lang"], r["pred"]): r["n"]
+        for r in naive_bayes_confusion(docs, model).take_all()
+    }
+    # equal priors -> tie -> label asc "a" predicted for both
+    assert conf == {("a", "a"): 1, ("b", "a"): 1}
