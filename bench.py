@@ -224,6 +224,10 @@ def _bench_once() -> dict:
         "length_quality_grid",
         "user_event_diversity",
         "corpus_card",
+        "cluster_topterms",
+        "knn_mrr",
+        "lang_agreement",
+        "vocab_growth",
     ]
     # INTERLEAVED repetitions + medians (VERDICT r2 #1): this container's
     # co-tenant jitter is ±30-50% and can hold a multi-second plateau —
