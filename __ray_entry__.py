@@ -5688,6 +5688,93 @@ def _q_cluster_topterms(sf_dir: str):
 _VOCAB_GROWTH_BUCKET = 50
 
 
+_CCNET_OFF = 10**9  # micro-logprob offset making the // numerator >= 0
+
+
+def _q_ccnet_buckets(sf_dir: str):
+    """CCNet's head/middle/tail perplexity bucketing per language: each
+    document's char-bigram LM average log-prob (integer micro metric,
+    offset +1e9 so floor-division == DuckDB's truncating ``//``),
+    per-lang tercile thresholds via exact percentile_disc, bucket by
+    threshold compare (ties share a bucket).  Docs with zero bigram
+    pairs are excluded (CCNet drops empties).  One LM train pass + one
+    scoring pass + one narrow lang join + a |langs|-bounded threshold
+    fold + a stateless assign."""
+    from docling_api_ray.stages.charlm import charlm_scores
+    from docling_api_ray.stages.joins import hash_join
+    from docling_api_ray.stages.stats import grouped_int_quantiles
+
+    docs = _docs(sf_dir, ["doc_id", "text", "lang"])
+    scored = charlm_scores(docs)
+
+    met_schema = pa.schema(
+        [("doc_id", pa.int64()), ("metric_micro", pa.int64())]
+    )
+
+    def metric(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return met_schema.empty_table()
+        n = np.asarray(b["n_pairs"], dtype=np.int64)
+        lp = np.asarray(b["lp_micro"], dtype=np.int64)
+        keep = n > 0
+        n, lp, ids = n[keep], lp[keep], np.asarray(
+            b["doc_id"], dtype=np.int64
+        )[keep]
+        m = (lp + _CCNET_OFF * n) // n  # nonneg numerator: floor==trunc
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "metric_micro": pa.array(m, type=pa.int64()),
+            }
+        )
+
+    mets = hash_join(
+        scored.map_batches(metric, batch_format="pyarrow"),
+        docs.select_columns(["doc_id", "lang"]),
+        on="doc_id",
+        schemas=(
+            met_schema,
+            pa.schema([("doc_id", pa.int64()), ("lang", pa.string())]),
+        ),
+    ).materialize()  # narrow rows, consumed twice (thresholds + assign)
+
+    th_rows = grouped_int_quantiles(
+        mets, group_col="lang", value_col="metric_micro",
+        quantiles=(0.33, 0.67),
+    ).take_all()  # |langs| rows
+    th = {r["lang"]: (int(r["p33"]), int(r["p67"])) for r in th_rows}
+    tref = ray.put(th)
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("lang", pa.string()),
+            ("metric_micro", pa.int64()),
+            ("bucket", pa.string()),
+        ]
+    )
+
+    def assign(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return out_schema.empty_table()
+        t = ray.get(tref)
+        m = np.asarray(b["metric_micro"], dtype=np.int64)
+        langs = np.asarray(b["lang"].to_pylist(), dtype=object)
+        t33 = np.array([t[l][0] for l in langs], dtype=np.int64)
+        t67 = np.array([t[l][1] for l in langs], dtype=np.int64)
+        bucket = np.where(m > t67, "head", np.where(m > t33, "middle", "tail"))
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "lang": b["lang"],
+                "metric_micro": b["metric_micro"],
+                "bucket": pa.array(bucket.tolist(), type=pa.string()),
+            }
+        )
+
+    return mets.map_batches(assign, batch_format="pyarrow")
+
+
 def _q_vocab_growth(sf_dir: str):
     """Heaps-law vocabulary growth curve: number of NEW distinct words
     first introduced in each ``doc_id``-bucket of 50 documents — the
@@ -6468,6 +6555,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_mrr": _q_knn_mrr,
         "lang_agreement": _q_lang_agreement,
         "vocab_growth": _q_vocab_growth,
+        "ccnet_buckets": _q_ccnet_buckets,
         "ridge_predict": _q_ridge_predict,
     }
 
@@ -9532,6 +9620,28 @@ def oracle_sql() -> dict[str, str]:
     out["feature_corr"] = f"""
         WITH s AS (SELECT {sums} FROM documents)
         {pair_rows}
+    """
+    # mirrors _q_ccnet_buckets: the verified charlm oracle as subquery,
+    # offset truncating //, per-lang percentile_disc terciles, the same
+    # threshold compare
+    out["ccnet_buckets"] = f"""
+        WITH cs AS ({out["charlm_scores"]}),
+             m AS (SELECT cs.doc_id, d.lang,
+                          CAST((cs.lp_micro + {_CCNET_OFF} * cs.n_pairs)
+                               // cs.n_pairs AS BIGINT) AS metric_micro
+                   FROM cs JOIN documents d USING (doc_id)
+                   WHERE cs.n_pairs > 0),
+             t AS (SELECT lang,
+                          percentile_disc(0.33) WITHIN GROUP
+                            (ORDER BY metric_micro) AS t33,
+                          percentile_disc(0.67) WITHIN GROUP
+                            (ORDER BY metric_micro) AS t67
+                   FROM m GROUP BY 1)
+        SELECT m.doc_id, m.lang, m.metric_micro,
+               CASE WHEN m.metric_micro > t.t67 THEN 'head'
+                    WHEN m.metric_micro > t.t33 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM m JOIN t USING (lang)
     """
     # mirrors _q_vocab_growth: min(doc_id) per word, integer bucket,
     # count per bucket
