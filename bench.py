@@ -228,6 +228,7 @@ def _bench_once() -> dict:
         "knn_mrr",
         "lang_agreement",
         "vocab_growth",
+        "ccnet_buckets",
     ]
     # INTERLEAVED repetitions + medians (VERDICT r2 #1): this container's
     # co-tenant jitter is ±30-50% and can hold a multi-second plateau —
