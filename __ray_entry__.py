@@ -5691,6 +5691,46 @@ _VOCAB_GROWTH_BUCKET = 50
 _CCNET_OFF = 10**9  # micro-logprob offset making the // numerator >= 0
 
 
+def _q_unpivot_stats(sf_dir: str):
+    """UNPIVOT/melt: the wide per-doc feature row folded to long
+    (doc_id, feature, value) — the schema op feeding generic
+    per-feature aggregations; stateless vectorized repeat/tile, no
+    shuffle."""
+    feats = ("n_chars", "n_words", "n_punct", "n_stop")
+
+    def melt(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.schema(
+                [("doc_id", pa.int64()), ("feature", pa.string()),
+                 ("value", pa.int64())]
+            ).empty_table()
+        t = b["text"]
+        cols = [
+            np.asarray(pc.utf8_length(t), dtype=np.int64),
+            np.asarray(ta._count(t, ta.WS_TOKEN_RE), dtype=np.int64),
+            np.asarray(ta._count(t, ta.PUNCT_RE), dtype=np.int64),
+            np.asarray(ta._count(t, ta.STOPWORD_RE), dtype=np.int64),
+        ]
+        ids = np.asarray(b["doc_id"], dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.tile(ids, len(feats)), type=pa.int64()),
+                "feature": pa.array(
+                    np.repeat(np.asarray(feats, dtype=object), len(b)
+                              ).tolist(),
+                    type=pa.string(),
+                ),
+                "value": pa.array(
+                    np.concatenate(cols), type=pa.int64()
+                ),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        melt, batch_format="pyarrow"
+    )
+
+
 def _q_ccnet_buckets(sf_dir: str):
     """CCNet's head/middle/tail perplexity bucketing per language: each
     document's char-bigram LM average log-prob (integer micro metric,
@@ -6556,6 +6596,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_agreement": _q_lang_agreement,
         "vocab_growth": _q_vocab_growth,
         "ccnet_buckets": _q_ccnet_buckets,
+        "unpivot_doc_stats": _q_unpivot_stats,
         "ridge_predict": _q_ridge_predict,
     }
 
@@ -9620,6 +9661,24 @@ def oracle_sql() -> dict[str, str]:
     out["feature_corr"] = f"""
         WITH s AS (SELECT {sums} FROM documents)
         {pair_rows}
+    """
+    # mirrors _q_unpivot_stats: the same four regex-count features
+    # melted via UNION ALL
+    out["unpivot_doc_stats"] = f"""
+        SELECT doc_id, 'n_chars' AS feature,
+               CAST(length(text) AS BIGINT) AS value FROM documents
+        UNION ALL
+        SELECT doc_id, 'n_words',
+               CAST(length(regexp_extract_all(text, $${wsre}$$)) AS BIGINT)
+        FROM documents
+        UNION ALL
+        SELECT doc_id, 'n_punct',
+               CAST(length(regexp_extract_all(text, $${punct}$$)) AS BIGINT)
+        FROM documents
+        UNION ALL
+        SELECT doc_id, 'n_stop',
+               CAST(length(regexp_extract_all(text, $${stop}$$)) AS BIGINT)
+        FROM documents
     """
     # mirrors _q_ccnet_buckets: the verified charlm oracle as subquery,
     # offset truncating //, per-lang percentile_disc terciles, the same
