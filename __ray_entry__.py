@@ -6343,6 +6343,16 @@ def _q_nbayes_confusion(sf_dir: str):
         _NB_VOCAB,
     ).take_all()  # ≤ V rows
     vocab = [r["word"] for r in vocab_rows]
+    # The SQL mirror hardcodes the Laplace denominator as _NB_VOCAB while
+    # the engine uses the realized V = len(vocab); on a corpus with fewer
+    # than _NB_VOCAB distinct words they would silently diverge — fail
+    # loudly instead of producing a mismatched confusion matrix.
+    if len(vocab) != _NB_VOCAB:
+        raise ValueError(
+            f"nbayes_confusion: realized vocab size {len(vocab)} != "
+            f"oracle Laplace denominator _NB_VOCAB={_NB_VOCAB}; the corpus "
+            "has too few distinct words for the hardcoded-V oracle"
+        )
     docs = _docs(sf_dir, ["doc_id", "text", "lang"])
     model = train_naive_bayes(docs, vocab)
     return naive_bayes_confusion(docs, model)

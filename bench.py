@@ -618,19 +618,26 @@ if __name__ == "__main__":
         _skew_bench()
     else:
         result = _bench_once()
-        # full record first (raw rep arrays — auditable), then a COMPACT
-        # contract line LAST: the driver parses the final stdout line and
-        # its tail capture is finite — r3's 133-query raw-array line
-        # overflowed it and recorded `parsed: null` (VERDICT r3 #4).  The
-        # compact line carries the whole contract (metric/value/unit/
-        # queries-medians/sf/num_cpus) at a size independent of rep count.
+        # full record first (raw rep arrays + all per-query medians —
+        # auditable), then a BOUNDED contract line LAST: the driver parses
+        # the final stdout line and its tail capture is ~2 KB.  r3's fix
+        # still embedded the full 181-entry `queries` medians dict (~4-5 KB)
+        # in the "compact" line, so the capture started mid-JSON and two
+        # rounds recorded `parsed: null` (VERDICT r4 #1).  The final line
+        # therefore carries headline fields + COUNTS only, at a size
+        # independent of battery growth; the per-query medians live on the
+        # preceding full-record line.
         print(json.dumps(result))
         compact = {
             k: result[k]
             for k in (
-                "metric", "value", "unit", "queries", "errors",
-                "budget_exceeded", "sf", "num_cpus", "docs",
-                "docs_per_sec",
+                "metric", "value", "unit", "budget_exceeded", "sf",
+                "num_cpus", "docs", "docs_per_sec",
             )
         }
-        print(json.dumps(compact))
+        compact["n_queries"] = len(result.get("queries", {}))
+        compact["n_errors"] = len(result.get("errors", {}))
+        line = json.dumps(compact)
+        # hard bound: the contract line must always fit the tail capture
+        assert len(line) < 1500, f"final bench line {len(line)}B > 1500B"
+        print(line)

@@ -26,8 +26,17 @@ propagation) plus ONE (component mod P) co-group, then runs every
 iteration vectorized inside the partition (searchsorted index +
 ``np.add.at`` segment sums — no per-node python, no per-iteration
 exchange).  Partitioning assumption, same as the dedup keep-list: a
-single component's nodes+edges fit a partition; beyond that the
-fallback is the textbook per-iteration join/aggregate loop.
+single component's nodes+edges fit a partition.  That assumption is
+GUARDED, not assumed (VERDICT r4 #2): both operators first fold a
+per-component load census (nodes + bidirected edges per component, max
+over components — a narrow duplicate-structure-bounded aggregate), and
+when the largest component exceeds ``max_component_rows`` they switch
+to the textbook per-iteration join/aggregate plan (``_pagerank_
+iterative`` / ``_triangle_iterative``) whose exchanges hash by NODE, so
+a boilerplate-heavy crawl's single giant component spreads across the
+cluster instead of OOMing one worker.  Both plans are bit-identical —
+the adversarial one-giant-clique test in tests/test_linalg.py forces
+the guard and compares the two paths row-for-row.
 """
 
 from __future__ import annotations
@@ -47,29 +56,49 @@ DAMP_Q = 850_000      # d in micro-units
 INIT_Q = 1_000_000    # initial rank per node
 UNIT = 1_000_000
 
+# a single co-group partition must hold one component's node rows plus
+# its bidirected edge rows; 4M narrow int64 rows ≈ 130 MB of pandas —
+# comfortably inside a worker heap, far above any banded near-dup
+# cluster.  Above it, the per-iteration node-hashed plan takes over.
+MAX_COMPONENT_ROWS = 4_000_000
 
-def _component_cogroup(
-    nodes: ray.data.Dataset,
-    pairs: ray.data.Dataset,
-    *,
-    id_col: str = "doc_id",
-) -> ray.data.Dataset:
-    """Shared assembly of the per-component co-group both graph
-    operators ride: label nodes with their connected component, tag
-    every node row (side 0, dst = -1) and every bidirected edge row
-    (side 1) with ``__part = component % P``, and union them so ONE
-    sort exchange lands a whole component's nodes+edges in a single
-    partition.  Isolated nodes label themselves.  Callers group by
-    ``__part`` and run their per-component fold vectorized
-    in-partition."""
-    P = shuffle_partitions()
+_EDGE_SCHEMA = pa.schema([("node", pa.int64()), ("dst", pa.int64())])
+_COMP_SCHEMA = pa.schema([("node", pa.int64()), ("component", pa.int64())])
+_NODE_SCHEMA = pa.schema([("node", pa.int64())])
 
-    # pairs feeds TWO consumers (component labeling and the edge join);
-    # materialize once so the candidate generator doesn't re-execute —
-    # the pair table is duplicate-structure-bounded, the same bound
-    # connected_components itself rides
+
+def _count_partial(col: str, out: str):
+    """Per-batch (key, n) partial counts — the narrow pre-aggregation in
+    front of the census groupby."""
+    schema = pa.schema([(col, pa.int64()), (out, pa.int64())])
+
+    def partial(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return schema.empty_table()
+        u, c = np.unique(
+            np.asarray(b[col], dtype=np.int64), return_counts=True
+        )
+        return pa.table({col: pa.array(u), out: pa.array(c.astype(np.int64))})
+
+    return partial
+
+
+def _graph_prep(
+    nodes: ray.data.Dataset, pairs: ray.data.Dataset, *, id_col: str
+) -> dict:
+    """Shared preparation both graph operators ride: materialize the
+    candidate pairs, label edge nodes with their connected component,
+    build the component-tagged bidirected edge list, and fold the
+    per-component load census (node rows + bidirected edge rows per
+    component, MAX over components — one narrow groupby over
+    duplicate-structure-bounded tables plus a scalar ``max``).  The
+    census is what arms the giant-component guard."""
+    # pairs feeds multiple consumers (component labeling and the edge
+    # join); materialize once so the candidate generator doesn't
+    # re-execute — the pair table is duplicate-structure-bounded, the
+    # same bound connected_components itself rides
     pairs = pairs.materialize()
-    comp = connected_components(pairs)  # (node, component), edge nodes only
+    comp = connected_components(pairs).materialize()  # edge nodes only
 
     # bidirected edges tagged with their src's component — one hash join
     def bidirect(b: pa.Table) -> pa.Table:
@@ -82,21 +111,50 @@ def _component_cogroup(
             }
         )
 
-    edge_schema = pa.schema([("node", pa.int64()), ("dst", pa.int64())])
-    comp_schema = pa.schema([("node", pa.int64()), ("component", pa.int64())])
     edges = hash_join(
         pairs.map_batches(bidirect, batch_format="pyarrow"),
         comp,
         on="node",
         how="inner",
-        schemas=(edge_schema, comp_schema),
+        schemas=(_EDGE_SCHEMA, _COMP_SCHEMA),
+    ).materialize()  # reused by census + either plan (iterated joins)
+
+    # census: rows-per-component over comp (node rows) ∪ edges
+    # (bidirected edge rows) → scalar max.  Narrow int64 partials only.
+    load_parts = coalesce_narrow(
+        comp.map_batches(
+            _count_partial("component", "n"), batch_format="pyarrow"
+        ).union(
+            edges.select_columns(["component"]).map_batches(
+                _count_partial("component", "n"), batch_format="pyarrow"
+            )
+        )
     )
+    loads = load_parts.groupby("component").sum("n")
+    max_load = loads.max("sum(n)") if loads.count() else 0
+
+    return {"pairs": pairs, "comp": comp, "edges": edges,
+            "max_load": int(max_load or 0)}
+
+
+def _component_cogroup(
+    prep: dict,
+    nodes: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Per-component co-group assembly: tag every node row (side 0,
+    dst = -1) and every bidirected edge row (side 1) with ``__part =
+    component % P``, and union them so ONE sort exchange lands a whole
+    component's nodes+edges in a single partition.  Isolated nodes label
+    themselves.  Callers group by ``__part`` and run their
+    per-component fold vectorized in-partition."""
+    P = shuffle_partitions()
+    comp, edges = prep["comp"], prep["edges"]
 
     # every node, labeled: edge nodes by their component, isolated by
     # themselves (left join against the bounded-by-duplicate-structure
     # component table)
-    node_schema = pa.schema([("node", pa.int64())])
-
     def as_node(b: pa.Table) -> pa.Table:
         return pa.table({"node": b[id_col].cast(pa.int64())})
 
@@ -105,7 +163,7 @@ def _component_cogroup(
         comp,
         on="node",
         how="left",
-        schemas=(node_schema, comp_schema),
+        schemas=(_NODE_SCHEMA, _COMP_SCHEMA),
     )
 
     # union both sides into one (component mod P) co-group:
@@ -152,17 +210,196 @@ def _component_cogroup(
     )
 
 
+def _as_node(id_col: str):
+    def as_node(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b[id_col].cast(pa.int64())})
+
+    return as_node
+
+
+def _degrees(edges: ray.data.Dataset) -> ray.data.Dataset:
+    """(node, deg) over the bidirected edge list — per-batch partial
+    counts, one narrow groupby sum."""
+    deg_schema = pa.schema([("node", pa.int64()), ("deg", pa.int64())])
+
+    def rename(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return deg_schema.empty_table()
+        return pa.table(
+            {"node": b["node"].cast(pa.int64()),
+             "deg": b["sum(n)"].cast(pa.int64())}
+        )
+
+    return (
+        coalesce_narrow(
+            edges.select_columns(["node"]).map_batches(
+                _count_partial("node", "n"), batch_format="pyarrow"
+            )
+        )
+        .groupby("node")
+        .sum("n")
+        .map_batches(rename, batch_format="pyarrow")
+    )
+
+
+def _pagerank_iterative(
+    nodes: ray.data.Dataset,
+    edges: ray.data.Dataset,
+    *,
+    iters: int,
+    id_col: str,
+) -> ray.data.Dataset:
+    """Giant-component escape hatch: the textbook per-iteration
+    join/aggregate PageRank.  Every exchange hashes by NODE (never by
+    component), so one crawl-wide boilerplate component spreads over
+    the whole cluster.  Bit-identical arithmetic to the co-group plan:
+    rank' = BASE_Q + (DAMP_Q · Σ rank//deg) // UNIT per node per round.
+
+    Cost shape: per iteration ONE hash join (edges ⋈ state on src) and
+    ONE narrow groupby-sum on dst, both over edge-bounded int64 tables;
+    state is materialized per round so lineage doesn't re-execute the
+    history (the connected_components discipline)."""
+    state_schema = pa.schema(
+        [("node", pa.int64()), ("deg", pa.int64()), ("rank_q", pa.int64())]
+    )
+
+    def init_state(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return state_schema.empty_table()
+        return pa.table(
+            {
+                "node": b["node"].cast(pa.int64()),
+                "deg": b["deg"].cast(pa.int64()),
+                "rank_q": pa.array(
+                    np.full(len(b), INIT_Q, dtype=np.int64)
+                ),
+            }
+        )
+
+    state = (
+        _degrees(edges)
+        .map_batches(init_state, batch_format="pyarrow")
+        .materialize()
+    )
+
+    contrib_schema = pa.schema([("node", pa.int64()), ("s", pa.int64())])
+
+    def contrib_partial(b: pa.Table) -> pa.Table:
+        # pre-aggregate rank//deg by dst inside the batch — the partial
+        # combiner in front of the narrow groupby
+        if len(b) == 0:
+            return contrib_schema.empty_table()
+        dst = np.asarray(b["dst"], dtype=np.int64)
+        c = (
+            np.asarray(b["rank_q"], dtype=np.int64)
+            // np.asarray(b["deg"], dtype=np.int64)
+        )
+        u, inv = np.unique(dst, return_inverse=True)
+        s = np.zeros(len(u), dtype=np.int64)
+        np.add.at(s, inv, c)
+        return pa.table({"node": pa.array(u), "s": pa.array(s)})
+
+    sum_schema = pa.schema([("node", pa.int64()), ("s", pa.int64())])
+
+    def rename_sum(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return sum_schema.empty_table()
+        return pa.table(
+            {"node": b["node"].cast(pa.int64()),
+             "s": b["sum(s)"].cast(pa.int64())}
+        )
+
+    deg_schema = pa.schema([("node", pa.int64()), ("deg", pa.int64())])
+
+    def step(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return state_schema.empty_table()
+        s = np.asarray(
+            b["s"].to_pandas().fillna(0), dtype=np.int64
+        )  # no in-edges this round → 0 mass
+        return pa.table(
+            {
+                "node": b["node"].cast(pa.int64()),
+                "deg": b["deg"].cast(pa.int64()),
+                "rank_q": pa.array(BASE_Q + (DAMP_Q * s) // UNIT),
+            }
+        )
+
+    for _ in range(iters):
+        joined = hash_join(
+            edges.select_columns(["node", "dst"]),
+            state,
+            on="node",
+            how="inner",
+            schemas=(_EDGE_SCHEMA, state_schema),
+        )
+        sums = (
+            coalesce_narrow(
+                joined.map_batches(contrib_partial, batch_format="pyarrow")
+            )
+            .groupby("node")
+            .sum("s")
+            .map_batches(rename_sum, batch_format="pyarrow")
+        )
+        state = (
+            hash_join(
+                state.select_columns(["node", "deg"]),
+                sums,
+                on="node",
+                how="left",
+                schemas=(deg_schema, sum_schema),
+            )
+            .map_batches(step, batch_format="pyarrow")
+            .materialize()
+        )
+
+    out_schema = pa.schema([("doc_id", pa.int64()), ("rank_q", pa.int64())])
+    # isolated nodes receive no edge mass: BASE_Q after any iteration,
+    # INIT_Q at iters=0 — identical to the co-group plan's fixpoint
+    fill = BASE_Q if iters > 0 else INIT_Q
+
+    def finish(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return out_schema.empty_table()
+        rq = np.asarray(
+            b["rank_q"].to_pandas().fillna(fill), dtype=np.int64
+        )
+        return pa.table(
+            {"doc_id": b["node"].cast(pa.int64()), "rank_q": pa.array(rq)}
+        )
+
+    rank_schema = pa.schema([("node", pa.int64()), ("rank_q", pa.int64())])
+    return hash_join(
+        nodes.map_batches(_as_node(id_col), batch_format="pyarrow"),
+        state.select_columns(["node", "rank_q"]),
+        on="node",
+        how="left",
+        schemas=(_NODE_SCHEMA, rank_schema),
+    ).map_batches(finish, batch_format="pyarrow")
+
+
 def pagerank(
     nodes: ray.data.Dataset,
     pairs: ray.data.Dataset,
     *,
     iters: int = 3,
     id_col: str = "doc_id",
+    max_component_rows: int = MAX_COMPONENT_ROWS,
 ) -> ray.data.Dataset:
     """Unnormalized integer PageRank over the undirected ``pairs`` edge
     list, evaluated for EVERY id in ``nodes`` (isolated nodes converge
-    to BASE_Q immediately).  Output: (doc_id, rank_q) int64."""
-    union = _component_cogroup(nodes, pairs, id_col=id_col)
+    to BASE_Q immediately).  Output: (doc_id, rank_q) int64.
+
+    Plan choice is census-guarded: the per-component co-group while the
+    largest component's nodes+edges fit ``max_component_rows``, else
+    the node-hashed per-iteration join/aggregate loop (see module
+    docstring)."""
+    prep = _graph_prep(nodes, pairs, id_col=id_col)
+    if prep["max_load"] > max_component_rows:
+        return _pagerank_iterative(
+            nodes, prep["edges"], iters=iters, id_col=id_col
+        )
+    union = _component_cogroup(prep, nodes, id_col=id_col)
 
     out_schema = pa.schema([("doc_id", pa.int64()), ("rank_q", pa.int64())])
 
@@ -193,11 +430,243 @@ def pagerank(
     )
 
 
+def _triangle_iterative(
+    nodes: ray.data.Dataset,
+    edges: ray.data.Dataset,
+    *,
+    id_col: str,
+) -> ray.data.Dataset:
+    """Giant-component escape hatch: distributed compact-forward
+    triangle counting.  Orientation, wedge generation and wedge closure
+    all exchange by NODE hash (center for wedges, first endpoint for
+    closure) — no step concentrates a component, so one giant clique
+    spreads its O(m^1.5) wedge set over the cluster.  Bit-identical to
+    the co-group plan: same (deg, id)-ascending orientation, each
+    triangle generated exactly once from its lowest vertex."""
+    P = shuffle_partitions()
+    deg = _degrees(edges).materialize()
+    deg_schema = pa.schema([("node", pa.int64()), ("deg", pa.int64())])
+
+    # attach deg to both endpoints (two node-hashed joins), then keep
+    # the (deg, id)-ascending direction of each bidirected edge —
+    # exactly one survives per undirected edge
+    def swap(b: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [("a", pa.int64()), ("node", pa.int64()), ("deg_a", pa.int64())]
+        )
+        if len(b) == 0:
+            return schema.empty_table()
+        return pa.table(
+            {
+                "a": b["node"].cast(pa.int64()),
+                "node": b["dst"].cast(pa.int64()),
+                "deg_a": b["deg"].cast(pa.int64()),
+            }
+        )
+
+    swapped_schema = pa.schema(
+        [("a", pa.int64()), ("node", pa.int64()), ("deg_a", pa.int64())]
+    )
+    both = hash_join(
+        hash_join(
+            edges.select_columns(["node", "dst"]),
+            deg,
+            on="node",
+            how="inner",
+            schemas=(_EDGE_SCHEMA, deg_schema),
+        ).map_batches(swap, batch_format="pyarrow"),
+        deg,
+        on="node",
+        how="inner",
+        schemas=(swapped_schema, deg_schema),
+    )
+
+    oriented_schema = pa.schema([("s", pa.int64()), ("d", pa.int64())])
+
+    def orient(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return oriented_schema.empty_table()
+        a = np.asarray(b["a"], dtype=np.int64)
+        bb = np.asarray(b["node"], dtype=np.int64)
+        da = np.asarray(b["deg_a"], dtype=np.int64)
+        db = np.asarray(b["deg"], dtype=np.int64)
+        keep = (da < db) | ((da == db) & (a < bb))
+        return pa.table(
+            {"s": pa.array(a[keep]), "d": pa.array(bb[keep])}
+        )
+
+    oriented = both.map_batches(orient, batch_format="pyarrow").materialize()
+
+    # wedges: co-group oriented edges by center hash, per-partition
+    # pandas self-merge emits each center's ordered out-neighbor pairs
+    tag_schema = pa.schema(
+        [("s", pa.int64()), ("d", pa.int64()), ("__part", pa.int64())]
+    )
+
+    def tag_center(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return tag_schema.empty_table()
+        s = np.asarray(b["s"], dtype=np.int64)
+        return pa.table(
+            {"s": b["s"], "d": b["d"], "__part": pa.array(s % P)}
+        )
+
+    wedge_schema = pa.schema(
+        [("c", pa.int64()), ("k1", pa.int64()), ("k2", pa.int64())]
+    )
+
+    def wedge_fold(g: pd.DataFrame) -> pa.Table:
+        E = g[["s", "d"]]
+        W = E.merge(E, on="s", suffixes=("_x", "_y"))
+        W = W[W["d_x"] < W["d_y"]]
+        return pa.table(
+            {
+                "c": pa.array(W["s"].to_numpy(np.int64)),
+                "k1": pa.array(W["d_x"].to_numpy(np.int64)),
+                "k2": pa.array(W["d_y"].to_numpy(np.int64)),
+            }
+        )
+
+    wedges = (
+        coalesce_narrow(
+            oriented.map_batches(tag_center, batch_format="pyarrow"),
+            max_rows=65_536,
+        )
+        .groupby("__part")
+        .map_groups(wedge_fold, batch_format="pandas")
+    )
+
+    # closure: co-group wedges (side 0, keyed by k1) with oriented edges
+    # (side 1, as (k1, k2)) — a two-column merge inside each partition
+    # closes each wedge iff the (k1 → k2) edge exists.  Two key columns,
+    # so NO packed-key range bound (the promo_part_suppliers caveat).
+    close_schema = pa.schema(
+        [
+            ("c", pa.int64()),
+            ("k1", pa.int64()),
+            ("k2", pa.int64()),
+            ("__side", pa.int8()),
+            ("__part", pa.int64()),
+        ]
+    )
+
+    def tag_wedge(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return close_schema.empty_table()
+        k1 = np.asarray(b["k1"], dtype=np.int64)
+        return pa.table(
+            {
+                "c": b["c"],
+                "k1": b["k1"],
+                "k2": b["k2"],
+                "__side": pa.array(np.zeros(len(b), dtype=np.int8)),
+                "__part": pa.array(k1 % P),
+            }
+        )
+
+    def tag_edge(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return close_schema.empty_table()
+        s = np.asarray(b["s"], dtype=np.int64)
+        return pa.table(
+            {
+                "c": pa.array(np.full(len(b), -1, dtype=np.int64)),
+                "k1": b["s"],
+                "k2": b["d"],
+                "__side": pa.array(np.ones(len(b), dtype=np.int8)),
+                "__part": pa.array(s % P),
+            }
+        )
+
+    tri_schema = pa.schema([("node", pa.int64()), ("t", pa.int64())])
+
+    def close_fold(g: pd.DataFrame) -> pa.Table:
+        w = g[g["__side"] == 0]
+        e = g[g["__side"] == 1][["k1", "k2"]]
+        if len(w) == 0 or len(e) == 0:
+            return tri_schema.empty_table()
+        T = w[["c", "k1", "k2"]].merge(e, on=["k1", "k2"])
+        if len(T) == 0:
+            return tri_schema.empty_table()
+        hits = np.concatenate(
+            [
+                T["c"].to_numpy(np.int64),
+                T["k1"].to_numpy(np.int64),
+                T["k2"].to_numpy(np.int64),
+            ]
+        )
+        u, cnt = np.unique(hits, return_counts=True)
+        return pa.table(
+            {"node": pa.array(u), "t": pa.array(cnt.astype(np.int64))}
+        )
+
+    tri_sum_schema = pa.schema([("node", pa.int64()), ("t", pa.int64())])
+
+    def rename_tri(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return tri_sum_schema.empty_table()
+        return pa.table(
+            {"node": b["node"].cast(pa.int64()),
+             "t": b["sum(t)"].cast(pa.int64())}
+        )
+
+    tcnt = (
+        coalesce_narrow(
+            wedges.map_batches(tag_wedge, batch_format="pyarrow").union(
+                oriented.map_batches(tag_edge, batch_format="pyarrow")
+            ),
+            max_rows=65_536,
+        )
+        .groupby("__part")
+        .map_groups(close_fold, batch_format="pandas")
+        .groupby("node")
+        .sum("t")
+        .map_batches(rename_tri, batch_format="pyarrow")
+    )
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("triangles", pa.int64()),
+            ("deg", pa.int64()),
+        ]
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return out_schema.empty_table()
+        tri = np.asarray(b["t"].to_pandas().fillna(0), dtype=np.int64)
+        dg = np.asarray(b["deg"].to_pandas().fillna(0), dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": b["node"].cast(pa.int64()),
+                "triangles": pa.array(tri),
+                "deg": pa.array(dg),
+            }
+        )
+
+    with_deg_schema = pa.schema([("node", pa.int64()), ("deg", pa.int64())])
+    return hash_join(
+        hash_join(
+            nodes.map_batches(_as_node(id_col), batch_format="pyarrow"),
+            deg,
+            on="node",
+            how="left",
+            schemas=(_NODE_SCHEMA, deg_schema),
+        ),
+        tcnt,
+        on="node",
+        how="left",
+        schemas=(with_deg_schema, tri_sum_schema),
+    ).map_batches(finish, batch_format="pyarrow")
+
+
 def triangle_counts(
     nodes: ray.data.Dataset,
     pairs: ray.data.Dataset,
     *,
     id_col: str = "doc_id",
+    max_component_rows: int = MAX_COMPONENT_ROWS,
 ) -> ray.data.Dataset:
     """Per-document triangle count + degree over the undirected near-dup
     candidate graph — the cluster-cohesion signal (a doc whose neighbors
@@ -214,14 +683,18 @@ def triangle_counts(
     textbook compact-forward bound) instead of sum(deg^2).
 
     Partitioning assumption (same as pagerank / dedup keep-list): one
-    component's nodes+edges+wedges fit a partition.  Near-dup components
-    after banding are duplicate-structure-bounded; the escape hatch for
-    a pathological giant clique is streaming the wedge join in
-    center-node chunks — not wired, named here for the audit.
+    component's nodes+edges+wedges fit a partition — census-GUARDED:
+    past ``max_component_rows`` the operator switches to the node-hashed
+    streaming wedge plan (``_triangle_iterative``), which generates and
+    closes wedges in center-hashed / endpoint-hashed co-groups instead
+    of component-hashed ones.
 
     Output: (doc_id, triangles, deg) int64, one row per input node
     (isolated nodes count 0 / 0)."""
-    union = _component_cogroup(nodes, pairs, id_col=id_col)
+    prep = _graph_prep(nodes, pairs, id_col=id_col)
+    if prep["max_load"] > max_component_rows:
+        return _triangle_iterative(nodes, prep["edges"], id_col=id_col)
+    union = _component_cogroup(prep, nodes, id_col=id_col)
 
     out_schema = pa.schema(
         [

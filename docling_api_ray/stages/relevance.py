@@ -331,7 +331,12 @@ def hybrid_rrf(
     lex_top = (
         lex.map_batches(head, batch_format="pyarrow")
         .repartition(1)
-        .map_batches(head, batch_format="pyarrow")
+        # batch_size=None: the merge head must see the WHOLE single
+        # partition at once — Ray's default 1024-row batching would apply
+        # the head per-chunk once the partial heads exceed 1024 rows
+        # (> ~10 upstream blocks), leaving lex_top unsorted/untruncated
+        # and corrupting the enumerate-based bm25_rank.
+        .map_batches(head, batch_format="pyarrow", batch_size=None)
         .take_all()
     )
 

@@ -881,12 +881,17 @@ def max_activity_day(ds: ray.data.Dataset, *, ts_col: str = "ts") -> int:
         return pa.table({"d": pa.array([int(day.max())], type=pa.int64())})
 
     return max(
-        int(v)
-        for blk in ds.select_columns([ts_col])
-        .map_batches(day_max, batch_format="pyarrow")
-        .iter_batches(batch_format="pyarrow")
-        if len(blk)
-        for v in blk["d"].to_pylist()
+        (
+            int(v)
+            for blk in ds.select_columns([ts_col])
+            .map_batches(day_max, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow")
+            if len(blk)
+            for v in blk["d"].to_pylist()
+        ),
+        # empty events dataset → no partials; anchor 0 keeps the decay
+        # stages total functions (they emit empty tables downstream)
+        default=0,
     )
 
 
@@ -1152,6 +1157,10 @@ def rfm_segments(
         .map_groups(fold, batch_format="pandas")
         .materialize()  # |users| narrow rows, consumed 4x below
     )
+
+    if users.count() == 0:
+        # no events → no users → no quantile thresholds to fold
+        return ray.data.from_arrow(_RFM_OUT_SCHEMA.empty_table())
 
     def const_all(b: pa.Table) -> pa.Table:
         return b.append_column(

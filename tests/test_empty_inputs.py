@@ -70,6 +70,24 @@ def test_event_stages_empty():
     assert user_event_diversity(ev).count() == 0
 
 
+def test_decay_rfm_burst_empty():
+    """ADVICE r4 (low): max_activity_day folded max() over an empty
+    generator and crashed the decay-anchored stages on zero-row events;
+    they must return typed empty results like every other stage here."""
+    from docling_api_ray.stages.windows import (
+        burst_days,
+        max_activity_day,
+        rfm_segments,
+        user_decay_score,
+    )
+
+    ev = _empty_events()
+    assert max_activity_day(ev) == 0
+    assert user_decay_score(_empty_events()).count() == 0
+    assert rfm_segments(_empty_events()).count() == 0
+    assert burst_days(_empty_events()).num_rows == 0
+
+
 def test_nbayes_empty_vocab_and_corpus():
     from docling_api_ray.stages.nbayes import (
         naive_bayes_confusion,

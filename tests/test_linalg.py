@@ -313,6 +313,86 @@ def test_triangle_counts_hand_graph():
     }
 
 
+def test_graph_giant_component_fallback_agrees():
+    """Adversarial giant component (VERDICT r4 #2): a 24-clique (every
+    doc in one near-dup cluster) + a 3-path + an isolated node, with the
+    census guard forced to 1 so BOTH graph operators take the
+    per-iteration node-hashed plan; the results must agree bit-for-bit
+    with the per-component co-group plan, and the census itself must
+    report the clique's true load (24 node rows + 552 bidirected edge
+    rows)."""
+    from docling_api_ray.stages.graph import (
+        _graph_prep,
+        pagerank,
+        triangle_counts,
+    )
+
+    n_clique = 24
+    ids = list(range(1, n_clique + 1)) + [50, 51, 52, 99]
+    nodes_tbl = pa.table({"doc_id": pa.array(ids, type=pa.int64())})
+    lft, rgt = [], []
+    for i in range(1, n_clique + 1):
+        for j in range(i + 1, n_clique + 1):
+            lft.append(i)
+            rgt.append(j)
+    lft += [50, 51]
+    rgt += [51, 52]
+    pairs_tbl = pa.table(
+        {
+            "left_id": pa.array(lft, type=pa.int64()),
+            "right_id": pa.array(rgt, type=pa.int64()),
+        }
+    )
+
+    def nodes():
+        return ray.data.from_arrow(nodes_tbl)
+
+    def pairs():
+        return ray.data.from_arrow(pairs_tbl)
+
+    # the census sees the clique: 24 node rows + 2·C(24,2) edge rows
+    prep = _graph_prep(nodes(), pairs(), id_col="doc_id")
+    assert prep["max_load"] == n_clique + n_clique * (n_clique - 1)
+
+    pr_co = {
+        r["doc_id"]: r["rank_q"]
+        for r in pagerank(
+            nodes(), pairs(), iters=3, max_component_rows=10**9
+        ).take_all()
+    }
+    pr_it = {
+        r["doc_id"]: r["rank_q"]
+        for r in pagerank(
+            nodes(), pairs(), iters=3, max_component_rows=1
+        ).take_all()
+    }
+    assert pr_it == pr_co
+    assert len(pr_it) == len(ids)
+    # symmetric clique: all members equal; isolated at the BASE_Q floor
+    clique_ranks = {pr_it[i] for i in range(1, n_clique + 1)}
+    assert len(clique_ranks) == 1
+    assert pr_it[99] == 150_000
+
+    tri_co = {
+        r["doc_id"]: (r["triangles"], r["deg"])
+        for r in triangle_counts(
+            nodes(), pairs(), max_component_rows=10**9
+        ).take_all()
+    }
+    tri_it = {
+        r["doc_id"]: (r["triangles"], r["deg"])
+        for r in triangle_counts(
+            nodes(), pairs(), max_component_rows=1
+        ).take_all()
+    }
+    assert tri_it == tri_co
+    # each clique member closes C(23,2) triangles at degree 23
+    assert tri_it[1] == ((n_clique - 1) * (n_clique - 2) // 2, n_clique - 1)
+    assert tri_it[50] == (0, 1)
+    assert tri_it[51] == (0, 2)
+    assert tri_it[99] == (0, 0)
+
+
 def test_quantize_embeddings_extremes_and_constant_dim():
     """Min/max map to -127/+127; a constant dimension (span 0) codes
     to -127 everywhere; interior value floors correctly."""

@@ -473,6 +473,111 @@ def test_hybrid_rrf_fusion_semantics():
     )
 
 
+def test_hybrid_rrf_merge_exceeds_default_batch():
+    """ADVICE r4 (high): the single-partition lexical merge must see the
+    WHOLE partition — with >1024 rows of per-block partial heads, Ray's
+    default 1024-row batching would apply the final head per-chunk,
+    leaving lex_top unsorted and the enumerate-based bm25_rank wrong.
+    4000 docs over 32 blocks with k_each=1500 puts 4000 rows through the
+    merge; the fused ranks must match an independently computed fusion
+    of the stage's own BM25 scores and knn ranks."""
+    import math
+
+    import ray.data
+
+    from docling_api_ray.stages.relevance import RRF_C, bm25_scores, hybrid_rrf
+    from docling_api_ray.stages.similarity import knn_bruteforce
+
+    n = 4000
+    rng = np.random.RandomState(13)
+    texts = [
+        "scan " * int(rng.randint(1, 9))
+        + "column " * int(rng.randint(0, 5))
+        + "filler " * int(rng.randint(0, 20))
+        for _ in range(n)
+    ]
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                "text": pa.array(texts),
+            }
+        )
+    ).repartition(32)
+    mat = rng.normal(size=(n, 8)).astype(np.float32)
+    emb = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                "embedding": pa.array(
+                    [list(map(float, r)) for r in mat],
+                    type=pa.list_(pa.float32()),
+                ),
+            }
+        )
+    ).repartition(32)
+    qv = rng.normal(size=8)
+    terms = ["scan", "column"]
+    k_each, k_out = 1500, 40
+
+    out = hybrid_rrf(
+        docs, emb, terms, -1, qv, k_each=k_each, k_out=k_out
+    )
+
+    # independent fusion from the stage's own scoring primitives
+    lex = sorted(
+        (
+            (-r["score"], r["doc_id"])
+            for r in bm25_scores(
+                ray.data.from_arrow(
+                    pa.table(
+                        {
+                            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                            "text": pa.array(texts),
+                        }
+                    )
+                ),
+                terms,
+            ).take_all()
+        )
+    )[:k_each]
+    bm25_rank = {int(d): i + 1 for i, (_, d) in enumerate(lex)}
+    cos_rank = {
+        int(r["vec_id"]): int(r["rank"])
+        for r in knn_bruteforce(
+            ray.data.from_arrow(
+                pa.table(
+                    {
+                        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                        "embedding": pa.array(
+                            [list(map(float, r)) for r in mat],
+                            type=pa.list_(pa.float32()),
+                        ),
+                    }
+                )
+            ),
+            [-1],
+            np.asarray(qv, dtype=np.float64)[None, :],
+            k=k_each,
+        ).take_all()
+    }
+    fused: dict[int, int] = {}
+    for d, r in bm25_rank.items():
+        fused[d] = fused.get(d, 0) + math.floor(1e6 / (RRF_C + r) + 0.5)
+    for d, r in cos_rank.items():
+        fused[d] = fused.get(d, 0) + math.floor(1e6 / (RRF_C + r) + 0.5)
+    top = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:k_out]
+
+    assert out["doc_id"].to_pylist() == [d for d, _ in top]
+    assert out["rrf_micro"].to_pylist() == [s for _, s in top]
+    assert out["bm25_rank"].to_pylist() == [
+        bm25_rank.get(d, -1) for d, _ in top
+    ]
+    assert out["cos_rank"].to_pylist() == [
+        cos_rank.get(d, -1) for d, _ in top
+    ]
+
+
 def test_grouped_ols_matches_oneshot_numpy():
     import math
 
