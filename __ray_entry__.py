@@ -6426,7 +6426,122 @@ def _q_user_event_sequence(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # Ordering contract (VERDICT r4 #4): the driver's correctness gate
+    # checks the FIRST 50 entries, so each round the head rotates to the
+    # entries with no prior driver-gate row.  Round 5 head: the r4
+    # continuation set (ccnet_buckets ... ridge_predict, append_commit),
+    # the round-5-touched operators (pagerank/triangle with the
+    # giant-component guard, hybrid_rrf merge fix, rfm_segments), then
+    # the remaining never-checked exact-oracle entries; previously
+    # driver-checked queries (CORRECTNESS_r01-r04) sit at the tail.
     return {
+        "ccnet_buckets": _q_ccnet_buckets,
+        "vocab_growth": _q_vocab_growth,
+        "cluster_topterms": _q_cluster_topterms,
+        "knn_mrr": _q_knn_mrr,
+        "lang_agreement": _q_lang_agreement,
+        "unpivot_doc_stats": _q_unpivot_stats,
+        "ridge_predict": _q_ridge_predict,
+        "append_commit": _q_append_commit,
+        "pagerank_neardup": _q_pagerank_neardup,
+        "triangle_neardup": _q_triangle_neardup,
+        "hybrid_rrf": _q_hybrid_rrf,
+        "nbayes_confusion": _q_nbayes_confusion,
+        "rfm_segments": _q_rfm_segments,
+        "leakage_safe_split": _q_leakage_safe_split,
+        "cluster_profile": _q_cluster_profile,
+        "corpus_card": _q_corpus_card,
+        "source_overlap": _q_source_overlap,
+        "source_unique_share": _q_source_unique_share,
+        "feature_corr": _q_feature_corr,
+        "source_ols": _q_source_ols,
+        "anova_eta2": _q_anova_eta2,
+        "events_decay_score": _q_events_decay,
+        "event_path_topk": _q_event_path_topk,
+        "events_bursts": _q_events_bursts,
+        "length_quality_grid": _q_length_quality_grid,
+        "user_event_diversity": _q_user_diversity,
+        "cube_counts": _q_cube_counts,
+        "source_ntile": _q_source_ntile,
+        "pareto_frontier": _q_pareto_frontier,
+        "user_event_sequence": _q_user_event_sequence,
+        "embedding_quantize": _q_embedding_quantize,
+        "random_projection": _q_random_projection,
+        "pca_project": _q_pca_project,
+        "interval_join": _q_interval_join,
+        "edit_distance_pairs": _q_edit_distance_pairs,
+        "customer_running_total": _q_customer_running_total,
+        "min_cost_supplier": _q_min_cost_supplier,
+        "shipmode_priority": _q_shipmode_priority,
+        "sales_opportunity": _q_sales_opportunity,
+        "append_dedup_exact": _q_append_dedup_exact,
+        "append_dedup_minhash": _q_append_dedup_minhash,
+        "append_dedup_indexed": _q_append_dedup_indexed,
+        "knn_append": _q_knn_append,
+        "knn_ivf_partitioned": _q_knn_ivf_partitioned,
+        "knn_recall": _q_knn_recall,
+        "knn_label_vote": _q_knn_label_vote,
+        "readability": _q_readability,
+        "robust_stats_by_source": _q_robust_stats,
+        "bloom_decontaminate": _q_bloom_decontaminate,
+        "countmin_words": _q_countmin_words,
+        "media_phash_dups": _q_media_phash_dups,
+        "rollup_counts": _q_rollup_counts,
+        "pivot_lang_format": _q_pivot_lang_format,
+        "events_gaps": _q_events_gaps,
+        "customers_no_orders": _q_customers_no_orders,
+        "local_supplier_volume": _q_local_supplier_volume,
+        "knn_lsh": _q_knn_lsh,
+        "events_moving_avg": _q_events_moving_avg,
+        "vocab_shared_all": _q_vocab_shared_all,
+        "weighted_sample": _q_weighted_sample,
+        "curriculum_bins": _q_curriculum_bins,
+        "dsir_weights": _q_dsir_weights,
+        "knn_pq": _q_knn_pq,
+        "inverted_postings": _q_inverted_postings,
+        "mixture_weights": _q_mixture_weights,
+        "repetition_stats": _q_repetition_stats,
+        "hll_by_source": _q_hll_by_source,
+        "bpe_merges": _q_bpe_merges,
+        "bpe_token_counts": _q_bpe_token_counts,
+        "knn_filtered": _q_knn_filtered,
+        "zscore_by_source": _q_zscore_by_source,
+        "kl_by_source": _q_kl_by_source,
+        "value_quantiles_by_type": _q_value_quantiles_by_type,
+        "user_value_quantiles": _q_user_value_quantiles,
+        "pmi_collocations": _q_pmi_collocations,
+        "corpus_diff": _q_corpus_diff,
+        "events_rolling_z": _q_events_rolling_z,
+        "ngram_backoff": _q_ngram_backoff,
+        "mixture_select": _q_mixture_select,
+        "large_volume_orders": _q_large_volume_orders,
+        "order_priority_counts": _q_order_priority_counts,
+        "token_entropy": _q_token_entropy,
+        "source_similarity": _q_source_similarity,
+        "length_token_corr": _q_length_token_corr,
+        "interleave_order": _q_interleave_order,
+        "small_qty_revenue": _q_small_qty_revenue,
+        "top_supplier": _q_top_supplier,
+        "chunk_overlap": _q_chunk_overlap,
+        "nation_trade_volume": _q_nation_trade_volume,
+        "events_new_users": _q_events_new_users,
+        "session_type_pairs": _q_session_type_pairs,
+        "events_retention": _q_events_retention,
+        "returned_top_customers": _q_returned_top_customers,
+        "promo_revenue_share": _q_promo_revenue_share,
+        "supplier_part_counts": _q_supplier_part_counts,
+        "quantity_band_revenue": _q_quantity_band_revenue,
+        "session_transitions": _q_session_transitions,
+        "user_top_event": _q_user_top_event,
+        "events_wau": _q_events_wau,
+        "ngram_containment": _q_ngram_containment,
+        "revenue_forecast": _q_revenue_forecast,
+        "nation_profit_by_year": _q_nation_profit_by_year,
+        "mkt_share_by_year": _q_mkt_share_by_year,
+        "part_value_share": _q_part_value_share,
+        "custdist": _q_custdist,
+        "promo_part_suppliers": _q_promo_part_suppliers,
+        "sole_return_suppliers": _q_sole_return_suppliers,
         "classify_format": _q_classify,
         "format_counts": _q_format_counts,
         "convert_spans": _q_convert_spans,
@@ -6500,114 +6615,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": _q_events_hourly,
         "docs_stats_by_source": _q_docs_stats,
         "multimodal_meta": _q_multimodal_meta,
-        "media_phash_dups": _q_media_phash_dups,
         "multimodal_dims": _q_multimodal_dims,
-        "rollup_counts": _q_rollup_counts,
-        "pivot_lang_format": _q_pivot_lang_format,
-        "events_gaps": _q_events_gaps,
-        "customers_no_orders": _q_customers_no_orders,
-        "local_supplier_volume": _q_local_supplier_volume,
-        "bloom_decontaminate": _q_bloom_decontaminate,
-        "countmin_words": _q_countmin_words,
-        "knn_lsh": _q_knn_lsh,
-        "events_moving_avg": _q_events_moving_avg,
-        "vocab_shared_all": _q_vocab_shared_all,
-        "weighted_sample": _q_weighted_sample,
-        "curriculum_bins": _q_curriculum_bins,
-        "dsir_weights": _q_dsir_weights,
-        "knn_pq": _q_knn_pq,
-        "inverted_postings": _q_inverted_postings,
-        "mixture_weights": _q_mixture_weights,
-        "repetition_stats": _q_repetition_stats,
-        "hll_by_source": _q_hll_by_source,
-        "bpe_merges": _q_bpe_merges,
-        "bpe_token_counts": _q_bpe_token_counts,
-        "knn_filtered": _q_knn_filtered,
-        "zscore_by_source": _q_zscore_by_source,
-        "kl_by_source": _q_kl_by_source,
-        "value_quantiles_by_type": _q_value_quantiles_by_type,
-        "user_value_quantiles": _q_user_value_quantiles,
-        "pmi_collocations": _q_pmi_collocations,
-        "corpus_diff": _q_corpus_diff,
-        "events_rolling_z": _q_events_rolling_z,
-        "ngram_backoff": _q_ngram_backoff,
-        "mixture_select": _q_mixture_select,
-        "large_volume_orders": _q_large_volume_orders,
-        "order_priority_counts": _q_order_priority_counts,
-        "token_entropy": _q_token_entropy,
-        "source_similarity": _q_source_similarity,
-        "length_token_corr": _q_length_token_corr,
-        "interleave_order": _q_interleave_order,
-        "small_qty_revenue": _q_small_qty_revenue,
-        "top_supplier": _q_top_supplier,
-        "knn_recall": _q_knn_recall,
-        "chunk_overlap": _q_chunk_overlap,
-        "nation_trade_volume": _q_nation_trade_volume,
-        "events_new_users": _q_events_new_users,
-        "session_type_pairs": _q_session_type_pairs,
-        "events_retention": _q_events_retention,
-        "returned_top_customers": _q_returned_top_customers,
-        "promo_revenue_share": _q_promo_revenue_share,
-        "supplier_part_counts": _q_supplier_part_counts,
-        "quantity_band_revenue": _q_quantity_band_revenue,
-        "session_transitions": _q_session_transitions,
-        "user_top_event": _q_user_top_event,
-        "events_wau": _q_events_wau,
-        "ngram_containment": _q_ngram_containment,
-        "knn_label_vote": _q_knn_label_vote,
-        "readability": _q_readability,
-        "robust_stats_by_source": _q_robust_stats,
-        "revenue_forecast": _q_revenue_forecast,
-        "nation_profit_by_year": _q_nation_profit_by_year,
-        "mkt_share_by_year": _q_mkt_share_by_year,
-        "part_value_share": _q_part_value_share,
-        "custdist": _q_custdist,
-        "promo_part_suppliers": _q_promo_part_suppliers,
-        "sole_return_suppliers": _q_sole_return_suppliers,
-        "append_dedup_exact": _q_append_dedup_exact,
-        "append_dedup_minhash": _q_append_dedup_minhash,
-        "knn_append": _q_knn_append,
-        "knn_ivf_partitioned": _q_knn_ivf_partitioned,
-        "append_dedup_indexed": _q_append_dedup_indexed,
-        "append_commit": _q_append_commit,
-        "min_cost_supplier": _q_min_cost_supplier,
-        "shipmode_priority": _q_shipmode_priority,
-        "sales_opportunity": _q_sales_opportunity,
-        "random_projection": _q_random_projection,
-        "pca_project": _q_pca_project,
-        "interval_join": _q_interval_join,
-        "edit_distance_pairs": _q_edit_distance_pairs,
-        "customer_running_total": _q_customer_running_total,
-        "pagerank_neardup": _q_pagerank_neardup,
-        "triangle_neardup": _q_triangle_neardup,
-        "cube_counts": _q_cube_counts,
-        "source_ntile": _q_source_ntile,
-        "pareto_frontier": _q_pareto_frontier,
-        "user_event_sequence": _q_user_event_sequence,
-        "embedding_quantize": _q_embedding_quantize,
-        "feature_corr": _q_feature_corr,
-        "hybrid_rrf": _q_hybrid_rrf,
-        "source_ols": _q_source_ols,
-        "nbayes_confusion": _q_nbayes_confusion,
-        "source_overlap": _q_source_overlap,
-        "events_decay_score": _q_events_decay,
-        "event_path_topk": _q_event_path_topk,
-        "anova_eta2": _q_anova_eta2,
-        "source_unique_share": _q_source_unique_share,
-        "cluster_profile": _q_cluster_profile,
-        "leakage_safe_split": _q_leakage_safe_split,
-        "rfm_segments": _q_rfm_segments,
-        "events_bursts": _q_events_bursts,
-        "length_quality_grid": _q_length_quality_grid,
-        "user_event_diversity": _q_user_diversity,
-        "corpus_card": _q_corpus_card,
-        "cluster_topterms": _q_cluster_topterms,
-        "knn_mrr": _q_knn_mrr,
-        "lang_agreement": _q_lang_agreement,
-        "vocab_growth": _q_vocab_growth,
-        "ccnet_buckets": _q_ccnet_buckets,
-        "unpivot_doc_stats": _q_unpivot_stats,
-        "ridge_predict": _q_ridge_predict,
     }
 
 

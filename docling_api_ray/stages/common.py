@@ -15,8 +15,74 @@ narrow intermediate — NOT of the wide input.
 
 from __future__ import annotations
 
+import os
+
 import ray
 import ray.data
+
+# Per-partition row budget for co-grouped pandas folds (VERDICT r4 #5).
+# A (key mod P) co-group concentrates every row of a key in ONE pandas
+# partition; a skewed hot key (one user with a billion events, one
+# boilerplate prefix block) silently OOMs that worker at scale.  The
+# shared guard below turns that into a LOUD failure naming the fold,
+# the partition size, and the hottest key.  16M narrow int64 rows
+# ≈ 0.5 GB of pandas — inside a worker heap; folds that carry text
+# pass a smaller explicit ``max_rows``.
+MAX_COGROUP_ROWS = int(os.environ.get("GRAFT_MAX_COGROUP_ROWS", 16_000_000))
+
+
+def guard_fold(fold, *, key_col: str | None = None,
+               max_rows: int | None = None, label: str | None = None):
+    """Wrap a co-grouped ``map_groups`` pandas fold with the shared skew
+    guard: raise (with the offending partition size and, when
+    ``key_col`` is given, the hottest key's row count) instead of
+    letting a skewed key OOM the worker.  The budget is captured at
+    wrap time on the driver so tests can monkeypatch
+    ``MAX_COGROUP_ROWS`` before building the pipeline."""
+    budget = max_rows if max_rows is not None else MAX_COGROUP_ROWS
+    name = label or getattr(
+        fold, "__qualname__", getattr(fold, "__name__", "fold")
+    )
+
+    def guarded(df):
+        if len(df) > budget:
+            hot = ""
+            if key_col is not None and key_col in getattr(df, "columns", ()):
+                vc = df[key_col].value_counts()
+                hot = (
+                    f"; hottest {key_col}={vc.index[0]!r} holds "
+                    f"{int(vc.iloc[0]):,} rows"
+                )
+            raise ValueError(
+                f"{name}: co-group partition holds {len(df):,} rows > "
+                f"max_cogroup_rows={budget:,}{hot} — a skewed key would "
+                "OOM this worker at scale; salt/split the hot key or "
+                "raise GRAFT_MAX_COGROUP_ROWS"
+            )
+        return fold(df)
+
+    return guarded
+
+
+class GuardedGrouped:
+    """Proxy over a Ray ``GroupedData`` that wires ``guard_fold`` into
+    every ``map_groups`` call — the single wiring point for the
+    co-group skew guard (used by dedup's ``_cogrouped``)."""
+
+    def __init__(self, grouped, *, key_col: str | None = None,
+                 max_rows: int | None = None):
+        self._grouped = grouped
+        self._key_col = key_col
+        self._max_rows = max_rows
+
+    def map_groups(self, fold, **kwargs):
+        return self._grouped.map_groups(
+            guard_fold(fold, key_col=self._key_col, max_rows=self._max_rows),
+            **kwargs,
+        )
+
+    def __getattr__(self, item):
+        return getattr(self._grouped, item)
 
 
 def shuffle_partitions(lo: int = 4, hi: int = 32) -> int:

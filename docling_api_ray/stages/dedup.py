@@ -522,7 +522,15 @@ def _cogrouped(
         part = pc.subtract(b[key], pc.multiply(pc.divide(b[key], P), P))
         return b.append_column("__part", pc.cast(part, pa.int64()))
 
-    return ds.map_batches(add_part, batch_format="pyarrow").groupby("__part")
+    # every map_groups over this co-group gets the shared skew guard: a
+    # hot key whose partition exceeds the row budget fails LOUDLY with
+    # the fold name + hottest-key census instead of OOMing the worker
+    from docling_api_ray.stages.common import GuardedGrouped
+
+    return GuardedGrouped(
+        ds.map_batches(add_part, batch_format="pyarrow").groupby("__part"),
+        key_col=key,
+    )
 
 
 def _pairs_from_partition(df: pd.DataFrame, threshold: float) -> pd.DataFrame:

@@ -31,7 +31,11 @@ import pyarrow as pa
 import ray.data
 
 from docling_api_ray.functions.hashing import u64_md5
-from docling_api_ray.stages.common import coalesce_narrow, shuffle_partitions
+from docling_api_ray.stages.common import (
+    coalesce_narrow,
+    guard_fold,
+    shuffle_partitions,
+)
 
 _MAX_BLOCK = 4096  # pairs-per-block guard: 4096² DP cells ≈ verification tier
 
@@ -139,5 +143,10 @@ def edit_distance_pairs(
             docs.map_batches(keyed, batch_format="pyarrow"), max_rows=65_536
         )
         .groupby("__part")
-        .map_groups(per_partition, batch_format="pandas")
+        # rows carry capped text heads, so the skew budget is tighter than
+        # the narrow-row default (2M × cap chars ≈ worker-heap scale)
+        .map_groups(
+            guard_fold(per_partition, key_col="prefix", max_rows=2_000_000),
+            batch_format="pandas",
+        )
     )

@@ -27,7 +27,7 @@ import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Count, Sum
 
-from docling_api_ray.stages.common import coalesce_narrow
+from docling_api_ray.stages.common import coalesce_narrow, guard_fold
 
 US = 1_000_000  # microseconds per second
 
@@ -162,7 +162,7 @@ def session_windows(
     return (
         coalesce_narrow(ds.map_batches(add_part, batch_format="pyarrow"))
         .groupby("__part")
-        .map_groups(sessions_part, batch_format="pandas")
+        .map_groups(guard_fold(sessions_part), batch_format="pandas")
     )
 
 
@@ -238,7 +238,7 @@ def funnel_reached(
     return (
         coalesce_narrow(ds.map_batches(prep, batch_format="pyarrow"))
         .groupby("__part")
-        .map_groups(fold, batch_format="pandas")
+        .map_groups(guard_fold(fold), batch_format="pandas")
     )
 
 
@@ -333,7 +333,7 @@ def moving_window_avg(
     return (
         coalesce_narrow(ds.map_batches(prep, batch_format="pyarrow"))
         .groupby("__part")
-        .map_groups(fold, batch_format="pandas")
+        .map_groups(guard_fold(fold), batch_format="pandas")
     )
 
 
@@ -426,7 +426,7 @@ def rolling_zscore(
     return (
         coalesce_narrow(ds.map_batches(prep, batch_format="pyarrow"))
         .groupby("__part")
-        .map_groups(fold, batch_format="pandas")
+        .map_groups(guard_fold(fold), batch_format="pandas")
     )
 
 
@@ -492,7 +492,7 @@ def session_type_pairs(
     partials = (
         coalesce_narrow(ds.map_batches(add_part, batch_format="pyarrow"))
         .groupby("__part")
-        .map_groups(pairs_part, batch_format="pandas")
+        .map_groups(guard_fold(pairs_part), batch_format="pandas")
     )
     return bounded_groupby_sum(
         partials, ["type_a", "type_b"], sum_cols={"n_sessions": "n"}
@@ -564,7 +564,7 @@ def session_transitions(
     partials = (
         coalesce_narrow(ds.map_batches(add_part, batch_format="pyarrow"))
         .groupby("__part")
-        .map_groups(trans_part, batch_format="pandas")
+        .map_groups(guard_fold(trans_part), batch_format="pandas")
     )
     return bounded_groupby_sum(
         partials, ["from_type", "to_type"], sum_cols={"n_trans": "n"}
@@ -629,7 +629,7 @@ def top_event_per_user(
     return (
         coalesce_narrow(ds.map_batches(partial, batch_format="pyarrow"))
         .groupby("__part")
-        .map_groups(argmax_part, batch_format="pandas")
+        .map_groups(guard_fold(argmax_part), batch_format="pandas")
     )
 
 
@@ -725,7 +725,7 @@ def rolling_active_users(
     return (
         coalesce_narrow(pairs.map_batches(fan_out, batch_format="pyarrow"))
         .groupby("__part")
-        .map_groups(count_part, batch_format="pandas")
+        .map_groups(guard_fold(count_part), batch_format="pandas")
     )
 
 
@@ -788,7 +788,7 @@ def grouped_running_total(
     return (
         coalesce_narrow(ds.map_batches(keyed, batch_format="pyarrow"))
         .groupby("__part")
-        .map_groups(per_partition, batch_format="pandas")
+        .map_groups(guard_fold(per_partition), batch_format="pandas")
     )
 
 
@@ -850,7 +850,7 @@ def user_event_sequences(
     return (
         coalesce_narrow(ds.map_batches(add_part, batch_format="pyarrow"))
         .groupby("__part")
-        .map_groups(fold, batch_format="pandas")
+        .map_groups(guard_fold(fold), batch_format="pandas")
     )
 
 
@@ -971,7 +971,7 @@ def user_decay_score(
             .map_batches(add_part, batch_format="pyarrow")
         )
         .groupby("__part")
-        .map_groups(fold, batch_format="pandas")
+        .map_groups(guard_fold(fold), batch_format="pandas")
     )
 
 
@@ -1029,7 +1029,7 @@ def event_path_counts(
     return (
         coalesce_narrow(ds.map_batches(add_part, batch_format="pyarrow"))
         .groupby("__part")
-        .map_groups(fold, batch_format="pandas")
+        .map_groups(guard_fold(fold), batch_format="pandas")
     )
 
 
@@ -1154,7 +1154,7 @@ def rfm_segments(
             .map_batches(add_part, batch_format="pyarrow")
         )
         .groupby("__part")
-        .map_groups(fold, batch_format="pandas")
+        .map_groups(guard_fold(fold), batch_format="pandas")
         .materialize()  # |users| narrow rows, consumed 4x below
     )
 
@@ -1397,5 +1397,5 @@ def user_event_diversity(
             .map_batches(add_part, batch_format="pyarrow")
         )
         .groupby("__part")
-        .map_groups(fold, batch_format="pandas")
+        .map_groups(guard_fold(fold), batch_format="pandas")
     )

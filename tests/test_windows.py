@@ -3,6 +3,7 @@ here sliding membership and session splitting on hand-built streams."""
 
 import datetime as dt
 
+import numpy as np
 import pyarrow as pa
 import ray.data
 
@@ -565,3 +566,67 @@ def test_burst_days_integer_predicate():
         # spiky: D=10, S=5, Q=25 -> lhs=5*10-5=45, var_d2=250-25=225;
         # 45^2=2025 > 4*225=900 -> burst. steady: lhs=0 everywhere.
         assert rows == [("spiky", 19_003, 5)], parts
+
+
+def test_cogroup_skew_guard_forced_failure(monkeypatch):
+    """VERDICT r4 #5: the shared co-group skew guard must fail LOUDLY
+    (fold name + partition size) when a key's co-group exceeds the row
+    budget, instead of OOMing the worker.  Forced by shrinking the
+    budget below one hot user's event count; the same input passes at
+    the default budget."""
+    import pytest
+    import ray.data
+
+    from docling_api_ray.stages import common
+    from docling_api_ray.stages.windows import session_windows
+
+    n = 64
+    tbl = pa.table(
+        {
+            "user_id": pa.array([7] * n, type=pa.int64()),
+            "ts": pa.array(
+                np.arange(n, dtype=np.int64) * 1_000_000,
+                type=pa.timestamp("us"),
+            ),
+            "value": pa.array([1.0] * n),
+        }
+    )
+    # guard budget below the hot key's rows → loud failure from the fold
+    monkeypatch.setattr(common, "MAX_COGROUP_ROWS", 8)
+    with pytest.raises(Exception, match="co-group partition holds"):
+        session_windows(ray.data.from_arrow(tbl)).take_all()
+    # same pipeline at the default budget sessionizes fine
+    monkeypatch.setattr(common, "MAX_COGROUP_ROWS", 16_000_000)
+    assert session_windows(ray.data.from_arrow(tbl)).count() == 1
+
+
+def test_dedup_cogroup_guard_reports_hot_key(monkeypatch):
+    """The guard wired into dedup's _cogrouped names the hottest key in
+    its error (driver-side unit check of guard_fold; plus a live forced
+    failure through exact_dedup's digest co-group)."""
+    import pandas as pd
+    import pytest
+    import ray.data
+
+    from docling_api_ray.stages import common
+    from docling_api_ray.stages.common import guard_fold
+    from docling_api_ray.stages.dedup import exact_dedup
+
+    # unit: hot-key census in the message
+    df = pd.DataFrame({"k": [1] * 9 + [2], "v": range(10)})
+    wrapped = guard_fold(lambda g: g, key_col="k", max_rows=5, label="unit")
+    with pytest.raises(ValueError, match=r"hottest k=1 holds 9"):
+        wrapped(df)
+
+    # live: force the digest co-group over budget
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(32, dtype=np.int64)),
+                "text": pa.array(["same text"] * 32),
+            }
+        )
+    )
+    monkeypatch.setattr(common, "MAX_COGROUP_ROWS", 4)
+    with pytest.raises(Exception, match="co-group partition holds"):
+        exact_dedup(docs).take_all()
