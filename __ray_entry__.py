@@ -102,6 +102,17 @@ def _emb(sf_dir: str, columns: list[str]) -> ray.data.Dataset:
     return _read(sf_dir, "embeddings", columns)
 
 
+def _coal(ds: "ray.data.Dataset", *, max_rows: int = 1_000_000):
+    """Bundle narrow blocks before a selective filter / sort co-group:
+    a fused chain whose task input is EMPTY never calls its UDF and Ray
+    emits a 0-column block — the executor's 'different schema' warning
+    (round-5 sweep).  Bundling mixes empty outputs with non-empty
+    siblings so every downstream task sees rows."""
+    from docling_api_ray.stages.common import coalesce_narrow
+
+    return coalesce_narrow(ds, max_rows=max_rows)
+
+
 def _flagship_cfg() -> PipelineConfig:
     return PipelineConfig(extract_tables_as_images=True)
 
@@ -498,7 +509,9 @@ def _q_decontaminate(sf_dir: str):
 
     return dd.contamination_counts_ds(
         _docs(sf_dir, ["doc_id", "text"]),
-        bench.map_batches(keep_bench, batch_format="pyarrow"),
+        _coal(bench, max_rows=65_536).map_batches(
+            keep_bench, batch_format="pyarrow"
+        ),
     )
 
 
@@ -662,6 +675,32 @@ def _q_score_quantiles(sf_dir: str):
         value_col="logit",
         quantiles=(0.1, 0.25, 0.5, 0.75, 0.9, 0.99),
     )
+
+
+_KLL_QS = (0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def _q_approx_score_quantiles(sf_dir: str):
+    """KLL approximate quantiles of the quality logit (stages/sketch.py
+    kll_sketch / kll_rank_check) — the ONE-pass mergeable streaming
+    complement to score_quantiles' exact ~4-pass selection, for the
+    monitoring tier where a second scan is too expensive.  The query is
+    SELF-VERIFYING: a second exact counting pass computes each
+    estimate's true rank span and asserts it intersects
+    [q·n ± eps·n] (eps = 0.02 at k = 256, >2x the KLL theory bound).
+    Output (q_micro, n, within_bounds) mirrors exactly in SQL: q_micro
+    are constants, n is the corpus count, within_bounds is TRUE iff the
+    sketch honors its guarantee — a broken sketch flips the hash."""
+    from docling_api_ray.stages.sketch import kll_rank_check
+
+    scored = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(ta.quality_scores, batch_format="pyarrow")
+        .map_batches(ta.quality_logit, batch_format="pyarrow")
+        .select_columns(["logit"])
+        .materialize()  # narrow float column, consumed by 2 passes
+    )
+    return kll_rank_check(scored, value_col="logit", quantiles=_KLL_QS)
 
 
 def _scored_source_logits(sf_dir: str) -> "ray.data.Dataset":
@@ -2185,7 +2224,7 @@ def _q_large_volume_orders(sf_dir: str):
         return b.filter(pa.array(keep))
 
     cdf = (
-        _read(sf_dir, "customer", ["c_custkey", "c_name"])
+        _coal(_read(sf_dir, "customer", ["c_custkey", "c_name"]))
         .map_batches(sel_cust, batch_format="pyarrow")
         .map_batches(
             lambda b: b.rename_columns(
@@ -2393,7 +2432,7 @@ def _q_top_supplier(sf_dir: str):
         return b.filter(pa.array(keep))
 
     w = pd.DataFrame(
-        folded.map_batches(winners, batch_format="pyarrow").take_all()
+        _coal(folded).map_batches(winners, batch_format="pyarrow").take_all()
     )  # ties only — tiny by the argmax bound
     skeys = np.sort(w["suppkey"].unique().astype(np.int64))
 
@@ -2410,7 +2449,7 @@ def _q_top_supplier(sf_dir: str):
         )
 
     sup = (
-        _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+        _coal(_read(sf_dir, "supplier", ["s_suppkey", "s_name"]))
         .map_batches(sel_sup, batch_format="pyarrow")
         .to_pandas()  # ≤|winners| rows by the key-set bound
     )
@@ -2520,11 +2559,15 @@ def _q_nation_trade_volume(sf_dir: str):
 
         return f
 
-    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).map_batches(
+    supp = _coal(
+        _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    ).map_batches(
         dim_prep("s_suppkey", "s_nationkey", "suppkey", "s_nk"),
         batch_format="pyarrow",
     )
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+    cust = _coal(
+        _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    ).map_batches(
         dim_prep("c_custkey", "c_nationkey", "custkey", "c_nk"),
         batch_format="pyarrow",
     )
@@ -3981,10 +4024,12 @@ def _q_quantity_band_revenue(sf_dir: str):
             }
         )
 
-    li = _read(
-        sf_dir, "lineitem",
-        ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
-    ).map_batches(li_prep, batch_format="pyarrow")
+    li = _coal(
+        _read(
+            sf_dir, "lineitem",
+            ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+        ).map_batches(li_prep, batch_format="pyarrow")
+    )
     rows = bounded_groupby_sum(
         li, ["one"], sum_cols={"rev_c": "rev_c"}, count_alias="n_items"
     ).take_all()  # exactly ≤1 row
@@ -4592,7 +4637,9 @@ def _q_promo_part_suppliers(sf_dir: str):
     # qualifies through pairs hashed to different buckets) — the semi
     # join is existence-only, but the LEFT side is the supplier DIM, so
     # duplicates on the right are harmless
-    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name"]).map_batches(
+    supp = _coal(
+        _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    ).map_batches(
         lambda t: pa.table(
             {"suppkey": pc.cast(t["s_suppkey"], pa.int64()), "s_name": t["s_name"]}
         ),
@@ -5058,7 +5105,7 @@ def _q_sales_opportunity(sf_dir: str):
             }
         )
 
-    folded = cs.map_batches(avg_partial, batch_format="pyarrow").sum(
+    folded = _coal(cs).map_batches(avg_partial, batch_format="pyarrow").sum(
         ["tot", "n"]
     )
     tot, n = int(folded["sum(tot)"] or 0), int(folded["sum(n)"] or 0)
@@ -5084,7 +5131,7 @@ def _q_sales_opportunity(sf_dir: str):
         )
 
     no_orders = hash_join(
-        cs.map_batches(qualify, batch_format="pyarrow"),
+        _coal(cs).map_batches(qualify, batch_format="pyarrow"),
         _read(sf_dir, "orders", ["o_custkey", "o_orderdate"]).map_batches(
             o_keys, batch_format="pyarrow"
         ),
@@ -5120,8 +5167,10 @@ def _q_sales_opportunity(sf_dir: str):
 def _append_split(sf_dir: str) -> tuple[ray.data.Dataset, ray.data.Dataset]:
     """Deterministic committed/incoming split of the documents table
     (doc_id % 10 < 8 = committed history, ≥ 8 = incoming batch) — the
-    append-dedup queries' stand-in for a crawl increment."""
-    docs = _docs(sf_dir, ["doc_id", "text"])
+    append-dedup queries' stand-in for a crawl increment.  The read is
+    bundled so neither side's selective filter can empty a whole task's
+    input (0-column block, executor schema warning)."""
+    docs = _coal(_docs(sf_dir, ["doc_id", "text"]), max_rows=65_536)
 
     def side_filter(is_new: bool):
         def f(b: pa.Table) -> pa.Table:
@@ -6435,6 +6484,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # the remaining never-checked exact-oracle entries; previously
     # driver-checked queries (CORRECTNESS_r01-r04) sit at the tail.
     return {
+        "approx_score_quantiles": _q_approx_score_quantiles,
         "ccnet_buckets": _q_ccnet_buckets,
         "vocab_growth": _q_vocab_growth,
         "cluster_topterms": _q_cluster_topterms,
@@ -7549,6 +7599,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(0.9 AS DOUBLE), quantile_disc(logit, 0.9) FROM l
             UNION ALL
             SELECT CAST(0.99 AS DOUBLE), quantile_disc(logit, 0.99) FROM l
+        """,
+        # mirrors _q_approx_score_quantiles: the KLL sketch is
+        # randomized, so the VALUES are not SQL-reproducible — what IS
+        # exact is the contract the query emits: the quantile grid, the
+        # corpus count (one logit per document, never NaN), and the
+        # self-verified within_bounds flag, which the engine computes
+        # from an EXACT rank-count pass and which is TRUE iff the sketch
+        # honors its eps·n guarantee.  A broken sketch flips the hash.
+        "approx_score_quantiles": f"""
+            SELECT t.q_micro,
+                   (SELECT count(*) FROM documents) AS n,
+                   TRUE AS within_bounds
+            FROM (VALUES (100000), (250000), (500000), (750000),
+                         (900000), (990000)) AS t(q_micro)
+            ORDER BY t.q_micro
         """,
         # mirrors _q_source_score_quantiles: per-source quantile_disc
         # over the SAME quantized logit column (grouped selection)

@@ -229,6 +229,8 @@ def _bench_once() -> dict:
         "lang_agreement",
         "vocab_growth",
         "ccnet_buckets",
+        # round-5 additions
+        "approx_score_quantiles",
     ]
     # INTERLEAVED repetitions + medians (VERDICT r2 #1): this container's
     # co-tenant jitter is ±30-50% and can hold a multi-second plateau —

@@ -108,11 +108,25 @@ def hash_join(
 
         return fn
 
+    # bundle each side BEFORE tagging: a selective caller filter fused
+    # in front of tag() can empty a whole task's input, and a fused
+    # chain whose task input is empty never calls the UDF — Ray then
+    # builds a 0-column block (the 'different schema' executor warning).
+    # Bundling mixes empty filter outputs with non-empty siblings so
+    # every tag task sees rows; 65k cap since join rows can be wide.
+    from docling_api_ray.stages.common import coalesce_narrow
+
     lt = _pad_columns(
-        left.map_batches(tag(0), batch_format="pyarrow"), combined
+        coalesce_narrow(left, max_rows=65_536).map_batches(
+            tag(0), batch_format="pyarrow"
+        ),
+        combined,
     )
     rt = _pad_columns(
-        right.map_batches(tag(1), batch_format="pyarrow"), combined
+        coalesce_narrow(right, max_rows=65_536).map_batches(
+            tag(1), batch_format="pyarrow"
+        ),
+        combined,
     )
     union = lt.union(rt)
 
@@ -265,7 +279,14 @@ def broadcast_join(
                 merged[[on] + lnames + rnames], preserve_index=False
             )
 
-    return left.map_batches(attach, batch_format="pyarrow")
+    # bundle before attach for the same reason hash_join bundles before
+    # tag(): a selective caller filter fused in front can empty a whole
+    # task's input, skipping attach and emitting a 0-column block
+    from docling_api_ray.stages.common import coalesce_narrow
+
+    return coalesce_narrow(left, max_rows=65_536).map_batches(
+        attach, batch_format="pyarrow"
+    )
 
 
 def asof_join_events(

@@ -188,9 +188,17 @@ def mixture_select(
             preserve_index=False,
         )
 
+    from docling_api_ray.stages.common import coalesce_narrow
+
+    # bundle the narrow partial heads before the sort-based co-group:
+    # over-split tiny partials leave empty sort ranges whose 0-column
+    # blocks skip downstream UDFs (the 'different schema' warning)
     return (
-        ds.select_columns([id_col, source_col])
-        .map_batches(head, batch_format="pyarrow")
+        coalesce_narrow(
+            ds.select_columns([id_col, source_col]).map_batches(
+                head, batch_format="pyarrow"
+            )
+        )
         .groupby(source_col)
         .map_groups(final, batch_format="pandas")
     )

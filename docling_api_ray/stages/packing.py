@@ -78,7 +78,14 @@ def pack_chunks(
     # phase 1: per-(source, bucket) token sums — narrow aggregate, then
     # an exclusive prefix per source over the bucket table.  The table
     # is corpus/bucket_size rows (docstring: tree-extend for 10^12).
-    sums = toks.groupby("__bkey").sum("n_tokens")
+    # bundle before both sort-based groupbys: over-split narrow blocks
+    # leave empty sort ranges (0-column blocks, the schema warning)
+    from docling_api_ray.stages.common import coalesce_narrow
+
+    bundled = coalesce_narrow(toks)
+    sums = bundled.select_columns(["__bkey", "n_tokens"]).groupby(
+        "__bkey"
+    ).sum("n_tokens")
     rows = sums.take_all()
     base: dict[str, int] = {}
     parsed = []
@@ -121,4 +128,4 @@ def pack_chunks(
         )
         return pa.Table.from_pandas(out, schema=out_schema, preserve_index=False)
 
-    return toks.groupby("__bkey").map_groups(assign, batch_format="pandas")
+    return bundled.groupby("__bkey").map_groups(assign, batch_format="pandas")

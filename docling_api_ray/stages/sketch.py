@@ -482,3 +482,230 @@ def grouped_hll_registers(
     return two_level_fold(
         ds.map_batches(partial, batch_format="pyarrow"), fold
     )
+
+
+# ---------------------------------------------------------------------------
+# KLL quantile sketch — the one-pass streaming complement to the exact
+# distributed selection in stages/selection.py (VERDICT r4 #6)
+# ---------------------------------------------------------------------------
+
+_KLL_SCHEMA = pa.schema([("level", pa.int64()), ("value", pa.float64())])
+KLL_K = 256          # sketch size parameter
+KLL_EPS = 0.02       # asserted rank-error bound at k=256 (theory ~2.3/k
+                     # whp; 0.02 leaves >2x margin, verified in tests)
+
+
+def _kll_capacity(k: int, level: int, num_levels: int) -> int:
+    """Level capacity: full k at the top level, shrinking by 2/3 per
+    level downward (Karnin-Lall-Liberty '16 layout), floor 2."""
+    import math
+
+    depth = num_levels - 1 - level
+    return max(2, int(math.ceil(k * (2.0 / 3.0) ** depth)))
+
+
+def _kll_compress(levels: list[np.ndarray], k: int) -> list[np.ndarray]:
+    """Compact the lowest over-capacity level until the sketch fits its
+    total budget.  Each compaction sorts the level and promotes every
+    other item (doubling its implicit weight) to the level above; an
+    odd leftover stays.  The even/odd coin derives from the level's
+    content fingerprint — deterministic for a given input, varying
+    across compactions, so no RNG state needs to ride the fold."""
+    while True:
+        H = len(levels)
+        if sum(len(a) for a in levels) <= sum(
+            _kll_capacity(k, lv, H) for lv in range(H)
+        ):
+            return levels
+        for lv in range(H):
+            if len(levels[lv]) <= _kll_capacity(k, lv, H):
+                continue
+            a = np.sort(levels[lv])
+            odd = len(a) & 1
+            keep_last = a[-1:] if odd else a[:0]
+            body = a[: len(a) - odd]
+            coin = (
+                int(abs(float(body.sum())) * 1e6) + len(body) + lv
+            ) & 1
+            promoted = body[coin::2]
+            levels[lv] = keep_last
+            if lv + 1 == len(levels):
+                levels.append(promoted)
+            else:
+                levels[lv + 1] = np.concatenate([levels[lv + 1], promoted])
+            break
+        else:
+            return levels
+
+
+def _kll_from_rows(levels_arr: np.ndarray, values_arr: np.ndarray):
+    H = int(levels_arr.max()) + 1 if len(levels_arr) else 0
+    return [values_arr[levels_arr == lv] for lv in range(H)]
+
+
+def _kll_to_table(levels: list[np.ndarray]) -> pa.Table:
+    lv = np.concatenate(
+        [np.full(len(a), i, dtype=np.int64) for i, a in enumerate(levels)]
+    ) if levels else np.empty(0, dtype=np.int64)
+    vals = np.concatenate(levels) if levels else np.empty(0, dtype=np.float64)
+    return pa.table(
+        {"level": pa.array(lv), "value": pa.array(vals.astype(np.float64))}
+    )
+
+
+def kll_sketch(
+    ds: ray.data.Dataset, *, value_col: str, k: int = KLL_K
+) -> pa.Table:
+    """ONE streaming pass over ``value_col`` → a ≤O(k·log(n/k))-row
+    (level, value) KLL summary.  Per-batch partials sketch their batch;
+    the merge is row concatenation + recompression — a mergeable fold
+    in the Misra-Gries/HLL discipline (two_level_fold: bounded bundle
+    merges, one final single-block fold), so nothing corpus-
+    proportional ever concentrates.  Item weight is 2^level; total
+    weight equals the exact row count (compaction is weight-
+    preserving)."""
+    from docling_api_ray.stages.common import two_level_fold
+
+    def partial(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return _KLL_SCHEMA.empty_table()
+        v = np.asarray(b[value_col], dtype=np.float64)
+        v = v[~np.isnan(v)]
+        return _kll_to_table(_kll_compress([v], k))
+
+    def merge(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return _KLL_SCHEMA.empty_table()
+        levels = _kll_from_rows(
+            np.asarray(b["level"], dtype=np.int64),
+            np.asarray(b["value"], dtype=np.float64),
+        )
+        return _kll_to_table(_kll_compress(levels, k))
+
+    sketch_rows = two_level_fold(
+        ds.select_columns([value_col]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        merge,
+    )
+    tbl = pa.concat_tables(
+        blk for blk in sketch_rows.iter_batches(batch_format="pyarrow")
+    ) if sketch_rows.count() else _KLL_SCHEMA.empty_table()
+    return tbl
+
+
+def kll_quantile_values(
+    sketch: pa.Table, quantiles: tuple[float, ...]
+) -> dict[float, float]:
+    """Quantile estimates from a (level, value) sketch table: sort the
+    weighted items, walk cumulative weight to rank ceil(q·W) — the same
+    1-indexed quantile_disc convention stages/selection.py uses."""
+    import math
+
+    lv = np.asarray(sketch["level"], dtype=np.int64)
+    vals = np.asarray(sketch["value"], dtype=np.float64)
+    if len(vals) == 0:
+        return {float(q): float("nan") for q in quantiles}
+    w = (1 << lv.astype(np.int64)).astype(np.int64)
+    order = np.argsort(vals, kind="stable")
+    vals, w = vals[order], w[order]
+    cw = np.cumsum(w)
+    W = int(cw[-1])
+    out = {}
+    for q in quantiles:
+        target = max(1, math.ceil(float(q) * W))
+        idx = int(np.searchsorted(cw, target, side="left"))
+        out[float(q)] = float(vals[min(idx, len(vals) - 1)])
+    return out
+
+
+def kll_rank_check(
+    ds: ray.data.Dataset,
+    *,
+    value_col: str,
+    quantiles: tuple[float, ...],
+    k: int = KLL_K,
+    eps: float = KLL_EPS,
+) -> pa.Table:
+    """The sketch's self-verifying quantile query: ONE sketch pass gives
+    estimates v_q; ONE exact counting pass gives each estimate's true
+    rank span [#<v_q + 1, #<=v_q]; the output row states whether that
+    span intersects [q·n − eps·n, q·n + eps·n] — the KLL guarantee.
+    Output (q_micro, n, within_bounds) is oracle-mirrorable exactly:
+    q_micro are constants, n is the exact row count, within_bounds is
+    TRUE whenever the sketch honors its bound."""
+    import math
+
+    from docling_api_ray.stages.common import two_level_fold
+
+    qs = sorted(set(float(q) for q in quantiles))
+    sk = kll_sketch(ds, value_col=value_col, k=k)
+    est = kll_quantile_values(sk, tuple(qs))
+    thresholds = np.array([est[q] for q in qs], dtype=np.float64)
+
+    cnt_schema = pa.schema(
+        [("i", pa.int64()), ("lt", pa.int64()), ("le", pa.int64())]
+    )
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return cnt_schema.empty_table()
+        v = np.asarray(b[value_col], dtype=np.float64)
+        v = v[~np.isnan(v)]
+        lt = (v[None, :] < thresholds[:, None]).sum(axis=1)
+        le = (v[None, :] <= thresholds[:, None]).sum(axis=1)
+        return pa.table(
+            {
+                "i": pa.array(np.arange(len(qs), dtype=np.int64)),
+                "lt": pa.array(lt.astype(np.int64)),
+                "le": pa.array(le.astype(np.int64)),
+            }
+        )
+
+    def count_merge(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return cnt_schema.empty_table()
+        i = np.asarray(b["i"], dtype=np.int64)
+        lt = np.zeros(len(qs), dtype=np.int64)
+        le = np.zeros(len(qs), dtype=np.int64)
+        np.add.at(lt, i, np.asarray(b["lt"], dtype=np.int64))
+        np.add.at(le, i, np.asarray(b["le"], dtype=np.int64))
+        return pa.table(
+            {
+                "i": pa.array(np.arange(len(qs), dtype=np.int64)),
+                "lt": pa.array(lt),
+                "le": pa.array(le),
+            }
+        )
+
+    counts = {
+        int(r["i"]): (int(r["lt"]), int(r["le"]))
+        for r in two_level_fold(
+            ds.select_columns([value_col]).map_batches(
+                count_partial, batch_format="pyarrow"
+            ),
+            count_merge,
+        ).take_all()
+    }
+    lv_arr = np.asarray(sk["level"], dtype=np.int64)
+    # compaction is weight-preserving, so the sketch's total weight IS
+    # the exact (non-NaN) row count
+    n = int((1 << lv_arr).sum()) if len(lv_arr) else 0
+    ok, qmicro = [], []
+    for j, q in enumerate(qs):
+        lt, le = counts.get(j, (0, 0))
+        target = max(1, math.ceil(q * n)) if n else 0
+        slack = eps * n
+        # the estimate occupies ranks (lt, le]; bound holds iff that
+        # span intersects [target - slack, target + slack]
+        ok.append(
+            n == 0 or (lt < target + slack and le >= target - slack)
+        )
+        qmicro.append(int(round(q * 1_000_000)))
+    return pa.table(
+        {
+            "q_micro": pa.array(qmicro, type=pa.int64()),
+            "n": pa.array([n] * len(qs), type=pa.int64()),
+            "within_bounds": pa.array(ok, type=pa.bool_()),
+        }
+    )
