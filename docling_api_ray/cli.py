@@ -101,6 +101,11 @@ def _compact_main(argv: list[str]) -> int:
     ap = argparse.ArgumentParser(prog="docling_api_ray.cli compact")
     ap.add_argument("--store", required=True)
     ap.add_argument("--num-cpus", type=int, default=None)
+    ap.add_argument(
+        "--corpus", action="store_true",
+        help="also compact corpus partitions (tombstone-aware rewrite "
+             "into one consolidated append=-1 leaf)",
+    )
     args = ap.parse_args(argv)
 
     import ray
@@ -115,7 +120,7 @@ def _compact_main(argv: list[str]) -> int:
 
     from docling_api_ray.pipelines.append import compact_store
 
-    print(json.dumps(compact_store(args.store)))
+    print(json.dumps(compact_store(args.store, include_corpus=args.corpus)))
     ray.shutdown()
     return 0
 

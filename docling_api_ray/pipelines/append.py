@@ -147,12 +147,17 @@ def _resolve_append_id(store_dir: str, spec: dict) -> int:
     resumes its append id; a NEW spec gets the next id.  A done append
     with the same spec is idempotent (returns its id; run_append then
     short-circuits)."""
+    import re
+
     mdir = os.path.join(store_dir, "_manifest")
     used = set()
     for fn in os.listdir(mdir):
-        if not (fn.startswith("append=") or fn.startswith("append-")):
+        m = re.match(r"append[=-](-?\d+)", fn)
+        if not m:
             continue
-        aid = int(fn.split("=")[-1].split("-")[-1].split(".")[0])
+        aid = int(m.group(1))
+        if aid < 0:
+            continue  # the compaction record (append_id=-1) never claims an id
         used.add(aid)
         spec_path = os.path.join(mdir, f"append={aid}", "spec.json")
         if os.path.exists(spec_path):
@@ -464,13 +469,57 @@ def run_append(
     return rec
 
 
+def drop_docs(store_dir: str, doc_ids) -> dict:
+    """Curation DROP: record ``doc_ids`` as tombstones (append-only
+    atomic JSON leaves under ``store_dir/tombstones/``).  Dropped docs
+    vanish from every subsequent ``committed_corpus_dataset`` read
+    immediately (masked at scan time) and are physically removed by the
+    next corpus compaction — after which they must STAY dropped: the
+    tombstone leaves persist across compactions, and the dedup/IVF
+    index entries of dropped docs are intentionally KEPT, so a future
+    increment re-submitting the same content still triages as a
+    duplicate of history (content stays curated out, not resurrected)."""
+    ids = sorted({int(i) for i in doc_ids})
+    tdir = os.path.join(store_dir, "tombstones")
+    os.makedirs(tdir, exist_ok=True)
+    n = len([f for f in os.listdir(tdir) if f.endswith(".json")])
+    _atomic_json(os.path.join(tdir, f"drop-{n}.json"), {"doc_ids": ids})
+    return {"n_dropped": len(ids)}
+
+
+def tombstoned_ids(store_dir: str) -> np.ndarray:
+    """All tombstoned doc ids, sorted int64.  Maintenance-bounded: the
+    list is what curation explicitly dropped, not corpus-proportional;
+    for a corpus-scale purge the escape hatch is a hash anti-join of
+    the corpus against the drop set (stages/joins.py how='anti')
+    instead of this broadcast array."""
+    tdir = os.path.join(store_dir, "tombstones")
+    if not os.path.isdir(tdir):
+        return np.empty(0, dtype=np.int64)
+    ids: set[int] = set()
+    for fn in sorted(os.listdir(tdir)):
+        if not fn.endswith(".json"):
+            continue
+        try:
+            with open(os.path.join(tdir, fn)) as f:
+                ids.update(json.load(f)["doc_ids"])
+        except (ValueError, KeyError, json.JSONDecodeError):
+            continue  # torn write → tombstone not committed
+    return np.array(sorted(ids), dtype=np.int64)
+
+
 def committed_corpus_dataset(
-    store_dir: str, *, columns: list[str] | None = None
+    store_dir: str,
+    *,
+    columns: list[str] | None = None,
+    apply_tombstones: bool = True,
 ) -> ray.data.Dataset:
     """All committed corpus partitions as ONE streaming dataset (never
     driver-concatenated).  Only partitions of DONE appends are listed —
     a crashed append's committed partitions stay invisible until its
-    commit record lands."""
+    commit record lands.  Tombstoned docs are masked at scan time (one
+    vectorized ``np.isin`` per batch against the value-captured sorted
+    drop list) unless ``apply_tombstones=False``."""
     files = []
     for rec in committed_appends(store_dir):
         adir = os.path.join(store_dir, "corpus", f"append={rec['append_id']}")
@@ -487,10 +536,30 @@ def committed_corpus_dataset(
             )
     if not files:
         raise FileNotFoundError(f"no committed appends under {store_dir}")
-    return ray.data.read_parquet(files, columns=columns)
+    dead = tombstoned_ids(store_dir) if apply_tombstones else None
+    if dead is None or len(dead) == 0:
+        return ray.data.read_parquet(files, columns=columns)
+
+    # the mask needs doc_id even when the caller prunes it away: widen
+    # the pruned read by the key, filter, then project back
+    drop_key_after = columns is not None and "doc_id" not in columns
+    read_cols = (["doc_id"] + columns) if drop_key_after else columns
+    ds = ray.data.read_parquet(files, columns=read_cols)
+
+    def mask(b: pa.Table) -> pa.Table:
+        keep = ~np.isin(np.asarray(b["doc_id"], dtype=np.int64), dead)
+        b = b.filter(pa.array(keep))
+        return b.drop_columns(["doc_id"]) if drop_key_after else b
+
+    return ds.map_batches(mask, batch_format="pyarrow")
 
 
-def compact_store(store_dir: str) -> dict:
+def compact_store(
+    store_dir: str,
+    *,
+    include_corpus: bool = False,
+    fail_point: str | None = None,
+) -> dict:
     """Store MAINTENANCE: merge the per-append index leaves into one
     consolidated ``append=-1`` leaf each, so a store that has absorbed
     thousands of small increments stops paying per-append file overhead
@@ -529,8 +598,14 @@ def compact_store(store_dir: str) -> dict:
         if len(files) <= 1:
             out[f"{kind.split('_')[0]}_files_after"] = len(files)
             continue
+        # bundle the small per-append leaves so the consolidated index
+        # is few big files, not one file per input block — narrow
+        # digest/signature rows, 1M-row bundles
         ds = ray.data.read_parquet(files).map_batches(
-            lambda b: b.replace_schema_metadata(None), batch_format="pyarrow"
+            lambda b: b.replace_schema_metadata(None),
+            batch_format="pyarrow",
+            batch_size=1_000_000,
+            num_cpus=0.9,
         )
         stage = os.path.join(store_dir, "_staging", f"compact_{kind}.tmp")
         shutil.rmtree(stage, ignore_errors=True)
@@ -558,4 +633,98 @@ def compact_store(store_dir: str) -> dict:
             for f in os.listdir(os.path.join(root, d))
             if f.endswith(".parquet")
         )
+    if fail_point == "after_index":
+        raise RuntimeError("injected failure after index compaction")
+    if include_corpus:
+        out.update(_compact_corpus(store_dir, fail_point=fail_point))
+    return out
+
+
+def _compact_corpus(store_dir: str, *, fail_point: str | None = None) -> dict:
+    """CORPUS compaction (tombstone-aware): stream every committed
+    partition through the tombstone mask into ONE consolidated
+    ``corpus/append=-1`` leaf, then swap it in atomically.  Dropped
+    docs are physically removed here and must stay dropped — the
+    tombstone leaves are retained (re-applying them to the compacted
+    corpus is a no-op) and dedup-index entries of dropped content stay
+    so future re-submissions still triage as duplicates of history.
+
+    Crash-safe by ordering (kill/resume test): (1) the consolidated
+    copy streams into ``_staging`` — a crash re-stages; (2) the
+    compaction commit record ``append_id=-1`` lands BEFORE the swap —
+    a crash between record and swap leaves every old append dir in
+    place (the -1 record points at a dir that does not exist yet / an
+    older -1 leaf, which is exactly the pre-compaction corpus), so the
+    store is never invisible and a resumed compaction rebuilds the
+    stage from the same committed state; (3) the swap itself is the
+    ``os.replace`` root dance the index compaction uses.  The old
+    append records are KEPT (append-granular lineage; readers skip
+    records whose dirs the swap removed)."""
+    out: dict[str, int] = {}
+    corpus_root = os.path.join(store_dir, "corpus")
+    try:
+        ds = committed_corpus_dataset(store_dir)  # tombstones applied
+    except FileNotFoundError:
+        return {"corpus_files_before": 0, "corpus_files_after": 0}
+    out["corpus_files_before"] = sum(
+        len([f for f in files if f.endswith(".parquet")])
+        for _, _, files in os.walk(corpus_root)
+    )
+    out["n_tombstoned"] = int(len(tombstoned_ids(store_dir)))
+
+    stage = os.path.join(store_dir, "_staging", "compact_corpus.tmp")
+    shutil.rmtree(stage, ignore_errors=True)
+    part_dir = os.path.join(stage, "append=-1", "part=0")
+    # bundle small per-append blocks before the write (one parquet file
+    # per output block) — fewer, bigger files is the point of the
+    # compaction; 65k wide rows ≈ tens of MB per file
+    ds.map_batches(
+        lambda b: b.replace_schema_metadata(None),
+        batch_format="pyarrow",
+        batch_size=65_536,
+        num_cpus=0.9,
+    ).write_parquet(part_dir)
+    if fail_point == "after_stage":
+        raise RuntimeError("injected failure after corpus staging")
+
+    # exact row count from the staged footers (no second scan)
+    n_rows = sum(
+        pq.ParquetFile(os.path.join(part_dir, f)).metadata.num_rows
+        for f in os.listdir(part_dir)
+        if f.endswith(".parquet")
+    )
+    # (2) record BEFORE swap — see docstring crash analysis
+    _atomic_json(
+        _append_record_path(store_dir, -1),
+        {
+            "append_id": -1,
+            "status": "done",
+            "n_committed": int(n_rows),
+            "note": "corpus compaction",
+            "replaces": [r["append_id"] for r in committed_appends(store_dir)
+                         if r["append_id"] != -1],
+        },
+    )
+    if fail_point == "after_record":
+        raise RuntimeError("injected failure after compaction record")
+
+    new_root = corpus_root + ".new"
+    shutil.rmtree(new_root, ignore_errors=True)
+    os.makedirs(new_root, exist_ok=True)
+    os.replace(
+        os.path.join(stage, "append=-1"), os.path.join(new_root, "append=-1")
+    )
+    old_root = corpus_root + ".old"
+    shutil.rmtree(old_root, ignore_errors=True)
+    if os.path.isdir(corpus_root):
+        os.replace(corpus_root, old_root)
+    os.replace(new_root, corpus_root)
+    shutil.rmtree(old_root, ignore_errors=True)
+    shutil.rmtree(stage, ignore_errors=True)
+
+    out["corpus_files_after"] = sum(
+        len([f for f in files if f.endswith(".parquet")])
+        for _, _, files in os.walk(corpus_root)
+    )
+    out["n_compacted_rows"] = int(n_rows)
     return out

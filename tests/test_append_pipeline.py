@@ -315,3 +315,75 @@ def test_compact_store_preserves_triage_decisions(tmp_path):
     # 20 exact-hist, 21 minhash-hist, 23 knn-dup → 7 committed
     assert recs[0]["n_committed"] == 7
     assert _committed_ids(stores[0]) == _committed_ids(stores[1])
+
+
+def test_corpus_compaction_tombstones_and_kill_resume(tmp_path):
+    """VERDICT r4 #8 (stretch): tombstone-aware CORPUS compaction under
+    churn.  Drop two committed docs, kill the compaction at each crash
+    point (between index and corpus phases, after staging, between the
+    compaction record and the corpus swap), prove the store stays fully
+    readable at every point, resume to completion, and prove (a) the
+    dropped docs are physically gone but (b) STAY dropped — a third
+    increment resubmitting the dropped doc's exact text still triages
+    it out against the compacted history index."""
+    from docling_api_ray.pipelines.append import (
+        compact_store,
+        drop_docs,
+        tombstoned_ids,
+    )
+
+    docs, emb = _mk_corpus(tmp_path)
+    store = str(tmp_path / "store")
+    _run_two_appends(store, docs, emb)
+
+    # curation drop: one doc from each committed append
+    assert drop_docs(store, [3, 16]) == {"n_dropped": 2}
+    ids = _committed_ids(store)
+    assert 3 not in ids[0] and 16 not in ids[1]  # masked at read time
+    assert len(ids[0]) == 9 and len(ids[1]) == 5
+
+    # kill between the index phase and the corpus phase
+    with pytest.raises(RuntimeError, match="after index compaction"):
+        compact_store(store, include_corpus=True, fail_point="after_index")
+    assert os.path.isdir(os.path.join(store, "dedup_index", "append=-1"))
+    assert _committed_ids(store) == ids  # corpus untouched, readable
+
+    # kill after the consolidated copy staged, before any commit
+    with pytest.raises(RuntimeError, match="after corpus staging"):
+        compact_store(store, include_corpus=True, fail_point="after_stage")
+    assert _committed_ids(store) == ids
+
+    # kill between the compaction record and the corpus swap: the -1
+    # record points at a dir that does not exist yet, so readers skip
+    # it and the old append dirs remain fully visible
+    with pytest.raises(RuntimeError, match="after compaction record"):
+        compact_store(store, include_corpus=True, fail_point="after_record")
+    assert _committed_ids(store) == ids
+
+    # resume to completion
+    stats = compact_store(store, include_corpus=True)
+    assert stats["n_tombstoned"] == 2
+    assert stats["n_compacted_rows"] == 14  # 16 committed − 2 dropped
+    assert _committed_ids(store) == ids  # logical content unchanged
+
+    # physically removed: even the unmasked read no longer has them
+    raw = committed_corpus_dataset(store, apply_tombstones=False)
+    all_ids = sorted(
+        int(r["doc_id"]) for r in raw.select_columns(["doc_id"]).take_all()
+    )
+    assert len(all_ids) == 14 and 3 not in all_ids and 16 not in all_ids
+    # tombstone leaves persist across compaction
+    assert tombstoned_ids(store).tolist() == [3, 16]
+
+    # a dropped doc STAYS dropped: increment 3's id 20 is the exact
+    # text of dropped doc 3 — the compacted (kept) index entry still
+    # triages it out; the rest of the increment behaves as in the
+    # uncompacted twin test (7 committed)
+    _mk_third_increment(tmp_path, docs, emb)
+    r2 = run_append(store, docs, 20, 30, embeddings_path=emb,
+                    npartitions=2, knn_cos_threshold=0.99)
+    assert r2["append_id"] == 2  # the -1 record never claims an id
+    assert r2["n_committed"] == 7
+    after = _committed_ids(store)
+    assert 20 not in after.get(2, [])
+    assert after[0] == ids[0] and after[1] == ids[1]
