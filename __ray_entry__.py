@@ -703,6 +703,28 @@ def _q_approx_score_quantiles(sf_dir: str):
     return kll_rank_check(scored, value_col="logit", quantiles=_KLL_QS)
 
 
+_GKLL_QS = (0.25, 0.5, 0.75)
+
+
+def _q_approx_source_quantiles(sf_dir: str):
+    """Per-SOURCE KLL quantiles of the quality logit
+    (stages/sketch.py grouped_kll_rank_check) — the one-pass grouped
+    monitoring tier (per-source score drift) next to
+    source_score_quantiles' exact grouped selection.  Self-verifying
+    like approx_score_quantiles, but per group: the exact grouped
+    counting pass asserts each source's estimate within eps·n_source;
+    n is the exact per-source count, so the SQL mirror is data-derived
+    (a broken sketch OR a wrong group count flips the hash)."""
+    from docling_api_ray.stages.sketch import grouped_kll_rank_check
+
+    return grouped_kll_rank_check(
+        _scored_source_logits(sf_dir),
+        group_col="source",
+        value_col="logit",
+        quantiles=_GKLL_QS,
+    )
+
+
 def _scored_source_logits(sf_dir: str) -> "ray.data.Dataset":
     """Narrow (doc_id, source, logit) projection: quality_scores +
     quality_logit fused into ONE stateless pass that carries the source
@@ -6485,6 +6507,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # driver-checked queries (CORRECTNESS_r01-r04) sit at the tail.
     return {
         "approx_score_quantiles": _q_approx_score_quantiles,
+        "approx_source_quantiles": _q_approx_source_quantiles,
         "ccnet_buckets": _q_ccnet_buckets,
         "vocab_growth": _q_vocab_growth,
         "cluster_topterms": _q_cluster_topterms,
@@ -7614,6 +7637,17 @@ def oracle_sql() -> dict[str, str]:
             FROM (VALUES (100000), (250000), (500000), (750000),
                          (900000), (990000)) AS t(q_micro)
             ORDER BY t.q_micro
+        """,
+        # mirrors _q_approx_source_quantiles: same contract as
+        # approx_score_quantiles but per source — the per-source n is
+        # data-derived, within_bounds asserts the per-group KLL bound
+        "approx_source_quantiles": f"""
+            WITH n AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+                       FROM documents GROUP BY source)
+            SELECT n.source, t.q_micro, n.n, TRUE AS within_bounds
+            FROM n CROSS JOIN (VALUES (250000), (500000), (750000))
+                 AS t(q_micro)
+            ORDER BY n.source, t.q_micro
         """,
         # mirrors _q_source_score_quantiles: per-source quantile_disc
         # over the SAME quantized logit column (grouped selection)

@@ -231,6 +231,7 @@ def _bench_once() -> dict:
         "ccnet_buckets",
         # round-5 additions
         "approx_score_quantiles",
+        "approx_source_quantiles",
     ]
     # INTERLEAVED repetitions + medians (VERDICT r2 #1): this container's
     # co-tenant jitter is ±30-50% and can hold a multi-second plateau —

@@ -709,3 +709,187 @@ def kll_rank_check(
             "within_bounds": pa.array(ok, type=pa.bool_()),
         }
     )
+
+
+_GKLL_SCHEMA = pa.schema(
+    [("g", pa.string()), ("level", pa.int64()), ("value", pa.float64())]
+)
+
+
+def grouped_kll_sketch(
+    ds: ray.data.Dataset,
+    *,
+    group_col: str,
+    value_col: str,
+    k: int = KLL_K,
+) -> pa.Table:
+    """Per-GROUP KLL sketches in one streaming pass — the monitoring
+    tier for per-source/per-language quantile drift where the exact
+    grouped selection's multi-pass refinement is too expensive.
+    BOUNDED-domain contract (the bounded_groupby_sum discipline): the
+    fold state is |groups| × O(k·log) rows, so ``group_col`` must be a
+    domain column (sources, langs, formats), never an id.  Output:
+    (g, level, value) rows, one independent sketch per group."""
+    from docling_api_ray.stages.common import two_level_fold
+
+    def sketch_rows(groups: np.ndarray, levels, values, *, raw: bool):
+        parts = []
+        for g in np.unique(groups):
+            m = groups == g
+            if raw:
+                lv = _kll_compress([values[m]], k)
+            else:
+                lv = _kll_compress(_kll_from_rows(levels[m], values[m]), k)
+            t = _kll_to_table(lv)
+            parts.append(
+                t.add_column(0, "g", pa.array([str(g)] * len(t), pa.string()))
+            )
+        return (
+            pa.concat_tables(parts) if parts else _GKLL_SCHEMA.empty_table()
+        )
+
+    def partial(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return _GKLL_SCHEMA.empty_table()
+        v = np.asarray(b[value_col], dtype=np.float64)
+        g = np.asarray(b[group_col].to_pylist(), dtype=object)
+        ok = ~np.isnan(v)
+        return sketch_rows(g[ok], None, v[ok], raw=True)
+
+    def merge(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return _GKLL_SCHEMA.empty_table()
+        return sketch_rows(
+            np.asarray(b["g"].to_pylist(), dtype=object),
+            np.asarray(b["level"], dtype=np.int64),
+            np.asarray(b["value"], dtype=np.float64),
+            raw=False,
+        )
+
+    rows = two_level_fold(
+        ds.select_columns([group_col, value_col]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        merge,
+    )
+    return (
+        pa.concat_tables(rows.iter_batches(batch_format="pyarrow"))
+        if rows.count()
+        else _GKLL_SCHEMA.empty_table()
+    )
+
+
+def grouped_kll_rank_check(
+    ds: ray.data.Dataset,
+    *,
+    group_col: str,
+    value_col: str,
+    quantiles: tuple[float, ...],
+    k: int = KLL_K,
+    eps: float = KLL_EPS,
+) -> pa.Table:
+    """Per-group self-verifying KLL quantiles (the grouped sibling of
+    ``kll_rank_check``): one grouped sketch pass for the estimates, one
+    exact grouped counting pass for each estimate's true rank span, and
+    a per-(group, q) bound assertion.  Output (group, q_micro, n,
+    within_bounds) — n is the exact per-group count, so the SQL mirror
+    is data-derived, and within_bounds flips the value hash if any
+    group's sketch violates its eps·n guarantee."""
+    import math
+
+    from docling_api_ray.stages.common import two_level_fold
+
+    qs = sorted(set(float(q) for q in quantiles))
+    sk = grouped_kll_sketch(
+        ds, group_col=group_col, value_col=value_col, k=k
+    )
+    g_arr = np.asarray(sk["g"].to_pylist(), dtype=object)
+    groups = sorted(str(g) for g in np.unique(g_arr)) if len(g_arr) else []
+    est: dict[str, dict[float, float]] = {}
+    n_of: dict[str, int] = {}
+    for g in groups:
+        m = g_arr == g
+        sub = pa.table({"level": sk["level"].filter(pa.array(m)),
+                        "value": sk["value"].filter(pa.array(m))})
+        est[g] = kll_quantile_values(sub, tuple(qs))
+        lv = np.asarray(sub["level"], dtype=np.int64)
+        n_of[g] = int((1 << lv).sum()) if len(lv) else 0
+
+    th = {g: np.array([est[g][q] for q in qs]) for g in groups}
+    cnt_schema = pa.schema(
+        [("g", pa.string()), ("i", pa.int64()),
+         ("lt", pa.int64()), ("le", pa.int64())]
+    )
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return cnt_schema.empty_table()
+        v = np.asarray(b[value_col], dtype=np.float64)
+        gv = np.asarray(b[group_col].to_pylist(), dtype=object)
+        ok = ~np.isnan(v)
+        v, gv = v[ok], gv[ok]
+        gs, iss, lts, les = [], [], [], []
+        for g in np.unique(gv):
+            if str(g) not in th:
+                continue
+            vv = v[gv == g]
+            lt = (vv[None, :] < th[str(g)][:, None]).sum(axis=1)
+            le = (vv[None, :] <= th[str(g)][:, None]).sum(axis=1)
+            gs += [str(g)] * len(qs)
+            iss += list(range(len(qs)))
+            lts += list(lt)
+            les += list(le)
+        return pa.table(
+            {
+                "g": pa.array(gs, pa.string()),
+                "i": pa.array(np.asarray(iss, dtype=np.int64)),
+                "lt": pa.array(np.asarray(lts, dtype=np.int64)),
+                "le": pa.array(np.asarray(les, dtype=np.int64)),
+            }
+        )
+
+    def count_merge(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return cnt_schema.empty_table()
+        import pandas as pd
+
+        df = b.to_pandas().groupby(["g", "i"], sort=False).sum().reset_index()
+        return pa.table(
+            {
+                "g": pa.array(df["g"].astype(str), pa.string()),
+                "i": pa.array(df["i"].to_numpy(np.int64)),
+                "lt": pa.array(df["lt"].to_numpy(np.int64)),
+                "le": pa.array(df["le"].to_numpy(np.int64)),
+            }
+        )
+
+    counts = {
+        (str(r["g"]), int(r["i"])): (int(r["lt"]), int(r["le"]))
+        for r in two_level_fold(
+            ds.select_columns([group_col, value_col]).map_batches(
+                count_partial, batch_format="pyarrow"
+            ),
+            count_merge,
+        ).take_all()
+    }
+    out_g, out_q, out_n, out_ok = [], [], [], []
+    for g in groups:
+        n = n_of[g]
+        for j, q in enumerate(qs):
+            lt, le = counts.get((g, j), (0, 0))
+            target = max(1, math.ceil(q * n)) if n else 0
+            slack = eps * n
+            out_g.append(g)
+            out_q.append(int(round(q * 1_000_000)))
+            out_n.append(n)
+            out_ok.append(
+                n == 0 or (lt < target + slack and le >= target - slack)
+            )
+    return pa.table(
+        {
+            group_col: pa.array(out_g, pa.string()),
+            "q_micro": pa.array(out_q, pa.int64()),
+            "n": pa.array(out_n, pa.int64()),
+            "within_bounds": pa.array(out_ok, pa.bool_()),
+        }
+    )

@@ -122,3 +122,57 @@ def test_kll_agrees_with_exact_selection():
         r_exact = np.searchsorted(sv, exact[q], side="right")
         r_est = np.searchsorted(sv, est[q], side="right")
         assert abs(int(r_exact) - int(r_est)) <= KLL_EPS * n
+
+
+def test_grouped_kll_rank_error_per_group():
+    """Per-group sketches are independent: three sources with very
+    different distributions (normal / lognormal / constant plateau),
+    unequal sizes, 16 blocks — each group's estimates respect eps·n_g,
+    and each group's weight equals its exact count."""
+    from docling_api_ray.stages.sketch import (
+        grouped_kll_rank_check,
+        grouped_kll_sketch,
+    )
+
+    rng = np.random.default_rng(5)
+    parts = {
+        "a": rng.normal(size=12_000),
+        "b": rng.lognormal(sigma=2.0, size=5_000),
+        "c": np.full(3_000, 7.0),
+    }
+    g = np.concatenate([[k] * len(v) for k, v in parts.items()])
+    v = np.concatenate(list(parts.values()))
+    order = rng.permutation(len(v))
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "source": pa.array(g[order].tolist(), pa.string()),
+                "logit": pa.array(v[order], pa.float64()),
+            }
+        )
+    ).repartition(16)
+
+    sk = grouped_kll_sketch(ds, group_col="source", value_col="logit")
+    g_arr = np.asarray(sk["g"].to_pylist(), dtype=object)
+    lv = np.asarray(sk["level"], dtype=np.int64)
+    for name, vals in parts.items():
+        assert int((1 << lv[g_arr == name]).sum()) == len(vals)
+
+    out = grouped_kll_rank_check(
+        ray.data.from_arrow(
+            pa.table(
+                {
+                    "source": pa.array(g[order].tolist(), pa.string()),
+                    "logit": pa.array(v[order], pa.float64()),
+                }
+            )
+        ).repartition(16),
+        group_col="source",
+        value_col="logit",
+        quantiles=(0.1, 0.5, 0.9),
+    )
+    rows = out.to_pylist()
+    assert len(rows) == 9
+    assert all(r["within_bounds"] for r in rows)
+    n_by = {r["source"]: r["n"] for r in rows}
+    assert n_by == {k: len(v) for k, v in parts.items()}
