@@ -725,6 +725,25 @@ def _q_approx_source_quantiles(sf_dir: str):
     )
 
 
+def _q_winsorize_logit(sf_dir: str):
+    """Winsorized quality logit (stages/selection.py winsorize_column):
+    clip to the exact [p05, p95] band from the distributed selection
+    machinery, then one stateless vectorized clip pass — the robust
+    normalization a curation run applies before score-threshold
+    training.  Exact: np.clip == least/greatest against the same
+    quantile_disc scalars the oracle computes."""
+    from docling_api_ray.stages.selection import winsorize_column
+
+    scored = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(ta.quality_scores, batch_format="pyarrow")
+        .map_batches(ta.quality_logit, batch_format="pyarrow")
+        .select_columns(["doc_id", "logit"])
+        .materialize()  # consumed by the threshold passes + the clip
+    )
+    return winsorize_column(scored, value_col="logit", lo_q=0.05, hi_q=0.95)
+
+
 def _scored_source_logits(sf_dir: str) -> "ray.data.Dataset":
     """Narrow (doc_id, source, logit) projection: quality_scores +
     quality_logit fused into ONE stateless pass that carries the source
@@ -6508,6 +6527,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "approx_score_quantiles": _q_approx_score_quantiles,
         "approx_source_quantiles": _q_approx_source_quantiles,
+        "winsorize_logit": _q_winsorize_logit,
         "ccnet_buckets": _q_ccnet_buckets,
         "vocab_growth": _q_vocab_growth,
         "cluster_topterms": _q_cluster_topterms,
@@ -7648,6 +7668,38 @@ def oracle_sql() -> dict[str, str]:
             FROM n CROSS JOIN (VALUES (250000), (500000), (750000))
                  AS t(q_micro)
             ORDER BY n.source, t.q_micro
+        """,
+        # mirrors _q_winsorize_logit: least/greatest against the same
+        # quantile_disc thresholds over the SAME quantized logit column
+        "winsorize_logit": f"""
+            WITH f AS (
+              SELECT doc_id,
+                     CAST(length(regexp_extract_all(text, $${wsre}$$)) AS BIGINT)
+                       AS n_words,
+                     round(length(regexp_extract_all(text, $${punct}$$))
+                           / greatest(length(text), 1), 6) AS punct_ratio,
+                     round(length(regexp_extract_all(text, $${stop}$$))
+                           / greatest(length(regexp_extract_all(text, $${wsre}$$)), 1), 6)
+                       AS stopword_ratio,
+                     round((length(text) - (length(regexp_extract_all(text, $${wsre}$$)) - 1))
+                           / greatest(length(regexp_extract_all(text, $${wsre}$$)), 1), 6)
+                       AS mean_word_len
+              FROM documents
+            ),
+            l AS (
+              SELECT doc_id,
+                     round(((((-0.6 + (-8.0 * punct_ratio))
+                              + (6.0 * stopword_ratio))
+                             + (-0.25 * mean_word_len))
+                            + (0.35 * ln(1.0 + n_words))) * 1000000)
+                       / 1000000.0 AS logit
+              FROM f
+            ),
+            t AS (SELECT quantile_disc(logit, 0.05) AS lo,
+                         quantile_disc(logit, 0.95) AS hi FROM l)
+            SELECT l.doc_id, l.logit,
+                   least(greatest(l.logit, t.lo), t.hi) AS logit_w
+            FROM l CROSS JOIN t
         """,
         # mirrors _q_source_score_quantiles: per-source quantile_disc
         # over the SAME quantized logit column (grouped selection)

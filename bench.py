@@ -232,6 +232,7 @@ def _bench_once() -> dict:
         # round-5 additions
         "approx_score_quantiles",
         "approx_source_quantiles",
+        "winsorize_logit",
     ]
     # INTERLEAVED repetitions + medians (VERDICT r2 #1): this container's
     # co-tenant jitter is ±30-50% and can hold a multi-second plateau —

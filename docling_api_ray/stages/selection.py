@@ -100,6 +100,8 @@ def _minmax_count(
     rows = two_level_fold(
         ds.map_batches(partial, batch_format="pyarrow"), fold
     ).take_all()
+    if not rows:  # zero-block input (e.g. a typed empty dataset)
+        return 0, float("inf"), float("-inf")
     r = rows[0]
     return int(r["n"]), float(r["mn"]), float(r["mx"])
 
@@ -795,3 +797,41 @@ def skyline_max2(
     return two_level_fold(
         ds.select_columns([id_col, x_col, y_col]), fold
     )
+
+
+def winsorize_column(
+    ds: ray.data.Dataset,
+    *,
+    value_col: str,
+    lo_q: float = 0.01,
+    hi_q: float = 0.99,
+    out_col: str | None = None,
+) -> ray.data.Dataset:
+    """Winsorization — the robust-normalization pass a curation pipeline
+    runs before score-threshold training: clip ``value_col`` to its
+    exact [lo_q, hi_q] quantile band so a handful of pathological
+    documents cannot drag a z-score or a learned threshold.
+
+    EXACT: the two thresholds come from the distributed selection
+    machinery above (``quantile_select`` — quantile_disc semantics, no
+    sketch), then ONE stateless vectorized clip pass appends
+    ``out_col``.  The SQL mirror is least/greatest against the same
+    quantile_disc scalars, so values match bit-for-bit.  Scale shape:
+    the threshold pass is the documented ~4-streaming-pass selection;
+    the clip is embarrassingly parallel; nothing driver-side but two
+    scalars."""
+    out_col = out_col or f"{value_col}_w"
+    th = quantile_select(ds, value_col=value_col, quantiles=(lo_q, hi_q))
+    vals = {float(r["q"]): float(r["value"]) for r in th.to_pylist()}
+    if not vals:  # empty input — pass through with the typed new column
+        lo = hi = 0.0
+    else:
+        lo, hi = vals[float(lo_q)], vals[float(hi_q)]
+
+    def clip(b: pa.Table) -> pa.Table:
+        v = np.asarray(b[value_col], dtype=np.float64)
+        return b.append_column(
+            out_col, pa.array(np.clip(v, lo, hi), type=pa.float64())
+        )
+
+    return ds.map_batches(clip, batch_format="pyarrow")

@@ -305,3 +305,54 @@ def test_skyline_max2_duplicates_and_dominance():
         y_col="y",
     ).take_all()
     assert sorted(r["doc_id"] for r in out) == [1, 2, 3, 7]
+
+
+def test_winsorize_column_matches_numpy_and_handles_empty():
+    """Clip thresholds are the exact quantile_disc values; clipped
+    output equals a one-shot numpy reference; empty input passes
+    through typed."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from docling_api_ray.stages.selection import (
+        quantile_select,
+        winsorize_column,
+    )
+
+    rng = np.random.default_rng(9)
+    vals = np.round(rng.normal(size=2_000), 6)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(len(vals), dtype=np.int64)),
+                "v": pa.array(vals, type=pa.float64()),
+            }
+        )
+    ).repartition(8)
+    out = {
+        int(r["doc_id"]): float(r["v_w"])
+        for r in winsorize_column(
+            ds, value_col="v", lo_q=0.1, hi_q=0.9
+        ).take_all()
+    }
+    th = {
+        float(r["q"]): float(r["value"])
+        for r in quantile_select(
+            ray.data.from_arrow(
+                pa.table({"v": pa.array(vals, type=pa.float64())})
+            ),
+            value_col="v",
+            quantiles=(0.1, 0.9),
+        ).to_pylist()
+    }
+    ref = np.clip(vals, th[0.1], th[0.9])
+    assert out == {i: float(ref[i]) for i in range(len(vals))}
+    # every clipped value sits inside the band; clipping actually fired
+    assert min(out.values()) == th[0.1] and max(out.values()) == th[0.9]
+
+    empty = ray.data.from_arrow(
+        pa.schema([("doc_id", pa.int64()), ("v", pa.float64())]).empty_table()
+    )
+    res = winsorize_column(empty, value_col="v")
+    assert res.count() == 0
