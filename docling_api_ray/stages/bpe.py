@@ -31,7 +31,7 @@ def corpus_word_counts(
 ) -> list[tuple[str, int]]:
     """Distributed exact word count → bounded driver-side list, sorted
     (count desc, word asc)."""
-    from docling_api_ray.stages.common import shuffle_partitions
+    from docling_api_ray.stages.common import guard_fold, shuffle_partitions
     from docling_api_ray.stages.text_analysis import word_counts
 
     import pandas as pd
@@ -66,7 +66,7 @@ def corpus_word_counts(
             batch_size=1_000_000, num_cpus=0.9,
         )
         .groupby("__part")
-        .map_groups(fold, batch_format="pandas")
+        .map_groups(guard_fold(fold, key_col="word"), batch_format="pandas")
         .take_all()
     )
     return sorted(

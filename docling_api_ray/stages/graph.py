@@ -47,7 +47,11 @@ import pyarrow as pa
 
 import ray.data
 
-from docling_api_ray.stages.common import coalesce_narrow, shuffle_partitions
+from docling_api_ray.stages.common import (
+    coalesce_narrow,
+    guard_fold,
+    shuffle_partitions,
+)
 from docling_api_ray.stages.dedup import connected_components
 from docling_api_ray.stages.joins import hash_join
 
@@ -426,7 +430,7 @@ def pagerank(
     return (
         coalesce_narrow(union, max_rows=65_536)
         .groupby("__part")
-        .map_groups(per_partition, batch_format="pandas")
+        .map_groups(guard_fold(per_partition), batch_format="pandas")
     )
 
 
@@ -533,7 +537,7 @@ def _triangle_iterative(
             max_rows=65_536,
         )
         .groupby("__part")
-        .map_groups(wedge_fold, batch_format="pandas")
+        .map_groups(guard_fold(wedge_fold), batch_format="pandas")
     )
 
     # closure: co-group wedges (side 0, keyed by k1) with oriented edges
@@ -618,7 +622,7 @@ def _triangle_iterative(
             max_rows=65_536,
         )
         .groupby("__part")
-        .map_groups(close_fold, batch_format="pandas")
+        .map_groups(guard_fold(close_fold), batch_format="pandas")
         .groupby("node")
         .sum("t")
         .map_batches(rename_tri, batch_format="pyarrow")
@@ -749,5 +753,5 @@ def triangle_counts(
     return (
         coalesce_narrow(union, max_rows=65_536)
         .groupby("__part")
-        .map_groups(per_partition, batch_format="pandas")
+        .map_groups(guard_fold(per_partition), batch_format="pandas")
     )

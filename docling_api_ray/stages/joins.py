@@ -114,7 +114,7 @@ def hash_join(
     # builds a 0-column block (the 'different schema' executor warning).
     # Bundling mixes empty filter outputs with non-empty siblings so
     # every tag task sees rows; 65k cap since join rows can be wide.
-    from docling_api_ray.stages.common import coalesce_narrow
+    from docling_api_ray.stages.common import coalesce_narrow, guard_fold
 
     lt = _pad_columns(
         coalesce_narrow(left, max_rows=65_536).map_batches(
@@ -154,7 +154,13 @@ def hash_join(
 
     return coalesce_narrow(union, max_rows=65_536).groupby(
         "__bucket"
-    ).map_groups(merge, batch_format="pandas")
+    ).map_groups(
+        # skew guard (common.guard_fold): a hot JOIN KEY concentrates its
+        # bucket in one pandas partition — fail loudly with the hottest
+        # key's row count instead of OOMing the worker
+        guard_fold(merge, key_col=on),
+        batch_format="pandas",
+    )
 
 
 def broadcast_join(

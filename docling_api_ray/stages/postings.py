@@ -121,7 +121,7 @@ def inverted_postings(
             }
         )
 
-    from docling_api_ray.stages.common import coalesce_narrow
+    from docling_api_ray.stages.common import coalesce_narrow, guard_fold
 
     return (
         coalesce_narrow(
@@ -132,5 +132,5 @@ def inverted_postings(
             )
         )
         .groupby("__part")
-        .map_groups(fold, batch_format="pandas")
+        .map_groups(guard_fold(fold, key_col="term"), batch_format="pandas")
     )

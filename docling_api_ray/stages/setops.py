@@ -110,10 +110,10 @@ def vocab_source_coverage(
             }
         ).cast(out_schema)
 
-    from docling_api_ray.stages.common import coalesce_narrow
+    from docling_api_ray.stages.common import coalesce_narrow, guard_fold
 
     return (
         coalesce_narrow(ds.map_batches(partial, batch_format="pyarrow"))
         .groupby("__part")
-        .map_groups(fold, batch_format="pandas")
+        .map_groups(guard_fold(fold), batch_format="pandas")
     )

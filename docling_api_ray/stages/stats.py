@@ -28,7 +28,11 @@ import pyarrow.compute as pc
 
 import ray.data
 
-from docling_api_ray.stages.common import bounded_groupby_sum, coalesce_narrow
+from docling_api_ray.stages.common import (
+    bounded_groupby_sum,
+    coalesce_narrow,
+    guard_fold,
+)
 
 
 def grouped_int_quantiles(
@@ -161,7 +165,7 @@ def global_rank(
     return (
         coalesce_narrow(ds.map_batches(add_part, batch_format="pyarrow"))
         .groupby("__part")
-        .map_groups(tie_rank, batch_format="pandas")
+        .map_groups(guard_fold(tie_rank), batch_format="pandas")
     )
 
 
@@ -568,7 +572,7 @@ def grouped_ntile(
     return (
         coalesce_narrow(ds.map_batches(add_part, batch_format="pyarrow"))
         .groupby("__part")
-        .map_groups(tie_tile, batch_format="pandas")
+        .map_groups(guard_fold(tie_tile), batch_format="pandas")
     )
 
 
