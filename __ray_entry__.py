@@ -744,6 +744,20 @@ def _q_winsorize_logit(sf_dir: str):
     return winsorize_column(scored, value_col="logit", lo_q=0.05, hi_q=0.95)
 
 
+def _q_source_heavy_hitters(sf_dir: str):
+    """Per-source heavy hitters (stages/sketch.py grouped_heavy_hitters):
+    for every source, EXACT counts of every word whose frequency exceeds
+    1/30 of that source's token occurrences — the per-crawl-source
+    boilerplate-phrase monitor.  Approximate Misra-Gries candidates
+    (|sources|·k counters per batch, vocabulary-independent), exact
+    verification pass, integer threshold — oracle-exact."""
+    from docling_api_ray.stages.sketch import grouped_heavy_hitters
+
+    return grouped_heavy_hitters(
+        _docs(sf_dir, ["doc_id", "text", "source"]), num=1, den=30
+    )
+
+
 def _scored_source_logits(sf_dir: str) -> "ray.data.Dataset":
     """Narrow (doc_id, source, logit) projection: quality_scores +
     quality_logit fused into ONE stateless pass that carries the source
@@ -6528,6 +6542,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_score_quantiles": _q_approx_score_quantiles,
         "approx_source_quantiles": _q_approx_source_quantiles,
         "winsorize_logit": _q_winsorize_logit,
+        "source_heavy_hitters": _q_source_heavy_hitters,
         "ccnet_buckets": _q_ccnet_buckets,
         "vocab_growth": _q_vocab_growth,
         "cluster_topterms": _q_cluster_topterms,
@@ -7700,6 +7715,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT l.doc_id, l.logit,
                    least(greatest(l.logit, t.lo), t.hi) AS logit_w
             FROM l CROSS JOIN t
+        """,
+        # mirrors _q_source_heavy_hitters: the per-source sibling of the
+        # heavy_hitters mirror — exact counts above the integer threshold
+        "source_heavy_hitters": """
+            WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS word
+                       FROM documents),
+                 c AS (SELECT source, word, CAST(count(*) AS BIGINT) AS n
+                       FROM w WHERE word <> '' GROUP BY 1, 2),
+                 tot AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_tok
+                         FROM c GROUP BY 1)
+            SELECT c.source, c.word, c.n
+            FROM c JOIN tot t USING (source)
+            WHERE c.n * 30 > t.n_tok * 1
         """,
         # mirrors _q_source_score_quantiles: per-source quantile_disc
         # over the SAME quantized logit column (grouped selection)

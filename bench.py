@@ -233,6 +233,7 @@ def _bench_once() -> dict:
         "approx_score_quantiles",
         "approx_source_quantiles",
         "winsorize_logit",
+        "source_heavy_hitters",
     ]
     # INTERLEAVED repetitions + medians (VERDICT r2 #1): this container's
     # co-tenant jitter is ±30-50% and can hold a multi-second plateau —

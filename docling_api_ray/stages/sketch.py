@@ -893,3 +893,167 @@ def grouped_kll_rank_check(
             "within_bounds": pa.array(out_ok, pa.bool_()),
         }
     )
+
+
+def grouped_heavy_hitters(
+    ds: ray.data.Dataset,
+    *,
+    group_col: str = "source",
+    text_col: str = "text",
+    num: int = 1,
+    den: int = 30,
+    k: int | None = None,
+) -> ray.data.Dataset:
+    """Per-GROUP heavy hitters — the boilerplate-phrase monitor a crawl
+    pipeline runs per source: for every group, the EXACT counts of every
+    word whose frequency strictly exceeds ``num/den`` of that group's
+    token occurrences.
+
+    Same two-pass discipline as the global ``heavy_hitters`` (approximate
+    candidates, exact output): pass 1 folds per-(group, word) Misra-Gries
+    summaries — ≤ |groups|·k counters per batch regardless of vocabulary
+    (bounded-domain contract: ``group_col`` is a domain column) — plus
+    per-group token totals; the merged candidate set is ≤ |groups|·k.
+    Pass 2 exactly counts ONLY the candidate (group, word) pairs via a
+    broadcast ``is_in`` filter + bounded fold, then applies the integer
+    threshold ``n·den > N_g·num``, which the DuckDB mirror states
+    verbatim.  MG undercount ≤ N_g/(k+1) per group, so k = 2·den/num
+    guarantees no qualifying word is missed.  Output
+    (group, word, n) exact."""
+    if k is None:
+        k = max(8, (2 * den) // max(1, num))
+
+    part_schema = pa.schema(
+        [
+            ("g", pa.string()),
+            ("word", pa.string()),
+            ("n", pa.int64()),
+            ("total", pa.int64()),
+        ]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return part_schema.empty_table()
+        texts = pc.fill_null(b[text_col], "")
+        if not isinstance(texts, pa.ChunkedArray):
+            texts = pa.chunked_array([texts])
+        groups = np.asarray(b[group_col].to_pylist(), dtype=object)
+        out_g, out_w, out_n, out_t = [], [], [], []
+        for g in np.unique(groups):
+            m = pa.array(groups == g)
+            toks = pc.list_flatten(pc.split_pattern(texts.filter(m), " "))
+            toks = toks.filter(pc.not_equal(toks, ""))
+            n_tok = len(toks)
+            if n_tok == 0:
+                continue
+            gb = pa.table({"w": toks}).group_by(["w"]).aggregate(
+                [([], "count_all")]
+            )
+            words = np.asarray(gb["w"].to_pylist(), dtype=object)
+            counts = gb["count_all"].to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            words, counts = _mg_truncate(words, counts, k)
+            out_g += [str(g)] * (len(words) + 1)
+            out_w += list(map(str, words)) + [""]  # "" = the total sentinel
+            out_n += list(counts) + [0]
+            out_t += [0] * len(words) + [n_tok]
+        return pa.table(
+            {
+                "g": pa.array(out_g, pa.string()),
+                "word": pa.array(out_w, pa.string()),
+                "n": pa.array(np.asarray(out_n, dtype=np.int64)),
+                "total": pa.array(np.asarray(out_t, dtype=np.int64)),
+            }
+        )
+
+    rows = ds.select_columns([group_col, text_col]).map_batches(
+        partial, batch_format="pyarrow"
+    ).take_all()  # ≤ (|groups|·(k+1)) rows per block — sketch-bounded
+    if not rows:
+        return ray.data.from_arrow(
+            pa.schema(
+                [(group_col, pa.string()), ("word", pa.string()),
+                 ("n", pa.int64())]
+            ).empty_table()
+        )
+    df = pd.DataFrame(rows)
+    totals = df[df["word"] == ""].groupby("g")["total"].sum().to_dict()
+    cand: dict[str, list[str]] = {}
+    for g, sub in df[df["word"] != ""].groupby("g"):
+        merged = sub.groupby("word")["n"].sum()
+        words, _ = _mg_truncate(
+            merged.index.to_numpy(dtype=object), merged.to_numpy(), k
+        )
+        cand[str(g)] = sorted(map(str, words))
+    cand_ref = ray.put(cand)
+
+    exact_schema = pa.schema(
+        [("g", pa.string()), ("word", pa.string()), ("n", pa.int64())]
+    )
+
+    def exact(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return exact_schema.empty_table()
+        c = ray.get(cand_ref)
+        texts = pc.fill_null(b[text_col], "")
+        if not isinstance(texts, pa.ChunkedArray):
+            texts = pa.chunked_array([texts])
+        groups = np.asarray(b[group_col].to_pylist(), dtype=object)
+        out_g, out_w, out_n = [], [], []
+        for g in np.unique(groups):
+            cw = c.get(str(g))
+            if not cw:
+                continue
+            m = pa.array(groups == g)
+            toks = pc.list_flatten(pc.split_pattern(texts.filter(m), " "))
+            toks = toks.filter(
+                pc.is_in(toks, value_set=pa.array(cw, pa.string()))
+            )
+            if len(toks) == 0:
+                continue
+            gb = pa.table({"w": toks}).group_by(["w"]).aggregate(
+                [([], "count_all")]
+            )
+            out_g += [str(g)] * len(gb)
+            out_w += [str(w) for w in gb["w"].to_pylist()]
+            out_n += [int(x) for x in gb["count_all"].to_pylist()]
+        return pa.table(
+            {
+                "g": pa.array(out_g, pa.string()),
+                "word": pa.array(out_w, pa.string()),
+                "n": pa.array(np.asarray(out_n, dtype=np.int64)),
+            }
+        )
+
+    counts = bounded_groupby_sum(
+        ds.select_columns([group_col, text_col]).map_batches(
+            exact, batch_format="pyarrow"
+        ),
+        ["g", "word"],
+        sum_cols={"n": "n"},
+    )
+
+    def threshold(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.schema(
+                [(group_col, pa.string()), ("word", pa.string()),
+                 ("n", pa.int64())]
+            ).empty_table()
+        tot = np.array(
+            [totals.get(str(g), 0) for g in b["g"].to_pylist()],
+            dtype=np.int64,
+        )
+        n = np.asarray(b["n"], dtype=np.int64)
+        keep = pa.array(n * den > tot * num)
+        out = b.filter(keep)
+        return pa.table(
+            {
+                group_col: out["g"].cast(pa.string()),
+                "word": out["word"].cast(pa.string()),
+                "n": out["n"].cast(pa.int64()),
+            }
+        )
+
+    return counts.map_batches(threshold, batch_format="pyarrow")

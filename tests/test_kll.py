@@ -176,3 +176,45 @@ def test_grouped_kll_rank_error_per_group():
     assert all(r["within_bounds"] for r in rows)
     n_by = {r["source"]: r["n"] for r in rows}
     assert n_by == {k: len(v) for k, v in parts.items()}
+
+
+def test_grouped_heavy_hitters_exact_vs_bruteforce():
+    """Per-group heavy hitters: output equals a brute-force per-group
+    count over a corpus with per-group different hot words, group-local
+    thresholds (a word hot in one group and cold in another), and a
+    vocabulary far wider than the sketch width."""
+    from collections import Counter
+
+    from docling_api_ray.stages.sketch import grouped_heavy_hitters
+
+    rng = np.random.default_rng(21)
+    vocab = [f"t{i:04d}" for i in range(500)]
+    rows_g, rows_t = [], []
+    for g, hot in (("a", "aaa"), ("b", "bbb"), ("c", "aaa")):
+        for _ in range(40):
+            words = list(rng.choice(vocab, size=12))
+            # group-specific hot word at ~20% of tokens
+            words += [hot] * 3
+            rows_g.append(g)
+            rows_t.append(" ".join(words))
+    ds = ray.data.from_arrow(
+        pa.table({"source": rows_g, "text": rows_t})
+    ).repartition(8)
+    got = sorted(
+        (r["source"], r["word"], r["n"])
+        for r in grouped_heavy_hitters(ds, num=1, den=12).take_all()
+    )
+    # brute-force reference
+    exp = []
+    for g in ("a", "b", "c"):
+        c = Counter(
+            w
+            for gg, t in zip(rows_g, rows_t)
+            if gg == g
+            for w in t.split()
+            if w
+        )
+        total = sum(c.values())
+        exp += [(g, w, n) for w, n in c.items() if n * 12 > total]
+    assert got == sorted(exp)
+    assert {g for g, _, _ in got} == {"a", "b", "c"}
