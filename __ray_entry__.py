@@ -758,6 +758,37 @@ def _q_source_heavy_hitters(sf_dir: str):
     )
 
 
+def _q_weighted_length_quantiles(sf_dir: str):
+    """Per-source BYTE-WEIGHTED document-length quantiles
+    (stages/stats.py grouped_weighted_quantiles): the p25/p50/p75 of
+    whitespace-token doc length where each doc counts by its n_chars
+    payload — "the doc length the average stored byte lives in", the
+    size-skew diagnostic plain medians miss when mega-docs carry most
+    of the corpus bytes.  One bounded (source x length) -> sum(bytes)
+    histogram fold; weighted percentile_disc (smallest value whose
+    cumulative weight reaches ceil(q*W)) mirrors the SQL window-cumsum
+    rule exactly."""
+    from docling_api_ray.stages.stats import grouped_weighted_quantiles
+
+    def proj(b: pa.Table) -> pa.Table:
+        t = ta.token_counts(b)
+        return pa.table(
+            {
+                "source": b["source"],
+                "v": t["n_ws_tokens"],
+                "w": b["n_chars"],
+            }
+        )
+
+    ds = _docs(sf_dir, ["doc_id", "text", "source", "n_chars"]).map_batches(
+        proj, batch_format="pyarrow"
+    )
+    return grouped_weighted_quantiles(
+        ds, group_col="source", value_col="v", weight_col="w",
+        qs=(0.25, 0.5, 0.75),
+    )
+
+
 def _scored_source_logits(sf_dir: str) -> "ray.data.Dataset":
     """Narrow (doc_id, source, logit) projection: quality_scores +
     quality_logit fused into ONE stateless pass that carries the source
@@ -6543,6 +6574,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_source_quantiles": _q_approx_source_quantiles,
         "winsorize_logit": _q_winsorize_logit,
         "source_heavy_hitters": _q_source_heavy_hitters,
+        "weighted_length_quantiles": _q_weighted_length_quantiles,
         "ccnet_buckets": _q_ccnet_buckets,
         "vocab_growth": _q_vocab_growth,
         "cluster_topterms": _q_cluster_topterms,
@@ -7728,6 +7760,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.source, c.word, c.n
             FROM c JOIN tot t USING (source)
             WHERE c.n * 30 > t.n_tok * 1
+        """,
+        # mirrors _q_weighted_length_quantiles: weighted percentile_disc
+        # (smallest v whose cumulative weight reaches ceil(q*W)) via the
+        # same window-cumsum rule as the engine's histogram extract
+        "weighted_length_quantiles": """
+            WITH t AS (SELECT source,
+                              CAST(length(regexp_extract_all(text, $$\\S+$$))
+                                   AS BIGINT) AS v,
+                              n_chars AS w
+                       FROM documents),
+                 h AS (SELECT source, v, CAST(SUM(w) AS BIGINT) AS w
+                       FROM t GROUP BY 1, 2),
+                 c AS (SELECT source, v,
+                              SUM(w) OVER (PARTITION BY source ORDER BY v)
+                                AS cw,
+                              SUM(w) OVER (PARTITION BY source) AS tw
+                       FROM h)
+            SELECT source,
+                   MIN(CASE WHEN cw >= greatest(1, CAST(ceil(0.25 * tw)
+                        AS BIGINT)) THEN v END) AS wq25,
+                   MIN(CASE WHEN cw >= greatest(1, CAST(ceil(0.50 * tw)
+                        AS BIGINT)) THEN v END) AS wq50,
+                   MIN(CASE WHEN cw >= greatest(1, CAST(ceil(0.75 * tw)
+                        AS BIGINT)) THEN v END) AS wq75
+            FROM c GROUP BY source
         """,
         # mirrors _q_source_score_quantiles: per-source quantile_disc
         # over the SAME quantized logit column (grouped selection)

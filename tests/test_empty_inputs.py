@@ -45,10 +45,14 @@ def test_doc_stages_empty():
         feature_corr,
         grouped_eta2,
         grouped_ols,
+        grouped_weighted_quantiles,
     )
 
     docs = _empty_docs()
     assert exact_dedup(docs).count() == 0
+    assert grouped_weighted_quantiles(
+        docs, group_col="source", value_col="n_chars", weight_col="doc_id"
+    ).count() == 0
     assert source_overlap(docs).count() == 0
     assert source_unique_share(docs).count() == 0
     assert grouped_ols(docs).count() == 0
