@@ -789,6 +789,33 @@ def _q_weighted_length_quantiles(sf_dir: str):
     )
 
 
+def _q_spearman_length_tokens(sf_dir: str):
+    """Corpus Spearman rank correlation between n_chars and whitespace
+    token count (stages/stats.py spearman_corr) — the tie-exact,
+    monotone-association complement to length_token_corr's Pearson:
+    robust where mega-doc tails drag the moment correlation.  No global
+    sort: each marginal's average-rank map comes from its bounded value
+    histogram (doubled ranks keep ties int64-exact), a broadcast
+    searchsorted lookup feeds the five-moment tree fold, and the final
+    Pearson-on-ranks double expression is replayed op-for-op by the SQL
+    mirror."""
+    from docling_api_ray.stages.stats import spearman_corr
+    from docling_api_ray.stages.text_analysis import WS_TOKEN_RE, _count
+
+    def proj(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "x": pc.cast(b["n_chars"], pa.int64()),
+                "y": pc.cast(_count(b["text"], WS_TOKEN_RE), pa.int64()),
+            }
+        )
+
+    ds = _docs(sf_dir, ["text", "n_chars"]).map_batches(
+        proj, batch_format="pyarrow"
+    )
+    return spearman_corr(ds, x_col="x", y_col="y")
+
+
 def _scored_source_logits(sf_dir: str) -> "ray.data.Dataset":
     """Narrow (doc_id, source, logit) projection: quality_scores +
     quality_logit fused into ONE stateless pass that carries the source
@@ -6575,6 +6602,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorize_logit": _q_winsorize_logit,
         "source_heavy_hitters": _q_source_heavy_hitters,
         "weighted_length_quantiles": _q_weighted_length_quantiles,
+        "spearman_length_tokens": _q_spearman_length_tokens,
         "ccnet_buckets": _q_ccnet_buckets,
         "vocab_growth": _q_vocab_growth,
         "cluster_topterms": _q_cluster_topterms,
@@ -7785,6 +7813,50 @@ def oracle_sql() -> dict[str, str]:
                    MIN(CASE WHEN cw >= greatest(1, CAST(ceil(0.75 * tw)
                         AS BIGINT)) THEN v END) AS wq75
             FROM c GROUP BY source
+        """,
+        # mirrors _q_spearman_length_tokens: doubled average ranks from
+        # the marginal histograms (window cumsum), then the identical
+        # Pearson-on-ranks double expression over exact int64 moments
+        "spearman_length_tokens": """
+            WITH t AS (SELECT CAST(n_chars AS BIGINT) AS x,
+                              CAST(length(regexp_extract_all(text, $$\\S+$$))
+                                   AS BIGINT) AS y
+                       FROM documents),
+                 hx AS (SELECT x, CAST(count(*) AS BIGINT) AS c
+                        FROM t GROUP BY x),
+                 rx AS (SELECT x,
+                               2 * (SUM(c) OVER (ORDER BY x) - c) + c + 1
+                                 AS a
+                        FROM hx),
+                 hy AS (SELECT y, CAST(count(*) AS BIGINT) AS c
+                        FROM t GROUP BY y),
+                 ry AS (SELECT y,
+                               2 * (SUM(c) OVER (ORDER BY y) - c) + c + 1
+                                 AS b
+                        FROM hy),
+                 j AS (SELECT CAST(rx.a AS BIGINT) AS a,
+                              CAST(ry.b AS BIGINT) AS b
+                       FROM t JOIN rx USING (x) JOIN ry USING (y)),
+                 s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                              CAST(sum(a) AS BIGINT) AS sa,
+                              CAST(sum(b) AS BIGINT) AS sb,
+                              CAST(sum(a * b) AS BIGINT) AS sab,
+                              CAST(sum(a * a) AS BIGINT) AS saa,
+                              CAST(sum(b * b) AS BIGINT) AS sbb
+                       FROM j)
+            SELECT n,
+                   CASE WHEN (CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+                              - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                             * (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+                                - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)) > 0
+                        THEN (CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+                              - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+                             / sqrt((CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+                                     - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                                    * (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+                                       - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)))
+                        ELSE 0.0 END AS spearman
+            FROM s
         """,
         # mirrors _q_source_score_quantiles: per-source quantile_disc
         # over the SAME quantized logit column (grouped selection)

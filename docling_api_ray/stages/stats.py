@@ -959,3 +959,107 @@ def grouped_weighted_quantiles(
         batch_format="pyarrow",
         batch_size=None,
     )
+
+
+def spearman_corr(
+    ds: ray.data.Dataset,
+    *,
+    x_col: str = "x",
+    y_col: str = "y",
+    max_distinct: int = 4_000_000,
+) -> pa.Table:
+    """EXACT Spearman rank correlation between two integer columns with
+    average-rank tie handling — the monotone-association complement to
+    the Pearson moment fold (``length_token_corr``): robust to the
+    heavy-tailed length distributions where Pearson is dragged by
+    mega-docs.
+
+    Scale shape: ranks need no global sort.  Each marginal's
+    value→average-rank map derives from its bounded value HISTOGRAM
+    (``bounded_groupby_sum`` over the value domain — value-domain-
+    proportional, never row-proportional; a loud ``max_distinct`` guard
+    keeps the driver pull bounded).  With integer values the average
+    rank is a half-integer, so DOUBLED ranks (2·prev_cum + cnt + 1) stay
+    int64-exact; the broadcast lookup (one ``np.searchsorted`` per
+    batch) feeds the same five-moment int64 tree fold as Pearson, and
+    the final Pearson-on-ranks expression is replayed
+    operation-for-operation by the SQL mirror.  Doubled-rank moments
+    bound Σa² ≤ 4n³ — int64-exact to n ≈ 1.3e6 rows; past that the fold
+    RAISES loudly (the 128-bit escape is the hi/lo 32-bit split the
+    Pearson docstring names, or pyarrow decimal128 partials)."""
+    hists = []
+    for col in (x_col, y_col):
+        h = bounded_groupby_sum(
+            ds.select_columns([col]), [col], count_alias="cnt"
+        ).take_all()
+        if len(h) > max_distinct:
+            raise ValueError(
+                f"spearman_corr: {len(h):,} distinct {col} values > "
+                f"max_distinct={max_distinct:,} — the rank map no longer "
+                "broadcasts; bucket the value or raise the guard"
+            )
+        h.sort(key=lambda r: r[col])
+        vals = np.array([r[col] for r in h], dtype=np.int64)
+        cnts = np.array([r["cnt"] for r in h], dtype=np.int64)
+        cum = np.cumsum(cnts)
+        prev = np.concatenate(([0], cum[:-1]))
+        r2 = 2 * prev + cnts + 1  # doubled average rank per tie group
+        hists.append((vals, r2))
+    (xv, xr2), (yv, yr2) = hists
+
+    def moments(b: pa.Table) -> pa.Table:
+        x = np.asarray(b[x_col], dtype=np.int64)
+        y = np.asarray(b[y_col], dtype=np.int64)
+        a = xr2[np.searchsorted(xv, x)]
+        c = yr2[np.searchsorted(yv, y)]
+        one = np.ones(len(b), dtype=np.int64)
+        return pa.table(
+            {
+                "n": pa.array(one),
+                "sa": pa.array(a),
+                "sb": pa.array(c),
+                "sab": pa.array(a * c),
+                "saa": pa.array(a * a),
+                "sbb": pa.array(c * c),
+            }
+        )
+
+    def fold(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                c: pa.array(
+                    [pc.sum(b[c]).as_py() or 0], type=pa.int64()
+                )
+                for c in ("n", "sa", "sb", "sab", "saa", "sbb")
+            }
+        )
+
+    from docling_api_ray.stages.common import two_level_fold
+
+    out = two_level_fold(
+        ds.select_columns([x_col, y_col]).map_batches(
+            moments, batch_format="pyarrow"
+        ),
+        fold,
+    ).take_all()
+    row = out[0]
+    n = int(row["n"])
+    if n > 1_300_000:
+        raise ValueError(
+            f"spearman_corr: n={n:,} rows overflow the int64 doubled-rank "
+            "moment bound (4n^3); split partial sums hi/lo or use "
+            "decimal128 accumulation"
+        )
+    nf, sa, sb = float(n), float(row["sa"]), float(row["sb"])
+    sab, saa, sbb = float(row["sab"]), float(row["saa"]), float(row["sbb"])
+    num = nf * sab - sa * sb
+    va = nf * saa - sa * sa
+    vb = nf * sbb - sb * sb
+    prod = va * vb
+    rho = num / math.sqrt(prod) if prod > 0 else 0.0
+    return pa.table(
+        {
+            "n": pa.array([n], type=pa.int64()),
+            "spearman": pa.array([rho], type=pa.float64()),
+        }
+    )
