@@ -816,6 +816,20 @@ def _q_spearman_length_tokens(sf_dir: str):
     return spearman_corr(ds, x_col="x", y_col="y")
 
 
+def _q_lang_source_mi(sf_dir: str):
+    """Mutual information / chi-square / Cramer's V between lang and
+    source (stages/stats.py contingency_association) — the
+    label-confounding audit: high V means per-source language stats are
+    really source stats.  One bounded contingency fold; zero chi-square
+    cells charged in closed form (n - sum e_nonzero); micro-quantized
+    int64 terms keep engine and oracle order-free-identical."""
+    from docling_api_ray.stages.stats import contingency_association
+
+    return contingency_association(
+        _docs(sf_dir, ["lang", "source"]), row_col="lang", col_col="source"
+    )
+
+
 def _scored_source_logits(sf_dir: str) -> "ray.data.Dataset":
     """Narrow (doc_id, source, logit) projection: quality_scores +
     quality_logit fused into ONE stateless pass that carries the source
@@ -6603,6 +6617,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_heavy_hitters": _q_source_heavy_hitters,
         "weighted_length_quantiles": _q_weighted_length_quantiles,
         "spearman_length_tokens": _q_spearman_length_tokens,
+        "lang_source_mi": _q_lang_source_mi,
         "ccnet_buckets": _q_ccnet_buckets,
         "vocab_growth": _q_vocab_growth,
         "cluster_topterms": _q_cluster_topterms,
@@ -7857,6 +7872,50 @@ def oracle_sql() -> dict[str, str]:
                                        - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)))
                         ELSE 0.0 END AS spearman
             FROM s
+        """,
+        # mirrors _q_lang_source_mi: per-cell micro-quantized MI and
+        # chi-square terms over the nonzero contingency, zero cells in
+        # closed form, final doubles replayed op-for-op
+        "lang_source_mi": """
+            WITH c AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS c
+                       FROM documents GROUP BY 1, 2),
+                 n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM c),
+                 r AS (SELECT lang, CAST(sum(c) AS BIGINT) AS r
+                       FROM c GROUP BY 1),
+                 k AS (SELECT source, CAST(sum(c) AS BIGINT) AS k
+                       FROM c GROUP BY 1),
+                 cell AS (SELECT CAST(c.c AS DOUBLE) AS c,
+                                 CAST(r.r AS DOUBLE) * CAST(k.k AS DOUBLE)
+                                   / CAST(n.n AS DOUBLE) AS e,
+                                 (CAST(c.c AS DOUBLE) * CAST(n.n AS DOUBLE))
+                                   / (CAST(r.r AS DOUBLE)
+                                      * CAST(k.k AS DOUBLE)) AS lr
+                          FROM c JOIN r USING (lang) JOIN k USING (source)
+                               CROSS JOIN n),
+                 s AS (SELECT
+                         CAST(sum(CAST(round(c * ln(lr) * 1000000)
+                                       AS BIGINT)) AS BIGINT) AS mi_micro,
+                         CAST(sum(CAST(round((c - e) * (c - e) / e * 1000000)
+                                       AS BIGINT)) AS BIGINT) AS chi_nz,
+                         CAST(sum(CAST(round(e * 1000000) AS BIGINT))
+                              AS BIGINT) AS e_nz
+                       FROM cell),
+                 d AS (SELECT (SELECT count(*) FROM r) AS nr,
+                              (SELECT count(*) FROM k) AS nk)
+            SELECT n.n AS n,
+                   (CAST(s.mi_micro AS DOUBLE) / 1000000.0)
+                     / CAST(n.n AS DOUBLE) AS mi,
+                   CAST(s.chi_nz + (n.n * 1000000 - s.e_nz) AS DOUBLE)
+                     / 1000000.0 AS chi2,
+                   CASE WHEN least(d.nr, d.nk) > 1
+                             AND s.chi_nz + (n.n * 1000000 - s.e_nz) > 0
+                        THEN sqrt((CAST(s.chi_nz + (n.n * 1000000 - s.e_nz)
+                                        AS DOUBLE) / 1000000.0)
+                                  / (CAST(n.n AS DOUBLE)
+                                     * CAST(least(d.nr, d.nk) - 1
+                                            AS DOUBLE)))
+                        ELSE 0.0 END AS cramers_v
+            FROM n CROSS JOIN s CROSS JOIN d
         """,
         # mirrors _q_source_score_quantiles: per-source quantile_disc
         # over the SAME quantized logit column (grouped selection)

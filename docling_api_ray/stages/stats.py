@@ -1063,3 +1063,89 @@ def spearman_corr(
             "spearman": pa.array([rho], type=pa.float64()),
         }
     )
+
+
+def contingency_association(
+    ds: ray.data.Dataset,
+    *,
+    row_col: str = "lang",
+    col_col: str = "source",
+) -> pa.Table:
+    """Association strength between two BOUNDED-domain label columns —
+    mutual information, the chi-square independence statistic, and
+    Cramer's V over the row x col contingency table: the "is lang
+    confounded with crawl source?" audit a mixture designer runs before
+    trusting per-source language statistics.
+
+    Scale shape: one ``bounded_groupby_sum`` fold produces the nonzero
+    contingency cells (<= |rows| x |cols|, domain-bounded); marginals,
+    MI and chi-square all derive from that single tiny block.  Zero
+    cells (which chi-square still charges e_ij each) are accounted in
+    closed form: sum of e over ALL cells is n, so the zero-cell
+    contribution is n - sum(e over nonzero cells) — no R x K
+    enumeration.  Exactness: every per-cell term is micro-quantized to
+    int64 (round(term * 1e6)) before the order-free integer sum, and
+    each final double expression is replayed op-for-op by the SQL
+    mirror (the lang_entropy precedent)."""
+    counts = bounded_groupby_sum(
+        ds.select_columns([row_col, col_col]), [row_col, col_col],
+        count_alias="c",
+    )
+
+    def fold(df: pd.DataFrame) -> pa.Table:
+        out_schema = pa.schema(
+            [
+                ("n", pa.int64()),
+                ("mi", pa.float64()),
+                ("chi2", pa.float64()),
+                ("cramers_v", pa.float64()),
+            ]
+        )
+        if len(df) == 0:
+            return pa.table(
+                {"n": [0], "mi": [0.0], "chi2": [0.0], "cramers_v": [0.0]},
+                schema=out_schema,
+            )
+        n = int(df["c"].sum())
+        r = df.groupby(row_col)["c"].sum()
+        k = df.groupby(col_col)["c"].sum()
+        c = df["c"].to_numpy(np.float64)
+        rm = df[row_col].map(r).to_numpy(np.float64)
+        km = df[col_col].map(k).to_numpy(np.float64)
+        nf = float(n)
+        lr = (c * nf) / (rm * km)
+        mi_micro = int(
+            np.rint(c * np.log(lr) * 1e6).astype(np.int64).sum()
+        )
+        e = rm * km / nf
+        chi_nz = int(
+            np.rint((c - e) * (c - e) / e * 1e6).astype(np.int64).sum()
+        )
+        e_nz = int(np.rint(e * 1e6).astype(np.int64).sum())
+        chi_total = chi_nz + (n * 1_000_000 - e_nz)
+        mi = (float(mi_micro) / 1e6) / nf
+        chi2 = float(chi_total) / 1e6
+        dof = min(len(r), len(k)) - 1
+        v = (
+            math.sqrt(chi2 / (nf * float(dof)))
+            if dof > 0 and chi_total > 0
+            else 0.0
+        )
+        return pa.table(
+            {"n": [n], "mi": [mi], "chi2": [chi2], "cramers_v": [v]},
+            schema=out_schema,
+        )
+
+    blocks = counts.map_batches(
+        lambda b: fold(b.to_pandas()), batch_format="pyarrow",
+        batch_size=None,
+    ).take_all()
+    row = blocks[0]
+    return pa.table(
+        {
+            "n": pa.array([row["n"]], type=pa.int64()),
+            "mi": pa.array([row["mi"]], type=pa.float64()),
+            "chi2": pa.array([row["chi2"]], type=pa.float64()),
+            "cramers_v": pa.array([row["cramers_v"]], type=pa.float64()),
+        }
+    )
