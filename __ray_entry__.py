@@ -830,6 +830,22 @@ def _q_lang_source_mi(sf_dir: str):
     )
 
 
+def _q_stratified_kfold(sf_dir: str):
+    """Exactly-balanced stratified 5-fold CV assignment per language
+    (stages/splits.py stratified_kfold): within every lang the fold
+    sizes differ by <=1, deterministically — the two-phase bucketed
+    rank (bounded (lang x bucket) count fold -> broadcast offsets ->
+    one narrow bucket-partitioned exchange), no global sort.  The
+    oracle replays the identical (bucket, hash, id) stratum order via
+    md5_number + row_number."""
+    from docling_api_ray.stages.splits import stratified_kfold
+
+    return stratified_kfold(
+        _docs(sf_dir, ["doc_id", "lang"]), id_col="doc_id",
+        stratum_col="lang", k=5,
+    )
+
+
 def _scored_source_logits(sf_dir: str) -> "ray.data.Dataset":
     """Narrow (doc_id, source, logit) projection: quality_scores +
     quality_logit fused into ONE stateless pass that carries the source
@@ -6618,6 +6634,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_length_quantiles": _q_weighted_length_quantiles,
         "spearman_length_tokens": _q_spearman_length_tokens,
         "lang_source_mi": _q_lang_source_mi,
+        "stratified_kfold": _q_stratified_kfold,
         "ccnet_buckets": _q_ccnet_buckets,
         "vocab_growth": _q_vocab_growth,
         "cluster_topterms": _q_cluster_topterms,
@@ -7916,6 +7933,21 @@ def oracle_sql() -> dict[str, str]:
                                             AS DOUBLE)))
                         ELSE 0.0 END AS cramers_v
             FROM n CROSS JOIN s CROSS JOIN d
+        """,
+        # mirrors _q_stratified_kfold: the engine's stratum order is
+        # (hash bucket, hash, id); one window rank replays it
+        "stratified_kfold": """
+            WITH h AS (SELECT doc_id, lang,
+                              ((md5_number(CAST(doc_id AS VARCHAR))
+                                % 18446744073709551616)
+                               + 18446744073709551616)
+                                % 18446744073709551616 AS h
+                       FROM documents)
+            SELECT doc_id, lang,
+                   CAST((row_number() OVER (PARTITION BY lang
+                                            ORDER BY h % 256, h, doc_id)
+                         - 1) % 5 AS BIGINT) AS fold
+            FROM h
         """,
         # mirrors _q_source_score_quantiles: per-source quantile_disc
         # over the SAME quantized logit column (grouped selection)

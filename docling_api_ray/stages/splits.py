@@ -186,3 +186,104 @@ def leakage_safe_splits(
         )
 
     return keep_ds.map_batches(assign, batch_format="pyarrow")
+
+
+def stratified_kfold(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    stratum_col: str = "lang",
+    k: int = 5,
+    n_buckets: int = 256,
+) -> ray.data.Dataset:
+    """EXACTLY-balanced stratified K-fold cross-validation assignment:
+    within every stratum the fold sizes differ by at most one (plain
+    ``hash mod K`` is only balanced in expectation — a small stratum
+    can land 40/60).  Deterministic: the within-stratum order is
+    ``(hash bucket, doc hash, id)``, so every run / node / reshard
+    assigns identically and the DuckDB oracle reproduces it with one
+    ``row_number() OVER (PARTITION BY stratum ORDER BY ...)``.
+
+    Scale shape (the ``global_rank`` two-phase rank without a global
+    sort): (1) a bounded ``(stratum × bucket)`` count fold
+    (``bucket = hash % n_buckets``) prefix-sums driver-side into
+    per-bucket stratum offsets — |strata|·n_buckets rows, corpus-
+    independent — broadcast once via ``ray.put``; (2) ONE all-to-all of
+    the narrow (id, stratum, hash) payload partitioned by bucket, where
+    each partition ranks its rows in-bucket (hash-uniform populations —
+    no skew) and emits ``fold = (offset + in-bucket rank) % K``."""
+    import pandas as pd
+
+    from docling_api_ray.stages.common import (
+        bounded_groupby_sum,
+        coalesce_narrow,
+        guard_fold,
+        shuffle_partitions,
+    )
+
+    nb = np.uint64(n_buckets)
+
+    def project(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b[id_col], dtype=np.int64)
+        h = u64_md5(np.array([str(i) for i in ids], dtype=object))
+        return pa.table(
+            {
+                id_col: pa.array(ids, type=pa.int64()),
+                stratum_col: b[stratum_col],
+                "h": pa.array(h, type=pa.uint64()),
+                "bucket": pa.array((h % nb).astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    narrow = ds.select_columns([id_col, stratum_col]).map_batches(
+        project, batch_format="pyarrow"
+    )
+
+    hist = bounded_groupby_sum(
+        narrow.select_columns([stratum_col, "bucket"]),
+        [stratum_col, "bucket"],
+        count_alias="c",
+    ).take_all()
+    hist.sort(key=lambda r: (r[stratum_col], r["bucket"]))
+    offsets: dict[tuple, int] = {}
+    acc_by_stratum: dict = {}
+    for r in hist:
+        s = r[stratum_col]
+        offsets[(s, r["bucket"])] = acc_by_stratum.get(s, 0)
+        acc_by_stratum[s] = acc_by_stratum.get(s, 0) + int(r["c"])
+    ref = ray.put(offsets)
+
+    def add_part(b: pa.Table) -> pa.Table:
+        part = np.asarray(b["bucket"], dtype=np.int64) % shuffle_partitions()
+        return b.append_column("__part", pa.array(part, type=pa.int64()))
+
+    def rank_fold(df: "pd.DataFrame") -> pa.Table:
+        off = ray.get(ref)
+        df = df.sort_values(
+            [stratum_col, "bucket", "h", id_col], kind="stable"
+        )
+        cum = df.groupby([stratum_col, "bucket"], sort=False).cumcount()
+        base = np.array(
+            [off[(s, b)] for s, b in zip(df[stratum_col], df["bucket"])],
+            dtype=np.int64,
+        )
+        fold = (base + cum.to_numpy(dtype=np.int64)) % k
+        return pa.table(
+            {
+                id_col: pa.array(
+                    df[id_col].to_numpy(dtype=np.int64), type=pa.int64()
+                ),
+                stratum_col: pa.array(
+                    df[stratum_col].astype(str).tolist(), type=pa.string()
+                ),
+                "fold": pa.array(fold, type=pa.int64()),
+            }
+        )
+
+    return (
+        coalesce_narrow(narrow.map_batches(add_part, batch_format="pyarrow"))
+        .groupby("__part")
+        .map_groups(
+            guard_fold(rank_fold, key_col="bucket"), batch_format="pandas"
+        )
+    )

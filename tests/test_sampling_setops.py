@@ -489,3 +489,29 @@ def test_leakage_safe_split_components_never_straddle():
     # through float64 and corrupts the residue
     b4 = int(u64_md5(np.array(["4"], dtype=object))[0]) % 100
     assert out[4]["bucket"] == b4
+
+
+def test_stratified_kfold_exact_balance_and_determinism():
+    import collections
+
+    import ray.data
+
+    from docling_api_ray.stages.splits import stratified_kfold
+
+    docs = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "lang"],
+    )
+    rows = stratified_kfold(docs.repartition(5), k=5).take_all()
+    # exact balance: within every lang, fold sizes differ by <= 1
+    per = collections.defaultdict(collections.Counter)
+    for r in rows:
+        per[r["lang"]][r["fold"]] += 1
+    for lang, cnt in per.items():
+        sizes = [cnt.get(f, 0) for f in range(5)]
+        assert max(sizes) - min(sizes) <= 1, (lang, sizes)
+    # deterministic under resharding
+    rows2 = stratified_kfold(docs.repartition(2), k=5).take_all()
+    a = {r["doc_id"]: r["fold"] for r in rows}
+    b = {r["doc_id"]: r["fold"] for r in rows2}
+    assert a == b
