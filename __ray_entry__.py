@@ -846,6 +846,22 @@ def _q_stratified_kfold(sf_dir: str):
     )
 
 
+def _q_source_gini(sf_dir: str):
+    """Per-source Gini coefficient of n_chars (stages/stats.py
+    grouped_gini) — byte-share inequality: a source whose Gini
+    approaches 1 is a few mega-docs wearing a source label, the signal
+    mixture reweighting needs before trusting per-source doc counts.
+    Exact from ONE bounded (source x value) histogram fold — the
+    rank-weighted sum telescopes per tie block, no per-row ranks, no
+    global sort."""
+    from docling_api_ray.stages.stats import grouped_gini
+
+    return grouped_gini(
+        _docs(sf_dir, ["source", "n_chars"]),
+        group_col="source", value_col="n_chars",
+    )
+
+
 def _scored_source_logits(sf_dir: str) -> "ray.data.Dataset":
     """Narrow (doc_id, source, logit) projection: quality_scores +
     quality_logit fused into ONE stateless pass that carries the source
@@ -6635,6 +6651,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spearman_length_tokens": _q_spearman_length_tokens,
         "lang_source_mi": _q_lang_source_mi,
         "stratified_kfold": _q_stratified_kfold,
+        "source_gini": _q_source_gini,
         "ccnet_buckets": _q_ccnet_buckets,
         "vocab_growth": _q_vocab_growth,
         "cluster_topterms": _q_cluster_topterms,
@@ -7948,6 +7965,29 @@ def oracle_sql() -> dict[str, str]:
                                             ORDER BY h % 256, h, doc_id)
                          - 1) % 5 AS BIGINT) AS fold
             FROM h
+        """,
+        # mirrors _q_source_gini: rank-weighted sum via window
+        # row_number (tie order irrelevant — equal values), identical
+        # final double expression
+        "source_gini": """
+            WITH t AS (SELECT source, CAST(n_chars AS BIGINT) AS v
+                       FROM documents),
+                 r AS (SELECT source, v,
+                              row_number() OVER (PARTITION BY source
+                                                 ORDER BY v) AS rn
+                       FROM t),
+                 s AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+                              CAST(sum(v) AS BIGINT) AS total,
+                              CAST(sum(rn * v) AS BIGINT) AS s
+                       FROM r GROUP BY source)
+            SELECT source, n, total,
+                   CASE WHEN total > 0
+                        THEN (2.0 * CAST(s AS DOUBLE)
+                              - CAST(n + 1 AS DOUBLE)
+                                * CAST(total AS DOUBLE))
+                             / (CAST(n AS DOUBLE) * CAST(total AS DOUBLE))
+                        ELSE 0.0 END AS gini
+            FROM s
         """,
         # mirrors _q_source_score_quantiles: per-source quantile_disc
         # over the SAME quantized logit column (grouped selection)

@@ -238,6 +238,7 @@ def _bench_once() -> dict:
         "spearman_length_tokens",
         "lang_source_mi",
         "stratified_kfold",
+        "source_gini",
     ]
     # INTERLEAVED repetitions + medians (VERDICT r2 #1): this container's
     # co-tenant jitter is ±30-50% and can hold a multi-second plateau —

@@ -1149,3 +1149,76 @@ def contingency_association(
             "cramers_v": pa.array([row["cramers_v"]], type=pa.float64()),
         }
     )
+
+
+def grouped_gini(
+    ds: ray.data.Dataset,
+    *,
+    group_col: str = "source",
+    value_col: str = "n_chars",
+) -> ray.data.Dataset:
+    """Gini coefficient of an integer metric per group — "what share of
+    this source's bytes live in its biggest documents?": the size-
+    inequality diagnostic behind mixture reweighting (a source whose
+    Gini ~ 1 is a few mega-docs wearing a source label).
+
+    Exact WITHOUT per-row ranks: with the ascending (value, count)
+    histogram, the rank-weighted sum Σ i·x_(i) telescopes per tie block
+    to v · (c·prev + c·(c+1)/2) — all int64 — so one bounded
+    ``(group × value)`` histogram fold carries everything and
+    G = (2·S − (n+1)·T) / (n·T) (T = Σx) is two IEEE double ops the SQL
+    mirror replays.  Σ i·x over n rows of values ≤ V needs n²·V —
+    int64-exact to ~10⁵ rows × 1e8 value or 10⁹ × 1 (the escape past
+    that is decimal128 partials); the extract RAISES past the bound
+    instead of overflowing silently."""
+    hist = bounded_groupby_sum(
+        ds.select_columns([group_col, value_col]),
+        [group_col, value_col],
+        count_alias="cnt",
+    )
+
+    def extract(df: pd.DataFrame) -> pa.Table:
+        schema = pa.schema(
+            [
+                (group_col, pa.string()),
+                ("n", pa.int64()),
+                ("total", pa.int64()),
+                ("gini", pa.float64()),
+            ]
+        )
+        rows = []
+        for g, sub in df.groupby(group_col, sort=False):
+            sub = sub.sort_values(value_col, kind="stable")
+            v = sub[value_col].to_numpy(dtype=object)  # python ints: no silent overflow
+            c = sub["cnt"].to_numpy(dtype=object)
+            n = int(sum(c))
+            total = int(sum(int(a) * int(b) for a, b in zip(v, c)))
+            prev, s = 0, 0
+            for vi, ci in zip(v, c):
+                vi, ci = int(vi), int(ci)
+                s += vi * (ci * prev + ci * (ci + 1) // 2)
+                prev += ci
+            if s > (1 << 62) or total * (n + 1) > (1 << 62):
+                raise ValueError(
+                    f"grouped_gini: group {g!r} rank-weighted sum {s:,} "
+                    "exceeds the int64 exactness bound — switch the fold "
+                    "to decimal128 partials"
+                )
+            gini = (
+                (2.0 * float(s) - float(n + 1) * float(total))
+                / (float(n) * float(total))
+                if total > 0
+                else 0.0
+            )
+            rows.append({group_col: g, "n": n, "total": total, "gini": gini})
+        if not rows:
+            return schema.empty_table()
+        return pa.Table.from_pandas(
+            pd.DataFrame(rows), schema=schema, preserve_index=False
+        )
+
+    return hist.map_batches(
+        lambda b: extract(b.to_pandas()),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
