@@ -6608,6 +6608,36 @@ def _q_hybrid_rrf(sf_dir: str):
     )
 
 
+_RBO_K = 100
+
+
+def _q_rank_rbo(sf_dir: str):
+    """Rank-Biased Overlap between the BM25 lexical ranking and the
+    embedding-cosine ranking for one query (stages/relevance.py
+    rank_rbo): the sparse/dense retrieval-agreement monitor.  Both
+    lists ride the k-bounded _two_rankings tail; the overlap curve is
+    O(k) driver work; each depth term micro-quantized to int64 before
+    the order-free sum so the DuckDB mirror is bit-exact."""
+    import pyarrow.parquet as pq
+
+    from docling_api_ray.stages.relevance import rank_rbo
+
+    qtbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "=", _RRF_QUERY_ID)],
+    )
+    qvec = np.asarray(qtbl["embedding"][0].as_py(), dtype=np.float64)
+    return rank_rbo(
+        _docs(sf_dir, ["doc_id", "text"]),
+        _emb(sf_dir, ["vec_id", "embedding"]),
+        _BM25_TERMS,
+        _RRF_QUERY_ID,
+        qvec,
+        k=_RBO_K,
+    )
+
+
 def _q_embedding_quantize(sf_dir: str):
     """INT8 post-training quantization of the embedding column
     (stages/linalg.py quantize_embeddings): per-dim min/max affine
@@ -6663,6 +6693,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_neardup": _q_pagerank_neardup,
         "triangle_neardup": _q_triangle_neardup,
         "hybrid_rrf": _q_hybrid_rrf,
+        "rank_rbo": _q_rank_rbo,
         "nbayes_confusion": _q_nbayes_confusion,
         "rfm_segments": _q_rfm_segments,
         "leakage_safe_split": _q_leakage_safe_split,
@@ -10608,5 +10639,43 @@ def oracle_sql() -> dict[str, str]:
                    FROM lr FULL OUTER JOIN cr ON lr.doc_id = cr.doc_id)
         SELECT doc_id, bm25_rank, cos_rank, rrf_micro FROM f
         ORDER BY rrf_micro DESC, doc_id ASC LIMIT {_RRF_K_OUT}
+    """
+    # mirrors _q_rank_rbo: a matched doc at ranks (ra, rb) enters the
+    # prefix overlap at depth max(ra, rb), so X_d = |{m : dmin <= d}|;
+    # the p=1/2 weights (1-p)·p^(d-1) = 0.5^d are inlined as repr()
+    # literals (exact binary doubles — identical to the engine's
+    # RBO_P**d, no libm pow() in either path), and each depth term is
+    # floor-quantized to int64 micro-units before the order-free sum.
+    _rbo_weights = ", ".join(
+        f"({d}, {0.5 ** d!r})" for d in range(1, _RBO_K + 1)
+    )
+    out["rank_rbo"] = f"""
+        WITH lex AS ({_bm25_oracle_sql(_BM25_TERMS)}),
+             lr0 AS (SELECT doc_id, row_number() OVER (
+                       ORDER BY score DESC, doc_id ASC) AS r FROM lex),
+             lr AS (SELECT * FROM lr0 WHERE r <= {_RBO_K}),
+             q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id = {_RRF_QUERY_ID}),
+             cs AS (SELECT vec_id,
+                           round(list_cosine_similarity(
+                             CAST(embedding AS DOUBLE[]), q.qv) * 1000000)
+                             / 1000000.0 AS cosine
+                    FROM embeddings CROSS JOIN q
+                    WHERE vec_id <> {_RRF_QUERY_ID}),
+             cr0 AS (SELECT vec_id AS doc_id, row_number() OVER (
+                       ORDER BY cosine DESC, vec_id ASC) AS r FROM cs),
+             cr AS (SELECT * FROM cr0 WHERE r <= {_RBO_K}),
+             m AS (SELECT greatest(lr.r, cr.r) AS dmin
+                   FROM lr JOIN cr ON lr.doc_id = cr.doc_id),
+             w(d, wt) AS (VALUES {_rbo_weights}),
+             o AS (SELECT w.d, w.wt,
+                          (SELECT count(*) FROM m WHERE m.dmin <= w.d)
+                            AS ov
+                   FROM w)
+        SELECT CAST({_RBO_K} AS BIGINT) AS k,
+               (SELECT count(*) FROM m) AS overlap_at_k,
+               (SELECT sum(CAST(floor(CAST(ov AS DOUBLE) / d * wt
+                                      * 1000000000000.0 + 0.5) AS BIGINT))
+                FROM o) / 1000000000000.0 AS rbo
     """
     return out

@@ -210,6 +210,7 @@ def _bench_once() -> dict:
         "embedding_quantize",
         "feature_corr",
         "hybrid_rrf",
+        "rank_rbo",
         "source_ols",
         "nbayes_confusion",
         "source_overlap",

@@ -23,6 +23,8 @@ convention as the wordcount/dedup family."""
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -274,40 +276,22 @@ def bm25_scores(
 RRF_C = 60  # the standard reciprocal-rank-fusion constant (Cormack 2009)
 
 
-def hybrid_rrf(
+def _two_rankings(
     docs: ray.data.Dataset,
     emb: ray.data.Dataset,
     terms: list[str],
     query_id: int,
     query_vec: np.ndarray,
     *,
-    k_each: int = 100,
-    k_out: int = 20,
-    c: int = RRF_C,
+    k_each: int,
     id_col: str = "doc_id",
-) -> pa.Table:
-    """Hybrid retrieval: BM25 lexical ranks ⊕ embedding-cosine ranks,
-    fused by Reciprocal Rank Fusion — the standard two-tower RAG
-    retrieval shape (sparse + dense lists each truncated to ``k_each``,
-    rrf(d) = Σ_lists∋d 1/(c + rank_list(d))).
-
-    Scale shape: both lists are k-bounded end to end.  The lexical side
-    is one streaming BM25 pass (|terms|+2-number stats fold, broadcast,
-    stateless score) followed by per-batch partial heads (≤ k_each rows
-    per block) and ONE single-partition merge of ≤ k_each·P rows; the
-    dense side is the knn_bruteforce partial-top-k discipline against a
-    broadcast 1×D query.  Fusion touches only 2·k_each rows — no join,
-    no corpus movement beyond the two scoring passes.
-
-    Exactness: ranks are integers; the fused score is kept in integer
-    micro-units, ``rrf_micro = Σ floor(1e6/(c+rank) + 0.5)`` — the same
-    floor-quantize the DuckDB mirror spells, so ties and ordering are
-    bit-reproducible (no float summation-order dependence).  Docs
-    missing from a list contribute 0 and surface that list's rank as
-    the -1 sentinel.  Output: the fused top ``k_out`` as
-    (doc_id, bm25_rank, cos_rank, rrf_micro)."""
-    import math
-
+) -> tuple[dict[int, int], dict[int, int]]:
+    """The shared sparse+dense retrieval tail of ``hybrid_rrf`` /
+    ``rank_rbo``: the BM25 lexical top-``k_each`` (per-block partial
+    heads, one ≤ k_each·P-row single-partition merge) and the
+    embedding-cosine top-``k_each`` (knn_bruteforce's partial-top-k
+    discipline), each returned as an id → 1-based-rank dict.  Tie
+    order matches the SQL mirrors: (score DESC, id ASC)."""
     from docling_api_ray.stages.similarity import knn_bruteforce
 
     lex = bm25_scores(docs, terms, id_col=id_col)
@@ -345,10 +329,118 @@ def hybrid_rrf(
         k=k_each,
     ).take_all()  # ≤ k_each rows by construction
 
-    bm25_rank = {
-        int(r[id_col]): i + 1 for i, r in enumerate(lex_top)
-    }
+    bm25_rank = {int(r[id_col]): i + 1 for i, r in enumerate(lex_top)}
     cos_rank = {int(r["vec_id"]): int(r["rank"]) for r in vec_top}
+    return bm25_rank, cos_rank
+
+
+# exact binary weights w_d = (1-p)·p^(d-1) at p=1/2: every power of two
+# is exactly representable, so the engine float and the SQL literal
+# (shortest repr round-trips) are the SAME double — no libm pow() in
+# either path
+RBO_P = 0.5
+
+
+def rank_rbo(
+    docs: ray.data.Dataset,
+    emb: ray.data.Dataset,
+    terms: list[str],
+    query_id: int,
+    query_vec: np.ndarray,
+    *,
+    k: int = 100,
+    id_col: str = "doc_id",
+) -> pa.Table:
+    """Rank-Biased Overlap (truncated, Webber et al. 2010) between the
+    BM25 lexical ranking and the embedding-cosine ranking for one
+    query — "do sparse and dense retrieval agree?", the
+    retrieval-drift monitor next to hybrid_rrf's fusion.
+
+    RBO@k = Σ_{d=1..k} (|A_:d ∩ B_:d| / d) · (1−p)·p^(d−1) with p=1/2
+    (top-weighted: depth-d agreement is worth half depth-(d−1)).  Both
+    lists are k-bounded end to end (the _two_rankings tail); the
+    overlap curve is O(k) driver work on 2k ids.  Exactness: each
+    depth's term is micro-quantized (round(term·1e12)) to an int64
+    before the order-free sum, and the p=1/2 weights are exact binary
+    doubles the SQL mirror inlines as literals — no pow() divergence.
+    Output: (k, overlap_at_k, rbo)."""
+    bm25_rank, cos_rank = _two_rankings(
+        docs, emb, terms, query_id, query_vec, k_each=k, id_col=id_col
+    )
+    a_order = [d for d, _ in sorted(bm25_rank.items(), key=lambda kv: kv[1])]
+    b_order = [d for d, _ in sorted(cos_rank.items(), key=lambda kv: kv[1])]
+    seen_a: set[int] = set()
+    seen_b: set[int] = set()
+    overlap = 0
+    total_micro = 0
+    x_last = 0
+    for d in range(1, k + 1):
+        if d <= len(a_order):
+            da = a_order[d - 1]
+            if da in seen_b:
+                overlap += 1
+            seen_a.add(da)
+        if d <= len(b_order):
+            db = b_order[d - 1]
+            # membership against A_:d (a_d already added) covers the
+            # a_d == b_d case exactly once; a_d-vs-earlier-b was counted
+            # by the first check, so no depth double-counts either way
+            # (property-verified against the brute-force set overlap)
+            if db in seen_a:
+                overlap += 1
+            seen_b.add(db)
+        x_last = overlap
+        w = RBO_P**d  # (1-p)·p^(d-1) at p=1/2
+        total_micro += int(
+            math.floor((overlap / d) * w * 1e12 + 0.5)
+        )
+    rbo = float(total_micro) / 1e12
+    return pa.table(
+        {
+            "k": pa.array([k], type=pa.int64()),
+            "overlap_at_k": pa.array([x_last], type=pa.int64()),
+            "rbo": pa.array([rbo], type=pa.float64()),
+        }
+    )
+
+
+def hybrid_rrf(
+    docs: ray.data.Dataset,
+    emb: ray.data.Dataset,
+    terms: list[str],
+    query_id: int,
+    query_vec: np.ndarray,
+    *,
+    k_each: int = 100,
+    k_out: int = 20,
+    c: int = RRF_C,
+    id_col: str = "doc_id",
+) -> pa.Table:
+    """Hybrid retrieval: BM25 lexical ranks ⊕ embedding-cosine ranks,
+    fused by Reciprocal Rank Fusion — the standard two-tower RAG
+    retrieval shape (sparse + dense lists each truncated to ``k_each``,
+    rrf(d) = Σ_lists∋d 1/(c + rank_list(d))).
+
+    Scale shape: both lists are k-bounded end to end.  The lexical side
+    is one streaming BM25 pass (|terms|+2-number stats fold, broadcast,
+    stateless score) followed by per-batch partial heads (≤ k_each rows
+    per block) and ONE single-partition merge of ≤ k_each·P rows; the
+    dense side is the knn_bruteforce partial-top-k discipline against a
+    broadcast 1×D query.  Fusion touches only 2·k_each rows — no join,
+    no corpus movement beyond the two scoring passes.
+
+    Exactness: ranks are integers; the fused score is kept in integer
+    micro-units, ``rrf_micro = Σ floor(1e6/(c+rank) + 0.5)`` — the same
+    floor-quantize the DuckDB mirror spells, so ties and ordering are
+    bit-reproducible (no float summation-order dependence).  Docs
+    missing from a list contribute 0 and surface that list's rank as
+    the -1 sentinel.  Output: the fused top ``k_out`` as
+    (doc_id, bm25_rank, cos_rank, rrf_micro)."""
+    import math
+
+    bm25_rank, cos_rank = _two_rankings(
+        docs, emb, terms, query_id, query_vec, k_each=k_each, id_col=id_col
+    )
     fused: dict[int, int] = {}
     for d, r in bm25_rank.items():
         fused[d] = fused.get(d, 0) + math.floor(1e6 / (c + r) + 0.5)

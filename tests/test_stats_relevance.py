@@ -578,6 +578,89 @@ def test_hybrid_rrf_merge_exceeds_default_batch():
     ]
 
 
+def test_rank_rbo_matches_bruteforce_prefix_sets():
+    """rank_rbo's incremental overlap counter must equal the literal
+    Webber et al. definition — RBO@k = Σ_d (|A_:d ∩ B_:d|/d)·0.5^d with
+    prefix sets recomputed from scratch — over the stage's own two
+    rankings (BM25 and cosine), on a corpus where the two lists
+    genuinely disagree."""
+    import math
+
+    import ray.data
+
+    from docling_api_ray.stages.relevance import (
+        bm25_scores,
+        rank_rbo,
+    )
+    from docling_api_ray.stages.similarity import knn_bruteforce
+
+    n = 300
+    rng = np.random.RandomState(29)
+    texts = [
+        "scan " * int(rng.randint(0, 6))
+        + "column " * int(rng.randint(0, 4))
+        + "filler " * int(rng.randint(1, 15))
+        for _ in range(n)
+    ]
+    mat = rng.normal(size=(n, 6)).astype(np.float32)
+    mk_docs = lambda: ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                "text": pa.array(texts),
+            }
+        )
+    ).repartition(8)
+    mk_emb = lambda: ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                "embedding": pa.array(
+                    [list(map(float, r)) for r in mat],
+                    type=pa.list_(pa.float32()),
+                ),
+            }
+        )
+    ).repartition(8)
+    qv = rng.normal(size=6)
+    terms = ["scan", "column"]
+    k = 50
+
+    out = rank_rbo(mk_docs(), mk_emb(), terms, -1, qv, k=k)
+
+    # the two rankings, from the stage's own scoring primitives
+    lex = sorted(
+        (-r["score"], r["doc_id"])
+        for r in bm25_scores(mk_docs(), terms).take_all()
+    )[:k]
+    a_order = [int(d) for _, d in lex]
+    b_order = [
+        int(r["vec_id"])
+        for r in sorted(
+            knn_bruteforce(
+                mk_emb(),
+                [-1],
+                np.asarray(qv, dtype=np.float64)[None, :],
+                k=k,
+            ).take_all(),
+            key=lambda r: r["rank"],
+        )
+    ]
+    # brute-force prefix-set RBO with the same micro-quantization
+    total_micro = 0
+    x_last = 0
+    for d in range(1, k + 1):
+        x_last = len(set(a_order[:d]) & set(b_order[:d]))
+        total_micro += int(
+            math.floor((x_last / d) * (0.5**d) * 1e12 + 0.5)
+        )
+    assert out["k"].to_pylist() == [k]
+    assert out["overlap_at_k"].to_pylist() == [x_last]
+    assert out["rbo"].to_pylist() == [float(total_micro) / 1e12]
+    # the corpus must actually exercise disagreement, or the test is vacuous
+    assert 0 < x_last < k
+
+
 def test_grouped_ols_matches_oneshot_numpy():
     import math
 
