@@ -862,6 +862,75 @@ def _q_source_gini(sf_dir: str):
     )
 
 
+def _q_quality_auc_by_source(sf_dir: str):
+    """Per-source exact tie-aware ROC-AUC of the quality-classifier
+    logit against the lang='en' label (stages/stats.py grouped_roc_auc)
+    — the filter-bias audit: a source where the quality gate strongly
+    separates English from non-English is a source the gate will skew.
+    Mann-Whitney 2U from ONE bounded (source x score) histogram fold,
+    Python-int driver arithmetic, integer ⌊x+½⌋ micro-quantize."""
+    from docling_api_ray.stages.stats import grouped_roc_auc
+
+    def scored(b: pa.Table) -> pa.Table:
+        lg = ta.quality_logit(ta.quality_scores(b))
+        logit = np.asarray(lg["logit"], dtype=np.float64)
+        lang = np.asarray(b["lang"])
+        return pa.table(
+            {
+                "source": b["source"],
+                "score_micro": pa.array(
+                    np.rint(logit * 1e6).astype(np.int64), type=pa.int64()
+                ),
+                "pos": pa.array(
+                    (lang == "en").astype(np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    return grouped_roc_auc(
+        _docs(sf_dir, ["doc_id", "text", "lang", "source"]).map_batches(
+            scored, batch_format="pyarrow"
+        ),
+        group_col="source",
+        score_col="score_micro",
+        pos_col="pos",
+    )
+
+
+def _q_quality_calibration(sf_dir: str):
+    """Reliability-diagram calibration of the quality-classifier
+    probability against the keep-worthy proxy label lang='en'
+    (stages/stats.py calibration_bins): fixed decile bins of the
+    micro-quantized sigmoid, per bin observed positive rate vs mean
+    predicted probability — ONE n_bins-bounded fold, int/int divisions
+    the mirror replays in order."""
+    from docling_api_ray.stages.stats import calibration_bins
+
+    def scored(b: pa.Table) -> pa.Table:
+        lg = ta.quality_logit(ta.quality_scores(b))
+        prob = np.asarray(lg["prob"], dtype=np.float64)
+        lang = np.asarray(b["lang"])
+        return pa.table(
+            {
+                "prob_micro": pa.array(
+                    np.rint(prob * 1e6).astype(np.int64), type=pa.int64()
+                ),
+                "pos": pa.array(
+                    (lang == "en").astype(np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    return calibration_bins(
+        _docs(sf_dir, ["doc_id", "text", "lang"]).map_batches(
+            scored, batch_format="pyarrow"
+        ),
+        prob_micro_col="prob_micro",
+        pos_col="pos",
+        n_bins=10,
+    )
+
+
 def _scored_source_logits(sf_dir: str) -> "ray.data.Dataset":
     """Narrow (doc_id, source, logit) projection: quality_scores +
     quality_logit fused into ONE stateless pass that carries the source
@@ -6694,6 +6763,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_neardup": _q_triangle_neardup,
         "hybrid_rrf": _q_hybrid_rrf,
         "rank_rbo": _q_rank_rbo,
+        "quality_auc_by_source": _q_quality_auc_by_source,
+        "quality_calibration": _q_quality_calibration,
         "nbayes_confusion": _q_nbayes_confusion,
         "rfm_segments": _q_rfm_segments,
         "leakage_safe_split": _q_leakage_safe_split,
@@ -10677,5 +10748,83 @@ def oracle_sql() -> dict[str, str]:
                (SELECT sum(CAST(floor(CAST(ov AS DOUBLE) / d * wt
                                       * 1000000000000.0 + 0.5) AS BIGINT))
                 FROM o) / 1000000000000.0 AS rbo
+    """
+    # shared by the two classifier-eval mirrors below: the quality_logit
+    # CTE (identical quantized features and left-to-right weights) plus
+    # the lang/source labels carried through
+    _qlogit_labeled = f"""
+        f AS (
+          SELECT doc_id, lang, source,
+                 CAST(length(regexp_extract_all(text, $${wsre}$$)) AS BIGINT)
+                   AS n_words,
+                 round(length(regexp_extract_all(text, $${punct}$$))
+                       / greatest(length(text), 1), 6) AS punct_ratio,
+                 round(length(regexp_extract_all(text, $${stop}$$))
+                       / greatest(length(regexp_extract_all(text, $${wsre}$$)), 1), 6)
+                   AS stopword_ratio,
+                 round((length(text) - (length(regexp_extract_all(text, $${wsre}$$)) - 1))
+                       / greatest(length(regexp_extract_all(text, $${wsre}$$)), 1), 6)
+                   AS mean_word_len
+          FROM documents
+        ),
+        l AS (
+          SELECT doc_id, lang, source,
+                 round(((((-0.6 + (-8.0 * punct_ratio))
+                          + (6.0 * stopword_ratio))
+                         + (-0.25 * mean_word_len))
+                        + (0.35 * ln(1.0 + n_words))) * 1000000)
+                   / 1000000.0 AS logit
+          FROM f
+        )
+    """
+    # mirrors _q_quality_auc_by_source: Mann-Whitney 2U over the
+    # per-source ascending score histogram (2U = Σ pos·(2·neg_below +
+    # neg)), integer ⌊x+½⌋ via (2a+b)//(2b), degenerate-label sources
+    # dropped by HAVING exactly as the engine skips them
+    out["quality_auc_by_source"] = f"""
+        WITH {_qlogit_labeled},
+        s AS (SELECT source,
+                     CAST(round(logit * 1000000) AS BIGINT) AS sc,
+                     CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+              FROM l),
+        h AS (SELECT source, sc, sum(pos) AS p, count(*) - sum(pos) AS g
+              FROM s GROUP BY source, sc),
+        c AS (SELECT source, sc, p, g,
+                     coalesce(sum(g) OVER (PARTITION BY source ORDER BY sc
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS gb
+              FROM h),
+        u AS (SELECT source,
+                     sum(p * (2 * gb + g)) AS u2,
+                     sum(p) AS np, sum(g) AS nn
+              FROM c GROUP BY source
+              HAVING sum(p) > 0 AND sum(g) > 0)
+        SELECT source,
+               CAST(np AS BIGINT) AS n_pos,
+               CAST(nn AS BIGINT) AS n_neg,
+               CAST((2 * u2 * 1000000 + 2 * np * nn) // (4 * np * nn)
+                    AS BIGINT) / 1000000.0 AS auc
+        FROM u ORDER BY source
+    """
+    # mirrors _q_quality_calibration: decile bins of the micro-quantized
+    # sigmoid, frac_pos one int/int division, mean_prob the same
+    # (Σ/1e6)/n two-op chain
+    out["quality_calibration"] = f"""
+        WITH {_qlogit_labeled},
+        s AS (SELECT least(CAST(round(
+                       (round((1.0 / (1.0 + exp(-logit))) * 1000000)
+                        / 1000000.0) * 1000000) AS BIGINT) * 10
+                       // 1000000, 9) AS bin,
+                     CAST(round(
+                       (round((1.0 / (1.0 + exp(-logit))) * 1000000)
+                        / 1000000.0) * 1000000) AS BIGINT) AS pm,
+                     CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+              FROM l)
+        SELECT bin,
+               count(*) AS n,
+               CAST(sum(pos) AS DOUBLE) / count(*) AS frac_pos,
+               (CAST(sum(pm) AS DOUBLE) / 1000000.0) / count(*)
+                 AS mean_prob
+        FROM s GROUP BY bin ORDER BY bin
     """
     return out

@@ -211,6 +211,8 @@ def _bench_once() -> dict:
         "feature_corr",
         "hybrid_rrf",
         "rank_rbo",
+        "quality_auc_by_source",
+        "quality_calibration",
         "source_ols",
         "nbayes_confusion",
         "source_overlap",

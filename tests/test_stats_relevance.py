@@ -773,3 +773,94 @@ def test_grouped_eta2_exact_decomposition():
     st = sum(v * v for v in vals) * 10**6 - t_all
     assert e == math.floor(sb / st * 1e6 + 0.5) / 1e6
     assert eta(groups, vals, parts=1) == (n, g, e)
+
+
+def test_grouped_roc_auc_matches_rank_reference():
+    """grouped_roc_auc must equal the midrank Mann-Whitney AUC computed
+    independently per group (scipy-free: average ranks via argsort +
+    tie-block means), including heavy ties and a degenerate all-positive
+    group that must emit NO row."""
+    import ray.data
+
+    from docling_api_ray.stages.stats import grouped_roc_auc
+
+    rng = np.random.RandomState(41)
+    groups, scores, labels = [], [], []
+    for g, n in (("a", 400), ("b", 250), ("c", 64)):
+        s = rng.randint(-50, 51, size=n)  # heavy ties on purpose
+        p = (rng.rand(n) < (0.3 + 0.4 * (s > 0))).astype(np.int64)
+        groups += [g] * n
+        scores += list(s)
+        labels += list(p)
+    # degenerate group: all positive -> no output row
+    groups += ["z"] * 10
+    scores += list(range(10))
+    labels += [1] * 10
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(groups),
+                "sc": pa.array(np.array(scores, dtype=np.int64)),
+                "pos": pa.array(np.array(labels, dtype=np.int64)),
+            }
+        )
+    ).repartition(16)
+    out = (
+        grouped_roc_auc(
+            ds, group_col="src", score_col="sc", pos_col="pos"
+        )
+        .to_pandas()
+        .sort_values("src")
+        .reset_index(drop=True)
+    )
+    assert list(out["src"]) == ["a", "b", "c"]  # "z" dropped
+
+    import pandas as pd
+
+    df = pd.DataFrame({"src": groups, "sc": scores, "pos": labels})
+    for _, row in out.iterrows():
+        sub = df[df.src == row["src"]]
+        ranks = sub["sc"].rank(method="average")
+        n_pos = int(sub.pos.sum())
+        n_neg = len(sub) - n_pos
+        u = float(ranks[sub.pos == 1].sum()) - n_pos * (n_pos + 1) / 2
+        ref = u / (n_pos * n_neg)
+        assert row["n_pos"] == n_pos and row["n_neg"] == n_neg
+        # engine is the exact integer micro-quantize of ref
+        assert abs(row["auc"] - ref) <= 5e-7, (row["src"], row["auc"], ref)
+
+
+def test_calibration_bins_matches_pandas_reference():
+    import pandas as pd
+    import ray.data
+
+    from docling_api_ray.stages.stats import calibration_bins
+
+    rng = np.random.RandomState(17)
+    n = 1000
+    pm = rng.randint(0, 1_000_001, size=n).astype(np.int64)
+    pm[:50] = 1_000_000  # exercise the top-bin clamp
+    pos = (rng.rand(n) < pm / 1e6).astype(np.int64)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "prob_micro": pa.array(pm),
+                "pos": pa.array(pos),
+            }
+        )
+    ).repartition(8)
+    out = calibration_bins(ds, n_bins=10).to_pandas()
+
+    df = pd.DataFrame({"pm": pm, "pos": pos})
+    df["bin"] = np.minimum(df.pm * 10 // 1_000_000, 9)
+    ref = (
+        df.groupby("bin")
+        .agg(n=("pm", "size"), pos=("pos", "sum"), pm_sum=("pm", "sum"))
+        .reset_index()
+    )
+    assert list(out["bin"]) == sorted(ref["bin"])
+    ref = ref.sort_values("bin").reset_index(drop=True)
+    assert list(out["n"]) == list(ref["n"])
+    assert list(out["frac_pos"]) == list(ref["pos"] / ref["n"])
+    assert list(out["mean_prob"]) == list(ref["pm_sum"] / 1e6 / ref["n"])
+    assert out["bin"].iloc[-1] == 9  # the clamp kept 1.0 inside bin 9
