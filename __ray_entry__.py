@@ -897,6 +897,55 @@ def _q_quality_auc_by_source(sf_dir: str):
     )
 
 
+_BUDGET_TOKENS = 15_000
+
+
+def _q_budget_select(sf_dir: str):
+    """Greedy quality-first data selection under a token budget
+    (stages/selection.py token_budget_select): admit whole docs in
+    (quality-logit DESC, doc_id ASC) order until the next would
+    overflow 15k tokens.  NO global sort — one bounded score-histogram
+    fold finds the boundary layer, one equality-filter pass resolves
+    its id-ordered admission; Python-int arithmetic throughout."""
+    from docling_api_ray.stages.selection import token_budget_select
+
+    def scored(b: pa.Table) -> pa.Table:
+        qs = ta.quality_scores(b)
+        lg = ta.quality_logit(qs)
+        logit = np.asarray(lg["logit"], dtype=np.float64)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "score_micro": pa.array(
+                    np.rint(logit * 1e6).astype(np.int64), type=pa.int64()
+                ),
+                "n_tokens": qs["n_words"],
+            }
+        )
+
+    scored_ds = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(scored, batch_format="pyarrow")
+        .materialize()  # token_budget_select re-scans for the tie layer
+    )
+    return token_budget_select(scored_ds, budget=_BUDGET_TOKENS)
+
+
+def _q_ks_drift_by_source(sf_dir: str):
+    """Per-source exact two-sample Kolmogorov-Smirnov drift of the
+    n_chars distribution vs the rest of the corpus (stages/stats.py
+    grouped_ks_drift) — the assumption-free distribution-shift tripwire.
+    sup-norm from ONE bounded (source x value) histogram fold; pure-int
+    numerator walk, one int/int division per source."""
+    from docling_api_ray.stages.stats import grouped_ks_drift
+
+    return grouped_ks_drift(
+        _docs(sf_dir, ["source", "n_chars"]),
+        group_col="source",
+        value_col="n_chars",
+    )
+
+
 def _q_quality_calibration(sf_dir: str):
     """Reliability-diagram calibration of the quality-classifier
     probability against the keep-worthy proxy label lang='en'
@@ -6765,6 +6814,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rank_rbo": _q_rank_rbo,
         "quality_auc_by_source": _q_quality_auc_by_source,
         "quality_calibration": _q_quality_calibration,
+        "ks_drift_by_source": _q_ks_drift_by_source,
+        "budget_select": _q_budget_select,
         "nbayes_confusion": _q_nbayes_confusion,
         "rfm_segments": _q_rfm_segments,
         "leakage_safe_split": _q_leakage_safe_split,
@@ -10826,5 +10877,87 @@ def oracle_sql() -> dict[str, str]:
                (CAST(sum(pm) AS DOUBLE) / 1000000.0) / count(*)
                  AS mean_prob
         FROM s GROUP BY bin ORDER BY bin
+    """
+    # mirrors _q_ks_drift_by_source: per-source step function carried
+    # over the FULL sorted value grid (CROSS JOIN sources × values, zero
+    # fill), sup of the integer cross-multiplied numerator, then the
+    # SAME int-product-then-convert single division as the engine
+    # (CAST(n_s * n_rest AS DOUBLE), never double-times-int)
+    out["ks_drift_by_source"] = """
+        WITH h AS (SELECT source, n_chars AS v, count(*) AS c
+                   FROM documents GROUP BY source, n_chars),
+             ns AS (SELECT source, sum(c) AS n_s FROM h GROUP BY source),
+             t AS (SELECT sum(c) AS n_tot FROM h),
+             vg AS (SELECT v, sum(c) AS c FROM h GROUP BY v),
+             gcum AS (SELECT v, sum(c) OVER (ORDER BY v) AS ct FROM vg),
+             grid AS (SELECT s.source, g.v
+                      FROM (SELECT DISTINCT source FROM h) s
+                      CROSS JOIN (SELECT v FROM vg) g),
+             j AS (SELECT grid.source, grid.v, coalesce(h.c, 0) AS c
+                   FROM grid LEFT JOIN h
+                     ON h.source = grid.source AND h.v = grid.v),
+             cum AS (SELECT source, v,
+                            sum(c) OVER (PARTITION BY source
+                                         ORDER BY v) AS cs
+                     FROM j),
+             d AS (SELECT cum.source,
+                          max(abs(cum.cs * (t.n_tot - ns.n_s)
+                                  - (gcum.ct - cum.cs) * ns.n_s)) AS num
+                   FROM cum
+                   JOIN gcum USING (v)
+                   JOIN ns ON ns.source = cum.source
+                   CROSS JOIN t
+                   WHERE t.n_tot - ns.n_s > 0
+                   GROUP BY cum.source)
+        SELECT d.source,
+               CAST(ns.n_s AS BIGINT) AS n,
+               CAST(t.n_tot - ns.n_s AS BIGINT) AS n_rest,
+               CAST(num AS DOUBLE)
+                 / CAST(ns.n_s * (t.n_tot - ns.n_s) AS DOUBLE) AS ks_d
+        FROM d JOIN ns ON ns.source = d.source CROSS JOIN t
+        ORDER BY d.source
+    """
+    # mirrors _q_budget_select: with non-negative weights the greedy
+    # whole-doc admission equals the monotone running-sum prefix
+    # cw <= budget under (score DESC, doc_id ASC)
+    out["budget_select"] = f"""
+        WITH f AS (
+          SELECT doc_id,
+                 CAST(length(regexp_extract_all(text, $${wsre}$$)) AS BIGINT)
+                   AS n_words,
+                 round(length(regexp_extract_all(text, $${punct}$$))
+                       / greatest(length(text), 1), 6) AS punct_ratio,
+                 round(length(regexp_extract_all(text, $${stop}$$))
+                       / greatest(length(regexp_extract_all(text, $${wsre}$$)), 1), 6)
+                   AS stopword_ratio,
+                 round((length(text) - (length(regexp_extract_all(text, $${wsre}$$)) - 1))
+                       / greatest(length(regexp_extract_all(text, $${wsre}$$)), 1), 6)
+                   AS mean_word_len
+          FROM documents
+        ),
+        l AS (
+          SELECT doc_id, n_words,
+                 round(((((-0.6 + (-8.0 * punct_ratio))
+                          + (6.0 * stopword_ratio))
+                         + (-0.25 * mean_word_len))
+                        + (0.35 * ln(1.0 + n_words))) * 1000000)
+                   / 1000000.0 AS logit
+          FROM f
+        ),
+        s AS (SELECT doc_id,
+                     CAST(round(logit * 1000000) AS BIGINT) AS sc,
+                     n_words AS w
+              FROM l),
+        o AS (SELECT sc, w,
+                     sum(w) OVER (ORDER BY sc DESC, doc_id ASC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS cw
+              FROM s),
+        sel AS (SELECT * FROM o WHERE cw <= {_BUDGET_TOKENS})
+        SELECT CAST({_BUDGET_TOKENS} AS BIGINT) AS budget,
+               count(*) AS n_selected,
+               CAST(coalesce(sum(w), 0) AS BIGINT) AS tokens_selected,
+               CAST(min(sc) AS BIGINT) AS threshold_micro
+        FROM sel
     """
     return out

@@ -213,6 +213,8 @@ def _bench_once() -> dict:
         "rank_rbo",
         "quality_auc_by_source",
         "quality_calibration",
+        "ks_drift_by_source",
+        "budget_select",
         "source_ols",
         "nbayes_confusion",
         "source_overlap",

@@ -50,7 +50,7 @@ import pyarrow as pa
 
 import ray.data
 
-from docling_api_ray.stages.common import two_level_fold
+from docling_api_ray.stages.common import bounded_groupby_sum, two_level_fold
 
 
 def _valid(b: pa.Table, value_col: str) -> np.ndarray:
@@ -835,3 +835,97 @@ def winsorize_column(
         )
 
     return ds.map_batches(clip, batch_format="pyarrow")
+
+
+def token_budget_select(
+    ds: ray.data.Dataset,
+    *,
+    budget: int,
+    score_col: str = "score_micro",
+    weight_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    max_hist_rows: int = 4_000_000,
+    max_tie_rows: int = 4_000_000,
+) -> pa.Table:
+    """Data selection under a TOKEN BUDGET: admit whole documents in
+    (score DESC, id ASC) order until the next doc would overflow
+    ``budget`` tokens — the greedy quality-first fill behind "train on
+    the best B tokens of this corpus" (the selection step of
+    quality-gated pretraining mixes).
+
+    Because weights are non-negative the admitted set is exactly
+    {rows with running-sum ≤ budget} under that order — the SQL
+    window mirror's WHERE cw <= B.
+
+    Scale shape: NO global sort.  (1) ONE bounded (score → Σweight,
+    count) histogram fold (value-domain-proportional, loud
+    ``max_hist_rows`` guard) finds the BOUNDARY score layer t: every
+    layer strictly above t fits entirely; layer t is the first that
+    does not.  (2) Only layer t's rows are pulled — a streaming
+    equality filter, bounded by the tie population (loud
+    ``max_tie_rows`` guard; the escape for a degenerate all-one-score
+    corpus is an id-bucketed prefix-sum over the layer) — and admitted
+    id-ascending into the remaining budget.  All arithmetic is
+    Python-int.  Output: ONE summary row (budget, n_selected,
+    tokens_selected, threshold_micro = min admitted score, NULL when
+    nothing fits)."""
+    hist = bounded_groupby_sum(
+        ds.select_columns([score_col, weight_col]),
+        [score_col],
+        sum_cols={"w": weight_col},
+        count_alias="cnt",
+    ).take_all()
+    if len(hist) > max_hist_rows:
+        raise ValueError(
+            f"token_budget_select: {len(hist):,} distinct scores > "
+            f"max_hist_rows={max_hist_rows:,} — bucket the score or "
+            "raise the guard"
+        )
+    hist.sort(key=lambda r: -int(r[score_col]))
+    budget = int(budget)
+    cum_w = 0
+    n_sel = 0
+    threshold = None
+    boundary = None  # (score, remaining_budget)
+    for r in hist:
+        w, c, sc = int(r["w"]), int(r["cnt"]), int(r[score_col])
+        if cum_w + w <= budget:
+            cum_w += w
+            n_sel += c
+            threshold = sc  # layers walk score-descending: last = min
+        else:
+            boundary = (sc, budget - cum_w)
+            break
+    if boundary is not None:
+        t, remaining = boundary
+        # no projection AFTER the filter: a fused empty-input
+        # filter→project chain re-emits the unprojected schema and
+        # trips the executor's schema-mismatch warning (see the
+        # test_no_schema_warnings sweep); the extra score column on
+        # tie rows is noise-free since the layer is already bounded
+        tie = ds.filter(expr=f"{score_col} == {t}").take_all()
+        if len(tie) > max_tie_rows:
+            raise ValueError(
+                f"token_budget_select: boundary layer {t} has "
+                f"{len(tie):,} rows > max_tie_rows={max_tie_rows:,} — "
+                "wire the id-bucketed prefix-sum escape"
+            )
+        tie.sort(key=lambda r: int(r[id_col]))
+        for r in tie:
+            w = int(r[weight_col])
+            if cum_w + w > budget:
+                # ordering is a strict prefix: the first overflow ends
+                # admission even if a later lighter doc would fit —
+                # identical to the mirror's monotone running-sum cut
+                break
+            cum_w += w
+            n_sel += 1
+            threshold = t
+    return pa.table(
+        {
+            "budget": pa.array([budget], type=pa.int64()),
+            "n_selected": pa.array([n_sel], type=pa.int64()),
+            "tokens_selected": pa.array([cum_w], type=pa.int64()),
+            "threshold_micro": pa.array([threshold], type=pa.int64()),
+        }
+    )

@@ -1387,3 +1387,93 @@ def calibration_bins(
     return hist.map_batches(
         finish, batch_format="pyarrow", batch_size=None
     )
+
+
+def grouped_ks_drift(
+    ds: ray.data.Dataset,
+    *,
+    group_col: str = "source",
+    value_col: str = "n_chars",
+    max_hist_rows: int = 4_000_000,
+) -> ray.data.Dataset:
+    """EXACT two-sample Kolmogorov-Smirnov statistic of each group's
+    value distribution against the REST of the corpus — "which source's
+    length profile drifted?", the distribution-shift tripwire run before
+    re-fitting mixture weights (KL/PSI need binning; KS is the
+    assumption-free sup-norm).
+
+    D_s = sup_v |F_s(v) − F_rest(v)| needs only the (group × value)
+    HISTOGRAM: with cum_s(v) and the global cum(v), the numerator
+    |cum_s·n_rest − (cum − cum_s)·n_s| is pure int64* walked over the
+    sorted value grid, and D is ONE int/int IEEE division per group —
+    no per-row ranks, no global sort, value-domain-proportional driver
+    work behind a loud ``max_hist_rows`` guard.  (*numerator ≤ n_s·n_rest
+    ≤ n²/4: Python-int driver arithmetic, no silent overflow.)
+    Output: (group, n, n_rest, ks_d), groups with an empty complement
+    (the only group) emit no row, matching the mirror's HAVING."""
+    hist = bounded_groupby_sum(
+        ds.select_columns([group_col, value_col]),
+        [group_col, value_col],
+        count_alias="cnt",
+    )
+
+    def extract(df: pd.DataFrame) -> pa.Table:
+        schema = pa.schema(
+            [
+                (group_col, pa.string()),
+                ("n", pa.int64()),
+                ("n_rest", pa.int64()),
+                ("ks_d", pa.float64()),
+            ]
+        )
+        if len(df) > max_hist_rows:
+            raise ValueError(
+                f"grouped_ks_drift: {len(df):,} (group, value) histogram "
+                f"rows > max_hist_rows={max_hist_rows:,} — bucket the "
+                "value or raise the guard"
+            )
+        if len(df) == 0:
+            return schema.empty_table()
+        # global cumulative over the sorted value grid
+        gv = df.groupby(value_col, sort=True)["cnt"].sum()
+        grid = gv.index.to_numpy()
+        gcum = gv.cumsum().to_numpy(dtype=object)
+        n_tot = int(gcum[-1])
+        rows = []
+        for g, sub in df.groupby(group_col, sort=False):
+            sub = sub.sort_values(value_col, kind="stable")
+            n_s = int(sub["cnt"].sum())
+            n_rest = n_tot - n_s
+            if n_rest == 0:
+                continue  # no complement: D undefined, mirror drops too
+            # cum_s aligned to the full grid (step function carried
+            # forward between this group's own value points)
+            pos = np.searchsorted(grid, sub[value_col].to_numpy())
+            cs = np.zeros(len(grid), dtype=object)
+            cs[pos] = sub["cnt"].to_numpy(dtype=object)
+            num = 0
+            run = 0
+            for i in range(len(grid)):
+                run += int(cs[i])
+                cand = abs(run * n_rest - (int(gcum[i]) - run) * n_s)
+                if cand > num:
+                    num = cand
+            rows.append(
+                {
+                    group_col: g,
+                    "n": n_s,
+                    "n_rest": n_rest,
+                    "ks_d": float(num) / float(n_s * n_rest),
+                }
+            )
+        if not rows:
+            return schema.empty_table()
+        return pa.Table.from_pandas(
+            pd.DataFrame(rows), schema=schema, preserve_index=False
+        )
+
+    return hist.map_batches(
+        lambda b: extract(b.to_pandas()),
+        batch_format="pyarrow",
+        batch_size=None,
+    )

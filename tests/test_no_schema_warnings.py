@@ -34,6 +34,7 @@ SWEEP = [
     "decontaminate",            # 1-in-50 filter → shingle chain
     "dedup_minhash",            # banded LSH co-group union
     "append_dedup_exact",       # incremental union path (r3 pin)
+    "budget_select",            # boundary-layer equality filter (r5)
 ]
 
 

@@ -356,3 +356,62 @@ def test_winsorize_column_matches_numpy_and_handles_empty():
     )
     res = winsorize_column(empty, value_col="v")
     assert res.count() == 0
+
+
+def test_token_budget_select_boundary_semantics():
+    """Hand-checkable admission: whole layers above the boundary score,
+    id-ascending prefix inside it, first overflow ends admission; the
+    degenerate budgets (0 and >= total) hit both edges."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from docling_api_ray.stages.selection import token_budget_select
+
+    # scores: layer 300 (docs 1,2 w 40+40), layer 200 (docs 3,4,5
+    # w 30+50+10), layer 100 (doc 6 w 5)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5, 6], type=pa.int64()),
+            "score_micro": pa.array(
+                [300, 300, 200, 200, 200, 100], type=pa.int64()
+            ),
+            "n_tokens": pa.array([40, 40, 30, 50, 10, 5], type=pa.int64()),
+        }
+    )
+    mk = lambda: ray.data.from_arrow(tbl).repartition(3).materialize()
+
+    # budget 120: layer 300 fits (80); layer 200 (90 total) does not ->
+    # tie admission by id: doc 3 (30, cum 110), doc 4 (50 -> overflow,
+    # STOP — doc 5 (10) would fit but the prefix rule excludes it)
+    out = token_budget_select(mk(), budget=120).to_pydict()
+    assert out == {
+        "budget": [120],
+        "n_selected": [3],
+        "tokens_selected": [110],
+        "threshold_micro": [200],
+    }
+
+    # budget >= total: everything, threshold = min score
+    out = token_budget_select(mk(), budget=1_000).to_pydict()
+    assert out == {
+        "budget": [1000],
+        "n_selected": [6],
+        "tokens_selected": [175],
+        "threshold_micro": [100],
+    }
+
+    # budget 0: nothing fits, threshold NULL
+    out = token_budget_select(mk(), budget=0).to_pydict()
+    assert out == {
+        "budget": [0],
+        "n_selected": [0],
+        "tokens_selected": [0],
+        "threshold_micro": [None],
+    }
+
+    # exact-fit boundary: budget 90 admits layer 300 (80) then doc 3
+    # exactly to 110 > 90? no: 80 + 30 = 110 > 90 -> only layer 300
+    out = token_budget_select(mk(), budget=90).to_pydict()
+    assert out["n_selected"] == [2] and out["tokens_selected"] == [80]
+    assert out["threshold_micro"] == [300]

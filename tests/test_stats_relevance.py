@@ -864,3 +864,57 @@ def test_calibration_bins_matches_pandas_reference():
     assert list(out["frac_pos"]) == list(ref["pos"] / ref["n"])
     assert list(out["mean_prob"]) == list(ref["pm_sum"] / 1e6 / ref["n"])
     assert out["bin"].iloc[-1] == 9  # the clamp kept 1.0 inside bin 9
+
+
+def test_grouped_ks_drift_matches_ecdf_reference():
+    """grouped_ks_drift must equal the brute-force two-sample KS
+    statistic (sup over the merged value grid of |F_s - F_rest|) for
+    every group, and a corpus with ONE group must emit no row."""
+    import pandas as pd
+    import ray.data
+
+    from docling_api_ray.stages.stats import grouped_ks_drift
+
+    rng = np.random.RandomState(23)
+    groups, vals = [], []
+    for g, (lo, hi, n) in {
+        "a": (0, 100, 300),     # uniform-ish
+        "b": (40, 60, 200),     # concentrated: big drift vs rest
+        "c": (0, 100, 500),
+    }.items():
+        groups += [g] * n
+        vals += list(rng.randint(lo, hi, size=n))
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(groups),
+                "v": pa.array(np.array(vals, dtype=np.int64)),
+            }
+        )
+    ).repartition(16)
+    out = (
+        grouped_ks_drift(ds, group_col="src", value_col="v")
+        .to_pandas()
+        .sort_values("src")
+        .reset_index(drop=True)
+    )
+    df = pd.DataFrame({"src": groups, "v": vals})
+    grid = np.sort(df.v.unique())
+    for _, row in out.iterrows():
+        s = df[df.src == row["src"]].v.to_numpy()
+        r = df[df.src != row["src"]].v.to_numpy()
+        fs = np.searchsorted(np.sort(s), grid, side="right") / len(s)
+        fr = np.searchsorted(np.sort(r), grid, side="right") / len(r)
+        ref = float(np.max(np.abs(fs - fr)))
+        assert row["n"] == len(s) and row["n_rest"] == len(r)
+        assert abs(row["ks_d"] - ref) < 1e-12, (row["src"], row["ks_d"], ref)
+    # group b must be the drifted one
+    assert out.loc[out.ks_d.idxmax(), "src"] == "b"
+
+    # single-group corpus: no complement -> empty output, stable schema
+    one = ray.data.from_arrow(
+        pa.table({"src": ["a", "a"], "v": pa.array([1, 2], type=pa.int64())})
+    )
+    empty = grouped_ks_drift(one, group_col="src", value_col="v")
+    assert empty.count() == 0
+    assert empty.schema().names == ["src", "n", "n_rest", "ks_d"]
