@@ -897,6 +897,19 @@ def _q_quality_auc_by_source(sf_dir: str):
     )
 
 
+def _q_lsh_eval(sf_dir: str):
+    """Precision/recall of the MinHash-LSH candidate tier against the
+    exact word-set-Jaccard ground truth at the same threshold
+    (stages/dedup.py lsh_pair_eval) — the sketch-acceptance gate run
+    before trusting banding parameters at scale.  One semi hash-join on
+    the packed pair key; both pair sets are existing engine paths."""
+    from docling_api_ray.stages.dedup import lsh_pair_eval
+
+    return lsh_pair_eval(
+        _docs(sf_dir, ["doc_id", "text"]), threshold=0.7
+    )
+
+
 _BUDGET_TOKENS = 15_000
 
 
@@ -6816,6 +6829,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_calibration": _q_quality_calibration,
         "ks_drift_by_source": _q_ks_drift_by_source,
         "budget_select": _q_budget_select,
+        "lsh_eval": _q_lsh_eval,
         "nbayes_confusion": _q_nbayes_confusion,
         "rfm_segments": _q_rfm_segments,
         "leakage_safe_split": _q_leakage_safe_split,
@@ -10959,5 +10973,40 @@ def oracle_sql() -> dict[str, str]:
                CAST(coalesce(sum(w), 0) AS BIGINT) AS tokens_selected,
                CAST(min(sc) AS BIGINT) AS threshold_micro
         FROM sel
+    """
+    # mirrors _q_lsh_eval: the minhash candidate CTE chain (cand) at
+    # est >= 0.7 intersected with the exact truth over the SAME 3-word
+    # shingle basis the signatures estimate (distinct shingle-hash sets
+    # from the shared shingle CTE); precision/recall are single int/int
+    # divisions with NULLIF on empty denominators, matching the
+    # engine's None
+    out["lsh_eval"] = f"""
+        WITH {_minhash_ctes(64, 16)},
+        cf AS (SELECT left_id, right_id FROM cand
+               WHERE est_jaccard >= 0.7),
+        shd AS (SELECT DISTINCT doc_id, unnest(sh) AS h FROM sh),
+        shc AS (SELECT doc_id, count(*) AS lw FROM shd GROUP BY doc_id),
+        si AS (SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+                      count(*) AS i
+               FROM shd a JOIN shd b
+                 ON a.h = b.h AND a.doc_id < b.doc_id
+               GROUP BY a.doc_id, b.doc_id),
+        tt AS (SELECT left_id, right_id FROM si
+               JOIN shc ca ON ca.doc_id = si.left_id
+               JOIN shc cb ON cb.doc_id = si.right_id
+               WHERE CAST(i AS DOUBLE) / (ca.lw + cb.lw - i) >= 0.7),
+        m AS (SELECT (SELECT count(*) FROM cf) AS n_candidates,
+                     (SELECT count(*) FROM tt) AS n_true,
+                     (SELECT count(*) FROM cf
+                      JOIN tt ON cf.left_id = tt.left_id
+                             AND cf.right_id = tt.right_id) AS n_hit)
+        SELECT CAST(0.7 AS DOUBLE) AS threshold,
+               CAST(n_candidates AS BIGINT) AS n_candidates,
+               CAST(n_true AS BIGINT) AS n_true,
+               CAST(n_hit AS BIGINT) AS n_hit,
+               CAST(n_hit AS DOUBLE) / NULLIF(n_candidates, 0)
+                 AS precision,
+               CAST(n_hit AS DOUBLE) / NULLIF(n_true, 0) AS recall
+        FROM m
     """
     return out

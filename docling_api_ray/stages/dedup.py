@@ -1256,11 +1256,44 @@ def _pf_distinct_tokens(b: pa.Table):
     return ids, dio, ho, lw
 
 
+def _pf_distinct_shingles(b: pa.Table):
+    """Batch → per-doc DISTINCT 3-word-shingle-hash arrays — the same
+    contract as ``_pf_distinct_tokens`` but over the MinHash tier's
+    shingle basis (functions/hashing.py shingle_hashes), so the exact
+    prefix-filter join can serve as ground truth FOR the sketch."""
+    ids = np.asarray(b["doc_id"], dtype=np.int64)
+    texts = [x if x is not None else "" for x in b["text"].to_pylist()]
+    wh, off = batch_word_hashes(texts)
+    per_doc = [
+        shingle_hashes(wh[off[i] : off[i + 1]]) for i in range(len(texts))
+    ]
+    lens = np.fromiter(
+        (len(s) for s in per_doc), dtype=np.int64, count=len(per_doc)
+    )
+    sh = (
+        np.concatenate(per_doc)
+        if len(per_doc)
+        else np.array([], dtype=np.uint64)
+    )
+    di = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
+    order = np.lexsort((sh, di))
+    dio, ho = di[order], sh[order]
+    keep = np.ones(len(ho), dtype=bool)
+    keep[1:] = (dio[1:] != dio[:-1]) | (ho[1:] != ho[:-1])
+    dio, ho = dio[keep], ho[keep]
+    lw = np.bincount(dio, minlength=len(texts)).astype(np.int64)
+    return ids, dio, ho, lw
+
+
+_PF_BASES = {"word": _pf_distinct_tokens, "shingle3": _pf_distinct_shingles}
+
+
 def prefix_filter_pairs(
     ds: ray.data.Dataset,
     *,
     threshold: float = 0.8,
     top_f: int = 2048,
+    basis: str = "word",
 ) -> ray.data.Dataset:
     """EXACT global word-set Jaccard self-join via prefix filtering —
     the AllPairs / PPJoin candidate-generation family (Bayardo et al.,
@@ -1312,10 +1345,11 @@ def prefix_filter_pairs(
     from docling_api_ray.stages.joins import hash_join
 
     alpha_of = _pf_required_overlap(threshold)
+    extract = _PF_BASES[basis]
 
     # ---- stage 1: token df partials → bounded top-F head ----
     def df_partials(b: pa.Table) -> pa.Table:
-        _, _, ho, _ = _pf_distinct_tokens(b)
+        _, _, ho, _ = extract(b)
         u, c = np.unique(ho, return_counts=True)
         return pa.table(
             {
@@ -1362,7 +1396,7 @@ def prefix_filter_pairs(
 
     # ---- stage 2: banded-order prefix emission ----
     def prefix_rows(b: pa.Table) -> pa.Table:
-        ids, dio, ho, lw = _pf_distinct_tokens(b)
+        ids, dio, ho, lw = extract(b)
         toph, topn = ray.get(top_ref)  # zero-copy plasma view
         pos = np.searchsorted(toph, ho)
         pos_c = np.minimum(pos, max(len(toph) - 1, 0))
@@ -1450,7 +1484,7 @@ def prefix_filter_pairs(
         # variable-shaped tensor extension (struct<data, shape>) that
         # cannot cast back to list — bytes survive both directions
         def fn(b: pa.Table) -> pa.Table:
-            ids, dio, ho, lw = _pf_distinct_tokens(b)
+            ids, dio, ho, lw = extract(b)
             offs = np.zeros(len(lw) + 1, dtype=np.int64)
             np.cumsum(lw, out=offs[1:])
             hv = ho.view(np.int64)
@@ -2510,3 +2544,72 @@ def source_unique_share(
         )
 
     return folded.map_batches(share, batch_format="pyarrow")
+
+
+def lsh_pair_eval(
+    ds: ray.data.Dataset,
+    *,
+    threshold: float = 0.7,
+    num_perm: int = 64,
+    bands: int = 16,
+) -> pa.Table:
+    """Precision/recall of the MinHash-LSH candidate pairs against the
+    EXACT word-set-Jaccard ground truth at the same threshold — "can we
+    trust the sketch tier before turning off the exact tier?", the
+    acceptance gate run on a sample shard before a 100 TB near-dup pass
+    commits to banding parameters.
+
+    Both sides are existing engine paths: ``minhash_lsh_pairs`` and
+    ``prefix_filter_pairs(basis="shingle3")`` — the SAME 3-word-shingle
+    set the signatures estimate, so precision/recall measure the sketch
+    (banding misses + estimation error), never a tokenization mismatch.
+    The intersection is ONE semi hash-join on
+    the packed (left<<31 | right) int64 pair key — each side deduped by
+    construction, so |hits| = matched keys.  The two pair sets
+    materialize once (narrow single-int64 tables) because each is
+    consumed twice (count + join).  precision = hit/cand and
+    recall = hit/true are SINGLE int/int IEEE divisions (NULL when the
+    denominator is empty, matching the mirror's NULLIF).  Output: one
+    row (threshold, n_candidates, n_true, n_hit, precision, recall)."""
+    from docling_api_ray.stages.joins import hash_join
+
+    cand = minhash_lsh_pairs(
+        ds, num_perm=num_perm, bands=bands, threshold=threshold
+    )
+    truth = prefix_filter_pairs(ds, threshold=threshold, basis="shingle3")
+
+    key_schema = pa.schema([("pair_key", pa.int64())])
+
+    def pack(b: pa.Table) -> pa.Table:
+        left = np.asarray(b["left_id"], dtype=np.int64)
+        right = np.asarray(b["right_id"], dtype=np.int64)
+        if len(left) and (left.max() >= 1 << 31 or right.max() >= 1 << 31):
+            raise ValueError(
+                "lsh_pair_eval: doc ids >= 2^31 overflow the packed "
+                "pair key — widen to a two-column join"
+            )
+        return pa.table(
+            {"pair_key": pa.array(left * (1 << 31) + right, type=pa.int64())}
+        )
+
+    ck = cand.map_batches(pack, batch_format="pyarrow").materialize()
+    tk = truth.map_batches(pack, batch_format="pyarrow").materialize()
+    n_cand = ck.count()
+    n_true = tk.count()
+    n_hit = hash_join(
+        ck, tk, on="pair_key", how="semi", schemas=(key_schema, key_schema)
+    ).count()
+    return pa.table(
+        {
+            "threshold": pa.array([float(threshold)], type=pa.float64()),
+            "n_candidates": pa.array([n_cand], type=pa.int64()),
+            "n_true": pa.array([n_true], type=pa.int64()),
+            "n_hit": pa.array([n_hit], type=pa.int64()),
+            "precision": pa.array(
+                [n_hit / n_cand if n_cand else None], type=pa.float64()
+            ),
+            "recall": pa.array(
+                [n_hit / n_true if n_true else None], type=pa.float64()
+            ),
+        }
+    )

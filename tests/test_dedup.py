@@ -832,3 +832,116 @@ def test_source_unique_share_counts():
         assert out["a"][:2] == (2, 3), parts
         assert out["a"][2] == math.floor(2 / 3 * 1e6 + 0.5) / 1e6
         assert out["b"] == (1, 2, 0.5), parts
+
+
+def test_prefix_filter_shingle_basis_matches_bruteforce():
+    """basis='shingle3' must produce exactly the brute-force pairs with
+    distinct-3-shingle-set Jaccard >= t — the ground-truth tier for the
+    MinHash eval must itself be exact on the sketch's own basis."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from docling_api_ray.functions.hashing import (
+        batch_word_hashes,
+        shingle_hashes,
+    )
+    from docling_api_ray.stages.dedup import prefix_filter_pairs
+
+    rng = np.random.RandomState(31)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = []
+    base = [vocab[i] for i in rng.randint(0, 40, size=30)]
+    for i in range(60):
+        words = list(base)
+        # perturb a random suffix so shingle overlap varies smoothly
+        k = int(rng.randint(0, 12))
+        for j in range(k):
+            words[-(j + 1)] = vocab[int(rng.randint(0, 40))]
+        texts.append(" ".join(words))
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(60, dtype=np.int64)),
+                "text": pa.array(texts),
+            }
+        )
+    ).repartition(8)
+    t = 0.7
+    got = {
+        (r["left_id"], r["right_id"]): r["jaccard"]
+        for r in prefix_filter_pairs(ds, threshold=t, basis="shingle3")
+        .take_all()
+    }
+
+    wh, off = batch_word_hashes(texts)
+    sets = [
+        set(shingle_hashes(wh[off[i] : off[i + 1]]).tolist())
+        for i in range(len(texts))
+    ]
+    want = {}
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            inter = len(sets[i] & sets[j])
+            union = len(sets[i] | sets[j])
+            jac = inter / union if union else 0.0
+            if jac >= t:
+                want[(i, j)] = round(jac, 6)
+    assert got == want
+    assert len(want) > 0  # corpus must actually produce pairs
+
+
+def test_lsh_pair_eval_consistency():
+    """lsh_pair_eval's counters must equal the set arithmetic over its
+    own two tiers' outputs, on a borderline corpus where the sketch is
+    imperfect (est error straddles the threshold)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from docling_api_ray.stages.dedup import (
+        lsh_pair_eval,
+        minhash_lsh_pairs,
+        prefix_filter_pairs,
+    )
+
+    rng = np.random.RandomState(37)
+    vocab = [f"w{i}" for i in range(50)]
+    base = [vocab[i] for i in rng.randint(0, 50, size=40)]
+    texts = []
+    for i in range(80):
+        words = list(base)
+        k = int(rng.randint(4, 14))  # jaccard hovers around the threshold
+        for j in range(k):
+            words[-(j + 1)] = vocab[int(rng.randint(0, 50))]
+        texts.append(" ".join(words))
+    mk = lambda: ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(80, dtype=np.int64)),
+                "text": pa.array(texts),
+            }
+        )
+    ).repartition(8)
+    t = 0.7
+    out = lsh_pair_eval(mk(), threshold=t).to_pydict()
+    cand = {
+        (r["left_id"], r["right_id"])
+        for r in minhash_lsh_pairs(mk(), threshold=t).take_all()
+    }
+    truth = {
+        (r["left_id"], r["right_id"])
+        for r in prefix_filter_pairs(
+            mk(), threshold=t, basis="shingle3"
+        ).take_all()
+    }
+    assert out["n_candidates"] == [len(cand)]
+    assert out["n_true"] == [len(truth)]
+    assert out["n_hit"] == [len(cand & truth)]
+    if cand:
+        assert out["precision"] == [len(cand & truth) / len(cand)]
+    if truth:
+        assert out["recall"] == [len(cand & truth) / len(truth)]
+    # the borderline corpus must exercise disagreement in at least one
+    # direction, or the eval test is vacuous
+    assert cand != truth
