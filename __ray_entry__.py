@@ -897,6 +897,22 @@ def _q_quality_auc_by_source(sf_dir: str):
     )
 
 
+_DEBOUNCE_US = 100_000_000_000
+
+
+def _q_event_debounce(sf_dir: str):
+    """Per-type telemetry debounce audit (stages/windows.py
+    event_debounce): events kept iff first in their (user, type)
+    stream or ≥ the window after the previous one — LAG-window exact,
+    one user-hash exchange, bounded per-type summary."""
+    from docling_api_ray.stages.windows import event_debounce
+
+    return event_debounce(
+        _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"]),
+        window_us=_DEBOUNCE_US,
+    )
+
+
 def _q_lsh_eval(sf_dir: str):
     """Precision/recall of the MinHash-LSH candidate tier against the
     exact word-set-Jaccard ground truth at the same threshold
@@ -6830,6 +6846,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ks_drift_by_source": _q_ks_drift_by_source,
         "budget_select": _q_budget_select,
         "lsh_eval": _q_lsh_eval,
+        "event_debounce": _q_event_debounce,
         "nbayes_confusion": _q_nbayes_confusion,
         "rfm_segments": _q_rfm_segments,
         "leakage_safe_split": _q_leakage_safe_split,
@@ -11008,5 +11025,26 @@ def oracle_sql() -> dict[str, str]:
                  AS precision,
                CAST(n_hit AS DOUBLE) / NULLIF(n_true, 0) AS recall
         FROM m
+    """
+    # mirrors _q_event_debounce: the LAG-window keep rule per
+    # (user, type) stream with the engine's (ts, event_id) tie order;
+    # kept_ratio is one int/int division
+    out["event_debounce"] = f"""
+        WITH g AS (SELECT event_type,
+                          epoch_us(ts) AS tu,
+                          lag(epoch_us(ts)) OVER (
+                            PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS prev
+                   FROM events)
+        SELECT event_type,
+               count(*) AS n_total,
+               CAST(sum(CASE WHEN prev IS NULL
+                             OR tu - prev >= {_DEBOUNCE_US}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(sum(CASE WHEN prev IS NULL
+                             OR tu - prev >= {_DEBOUNCE_US}
+                             THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+                 AS kept_ratio
+        FROM g GROUP BY event_type ORDER BY event_type
     """
     return out

@@ -244,6 +244,8 @@ def _bench_once() -> dict:
         "lang_source_mi",
         "stratified_kfold",
         "source_gini",
+        "event_debounce",
+        "lsh_eval",
     ]
     # INTERLEAVED repetitions + medians (VERDICT r2 #1): this container's
     # co-tenant jitter is ±30-50% and can hold a multi-second plateau —

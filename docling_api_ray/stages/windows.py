@@ -1399,3 +1399,110 @@ def user_event_diversity(
         .groupby("__part")
         .map_groups(guard_fold(fold), batch_format="pandas")
     )
+
+
+def event_debounce(
+    ds: ray.data.Dataset,
+    *,
+    window_us: int,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> ray.data.Dataset:
+    """Telemetry debounce audit: within each (user, event_type) stream
+    ordered by (ts, id), an event is KEPT iff it is the stream's first
+    or its gap from the immediately PREVIOUS event is ≥ ``window_us``
+    — the LAG-window debounce (SQL-exact; the keep-anchored variant
+    that measures from the last KEPT event is sequential per stream
+    and intentionally not this operator).  The readout is the bounded
+    per-type summary (n_total, n_kept, kept_ratio): "how much of this
+    event type is double-fire noise?".
+
+    Scale shape: ONE user-hash exchange of the minimal (user, type,
+    ts, id) payload; inside each partition every user's streams are
+    whole, so one pandas sort + groupby-shift computes every gap
+    vectorized (skew-guarded like the other per-user folds).  The
+    per-partition output is already the ≤|types|-row partial count
+    table; a ``bounded_groupby_sum`` fold and one int/int division
+    finish it.  Output: (event_type, n_total, n_kept, kept_ratio),
+    types ascending."""
+    from docling_api_ray.stages.common import (
+        bounded_groupby_sum,
+        shuffle_partitions,
+    )
+
+    P = shuffle_partitions()
+    w = int(window_us)
+
+    def add_part(b: pa.Table) -> pa.Table:
+        part = pc.subtract(
+            b[user_col], pc.multiply(pc.divide(b[user_col], P), P)
+        )
+        return b.append_column("__part", pc.cast(part, pa.int64()))
+
+    def per_partition(g: pd.DataFrame) -> pa.Table:
+        g = g.copy()
+        g["ts_us"] = g[ts_col].astype("int64")
+        g = g.sort_values(
+            [user_col, type_col, "ts_us", id_col], kind="stable"
+        )
+        prev = g.groupby([user_col, type_col], sort=False)["ts_us"].shift(1)
+        keep = prev.isna() | ((g["ts_us"] - prev) >= w)
+        agg = (
+            g.assign(__keep=keep.astype("int64"))
+            .groupby(type_col, sort=False)
+            .agg(n_total=(type_col, "size"), n_kept=("__keep", "sum"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False).cast(
+            pa.schema(
+                [
+                    (type_col, pa.string()),
+                    ("n_total", pa.int64()),
+                    ("n_kept", pa.int64()),
+                ]
+            )
+        )
+
+    partials = (
+        coalesce_narrow(
+            ds.select_columns([user_col, type_col, ts_col, id_col])
+            .map_batches(add_part, batch_format="pyarrow")
+        )
+        .groupby("__part")
+        .map_groups(guard_fold(per_partition), batch_format="pandas")
+    )
+    totals = bounded_groupby_sum(
+        partials,
+        [type_col],
+        sum_cols={"n_total": "n_total", "n_kept": "n_kept"},
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [
+                (type_col, pa.string()),
+                ("n_total", pa.int64()),
+                ("n_kept", pa.int64()),
+                ("kept_ratio", pa.float64()),
+            ]
+        )
+        if len(b) == 0:
+            return schema.empty_table()
+        t = np.asarray(b["n_total"], dtype=np.int64)
+        k = np.asarray(b["n_kept"], dtype=np.int64)
+        types = np.asarray(b[type_col])
+        order = np.argsort(types)
+        return pa.table(
+            {
+                type_col: pa.array(types[order]),
+                "n_total": pa.array(t[order], type=pa.int64()),
+                "n_kept": pa.array(k[order], type=pa.int64()),
+                "kept_ratio": pa.array(k[order] / t[order], type=pa.float64()),
+            }
+        )
+
+    return totals.map_batches(
+        finish, batch_format="pyarrow", batch_size=None
+    )

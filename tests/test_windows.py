@@ -630,3 +630,55 @@ def test_dedup_cogroup_guard_reports_hot_key(monkeypatch):
     monkeypatch.setattr(common, "MAX_COGROUP_ROWS", 4)
     with pytest.raises(Exception, match="co-group partition holds"):
         exact_dedup(docs).take_all()
+
+
+def test_event_debounce_boundary_and_stream_isolation():
+    """Hand-built streams: the exact-boundary gap (== window) is KEPT,
+    one tick under is dropped; streams are isolated per (user, type);
+    ties order by (ts, event_id)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from docling_api_ray.stages.windows import event_debounce
+
+    W = 1_000_000  # 1s window
+    base = pd.Timestamp("2025-01-01")
+    us = lambda n: base + pd.Timedelta(microseconds=n)
+    rows = [
+        # user 1, click: kept(first), dropped(+W-1), kept(+W exactly)
+        (1, 1, "click", us(0)),
+        (2, 1, "click", us(W - 1)),
+        (3, 1, "click", us(W - 1 + W)),
+        # user 1, view: its own stream — first is kept even at ts 0
+        (4, 1, "view", us(0)),
+        # user 2, click: independent of user 1's stream
+        (5, 2, "click", us(1)),
+        # same-ts tie: event_id orders them; second is 0 < W -> dropped
+        (6, 3, "view", us(10)),
+        (7, 3, "view", us(10)),
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                "user_id": pa.array([r[1] for r in rows], type=pa.int64()),
+                "event_type": pa.array([r[2] for r in rows]),
+                "ts": pa.array(
+                    [r[3].to_pydatetime() for r in rows],
+                    type=pa.timestamp("us"),
+                ),
+            }
+        )
+    ).repartition(4)
+    out = event_debounce(ds, window_us=W).to_pandas()
+    got = {
+        r["event_type"]: (r["n_total"], r["n_kept"], r["kept_ratio"])
+        for _, r in out.iterrows()
+    }
+    # click: e1 kept, e2 dropped (W-1 < W), e3 kept (gap == W), e5 kept
+    assert got["click"] == (4, 3, 0.75)
+    # view: e4 kept; e6 kept (first), e7 dropped (same-ts tie, gap 0)
+    assert got["view"] == (3, 2, 2 / 3)
+    assert list(out["event_type"]) == ["click", "view"]  # ascending
