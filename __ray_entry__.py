@@ -897,6 +897,36 @@ def _q_quality_auc_by_source(sf_dir: str):
     )
 
 
+def _q_psi_by_source(sf_dir: str):
+    """Per-source Population Stability Index of the quality-classifier
+    probability vs the rest of the corpus (stages/stats.py grouped_psi)
+    — the fixed-bin model-monitoring drift metric next to the KS
+    sup-norm.  One bounded (source x bin) fold; nano-quantized
+    order-free term sums; Laplace +1 both sides."""
+    from docling_api_ray.stages.stats import grouped_psi
+
+    def scored(b: pa.Table) -> pa.Table:
+        lg = ta.quality_logit(ta.quality_scores(b))
+        prob = np.asarray(lg["prob"], dtype=np.float64)
+        return pa.table(
+            {
+                "source": b["source"],
+                "prob_micro": pa.array(
+                    np.rint(prob * 1e6).astype(np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    return grouped_psi(
+        _docs(sf_dir, ["doc_id", "text", "source"]).map_batches(
+            scored, batch_format="pyarrow"
+        ),
+        group_col="source",
+        prob_micro_col="prob_micro",
+        n_bins=10,
+    )
+
+
 _DEBOUNCE_US = 100_000_000_000
 
 
@@ -6847,6 +6877,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "budget_select": _q_budget_select,
         "lsh_eval": _q_lsh_eval,
         "event_debounce": _q_event_debounce,
+        "psi_by_source": _q_psi_by_source,
         "nbayes_confusion": _q_nbayes_confusion,
         "rfm_segments": _q_rfm_segments,
         "leakage_safe_split": _q_leakage_safe_split,
@@ -11046,5 +11077,49 @@ def oracle_sql() -> dict[str, str]:
                              THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
                  AS kept_ratio
         FROM g GROUP BY event_type ORDER BY event_type
+    """
+    # mirrors _q_psi_by_source: fixed decile bins of the quantized
+    # sigmoid, full (source x bin) zero-filled grid, Laplace +1 on both
+    # sides, each term nano-quantized before the order-free sum; the
+    # float chain (c+1)/(n+10.0), (p-q)*ln(p/q) is replayed
+    # operand-for-operand
+    out["psi_by_source"] = f"""
+        WITH {_qlogit_labeled},
+        s AS (SELECT source,
+                     least(CAST(round(
+                       (round((1.0 / (1.0 + exp(-logit))) * 1000000)
+                        / 1000000.0) * 1000000) AS BIGINT) * 10
+                       // 1000000, 9) AS bin
+              FROM l),
+        h AS (SELECT source, bin, count(*) AS c FROM s
+              GROUP BY source, bin),
+        grid AS (SELECT src.source, b.bin
+                 FROM (SELECT DISTINCT source FROM s) src
+                 CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS bin) b),
+        j AS (SELECT grid.source, grid.bin, coalesce(h.c, 0) AS c
+              FROM grid LEFT JOIN h
+                ON h.source = grid.source AND h.bin = grid.bin),
+        ns AS (SELECT source, sum(c) AS n_s FROM j GROUP BY source),
+        gb AS (SELECT bin, sum(c) AS cb FROM j GROUP BY bin),
+        t AS (SELECT sum(c) AS n_tot FROM j),
+        pq AS (SELECT j.source,
+                      (j.c + 1) / (ns.n_s + 10.0) AS p,
+                      (gb.cb - j.c + 1)
+                        / (t.n_tot - ns.n_s + 10.0) AS q,
+                      ns.n_s AS n_s,
+                      t.n_tot - ns.n_s AS n_rest
+               FROM j JOIN ns ON ns.source = j.source
+               JOIN gb ON gb.bin = j.bin CROSS JOIN t
+               WHERE t.n_tot - ns.n_s > 0),
+        terms AS (SELECT source, n_s, n_rest,
+                         CAST(round((p - q) * ln(p / q)
+                                    * 1000000000.0) AS BIGINT) AS nano
+                  FROM pq)
+        SELECT source,
+               CAST(max(n_s) AS BIGINT) AS n,
+               CAST(max(n_rest) AS BIGINT) AS n_rest,
+               CAST(sum(nano) AS BIGINT) AS s_nano,
+               CAST(sum(nano) AS BIGINT) / 1000000000.0 AS psi
+        FROM terms GROUP BY source ORDER BY source
     """
     return out

@@ -1477,3 +1477,97 @@ def grouped_ks_drift(
         batch_format="pyarrow",
         batch_size=None,
     )
+
+
+def grouped_psi(
+    ds: ray.data.Dataset,
+    *,
+    group_col: str = "source",
+    prob_micro_col: str = "prob_micro",
+    n_bins: int = 10,
+) -> ray.data.Dataset:
+    """Population Stability Index of a micro-quantized probability
+    score per group vs the REST of the corpus — the standard model-
+    monitoring drift metric (PSI = Σ_b (p_b − q_b)·ln(p_b/q_b) over
+    fixed score bins), next to ``grouped_ks_drift``'s assumption-free
+    sup-norm: PSI weights WHERE the mass moved, KS only how far the
+    CDFs diverge.
+
+    Fixed bins (min(⌊p·n_bins⌋, n_bins−1)) and +1 Laplace smoothing on
+    both sides keep every term finite and deterministic.  Scale shape:
+    ONE ``bounded_groupby_sum`` over the (group × bin) domain, then an
+    O(|groups|·n_bins) driver fold.  Exactness: each bin's term is
+    nano-quantized (rint(term·1e9), int64) BEFORE the order-free sum —
+    the kl_by_group discipline — and the float chain
+    (c+1)/(n+B) is replayed operand-for-operand by the SQL mirror.
+    Groups with an empty complement emit no row.  Output:
+    (group, n, n_rest, s_nano, psi = s_nano/1e9)."""
+    nb = int(n_bins)
+
+    def assign(b: pa.Table) -> pa.Table:
+        pm = np.asarray(b[prob_micro_col], dtype=np.int64)
+        bins = np.minimum(pm * nb // 1_000_000, nb - 1)
+        return pa.table(
+            {
+                group_col: b[group_col],
+                "bin": pa.array(bins, type=pa.int64()),
+            }
+        )
+
+    hist = bounded_groupby_sum(
+        ds.select_columns([group_col, prob_micro_col]).map_batches(
+            assign, batch_format="pyarrow"
+        ),
+        [group_col, "bin"],
+        count_alias="c",
+    )
+
+    def extract(df: pd.DataFrame) -> pa.Table:
+        schema = pa.schema(
+            [
+                (group_col, pa.string()),
+                ("n", pa.int64()),
+                ("n_rest", pa.int64()),
+                ("s_nano", pa.int64()),
+                ("psi", pa.float64()),
+            ]
+        )
+        if len(df) == 0:
+            return schema.empty_table()
+        glob = np.zeros(nb, dtype=np.int64)
+        for _, r in df.iterrows():
+            glob[int(r["bin"])] += int(r["c"])
+        n_tot = int(glob.sum())
+        rows = []
+        for g, sub in df.groupby(group_col, sort=False):
+            cs = np.zeros(nb, dtype=np.int64)
+            for _, r in sub.iterrows():
+                cs[int(r["bin"])] = int(r["c"])
+            n_s = int(cs.sum())
+            n_rest = n_tot - n_s
+            if n_rest == 0:
+                continue
+            p = (cs + 1) / (n_s + float(nb))
+            q = (glob - cs + 1) / (n_rest + float(nb))
+            nano = np.rint((p - q) * np.log(p / q) * 1e9).astype(np.int64)
+            s_nano = int(nano.sum())
+            rows.append(
+                {
+                    group_col: g,
+                    "n": n_s,
+                    "n_rest": n_rest,
+                    "s_nano": s_nano,
+                    "psi": s_nano / 1e9,
+                }
+            )
+        if not rows:
+            return schema.empty_table()
+        return pa.Table.from_pandas(
+            pd.DataFrame(rows), schema=schema, preserve_index=False
+        )
+
+    return hist.map_batches(
+        lambda b: extract(b.to_pandas()),
+        batch_format="pyarrow",
+        batch_size=None,
+    )

@@ -918,3 +918,63 @@ def test_grouped_ks_drift_matches_ecdf_reference():
     empty = grouped_ks_drift(one, group_col="src", value_col="v")
     assert empty.count() == 0
     assert empty.schema().names == ["src", "n", "n_rest", "ks_d"]
+
+
+def test_grouped_psi_matches_numpy_reference():
+    """grouped_psi must equal the literal Laplace-smoothed PSI formula
+    computed from scratch per group; an identical-distribution group
+    scores ~0 and a shifted group scores >> 0; the only-group case
+    emits no row."""
+    import pandas as pd
+    import ray.data
+
+    from docling_api_ray.stages.stats import grouped_psi
+
+    rng = np.random.RandomState(43)
+    groups, pms = [], []
+    # a: uniform probs; b: same distribution; c: mass shifted high
+    for g, lo, hi, n in [
+        ("a", 0, 1_000_001, 400),
+        ("b", 0, 1_000_001, 400),
+        ("c", 800_000, 1_000_001, 200),
+    ]:
+        groups += [g] * n
+        pms += list(rng.randint(lo, hi, size=n))
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(groups),
+                "prob_micro": pa.array(np.array(pms, dtype=np.int64)),
+            }
+        )
+    ).repartition(8)
+    out = (
+        grouped_psi(ds, group_col="src", prob_micro_col="prob_micro")
+        .to_pandas()
+        .set_index("src")
+    )
+    df = pd.DataFrame({"src": groups, "pm": pms})
+    df["bin"] = np.minimum(df.pm * 10 // 1_000_000, 9)
+    for g in ["a", "b", "c"]:
+        cs = np.bincount(df[df.src == g]["bin"], minlength=10).astype(
+            np.int64
+        )
+        cr = np.bincount(df[df.src != g]["bin"], minlength=10).astype(
+            np.int64
+        )
+        p = (cs + 1) / (cs.sum() + 10.0)
+        q = (cr + 1) / (cr.sum() + 10.0)
+        nano = np.rint((p - q) * np.log(p / q) * 1e9).astype(np.int64)
+        assert out.loc[g, "s_nano"] == int(nano.sum())
+        assert out.loc[g, "n"] == cs.sum() and out.loc[g, "n_rest"] == cr.sum()
+    assert out.loc["c", "psi"] > 5 * max(out.loc["a", "psi"], 1e-9)
+
+    one = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": ["a", "a"],
+                "prob_micro": pa.array([1, 2], type=pa.int64()),
+            }
+        )
+    )
+    assert grouped_psi(one, group_col="src").count() == 0
