@@ -897,6 +897,17 @@ def _q_quality_auc_by_source(sf_dir: str):
     )
 
 
+def _q_distinct_ngrams(sf_dir: str):
+    """Corpus diversity: distinct-1/2/3 ratios (stages/dedup.py
+    distinct_ngram_stats) — the mode-collapse monitor.  One text pass
+    emits block-unique n-gram hashes + per-n totals; exact distinct via
+    a hash-partitioned co-group (disjoint partition-local uniques),
+    bounded per-n folds."""
+    from docling_api_ray.stages.dedup import distinct_ngram_stats
+
+    return distinct_ngram_stats(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def _q_psi_by_source(sf_dir: str):
     """Per-source Population Stability Index of the quality-classifier
     probability vs the rest of the corpus (stages/stats.py grouped_psi)
@@ -6878,6 +6889,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_eval": _q_lsh_eval,
         "event_debounce": _q_event_debounce,
         "psi_by_source": _q_psi_by_source,
+        "distinct_ngrams": _q_distinct_ngrams,
         "nbayes_confusion": _q_nbayes_confusion,
         "rfm_segments": _q_rfm_segments,
         "leakage_safe_split": _q_leakage_safe_split,
@@ -11121,5 +11133,46 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(nano) AS BIGINT) AS s_nano,
                CAST(sum(nano) AS BIGINT) / 1000000000.0 AS psi
         FROM terms GROUP BY source ORDER BY source
+    """
+    # mirrors _q_distinct_ngrams: n=1 over the FULL 64-bit word hash,
+    # n=2,3 over the shingle tier's masked-32 combine (same constants,
+    # wraparound mod 2^64); distinct via count(DISTINCT), ratio one
+    # int/int division with NULLIF
+    out["distinct_ngrams"] = f"""
+        WITH d0 AS (SELECT doc_id, {_SQL_WORDS} AS ws FROM documents),
+        w64 AS (SELECT doc_id,
+                       list_transform(ws, w ->
+                         CAST({_sql_u64('w')} AS HUGEINT)) AS wh
+                FROM d0),
+        g1 AS (SELECT unnest(wh) AS h FROM w64),
+        w32 AS (SELECT doc_id,
+                       list_transform(wh, x -> x % {_MASK32}) AS wh
+                FROM w64),
+        g2 AS (SELECT unnest(list_transform(
+                 generate_series(1, len(wh) - 1), i ->
+                   (wh[i] * {_SHINGLE_A} + wh[i+1] * {_SHINGLE_B}) % {_W}))
+                 AS h
+               FROM w32 WHERE len(wh) >= 2),
+        g3 AS (SELECT unnest(list_transform(
+                 generate_series(1, len(wh) - 2), i ->
+                   (wh[i] * {_SHINGLE_A} + wh[i+1] * {_SHINGLE_B}
+                    + wh[i+2]) % {_W})) AS h
+               FROM w32 WHERE len(wh) >= 3),
+        m AS (SELECT 1 AS n,
+                     (SELECT count(*) FROM g1) AS t,
+                     (SELECT count(DISTINCT h) FROM g1) AS d
+              UNION ALL
+              SELECT 2,
+                     (SELECT count(*) FROM g2),
+                     (SELECT count(DISTINCT h) FROM g2)
+              UNION ALL
+              SELECT 3,
+                     (SELECT count(*) FROM g3),
+                     (SELECT count(DISTINCT h) FROM g3))
+        SELECT CAST(n AS BIGINT) AS n,
+               CAST(t AS BIGINT) AS total_ngrams,
+               CAST(d AS BIGINT) AS distinct_ngrams,
+               CAST(d AS DOUBLE) / NULLIF(t, 0) AS distinct_ratio
+        FROM m ORDER BY n
     """
     return out

@@ -247,6 +247,7 @@ def _bench_once() -> dict:
         "event_debounce",
         "lsh_eval",
         "psi_by_source",
+        "distinct_ngrams",
     ]
     # INTERLEAVED repetitions + medians (VERDICT r2 #1): this container's
     # co-tenant jitter is ±30-50% and can hold a multi-second plateau —

@@ -2613,3 +2613,144 @@ def lsh_pair_eval(
             ),
         }
     )
+
+
+def distinct_ngram_stats(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+) -> pa.Table:
+    """Corpus diversity readout: distinct-n — |distinct n-grams| /
+    |total n-grams| for n = 1, 2, 3 (Li et al. 2016's distinct-1/2
+    generalized), the standard mode-collapse / templated-text monitor
+    for generated or crawled corpora (a low distinct-3 corpus is
+    boilerplate wearing different words).
+
+    One pass over the text: per batch the flat word-hash array yields
+    all three n-gram hash streams vectorized (doc-boundary masked;
+    n = 1 uses the full 64-bit word hash, n = 2, 3 the shingle tier's
+    masked-32 combine with wraparound mod 2^64 — identical constants to
+    ``shingle_hashes``, so the SQL mirror reuses the shared wh CTE).
+    Each block emits its per-n UNIQUE hashes (kind=0 rows — block-level
+    dedup shrinks the exchange) plus one per-n total-count row
+    (kind=1).  Distinct resolves with ONE hash-partitioned co-group
+    (same hash → same partition → partition-local uniques are globally
+    disjoint) folded by a bounded per-n sum; totals fold the same way.
+    Counts are exact modulo hash collisions — the contract of the whole
+    shingle tier.  Output: (n, total_ngrams, distinct_ngrams,
+    distinct_ratio), 3 rows; ratio is one int/int division, NULL when
+    the corpus has no n-grams of that order."""
+    from docling_api_ray.functions.hashing import MASK32, SHINGLE_A, SHINGLE_B
+    from docling_api_ray.stages.common import (
+        bounded_groupby_sum,
+        guard_fold,
+        shuffle_partitions,
+    )
+
+    P = shuffle_partitions()
+    out_schema = pa.schema(
+        [
+            ("kind", pa.int64()),
+            ("n", pa.int64()),
+            ("h", pa.int64()),
+            ("cnt", pa.int64()),
+        ]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        texts = [x if x is not None else "" for x in b[text_col].to_pylist()]
+        wh, off = batch_word_hashes(texts)
+        lens = np.diff(off)
+        di = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
+        w32 = wh & MASK32
+        streams = {1: wh}
+        if len(wh) >= 2:
+            m2 = di[:-1] == di[1:]
+            streams[2] = (w32[:-1] * SHINGLE_A + w32[1:] * SHINGLE_B)[m2]
+        else:
+            streams[2] = np.zeros(0, dtype=np.uint64)
+        if len(wh) >= 3:
+            m3 = di[:-2] == di[2:]
+            streams[3] = (
+                w32[:-2] * SHINGLE_A + w32[1:-1] * SHINGLE_B + w32[2:]
+            )[m3]
+        else:
+            streams[3] = np.zeros(0, dtype=np.uint64)
+        ks, ns, hs, cs = [], [], [], []
+        for n in (1, 2, 3):
+            u = np.unique(streams[n])
+            ks.append(np.zeros(len(u), dtype=np.int64))
+            ns.append(np.full(len(u), n, dtype=np.int64))
+            hs.append(u.view(np.int64))
+            cs.append(np.zeros(len(u), dtype=np.int64))
+            ks.append(np.ones(1, dtype=np.int64))
+            ns.append(np.full(1, n, dtype=np.int64))
+            hs.append(np.zeros(1, dtype=np.int64))
+            cs.append(
+                np.array(
+                    [int(np.maximum(lens - n + 1, 0).sum())], dtype=np.int64
+                )
+            )
+        return pa.table(
+            {
+                "kind": pa.array(np.concatenate(ks)),
+                "n": pa.array(np.concatenate(ns)),
+                "h": pa.array(np.concatenate(hs)),
+                "cnt": pa.array(np.concatenate(cs)),
+            }
+        )
+
+    parts = coalesce_narrow(
+        ds.select_columns([text_col]).map_batches(
+            partial, batch_format="pyarrow"
+        )
+    ).materialize()  # consumed twice: totals fold + distinct co-group
+
+    totals = {
+        int(r["n"]): int(r["total"])
+        for r in bounded_groupby_sum(
+            parts.filter(expr="kind == 1"),
+            ["n"],
+            sum_cols={"total": "cnt"},
+        ).take_all()
+    }
+
+    def add_part(b: pa.Table) -> pa.Table:
+        h = np.asarray(b["h"], dtype=np.int64)
+        part = (h.view(np.uint64) % np.uint64(P)).astype(np.int64)
+        return b.append_column("__part", pa.array(part, type=pa.int64()))
+
+    def count_distinct(g: pd.DataFrame) -> pa.Table:
+        agg = g.groupby("n", sort=False)["h"].nunique()
+        return pa.table(
+            {
+                "n": pa.array(agg.index.to_numpy(np.int64), type=pa.int64()),
+                "d": pa.array(agg.to_numpy(np.int64), type=pa.int64()),
+            }
+        )
+
+    distinct = {
+        int(r["n"]): int(r["d"])
+        for r in bounded_groupby_sum(
+            parts.filter(expr="kind == 0")
+            .map_batches(add_part, batch_format="pyarrow")
+            .groupby("__part")
+            .map_groups(guard_fold(count_distinct), batch_format="pandas"),
+            ["n"],
+            sum_cols={"d": "d"},
+        ).take_all()
+    }
+    rows_n = [1, 2, 3]
+    tot = [totals.get(n, 0) for n in rows_n]
+    dis = [distinct.get(n, 0) for n in rows_n]
+    return pa.table(
+        {
+            "n": pa.array(rows_n, type=pa.int64()),
+            "total_ngrams": pa.array(tot, type=pa.int64()),
+            "distinct_ngrams": pa.array(dis, type=pa.int64()),
+            "distinct_ratio": pa.array(
+                [d / t if t else None for d, t in zip(dis, tot)],
+                type=pa.float64(),
+            ),
+        }
+    )

@@ -945,3 +945,44 @@ def test_lsh_pair_eval_consistency():
     # the borderline corpus must exercise disagreement in at least one
     # direction, or the eval test is vacuous
     assert cand != truth
+
+
+def test_distinct_ngram_stats_matches_python_sets():
+    """distinct_ngram_stats must equal literal python n-gram sets /
+    counts over the raw word sequences, including short docs (0/1/2
+    words), duplicate-heavy text and cross-partition dedup."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from docling_api_ray.stages.dedup import distinct_ngram_stats
+
+    rng = np.random.RandomState(47)
+    vocab = [f"w{i}" for i in range(12)]  # tiny vocab -> dup n-grams
+    texts = ["", "solo", "two words"]
+    for _ in range(200):
+        k = int(rng.randint(0, 25))
+        texts.append(" ".join(vocab[int(rng.randint(0, 12))] for _ in range(k)))
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(
+                    np.arange(len(texts), dtype=np.int64)
+                ),
+                "text": pa.array(texts),
+            }
+        )
+    ).repartition(16)
+    out = distinct_ngram_stats(ds).to_pydict()
+
+    for i, n in enumerate((1, 2, 3)):
+        total = 0
+        seen = set()
+        for t in texts:
+            ws = t.split(" ") if t else []
+            grams = [tuple(ws[j : j + n]) for j in range(len(ws) - n + 1)]
+            total += len(grams)
+            seen.update(grams)
+        assert out["total_ngrams"][i] == total, n
+        assert out["distinct_ngrams"][i] == len(seen), n
+        assert out["distinct_ratio"][i] == len(seen) / total
