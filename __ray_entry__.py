@@ -897,6 +897,47 @@ def _q_quality_auc_by_source(sf_dir: str):
     )
 
 
+_ZIPF_K = 1000
+
+
+def _q_zipf_fit(sf_dir: str):
+    """Zipf-law fit: OLS slope of ln(count) on ln(rank) over the global
+    top-K vocabulary (natural text ≈ −1; a templated corpus flattens) —
+    rides the shared distributed top-k tail, then an O(K) driver fold.
+    Exactness: each log is floor(x·1e9 + 0.5)-quantized (non-negative
+    domain, identical to SQL round), the four moments are Python-int
+    exact, and the slope is the SAME two-conversion division
+    float(num)/float(den) the mirror's CAST AS DOUBLE pair performs."""
+    import math
+
+    rows = _distributed_count_topk(
+        _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            ta.word_counts, batch_format="pyarrow"
+        ),
+        "word",
+        _ZIPF_K,
+    ).take_all()
+    rows.sort(key=lambda r: (-int(r["n"]), r["word"]))
+    k = len(rows)
+    sx = sy = sxy = sxx = 0
+    for i, r in enumerate(rows, 1):
+        x = int(math.floor(math.log(i) * 1e9 + 0.5))
+        y = int(math.floor(math.log(int(r["n"])) * 1e9 + 0.5))
+        sx += x
+        sy += y
+        sxy += x * y
+        sxx += x * x
+    num = k * sxy - sx * sy
+    den = k * sxx - sx * sx
+    slope = float(num) / float(den) if den else None
+    return pa.table(
+        {
+            "n_words": pa.array([k], type=pa.int64()),
+            "slope": pa.array([slope], type=pa.float64()),
+        }
+    )
+
+
 def _q_distinct_ngrams(sf_dir: str):
     """Corpus diversity: distinct-1/2/3 ratios (stages/dedup.py
     distinct_ngram_stats) — the mode-collapse monitor.  One text pass
@@ -6890,6 +6931,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_debounce": _q_event_debounce,
         "psi_by_source": _q_psi_by_source,
         "distinct_ngrams": _q_distinct_ngrams,
+        "zipf_fit": _q_zipf_fit,
         "nbayes_confusion": _q_nbayes_confusion,
         "rfm_segments": _q_rfm_segments,
         "leakage_safe_split": _q_leakage_safe_split,
@@ -11174,5 +11216,30 @@ def oracle_sql() -> dict[str, str]:
                CAST(d AS BIGINT) AS distinct_ngrams,
                CAST(d AS DOUBLE) / NULLIF(t, 0) AS distinct_ratio
         FROM m ORDER BY n
+    """
+    # mirrors _q_zipf_fit: same wordcount CTE as vocab_topk, rank by
+    # (n DESC, word ASC), floor(ln*1e9 + 0.5) quantized logs, HUGEINT
+    # moments, and the identical CAST-AS-DOUBLE pair division
+    out["zipf_fit"] = f"""
+        WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
+                   FROM documents),
+             c AS (SELECT word, count(*) AS n FROM w
+                   WHERE word <> '' GROUP BY 1),
+             top AS (SELECT n,
+                            row_number() OVER (ORDER BY n DESC, word ASC)
+                              AS r
+                     FROM c ORDER BY n DESC, word ASC LIMIT {_ZIPF_K}),
+             pts AS (SELECT CAST(floor(ln(r) * 1000000000.0 + 0.5)
+                                 AS HUGEINT) AS x,
+                            CAST(floor(ln(n) * 1000000000.0 + 0.5)
+                                 AS HUGEINT) AS y
+                     FROM top),
+             mo AS (SELECT count(*) AS k, sum(x) AS sx, sum(y) AS sy,
+                           sum(x * y) AS sxy, sum(x * x) AS sxx
+                    FROM pts)
+        SELECT CAST(k AS BIGINT) AS n_words,
+               CAST(k * sxy - sx * sy AS DOUBLE)
+                 / CAST(k * sxx - sx * sx AS DOUBLE) AS slope
+        FROM mo
     """
     return out
