@@ -938,6 +938,17 @@ def _q_zipf_fit(sf_dir: str):
     )
 
 
+def _q_winnow_fingerprints(sf_dir: str):
+    """Winnowing fingerprints (Schleimer et al. 2003) per doc — the
+    MOSS position-local copy-detection sketch: rightmost-min of each
+    w-shingle window, deduped, summarized as count / min / mod-2^63
+    checksum / density.  Stateless vectorized map, one streaming pass;
+    the oracle replays the window selection with SQL window frames."""
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        ta.winnow_fingerprints, batch_format="pyarrow"
+    )
+
+
 def _q_distinct_ngrams(sf_dir: str):
     """Corpus diversity: distinct-1/2/3 ratios (stages/dedup.py
     distinct_ngram_stats) — the mode-collapse monitor.  One text pass
@@ -6902,6 +6913,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # the remaining never-checked exact-oracle entries; previously
     # driver-checked queries (CORRECTNESS_r01-r04) sit at the tail.
     return {
+        "winnow_fingerprints": _q_winnow_fingerprints,
         "approx_score_quantiles": _q_approx_score_quantiles,
         "approx_source_quantiles": _q_approx_source_quantiles,
         "winsorize_logit": _q_winsorize_logit,
@@ -11216,6 +11228,51 @@ def oracle_sql() -> dict[str, str]:
                CAST(d AS BIGINT) AS distinct_ngrams,
                CAST(d AS DOUBLE) / NULLIF(t, 0) AS distinct_ratio
         FROM m ORDER BY n
+    """
+    # mirrors _q_winnow_fingerprints / ta.winnow_fingerprints: 3-word
+    # shingle hashes from the shared CTE, per-window min via a ROWS
+    # frame (clipped frames filtered to full windows except the single
+    # whole-sequence window of short docs), rightmost tie-break via
+    # max(pos) at the window min, distinct selected positions, then the
+    # count / min%2^63 / (sum%2^64)%2^63 / single-division density fold
+    _WNW = ta.WINNOW_W
+    out["winnow_fingerprints"] = f"""
+        WITH {_sql_shingle_ctes()},
+        nsh AS (SELECT doc_id, len(sh) AS n FROM sh),
+        s AS (SELECT doc_id, unnest(sh) AS h,
+                     unnest(generate_series(1, len(sh))) AS i FROM sh),
+        st AS (SELECT doc_id, i AS j,
+                      min(h) OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN CURRENT ROW
+                        AND {_WNW - 1} FOLLOWING) AS mh
+               FROM s),
+        win AS (SELECT st.doc_id, st.j, st.mh
+                FROM st JOIN nsh USING (doc_id)
+                WHERE st.j <= greatest(nsh.n - {_WNW} + 1, 1)),
+        sel AS (SELECT w.doc_id, w.j, max(s.i) AS pos
+                FROM win w JOIN s ON s.doc_id = w.doc_id
+                     AND s.i BETWEEN w.j AND w.j + {_WNW - 1}
+                     AND s.h = w.mh
+                GROUP BY 1, 2),
+        fp AS (SELECT DISTINCT doc_id, pos FROM sel),
+        fph AS (SELECT f.doc_id, s.h
+                FROM fp f JOIN s ON s.doc_id = f.doc_id AND s.i = f.pos),
+        agg AS (SELECT doc_id, count(*) AS n_fps, min(h) AS mn,
+                       sum(h) AS sm
+                FROM fph GROUP BY 1)
+        SELECT n.doc_id,
+               CAST(n.n AS BIGINT) AS n_shingles,
+               CAST(CASE WHEN n.n > 0
+                         THEN greatest(n.n - {_WNW} + 1, 1)
+                         ELSE 0 END AS BIGINT) AS n_windows,
+               CAST(coalesce(a.n_fps, 0) AS BIGINT) AS n_fps,
+               CAST(a.mn % {1 << 63} AS BIGINT) AS fp_min,
+               CAST((a.sm % {_W}) % {1 << 63} AS BIGINT) AS fp_sum,
+               CASE WHEN n.n > 0 THEN
+                 CAST(coalesce(a.n_fps, 0) AS DOUBLE)
+                   / CAST(greatest(n.n - {_WNW} + 1, 1) AS DOUBLE)
+               END AS density
+        FROM nsh n LEFT JOIN agg a USING (doc_id)
     """
     # mirrors _q_zipf_fit: same wordcount CTE as vocab_topk, rank by
     # (n DESC, word ASC), floor(ln*1e9 + 0.5) quantized logs, HUGEINT

@@ -533,3 +533,102 @@ def readability_scores(batch: pa.Table, text_col: str = "text") -> pa.Table:
             "flesch": pa.array(q6(score), pa.float64()),
         }
     )
+
+
+WINNOW_W = 4  # winnowing window size over the 3-word shingle sequence
+
+
+def winnow_fingerprints(
+    batch: pa.Table, text_col: str = "text", w: int = WINNOW_W
+) -> pa.Table:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS local fingerprinting algorithm): slide a
+    window of ``w`` consecutive 3-word shingle hashes, select the
+    MINIMUM hash of each window (rightmost occurrence on ties), and
+    dedupe the selected positions — a position-local fingerprint set
+    whose density is guaranteed in [1/w, 2/(w+1)], the standard
+    copy-detection sketch between exact hashing and MinHash.
+
+    Per doc: shingle count, full-window count (a shorter-than-w shingle
+    sequence forms ONE window covering the whole sequence), selected
+    fingerprint count, min and mod-2^63 checksum of the selected hashes,
+    and the realized density (single IEEE int/int division).
+
+    Fully vectorized over the CONCATENATED batch shingle array:
+    ``sliding_window_view`` + boundary mask for full windows, a padded
+    (n_short, w-1) matrix for the short docs; rightmost argmin is
+    ``argmin`` over the reversed window axis.  Stateless map — the
+    100 TB shape is one streaming pass, no shuffle."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    from docling_api_ray.functions.hashing import (
+        batch_word_hashes,
+        shingle_hashes,
+    )
+
+    texts = [t or "" for t in batch[text_col].to_pylist()]
+    n = len(texts)
+    word_h, off = batch_word_hashes(texts)
+    sh_list = [shingle_hashes(word_h[off[i] : off[i + 1]]) for i in range(n)]
+    lens = np.fromiter((len(s) for s in sh_list), dtype=np.int64, count=n)
+    total = int(lens.sum())
+    h = (
+        np.concatenate(sh_list)
+        if total
+        else np.zeros(0, dtype=np.uint64)
+    )
+    starts = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=starts[1:])
+    doc_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+
+    sel_parts: list[np.ndarray] = []
+    if total >= w:
+        win = sliding_window_view(h, w)  # (total - w + 1, w)
+        valid = doc_of[: len(win)] == doc_of[w - 1 :]
+        rarg = (w - 1) - np.argmin(win[:, ::-1], axis=1)
+        gpos = np.arange(len(win), dtype=np.int64) + rarg
+        sel_parts.append(gpos[valid])
+    short = np.flatnonzero((lens > 0) & (lens < w))
+    if len(short):
+        cols = np.arange(w - 1, dtype=np.int64)
+        idx = starts[short][:, None] + cols[None, :]
+        mask = cols[None, :] < lens[short][:, None]
+        vals = np.where(
+            mask, h[np.minimum(idx, max(total - 1, 0))], np.uint64(-1)
+        )
+        rarg = (w - 2) - np.argmin(vals[:, ::-1], axis=1)
+        sel_parts.append(starts[short] + rarg)
+    gsel = (
+        np.unique(np.concatenate(sel_parts))
+        if sel_parts
+        else np.zeros(0, dtype=np.int64)
+    )
+
+    sel_doc = doc_of[gsel] if len(gsel) else np.zeros(0, dtype=np.int64)
+    sel_h = h[gsel] if len(gsel) else np.zeros(0, dtype=np.uint64)
+    n_fps = np.bincount(sel_doc, minlength=n).astype(np.int64)
+    fp_min = np.full(n, np.uint64(-1), dtype=np.uint64)
+    np.minimum.at(fp_min, sel_doc, sel_h)
+    acc = np.zeros(n, dtype=np.int64)  # two's-complement == mod 2^64
+    np.add.at(acc, sel_doc, sel_h.view(np.int64))
+    mask63 = np.uint64((1 << 63) - 1)
+    has = n_fps > 0
+    n_windows = np.where(lens > 0, np.maximum(lens - w + 1, 1), 0)
+    dens = n_fps / np.maximum(n_windows, 1)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_shingles": pa.array(lens, type=pa.int64()),
+            "n_windows": pa.array(n_windows, type=pa.int64()),
+            "n_fps": pa.array(n_fps, type=pa.int64()),
+            "fp_min": pa.array(
+                (fp_min & mask63).view(np.int64), type=pa.int64(), mask=~has
+            ),
+            "fp_sum": pa.array(
+                (acc.view(np.uint64) & mask63).view(np.int64),
+                type=pa.int64(),
+                mask=~has,
+            ),
+            "density": pa.array(dens, type=pa.float64(), mask=~(lens > 0)),
+        }
+    )

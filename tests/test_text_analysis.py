@@ -264,3 +264,64 @@ def test_readability_scores_hand_values():
     assert out[1]["n_words"] == 0
     assert out[1]["wps"] == 0.0 and out[1]["spw"] == 0.0
     assert out[1]["flesch"] == 206.835
+
+
+def test_winnow_fingerprints_hand_values():
+    import numpy as np
+    import pyarrow as pa
+
+    from docling_api_ray.functions.hashing import (
+        batch_word_hashes,
+        shingle_hashes,
+    )
+    from docling_api_ray.stages.text_analysis import (
+        WINNOW_W,
+        winnow_fingerprints,
+    )
+
+    texts = [
+        "a b c d e f g h i j",  # 8 shingles, 5 full windows
+        "a b c",  # 1 shingle < w: one whole-sequence window
+        "",  # no shingles
+        "x y z x y z x y z x y z",  # periodic -> repeated min, ties
+    ]
+    b = pa.table(
+        {
+            "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    out = winnow_fingerprints(b).to_pylist()
+
+    # reference implementation: per-doc python winnowing
+    def ref(text):
+        wh, off = batch_word_hashes([text])
+        h = shingle_hashes(wh[off[0] : off[1]]).tolist()
+        n = len(h)
+        if n == 0:
+            return 0, 0, set()
+        nw = max(n - WINNOW_W + 1, 1)
+        sel = set()
+        for j in range(nw):
+            win = h[j : j + WINNOW_W]
+            m = min(win)
+            # rightmost occurrence of the min
+            pos = j + max(i for i, v in enumerate(win) if v == m)
+            sel.add(pos)
+        return n, nw, {(p, h[p]) for p in sel}
+
+    for row, text in zip(out, texts):
+        n, nw, sel = ref(text)
+        assert row["n_shingles"] == n
+        assert row["n_windows"] == nw
+        assert row["n_fps"] == len(sel)
+        if sel:
+            hs = [hv for _, hv in sel]
+            assert row["fp_min"] == min(hs) % (1 << 63)
+            assert row["fp_sum"] == (sum(hs) % (1 << 64)) % (1 << 63)
+            assert row["density"] == len(sel) / nw
+            # winnowing density guarantee: at most one pick per window
+            assert row["n_fps"] <= nw
+        else:
+            assert row["fp_min"] is None and row["fp_sum"] is None
+            assert row["density"] is None
