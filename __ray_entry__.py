@@ -949,6 +949,17 @@ def _q_winnow_fingerprints(sf_dir: str):
     )
 
 
+def _q_winnow_pairs(sf_dir: str):
+    """MOSS copy-detection pairs over winnowing fingerprints
+    (stages/dedup.py winnow_pairs): distinct winnowed hash set per doc,
+    hash-bucket co-group with the boilerplate bucket cap, pair-keyed
+    shared-count fold, containment = shared / min(|A|,|B|) ≥ 0.5.
+    Output-bounded by the true shared-fingerprint pair mass."""
+    return dd.winnow_pairs(
+        _docs(sf_dir, ["doc_id", "text"]), threshold=0.5
+    )
+
+
 def _q_distinct_ngrams(sf_dir: str):
     """Corpus diversity: distinct-1/2/3 ratios (stages/dedup.py
     distinct_ngram_stats) — the mode-collapse monitor.  One text pass
@@ -6914,6 +6925,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # driver-checked queries (CORRECTNESS_r01-r04) sit at the tail.
     return {
         "winnow_fingerprints": _q_winnow_fingerprints,
+        "winnow_pairs": _q_winnow_pairs,
         "approx_score_quantiles": _q_approx_score_quantiles,
         "approx_source_quantiles": _q_approx_source_quantiles,
         "winsorize_logit": _q_winsorize_logit,
@@ -7160,6 +7172,40 @@ def _sql_shingle_ctes() -> str:
                ELSE list_transform(generate_series(1, len(wh) - 2), i ->
                  (wh[i] * {_SHINGLE_A} + wh[i+1] * {_SHINGLE_B} + wh[i+2]) % {_W})
           END AS sh FROM wh)"""
+
+
+def _winnow_fp_ctes() -> str:
+    """Shared WITH-clause body replaying the winnowing selection of
+    stages/text_analysis.py winnow_selected: 3-word shingle hashes from
+    ``_sql_shingle_ctes``, per-window min via a ROWS frame (clipped
+    frames filtered to full windows except the single whole-sequence
+    window of short docs), rightmost tie-break via max(pos) at the
+    window min, then the distinct selected positions joined back to
+    their hashes (``fph``: one row per doc per selected position).
+    Used by the winnow_fingerprints and winnow_pairs oracles."""
+    from docling_api_ray.stages import text_analysis as _ta
+
+    w = _ta.WINNOW_W
+    return f"""{_sql_shingle_ctes()},
+        nsh AS (SELECT doc_id, len(sh) AS n FROM sh),
+        s AS (SELECT doc_id, unnest(sh) AS h,
+                     unnest(generate_series(1, len(sh))) AS i FROM sh),
+        st AS (SELECT doc_id, i AS j,
+                      min(h) OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN CURRENT ROW
+                        AND {w - 1} FOLLOWING) AS mh
+               FROM s),
+        win AS (SELECT st.doc_id, st.j, st.mh
+                FROM st JOIN nsh USING (doc_id)
+                WHERE st.j <= greatest(nsh.n - {w} + 1, 1)),
+        sel AS (SELECT w.doc_id, w.j, max(s.i) AS pos
+                FROM win w JOIN s ON s.doc_id = w.doc_id
+                     AND s.i BETWEEN w.j AND w.j + {w - 1}
+                     AND s.h = w.mh
+                GROUP BY 1, 2),
+        fp AS (SELECT DISTINCT doc_id, pos FROM sel),
+        fph AS (SELECT f.doc_id, s.h
+                FROM fp f JOIN s ON s.doc_id = f.doc_id AND s.i = f.pos)"""
 
 
 _DECON_BENCH_MOD = 50  # docs with doc_id % 50 == 0 form the "benchmark"
@@ -11237,26 +11283,7 @@ def oracle_sql() -> dict[str, str]:
     # count / min%2^63 / (sum%2^64)%2^63 / single-division density fold
     _WNW = ta.WINNOW_W
     out["winnow_fingerprints"] = f"""
-        WITH {_sql_shingle_ctes()},
-        nsh AS (SELECT doc_id, len(sh) AS n FROM sh),
-        s AS (SELECT doc_id, unnest(sh) AS h,
-                     unnest(generate_series(1, len(sh))) AS i FROM sh),
-        st AS (SELECT doc_id, i AS j,
-                      min(h) OVER (PARTITION BY doc_id ORDER BY i
-                        ROWS BETWEEN CURRENT ROW
-                        AND {_WNW - 1} FOLLOWING) AS mh
-               FROM s),
-        win AS (SELECT st.doc_id, st.j, st.mh
-                FROM st JOIN nsh USING (doc_id)
-                WHERE st.j <= greatest(nsh.n - {_WNW} + 1, 1)),
-        sel AS (SELECT w.doc_id, w.j, max(s.i) AS pos
-                FROM win w JOIN s ON s.doc_id = w.doc_id
-                     AND s.i BETWEEN w.j AND w.j + {_WNW - 1}
-                     AND s.h = w.mh
-                GROUP BY 1, 2),
-        fp AS (SELECT DISTINCT doc_id, pos FROM sel),
-        fph AS (SELECT f.doc_id, s.h
-                FROM fp f JOIN s ON s.doc_id = f.doc_id AND s.i = f.pos),
+        WITH {_winnow_fp_ctes()},
         agg AS (SELECT doc_id, count(*) AS n_fps, min(h) AS mn,
                        sum(h) AS sm
                 FROM fph GROUP BY 1)
@@ -11273,6 +11300,33 @@ def oracle_sql() -> dict[str, str]:
                    / CAST(greatest(n.n - {_WNW} + 1, 1) AS DOUBLE)
                END AS density
         FROM nsh n LEFT JOIN agg a USING (doc_id)
+    """
+    # mirrors _q_winnow_pairs / dd.winnow_pairs: distinct winnowed hash
+    # set per doc, the boilerplate bucket cap (2..max_bucket docs per
+    # hash), shared-count self-join, containment = shared/min(nfp) with
+    # the SAME single int/int division the engine's numpy performs
+    from docling_api_ray.stages.dedup import WINNOW_MAX_BUCKET as _WMB
+
+    out["winnow_pairs"] = f"""
+        WITH {_winnow_fp_ctes()},
+        fps0 AS (SELECT DISTINCT doc_id, h FROM fph),
+        nf AS (SELECT doc_id, count(*) AS nfp FROM fps0 GROUP BY 1),
+        ok AS (SELECT h FROM fps0 GROUP BY h
+               HAVING count(*) BETWEEN 2 AND {_WMB}),
+        pair AS (SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+                        count(*) AS shared
+                 FROM fps0 a
+                 JOIN ok o ON o.h = a.h
+                 JOIN fps0 b ON b.h = a.h AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2)
+        SELECT p.left_id, p.right_id, CAST(p.shared AS BIGINT) AS shared,
+               CAST(p.shared AS DOUBLE)
+                 / CAST(least(l.nfp, r.nfp) AS DOUBLE) AS containment
+        FROM pair p
+        JOIN nf l ON l.doc_id = p.left_id
+        JOIN nf r ON r.doc_id = p.right_id
+        WHERE CAST(p.shared AS DOUBLE)
+                / CAST(least(l.nfp, r.nfp) AS DOUBLE) >= 0.5
     """
     # mirrors _q_zipf_fit: same wordcount CTE as vocab_topk, rank by
     # (n DESC, word ASC), floor(ln*1e9 + 0.5) quantized logs, HUGEINT

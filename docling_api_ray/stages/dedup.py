@@ -2754,3 +2754,145 @@ def distinct_ngram_stats(
             ),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprint-overlap pairs (MOSS copy detection)
+# ---------------------------------------------------------------------------
+
+WINNOW_MAX_BUCKET = 64  # fp hashes shared by more docs are boilerplate
+
+
+def winnow_pairs(
+    ds: ray.data.Dataset,
+    *,
+    threshold: float = 0.5,
+    max_bucket: int = WINNOW_MAX_BUCKET,
+) -> ray.data.Dataset:
+    """MOSS-style copy-detection pairs over winnowing fingerprints
+    (Schleimer et al. 2003 §5: matches are reported when documents
+    share selected fingerprints): per doc take the DISTINCT winnowed
+    shingle-hash set (text_analysis.winnow_selected), co-group docs by
+    fingerprint hash, and report pairs whose shared-fingerprint count
+    reaches ``threshold`` containment = shared / min(|A|, |B|).
+
+    Boilerplate cap (part of the operator's semantics, mirrored exactly
+    by the oracle): a fingerprint hash selected by more than
+    ``max_bucket`` documents is dropped before pairing — the standard
+    MOSS "ignore matches in too many documents" rule, which also bounds
+    the per-bucket pair fan-out to C(max_bucket, 2).
+
+    100 TB shape: one fingerprint map pass (narrow int64 rows — no
+    text leaves the first stage), one co-group keyed by hash (bucket
+    sizes capped, skew guarded), one co-group keyed by the pair mix key
+    (payload bounded by the true shared-fingerprint pair mass, the same
+    output-bounded contract as minhash_lsh_pairs)."""
+    from docling_api_ray.stages.text_analysis import winnow_selected
+
+    mask63 = np.uint64((1 << 63) - 1)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        texts = [t or "" for t in batch["text"].to_pylist()]
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        sel_doc, sel_h, _lens = winnow_selected(texts)
+        # distinct (doc, hash): selected positions can repeat a hash
+        pair_key = np.stack([sel_doc, sel_h.view(np.int64)], axis=1)
+        if len(pair_key):
+            uniq = np.unique(pair_key, axis=0)
+            ud, uh = uniq[:, 0], uniq[:, 1].view(np.uint64)
+        else:
+            ud = np.zeros(0, dtype=np.int64)
+            uh = np.zeros(0, dtype=np.uint64)
+        nfp = np.bincount(ud, minlength=len(ids)).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[ud], type=pa.int64()),
+                "bucket": pa.array(uh.view(np.int64), type=pa.int64()),
+                "__hkey": pa.array(
+                    (uh & mask63).view(np.int64), type=pa.int64()
+                ),
+                "nfp": pa.array(nfp[ud], type=pa.int64()),
+            }
+        )
+
+    def bucket_pairs(df: pd.DataFrame) -> pa.Table:
+        ls: list[np.ndarray] = []
+        rs: list[np.ndarray] = []
+        nl: list[np.ndarray] = []
+        nr: list[np.ndarray] = []
+        df = df[df.duplicated("bucket", keep=False)]
+        for _, g in df.groupby("bucket", sort=False):
+            if len(g) < 2 or len(g) > max_bucket:
+                continue
+            g = g.sort_values("doc_id", kind="stable")
+            ids = g["doc_id"].to_numpy()
+            nf = g["nfp"].to_numpy()
+            i, j = np.triu_indices(len(ids), k=1)
+            ls.append(ids[i])
+            rs.append(ids[j])
+            nl.append(nf[i])
+            nr.append(nf[j])
+        cat = lambda xs: (  # noqa: E731
+            np.concatenate(xs) if xs else np.zeros(0, dtype=np.int64)
+        )
+        return pa.table(
+            {
+                "left_id": pa.array(cat(ls), type=pa.int64()),
+                "right_id": pa.array(cat(rs), type=pa.int64()),
+                "nfp_l": pa.array(cat(nl), type=pa.int64()),
+                "nfp_r": pa.array(cat(nr), type=pa.int64()),
+            }
+        )
+
+    def add_key(b: pa.Table) -> pa.Table:
+        left = np.asarray(b["left_id"], dtype=np.int64)
+        right = np.asarray(b["right_id"], dtype=np.int64)
+        with np.errstate(over="ignore"):
+            k = (left * np.int64(-7046029254386353131)) ^ right
+        return b.append_column(
+            "__ckey", pa.array(np.abs(k) & 0x7FFFFFFFFFFFFFFF, type=pa.int64())
+        )
+
+    def pair_fold(df: pd.DataFrame) -> pa.Table:
+        if not len(df):
+            return pa.table(
+                {
+                    "left_id": pa.array([], type=pa.int64()),
+                    "right_id": pa.array([], type=pa.int64()),
+                    "shared": pa.array([], type=pa.int64()),
+                    "containment": pa.array([], type=pa.float64()),
+                }
+            )
+        g = (
+            df.groupby(["left_id", "right_id"], sort=False)
+            .agg(shared=("nfp_l", "size"), nfp_l=("nfp_l", "first"),
+                 nfp_r=("nfp_r", "first"))
+            .reset_index()
+        )
+        cont = g["shared"].to_numpy() / np.minimum(
+            g["nfp_l"].to_numpy(), g["nfp_r"].to_numpy()
+        )
+        keep = cont >= threshold
+        return pa.table(
+            {
+                "left_id": pa.array(
+                    g["left_id"].to_numpy()[keep], type=pa.int64()
+                ),
+                "right_id": pa.array(
+                    g["right_id"].to_numpy()[keep], type=pa.int64()
+                ),
+                "shared": pa.array(
+                    g["shared"].to_numpy()[keep].astype(np.int64),
+                    type=pa.int64(),
+                ),
+                "containment": pa.array(cont[keep], type=pa.float64()),
+            }
+        )
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+    pairs = _cogrouped(exploded, "__hkey").map_groups(
+        bucket_pairs, batch_format="pandas"
+    )
+    return _cogrouped(
+        pairs.map_batches(add_key, batch_format="pyarrow"), "__ckey"
+    ).map_groups(pair_fold, batch_format="pandas")

@@ -538,27 +538,16 @@ def readability_scores(batch: pa.Table, text_col: str = "text") -> pa.Table:
 WINNOW_W = 4  # winnowing window size over the 3-word shingle sequence
 
 
-def winnow_fingerprints(
-    batch: pa.Table, text_col: str = "text", w: int = WINNOW_W
-) -> pa.Table:
-    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
-    SIGMOD 2003 — the MOSS local fingerprinting algorithm): slide a
-    window of ``w`` consecutive 3-word shingle hashes, select the
-    MINIMUM hash of each window (rightmost occurrence on ties), and
-    dedupe the selected positions — a position-local fingerprint set
-    whose density is guaranteed in [1/w, 2/(w+1)], the standard
-    copy-detection sketch between exact hashing and MinHash.
-
-    Per doc: shingle count, full-window count (a shorter-than-w shingle
-    sequence forms ONE window covering the whole sequence), selected
-    fingerprint count, min and mod-2^63 checksum of the selected hashes,
-    and the realized density (single IEEE int/int division).
-
-    Fully vectorized over the CONCATENATED batch shingle array:
-    ``sliding_window_view`` + boundary mask for full windows, a padded
-    (n_short, w-1) matrix for the short docs; rightmost argmin is
-    ``argmin`` over the reversed window axis.  Stateless map — the
-    100 TB shape is one streaming pass, no shuffle."""
+def winnow_selected(
+    texts: list[str], w: int = WINNOW_W
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Core winnowing selection for a batch of texts: returns
+    ``(sel_doc, sel_h, lens)`` where ``sel_doc``/``sel_h`` are the
+    position-deduped selected fingerprints (local doc index + uint64
+    shingle hash, position-sorted) and ``lens`` is each doc's shingle
+    count.  See :func:`winnow_fingerprints` for the algorithm and
+    :func:`docling_api_ray.stages.dedup.winnow_pairs` for the pairwise
+    consumer."""
     from numpy.lib.stride_tricks import sliding_window_view
 
     from docling_api_ray.functions.hashing import (
@@ -566,17 +555,12 @@ def winnow_fingerprints(
         shingle_hashes,
     )
 
-    texts = [t or "" for t in batch[text_col].to_pylist()]
     n = len(texts)
     word_h, off = batch_word_hashes(texts)
     sh_list = [shingle_hashes(word_h[off[i] : off[i + 1]]) for i in range(n)]
     lens = np.fromiter((len(s) for s in sh_list), dtype=np.int64, count=n)
     total = int(lens.sum())
-    h = (
-        np.concatenate(sh_list)
-        if total
-        else np.zeros(0, dtype=np.uint64)
-    )
+    h = np.concatenate(sh_list) if total else np.zeros(0, dtype=np.uint64)
     starts = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(lens, out=starts[1:])
     doc_of = np.repeat(np.arange(n, dtype=np.int64), lens)
@@ -603,9 +587,35 @@ def winnow_fingerprints(
         if sel_parts
         else np.zeros(0, dtype=np.int64)
     )
-
     sel_doc = doc_of[gsel] if len(gsel) else np.zeros(0, dtype=np.int64)
     sel_h = h[gsel] if len(gsel) else np.zeros(0, dtype=np.uint64)
+    return sel_doc, sel_h, lens
+
+
+def winnow_fingerprints(
+    batch: pa.Table, text_col: str = "text", w: int = WINNOW_W
+) -> pa.Table:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS local fingerprinting algorithm): slide a
+    window of ``w`` consecutive 3-word shingle hashes, select the
+    MINIMUM hash of each window (rightmost occurrence on ties), and
+    dedupe the selected positions — a position-local fingerprint set
+    whose density is guaranteed in [1/w, 2/(w+1)], the standard
+    copy-detection sketch between exact hashing and MinHash.
+
+    Per doc: shingle count, full-window count (a shorter-than-w shingle
+    sequence forms ONE window covering the whole sequence), selected
+    fingerprint count, min and mod-2^63 checksum of the selected hashes,
+    and the realized density (single IEEE int/int division).
+
+    Fully vectorized over the CONCATENATED batch shingle array:
+    ``sliding_window_view`` + boundary mask for full windows, a padded
+    (n_short, w-1) matrix for the short docs; rightmost argmin is
+    ``argmin`` over the reversed window axis.  Stateless map — the
+    100 TB shape is one streaming pass, no shuffle."""
+    texts = [t or "" for t in batch[text_col].to_pylist()]
+    n = len(texts)
+    sel_doc, sel_h, lens = winnow_selected(texts, w)
     n_fps = np.bincount(sel_doc, minlength=n).astype(np.int64)
     fp_min = np.full(n, np.uint64(-1), dtype=np.uint64)
     np.minimum.at(fp_min, sel_doc, sel_h)

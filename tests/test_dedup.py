@@ -986,3 +986,35 @@ def test_distinct_ngram_stats_matches_python_sets():
         assert out["total_ngrams"][i] == total, n
         assert out["distinct_ngrams"][i] == len(seen), n
         assert out["distinct_ratio"][i] == len(seen) / total
+
+
+def test_winnow_pairs_detects_copies_and_caps_buckets():
+    from docling_api_ray.stages.dedup import winnow_pairs
+    from docling_api_ray.stages.text_analysis import winnow_selected
+
+    ds = _docs()
+    out = winnow_pairs(ds, threshold=0.5).take_all()
+    got = {(r["left_id"], r["right_id"]): r for r in out}
+    # exact copies share every fingerprint: containment 1.0
+    assert got[(0, 1)]["containment"] == 1.0
+    # near-dup (one word changed) still above threshold
+    assert (0, 2) in got and got[(0, 2)]["containment"] >= 0.5
+    # disjoint doc never pairs
+    assert not any(3 in k for k in got)
+    # shared counts are bounded by the smaller fingerprint set
+    for (l, r), row in got.items():
+        assert 0 < row["shared"]
+        assert row["containment"] <= 1.0
+
+    # forcing max_bucket below the copy-cluster size drops those buckets:
+    # hashes selected by all of docs 0/1/2/5 sit in buckets of size >= 3
+    capped = winnow_pairs(ds, threshold=0.5, max_bucket=1).take_all()
+    assert capped == []
+
+    # python reference cross-check of one pair's shared count
+    texts = [BASE, NEAR]
+    sd, sh, _ = winnow_selected(texts)
+    a = set(sh[sd == 0].tolist())
+    b = set(sh[sd == 1].tolist())
+    exp = len(a & b) / min(len(a), len(b))
+    assert abs(got[(0, 2)]["containment"] - exp) < 1e-12
