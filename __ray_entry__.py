@@ -960,6 +960,16 @@ def _q_winnow_pairs(sf_dir: str):
     )
 
 
+def _q_cdc_dedup(sf_dir: str):
+    """Content-defined-chunking dedup profile (stages/dedup.py
+    cdc_chunk_stats): rolling-hash chunk boundaries (LBFS gear at word
+    granularity), content-identity chunk hashes, exact distinct via the
+    hash-partitioned co-group — the block-level storage-dedup readout."""
+    from docling_api_ray.stages.dedup import cdc_chunk_stats
+
+    return cdc_chunk_stats(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def _q_distinct_ngrams(sf_dir: str):
     """Corpus diversity: distinct-1/2/3 ratios (stages/dedup.py
     distinct_ngram_stats) — the mode-collapse monitor.  One text pass
@@ -6926,6 +6936,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "winnow_fingerprints": _q_winnow_fingerprints,
         "winnow_pairs": _q_winnow_pairs,
+        "cdc_dedup": _q_cdc_dedup,
         "approx_score_quantiles": _q_approx_score_quantiles,
         "approx_source_quantiles": _q_approx_source_quantiles,
         "winsorize_logit": _q_winsorize_logit,
@@ -11327,6 +11338,61 @@ def oracle_sql() -> dict[str, str]:
         JOIN nf r ON r.doc_id = p.right_id
         WHERE CAST(p.shared AS DOUBLE)
                 / CAST(least(l.nfp, r.nfp) AS DOUBLE) >= 0.5
+    """
+    # mirrors _q_cdc_dedup / dd.cdc_chunk_stats: rolling k-word hash per
+    # position (windowed self-join against the HUGEINT pow table),
+    # boundary at rh % D == 0, chunk = words up to the next end (each
+    # doc's last word always ends its final chunk), chunk identity =
+    # the fp_rolling positional combine over the chunk, then the
+    # total/distinct/single-division summary row
+    from docling_api_ray.stages.dedup import CDC_D as _CDC_D
+    from docling_api_ray.stages.dedup import CDC_K as _CDC_K
+
+    out["cdc_dedup"] = f"""
+        WITH RECURSIVE {_sql_shingle_ctes()},
+        w AS (SELECT doc_id, unnest(wh) AS w32,
+                     unnest(generate_series(1, len(wh))) AS i FROM wh),
+        nw AS (SELECT doc_id, len(wh) AS n FROM wh WHERE len(wh) > 0),
+        pows(k, v) AS (
+          SELECT 0, CAST(1 AS HUGEINT)
+          UNION ALL
+          SELECT k + 1, (v * {_FP_BASE}) % {_W} FROM pows
+          WHERE k + 1 < (SELECT coalesce(greatest(max(len(wh)),
+                                                  {_CDC_K}), {_CDC_K})
+                         FROM wh)),
+        roll AS (SELECT a.doc_id, a.i,
+                        sum((b.w32 * p.v) % {_W}) % {_W} AS rh
+                 FROM w a
+                 JOIN w b ON b.doc_id = a.doc_id
+                      AND b.i BETWEEN a.i - {_CDC_K - 1} AND a.i
+                 JOIN pows p ON p.k = a.i - b.i
+                 WHERE a.i >= {_CDC_K}
+                 GROUP BY 1, 2),
+        ends AS (SELECT DISTINCT doc_id, i FROM (
+                   SELECT doc_id, i FROM roll WHERE rh % {_CDC_D} = 0
+                   UNION ALL
+                   SELECT doc_id, n FROM nw)),
+        cw AS (SELECT w.doc_id, w.i, w.w32, min(e.i) AS e
+               FROM w JOIN ends e
+                    ON e.doc_id = w.doc_id AND e.i >= w.i
+               GROUP BY 1, 2, 3),
+        ch AS (SELECT cw.doc_id, cw.e,
+                      sum((cw.w32 * p.v) % {_W}) % {_W} AS h
+               FROM cw JOIN pows p ON p.k = cw.e - cw.i
+               GROUP BY 1, 2),
+        m AS (SELECT (SELECT coalesce(sum(n), 0) FROM nw) AS tw,
+                     count(*) AS tc, count(DISTINCT h) AS dc
+              FROM ch)
+        SELECT CAST(tw AS BIGINT) AS total_words,
+               CAST(tc AS BIGINT) AS total_chunks,
+               CAST(dc AS BIGINT) AS distinct_chunks,
+               CASE WHEN tc > 0
+                    THEN CAST(dc AS DOUBLE) / CAST(tc AS DOUBLE)
+               END AS dedup_ratio,
+               CASE WHEN tc > 0
+                    THEN CAST(tw AS DOUBLE) / CAST(tc AS DOUBLE)
+               END AS mean_chunk_words
+        FROM m
     """
     # mirrors _q_zipf_fit: same wordcount CTE as vocab_topk, rank by
     # (n DESC, word ASC), floor(ln*1e9 + 0.5) quantized logs, HUGEINT

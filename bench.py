@@ -248,6 +248,10 @@ def _bench_once() -> dict:
         "lsh_eval",
         "psi_by_source",
         "distinct_ngrams",
+        "zipf_fit",
+        "winnow_fingerprints",
+        "winnow_pairs",
+        "cdc_dedup",
     ]
     # INTERLEAVED repetitions + medians (VERDICT r2 #1): this container's
     # co-tenant jitter is ±30-50% and can hold a multi-second plateau —

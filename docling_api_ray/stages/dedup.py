@@ -2896,3 +2896,172 @@ def winnow_pairs(
     return _cogrouped(
         pairs.map_batches(add_key, batch_format="pyarrow"), "__ckey"
     ).map_groups(pair_fold, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking (CDC) dedup profile
+# ---------------------------------------------------------------------------
+
+CDC_K = 4  # rolling-hash window (words)
+CDC_D = 16  # boundary divisor -> mean chunk ~= D words
+
+
+def cdc_chunk_stats(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    k: int = CDC_K,
+    d: int = CDC_D,
+) -> pa.Table:
+    """Content-defined chunking dedup profile (the Rabin/LBFS gear —
+    Muthitacharoen et al. SOSP'01 — at word granularity): a word
+    position is a chunk BOUNDARY when the rolling polynomial hash of
+    the last ``k`` words is ≡ 0 mod ``d``, so chunk cuts follow content
+    (insert-shift-stable) rather than fixed offsets; each doc's last
+    word always ends its final chunk.  Chunk identity is the
+    positional polynomial hash of the chunk's words (the fp_rolling
+    combine, content-only).  Output: one summary row — total words,
+    total chunks, distinct chunks, dedup_ratio = distinct/total and
+    mean_chunk_words (single int/int divisions) — the storage-dedup
+    planning readout (a low dedup_ratio corpus is block-level
+    compressible).
+
+    Fully vectorized: the rolling hash is ``k`` shifted adds over the
+    concatenated batch word-hash array (doc-boundary masked), chunk
+    hashes are ``np.add.reduceat`` segment sums of w32·B^(end−pos)
+    terms (mod-2^64 two's-complement wraparound).  Distinct resolves
+    with the same hash-partitioned co-group as distinct_ngram_stats —
+    partition-local uniques are globally disjoint; nothing
+    corpus-proportional touches the driver."""
+    from docling_api_ray.functions.hashing import (
+        MASK32,
+        fp_powers,
+    )
+    from docling_api_ray.stages.common import (
+        bounded_groupby_sum,
+        guard_fold,
+        shuffle_partitions,
+    )
+
+    P = shuffle_partitions()
+    dk = np.uint64(d)
+
+    def partial(b: pa.Table) -> pa.Table:
+        texts = [x if x is not None else "" for x in b[text_col].to_pylist()]
+        wh, off = batch_word_hashes(texts)
+        lens = np.diff(off)
+        G = len(wh)
+        w32 = wh & MASK32
+        di = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
+        chunk_h = np.zeros(0, dtype=np.uint64)
+        n_chunks = 0
+        if G:
+            pows = fp_powers(max(k, int(lens.max())))
+            # rolling hash ending at g: sum_t w32[g-t] * B^t, window in-doc
+            roll = np.zeros(G, dtype=np.uint64)
+            with np.errstate(over="ignore"):
+                for t in range(k):
+                    roll[t:] += w32[: G - t] * pows[t]
+            valid = np.zeros(G, dtype=bool)
+            if G >= k:
+                valid[k - 1 :] = di[k - 1 :] == di[: G - k + 1]
+            boundary = valid & (roll % dk == np.uint64(0))
+            # chunk ends: boundary positions plus each doc's last word
+            last = off[1:][lens > 0] - 1
+            ends = np.unique(
+                np.concatenate([np.flatnonzero(boundary), last])
+            )
+            n_chunks = len(ends)
+            end_of = ends[np.searchsorted(ends, np.arange(G))]
+            with np.errstate(over="ignore"):
+                terms = w32 * pows[end_of - np.arange(G)]
+            starts = np.concatenate(
+                [np.zeros(1, dtype=np.int64), ends[:-1] + 1]
+            )
+            seg = np.add.reduceat(terms.view(np.int64), starts)
+            chunk_h = np.unique(seg.view(np.uint64))
+        return pa.table(
+            {
+                "kind": pa.array(
+                    np.concatenate(
+                        [
+                            np.zeros(len(chunk_h), dtype=np.int64),
+                            np.array([1, 2], dtype=np.int64),
+                        ]
+                    )
+                ),
+                "h": pa.array(
+                    np.concatenate(
+                        [
+                            chunk_h.view(np.int64),
+                            np.zeros(2, dtype=np.int64),
+                        ]
+                    )
+                ),
+                "cnt": pa.array(
+                    np.concatenate(
+                        [
+                            np.zeros(len(chunk_h), dtype=np.int64),
+                            np.array([n_chunks, G], dtype=np.int64),
+                        ]
+                    )
+                ),
+            }
+        )
+
+    parts = coalesce_narrow(
+        ds.select_columns([text_col]).map_batches(
+            partial, batch_format="pyarrow"
+        )
+    ).materialize()  # consumed twice: totals fold + distinct co-group
+
+    totals = {
+        int(r["kind"]): int(r["total"])
+        for r in bounded_groupby_sum(
+            parts.filter(expr="kind > 0"),
+            ["kind"],
+            sum_cols={"total": "cnt"},
+        ).take_all()
+    }
+
+    def add_part(b: pa.Table) -> pa.Table:
+        h = np.asarray(b["h"], dtype=np.int64)
+        part = (h.view(np.uint64) % np.uint64(P)).astype(np.int64)
+        return b.append_column("__part", pa.array(part, type=pa.int64()))
+
+    def count_distinct(g: pd.DataFrame) -> pa.Table:
+        return pa.table(
+            {
+                "one": pa.array([1], type=pa.int64()),
+                "d": pa.array([g["h"].nunique()], type=pa.int64()),
+            }
+        )
+
+    dis = sum(
+        int(r["d"])
+        for r in bounded_groupby_sum(
+            parts.filter(expr="kind == 0")
+            .map_batches(add_part, batch_format="pyarrow")
+            .groupby("__part")
+            .map_groups(guard_fold(count_distinct), batch_format="pandas"),
+            ["one"],
+            sum_cols={"d": "d"},
+        ).take_all()
+    )
+    tot_chunks = totals.get(1, 0)
+    tot_words = totals.get(2, 0)
+    return pa.table(
+        {
+            "total_words": pa.array([tot_words], type=pa.int64()),
+            "total_chunks": pa.array([tot_chunks], type=pa.int64()),
+            "distinct_chunks": pa.array([dis], type=pa.int64()),
+            "dedup_ratio": pa.array(
+                [dis / tot_chunks if tot_chunks else None],
+                type=pa.float64(),
+            ),
+            "mean_chunk_words": pa.array(
+                [tot_words / tot_chunks if tot_chunks else None],
+                type=pa.float64(),
+            ),
+        }
+    )

@@ -1018,3 +1018,40 @@ def test_winnow_pairs_detects_copies_and_caps_buckets():
     b = set(sh[sd == 1].tolist())
     exp = len(a & b) / min(len(a), len(b))
     assert abs(got[(0, 2)]["containment"] - exp) < 1e-12
+
+
+def test_cdc_chunk_stats_shift_stable_and_exact():
+    from docling_api_ray.stages.dedup import cdc_chunk_stats
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(40)]
+    base = " ".join(rng.choice(vocab, size=300))
+
+    def stats(texts):
+        ds = ray.data.from_arrow(
+            pa.table({"doc_id": list(range(len(texts))), "text": texts})
+        )
+        return cdc_chunk_stats(ds).to_pylist()[0]
+
+    # exact duplicate corpus: every chunk repeats -> dedup_ratio 0.5
+    s = stats([base, base])
+    assert s["total_chunks"] == 2 * stats([base])["total_chunks"]
+    assert s["dedup_ratio"] == 0.5
+    assert s["total_words"] == 600
+
+    # content-defined shift stability: prepending words re-chunks only
+    # a bounded prefix, so most chunk hashes are SHARED with the
+    # original (fixed-offset chunking would share none)
+    shifted = "zzz yyy " + base
+    both = stats([base, shifted])
+    solo_b, solo_s = stats([base]), stats([shifted])
+    shared = (
+        solo_b["distinct_chunks"]
+        + solo_s["distinct_chunks"]
+        - both["distinct_chunks"]
+    )
+    assert shared >= 0.8 * solo_b["distinct_chunks"]
+
+    # empty corpus: zero totals, NULL ratios
+    e = stats(["", ""])
+    assert e["total_chunks"] == 0 and e["dedup_ratio"] is None
