@@ -970,6 +970,90 @@ def _q_cdc_dedup(sf_dir: str):
     return cdc_chunk_stats(_docs(sf_dir, ["doc_id", "text"]))
 
 
+_EWMA_ALPHA = 0.25  # exact binary fraction: both engines multiply exactly
+_EWMA_HI = 1.5
+_EWMA_LO = 0.5
+
+
+def _q_events_ewma(sf_dir: str):
+    """EWMA control chart over per-type daily event counts (Roberts
+    1959; the monitoring-tier drift alarm next to the KS/PSI batch
+    tests): S_t = α·x_t + (1−α)·S_{t−1}, alert when a day's count
+    deviates from the PRIOR smoothed level by ratio ≥ 1.5 or ≤ 0.5.
+
+    Shape: one bounded (type × day) count exchange, then the recursion
+    runs inside a per-type co-group fold — sequential by nature, O(days)
+    per type (domain-bounded, the zipf-fold class).  Exactness: α=0.25
+    and 1−α=0.75 are exact binary fractions and both engines evaluate
+    the same mult-mult-add per step, so the doubles are bit-identical;
+    ratio is a single IEEE division against the carried prior."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def add_day(b: pa.Table) -> pa.Table:
+        us = pc.cast(b["ts"], pa.int64())  # epoch microseconds
+        day = pc.divide(us, 86_400_000_000)
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "day": pc.cast(day, pa.int64()),
+            }
+        )
+
+    agg = (
+        _coal(ds.map_batches(add_day, batch_format="pyarrow"))
+        .groupby(["event_type", "day"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+    out_schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("day", pa.int64()),
+            ("n", pa.int64()),
+            ("ewma", pa.float64()),
+            ("ratio", pa.float64()),
+            ("alert", pa.bool_()),
+        ]
+    )
+
+    def fold(df):
+        import pandas as pd
+
+        if not len(df):
+            return out_schema.empty_table()
+        df = df.sort_values("day", kind="stable")
+        ns = df["n"].to_numpy(dtype=np.int64)
+        ew = np.empty(len(ns), dtype=np.float64)
+        ratio = np.full(len(ns), np.nan)
+        s = float(ns[0])
+        ew[0] = s
+        for i in range(1, len(ns)):  # domain-bounded sequential recursion
+            x = float(ns[i])
+            ratio[i] = x / s
+            s = _EWMA_ALPHA * x + 0.75 * s
+            ew[i] = s
+        alert = np.zeros(len(ns), dtype=bool)
+        alert[1:] = (ratio[1:] >= _EWMA_HI) | (ratio[1:] <= _EWMA_LO)
+        return pa.table(
+            {
+                "event_type": df["event_type"].to_numpy(),
+                "day": df["day"].to_numpy(),
+                "n": ns,
+                "ewma": ew,
+                "ratio": pa.array(
+                    ratio, type=pa.float64(), mask=np.isnan(ratio)
+                ),
+                "alert": alert,
+            }
+        ).cast(out_schema)
+
+    from docling_api_ray.stages.common import guard_fold
+
+    return agg.groupby("event_type").map_groups(
+        guard_fold(fold), batch_format="pandas"
+    )
+
+
 def _q_distinct_ngrams(sf_dir: str):
     """Corpus diversity: distinct-1/2/3 ratios (stages/dedup.py
     distinct_ngram_stats) — the mode-collapse monitor.  One text pass
@@ -6937,6 +7021,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_fingerprints": _q_winnow_fingerprints,
         "winnow_pairs": _q_winnow_pairs,
         "cdc_dedup": _q_cdc_dedup,
+        "events_ewma": _q_events_ewma,
         "approx_score_quantiles": _q_approx_score_quantiles,
         "approx_source_quantiles": _q_approx_source_quantiles,
         "winsorize_logit": _q_winsorize_logit,
@@ -11393,6 +11478,37 @@ def oracle_sql() -> dict[str, str]:
                     THEN CAST(tw AS DOUBLE) / CAST(tc AS DOUBLE)
                END AS mean_chunk_words
         FROM m
+    """
+    # mirrors _q_events_ewma: per-type daily counts, the EWMA recursion
+    # as a linear recursive CTE stepping r -> r+1 with the SAME
+    # mult-mult-add double arithmetic, ratio vs the carried prior
+    out["events_ewma"] = f"""
+        WITH RECURSIVE
+        dc AS (SELECT event_type,
+                      date_diff('day', DATE '1970-01-01',
+                                CAST(ts AS DATE)) AS day,
+                      count(*) AS n
+               FROM events GROUP BY 1, 2),
+        ord AS (SELECT event_type, day, n,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY day) AS r
+                FROM dc),
+        ew(event_type, day, n, r, prev, s) AS (
+          SELECT event_type, day, n, r, CAST(NULL AS DOUBLE),
+                 CAST(n AS DOUBLE)
+          FROM ord WHERE r = 1
+          UNION ALL
+          SELECT o.event_type, o.day, o.n, o.r, ew.s,
+                 {_EWMA_ALPHA} * CAST(o.n AS DOUBLE) + 0.75 * ew.s
+          FROM ord o JOIN ew ON ew.event_type = o.event_type
+                            AND o.r = ew.r + 1)
+        SELECT event_type, CAST(day AS BIGINT) AS day,
+               CAST(n AS BIGINT) AS n, s AS ewma,
+               CAST(n AS DOUBLE) / prev AS ratio,
+               coalesce(CAST(n AS DOUBLE) / prev >= {_EWMA_HI}
+                        OR CAST(n AS DOUBLE) / prev <= {_EWMA_LO},
+                        FALSE) AS alert
+        FROM ew
     """
     # mirrors _q_zipf_fit: same wordcount CTE as vocab_topk, rank by
     # (n DESC, word ASC), floor(ln*1e9 + 0.5) quantized logs, HUGEINT

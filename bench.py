@@ -252,6 +252,7 @@ def _bench_once() -> dict:
         "winnow_fingerprints",
         "winnow_pairs",
         "cdc_dedup",
+        "events_ewma",
     ]
     # INTERLEAVED repetitions + medians (VERDICT r2 #1): this container's
     # co-tenant jitter is ±30-50% and can hold a multi-second plateau —

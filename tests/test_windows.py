@@ -682,3 +682,43 @@ def test_event_debounce_boundary_and_stream_isolation():
     # view: e4 kept; e6 kept (first), e7 dropped (same-ts tie, gap 0)
     assert got["view"] == (3, 2, 2 / 3)
     assert list(out["event_type"]) == ["click", "view"]  # ascending
+
+
+def test_events_ewma_alerts_on_burst():
+    import numpy as np
+    import pyarrow as pa
+
+    import __ray_entry__ as em
+
+    # build a tiny parquet dir: steady 4/day then a 16-event burst day
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    d = tempfile.mkdtemp(prefix="ewma_")
+    days = [0] * 4 + [1] * 4 + [2] * 4 + [3] * 16 + [4] * 4
+    us = [int((day * 86400 + i) * 1e6) for i, day in enumerate(days)]
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(days)), pa.int64()),
+            "ts": pa.array(us, pa.timestamp("us")),
+            "user_id": pa.array([1] * len(days), pa.int64()),
+            "event_type": pa.array(["click"] * len(days), pa.string()),
+            "value": pa.array([1.0] * len(days), pa.float64()),
+            "props": pa.array(["{}"] * len(days), pa.string()),
+        }
+    )
+    pq.write_table(t, os.path.join(d, "events.parquet"))
+    out = em.queries()["events_ewma"](d).take_all()
+    out.sort(key=lambda r: r["day"])
+    assert [r["n"] for r in out] == [4, 4, 4, 16, 4]
+    # burst day fires the high alert; day 4's drop (4/7 ~ 0.57) stays
+    # inside the band because the EWMA only partially absorbed the burst
+    assert out[3]["alert"] is True and out[3]["ratio"] == 4.0
+    assert out[4]["alert"] is False and out[4]["ratio"] == 4.0 / 7.0
+    # steady days do not alert; day 0 has no prior
+    assert not out[0]["alert"] and not out[1]["alert"] and not out[2]["alert"]
+    # EWMA recursion: s1=4, s2=4, s3=4, s4=.25*16+.75*4=7, s5=.25*4+.75*7
+    assert out[3]["ewma"] == 7.0
+    assert out[4]["ewma"] == 0.25 * 4 + 0.75 * 7.0
