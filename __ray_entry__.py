@@ -1054,6 +1054,87 @@ def _q_events_ewma(sf_dir: str):
     )
 
 
+_NEYMAN_N = 1000  # target total sample size
+
+
+def _q_neyman_allocation(sf_dir: str):
+    """Neyman-optimal stratified-sample allocation (Neyman 1934): per
+    source h, n_h ∝ N_h·S_h (stratum size × stddev of the quality
+    logit) — minimizes the stratified estimator's variance at fixed
+    total n, the statistically-grounded upgrade over proportional
+    allocation for corpus eval sampling.  Integerized by the
+    largest-remainder method so Σ alloc == n exactly.
+
+    Shape: one bounded per-source moment fold (n, Σx, Σx² over micro
+    logits), then an O(|sources|) driver fold — the zipf class.
+    Exactness: Python-int moments; S_h = sqrt(num)/n then ×n, weight
+    nano-quantized with ⌊x·1e9+½⌋ before the integer weight sum, so
+    quotas are exact-int/exact-int IEEE divisions; remainder ranking
+    on bit-identical doubles with source tie-break."""
+    import math
+
+    from docling_api_ray.stages.common import bounded_groupby_sum
+
+    def scored(b: pa.Table) -> pa.Table:
+        lg = ta.quality_logit(ta.quality_scores(b))
+        lm = np.rint(
+            np.asarray(lg["logit"], dtype=np.float64) * 1e6
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "source": b["source"],
+                "lm": pa.array(lm, type=pa.int64()),
+                "lm2": pa.array(lm * lm, type=pa.int64()),
+            }
+        )
+
+    rows = bounded_groupby_sum(
+        _docs(sf_dir, ["doc_id", "text", "source"]).map_batches(
+            scored, batch_format="pyarrow"
+        ),
+        ["source"],
+        sum_cols={"s": "lm", "ss": "lm2"},
+        count_alias="n",
+    ).take_all()
+    rows.sort(key=lambda r: r["source"])
+    recs = []
+    for r in rows:
+        n_h, s1, s2 = int(r["n"]), int(r["s"]), int(r["ss"])
+        num = n_h * s2 - s1 * s1  # Python-int exact
+        std = math.sqrt(float(num)) / n_h
+        w_nano = int(math.floor((std * n_h) * 1e9 + 0.5))
+        recs.append([r["source"], n_h, w_nano])
+    w_tot = sum(w for _, _, w in recs)
+    n_tot = sum(n for _, n, _ in recs)
+    quotas = []
+    for src, n_h, w_nano in recs:
+        if w_tot > 0:
+            q = float(_NEYMAN_N * w_nano) / float(w_tot)
+        else:
+            q = float(_NEYMAN_N * n_h) / float(n_tot)
+        quotas.append(q)
+    bases = [int(math.floor(q)) for q in quotas]
+    leftover = _NEYMAN_N - sum(bases)
+    order = sorted(
+        range(len(recs)),
+        key=lambda i: (-(quotas[i] - bases[i]), recs[i][0]),
+    )
+    alloc = list(bases)
+    for i in order[: max(leftover, 0)]:
+        alloc[i] += 1
+    return pa.table(
+        {
+            "source": pa.array([r[0] for r in recs], type=pa.string()),
+            "n_docs": pa.array([r[1] for r in recs], type=pa.int64()),
+            "weight_nano": pa.array(
+                [r[2] for r in recs], type=pa.int64()
+            ),
+            "quota": pa.array(quotas, type=pa.float64()),
+            "alloc": pa.array(alloc, type=pa.int64()),
+        }
+    )
+
+
 def _q_distinct_ngrams(sf_dir: str):
     """Corpus diversity: distinct-1/2/3 ratios (stages/dedup.py
     distinct_ngram_stats) — the mode-collapse monitor.  One text pass
@@ -7022,6 +7103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_pairs": _q_winnow_pairs,
         "cdc_dedup": _q_cdc_dedup,
         "events_ewma": _q_events_ewma,
+        "neyman_allocation": _q_neyman_allocation,
         "approx_score_quantiles": _q_approx_score_quantiles,
         "approx_source_quantiles": _q_approx_source_quantiles,
         "winsorize_logit": _q_winsorize_logit,
@@ -11329,6 +11411,46 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(nano) AS BIGINT) AS s_nano,
                CAST(sum(nano) AS BIGINT) / 1000000000.0 AS psi
         FROM terms GROUP BY source ORDER BY source
+    """
+    # mirrors _q_neyman_allocation: per-source integer logit moments,
+    # stddev via the SAME (sqrt(num)/n)*n association, ⌊x·1e9+½⌋
+    # nano-quantized weights, exact-int quota divisions, and the
+    # largest-remainder rank with (rem DESC, source) tie-break
+    out["neyman_allocation"] = f"""
+        WITH {_qlogit_labeled},
+        v AS (SELECT source,
+                     CAST(round(logit * 1000000) AS BIGINT) AS lm
+              FROM l),
+        m AS (SELECT source, count(*) AS n, sum(lm) AS s,
+                     sum(lm * lm) AS ss
+              FROM v GROUP BY 1),
+        w AS (SELECT source, n,
+                     CAST(floor(
+                       (sqrt(CAST(CAST(n AS HUGEINT) * ss
+                                  - CAST(s AS HUGEINT) * s AS DOUBLE))
+                        / n) * n * 1000000000.0 + 0.5) AS HUGEINT)
+                       AS w_nano
+              FROM m),
+        tot AS (SELECT sum(w_nano) AS wt, sum(n) AS ntot FROM w),
+        q AS (SELECT source, n, w_nano,
+                     CASE WHEN t.wt > 0
+                          THEN CAST({_NEYMAN_N} * w_nano AS DOUBLE)
+                               / CAST(t.wt AS DOUBLE)
+                          ELSE CAST({_NEYMAN_N} * n AS DOUBLE)
+                               / CAST(t.ntot AS DOUBLE) END AS quota
+              FROM w CROSS JOIN tot t),
+        b AS (SELECT *, CAST(floor(quota) AS BIGINT) AS base,
+                     quota - floor(quota) AS rem
+              FROM q),
+        lv AS (SELECT {_NEYMAN_N} - sum(base) AS leftover FROM b),
+        r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source)
+                          AS rn
+              FROM b)
+        SELECT source, CAST(n AS BIGINT) AS n_docs,
+               CAST(w_nano AS BIGINT) AS weight_nano, quota,
+               CAST(base + CASE WHEN rn <= (SELECT leftover FROM lv)
+                                THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        FROM r
     """
     # mirrors _q_distinct_ngrams: n=1 over the FULL 64-bit word hash,
     # n=2,3 over the shingle tier's masked-32 combine (same constants,
