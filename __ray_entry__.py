@@ -1135,6 +1135,74 @@ def _q_neyman_allocation(sf_dir: str):
     )
 
 
+def _q_vocab_coverage(sf_dir: str):
+    """Good-Turing unseen-mass + Chao1 species-richness estimate from
+    the exact vocabulary count-of-counts (Gale & Sampson 1995; Chao
+    1984) — "how much of the language have we NOT crawled yet", the
+    coverage planning readout next to Heaps' law (vocab_growth).
+
+    Shape: per-batch Arrow wordcount partials, ONE word-hash co-group
+    (each partition holds complete totals for its words), per-partition
+    count-of-counts collapsed to a 4-int row (V, N, N1, N2) — the
+    driver folds ≤P rows of 4 Python-int-exact sums.  unseen = N1/N
+    and chao1 = V + N1²/(2·N2) are single IEEE divisions."""
+    import pandas as pd
+
+    from docling_api_ray.stages.common import (
+        coalesce_narrow,
+        guard_fold,
+        shuffle_partitions,
+    )
+
+    P = shuffle_partitions()
+    partials = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        ta.word_counts, batch_format="pyarrow"
+    )
+
+    def add_part(b: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(
+            np.asarray(b["word"].to_pylist(), dtype=object)
+        ).astype(np.int64)
+        return b.append_column(
+            "__part", pa.array(np.abs(h) % P, type=pa.int64())
+        )
+
+    def fold(df: "pd.DataFrame") -> pa.Table:
+        cnt = df.groupby("word", sort=False)["n"].sum().to_numpy()
+        return pa.table(
+            {
+                "v": pa.array([len(cnt)], type=pa.int64()),
+                "nt": pa.array([int(cnt.sum())], type=pa.int64()),
+                "n1": pa.array([int((cnt == 1).sum())], type=pa.int64()),
+                "n2": pa.array([int((cnt == 2).sum())], type=pa.int64()),
+            }
+        )
+
+    rows = (
+        coalesce_narrow(
+            partials.map_batches(add_part, batch_format="pyarrow")
+        )
+        .groupby("__part")
+        .map_groups(guard_fold(fold), batch_format="pandas")
+    ).take_all()
+    V = sum(int(r["v"]) for r in rows)
+    N = sum(int(r["nt"]) for r in rows)
+    N1 = sum(int(r["n1"]) for r in rows)
+    N2 = sum(int(r["n2"]) for r in rows)
+    unseen = float(N1) / float(N) if N else None
+    chao1 = float(V) + float(N1 * N1) / float(2 * N2) if N2 else None
+    return pa.table(
+        {
+            "n_tokens": pa.array([N], type=pa.int64()),
+            "vocab": pa.array([V], type=pa.int64()),
+            "n1": pa.array([N1], type=pa.int64()),
+            "n2": pa.array([N2], type=pa.int64()),
+            "unseen_mass": pa.array([unseen], type=pa.float64()),
+            "chao1": pa.array([chao1], type=pa.float64()),
+        }
+    )
+
+
 def _q_distinct_ngrams(sf_dir: str):
     """Corpus diversity: distinct-1/2/3 ratios (stages/dedup.py
     distinct_ngram_stats) — the mode-collapse monitor.  One text pass
@@ -7104,6 +7172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_dedup": _q_cdc_dedup,
         "events_ewma": _q_events_ewma,
         "neyman_allocation": _q_neyman_allocation,
+        "vocab_coverage": _q_vocab_coverage,
         "approx_score_quantiles": _q_approx_score_quantiles,
         "approx_source_quantiles": _q_approx_source_quantiles,
         "winsorize_logit": _q_winsorize_logit,
@@ -11631,6 +11700,29 @@ def oracle_sql() -> dict[str, str]:
                         OR CAST(n AS DOUBLE) / prev <= {_EWMA_LO},
                         FALSE) AS alert
         FROM ew
+    """
+    # mirrors _q_vocab_coverage: exact wordcount, count-of-counts
+    # moments, unseen = N1/N and chao1 = V + N1²/(2·N2) as the same
+    # single divisions (add AFTER divide)
+    out["vocab_coverage"] = """
+        WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
+                   FROM documents),
+        c AS (SELECT word, count(*) AS n FROM w
+              WHERE word <> '' GROUP BY 1),
+        m AS (SELECT count(*) AS v, coalesce(sum(n), 0) AS nt,
+                     count(*) FILTER (n = 1) AS n1,
+                     count(*) FILTER (n = 2) AS n2
+              FROM c)
+        SELECT CAST(nt AS BIGINT) AS n_tokens,
+               CAST(v AS BIGINT) AS vocab,
+               CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+               CASE WHEN nt > 0 THEN
+                 CAST(n1 AS DOUBLE) / CAST(nt AS DOUBLE)
+               END AS unseen_mass,
+               CASE WHEN n2 > 0 THEN
+                 v + CAST(n1 * n1 AS DOUBLE) / CAST(2 * n2 AS DOUBLE)
+               END AS chao1
+        FROM m
     """
     # mirrors _q_zipf_fit: same wordcount CTE as vocab_topk, rank by
     # (n DESC, word ASC), floor(ln*1e9 + 0.5) quantized logs, HUGEINT

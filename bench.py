@@ -254,6 +254,7 @@ def _bench_once() -> dict:
         "cdc_dedup",
         "events_ewma",
         "neyman_allocation",
+        "vocab_coverage",
     ]
     # INTERLEAVED repetitions + medians (VERDICT r2 #1): this container's
     # co-tenant jitter is ±30-50% and can hold a multi-second plateau —
