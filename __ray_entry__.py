@@ -816,6 +816,30 @@ def _q_spearman_length_tokens(sf_dir: str):
     return spearman_corr(ds, x_col="x", y_col="y")
 
 
+def _q_kendall_length_tokens(sf_dir: str):
+    """Exact tie-corrected Kendall tau-b between n_chars and token
+    count (stages/stats.py kendall_tau_b): concordant/discordant pair
+    mass from 2D prefix sums over the bounded joint value histogram —
+    no pairwise pass, no global sort; the monotone-association triplet
+    closes (Pearson / Spearman / Kendall)."""
+    from docling_api_ray.stages.stats import kendall_tau_b
+    from docling_api_ray.stages.text_analysis import WS_TOKEN_RE, _count
+
+    def proj(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "x": pc.cast(b["n_chars"], pa.int64()),
+                "y": pc.cast(_count(b["text"], WS_TOKEN_RE), pa.int64()),
+            }
+        )
+
+    return kendall_tau_b(
+        _docs(sf_dir, ["text", "n_chars"]).map_batches(
+            proj, batch_format="pyarrow"
+        )
+    )
+
+
 def _q_lang_source_mi(sf_dir: str):
     """Mutual information / chi-square / Cramer's V between lang and
     source (stages/stats.py contingency_association) — the
@@ -1132,6 +1156,53 @@ def _q_neyman_allocation(sf_dir: str):
             "quota": pa.array(quotas, type=pa.float64()),
             "alloc": pa.array(alloc, type=pa.int64()),
         }
+    )
+
+
+def _q_neyman_sample(sf_dir: str):
+    """Draw the Neyman-allocated stratified sample: per source, the
+    alloc_h docs with the smallest md5-derived hash (hash order ⟂ any
+    data attribute; identical on every run/node/reshard — the
+    stratified_sample discipline with a per-stratum variable k).  The
+    allocation table (≤|sources| rows) is computed first and embedded
+    in the head closure — the broadcast-small-side pattern.  Output is
+    Σ alloc rows (= _NEYMAN_N), scale-independent."""
+    alloc_tbl = _q_neyman_allocation(sf_dir)
+    alloc = {
+        s: int(a)
+        for s, a in zip(
+            alloc_tbl["source"].to_pylist(), alloc_tbl["alloc"].to_pylist()
+        )
+    }
+    ds = _docs(sf_dir, ["doc_id", "source"])
+
+    def add_hkey(b: pa.Table) -> pa.Table:
+        from docling_api_ray.functions.hashing import u64_md5
+
+        ids = [str(i) for i in b["doc_id"].to_pylist()]
+        h = (u64_md5(np.array(ids, dtype=object)) >> np.uint64(1)).astype(
+            np.int64
+        )
+        return b.append_column("hkey", pa.array(h, type=pa.int64()))
+
+    def head(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = b.to_pandas().sort_values(
+            ["source", "hkey", "doc_id"], kind="stable"
+        )
+        rn = df.groupby("source", sort=False).cumcount()
+        k = df["source"].map(alloc).fillna(0).astype(np.int64)
+        return pa.Table.from_pandas(
+            df[rn.to_numpy() < k.to_numpy()], preserve_index=False
+        ).cast(b.schema)
+
+    return (
+        ds.map_batches(add_hkey, batch_format="pyarrow")
+        .map_batches(head, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(head, batch_format="pyarrow", batch_size=None)
+        .select_columns(["doc_id", "source", "hkey"])
     )
 
 
@@ -7173,6 +7244,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ewma": _q_events_ewma,
         "neyman_allocation": _q_neyman_allocation,
         "vocab_coverage": _q_vocab_coverage,
+        "neyman_sample": _q_neyman_sample,
+        "kendall_length_tokens": _q_kendall_length_tokens,
         "approx_score_quantiles": _q_approx_score_quantiles,
         "approx_source_quantiles": _q_approx_source_quantiles,
         "winsorize_logit": _q_winsorize_logit,
@@ -11485,7 +11558,7 @@ def oracle_sql() -> dict[str, str]:
     # stddev via the SAME (sqrt(num)/n)*n association, ⌊x·1e9+½⌋
     # nano-quantized weights, exact-int quota divisions, and the
     # largest-remainder rank with (rem DESC, source) tie-break
-    out["neyman_allocation"] = f"""
+    _neyman_body = f"""
         WITH {_qlogit_labeled},
         v AS (SELECT source,
                      CAST(round(logit * 1000000) AS BIGINT) AS lm
@@ -11520,6 +11593,22 @@ def oracle_sql() -> dict[str, str]:
                CAST(base + CASE WHEN rn <= (SELECT leftover FROM lv)
                                 THEN 1 ELSE 0 END AS BIGINT) AS alloc
         FROM r
+    """
+    out["neyman_allocation"] = _neyman_body
+    # mirrors _q_neyman_sample: the allocation body as a derived table,
+    # then the stratified_sample hash rank with per-stratum k = alloc
+    out["neyman_sample"] = f"""
+        WITH a AS ({_neyman_body}),
+        h AS (SELECT doc_id, source,
+                     CAST(({_sql_u64("CAST(doc_id AS VARCHAR)")}) // 2
+                          AS BIGINT) AS hkey
+              FROM documents),
+        r AS (SELECT *, row_number() OVER (
+                 PARTITION BY source ORDER BY hkey, doc_id) AS rn
+              FROM h)
+        SELECT r.doc_id, r.source, r.hkey
+        FROM r JOIN a ON a.source = r.source
+        WHERE r.rn <= a.alloc
     """
     # mirrors _q_distinct_ngrams: n=1 over the FULL 64-bit word hash,
     # n=2,3 over the shingle tier's masked-32 combine (same constants,
@@ -11700,6 +11789,54 @@ def oracle_sql() -> dict[str, str]:
                         OR CAST(n AS DOUBLE) / prev <= {_EWMA_LO},
                         FALSE) AS alert
         FROM ew
+    """
+    # mirrors _q_kendall_length_tokens / kendall_tau_b: dense distinct
+    # grid, the same 2D prefix sums as window cumsums (a = mass with
+    # x'<x per column; ll/lg = strictly-left/right row cumsums of a),
+    # int tie moments, and the identical two-factor double product
+    out["kendall_length_tokens"] = """
+        WITH t AS (SELECT CAST(n_chars AS BIGINT) AS x,
+                          CAST(length(regexp_extract_all(text, $$\\S+$$))
+                               AS BIGINT) AS y
+                   FROM documents),
+        cells AS (SELECT x, y, CAST(count(*) AS BIGINT) AS c
+                  FROM t GROUP BY 1, 2),
+        grid AS (SELECT xs.x, ys.y, coalesce(c.c, 0) AS c
+                 FROM (SELECT DISTINCT x FROM cells) xs
+                 CROSS JOIN (SELECT DISTINCT y FROM cells) ys
+                 LEFT JOIN cells c USING (x, y)),
+        a AS (SELECT x, y, c,
+                     coalesce(sum(c) OVER (PARTITION BY y ORDER BY x
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS ax
+              FROM grid),
+        l AS (SELECT x, y, c, ax,
+                     coalesce(sum(ax) OVER (PARTITION BY x ORDER BY y
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS ll,
+                     sum(ax) OVER (PARTITION BY x)
+                       - sum(ax) OVER (PARTITION BY x ORDER BY y
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS lg
+              FROM a),
+        s AS (SELECT sum(c * ll) AS cc, sum(c * lg) AS dd FROM l),
+        mx AS (SELECT sum(tt * (tt - 1) / 2) AS n1 FROM
+               (SELECT x, sum(c) AS tt FROM cells GROUP BY 1)),
+        my AS (SELECT sum(tt * (tt - 1) / 2) AS n2 FROM
+               (SELECT y, sum(c) AS tt FROM cells GROUP BY 1)),
+        nn AS (SELECT sum(c) AS n, sum(c) * (sum(c) - 1) / 2 AS n0
+               FROM cells)
+        SELECT CAST(n AS BIGINT) AS n,
+               CAST(cc AS BIGINT) AS concordant,
+               CAST(dd AS BIGINT) AS discordant,
+               CAST(n1 AS BIGINT) AS ties_x,
+               CAST(n2 AS BIGINT) AS ties_y,
+               CASE WHEN n0 > n1 AND n0 > n2 THEN
+                 CAST(cc - dd AS DOUBLE)
+                   / sqrt(CAST(n0 - n1 AS DOUBLE)
+                          * CAST(n0 - n2 AS DOUBLE))
+               END AS tau_b
+        FROM s, mx, my, nn
     """
     # mirrors _q_vocab_coverage: exact wordcount, count-of-counts
     # moments, unseen = N1/N and chao1 = V + N1²/(2·N2) as the same

@@ -255,6 +255,8 @@ def _bench_once() -> dict:
         "events_ewma",
         "neyman_allocation",
         "vocab_coverage",
+        "neyman_sample",
+        "kendall_length_tokens",
     ]
     # INTERLEAVED repetitions + medians (VERDICT r2 #1): this container's
     # co-tenant jitter is ±30-50% and can hold a multi-second plateau —

@@ -1571,3 +1571,86 @@ def grouped_psi(
         batch_format="pyarrow",
         batch_size=None,
     )
+
+
+def kendall_tau_b(
+    ds: ray.data.Dataset,
+    *,
+    x_col: str = "x",
+    y_col: str = "y",
+    max_cells: int = 4_000_000,
+) -> pa.Table:
+    """EXACT Kendall tau-b rank correlation between two integer columns
+    (Kendall 1945 tie correction) — the pairwise-concordance
+    complement to ``spearman_corr``: identical monotone-association
+    reading, but its O(1) influence per swapped pair makes it the
+    robust choice when Spearman's squared rank deviations over-weight
+    the tails.
+
+    No pairwise pass: concordant/discordant counts come from the
+    bounded joint (x, y) value histogram — 2D prefix sums over the
+    dense distinct-x × distinct-y grid give, for every cell, the pair
+    mass strictly below-left (concordant) and below-right (discordant);
+    Σ cell·mass is n²-scale but int64-safe to ~4e9 rows.  The histogram
+    is value-domain-proportional (loud ``max_cells`` guard), the same
+    contract as the Spearman rank maps.  tau_b =
+    (C−D)/√((n0−T_x)(n0−T_y)) with the SQL mirror replaying the same
+    int moments and the same two-factor double product."""
+    from docling_api_ray.stages.common import bounded_groupby_sum
+
+    h = bounded_groupby_sum(
+        ds.select_columns([x_col, y_col]), [x_col, y_col],
+        count_alias="cnt",
+    ).take_all()
+    if len(h) > max_cells:
+        raise ValueError(
+            f"kendall_tau_b: {len(h):,} joint cells > max_cells="
+            f"{max_cells:,} — bucket the values or raise the guard"
+        )
+    if not h:
+        return pa.table(
+            {
+                "n": pa.array([0], type=pa.int64()),
+                "concordant": pa.array([0], type=pa.int64()),
+                "discordant": pa.array([0], type=pa.int64()),
+                "ties_x": pa.array([0], type=pa.int64()),
+                "ties_y": pa.array([0], type=pa.int64()),
+                "tau_b": pa.array([None], type=pa.float64()),
+            }
+        )
+    xs = np.array([r[x_col] for r in h], dtype=np.int64)
+    ys = np.array([r[y_col] for r in h], dtype=np.int64)
+    cs = np.array([r["cnt"] for r in h], dtype=np.int64)
+    xv, xi = np.unique(xs, return_inverse=True)
+    yv, yi = np.unique(ys, return_inverse=True)
+    M = np.zeros((len(xv), len(yv)), dtype=np.int64)
+    M[xi, yi] = cs
+    # a[i, j] = pair mass with x' < x_i at column j
+    a = np.zeros_like(M)
+    a[1:, :] = np.cumsum(M, axis=0)[:-1, :]
+    ll = np.zeros_like(M)  # strictly below-left
+    ll[:, 1:] = np.cumsum(a, axis=1)[:, :-1]
+    lg = a.sum(axis=1, keepdims=True) - np.cumsum(a, axis=1)  # below-right
+    C = int((M * ll).sum())
+    D = int((M * lg).sum())
+    n = int(cs.sum())
+    tx = M.sum(axis=1)
+    ty = M.sum(axis=0)
+    n1 = int((tx * (tx - 1) // 2).sum())
+    n2 = int((ty * (ty - 1) // 2).sum())
+    n0 = n * (n - 1) // 2
+    tau = (
+        float(C - D) / math.sqrt(float(n0 - n1) * float(n0 - n2))
+        if n0 > n1 and n0 > n2
+        else None
+    )
+    return pa.table(
+        {
+            "n": pa.array([n], type=pa.int64()),
+            "concordant": pa.array([C], type=pa.int64()),
+            "discordant": pa.array([D], type=pa.int64()),
+            "ties_x": pa.array([n1], type=pa.int64()),
+            "ties_y": pa.array([n2], type=pa.int64()),
+            "tau_b": pa.array([tau], type=pa.float64()),
+        }
+    )

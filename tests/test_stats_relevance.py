@@ -978,3 +978,52 @@ def test_grouped_psi_matches_numpy_reference():
         )
     )
     assert grouped_psi(one, group_col="src").count() == 0
+
+
+def test_kendall_tau_b_matches_bruteforce():
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from docling_api_ray.stages.stats import kendall_tau_b
+
+    rng = np.random.default_rng(11)
+    x = rng.integers(0, 12, size=300)
+    y = (x * 2 + rng.integers(0, 9, size=300)).astype(np.int64)
+    ds = ray.data.from_arrow(
+        pa.table({"x": pa.array(x, pa.int64()), "y": pa.array(y, pa.int64())})
+    )
+    out = kendall_tau_b(ds).to_pylist()[0]
+
+    C = D = tx = ty = 0
+    n = len(x)
+    for i in range(n):
+        for j in range(i + 1, n):
+            dx, dy = x[i] - x[j], y[i] - y[j]
+            if dx == 0 and dy == 0:
+                tx += 1
+                ty += 1
+            elif dx == 0:
+                tx += 1
+            elif dy == 0:
+                ty += 1
+            elif (dx > 0) == (dy > 0):
+                C += 1
+            else:
+                D += 1
+    n0 = n * (n - 1) // 2
+    assert out["concordant"] == C and out["discordant"] == D
+    assert out["ties_x"] == tx and out["ties_y"] == ty
+    exp = (C - D) / math.sqrt(float(n0 - tx) * float(n0 - ty))
+    assert abs(out["tau_b"] - exp) < 1e-12
+    assert out["tau_b"] > 0.5  # strong positive association by design
+
+    # empty input returns the typed empty-moment row
+    e = kendall_tau_b(
+        ray.data.from_arrow(
+            pa.table({"x": pa.array([], pa.int64()), "y": pa.array([], pa.int64())})
+        )
+    ).to_pylist()[0]
+    assert e["n"] == 0 and e["tau_b"] is None
