@@ -840,6 +840,78 @@ def _q_kendall_length_tokens(sf_dir: str):
     )
 
 
+_BENFORD_CHI2_99 = 20.09  # chi-square 0.99 quantile, 8 df
+
+
+def _q_benford_audit(sf_dir: str):
+    """Benford's-law first-digit audit of event values per type (the
+    classic fabricated-/synthetic-data forensic): observed leading-digit
+    counts of the integer cents vs p_d = log10(1+1/d), χ² per type,
+    alert above the 0.99 quantile.  One bounded (type × 9-digit) count
+    fold, then an O(|types|) driver fold; χ² terms are nano-quantized
+    ints so the order-free sum is engine/SQL-identical (the ln-family
+    last-ulp caveat applies to log10, the idf-class accepted risk).
+    Leading digit = first decimal digit of ⌊value·100⌋ — integer
+    division in the engine, VARCHAR head in SQL, identical for
+    positive ints; non-positive cents are excluded."""
+    import math
+
+    from docling_api_ray.stages.common import bounded_groupby_sum
+
+    def digits(b: pa.Table) -> pa.Table:
+        cents = np.floor(
+            np.asarray(b["value"], dtype=np.float64) * 100.0
+        ).astype(np.int64)
+        keep = cents > 0
+        d = cents[keep]
+        while (d >= 10).any():
+            big = d >= 10
+            d = np.where(big, d // 10, d)
+        et = np.asarray(b["event_type"])[keep]
+        return pa.table(
+            {
+                "event_type": pa.array(et, type=pa.string()),
+                "digit": pa.array(d, type=pa.int64()),
+            }
+        )
+
+    rows = bounded_groupby_sum(
+        _read(sf_dir, "events", ["event_type", "value"]).map_batches(
+            digits, batch_format="pyarrow"
+        ),
+        ["event_type", "digit"],
+        count_alias="c",
+    ).take_all()
+    by_type: dict[str, dict[int, int]] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], {})[int(r["digit"])] = int(r["c"])
+    types = sorted(by_type)
+    out_n, out_s = [], []
+    for t in types:
+        o = by_type[t]
+        n = sum(o.values())
+        s_nano = 0
+        for d in range(1, 10):
+            p = math.log10(1.0 + 1.0 / d)
+            e = n * p
+            term = (float(o.get(d, 0)) - e) * (float(o.get(d, 0)) - e) / e
+            s_nano += int(math.floor(term * 1e9 + 0.5))
+        out_n.append(n)
+        out_s.append(s_nano)
+    chi2 = [s / 1e9 for s in out_s]
+    return pa.table(
+        {
+            "event_type": pa.array(types, type=pa.string()),
+            "n": pa.array(out_n, type=pa.int64()),
+            "chi2_nano": pa.array(out_s, type=pa.int64()),
+            "chi2": pa.array(chi2, type=pa.float64()),
+            "benford_alert": pa.array(
+                [c > _BENFORD_CHI2_99 for c in chi2], type=pa.bool_()
+            ),
+        }
+    )
+
+
 def _q_lang_source_mi(sf_dir: str):
     """Mutual information / chi-square / Cramer's V between lang and
     source (stages/stats.py contingency_association) — the
@@ -7246,6 +7318,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_coverage": _q_vocab_coverage,
         "neyman_sample": _q_neyman_sample,
         "kendall_length_tokens": _q_kendall_length_tokens,
+        "benford_audit": _q_benford_audit,
         "approx_score_quantiles": _q_approx_score_quantiles,
         "approx_source_quantiles": _q_approx_source_quantiles,
         "winsorize_logit": _q_winsorize_logit,
@@ -11837,6 +11910,40 @@ def oracle_sql() -> dict[str, str]:
                           * CAST(n0 - n2 AS DOUBLE))
                END AS tau_b
         FROM s, mx, my, nn
+    """
+    # mirrors _q_benford_audit: leading digit of positive integer cents
+    # via VARCHAR head, dense 9-digit grid, nano-quantized chi-square
+    # terms with the identical (o-e)*(o-e)/e association, alert compare
+    # on the same divided double
+    out["benford_audit"] = f"""
+        WITH c0 AS (SELECT event_type,
+                           CAST(floor(value * 100) AS BIGINT) AS cents
+                    FROM events),
+        d AS (SELECT event_type,
+                     CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+                       AS digit
+              FROM c0 WHERE cents > 0),
+        o AS (SELECT event_type, digit, count(*) AS c FROM d GROUP BY 1, 2),
+        nn AS (SELECT event_type, sum(c) AS n FROM o GROUP BY 1),
+        grid AS (SELECT nn.event_type, dd.digit, nn.n,
+                        coalesce(o.c, 0) AS c
+                 FROM nn CROSS JOIN
+                      (SELECT unnest(generate_series(1, 9)) AS digit) dd
+                 LEFT JOIN o ON o.event_type = nn.event_type
+                            AND o.digit = dd.digit),
+        t AS (SELECT event_type, n,
+                     CAST(floor(
+                       ((CAST(c AS DOUBLE) - n * log10(1 + 1.0 / digit))
+                        * (CAST(c AS DOUBLE) - n * log10(1 + 1.0 / digit)))
+                       / (n * log10(1 + 1.0 / digit))
+                       * 1000000000.0 + 0.5) AS BIGINT) AS nano
+              FROM grid)
+        SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+               CAST(sum(nano) AS BIGINT) AS chi2_nano,
+               CAST(sum(nano) AS BIGINT) / 1000000000.0 AS chi2,
+               CAST(sum(nano) AS BIGINT) / 1000000000.0
+                 > {_BENFORD_CHI2_99} AS benford_alert
+        FROM t GROUP BY event_type
     """
     # mirrors _q_vocab_coverage: exact wordcount, count-of-counts
     # moments, unseen = N1/N and chao1 = V + N1²/(2·N2) as the same

@@ -257,6 +257,7 @@ def _bench_once() -> dict:
         "vocab_coverage",
         "neyman_sample",
         "kendall_length_tokens",
+        "benford_audit",
     ]
     # INTERLEAVED repetitions + medians (VERDICT r2 #1): this container's
     # co-tenant jitter is ±30-50% and can hold a multi-second plateau —
