@@ -912,6 +912,55 @@ def _q_benford_audit(sf_dir: str):
     )
 
 
+_BLOCKLIST = ("dup", "tmp", "xxx")  # deterministic safety wordlist
+
+
+def _q_blocklist_rate(sf_dir: str):
+    """Safety-filter audit: per-source rate of documents containing a
+    blocklisted token (the wordlist tier of a toxicity/safety gate —
+    exact-match words, the cheap pre-filter before model scoring).
+    Vectorized flat-token ``is_in`` + per-doc any-fold, one bounded
+    per-source count fold; rate is a single int/int division."""
+    from docling_api_ray.stages.common import bounded_groupby_sum
+
+    bl = pa.array(list(_BLOCKLIST), type=pa.string())
+
+    def flag(b: pa.Table) -> pa.Table:
+        col = b["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        words = pc.split_pattern(pc.fill_null(col, ""), " ")
+        flat = pc.list_flatten(words)
+        lens = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        row_of = np.repeat(np.arange(len(b), dtype=np.int64), lens)
+        hit = np.asarray(pc.is_in(flat, value_set=bl))
+        flagged = np.bincount(
+            row_of, weights=hit, minlength=len(b)
+        ) > 0
+        return pa.table(
+            {
+                "source": b["source"],
+                "fl": pa.array(flagged.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    def rate(b: pa.Table) -> pa.Table:
+        n = np.asarray(b["n_docs"], dtype=np.int64)
+        f = np.asarray(b["n_flagged"], dtype=np.int64)
+        return b.append_column(
+            "flag_rate", pa.array(f / n, type=pa.float64())
+        )
+
+    return bounded_groupby_sum(
+        _docs(sf_dir, ["text", "source"]).map_batches(
+            flag, batch_format="pyarrow"
+        ),
+        ["source"],
+        sum_cols={"n_flagged": "fl"},
+        count_alias="n_docs",
+    ).map_batches(rate, batch_format="pyarrow")
+
+
 def _q_lang_source_mi(sf_dir: str):
     """Mutual information / chi-square / Cramer's V between lang and
     source (stages/stats.py contingency_association) — the
@@ -1724,6 +1773,19 @@ def _q_knn(sf_dir: str):
     return sim.knn_bruteforce(
         _emb(sf_dir, ["vec_id", "embedding"]), qids, qmat, k=_KNN_K
     ).select_columns(["query_id", "vec_id", "cosine", "rank"])
+
+
+def _q_mmr_select(sf_dir: str):
+    """MMR diverse top-10 for the first held-out query
+    (stages/similarity.py mmr_select): distributed bounded top-50
+    recall pool, driver-side greedy over the pool² gram.  Iterative
+    float argmax — rows-only, pinned by the numpy-reference test in
+    test_similarity.py (the pca_project class)."""
+    qids, qmat = _query_vectors(sf_dir)
+    return sim.mmr_select(
+        _emb(sf_dir, ["vec_id", "embedding"]), qmat[0], k=10, pool=50,
+        exclude_ids=(qids[0],),
+    )
 
 
 _IVF_DIM = 64
@@ -7319,6 +7381,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neyman_sample": _q_neyman_sample,
         "kendall_length_tokens": _q_kendall_length_tokens,
         "benford_audit": _q_benford_audit,
+        "blocklist_rate": _q_blocklist_rate,
+        "mmr_select": _q_mmr_select,
         "approx_score_quantiles": _q_approx_score_quantiles,
         "approx_source_quantiles": _q_approx_source_quantiles,
         "winsorize_logit": _q_winsorize_logit,
@@ -11944,6 +12008,21 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(nano) AS BIGINT) / 1000000000.0
                  > {_BENFORD_CHI2_99} AS benford_alert
         FROM t GROUP BY event_type
+    """
+    # mirrors _q_blocklist_rate: same split-words tokenization, list
+    # containment against the literal blocklist, single-division rate
+    _bl_lits = ", ".join(f"'{w}'" for w in _BLOCKLIST)
+    out["blocklist_rate"] = f"""
+        WITH f AS (SELECT source,
+                          CASE WHEN len(list_filter({_SQL_WORDS},
+                                 w -> w IN ({_bl_lits}))) > 0
+                               THEN 1 ELSE 0 END AS fl
+                   FROM documents)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(fl) AS BIGINT) AS n_flagged,
+               CAST(sum(fl) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                 AS flag_rate
+        FROM f GROUP BY source
     """
     # mirrors _q_vocab_coverage: exact wordcount, count-of-counts
     # moments, unseen = N1/N and chao1 = V + N1²/(2·N2) as the same

@@ -258,6 +258,8 @@ def _bench_once() -> dict:
         "neyman_sample",
         "kendall_length_tokens",
         "benford_audit",
+        "blocklist_rate",
+        "mmr_select",
     ]
     # INTERLEAVED repetitions + medians (VERDICT r2 #1): this container's
     # co-tenant jitter is ±30-50% and can hold a multi-second plateau —

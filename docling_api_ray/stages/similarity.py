@@ -753,3 +753,94 @@ def ivf_knn_partitioned(
         bucket_col="centroid",
         exclude_self=exclude_self,
     )
+
+
+def mmr_select(
+    ds: ray.data.Dataset,
+    query_vec: np.ndarray,
+    *,
+    k: int = 10,
+    pool: int = 50,
+    lam: float = 0.7,
+    exclude_ids: tuple[int, ...] = (),
+) -> pa.Table:
+    """Maximal-Marginal-Relevance diverse top-k (Carbonell & Goldstein,
+    SIGIR 1998): greedily pick argmax of λ·sim(q,d) − (1−λ)·max_{s∈S}
+    sim(d,s) — the retrieval-diversification step between ANN recall
+    and context packing (a RAG context of near-duplicate passages
+    wastes its token budget; MMR trades relevance for coverage).
+
+    Scale shape: stage 1 is the distributed bounded top-``pool``
+    cosine (the knn_bruteforce partial-top-k discipline — only pool
+    rows reach the driver); stage 2 re-reads JUST the pool vectors
+    (``is_in`` filter pushdown) and runs the greedy loop driver-side
+    over the pool² gram — pool is a constant, so the driver cost is
+    corpus-independent.  Iterative argmax with float scores is not
+    SQL-expressible in a form DuckDB shares our op order, so this is a
+    rows-only query pinned by a numpy-reference test
+    (test_similarity.py), the pca_project class.
+
+    Ties break on smaller vec_id; scores are quantized cosines
+    (``_quant6``) so the greedy path is reshard-stable."""
+    q = np.asarray(query_vec, dtype=np.float64).reshape(1, -1)
+    if exclude_ids:
+        drop = pa.array(sorted(set(map(int, exclude_ids))), type=pa.int64())
+
+        def drop_excluded(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return b.filter(
+                pc.invert(pc.is_in(b["vec_id"], value_set=drop))
+            )
+
+        ds = ds.map_batches(drop_excluded, batch_format="pyarrow")
+    top = knn_bruteforce(ds, [-1], q, k=pool, exclude_self=False)
+    rows = top.take_all()
+    rows.sort(key=lambda r: (int(r["rank"])))
+    ids = [int(r["vec_id"]) for r in rows]
+    rel = np.array([float(r["cosine"]) for r in rows])
+    id_set = set(ids)
+
+    pool_ids = pa.array(sorted(id_set), type=pa.int64())
+
+    def keep_pool(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return b.filter(pc.is_in(b["vec_id"], value_set=pool_ids))
+
+    vec_rows = ds.map_batches(
+        keep_pool, batch_format="pyarrow"
+    ).take_all()
+    by_id = {int(r["vec_id"]): np.asarray(r["embedding"], dtype=np.float64)
+             for r in vec_rows}
+    M = _norm_rows(np.stack([by_id[i] for i in ids]))
+    gram = _quant6(M @ M.T)
+
+    selected: list[int] = []
+    out_rank, out_id, out_rel, out_score = [], [], [], []
+    cand = list(range(len(ids)))
+    for step in range(min(k, len(ids))):
+        best, best_score = None, None
+        for ci in cand:
+            div = max((gram[ci, sj] for sj in selected), default=0.0)
+            score = lam * rel[ci] - (1.0 - lam) * div
+            if (
+                best is None
+                or score > best_score
+                or (score == best_score and ids[ci] < ids[best])
+            ):
+                best, best_score = ci, score
+        selected.append(best)
+        cand.remove(best)
+        out_rank.append(step + 1)
+        out_id.append(ids[best])
+        out_rel.append(rel[best])
+        out_score.append(best_score)
+    return pa.table(
+        {
+            "rank": pa.array(out_rank, type=pa.int64()),
+            "vec_id": pa.array(out_id, type=pa.int64()),
+            "cosine": pa.array(out_rel, type=pa.float64()),
+            "mmr_score": pa.array(out_score, type=pa.float64()),
+        }
+    )

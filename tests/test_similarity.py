@@ -346,3 +346,70 @@ def test_ivf_partitioned_matches_inmemory_and_prunes(tmp_path):
     pd.testing.assert_frame_equal(got2, expected)
     # the fixture must exercise real pruning (some cell must be unprobed)
     assert removed >= 1 or len(probed) == len(cents)
+
+
+def test_mmr_select_matches_reference_and_diversifies():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from docling_api_ray.stages.similarity import (
+        _norm_rows,
+        _quant6,
+        mmr_select,
+    )
+
+    rng = np.random.default_rng(3)
+    # two tight clusters near the query + scattered rest: plain top-k
+    # drowns in cluster A; MMR must mix in cluster B early
+    q = np.array([1.0, 0.0, 0.0, 0.0])
+    a = np.stack([q + rng.normal(0, 0.01, 4) for _ in range(8)])
+    b = np.stack(
+        [np.array([0.8, 0.6, 0.0, 0.0]) + rng.normal(0, 0.01, 4)
+         for _ in range(8)]
+    )
+    rest = rng.normal(0, 1, size=(24, 4))
+    vecs = np.vstack([a, b, rest])
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(len(vecs)), pa.int64()),
+                "embedding": pa.array(
+                    [v.astype("float32") for v in vecs],
+                    type=pa.list_(pa.float32()),
+                ),
+            }
+        )
+    )
+    # float32 storage: reference must see the same rounded vectors
+    vecs64 = np.stack([v.astype("float32").astype(np.float64) for v in vecs])
+    k, pool, lam = 6, 20, 0.4
+    out = mmr_select(ds, q, k=k, pool=pool, lam=lam).to_pylist()
+
+    # numpy reference: same pool, same greedy, same tie-break
+    qn = q / np.linalg.norm(q)
+    sims = _quant6(_norm_rows(vecs64) @ qn)
+    order = np.lexsort((np.arange(len(vecs)), -sims))[:pool]
+    ids = order.tolist()
+    rel = sims[order]
+    gram = _quant6(_norm_rows(vecs64[order]) @ _norm_rows(vecs64[order]).T)
+    sel, cand = [], list(range(len(ids)))
+    expect = []
+    for step in range(k):
+        best, bs = None, None
+        for ci in cand:
+            div = max((gram[ci, sj] for sj in sel), default=0.0)
+            sc = lam * rel[ci] - (1 - lam) * div
+            if best is None or sc > bs or (sc == bs and ids[ci] < ids[best]):
+                best, bs = ci, sc
+        sel.append(best)
+        cand.remove(best)
+        expect.append((step + 1, ids[best], rel[best], bs))
+    got = [(r["rank"], r["vec_id"], r["cosine"], r["mmr_score"]) for r in out]
+    assert got == [(r, i, float(c), float(s)) for r, i, c, s in expect]
+
+    # diversification property: plain top-6 is all cluster A; MMR pulls
+    # in at least one cluster-B vector (ids 8..15)
+    plain6 = set(order[:6].tolist())
+    assert all(i < 8 for i in plain6)
+    assert any(8 <= r["vec_id"] < 16 for r in out)
