@@ -1105,6 +1105,16 @@ def _q_winnow_pairs(sf_dir: str):
     )
 
 
+def _q_winnow_dedup_keep(sf_dir: str):
+    """The winnowing tier's dedup ACTION (pairs → components → keep):
+    MOSS fingerprint-overlap pairs feed the same distributed min-label
+    connected components + first-wins keep-list as the MinHash path —
+    every candidate generator in the repo has an apply side."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    pairs = dd.winnow_pairs(docs, threshold=0.5)
+    return _with_schema(dd.dedup_keep(docs, pairs), _KEEP_SCHEMA)
+
+
 def _q_cdc_dedup(sf_dir: str):
     """Content-defined-chunking dedup profile (stages/dedup.py
     cdc_chunk_stats): rolling-hash chunk boundaries (LBFS gear at word
@@ -7374,6 +7384,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "winnow_fingerprints": _q_winnow_fingerprints,
         "winnow_pairs": _q_winnow_pairs,
+        "winnow_dedup_keep": _q_winnow_dedup_keep,
         "cdc_dedup": _q_cdc_dedup,
         "events_ewma": _q_events_ewma,
         "neyman_allocation": _q_neyman_allocation,
@@ -11840,6 +11851,26 @@ def oracle_sql() -> dict[str, str]:
         JOIN nf r ON r.doc_id = p.right_id
         WHERE CAST(p.shared AS DOUBLE)
                 / CAST(least(l.nfp, r.nfp) AS DOUBLE) >= 0.5
+    """
+    # mirrors _q_winnow_dedup_keep: the verified winnow_pairs set under
+    # the same recursive reachability CC as _minhash_keep_oracle_sql
+    out["winnow_dedup_keep"] = f"""
+        WITH RECURSIVE wpairs AS (
+          SELECT left_id, right_id FROM ({out["winnow_pairs"]}) q
+        ),
+        edges AS (SELECT left_id AS a, right_id AS b FROM wpairs
+                  UNION ALL
+                  SELECT right_id, left_id FROM wpairs),
+        reach(node, lbl) AS (
+          SELECT a, a FROM edges
+          UNION
+          SELECT e.b, rr.lbl FROM reach rr JOIN edges e ON e.a = rr.node
+        ),
+        comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY 1)
+        SELECT d.doc_id,
+               CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS component,
+               coalesce(c.component, d.doc_id) = d.doc_id AS keep
+        FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
     """
     # mirrors _q_cdc_dedup / dd.cdc_chunk_stats: rolling k-word hash per
     # position (windowed self-join against the HUGEINT pow table),

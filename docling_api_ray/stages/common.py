@@ -59,7 +59,15 @@ def guard_fold(fold, *, key_col: str | None = None,
                 "OOM this worker at scale; salt/split the hot key or "
                 "raise GRAFT_MAX_COGROUP_ROWS"
             )
-        return fold(df)
+        out = fold(df)
+        # strip pandas schema metadata from Arrow outputs: the metadata
+        # dict is unhashable and defeats Ray's block-schema dedup (the
+        # worker-log "Failed to hash the schemas" noise)
+        import pyarrow as _pa
+
+        if isinstance(out, _pa.Table) and out.schema.metadata:
+            out = out.replace_schema_metadata(None)
+        return out
 
     return guarded
 
