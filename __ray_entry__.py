@@ -1405,6 +1405,87 @@ def _q_vocab_coverage(sf_dir: str):
     )
 
 
+_MK_Z95 = 1.959964  # two-sided 95% normal quantile
+
+
+def _q_mann_kendall(sf_dir: str):
+    """Mann–Kendall monotone-trend test over per-type daily event
+    counts (Mann 1945; Kendall's S with the tie-corrected variance) —
+    the nonparametric "is volume trending" alarm beside the EWMA level
+    chart: S = Σ_{i<j} sign(x_j − x_i), Var = (n(n−1)(2n+5) −
+    Σt(t−1)(2t+5))/18, continuity-corrected z, trend at |z| > 1.96.
+
+    Shape: the same bounded (type × day) count fold as events_ewma,
+    then an O(days²) vectorized sign fold per type co-group (days are
+    domain-bounded).  S, ties and Var numerator are int-exact; z is the
+    same two-op double expression in both engines."""
+    import math
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def add_day(b: pa.Table) -> pa.Table:
+        us = pc.cast(b["ts"], pa.int64())
+        day = pc.divide(us, 86_400_000_000)
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "day": pc.cast(day, pa.int64()),
+            }
+        )
+
+    agg = (
+        _coal(ds.map_batches(add_day, batch_format="pyarrow"))
+        .groupby(["event_type", "day"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+    out_schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("n_days", pa.int64()),
+            ("s", pa.int64()),
+            ("var_num", pa.int64()),
+            ("z", pa.float64()),
+            ("trend", pa.string()),
+        ]
+    )
+
+    def fold(df):
+        if not len(df):
+            return out_schema.empty_table()
+        df = df.sort_values("day", kind="stable")
+        ns = df["n"].to_numpy(dtype=np.int64)
+        n = len(ns)
+        sgn = np.sign(ns[None, :] - ns[:, None])
+        s = int(np.triu(sgn, k=1).sum())
+        _, t = np.unique(ns, return_counts=True)
+        tie_sum = int((t * (t - 1) * (2 * t + 5)).sum())
+        var_num = n * (n - 1) * (2 * n + 5) - tie_sum
+        if var_num > 0 and s != 0:
+            z = float(s - (1 if s > 0 else -1)) / math.sqrt(
+                float(var_num) / 18.0
+            )
+        else:
+            z = 0.0
+        trend = "up" if z > _MK_Z95 else ("down" if z < -_MK_Z95 else "flat")
+        return pa.table(
+            {
+                "event_type": df["event_type"].to_numpy()[:1],
+                "n_days": pa.array([n], type=pa.int64()),
+                "s": pa.array([s], type=pa.int64()),
+                "var_num": pa.array([var_num], type=pa.int64()),
+                "z": pa.array([z], type=pa.float64()),
+                "trend": pa.array([trend], type=pa.string()),
+            }
+        ).cast(out_schema)
+
+    from docling_api_ray.stages.common import guard_fold
+
+    return agg.groupby("event_type").map_groups(
+        guard_fold(fold), batch_format="pandas"
+    )
+
+
 def _q_distinct_ngrams(sf_dir: str):
     """Corpus diversity: distinct-1/2/3 ratios (stages/dedup.py
     distinct_ngram_stats) — the mode-collapse monitor.  One text pass
@@ -7387,6 +7468,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_dedup_keep": _q_winnow_dedup_keep,
         "cdc_dedup": _q_cdc_dedup,
         "events_ewma": _q_events_ewma,
+        "mann_kendall": _q_mann_kendall,
         "neyman_allocation": _q_neyman_allocation,
         "vocab_coverage": _q_vocab_coverage,
         "neyman_sample": _q_neyman_sample,
@@ -11701,6 +11783,51 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(nano) AS BIGINT) AS s_nano,
                CAST(sum(nano) AS BIGINT) / 1000000000.0 AS psi
         FROM terms GROUP BY source ORDER BY source
+    """
+    # mirrors _q_mann_kendall: same daily counts, pairwise sign
+    # self-join (days bounded), tie-corrected integer variance
+    # numerator, and the identical continuity-corrected two-op z
+    out["mann_kendall"] = f"""
+        WITH dc AS (SELECT event_type,
+                           date_diff('day', DATE '1970-01-01',
+                                     CAST(ts AS DATE)) AS day,
+                           count(*) AS n
+                    FROM events GROUP BY 1, 2),
+        p AS (SELECT a.event_type,
+                     coalesce(sum(CASE WHEN b.n > a.n THEN 1
+                                       WHEN b.n < a.n THEN -1
+                                       ELSE 0 END), 0) AS s
+              FROM dc a JOIN dc b ON b.event_type = a.event_type
+                                 AND b.day > a.day
+              GROUP BY 1),
+        nn AS (SELECT event_type, count(*) AS nd FROM dc GROUP BY 1),
+        ties AS (SELECT event_type,
+                        sum(t * (t - 1) * (2 * t + 5)) AS tt
+                 FROM (SELECT event_type, n, count(*) AS t
+                       FROM dc GROUP BY 1, 2)
+                 GROUP BY 1),
+        v AS (SELECT nn.event_type, nn.nd,
+                     coalesce(p.s, 0) AS s,
+                     nn.nd * (nn.nd - 1) * (2 * nn.nd + 5)
+                       - coalesce(ties.tt, 0) AS var_num
+              FROM nn LEFT JOIN p USING (event_type)
+                      LEFT JOIN ties USING (event_type)),
+        zz AS (SELECT event_type, nd, s, var_num,
+                      CASE WHEN var_num > 0 AND s > 0 THEN
+                             CAST(s - 1 AS DOUBLE)
+                               / sqrt(CAST(var_num AS DOUBLE) / 18.0)
+                           WHEN var_num > 0 AND s < 0 THEN
+                             CAST(s + 1 AS DOUBLE)
+                               / sqrt(CAST(var_num AS DOUBLE) / 18.0)
+                           ELSE 0.0 END AS z
+               FROM v)
+        SELECT event_type, CAST(nd AS BIGINT) AS n_days,
+               CAST(s AS BIGINT) AS s,
+               CAST(var_num AS BIGINT) AS var_num, z,
+               CASE WHEN z > {_MK_Z95} THEN 'up'
+                    WHEN z < -{_MK_Z95} THEN 'down'
+                    ELSE 'flat' END AS trend
+        FROM zz
     """
     # mirrors _q_neyman_allocation: per-source integer logit moments,
     # stddev via the SAME (sqrt(num)/n)*n association, ⌊x·1e9+½⌋

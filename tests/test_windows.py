@@ -722,3 +722,42 @@ def test_events_ewma_alerts_on_burst():
     # EWMA recursion: s1=4, s2=4, s3=4, s4=.25*16+.75*4=7, s5=.25*4+.75*7
     assert out[3]["ewma"] == 7.0
     assert out[4]["ewma"] == 0.25 * 4 + 0.75 * 7.0
+
+
+def test_mann_kendall_detects_monotone_trend():
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as em
+
+    d = tempfile.mkdtemp(prefix="mk_")
+    # 'grow': strictly rising daily counts; 'flat': constant
+    days, types = [], []
+    for day in range(10):
+        for _ in range(day + 1):
+            days.append(day)
+            types.append("grow")
+        for _ in range(3):
+            days.append(day)
+            types.append("flat")
+    us = [int((day * 86400 + i) * 1e6) for i, day in enumerate(days)]
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(days)), pa.int64()),
+            "ts": pa.array(us, pa.timestamp("us")),
+            "user_id": pa.array([1] * len(days), pa.int64()),
+            "event_type": pa.array(types, pa.string()),
+            "value": pa.array([1.0] * len(days), pa.float64()),
+            "props": pa.array(["{}"] * len(days), pa.string()),
+        }
+    )
+    pq.write_table(t, os.path.join(d, "events.parquet"))
+    out = {r["event_type"]: r for r in em.queries()["mann_kendall"](d).take_all()}
+    # strictly increasing 10-day series: S = C(10,2) = 45, trend up
+    assert out["grow"]["s"] == 45 and out["grow"]["trend"] == "up"
+    # constant series: S = 0, all-tied variance numerator 0, z = 0
+    assert out["flat"]["s"] == 0 and out["flat"]["var_num"] == 0
+    assert out["flat"]["z"] == 0.0 and out["flat"]["trend"] == "flat"
