@@ -961,6 +961,30 @@ def _q_blocklist_rate(sf_dir: str):
     ).map_batches(rate, batch_format="pyarrow")
 
 
+def _q_quantile_normalize(sf_dir: str):
+    """Cross-source quantile normalization of n_chars (stages/stats.py
+    quantile_normalize): tie-stable integer rank remap onto the pooled
+    marginal — bounded (source × value) histogram exchange, broadcast
+    searchsorted remap, rank()/ceil(r·N/n_g)/percentile_disc all in
+    exact int arithmetic mirrored 1:1 by the SQL windows."""
+    from docling_api_ray.stages.stats import quantile_normalize
+
+    def proj(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "source": b["source"],
+                "v": pc.cast(b["n_chars"], pa.int64()),
+            }
+        )
+
+    return quantile_normalize(
+        _docs(sf_dir, ["doc_id", "source", "n_chars"]).map_batches(
+            proj, batch_format="pyarrow"
+        )
+    )
+
+
 def _q_lang_source_mi(sf_dir: str):
     """Mutual information / chi-square / Cramer's V between lang and
     source (stages/stats.py contingency_association) — the
@@ -7475,6 +7499,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kendall_length_tokens": _q_kendall_length_tokens,
         "benford_audit": _q_benford_audit,
         "blocklist_rate": _q_blocklist_rate,
+        "quantile_normalize": _q_quantile_normalize,
         "mmr_select": _q_mmr_select,
         "approx_score_quantiles": _q_approx_score_quantiles,
         "approx_source_quantiles": _q_approx_source_quantiles,
@@ -12166,6 +12191,29 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(nano) AS BIGINT) / 1000000000.0
                  > {_BENFORD_CHI2_99} AS benford_alert
         FROM t GROUP BY event_type
+    """
+    # mirrors _q_quantile_normalize: rank() (min-rank ties) per source,
+    # pooled position ceil(r*N/ns) in integer arithmetic, mapped value
+    # = smallest pooled value whose cumulative count reaches it
+    out["quantile_normalize"] = """
+        WITH d AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS v
+                   FROM documents),
+        r AS (SELECT doc_id, source, v,
+                     rank() OVER (PARTITION BY source ORDER BY v) AS rk,
+                     count(*) OVER (PARTITION BY source) AS ns,
+                     count(*) OVER () AS n
+              FROM d),
+        j AS (SELECT doc_id, source, v,
+                     (rk * n + ns - 1) // ns AS tgt
+              FROM r),
+        ph AS (SELECT v, count(*) AS c FROM d GROUP BY 1),
+        pcum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM ph),
+        m AS (SELECT j.doc_id, j.source, j.v, min(p.v) AS qn
+              FROM j JOIN pcum p ON p.cum >= j.tgt
+              GROUP BY 1, 2, 3)
+        SELECT doc_id, source, v AS value,
+               CAST(qn AS BIGINT) AS qn_value
+        FROM m
     """
     # mirrors _q_blocklist_rate: same split-words tokenization, list
     # containment against the literal blocklist, single-division rate

@@ -1654,3 +1654,84 @@ def kendall_tau_b(
             "tau_b": pa.array([tau], type=pa.float64()),
         }
     )
+
+
+def quantile_normalize(
+    ds: ray.data.Dataset,
+    *,
+    group_col: str = "source",
+    value_col: str = "v",
+    id_col: str = "doc_id",
+    max_distinct: int = 4_000_000,
+) -> ray.data.Dataset:
+    """Cross-group quantile normalization of an integer metric (the
+    rank-remap batch-effect correction of Bolstad et al. 2003, in its
+    tie-stable integer form): each row's value is replaced by the
+    POOLED distribution's percentile_disc at the row's within-group
+    rank quantile — after normalization every group shares the pooled
+    marginal, so per-source thresholds become comparable.
+
+    Integer-exact end to end: within-group rank uses ``rank()``
+    semantics (ties share the min rank, so tied rows map identically),
+    the pooled position is ``ceil(r·N/n_g)`` in exact int arithmetic,
+    and the mapped value is the smallest pooled value whose cumulative
+    count reaches it.  Scale shape: the (group × value) histogram is
+    the only exchanged table (bounded, loud guard — the spearman rank-
+    map contract); the remap itself is a broadcast searchsorted inside
+    one stateless map pass."""
+    from docling_api_ray.stages.common import bounded_groupby_sum
+
+    h = bounded_groupby_sum(
+        ds.select_columns([group_col, value_col]),
+        [group_col, value_col],
+        count_alias="cnt",
+    ).take_all()
+    if len(h) > max_distinct:
+        raise ValueError(
+            f"quantile_normalize: {len(h):,} (group, value) cells > "
+            f"max_distinct={max_distinct:,} — bucket the metric or raise "
+            "the guard"
+        )
+    h.sort(key=lambda r: (str(r[group_col]), r[value_col]))
+    # pooled cumulative histogram
+    pooled: dict[int, int] = {}
+    for r in h:
+        pooled[r[value_col]] = pooled.get(r[value_col], 0) + int(r["cnt"])
+    pv = np.array(sorted(pooled), dtype=np.int64)
+    pcum = np.cumsum(np.array([pooled[v] for v in pv], dtype=np.int64))
+    N = int(pcum[-1]) if len(pcum) else 0
+    # per-group value -> min-rank, then -> pooled target value
+    maps: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    by_g: dict[str, list] = {}
+    for r in h:
+        by_g.setdefault(r[group_col], []).append(r)
+    for g, rows in by_g.items():
+        vals = np.array([r[value_col] for r in rows], dtype=np.int64)
+        cnts = np.array([int(r["cnt"]) for r in rows], dtype=np.int64)
+        n_g = int(cnts.sum())
+        prev = np.concatenate(([0], np.cumsum(cnts)[:-1]))
+        rank = prev + 1  # rank() semantics: ties share the min rank
+        tgt = (rank * N + n_g - 1) // n_g  # ceil(r*N/n_g), int-exact
+        qn = pv[np.searchsorted(pcum, tgt)]
+        maps[g] = (vals, qn)
+
+    def remap(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        gcol = np.asarray(b[group_col].to_pylist(), dtype=object)
+        v = np.asarray(b[value_col], dtype=np.int64)
+        out = np.empty(len(b), dtype=np.int64)
+        for g in pd.unique(gcol):
+            m = gcol == g
+            vals, qn = maps[g]
+            out[m] = qn[np.searchsorted(vals, v[m])]
+        return pa.table(
+            {
+                id_col: b[id_col],
+                group_col: b[group_col],
+                "value": pa.array(v, type=pa.int64()),
+                "qn_value": pa.array(out, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(remap, batch_format="pyarrow")
