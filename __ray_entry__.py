@@ -985,6 +985,54 @@ def _q_quantile_normalize(sf_dir: str):
     )
 
 
+_HILL_K = 100  # tail order statistics used by the Hill estimator
+
+
+def _q_hill_tail_index(sf_dir: str):
+    """Hill estimator of the doc-length power-law tail index (Hill
+    1975): α̂ = k / Σ_{i≤k} ln(x_(i)/x_(k+1)) over the k largest
+    n_chars — the heavy-tail monitor that prices mega-doc skew (α ≤ 2
+    means unbounded variance: cost-rebalancing repartition is
+    mandatory, the SURVEY §4 skew rationale quantified).
+
+    Shape: one distributed top-(k+1) (partial per-batch heads — the
+    topk_longest_docs discipline), then an O(k) driver fold.
+    Exactness: each ln is ⌊x·1e9+½⌋-quantized (the zipf_fit
+    discipline), the sum is int-exact, α is one float division."""
+    import math
+
+    rows = (
+        _docs(sf_dir, ["doc_id", "n_chars"])
+        .sort(["n_chars", "doc_id"], descending=[True, False])
+        .limit(_HILL_K + 1)
+        .take_all()
+    )
+    k = min(_HILL_K, max(len(rows) - 1, 0))
+    if k < 1:
+        return pa.table(
+            {
+                "k": pa.array([0], type=pa.int64()),
+                "x_k1": pa.array([None], type=pa.int64()),
+                "sum_nano": pa.array([0], type=pa.int64()),
+                "alpha": pa.array([None], type=pa.float64()),
+            }
+        )
+    xk1 = int(rows[k]["n_chars"])
+    s_nano = 0
+    for r in rows[:k]:
+        ratio = float(int(r["n_chars"])) / float(xk1)
+        s_nano += int(math.floor(math.log(ratio) * 1e9 + 0.5))
+    alpha = float(k) / (s_nano / 1e9) if s_nano > 0 else None
+    return pa.table(
+        {
+            "k": pa.array([k], type=pa.int64()),
+            "x_k1": pa.array([xk1], type=pa.int64()),
+            "sum_nano": pa.array([s_nano], type=pa.int64()),
+            "alpha": pa.array([alpha], type=pa.float64()),
+        }
+    )
+
+
 def _q_lang_source_mi(sf_dir: str):
     """Mutual information / chi-square / Cramer's V between lang and
     source (stages/stats.py contingency_association) — the
@@ -7500,6 +7548,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "benford_audit": _q_benford_audit,
         "blocklist_rate": _q_blocklist_rate,
         "quantile_normalize": _q_quantile_normalize,
+        "hill_tail_index": _q_hill_tail_index,
         "mmr_select": _q_mmr_select,
         "approx_score_quantiles": _q_approx_score_quantiles,
         "approx_source_quantiles": _q_approx_source_quantiles,
@@ -12191,6 +12240,26 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(nano) AS BIGINT) / 1000000000.0
                  > {_BENFORD_CHI2_99} AS benford_alert
         FROM t GROUP BY event_type
+    """
+    # mirrors _q_hill_tail_index: same (n_chars DESC, doc_id) top-(k+1),
+    # nano-quantized ln ratios vs x_(k+1), one float division (assumes
+    # the corpus holds > k+1 docs, true for every gate sf)
+    out["hill_tail_index"] = f"""
+        WITH t AS (SELECT CAST(n_chars AS BIGINT) AS x FROM documents
+                   ORDER BY n_chars DESC, doc_id LIMIT {_HILL_K + 1}),
+        r AS (SELECT x, row_number() OVER (ORDER BY x DESC) AS rn FROM t),
+        k1 AS (SELECT x AS xk1 FROM r WHERE rn = {_HILL_K + 1}),
+        s AS (SELECT sum(CAST(floor(
+                 ln(CAST(r.x AS DOUBLE) / CAST(k1.xk1 AS DOUBLE))
+                 * 1000000000.0 + 0.5) AS BIGINT)) AS sn
+              FROM r, k1 WHERE rn <= {_HILL_K})
+        SELECT CAST({_HILL_K} AS BIGINT) AS k,
+               (SELECT CAST(xk1 AS BIGINT) FROM k1) AS x_k1,
+               CAST(sn AS BIGINT) AS sum_nano,
+               CASE WHEN sn > 0 THEN
+                 CAST({_HILL_K} AS DOUBLE) / (sn / 1000000000.0)
+               END AS alpha
+        FROM s
     """
     # mirrors _q_quantile_normalize: rank() (min-rank ties) per source,
     # pooled position ceil(r*N/ns) in integer arithmetic, mapped value
