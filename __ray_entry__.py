@@ -1033,6 +1033,192 @@ def _q_hill_tail_index(sf_dir: str):
     )
 
 
+_PROFILE_COLS = (
+    ("l_orderkey", "num"),
+    ("l_partkey", "num"),
+    ("l_suppkey", "num"),
+    ("l_linenumber", "num"),
+    ("l_returnflag", "str"),
+    ("l_linestatus", "str"),
+)
+
+
+def _q_table_profile(sf_dir: str):
+    """Per-column data profile of lineitem (the Deequ/profiler tier a
+    warehouse runs before shipping a table): count, null count, exact
+    distinct, and typed min/max per column — one row per column.
+
+    Shape: pass A folds per-block (n, nulls, min, max) partials through
+    a tiny per-column co-group; pass B melts to narrow (col, value-hash)
+    rows, block-deduped, then ONE hash-partition co-group counts
+    partition-local uniques (globally disjoint — the distinct_ngrams
+    contract; string hashing rides md5-u64, the shingle tier's accepted
+    collision contract).  Nothing corpus-proportional reaches the
+    driver; output is |columns| rows."""
+    import pandas as pd
+
+    from docling_api_ray.stages.common import (
+        bounded_groupby_sum,
+        coalesce_narrow,
+        guard_fold,
+        shuffle_partitions,
+    )
+    from docling_api_ray.functions.hashing import u64_md5
+
+    cols = [c for c, _ in _PROFILE_COLS]
+    kinds = dict(_PROFILE_COLS)
+    ds = _read(sf_dir, "lineitem", cols)
+    P = shuffle_partitions()
+
+    # ---- pass A: per-block typed stats partials -------------------------
+    def stat_partial(b: pa.Table) -> pa.Table:
+        recs = []
+        for c in cols:
+            arr = b[c]
+            n = len(arr)
+            nn = int(pc.count(arr, mode="only_null").as_py())
+            if kinds[c] == "num":
+                mn = pc.min(arr).as_py()
+                mx = pc.max(arr).as_py()
+                recs.append((c, n, nn, mn, mx, None, None))
+            else:
+                mn = pc.min(arr).as_py()
+                mx = pc.max(arr).as_py()
+                recs.append((c, n, nn, None, None, mn, mx))
+        return pa.table(
+            {
+                "column": pa.array([r[0] for r in recs], type=pa.string()),
+                "n": pa.array([r[1] for r in recs], type=pa.int64()),
+                "n_null": pa.array([r[2] for r in recs], type=pa.int64()),
+                "mn": pa.array([r[3] for r in recs], type=pa.int64()),
+                "mx": pa.array([r[4] for r in recs], type=pa.int64()),
+                "mns": pa.array([r[5] for r in recs], type=pa.string()),
+                "mxs": pa.array([r[6] for r in recs], type=pa.string()),
+            }
+        )
+
+    def stat_fold(df: "pd.DataFrame") -> pa.Table:
+        c = df["column"].iloc[0]
+        num = kinds[c] == "num"
+        return pa.table(
+            {
+                "column": pa.array([c], type=pa.string()),
+                "n": pa.array([int(df["n"].sum())], type=pa.int64()),
+                "n_null": pa.array(
+                    [int(df["n_null"].sum())], type=pa.int64()
+                ),
+                "mn": pa.array(
+                    [int(df["mn"].min()) if num else None], type=pa.int64()
+                ),
+                "mx": pa.array(
+                    [int(df["mx"].max()) if num else None], type=pa.int64()
+                ),
+                "mns": pa.array(
+                    [df["mns"].min() if not num else None], type=pa.string()
+                ),
+                "mxs": pa.array(
+                    [df["mxs"].max() if not num else None], type=pa.string()
+                ),
+            }
+        )
+
+    stats = {
+        r["column"]: r
+        for r in coalesce_narrow(
+            ds.map_batches(stat_partial, batch_format="pyarrow")
+        )
+        .groupby("column")
+        .map_groups(guard_fold(stat_fold), batch_format="pandas")
+        .take_all()
+    }
+
+    # ---- pass B: exact distinct via hash-partition co-group -------------
+    def melt(b: pa.Table) -> pa.Table:
+        outc, outh = [], []
+        for c in cols:
+            if kinds[c] == "num":
+                v = np.unique(
+                    np.asarray(b[c].drop_null(), dtype=np.int64)
+                )
+                h = v
+            else:
+                vals = pd.unique(
+                    np.asarray(b[c].drop_null().to_pylist(), dtype=object)
+                )
+                h = (
+                    u64_md5(vals) >> np.uint64(1)
+                ).astype(np.int64) if len(vals) else np.zeros(0, np.int64)
+            outc.append(np.full(len(h), c, dtype=object))
+            outh.append(h)
+        return pa.table(
+            {
+                "column": pa.array(
+                    np.concatenate(outc) if outc else [], type=pa.string()
+                ),
+                "h": pa.array(
+                    np.concatenate(outh) if outh else [], type=pa.int64()
+                ),
+            }
+        )
+
+    def add_part(b: pa.Table) -> pa.Table:
+        h = np.asarray(b["h"], dtype=np.int64)
+        return b.append_column(
+            "__part",
+            pa.array(h.view(np.uint64) % np.uint64(P), type=pa.int64()),
+        )
+
+    def count_distinct(g: "pd.DataFrame") -> pa.Table:
+        agg = g.groupby("column", sort=False)["h"].nunique()
+        return pa.table(
+            {
+                "column": pa.array(
+                    agg.index.to_numpy(object), type=pa.string()
+                ),
+                "d": pa.array(agg.to_numpy(np.int64), type=pa.int64()),
+            }
+        )
+
+    distinct = {
+        r["column"]: int(r["d"])
+        for r in bounded_groupby_sum(
+            coalesce_narrow(ds.map_batches(melt, batch_format="pyarrow"))
+            .map_batches(add_part, batch_format="pyarrow")
+            .groupby("__part")
+            .map_groups(guard_fold(count_distinct), batch_format="pandas"),
+            ["column"],
+            sum_cols={"d": "d"},
+        ).take_all()
+    }
+
+    return pa.table(
+        {
+            "column": pa.array(cols, type=pa.string()),
+            "n": pa.array(
+                [int(stats[c]["n"]) for c in cols], type=pa.int64()
+            ),
+            "n_null": pa.array(
+                [int(stats[c]["n_null"]) for c in cols], type=pa.int64()
+            ),
+            "n_distinct": pa.array(
+                [distinct.get(c, 0) for c in cols], type=pa.int64()
+            ),
+            "min_num": pa.array(
+                [stats[c]["mn"] for c in cols], type=pa.int64()
+            ),
+            "max_num": pa.array(
+                [stats[c]["mx"] for c in cols], type=pa.int64()
+            ),
+            "min_str": pa.array(
+                [stats[c]["mns"] for c in cols], type=pa.string()
+            ),
+            "max_str": pa.array(
+                [stats[c]["mxs"] for c in cols], type=pa.string()
+            ),
+        }
+    )
+
+
 def _q_lang_source_mi(sf_dir: str):
     """Mutual information / chi-square / Cramer's V between lang and
     source (stages/stats.py contingency_association) — the
@@ -7549,6 +7735,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "blocklist_rate": _q_blocklist_rate,
         "quantile_normalize": _q_quantile_normalize,
         "hill_tail_index": _q_hill_tail_index,
+        "table_profile": _q_table_profile,
         "mmr_select": _q_mmr_select,
         "approx_score_quantiles": _q_approx_score_quantiles,
         "approx_source_quantiles": _q_approx_source_quantiles,
@@ -12241,6 +12428,30 @@ def oracle_sql() -> dict[str, str]:
                  > {_BENFORD_CHI2_99} AS benford_alert
         FROM t GROUP BY event_type
     """
+    # mirrors _q_table_profile: one UNION ALL branch per profiled
+    # column with the same typed min/max split and count(DISTINCT)
+    _prof_branches = []
+    for _c, _k in _PROFILE_COLS:
+        if _k == "num":
+            _mm = (
+                f"CAST(min({_c}) AS BIGINT) AS min_num, "
+                f"CAST(max({_c}) AS BIGINT) AS max_num, "
+                "CAST(NULL AS VARCHAR) AS min_str, "
+                "CAST(NULL AS VARCHAR) AS max_str"
+            )
+        else:
+            _mm = (
+                "CAST(NULL AS BIGINT) AS min_num, "
+                "CAST(NULL AS BIGINT) AS max_num, "
+                f"min({_c}) AS min_str, max({_c}) AS max_str"
+            )
+        _prof_branches.append(
+            f"SELECT '{_c}' AS column, CAST(count(*) AS BIGINT) AS n, "
+            f"CAST(count(*) - count({_c}) AS BIGINT) AS n_null, "
+            f"CAST(count(DISTINCT {_c}) AS BIGINT) AS n_distinct, "
+            f"{_mm} FROM lineitem"
+        )
+    out["table_profile"] = " UNION ALL ".join(_prof_branches)
     # mirrors _q_hill_tail_index: same (n_chars DESC, doc_id) top-(k+1),
     # nano-quantized ln ratios vs x_(k+1), one float division (assumes
     # the corpus holds > k+1 docs, true for every gate sf)
