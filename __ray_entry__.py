@@ -1219,6 +1219,113 @@ def _q_table_profile(sf_dir: str):
     )
 
 
+_BLOWUP_COLS = ("l_orderkey", "l_partkey", "l_suppkey")
+
+
+def _q_selfjoin_blowup(sf_dir: str):
+    """Join-cardinality / skew estimator over lineitem keys: per key
+    column, the EXACT self-equijoin output size Σ deg² (the optimizer's
+    quadratic-blowup statistic), key count, max degree and the blowup
+    factor — computed WITHOUT executing any join, the planning number
+    that decides broadcast-vs-shuffle and salting at 100 TB.
+
+    Shape: one melt pass to narrow (col, key, partial-n) rows, ONE
+    key-hash co-group (per-key totals are partition-complete), a
+    per-partition Σd²/Σd/max/count fold collapsed to |cols| rows, then
+    a bounded per-col sum.  All int-exact; blowup is one division."""
+    import pandas as pd
+
+    from docling_api_ray.stages.common import (
+        bounded_groupby_sum,
+        coalesce_narrow,
+        guard_fold,
+        shuffle_partitions,
+    )
+
+    cols = list(_BLOWUP_COLS)
+    ds = _read(sf_dir, "lineitem", cols)
+    P = shuffle_partitions()
+
+    def melt(b: pa.Table) -> pa.Table:
+        outc, outk, outn = [], [], []
+        for c in cols:
+            g = (
+                pa.table({"k": b[c]})
+                .group_by(["k"])
+                .aggregate([([], "count_all")])
+            )
+            outc.append(np.full(len(g), c, dtype=object))
+            outk.append(np.asarray(g["k"], dtype=np.int64))
+            outn.append(np.asarray(g["count_all"], dtype=np.int64))
+        return pa.table(
+            {
+                "column": pa.array(np.concatenate(outc), type=pa.string()),
+                "k": pa.array(np.concatenate(outk), type=pa.int64()),
+                "n": pa.array(np.concatenate(outn), type=pa.int64()),
+            }
+        )
+
+    def add_part(b: pa.Table) -> pa.Table:
+        k = np.asarray(b["k"], dtype=np.int64)
+        return b.append_column(
+            "__part",
+            pa.array(k.view(np.uint64) % np.uint64(P), type=pa.int64()),
+        )
+
+    def fold(g: "pd.DataFrame") -> pa.Table:
+        deg = g.groupby(["column", "k"], sort=False)["n"].sum()
+        agg = deg.groupby(level=0).agg(["count", "sum", "max"])
+        d2 = (deg * deg).groupby(level=0).sum()
+        return pa.table(
+            {
+                "column": pa.array(
+                    agg.index.to_numpy(object), type=pa.string()
+                ),
+                "n_keys": pa.array(
+                    agg["count"].to_numpy(np.int64), type=pa.int64()
+                ),
+                "n_rows": pa.array(
+                    agg["sum"].to_numpy(np.int64), type=pa.int64()
+                ),
+                "max_deg": pa.array(
+                    agg["max"].to_numpy(np.int64), type=pa.int64()
+                ),
+                "sj": pa.array(d2.to_numpy(np.int64), type=pa.int64()),
+            }
+        )
+
+    # ONE job: the fold output is ≤ P × |cols| rows — driver-combine
+    parts = (
+        coalesce_narrow(ds.map_batches(melt, batch_format="pyarrow"))
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(guard_fold(fold), batch_format="pandas")
+    ).take_all()
+    agg = {c: [0, 0, 0, 0] for c in cols}  # n_keys, n_rows, max, sj
+    for r in parts:
+        a = agg[r["column"]]
+        a[0] += int(r["n_keys"])
+        a[1] += int(r["n_rows"])
+        a[2] = max(a[2], int(r["max_deg"]))
+        a[3] += int(r["sj"])
+    return pa.table(
+        {
+            "column": pa.array(cols, type=pa.string()),
+            "n_rows": pa.array([agg[c][1] for c in cols], type=pa.int64()),
+            "n_keys": pa.array([agg[c][0] for c in cols], type=pa.int64()),
+            "max_degree": pa.array(
+                [agg[c][2] for c in cols], type=pa.int64()
+            ),
+            "selfjoin_rows": pa.array(
+                [agg[c][3] for c in cols], type=pa.int64()
+            ),
+            "blowup": pa.array(
+                [agg[c][3] / agg[c][1] for c in cols], type=pa.float64()
+            ),
+        }
+    )
+
+
 def _q_lang_source_mi(sf_dir: str):
     """Mutual information / chi-square / Cramer's V between lang and
     source (stages/stats.py contingency_association) — the
@@ -7736,6 +7843,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_normalize": _q_quantile_normalize,
         "hill_tail_index": _q_hill_tail_index,
         "table_profile": _q_table_profile,
+        "selfjoin_blowup": _q_selfjoin_blowup,
         "mmr_select": _q_mmr_select,
         "approx_score_quantiles": _q_approx_score_quantiles,
         "approx_source_quantiles": _q_approx_source_quantiles,
@@ -12452,6 +12560,21 @@ def oracle_sql() -> dict[str, str]:
             f"{_mm} FROM lineitem"
         )
     out["table_profile"] = " UNION ALL ".join(_prof_branches)
+    # mirrors _q_selfjoin_blowup: per-key degree CTE per column, the
+    # same Σdeg² / max / count moments, one division
+    _bl_branches = []
+    for _c in _BLOWUP_COLS:
+        _bl_branches.append(f"""
+            SELECT '{_c}' AS column,
+                   CAST(sum(d) AS BIGINT) AS n_rows,
+                   CAST(count(*) AS BIGINT) AS n_keys,
+                   CAST(max(d) AS BIGINT) AS max_degree,
+                   CAST(sum(d * d) AS BIGINT) AS selfjoin_rows,
+                   CAST(sum(d * d) AS DOUBLE)
+                     / CAST(sum(d) AS DOUBLE) AS blowup
+            FROM (SELECT {_c}, count(*) AS d FROM lineitem GROUP BY 1)
+        """)
+    out["selfjoin_blowup"] = " UNION ALL ".join(_bl_branches)
     # mirrors _q_hill_tail_index: same (n_chars DESC, doc_id) top-(k+1),
     # nano-quantized ln ratios vs x_(k+1), one float division (assumes
     # the corpus holds > k+1 docs, true for every gate sf)

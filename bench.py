@@ -265,6 +265,7 @@ def _bench_once() -> dict:
         "quantile_normalize",
         "hill_tail_index",
         "table_profile",
+        "selfjoin_blowup",
     ]
     # INTERLEAVED repetitions + medians (VERDICT r2 #1): this container's
     # co-tenant jitter is ±30-50% and can hold a multi-second plateau —
