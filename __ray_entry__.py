@@ -1326,6 +1326,77 @@ def _q_selfjoin_blowup(sf_dir: str):
     )
 
 
+def _q_dedup_normalized(sf_dir: str):
+    """Near-exact dedup tier between byte-exact and MinHash: exact
+    dedup over the NORMALIZED text (lowercase, punctuation stripped,
+    whitespace collapsed — ta.normalize_text), catching the
+    case/punct/spacing variants byte hashing misses.  Summary row:
+    docs, distinct normalized contents, duplicate count + floor-micro
+    ratio (the dedup_exact reporting shape on the normalized digest);
+    digest-only shuffle, co-grouped fold."""
+    from docling_api_ray.stages.common import (
+        coalesce_narrow,
+        guard_fold,
+        shuffle_partitions,
+    )
+
+    P = shuffle_partitions()
+
+    def digest(b: pa.Table) -> pa.Table:
+        import hashlib
+
+        norm = ta.normalize_text(b)["norm_text"].to_pylist()
+        h = np.array(
+            [
+                int.from_bytes(
+                    hashlib.md5((t or "").encode()).digest()[:8], "little"
+                )
+                >> 1
+                for t in norm
+            ],
+            dtype=np.int64,
+        )
+        return pa.table(
+            {
+                "h": pa.array(h, type=pa.int64()),
+                "__part": pa.array(
+                    h.view(np.uint64) % np.uint64(P), type=pa.int64()
+                ),
+            }
+        )
+
+    def fold(g) -> pa.Table:
+        return pa.table(
+            {
+                "n": pa.array([len(g)], type=pa.int64()),
+                "d": pa.array([g["h"].nunique()], type=pa.int64()),
+            }
+        )
+
+    rows = (
+        coalesce_narrow(
+            _docs(sf_dir, ["doc_id", "text"]).map_batches(
+                digest, batch_format="pyarrow"
+            )
+        )
+        .groupby("__part")
+        .map_groups(guard_fold(fold), batch_format="pandas")
+    ).take_all()
+    n = sum(int(r["n"]) for r in rows)
+    d = sum(int(r["d"]) for r in rows)
+    ratio = (
+        math.floor((n - d) / n * 1e6) / 1e6 if n else None
+    )
+    return pa.table(
+        {
+            "n_docs": pa.array([n], type=pa.int64()),
+            "distinct_normalized": pa.array([d], type=pa.int64()),
+            "n_dups": pa.array([n - d], type=pa.int64()),
+            "dup_ratio": pa.array([ratio], type=pa.float64()),
+        }
+    )
+
+
 def _q_lang_source_mi(sf_dir: str):
     """Mutual information / chi-square / Cramer's V between lang and
     source (stages/stats.py contingency_association) — the
@@ -7844,6 +7915,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hill_tail_index": _q_hill_tail_index,
         "table_profile": _q_table_profile,
         "selfjoin_blowup": _q_selfjoin_blowup,
+        "dedup_normalized": _q_dedup_normalized,
         "mmr_select": _q_mmr_select,
         "approx_score_quantiles": _q_approx_score_quantiles,
         "approx_source_quantiles": _q_approx_source_quantiles,
@@ -12560,6 +12632,22 @@ def oracle_sql() -> dict[str, str]:
             f"{_mm} FROM lineitem"
         )
     out["table_profile"] = " UNION ALL ".join(_prof_branches)
+    # mirrors _q_dedup_normalized: the normalize_text SQL expression,
+    # count(DISTINCT) on it, the same floor-micro ratio
+    out["dedup_normalized"] = f"""
+        WITH nrm AS (SELECT trim(regexp_replace(regexp_replace(
+                            lower(text), $${ta.PUNCT_RE}$$, '', 'g'),
+                            $$\\s+$$, ' ', 'g')) AS t
+                     FROM documents),
+        m AS (SELECT count(*) AS n, count(DISTINCT t) AS d FROM nrm)
+        SELECT CAST(n AS BIGINT) AS n_docs,
+               CAST(d AS BIGINT) AS distinct_normalized,
+               CAST(n - d AS BIGINT) AS n_dups,
+               CASE WHEN n > 0 THEN
+                 floor(CAST(n - d AS DOUBLE) / n * 1000000) / 1000000.0
+               END AS dup_ratio
+        FROM m
+    """
     # mirrors _q_selfjoin_blowup: per-key degree CTE per column, the
     # same Σdeg² / max / count moments, one division
     _bl_branches = []

@@ -266,6 +266,7 @@ def _bench_once() -> dict:
         "hill_tail_index",
         "table_profile",
         "selfjoin_blowup",
+        "dedup_normalized",
     ]
     # INTERLEAVED repetitions + medians (VERDICT r2 #1): this container's
     # co-tenant jitter is ±30-50% and can hold a multi-second plateau —
