@@ -1027,3 +1027,55 @@ def test_kendall_tau_b_matches_bruteforce():
         )
     ).to_pylist()[0]
     assert e["n"] == 0 and e["tau_b"] is None
+
+
+def test_neyman_sample_caps_at_stratum_size(tmp_path):
+    """When a stratum's Neyman allocation exceeds its population, the
+    draw returns the whole stratum (rank filter caps at N_h) — the
+    documented small-stratum behavior, identical in the SQL mirror."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as em
+
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(30)]
+    texts, sources = [], []
+    # source 'big': 400 docs, varied lengths (high weight); 'tiny': 3 docs
+    for i in range(400):
+        texts.append(" ".join(rng.choice(vocab, size=rng.integers(20, 200))))
+        sources.append("big")
+    for i in range(3):
+        texts.append(" ".join(rng.choice(vocab, size=50)))
+        sources.append("tiny")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * len(texts), pa.string()),
+                "source": pa.array(sources, pa.string()),
+                "n_chars": pa.array(
+                    [len(t) for t in texts], pa.int64()
+                ),
+            }
+        ),
+        f"{tmp_path}/documents.parquet",
+    )
+    alloc = {
+        r["source"]: r["alloc"]
+        for r in em.queries()["neyman_allocation"](str(tmp_path)).to_pylist()
+    }
+    assert sum(alloc.values()) == 1000  # largest-remainder exactness
+    out = em.queries()["neyman_sample"](str(tmp_path)).take_all()
+    got = {}
+    for r in out:
+        got[r["source"]] = got.get(r["source"], 0) + 1
+    # each stratum draws min(alloc, N_h); the low-variance tiny stratum
+    # may legitimately get 0 (Neyman weight ∝ N_h·S_h)
+    assert got.get("tiny", 0) == min(alloc["tiny"], 3)
+    assert got.get("big", 0) == min(alloc["big"], 400)
+    # the headline case: big's allocation (≈1000) exceeds N_h=400, so
+    # the draw caps at the whole stratum
+    assert alloc["big"] > 400 and got["big"] == 400
