@@ -1100,6 +1100,10 @@ def _q_table_profile(sf_dir: str):
     def stat_fold(df: "pd.DataFrame") -> pa.Table:
         c = df["column"].iloc[0]
         num = kinds[c] == "num"
+        mnv = df["mn"].dropna()
+        mxv = df["mx"].dropna()
+        mns = df["mns"].dropna()
+        mxs = df["mxs"].dropna()
         return pa.table(
             {
                 "column": pa.array([c], type=pa.string()),
@@ -1108,16 +1112,20 @@ def _q_table_profile(sf_dir: str):
                     [int(df["n_null"].sum())], type=pa.int64()
                 ),
                 "mn": pa.array(
-                    [int(df["mn"].min()) if num else None], type=pa.int64()
+                    [int(mnv.min()) if num and len(mnv) else None],
+                    type=pa.int64(),
                 ),
                 "mx": pa.array(
-                    [int(df["mx"].max()) if num else None], type=pa.int64()
+                    [int(mxv.max()) if num and len(mxv) else None],
+                    type=pa.int64(),
                 ),
                 "mns": pa.array(
-                    [df["mns"].min() if not num else None], type=pa.string()
+                    [mns.min() if not num and len(mns) else None],
+                    type=pa.string(),
                 ),
                 "mxs": pa.array(
-                    [df["mxs"].max() if not num else None], type=pa.string()
+                    [mxs.max() if not num and len(mxs) else None],
+                    type=pa.string(),
                 ),
             }
         )
