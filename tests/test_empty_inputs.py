@@ -115,3 +115,31 @@ def test_nbayes_empty_vocab_and_corpus():
     }
     # equal priors -> tie -> label asc "a" predicted for both
     assert conf == {("a", "a"): 1, ("b", "a"): 1}
+
+
+def test_round5_stage_ops_empty():
+    from docling_api_ray.stages.dedup import (
+        cdc_chunk_stats,
+        winnow_pairs,
+    )
+    from docling_api_ray.stages.stats import kendall_tau_b
+    from docling_api_ray.stages.text_analysis import winnow_fingerprints
+
+    docs = _empty_docs()
+    # winnowing tier: typed empty / zero-row outputs
+    assert winnow_pairs(docs).count() == 0
+    wf = winnow_fingerprints(
+        pa.schema(
+            [("doc_id", pa.int64()), ("text", pa.string())]
+        ).empty_table()
+    )
+    assert len(wf) == 0
+    # CDC summary on an empty corpus: zero totals, NULL ratios
+    c = cdc_chunk_stats(docs).to_pylist()[0]
+    assert c["total_chunks"] == 0 and c["dedup_ratio"] is None
+    # kendall over an empty projection
+    empty_xy = ray.data.from_arrow(
+        pa.schema([("x", pa.int64()), ("y", pa.int64())]).empty_table()
+    )
+    k = kendall_tau_b(empty_xy).to_pylist()[0]
+    assert k["n"] == 0 and k["tau_b"] is None
