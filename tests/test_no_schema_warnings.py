@@ -35,6 +35,13 @@ SWEEP = [
     "dedup_minhash",            # banded LSH co-group union
     "append_dedup_exact",       # incremental union path (r3 pin)
     "budget_select",            # boundary-layer equality filter (r5)
+    "winnow_pairs",             # double co-group pair tier (r5 late)
+    "winnow_dedup_keep",        # pairs → CC → keep chain (r5 late)
+    "cdc_dedup",                # materialized partials dual-consume
+    "neyman_sample",            # per-stratum variable-k heads
+    "quantile_normalize",       # histogram broadcast remap
+    "table_profile",            # melt + hash-partition distinct
+    "selfjoin_blowup",          # degree co-group moments
 ]
 
 
