@@ -1405,6 +1405,45 @@ def _q_dedup_normalized(sf_dir: str):
     )
 
 
+_ENS_FLESCH_LO = 20.0
+_ENS_FLESCH_HI = 130.0
+
+
+def _q_quality_ensemble(sf_dir: str):
+    """Ensemble quality gate (the classifier-ensembling practice of
+    Nemotron-CC-class curation): three independent signals — Gopher
+    rule keep, logistic-classifier keep, Flesch readability band — and
+    a 2-of-3 majority vote per doc.  One stateless pass reusing the
+    three existing vectorized scorers; every vote compares the SAME
+    quantized doubles as the individual queries' oracles, so the
+    majority is engine/SQL-identical."""
+
+    def score(b: pa.Table) -> pa.Table:
+        gk = np.asarray(ta.gopher_quality(b)["keep"])
+        lk = np.asarray(ta.quality_logit(ta.quality_scores(b))["keep"])
+        fl = np.asarray(
+            ta.readability_scores(b)["flesch"], dtype=np.float64
+        )
+        rk = (fl >= _ENS_FLESCH_LO) & (fl <= _ENS_FLESCH_HI)
+        votes = (
+            gk.astype(np.int64) + lk.astype(np.int64) + rk.astype(np.int64)
+        )
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "gopher_keep": pa.array(gk, type=pa.bool_()),
+                "logit_keep": pa.array(lk, type=pa.bool_()),
+                "readability_keep": pa.array(rk, type=pa.bool_()),
+                "votes": pa.array(votes, type=pa.int64()),
+                "ensemble_keep": pa.array(votes >= 2, type=pa.bool_()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow"
+    )
+
+
 def _q_lang_source_mi(sf_dir: str):
     """Mutual information / chi-square / Cramer's V between lang and
     source (stages/stats.py contingency_association) — the
@@ -7924,6 +7963,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_profile": _q_table_profile,
         "selfjoin_blowup": _q_selfjoin_blowup,
         "dedup_normalized": _q_dedup_normalized,
+        "quality_ensemble": _q_quality_ensemble,
         "mmr_select": _q_mmr_select,
         "approx_score_quantiles": _q_approx_score_quantiles,
         "approx_source_quantiles": _q_approx_source_quantiles,
@@ -12655,6 +12695,25 @@ def oracle_sql() -> dict[str, str]:
                  floor(CAST(n - d AS DOUBLE) / n * 1000000) / 1000000.0
                END AS dup_ratio
         FROM m
+    """
+    # mirrors _q_quality_ensemble: the three verified signal oracles as
+    # derived tables, the same quantized compares, 2-of-3 majority
+    out["quality_ensemble"] = f"""
+        WITH g AS (SELECT doc_id, keep AS gk
+                   FROM ({out["gopher_quality"]})),
+        l AS (SELECT doc_id, keep AS lk FROM ({out["quality_logit"]})),
+        r AS (SELECT doc_id,
+                     flesch >= {_ENS_FLESCH_LO}
+                       AND flesch <= {_ENS_FLESCH_HI} AS rk
+              FROM ({out["readability"]}))
+        SELECT g.doc_id, g.gk AS gopher_keep, l.lk AS logit_keep,
+               r.rk AS readability_keep,
+               CAST(CAST(g.gk AS BIGINT) + CAST(l.lk AS BIGINT)
+                    + CAST(r.rk AS BIGINT) AS BIGINT) AS votes,
+               CAST(g.gk AS BIGINT) + CAST(l.lk AS BIGINT)
+                 + CAST(r.rk AS BIGINT) >= 2 AS ensemble_keep
+        FROM g JOIN l ON l.doc_id = g.doc_id
+               JOIN r ON r.doc_id = g.doc_id
     """
     # mirrors _q_selfjoin_blowup: per-key degree CTE per column, the
     # same Σdeg² / max / count moments, one division
