@@ -1444,6 +1444,68 @@ def _q_quality_ensemble(sf_dir: str):
     )
 
 
+def _q_funnel_latency(sf_dir: str):
+    """Funnel time-to-convert: exact percentile_disc p50/p90 of each
+    converting user's first-view → first-qualifying-click delta
+    (stages/windows.py funnel_step_latency + the distributed
+    quickselect of stages/selection.py — no global sort, unbounded
+    value domain).  One summary row: converts, min/max µs, p50/p90."""
+    from docling_api_ray.stages.selection import quantile_select
+
+    deltas = _with_schema(
+        em_funnel_latency_ds(sf_dir), _FUNNEL_LAT_SCHEMA
+    ).materialize()  # consumed 2+rounds times by the quickselect
+    n = deltas.count()
+    if n == 0:
+        return pa.table(
+            {
+                "n_converted": pa.array([0], type=pa.int64()),
+                "min_us": pa.array([None], type=pa.int64()),
+                "max_us": pa.array([None], type=pa.int64()),
+                "p50_us": pa.array([None], type=pa.float64()),
+                "p90_us": pa.array([None], type=pa.float64()),
+            }
+        )
+
+    def to_f(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"delta": pc.cast(b["delta_us"], pa.float64())}
+        )
+
+    fd = deltas.map_batches(to_f, batch_format="pyarrow").materialize()
+    qt = {
+        float(r["q"]): float(r["value"])
+        for r in quantile_select(
+            fd, value_col="delta", quantiles=(0.5, 0.9)
+        ).to_pylist()
+    }
+    mm = deltas.aggregate(
+        ray.data.aggregate.Min("delta_us"), ray.data.aggregate.Max("delta_us")
+    )
+    return pa.table(
+        {
+            "n_converted": pa.array([n], type=pa.int64()),
+            "min_us": pa.array([int(mm["min(delta_us)"])], type=pa.int64()),
+            "max_us": pa.array([int(mm["max(delta_us)"])], type=pa.int64()),
+            "p50_us": pa.array([qt[0.5]], type=pa.float64()),
+            "p90_us": pa.array([qt[0.9]], type=pa.float64()),
+        }
+    )
+
+
+_FUNNEL_LAT_SCHEMA = pa.schema(
+    [("user_id", pa.int64()), ("delta_us", pa.int64())]
+)
+
+
+def em_funnel_latency_ds(sf_dir: str):
+    from docling_api_ray.stages.windows import funnel_step_latency
+
+    return funnel_step_latency(
+        _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    )
+
+
 def _q_lang_source_mi(sf_dir: str):
     """Mutual information / chi-square / Cramer's V between lang and
     source (stages/stats.py contingency_association) — the
@@ -7964,6 +8026,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "selfjoin_blowup": _q_selfjoin_blowup,
         "dedup_normalized": _q_dedup_normalized,
         "quality_ensemble": _q_quality_ensemble,
+        "funnel_latency": _q_funnel_latency,
         "mmr_select": _q_mmr_select,
         "approx_score_quantiles": _q_approx_score_quantiles,
         "approx_source_quantiles": _q_approx_source_quantiles,
@@ -12695,6 +12758,31 @@ def oracle_sql() -> dict[str, str]:
                  floor(CAST(n - d AS DOUBLE) / n * 1000000) / 1000000.0
                END AS dup_ratio
         FROM m
+    """
+    # mirrors _q_funnel_latency: the funnel_reached anchor semantics
+    # (first view, first strictly-later click), integer-µs deltas,
+    # percentile_disc = quantile_select's ceil(q·n) rank contract
+    out["funnel_latency"] = """
+        WITH e AS (SELECT user_id, CAST(ts AS BIGINT) AS us, event_type
+                   FROM (SELECT user_id, epoch_us(ts) AS ts, event_type
+                         FROM events
+                         WHERE event_type IN ('view', 'click'))),
+        t1 AS (SELECT user_id, min(us) AS t1 FROM e
+               WHERE event_type = 'view' GROUP BY 1),
+        t2 AS (SELECT e.user_id, min(e.us) AS t2
+               FROM e JOIN t1 USING (user_id)
+               WHERE e.event_type = 'click' AND e.us > t1.t1
+               GROUP BY 1),
+        d AS (SELECT t2.user_id, t2.t2 - t1.t1 AS delta
+              FROM t2 JOIN t1 USING (user_id))
+        SELECT CAST(count(*) AS BIGINT) AS n_converted,
+               CAST(min(delta) AS BIGINT) AS min_us,
+               CAST(max(delta) AS BIGINT) AS max_us,
+               CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY delta)
+                    AS DOUBLE) AS p50_us,
+               CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY delta)
+                    AS DOUBLE) AS p90_us
+        FROM d
     """
     # mirrors _q_quality_ensemble: the three verified signal oracles as
     # derived tables, the same quantized compares, 2-of-3 majority

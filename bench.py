@@ -268,6 +268,7 @@ def _bench_once() -> dict:
         "selfjoin_blowup",
         "dedup_normalized",
         "quality_ensemble",
+        "funnel_latency",
     ]
     # INTERLEAVED repetitions + medians (VERDICT r2 #1): this container's
     # co-tenant jitter is ±30-50% and can hold a multi-second plateau —

@@ -1506,3 +1506,67 @@ def event_debounce(
     return totals.map_batches(
         finish, batch_format="pyarrow", batch_size=None
     )
+
+
+def funnel_step_latency(
+    ds: ray.data.Dataset,
+    *,
+    steps: tuple[str, str] = ("view", "click"),
+    key: str = "user_id",
+) -> ray.data.Dataset:
+    """Per-user time-to-convert between the first two funnel steps —
+    the latency companion to ``funnel_reached``: for every user whose
+    first ``steps[1]`` strictly follows their first ``steps[0]``, emit
+    ``delta_us = first qualifying step1 − first step0`` in integer
+    microseconds (the anchored semantics of funnel_reached, so the two
+    queries agree on who converted).
+
+    Same single user-hash exchange as funnel_reached; timestamps are
+    cast to epoch µs in the map side so the fold is pure int64."""
+    import pandas as pd
+
+    from docling_api_ray.stages.common import shuffle_partitions
+
+    s0, s1 = steps
+
+    def prep(b: pa.Table) -> pa.Table:
+        m = pc.is_in(b["event_type"], value_set=pa.array([s0, s1]))
+        b = b.filter(m)
+        uid = np.asarray(b[key], dtype=np.int64)
+        return pa.table(
+            {
+                key: b[key],
+                "us": pc.cast(b["ts"], pa.int64()),
+                "event_type": b["event_type"],
+                "__part": pa.array(
+                    np.abs(uid) % shuffle_partitions(), type=pa.int64()
+                ),
+            }
+        )
+
+    out_schema = pa.schema([(key, pa.int64()), ("delta_us", pa.int64())])
+
+    def fold(df: "pd.DataFrame") -> pa.Table:
+        if not len(df):
+            return out_schema.empty_table()
+        t1 = df[df["event_type"] == s0].groupby(key, sort=False)["us"].min()
+        e1 = df[df["event_type"] == s1].merge(
+            t1.rename("t1"), left_on=key, right_index=True
+        ).reset_index(drop=True)
+        q = e1[e1["us"] > e1["t1"]]
+        t2 = q.groupby(key, sort=False)["us"].min()
+        d = (t2 - t1.loc[t2.index]).astype(np.int64)
+        return pa.table(
+            {
+                key: pa.array(d.index.to_numpy(np.int64), type=pa.int64()),
+                "delta_us": pa.array(d.to_numpy(np.int64), type=pa.int64()),
+            }
+        ).cast(out_schema)
+
+    from docling_api_ray.stages.common import coalesce_narrow, guard_fold
+
+    return (
+        coalesce_narrow(ds.map_batches(prep, batch_format="pyarrow"))
+        .groupby("__part")
+        .map_groups(guard_fold(fold), batch_format="pandas")
+    )
