@@ -569,6 +569,60 @@ def _q_hll_registers(sf_dir: str):
     return hll_registers(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def _q_hll_eval(sf_dir: str):
+    """HLL accuracy eval — the cardinality-sketch member of the
+    self-verifying eval trio (lsh_eval, kll rank check): the register
+    estimate vs the EXACT distinct-token count, relative error, and
+    the 3σ = 3·1.04/√m bound check.
+
+    Exactness: the harmonic-mean denominator is computed as the
+    INTEGER Σ 2^(53−ρ) (Python int / HUGEINT — a float Σ2^(−ρ) would
+    round differently under numpy pairwise vs SQL sequential
+    summation), converted to double once; the ln of the linear-count
+    branch carries the idf-class accepted risk; signed micro rounding
+    uses explicit ⌊x·1e6+½⌋ in both engines (SQL round() half-away
+    would diverge on negative halves)."""
+    import math
+
+    from docling_api_ray.stages.sketch import HLL_B
+
+    m = 1 << HLL_B
+    regs = {
+        int(r["bucket"]): int(r["max_rho"])
+        for r in _q_hll_registers(sf_dir).take_all()
+    }
+    S = sum(1 << (53 - regs.get(b, 0)) for b in range(m))  # int-exact
+    zeros = sum(1 for b in range(m) if regs.get(b, 0) == 0)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m * float(1 << 53) / float(S)
+    if est <= 2.5 * m and zeros > 0:
+        est = m * math.log(m / zeros)
+    exact = int(_q_vocab_coverage(sf_dir)["vocab"][0].as_py())
+    rel = (est - exact) / exact if exact else None
+    bound = 3.0 * 1.04 / math.sqrt(m)
+    return pa.table(
+        {
+            "m": pa.array([m], type=pa.int64()),
+            "n_exact": pa.array([exact], type=pa.int64()),
+            "est_micro": pa.array(
+                [int(math.floor(est * 1e6 + 0.5))], type=pa.int64()
+            ),
+            "rel_err_micro": pa.array(
+                [
+                    int(math.floor(rel * 1e6 + 0.5))
+                    if rel is not None
+                    else None
+                ],
+                type=pa.int64(),
+            ),
+            "within_3sigma": pa.array(
+                [abs(rel) <= bound if rel is not None else None],
+                type=pa.bool_(),
+            ),
+        }
+    )
+
+
 def _q_heavy_hitters(sf_dir: str):
     """Words with frequency > 1/30 of all token occurrences — EXACT
     output via the Misra-Gries mergeable sketch (stages/sketch.py):
@@ -8027,6 +8081,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_normalized": _q_dedup_normalized,
         "quality_ensemble": _q_quality_ensemble,
         "funnel_latency": _q_funnel_latency,
+        "hll_eval": _q_hll_eval,
         "mmr_select": _q_mmr_select,
         "approx_score_quantiles": _q_approx_score_quantiles,
         "approx_source_quantiles": _q_approx_source_quantiles,
@@ -12758,6 +12813,46 @@ def oracle_sql() -> dict[str, str]:
                  floor(CAST(n - d AS DOUBLE) / n * 1000000) / 1000000.0
                END AS dup_ratio
         FROM m
+    """
+    # mirrors _q_hll_eval: the verified register oracle on a dense
+    # bucket grid, the INTEGER Σ2^(53−ρ) harmonic denominator in
+    # HUGEINT, the same left-assoc estimator and branch, explicit
+    # floor(x·1e6+0.5) signed micro rounding
+    from docling_api_ray.stages.sketch import HLL_B as _HLL_B
+
+    _hm = 1 << _HLL_B
+    _ha = f"(0.7213 / (1.0 + 1.079 / {_hm}))"
+    _hraw = (
+        f"{_ha} * {_hm} * {_hm} * 9007199254740992.0"
+        " / CAST(si AS DOUBLE)"
+    )
+    out["hll_eval"] = f"""
+        WITH r0 AS (SELECT * FROM ({out["hll_registers"]})),
+        grid AS (SELECT b.bucket, coalesce(r0.max_rho, 0) AS rho
+                 FROM (SELECT unnest(generate_series(0, {_hm - 1}))
+                         AS bucket) b
+                 LEFT JOIN r0 USING (bucket)),
+        s AS (SELECT sum(CAST(power(2, 53 - rho) AS HUGEINT)) AS si,
+                     sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS zeros
+              FROM grid),
+        v AS (SELECT count(DISTINCT word) AS n_exact FROM
+              (SELECT unnest(string_split(text, ' ')) AS word
+               FROM documents) WHERE word <> ''),
+        e AS (SELECT CASE WHEN {_hraw} <= {2.5 * _hm} AND zeros > 0
+                          THEN {_hm} * ln({_hm} / zeros)
+                          ELSE {_hraw} END AS est
+              FROM s)
+        SELECT CAST({_hm} AS BIGINT) AS m,
+               CAST(n_exact AS BIGINT) AS n_exact,
+               CAST(floor(est * 1000000 + 0.5) AS BIGINT) AS est_micro,
+               CASE WHEN n_exact > 0 THEN
+                 CAST(floor((est - n_exact) / n_exact * 1000000 + 0.5)
+                      AS BIGINT)
+               END AS rel_err_micro,
+               CASE WHEN n_exact > 0 THEN
+                 abs((est - n_exact) / n_exact) <= 3.0 * 1.04 / sqrt({_hm})
+               END AS within_3sigma
+        FROM e, v
     """
     # mirrors _q_funnel_latency: the funnel_reached anchor semantics
     # (first view, first strictly-later click), integer-µs deltas,

@@ -269,6 +269,7 @@ def _bench_once() -> dict:
         "dedup_normalized",
         "quality_ensemble",
         "funnel_latency",
+        "hll_eval",
     ]
     # INTERLEAVED repetitions + medians (VERDICT r2 #1): this container's
     # co-tenant jitter is ±30-50% and can hold a multi-second plateau —
