@@ -4584,6 +4584,68 @@ def _q_countmin_words(sf_dir: str):
     return countmin_estimates(_docs(sf_dir, ["doc_id", "text"]), _CMS_PROBES)
 
 
+def _q_cms_eval(sf_dir: str):
+    """Count-min accuracy eval — the frequency member of the
+    self-verifying sketch-eval family (hll_eval, lsh_eval, KLL rank
+    check): per probe word, the sketch estimate vs the EXACT count,
+    the structural overestimate property, and the ε·N = (e/W)·N
+    Markov-bound check.  Estimates and exact counts are both already
+    SQL-mirrored (countmin_words / vocab machinery); the eval only
+    joins them with integer arithmetic plus one float bound compare."""
+    import math
+
+    from docling_api_ray.stages.sketch import CMS_W, countmin_estimates
+
+    est = {
+        r["word"]: int(r["est_n"])
+        for r in countmin_estimates(
+            _docs(sf_dir, ["doc_id", "text"]), _CMS_PROBES
+        ).take_all()
+    }
+
+    def probe_counts(b: pa.Table) -> pa.Table:
+        t = ta.word_counts(b)
+        keep = pc.is_in(
+            t["word"], value_set=pa.array(sorted(set(_CMS_PROBES)))
+        )
+        return t.filter(keep)
+
+    from docling_api_ray.stages.common import bounded_groupby_sum
+
+    exact = {
+        r["word"]: int(r["n"])
+        for r in bounded_groupby_sum(
+            _docs(sf_dir, ["doc_id", "text"]).map_batches(
+                probe_counts, batch_format="pyarrow"
+            ),
+            ["word"],
+            sum_cols={"n": "n"},
+        ).take_all()
+    }
+    n_tot = _q_vocab_coverage(sf_dir)["n_tokens"][0].as_py()
+    eps_n = math.e / CMS_W * n_tot
+    words = sorted(set(_CMS_PROBES))
+    ex = [exact.get(w, 0) for w in words]
+    es = [est.get(w, 0) for w in words]
+    return pa.table(
+        {
+            "word": pa.array(words, type=pa.string()),
+            "exact_n": pa.array(ex, type=pa.int64()),
+            "est_n": pa.array(es, type=pa.int64()),
+            "err": pa.array(
+                [e - x for e, x in zip(es, ex)], type=pa.int64()
+            ),
+            "overestimates": pa.array(
+                [e >= x for e, x in zip(es, ex)], type=pa.bool_()
+            ),
+            "within_eps_n": pa.array(
+                [(e - x) <= eps_n for e, x in zip(es, ex)],
+                type=pa.bool_(),
+            ),
+        }
+    )
+
+
 def _q_events_moving_avg(sf_dir: str):
     """Per-user trailing moving average over a 4-row frame
     (stages/windows.py moving_window_avg): ONE user-hash exchange of the
@@ -8082,6 +8144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_ensemble": _q_quality_ensemble,
         "funnel_latency": _q_funnel_latency,
         "hll_eval": _q_hll_eval,
+        "cms_eval": _q_cms_eval,
         "mmr_select": _q_mmr_select,
         "approx_score_quantiles": _q_approx_score_quantiles,
         "approx_source_quantiles": _q_approx_source_quantiles,
@@ -12853,6 +12916,34 @@ def oracle_sql() -> dict[str, str]:
                  abs((est - n_exact) / n_exact) <= 3.0 * 1.04 / sqrt({_hm})
                END AS within_3sigma
         FROM e, v
+    """
+    # mirrors _q_cms_eval: the verified countmin oracle joined against
+    # exact probe counts, same left-assoc e/W*N bound expression
+    import math as _math
+
+    from docling_api_ray.stages.sketch import CMS_W as _CMS_W
+
+    _cms_probe_list = ", ".join(
+        "'" + w + "'" for w in sorted(set(_CMS_PROBES))
+    )
+    out["cms_eval"] = f"""
+        WITH est AS (SELECT * FROM ({out["countmin_words"]})),
+        toks AS (SELECT unnest(string_split(text, ' ')) AS w
+                 FROM documents),
+        wc AS (SELECT w, count(*) AS n FROM toks
+               WHERE w <> '' GROUP BY 1),
+        nt AS (SELECT coalesce(sum(n), 0) AS n_tot FROM wc),
+        p AS (SELECT unnest([{_cms_probe_list}]) AS word)
+        SELECT p.word,
+               CAST(coalesce(wc.n, 0) AS BIGINT) AS exact_n,
+               CAST(est.est_n AS BIGINT) AS est_n,
+               CAST(est.est_n - coalesce(wc.n, 0) AS BIGINT) AS err,
+               est.est_n >= coalesce(wc.n, 0) AS overestimates,
+               (est.est_n - coalesce(wc.n, 0))
+                 <= {_math.e} / {_CMS_W} * nt.n_tot AS within_eps_n
+        FROM p LEFT JOIN wc ON wc.w = p.word
+               JOIN est ON est.word = p.word
+               CROSS JOIN nt
     """
     # mirrors _q_funnel_latency: the funnel_reached anchor semantics
     # (first view, first strictly-later click), integer-µs deltas,

@@ -270,6 +270,7 @@ def _bench_once() -> dict:
         "quality_ensemble",
         "funnel_latency",
         "hll_eval",
+        "cms_eval",
     ]
     # INTERLEAVED repetitions + medians (VERDICT r2 #1): this container's
     # co-tenant jitter is ±30-50% and can hold a multi-second plateau —
