@@ -4646,6 +4646,16 @@ def _q_cms_eval(sf_dir: str):
     )
 
 
+def _q_bloom_fpr(sf_dir: str):
+    """Bloom FPR eval (stages/sketch.py bloom_fpr_eval): realized
+    false-positive rate of the decontamination filter over
+    content-distinct non-members vs the (1−(1−1/m)^{kn})^k theory —
+    the membership member of the sketch-eval family."""
+    from docling_api_ray.stages.sketch import bloom_fpr_eval
+
+    return bloom_fpr_eval(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def _q_events_moving_avg(sf_dir: str):
     """Per-user trailing moving average over a 4-row frame
     (stages/windows.py moving_window_avg): ONE user-hash exchange of the
@@ -8145,6 +8155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_latency": _q_funnel_latency,
         "hll_eval": _q_hll_eval,
         "cms_eval": _q_cms_eval,
+        "bloom_fpr": _q_bloom_fpr,
         "mmr_select": _q_mmr_select,
         "approx_score_quantiles": _q_approx_score_quantiles,
         "approx_source_quantiles": _q_approx_source_quantiles,
@@ -12944,6 +12955,55 @@ def oracle_sql() -> dict[str, str]:
         FROM p LEFT JOIN wc ON wc.w = p.word
                JOIN est ON est.word = p.word
                CROSS JOIN nt
+    """
+    # mirrors _q_bloom_fpr: the bloom_decontaminate bit/probe CTEs,
+    # content-hash membership truth (a duplicate of a benchmark doc is
+    # a TRUE positive), same theory expression and 3x compare
+    from docling_api_ray.stages.sketch import BLOOM_K as _BK
+    from docling_api_ray.stages.sketch import BLOOM_M as _BM
+
+    out["bloom_fpr"] = f"""
+        WITH h AS (SELECT doc_id, {_sql_u64('text')} AS u FROM documents),
+        mh AS (SELECT DISTINCT u FROM h WHERE doc_id % 50 = 0),
+        mhh AS (SELECT u % {_BM} AS h1,
+                       (u // 4294967296) * 2 + 1 AS h2 FROM mh),
+        ks AS (SELECT unnest(generate_series(0, {_BK - 1})) AS i),
+        bits AS (SELECT DISTINCT
+                   CAST((h1 + i * h2) % {_BM} AS BIGINT) AS bit
+                 FROM mhh, ks),
+        ph AS (SELECT doc_id, u, u % {_BM} AS h1,
+                      (u // 4294967296) * 2 + 1 AS h2 FROM h),
+        probe AS (SELECT p.doc_id, p.u,
+                         CAST((p.h1 + ks.i * p.h2) % {_BM} AS BIGINT)
+                           AS bit
+                  FROM ph p, ks),
+        maybe AS (SELECT probe.doc_id, any_value(probe.u) AS u,
+                         bool_and(b.bit IS NOT NULL) AS mb
+                  FROM probe LEFT JOIN bits b ON b.bit = probe.bit
+                  GROUP BY probe.doc_id),
+        cls AS (SELECT doc_id, mb,
+                       u NOT IN (SELECT u FROM mh) AS is_probe
+                FROM maybe),
+        nn AS (SELECT (SELECT count(*) FROM mh) AS n,
+                      count(*) FILTER (is_probe) AS n_probe,
+                      count(*) FILTER (is_probe AND mb) AS n_fp
+               FROM cls)
+        SELECT CAST({_BM} AS BIGINT) AS m, CAST({_BK} AS BIGINT) AS k,
+               CAST(n AS BIGINT) AS n_member_hashes,
+               CAST(n_probe AS BIGINT) AS n_probes,
+               CAST(n_fp AS BIGINT) AS n_false_pos,
+               CASE WHEN n_probe > 0 THEN
+                 CAST(n_fp AS DOUBLE) / CAST(n_probe AS DOUBLE)
+               END AS fpr,
+               CAST(floor(power(1.0 - power(1.0 - 1.0 / {_BM},
+                                            {_BK} * n), {_BK})
+                          * 1000000 + 0.5) AS BIGINT) AS p_theory_micro,
+               CASE WHEN n_probe > 0 THEN
+                 CAST(n_fp AS DOUBLE) / CAST(n_probe AS DOUBLE)
+                   <= 3.0 * power(1.0 - power(1.0 - 1.0 / {_BM},
+                                              {_BK} * n), {_BK})
+               END AS within_3x_theory
+        FROM nn
     """
     # mirrors _q_funnel_latency: the funnel_reached anchor semantics
     # (first view, first strictly-later click), integer-µs deltas,

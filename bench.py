@@ -271,6 +271,7 @@ def _bench_once() -> dict:
         "funnel_latency",
         "hll_eval",
         "cms_eval",
+        "bloom_fpr",
     ]
     # INTERLEAVED repetitions + medians (VERDICT r2 #1): this container's
     # co-tenant jitter is ±30-50% and can hold a multi-second plateau —

@@ -1057,3 +1057,117 @@ def grouped_heavy_hitters(
         )
 
     return counts.map_batches(threshold, batch_format="pyarrow")
+
+
+def bloom_fpr_eval(
+    ds: "ray.data.Dataset",
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_mod: int = 50,
+) -> pa.Table:
+    """Bloom-filter false-positive-rate eval — the membership member of
+    the self-verifying sketch-eval family: build the decontamination
+    filter over the benchmark docs, probe every doc whose CONTENT hash
+    is not in the member set (a duplicate of a benchmark doc is a TRUE
+    positive), and compare the realized FPR against the
+    (1 − (1−1/m)^{kn})^k theory at a 3× slack.
+
+    Same scale contract as bloom_membership: the member hash set and
+    the M-bit array are filter-bounded broadcasts; the probe counts are
+    a stateless two-column fold.  The theory term carries the libm-pow
+    last-ulp caveat (idf-class accepted risk), micro-quantized."""
+    import math
+
+    import ray as _ray
+
+    from docling_api_ray.functions.hashing import u64_md5
+    from docling_api_ray.stages.common import two_level_fold
+
+    def member_hashes(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b[id_col], dtype=np.int64)
+        mask = ids % bench_mod == 0
+        texts = np.asarray(
+            b[text_col].to_numpy(zero_copy_only=False), dtype=object
+        )[mask]
+        u = (
+            np.unique(u64_md5(texts)) if len(texts)
+            else np.zeros(0, dtype=np.uint64)
+        )
+        return pa.table({"u": pa.array(u.view(np.int64), type=pa.int64())})
+
+    mh_parts = [
+        np.asarray(blk["u"], dtype=np.int64)
+        for blk in ds.map_batches(
+            member_hashes, batch_format="pyarrow"
+        ).iter_batches(batch_format="pyarrow")
+    ]
+    mh = (
+        np.unique(np.concatenate(mh_parts))
+        if mh_parts
+        else np.zeros(0, dtype=np.int64)
+    )
+    bits = np.zeros(BLOOM_M, dtype=bool)
+    if len(mh):
+        bits[_bloom_positions(mh.view(np.uint64))] = True
+    state_ref = _ray.put((bits, mh))
+
+    def counts(b: pa.Table) -> pa.Table:
+        texts = np.asarray(
+            b[text_col].to_numpy(zero_copy_only=False), dtype=object
+        )
+        u = u64_md5(texts)
+        bits_l, mh_l = ray.get(state_ref)
+        maybe = (
+            bits_l[_bloom_positions(u)].all(axis=1)
+            if len(u)
+            else np.zeros(0, dtype=bool)
+        )
+        probe = ~np.isin(u.view(np.int64), mh_l)
+        return pa.table(
+            {
+                "n_probe": pa.array(
+                    [int(probe.sum())], type=pa.int64()
+                ),
+                "n_fp": pa.array(
+                    [int((probe & maybe).sum())], type=pa.int64()
+                ),
+            }
+        )
+
+    def fold(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                c: pa.array(
+                    [pc.sum(b[c]).as_py() or 0], type=pa.int64()
+                )
+                for c in ("n_probe", "n_fp")
+            }
+        )
+
+    row = two_level_fold(
+        ds.map_batches(counts, batch_format="pyarrow"), fold
+    ).take_all()[0]
+    tot = {k: int(v) for k, v in row.items()}
+    n = len(mh)
+    fpr = tot["n_fp"] / tot["n_probe"] if tot["n_probe"] else None
+    p = (1.0 - (1.0 - 1.0 / BLOOM_M) ** (BLOOM_K * n)) ** BLOOM_K
+    return pa.table(
+        {
+            "m": pa.array([BLOOM_M], type=pa.int64()),
+            "k": pa.array([BLOOM_K], type=pa.int64()),
+            "n_member_hashes": pa.array([n], type=pa.int64()),
+            "n_probes": pa.array([tot["n_probe"]], type=pa.int64()),
+            "n_false_pos": pa.array([tot["n_fp"]], type=pa.int64()),
+            "fpr": pa.array([fpr], type=pa.float64()),
+            "p_theory_micro": pa.array(
+                [int(math.floor(p * 1e6 + 0.5))], type=pa.int64()
+            ),
+            "within_3x_theory": pa.array(
+                [fpr <= 3.0 * p if fpr is not None else None],
+                type=pa.bool_(),
+            ),
+        }
+    )
