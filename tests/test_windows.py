@@ -761,3 +761,31 @@ def test_mann_kendall_detects_monotone_trend():
     # constant series: S = 0, all-tied variance numerator 0, z = 0
     assert out["flat"]["s"] == 0 and out["flat"]["var_num"] == 0
     assert out["flat"]["z"] == 0.0 and out["flat"]["trend"] == "flat"
+
+
+def test_funnel_step_latency_anchor_semantics():
+    """Delta anchors to the FIRST view and the first strictly-later
+    click — clicks before the first view never count, ties don't."""
+    from datetime import datetime
+
+    from docling_api_ray.stages.windows import funnel_step_latency
+
+    T = lambda s: datetime.fromisoformat(f"2026-01-01 00:00:{s:02d}")
+    rows = [
+        (1, T(1), "view"), (1, T(4), "click"),       # delta 3s
+        (2, T(2), "view"), (2, T(1), "click"),       # click first: none
+        (3, T(1), "view"), (3, T(1), "click"),       # tie: none
+        (4, T(5), "view"), (4, T(2), "view"), (4, T(3), "click"),
+        # first view is T(2) -> click at T(3) qualifies: delta 1s
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "user_id": [r[0] for r in rows],
+                "ts": pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+                "event_type": [r[2] for r in rows],
+            }
+        )
+    )
+    out = {r["user_id"]: r["delta_us"] for r in funnel_step_latency(ds).take_all()}
+    assert out == {1: 3_000_000, 4: 1_000_000}
