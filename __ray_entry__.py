@@ -1606,6 +1606,35 @@ def _q_source_gini(sf_dir: str):
     )
 
 
+def _q_welch_ttest(sf_dir: str):
+    """One-vs-rest Welch's t-test of n_chars per source (stages/stats.py
+    grouped_welch) — the statistical-significance tier over the drift
+    diagnostics (source_ols fits trend, ks_drift tests shape; this adds
+    the classic unequal-variance mean test with Welch–Satterthwaite df).
+    One bounded moment fold; rest-side moments = global totals − own;
+    fixed float op order replayed by the oracle, ⌊x·1e6+½⌋ quantize."""
+    from docling_api_ray.stages.stats import grouped_welch
+
+    return grouped_welch(
+        _docs(sf_dir, ["source", "n_chars"]),
+        group_col="source", value_col="n_chars",
+    )
+
+
+def _q_poisson_bootstrap(sf_dir: str):
+    """Per-source mean n_chars with Poisson-bootstrap 95% CI
+    (stages/stats.py poisson_bootstrap) — the Chamandy et al. streaming
+    bootstrap: deterministic Poisson(1) replicate weights from the
+    md5 hash ladder, 64 replicates in ONE bounded pass; the oracle
+    replays the integer draw and the order-stat CI bit-for-bit."""
+    from docling_api_ray.stages.stats import poisson_bootstrap
+
+    return poisson_bootstrap(
+        _docs(sf_dir, ["doc_id", "source", "n_chars"]),
+        group_col="source", value_col="n_chars", id_col="doc_id",
+    )
+
+
 def _q_quality_auc_by_source(sf_dir: str):
     """Per-source exact tie-aware ROC-AUC of the quality-classifier
     logit against the lang='en' label (stages/stats.py grouped_roc_auc)
@@ -8134,6 +8163,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # the remaining never-checked exact-oracle entries; previously
     # driver-checked queries (CORRECTNESS_r01-r04) sit at the tail.
     return {
+        "welch_ttest": _q_welch_ttest,
+        "poisson_bootstrap": _q_poisson_bootstrap,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "winnow_pairs": _q_winnow_pairs,
         "winnow_dedup_keep": _q_winnow_dedup_keep,
@@ -13147,6 +13178,142 @@ def oracle_sql() -> dict[str, str]:
     """
     # mirrors _q_zipf_fit: same wordcount CTE as vocab_topk, rank by
     # (n DESC, word ASC), floor(ln*1e9 + 0.5) quantized logs, HUGEINT
+    # mirrors _q_welch_ttest (stages/stats.py grouped_welch): exact
+    # int moment rows per source, rest = global − own, the identical
+    # float op order (var → se² → s → t → Welch–Satterthwaite df),
+    # floor-quantized to 6 decimals; `significant` compares the
+    # QUANTIZED |t| to 1.96 exactly as the engine does
+    out["welch_ttest"] = """
+        WITH m AS (SELECT source,
+                          CAST(count(*) AS BIGINT) AS na,
+                          CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS sa,
+                          CAST(sum(CAST(n_chars AS BIGINT)
+                                   * CAST(n_chars AS BIGINT)) AS BIGINT)
+                            AS qa
+                   FROM documents GROUP BY 1),
+             g AS (SELECT CAST(sum(na) AS BIGINT) AS n,
+                          CAST(sum(sa) AS BIGINT) AS sx,
+                          CAST(sum(qa) AS BIGINT) AS sxx FROM m),
+             r AS (SELECT m.source, m.na, g.n - m.na AS nb,
+                          CASE WHEN m.na > 0
+                               THEN CAST(m.sa AS DOUBLE)
+                                    / CAST(m.na AS DOUBLE)
+                               ELSE 0.0 END AS mean_a,
+                          CASE WHEN g.n - m.na > 0
+                               THEN CAST(g.sx - m.sa AS DOUBLE)
+                                    / CAST(g.n - m.na AS DOUBLE)
+                               ELSE 0.0 END AS mean_b,
+                          CASE WHEN m.na > 1 THEN
+                            ((CAST(m.qa AS DOUBLE)
+                              - CAST(m.sa AS DOUBLE) * CAST(m.sa AS DOUBLE)
+                                / CAST(m.na AS DOUBLE))
+                             / CAST(m.na - 1 AS DOUBLE))
+                            / CAST(m.na AS DOUBLE)
+                          END AS se2a,
+                          CASE WHEN g.n - m.na > 1 THEN
+                            ((CAST(g.sxx - m.qa AS DOUBLE)
+                              - CAST(g.sx - m.sa AS DOUBLE)
+                                * CAST(g.sx - m.sa AS DOUBLE)
+                                / CAST(g.n - m.na AS DOUBLE))
+                             / CAST(g.n - m.na - 1 AS DOUBLE))
+                            / CAST(g.n - m.na AS DOUBLE)
+                          END AS se2b
+                   FROM m CROSS JOIN g),
+             s AS (SELECT source, na, nb, mean_a, mean_b, se2a, se2b,
+                          CASE WHEN se2a IS NOT NULL AND se2b IS NOT NULL
+                                    AND se2a + se2b > 0.0
+                               THEN (mean_a - mean_b) / sqrt(se2a + se2b)
+                               ELSE 0.0 END AS t_raw,
+                          CASE WHEN se2a IS NOT NULL AND se2b IS NOT NULL
+                                    AND se2a + se2b > 0.0
+                                    AND se2a * se2a / CAST(na - 1 AS DOUBLE)
+                                        + se2b * se2b
+                                          / CAST(nb - 1 AS DOUBLE) > 0.0
+                               THEN (se2a + se2b) * (se2a + se2b)
+                                    / (se2a * se2a / CAST(na - 1 AS DOUBLE)
+                                       + se2b * se2b
+                                         / CAST(nb - 1 AS DOUBLE))
+                               ELSE 0.0 END AS df_raw
+                   FROM r)
+        SELECT source, na AS n_a, nb AS n_b,
+               floor(mean_a * 1000000 + 0.5) / 1000000.0 AS mean_a,
+               floor(mean_b * 1000000 + 0.5) / 1000000.0 AS mean_b,
+               floor(t_raw * 1000000 + 0.5) / 1000000.0 AS t_stat,
+               floor(df_raw * 1000000 + 0.5) / 1000000.0 AS df,
+               abs(floor(t_raw * 1000000 + 0.5) / 1000000.0) > 1.96
+                 AS significant
+        FROM s
+    """
+    # mirrors _q_poisson_bootstrap (stages/stats.py poisson_bootstrap):
+    # the identical md5-ladder Poisson(1) draw per (doc, replicate),
+    # exact int (Σw, Σw·x) per (source, b), replicate means
+    # micro-quantized BEFORE the order-stat CI / integer SE moments
+    from docling_api_ray.stages.stats import BOOT_B, POIS1_THRESH
+
+    _pois_w = " + ".join(
+        f"CASE WHEN u >= {int(t)} THEN 1 ELSE 0 END" for t in POIS1_THRESH
+    )
+    out["poisson_bootstrap"] = f"""
+        WITH reps AS (SELECT CAST(range AS BIGINT) AS b
+                      FROM range({BOOT_B})),
+             u AS (SELECT d.source, r.b,
+                          CAST(d.n_chars AS BIGINT) AS x,
+                          CAST({_sql_u64(
+                              "CAST(d.doc_id AS VARCHAR) || ':' "
+                              "|| CAST(r.b AS VARCHAR)")}
+                               % 9007199254740992 AS BIGINT) AS u
+                   FROM documents d CROSS JOIN reps r),
+             ww AS (SELECT source, b, x,
+                           CAST({_pois_w} AS BIGINT) AS wt
+                    FROM u),
+             rb AS (SELECT source, b,
+                           CAST(sum(wt) AS BIGINT) AS sw,
+                           CAST(sum(wt * x) AS BIGINT) AS swx
+                    FROM ww GROUP BY 1, 2),
+             mm AS (SELECT source, b,
+                           CASE WHEN sw > 0
+                                THEN CAST(floor(CAST(swx AS DOUBLE)
+                                                / CAST(sw AS DOUBLE)
+                                                * 1000000 + 0.5) AS BIGINT)
+                                ELSE 0 END AS m
+                    FROM rb),
+             ranked AS (SELECT source, m,
+                               row_number() OVER (PARTITION BY source
+                                                  ORDER BY m, b) AS r
+                        FROM mm),
+             ci AS (SELECT source,
+                           max(CASE WHEN r = 2 THEN m END) AS lo,
+                           max(CASE WHEN r = {BOOT_B - 1} THEN m END) AS hi
+                    FROM ranked GROUP BY 1),
+             agg AS (SELECT source,
+                            CAST(sum(m) AS HUGEINT) AS sm,
+                            CAST(sum(m * m) AS HUGEINT) AS sm2,
+                            CAST(count(*) AS BIGINT) AS nb
+                     FROM mm GROUP BY 1),
+             base AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+                             CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT)
+                               AS sx
+                      FROM documents GROUP BY 1),
+             se AS (SELECT source,
+                           (CAST(sm2 AS DOUBLE)
+                            - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE)
+                              / CAST(nb AS DOUBLE))
+                           / CAST(nb - 1 AS DOUBLE) AS var
+                    FROM agg)
+        SELECT base.source, base.n AS n_docs,
+               CASE WHEN base.n > 0
+                    THEN floor(CAST(base.sx AS DOUBLE)
+                               / CAST(base.n AS DOUBLE) * 1000000 + 0.5)
+                         / 1000000.0
+                    ELSE 0.0 END AS mean,
+               CAST(COALESCE(ci.lo, 0) AS DOUBLE) / 1000000.0 AS boot_lo,
+               CAST(COALESCE(ci.hi, 0) AS DOUBLE) / 1000000.0 AS boot_hi,
+               CASE WHEN se.var > 0.0
+                    THEN floor(sqrt(se.var) / 1000000.0 * 1000000 + 0.5)
+                         / 1000000.0
+                    ELSE 0.0 END AS boot_se
+        FROM base JOIN ci USING (source) JOIN se USING (source)
+    """
     # moments, and the identical CAST-AS-DOUBLE pair division
     out["zipf_fit"] = f"""
         WITH w AS (SELECT unnest(string_split(text, ' ')) AS word

@@ -1735,3 +1735,317 @@ def quantile_normalize(
         )
 
     return ds.map_batches(remap, batch_format="pyarrow")
+
+
+_WELCH_PARTIAL_SCHEMA = pa.schema(
+    [
+        ("source", pa.string()),
+        ("n", pa.int64()),
+        ("sx", pa.int64()),
+        ("sxx", pa.int64()),
+    ]
+)
+
+_WELCH_OUT_SCHEMA = pa.schema(
+    [
+        ("source", pa.string()),
+        ("n_a", pa.int64()),
+        ("n_b", pa.int64()),
+        ("mean_a", pa.float64()),
+        ("mean_b", pa.float64()),
+        ("t_stat", pa.float64()),
+        ("df", pa.float64()),
+        ("significant", pa.bool_()),
+    ]
+)
+
+
+def grouped_welch(
+    ds: ray.data.Dataset,
+    *,
+    group_col: str = "source",
+    value_col: str = "n_chars",
+) -> ray.data.Dataset:
+    """One-vs-rest Welch's unequal-variance t-test per group — the A/B
+    drift audit: does source s's ``value_col`` distribution differ from
+    the REST of the corpus beyond sampling noise?  (The reference API
+    has no statistics tier at all — SURVEY §2.8's scalar-function rows
+    are its closest analog; this is the corpus-curation extension.)
+
+    Scale shape: each batch reduces to EXACT integer moment rows
+    (n, Σx, Σx²) per group (np.bincount over the unique-inverse — the
+    grouped_ols sweep), tree-folded through ``bounded_groupby_sum``
+    (domain = |groups|, corpus-independent); the rest-side moments are
+    the GLOBAL totals minus the group's own — no second pass, no
+    shuffle.  The final fit is one ≤|groups|-row block.
+
+    Exactness: moments are int64-exact (x² ≤ ~1e8 per doc, safe to
+    ~10¹⁰ docs/group; split hi/lo limbs beyond — the grouped_ols
+    caveat class); the t / Welch–Satterthwaite df floats are computed
+    in a fixed op order the DuckDB mirror spells identically, then
+    floor-quantized to 6 decimals.  ``significant`` compares the
+    QUANTIZED |t| against 1.96, so engine and oracle agree bit-for-bit.
+    """
+
+    def partial(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return _WELCH_PARTIAL_SCHEMA.empty_table()
+        x = np.asarray(b[value_col], dtype=np.int64)
+        g = np.asarray(b[group_col])
+        uniq, inv = np.unique(g, return_inverse=True)
+        k = len(uniq)
+        return pa.table(
+            {
+                "source": pa.array(uniq.tolist(), type=pa.string()),
+                "n": pa.array(np.bincount(inv, minlength=k), type=pa.int64()),
+                "sx": pa.array(
+                    np.bincount(inv, weights=x, minlength=k).astype(np.int64)
+                ),
+                "sxx": pa.array(
+                    np.bincount(inv, weights=x * x, minlength=k).astype(
+                        np.int64
+                    )
+                ),
+            }
+        )
+
+    folded = bounded_groupby_sum(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["source"],
+        sum_cols={c: c for c in ("n", "sx", "sxx")},
+    )
+
+    def fit(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return _WELCH_OUT_SCHEMA.empty_table()
+        n = np.asarray(b["n"], dtype=np.int64)
+        sx = np.asarray(b["sx"], dtype=np.int64)
+        sxx = np.asarray(b["sxx"], dtype=np.int64)
+        tot_n, tot_sx, tot_sxx = int(n.sum()), int(sx.sum()), int(sxx.sum())
+        q6 = lambda v: math.floor(v * 1e6 + 0.5) / 1e6
+        out = {c: [] for c in _WELCH_OUT_SCHEMA.names}
+        for i in range(len(b)):
+            na, sa, qa = int(n[i]), int(sx[i]), int(sxx[i])
+            nb, sb, qb = tot_n - na, tot_sx - sa, tot_sxx - qa
+            mean_a = float(sa) / float(na) if na > 0 else 0.0
+            mean_b = float(sb) / float(nb) if nb > 0 else 0.0
+            t_raw, df_raw = 0.0, 0.0
+            if na > 1 and nb > 1:
+                var_a = (
+                    float(qa) - float(sa) * float(sa) / float(na)
+                ) / float(na - 1)
+                var_b = (
+                    float(qb) - float(sb) * float(sb) / float(nb)
+                ) / float(nb - 1)
+                se2a = var_a / float(na)
+                se2b = var_b / float(nb)
+                s = se2a + se2b
+                if s > 0.0:
+                    t_raw = (mean_a - mean_b) / math.sqrt(s)
+                    den = se2a * se2a / float(na - 1) + se2b * se2b / float(
+                        nb - 1
+                    )
+                    if den > 0.0:
+                        df_raw = s * s / den
+            t_q = q6(t_raw)
+            out["source"].append(b["source"][i].as_py())
+            out["n_a"].append(na)
+            out["n_b"].append(nb)
+            out["mean_a"].append(q6(mean_a))
+            out["mean_b"].append(q6(mean_b))
+            out["t_stat"].append(t_q)
+            out["df"].append(q6(df_raw))
+            out["significant"].append(abs(t_q) > 1.96)
+        return pa.table(
+            {
+                name: pa.array(out[name], type=_WELCH_OUT_SCHEMA.field(name).type)
+                for name in _WELCH_OUT_SCHEMA.names
+            }
+        )
+
+    # the fold output is ≤|groups| rows; ONE block so fit sees the
+    # global totals (the grouped-eta2 final-block pattern)
+    return folded.repartition(1).map_batches(
+        fit, batch_format="pyarrow", batch_size=None
+    )
+
+
+# Poisson(1) CDF ladder as integer thresholds floor(CDF(k)·2⁵³),
+# k = 0..7: a 53-bit uniform u drawn from the doc×replicate hash maps to
+# weight w = |{k : u ≥ T_k}| ∈ 0..8 (mass beyond 8 is ~1e-9 and maps to
+# 8; both engine and oracle use the SAME ladder, so the draw is exact
+# by construction, not approximately Poisson).
+POIS1_THRESH = np.array(
+    [
+        3313563428353948,
+        6627126856707896,
+        8283908570884870,
+        8836169142277195,
+        8974234285125276,
+        9001847313694892,
+        9006449485123161,
+        9007106938184342,
+    ],
+    dtype=np.int64,
+)
+BOOT_B = 64  # replicates; lo/hi are 0-based order stats 1 and 62
+_U53 = np.int64(1) << np.int64(53)
+
+_BOOT_PARTIAL_SCHEMA = pa.schema(
+    [
+        ("source", pa.string()),
+        ("b", pa.int64()),
+        ("sw", pa.int64()),
+        ("swx", pa.int64()),
+    ]
+)
+
+_BOOT_OUT_SCHEMA = pa.schema(
+    [
+        ("source", pa.string()),
+        ("n_docs", pa.int64()),
+        ("mean", pa.float64()),
+        ("boot_lo", pa.float64()),
+        ("boot_hi", pa.float64()),
+        ("boot_se", pa.float64()),
+    ]
+)
+
+
+def poisson_bootstrap(
+    ds: ray.data.Dataset,
+    *,
+    group_col: str = "source",
+    value_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Per-group mean of ``value_col`` with POISSON-BOOTSTRAP 95% CI and
+    bootstrap SE — the streaming bootstrap (Chamandy et al. 2012,
+    "Estimating Uncertainty for Massive Data Streams"): the classic
+    resample-n-rows bootstrap needs the whole group in memory, but
+    Poisson(1) per-row replicate weights make each replicate a WEIGHTED
+    SUM computable in the same single pass as the mean itself — the
+    shape that works at 10¹² rows.
+
+    Determinism/exactness: replicate weights come from
+    ``u64_md5(f"{id}:{b}") mod 2⁵³`` compared against the integer
+    ``POIS1_THRESH`` ladder — pure integer ops DuckDB replays
+    bit-for-bit (md5_number convention, splits.py).  Per (group,
+    replicate): exact int64 (Σw, Σw·x); replicate means are
+    ⌊·1e6+½⌋-quantized BEFORE the order-stat / SE arithmetic so every
+    cross-replicate reduction is integer-exact.  One bounded fold
+    (|groups| × (B+1) rows — the b=-1 sentinel row carries the exact
+    raw (n, Σx)); the CI is order stats 1 and 62 of the 64 sorted
+    (mean, b) pairs."""
+    from docling_api_ray.functions.hashing import u64_md5
+
+    def partial(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return _BOOT_PARTIAL_SCHEMA.empty_table()
+        x = np.asarray(b[value_col], dtype=np.int64)
+        ids = b[id_col].to_pylist()
+        g = np.asarray(b[group_col])
+        uniq, inv = np.unique(g, return_inverse=True)
+        k = len(uniq)
+        n = len(x)
+        keys = np.array(
+            [f"{i}:{rb}" for i in ids for rb in range(BOOT_B)], dtype=object
+        )
+        u = (u64_md5(keys) % np.uint64(_U53)).astype(np.int64)
+        # (n, B) weights from the integer CDF ladder
+        w = (
+            (u.reshape(n, BOOT_B)[:, :, None] >= POIS1_THRESH[None, None, :])
+            .sum(axis=2)
+            .astype(np.int64)
+        )
+        # flat (group, replicate) cell ids → bincount sweeps
+        cell = inv[:, None] * BOOT_B + np.arange(BOOT_B, dtype=np.int64)[None, :]
+        m = k * BOOT_B
+        sw = np.bincount(cell.ravel(), weights=w.ravel(), minlength=m)
+        swx = np.bincount(
+            cell.ravel(), weights=(w * x[:, None]).ravel(), minlength=m
+        )
+        src = np.repeat(uniq, BOOT_B)
+        bb = np.tile(np.arange(BOOT_B, dtype=np.int64), k)
+        # b = -1 sentinel: the exact unweighted (n, Σx) per group
+        return pa.table(
+            {
+                "source": pa.array(
+                    np.concatenate([src, uniq]).tolist(), type=pa.string()
+                ),
+                "b": pa.array(
+                    np.concatenate([bb, np.full(k, -1, dtype=np.int64)]),
+                    type=pa.int64(),
+                ),
+                "sw": pa.array(
+                    np.concatenate(
+                        [sw.astype(np.int64), np.bincount(inv, minlength=k)]
+                    ),
+                    type=pa.int64(),
+                ),
+                "swx": pa.array(
+                    np.concatenate(
+                        [
+                            swx.astype(np.int64),
+                            np.bincount(inv, weights=x, minlength=k).astype(
+                                np.int64
+                            ),
+                        ]
+                    ),
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    folded = bounded_groupby_sum(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["source", "b"],
+        sum_cols={c: c for c in ("sw", "swx")},
+    )
+
+    def fit(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return _BOOT_OUT_SCHEMA.empty_table()
+        df = t.to_pandas()
+        q6 = lambda v: math.floor(v * 1e6 + 0.5) / 1e6
+        out = {c: [] for c in _BOOT_OUT_SCHEMA.names}
+        for src, grp in df.groupby("source", sort=True):
+            base = grp[grp["b"] == -1]
+            n = int(base["sw"].iloc[0]) if len(base) else 0
+            sx = int(base["swx"].iloc[0]) if len(base) else 0
+            reps = grp[grp["b"] >= 0].sort_values("b")
+            m_micro = []
+            for sw, swx in zip(reps["sw"], reps["swx"]):
+                sw, swx = int(sw), int(swx)
+                m_micro.append(
+                    int(math.floor(float(swx) / float(sw) * 1e6 + 0.5))
+                    if sw > 0
+                    else 0
+                )
+            order = sorted(range(len(m_micro)), key=lambda i: (m_micro[i], i))
+            lo = m_micro[order[1]] if len(order) == BOOT_B else 0
+            hi = m_micro[order[BOOT_B - 2]] if len(order) == BOOT_B else 0
+            sm = sum(m_micro)  # exact Python ints
+            sm2 = sum(v * v for v in m_micro)
+            var = (
+                float(sm2) - float(sm) * float(sm) / float(BOOT_B)
+            ) / float(BOOT_B - 1)
+            se = math.sqrt(var) / 1e6 if var > 0.0 else 0.0
+            out["source"].append(src)
+            out["n_docs"].append(n)
+            out["mean"].append(q6(float(sx) / float(n)) if n > 0 else 0.0)
+            out["boot_lo"].append(lo / 1e6)
+            out["boot_hi"].append(hi / 1e6)
+            out["boot_se"].append(q6(se))
+        return pa.table(
+            {
+                name: pa.array(out[name], type=_BOOT_OUT_SCHEMA.field(name).type)
+                for name in _BOOT_OUT_SCHEMA.names
+            }
+        )
+
+    # fold output is |groups|·(B+1) rows — bounded; one block for the
+    # per-group order stats
+    return folded.repartition(1).map_batches(
+        fit, batch_format="pyarrow", batch_size=None
+    )
