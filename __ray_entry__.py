@@ -4734,6 +4734,18 @@ def _q_ngram_backoff(sf_dir: str):
     return ngram_backoff_scores(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def _q_kneser_ney(sf_dir: str):
+    """Interpolated Kneser-Ney bigram LM scores (stages/ngramlm.py
+    kneser_ney_scores) — the properly-discounted sibling of
+    ngram_backoff: absolute discount d=¾ plus the continuation-count
+    lower-order term, over the same hashed 1024-bucket alphabet.  The
+    ×4 integer lift makes each token's probability one integer ratio,
+    so the oracle replays r(ln num) − r(ln den) bit-for-bit."""
+    from docling_api_ray.stages.ngramlm import kneser_ney_scores
+
+    return kneser_ney_scores(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def _q_events_rolling_z(sf_dir: str):
     """Per-user rolling z-score over a trailing 8-row frame
     (stages/windows.py rolling_zscore): one user-hash exchange, two
@@ -7079,6 +7091,19 @@ def _q_edit_distance_pairs(sf_dir: str):
     )
 
 
+def _q_rouge_pairs(sf_dir: str):
+    """Prefix-blocked word-level ROUGE-L verification tier
+    (stages/editdist.py rouge_l_pairs): exact LCS F-measure for every
+    16-char-prefix block pair — the sequence-aware dup signal next to
+    edit_distance_pairs.  Rows-only (SQL cannot express LCS); pinned
+    by a pure-python DP reference in test_stats_relevance.py."""
+    from docling_api_ray.stages.editdist import rouge_l_pairs
+
+    return rouge_l_pairs(
+        _docs(sf_dir, ["doc_id", "text"]), prefix_len=16, cap_words=200
+    )
+
+
 def _q_customer_running_total(sf_dir: str):
     """Per-customer cumulative revenue (stages/windows.py
     grouped_running_total): SUM OVER (PARTITION BY custkey ORDER BY
@@ -8165,6 +8190,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "welch_ttest": _q_welch_ttest,
         "poisson_bootstrap": _q_poisson_bootstrap,
+        "kneser_ney": _q_kneser_ney,
+        "rouge_pairs": _q_rouge_pairs,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "winnow_pairs": _q_winnow_pairs,
         "winnow_dedup_keep": _q_winnow_dedup_keep,
@@ -10594,6 +10621,78 @@ def oracle_sql() -> dict[str, str]:
                     LEFT JOIN uc up ON up.b = hb.pub
                     LEFT JOIN bc ON bc.b = hb.bb
                     CROSS JOIN tot),
+                 per AS (SELECT doc_id,
+                                CAST(count(*) AS BIGINT) AS n_tokens,
+                                CAST(sum(term) AS BIGINT) AS lp_micro
+                         FROM terms GROUP BY 1)
+            SELECT doc.doc_id,
+                   COALESCE(p.n_tokens, 0) AS n_tokens,
+                   COALESCE(p.lp_micro, 0) AS lp_micro,
+                   CASE WHEN p.n_tokens > 0
+                        THEN CAST(p.lp_micro AS DOUBLE)
+                             / (p.n_tokens * 1000000.0)
+                        ELSE 0.0 END AS avg_lp
+            FROM documents doc LEFT JOIN per p ON doc.doc_id = p.doc_id
+        """,
+        # mirrors _q_kneser_ney (stages/ngramlm.py kneser_ney_scores):
+        # same tok/hash/bucket CTEs as ngram_backoff, sparse (pub, ub)
+        # pair counts, follower/continuation/type totals, and the ×4
+        # integer lift — num = max(4C−3,0)·T + 3·N1+(p,·)·N1+(·,c),
+        # den = 4·C(p·)·T — each side micro-ln'd identically
+        "kneser_ney": f"""
+            WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+                       FROM documents WHERE text <> ''),
+                 tok AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                                ws[CAST(i AS INTEGER)] AS w,
+                                CASE WHEN i > 1
+                                     THEN ws[CAST(i AS INTEGER) - 1]
+                                END AS pw
+                         FROM d, unnest(range(1, len(ws) + 1)) AS t(i)),
+                 h AS (SELECT doc_id, pos,
+                              {_sql_u64('w')} AS hw,
+                              CASE WHEN pw IS NOT NULL
+                                   THEN {_sql_u64('pw')} END AS hp
+                       FROM tok),
+                 hb AS (SELECT doc_id, pos,
+                               CAST(hw % 1024 AS BIGINT) AS ub,
+                               CASE WHEN hp IS NOT NULL
+                                    THEN CAST(hp % 1024 AS BIGINT)
+                               END AS pub
+                        FROM h),
+                 pc2 AS (SELECT pub, ub, CAST(count(*) AS BIGINT) AS c
+                         FROM hb WHERE pub IS NOT NULL GROUP BY 1, 2),
+                 ctx AS (SELECT pub, CAST(sum(c) AS BIGINT) AS c1,
+                                CAST(count(*) AS BIGINT) AS nf
+                         FROM pc2 GROUP BY 1),
+                 cont AS (SELECT ub, CAST(count(*) AS BIGINT) AS nc
+                          FROM pc2 GROUP BY 1),
+                 tt AS (SELECT CAST(count(*) AS BIGINT) AS t FROM pc2),
+                 uc AS (SELECT ub AS b, CAST(count(*) AS BIGINT) AS n
+                        FROM hb GROUP BY 1),
+                 tot AS (SELECT CAST(sum(n) AS BIGINT) AS n FROM uc),
+                 terms AS (SELECT hb.doc_id,
+                    CASE
+                      WHEN hb.pub IS NULL THEN
+                        CAST(round(ln(CAST(uc.n AS DOUBLE)) * 1000000)
+                             AS BIGINT)
+                      - CAST(round(ln(CAST(tot.n AS DOUBLE)) * 1000000)
+                             AS BIGINT)
+                      WHEN greatest(4 * pc2.c - 3, 0) * tt.t
+                           + 3 * ctx.nf * cont.nc > 0
+                           AND 4 * ctx.c1 * tt.t > 0 THEN
+                        CAST(round(ln(CAST(greatest(4 * pc2.c - 3, 0) * tt.t
+                                           + 3 * ctx.nf * cont.nc
+                                           AS DOUBLE)) * 1000000) AS BIGINT)
+                      - CAST(round(ln(CAST(4 * ctx.c1 * tt.t AS DOUBLE))
+                                   * 1000000) AS BIGINT)
+                      ELSE 0
+                    END AS term
+                    FROM hb
+                    JOIN uc ON uc.b = hb.ub
+                    LEFT JOIN pc2 ON pc2.pub = hb.pub AND pc2.ub = hb.ub
+                    LEFT JOIN ctx ON ctx.pub = hb.pub
+                    LEFT JOIN cont ON cont.ub = hb.ub
+                    CROSS JOIN tt CROSS JOIN tot),
                  per AS (SELECT doc_id,
                                 CAST(count(*) AS BIGINT) AS n_tokens,
                                 CAST(sum(term) AS BIGINT) AS lp_micro

@@ -150,3 +150,134 @@ def edit_distance_pairs(
             batch_format="pandas",
         )
     )
+
+
+def lcs_len(a: list[str], b: list[str]) -> int:
+    """Word-level longest-common-subsequence length, vectorized row DP.
+
+    Row recurrence L[i,j] = max(L[i-1,j], L[i-1,j-1] + eq(i,j), L[i,j-1]):
+    because every LCS DP row is non-decreasing, the left-neighbor max is
+    a running maximum — cand = max(prev[1:], prev[:-1] + eq), then
+    cur = np.maximum.accumulate(cand) — one O(L) numpy kernel per row,
+    no per-cell python (the levenshtein() discipline)."""
+    if not a or not b:
+        return 0
+    # integer-code both sides over the pair's joint vocabulary
+    vocab, codes = np.unique(np.array(a + b, dtype=object), return_inverse=True)
+    av, bv = codes[: len(a)], codes[len(a):]
+    prev = np.zeros(len(b) + 1, dtype=np.int64)
+    for ca in av:
+        cand = np.empty(len(b) + 1, dtype=np.int64)
+        cand[0] = 0
+        np.maximum(prev[1:], prev[:-1] + (bv == ca), out=cand[1:])
+        prev = np.maximum.accumulate(cand)
+    return int(prev[-1])
+
+
+def rouge_l_pairs(
+    docs: ray.data.Dataset,
+    *,
+    prefix_len: int = 16,
+    cap_words: int = 200,
+) -> ray.data.Dataset:
+    """ROUGE-L over same-prefix document pairs: (left_id, right_id,
+    lcs, rouge_f) with left_id < right_id — the sequence-aware
+    verification tier next to edit_distance_pairs' character metric
+    (Lin 2004: ROUGE-L F = 2·LCS / (m + n), word-level).  Dup-span
+    strip decides WHAT to cut; ROUGE-L measures HOW MUCH of a pair is
+    shared in order — the template-detection signal n-gram Jaccard
+    misses when shared content is reordered.
+
+    Same scale shape as edit_distance_pairs: one (prefix-hash mod P)
+    co-group exchange, per-block all-pairs DP bounded by _MAX_BLOCK
+    with the loud guard_fold skew budget.  ``rouge_f`` is
+    ⌊x·1e6+½⌋-quantized; no SQL oracle exists for LCS, so the query
+    entry is rows-only, pinned by a pure-python DP reference test."""
+
+    keyed_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("prefix", pa.string()),
+            ("words", pa.list_(pa.string())),
+            ("__part", pa.int64()),
+        ]
+    )
+    P = shuffle_partitions()
+
+    def keyed(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return keyed_schema.empty_table()
+        texts = b["text"].to_pylist()
+        prefixes = [t[:prefix_len] for t in texts]
+        part = (u64_md5(prefixes) % np.uint64(P)).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"].cast(pa.int64()),
+                "prefix": pa.array(prefixes, type=pa.string()),
+                "words": pa.array(
+                    [t.split()[:cap_words] for t in texts],
+                    type=pa.list_(pa.string()),
+                ),
+                "__part": pa.array(part),
+            }
+        )
+
+    out_schema = pa.schema(
+        [
+            ("left_id", pa.int64()),
+            ("right_id", pa.int64()),
+            ("lcs", pa.int64()),
+            ("rouge_f", pa.float64()),
+        ]
+    )
+
+    def per_partition(g: pd.DataFrame) -> pa.Table:
+        import math
+
+        lids, rids, lcss, fs = [], [], [], []
+        for _, blk in g.groupby("prefix", sort=False):
+            n = len(blk)
+            if n < 2:
+                continue
+            if n > _MAX_BLOCK:
+                raise ValueError(
+                    f"rouge-l block of {n} docs exceeds {_MAX_BLOCK}; "
+                    "use a finer blocking key (longer prefix / LSH bucket)"
+                )
+            blk = blk.sort_values("doc_id", kind="stable")
+            ids = blk["doc_id"].to_numpy()
+            words = [list(w) for w in blk["words"]]
+            for x in range(n):
+                for y in range(x + 1, n):
+                    l = lcs_len(words[x], words[y])
+                    m = len(words[x]) + len(words[y])
+                    f = (
+                        math.floor(2.0 * l / m * 1e6 + 0.5) / 1e6
+                        if m > 0
+                        else 0.0
+                    )
+                    lids.append(ids[x])
+                    rids.append(ids[y])
+                    lcss.append(l)
+                    fs.append(f)
+        if not lids:
+            return out_schema.empty_table()
+        return pa.table(
+            {
+                "left_id": pa.array(np.asarray(lids, dtype=np.int64)),
+                "right_id": pa.array(np.asarray(rids, dtype=np.int64)),
+                "lcs": pa.array(np.asarray(lcss, dtype=np.int64)),
+                "rouge_f": pa.array(np.asarray(fs, dtype=np.float64)),
+            }
+        )
+
+    return (
+        coalesce_narrow(
+            docs.map_batches(keyed, batch_format="pyarrow"), max_rows=65_536
+        )
+        .groupby("__part")
+        .map_groups(
+            guard_fold(per_partition, key_col="prefix", max_rows=2_000_000),
+            batch_format="pandas",
+        )
+    )

@@ -1079,3 +1079,66 @@ def test_neyman_sample_caps_at_stratum_size(tmp_path):
     # the headline case: big's allocation (≈1000) exceeds N_h=400, so
     # the draw caps at the whole stratum
     assert alloc["big"] > 400 and got["big"] == 400
+
+
+def _lcs_ref(a, b):
+    """O(nm) per-cell python LCS — the textbook reference the vectorized
+    row DP must match."""
+    n, m = len(a), len(b)
+    L = [[0] * (m + 1) for _ in range(n + 1)]
+    for i in range(1, n + 1):
+        for j in range(1, m + 1):
+            L[i][j] = (
+                L[i - 1][j - 1] + 1
+                if a[i - 1] == b[j - 1]
+                else max(L[i - 1][j], L[i][j - 1])
+            )
+    return L[n][m]
+
+
+def test_lcs_len_matches_reference():
+    import random
+
+    from docling_api_ray.stages.editdist import lcs_len
+
+    rng = random.Random(7)
+    vocab = ["a", "b", "c", "d", "e"]
+    for _ in range(50):
+        a = [rng.choice(vocab) for _ in range(rng.randrange(0, 30))]
+        b = [rng.choice(vocab) for _ in range(rng.randrange(0, 30))]
+        assert lcs_len(a, b) == _lcs_ref(a, b), (a, b)
+    # degenerate shapes
+    assert lcs_len([], ["x"]) == 0
+    assert lcs_len(["x"], []) == 0
+    assert lcs_len(["x", "y"], ["x", "y"]) == 2
+
+
+def test_rouge_l_pairs_pinned():
+    """rouge_l_pairs agrees pair-for-pair with the pure-python DP over a
+    corpus with known shared prefixes."""
+    import math
+
+    from docling_api_ray.stages.editdist import rouge_l_pairs
+
+    texts = [
+        "shared prefix aaaaa one two three four five",
+        "shared prefix aaaaa one two nine four five",
+        "shared prefix aaaaa totally different words here",
+        "another prefix bbbb alpha beta gamma",
+        "another prefix bbbb alpha gamma beta",
+        "unique prefix ccccc solo document",
+    ]
+    ds = ray.data.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    )
+    out = rouge_l_pairs(ds, prefix_len=16, cap_words=200).take_all()
+    got = {(r["left_id"], r["right_id"]): (r["lcs"], r["rouge_f"]) for r in out}
+    # blocks: {0,1,2} share a 16-char prefix, {3,4} share one, 5 alone
+    assert set(got) == {(0, 1), (0, 2), (1, 2), (3, 4)}
+    for (i, j), (lcs, f) in got.items():
+        wa, wb = texts[i].split(), texts[j].split()
+        ref = _lcs_ref(wa, wb)
+        assert lcs == ref, (i, j)
+        assert f == math.floor(2.0 * ref / (len(wa) + len(wb)) * 1e6 + 0.5) / 1e6
+    # reordered pair (3,4): Jaccard-identical but ROUGE-L sees the order
+    assert got[(3, 4)][0] == _lcs_ref(texts[3].split(), texts[4].split()) == 5
