@@ -272,6 +272,10 @@ def _bench_once() -> dict:
         "hll_eval",
         "cms_eval",
         "bloom_fpr",
+        "welch_ttest",
+        "poisson_bootstrap",
+        "kneser_ney",
+        "rouge_pairs",
     ]
     # INTERLEAVED repetitions + medians (VERDICT r2 #1): this container's
     # co-tenant jitter is ±30-50% and can hold a multi-second plateau —
