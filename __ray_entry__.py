@@ -2233,6 +2233,41 @@ def _q_ks_drift_by_source(sf_dir: str):
     )
 
 
+def _q_isotonic_calibration(sf_dir: str):
+    """Isotonic (PAV) calibration of the quality-classifier probability
+    against the lang='en' proxy label (stages/stats.py
+    isotonic_calibration) — the monotone recalibration the raw
+    reliability diagram (quality_calibration) feeds at threshold time.
+    Exact via the minimax characterization: interval mean ratios over
+    the 10-bin fold, min over right endpoints then running max — the
+    SQL mirror expresses both directly."""
+    from docling_api_ray.stages.stats import isotonic_calibration
+
+    def scored(b: pa.Table) -> pa.Table:
+        lg = ta.quality_logit(ta.quality_scores(b))
+        prob = np.asarray(lg["prob"], dtype=np.float64)
+        lang = np.asarray(b["lang"])
+        return pa.table(
+            {
+                "prob_micro": pa.array(
+                    np.rint(prob * 1e6).astype(np.int64), type=pa.int64()
+                ),
+                "pos": pa.array(
+                    (lang == "en").astype(np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    return isotonic_calibration(
+        _docs(sf_dir, ["doc_id", "text", "lang"]).map_batches(
+            scored, batch_format="pyarrow"
+        ),
+        prob_micro_col="prob_micro",
+        pos_col="pos",
+        n_bins=10,
+    )
+
+
 def _q_quality_calibration(sf_dir: str):
     """Reliability-diagram calibration of the quality-classifier
     probability against the keep-worthy proxy label lang='en'
@@ -8192,6 +8227,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "poisson_bootstrap": _q_poisson_bootstrap,
         "kneser_ney": _q_kneser_ney,
         "rouge_pairs": _q_rouge_pairs,
+        "isotonic_calibration": _q_isotonic_calibration,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "winnow_pairs": _q_winnow_pairs,
         "winnow_dedup_keep": _q_winnow_dedup_keep,
@@ -12412,6 +12448,41 @@ def oracle_sql() -> dict[str, str]:
                (CAST(sum(pm) AS DOUBLE) / 1000000.0) / count(*)
                  AS mean_prob
         FROM s GROUP BY bin ORDER BY bin
+    """
+    # mirrors _q_isotonic_calibration (stages/stats.py
+    # isotonic_calibration): same bin fold as quality_calibration, then
+    # the exact minimax isotonic fit — interval mean over every
+    # (jb ≤ kb) bin pair, min over intervals starting at jb, running
+    # max over jb ≤ bin — each interval ratio the SAME single int/int
+    # double division, iso_prob ⌊x·1e6+½⌋-quantized
+    out["isotonic_calibration"] = f"""
+        WITH {_qlogit_labeled},
+        s AS (SELECT least(CAST(round(
+                       (round((1.0 / (1.0 + exp(-logit))) * 1000000)
+                        / 1000000.0) * 1000000) AS BIGINT) * 10
+                       // 1000000, 9) AS bin,
+                     CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+              FROM l),
+        h AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(pos) AS BIGINT) AS pos
+              FROM s GROUP BY bin),
+        iv AS (SELECT j.bin AS jb,
+                      CAST(sum(x.pos) AS BIGINT) AS p,
+                      CAST(sum(x.n) AS BIGINT) AS m,
+                      k.bin AS kb
+               FROM h j JOIN h k ON j.bin <= k.bin
+                    JOIN h x ON x.bin BETWEEN j.bin AND k.bin
+               GROUP BY j.bin, k.bin),
+        mn AS (SELECT jb,
+                      min(CAST(p AS DOUBLE) / CAST(m AS DOUBLE)) AS lo
+               FROM iv GROUP BY 1),
+        iso AS (SELECT h.bin, max(mn.lo) AS iso_raw
+                FROM h JOIN mn ON mn.jb <= h.bin GROUP BY 1)
+        SELECT h.bin, h.n,
+               CAST(h.pos AS DOUBLE) / h.n AS frac_pos,
+               floor(iso.iso_raw * 1000000 + 0.5) / 1000000.0 AS iso_prob
+        FROM h JOIN iso ON iso.bin = h.bin
+        ORDER BY h.bin
     """
     # mirrors _q_ks_drift_by_source: per-source step function carried
     # over the FULL sorted value grid (CROSS JOIN sources × values, zero

@@ -2049,3 +2049,105 @@ def poisson_bootstrap(
     return folded.repartition(1).map_batches(
         fit, batch_format="pyarrow", batch_size=None
     )
+
+
+_ISO_OUT_SCHEMA = pa.schema(
+    [
+        ("bin", pa.int64()),
+        ("n", pa.int64()),
+        ("frac_pos", pa.float64()),
+        ("iso_prob", pa.float64()),
+    ]
+)
+
+
+def isotonic_calibration(
+    ds: ray.data.Dataset,
+    *,
+    prob_micro_col: str = "prob_micro",
+    pos_col: str = "pos",
+    n_bins: int = 10,
+) -> ray.data.Dataset:
+    """Isotonic (PAV) calibration of a probabilistic classifier over
+    fixed probability bins — the monotone-regression upgrade of
+    calibration_bins' raw reliability diagram: the pool-adjacent-
+    violators fit is THE standard way to recalibrate a quality
+    classifier before thresholding a corpus on it (Zadrozny & Elkan
+    2002).
+
+    Scale shape: identical to calibration_bins — ONE n_bins-bounded
+    fold of (n, Σpos) per bin; the fit itself runs over ≤n_bins rows.
+    Instead of the sequential pool-merging PAV loop, the fit uses the
+    exact MINIMAX characterization of isotonic regression —
+    iso(i) = max_{j≤i} min_{k≥i... over intervals} mean(pos)[j..k] —
+    O(K²) interval ratios over the bin prefix sums, which a SQL mirror
+    expresses directly (interval join + min/max), so the oracle is
+    exact: both sides compute each interval ratio as the SAME single
+    int/int IEEE division and take min/max over identical doubles;
+    the published iso_prob is ⌊x·1e6+½⌋-quantized.  ``frac_pos`` is
+    the raw per-bin rate for contrast; empty bins are absent (the
+    GROUP BY convention)."""
+    nb = int(n_bins)
+
+    def assign(b: pa.Table) -> pa.Table:
+        pm = np.asarray(b[prob_micro_col], dtype=np.int64)
+        pos = np.asarray(b[pos_col], dtype=np.int64)
+        bins = np.minimum(pm * nb // 1_000_000, nb - 1)
+        return pa.table(
+            {
+                "bin": pa.array(bins, type=pa.int64()),
+                "pos": pa.array(pos, type=pa.int64()),
+            }
+        )
+
+    hist = bounded_groupby_sum(
+        ds.select_columns([prob_micro_col, pos_col]).map_batches(
+            assign, batch_format="pyarrow"
+        ),
+        ["bin"],
+        sum_cols={"pos": "pos"},
+        count_alias="n",
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return _ISO_OUT_SCHEMA.empty_table()
+        bins = np.asarray(b["bin"], dtype=np.int64)
+        n = np.asarray(b["n"], dtype=np.int64)
+        pos = np.asarray(b["pos"], dtype=np.int64)
+        order = np.argsort(bins)
+        bins, n, pos = bins[order], n[order], pos[order]
+        k = len(bins)
+        # prefix sums as python ints (exact), interval ratios as the
+        # single division the mirror replays
+        pn = [0] * (k + 1)
+        pp = [0] * (k + 1)
+        for i in range(k):
+            pn[i + 1] = pn[i] + int(n[i])
+            pp[i + 1] = pp[i] + int(pos[i])
+        # lo[j] = min over k'>=j of mean(pos) on [j..k']
+        lo = [
+            min(
+                float(pp[kk + 1] - pp[j]) / float(pn[kk + 1] - pn[j])
+                for kk in range(j, k)
+            )
+            for j in range(k)
+        ]
+        q6 = lambda v: math.floor(v * 1e6 + 0.5) / 1e6
+        iso = []
+        best = -1.0
+        for i in range(k):
+            best = max(best, lo[i])
+            iso.append(q6(best))
+        return pa.table(
+            {
+                "bin": pa.array(bins, type=pa.int64()),
+                "n": pa.array(n, type=pa.int64()),
+                "frac_pos": pa.array(pos / n, type=pa.float64()),
+                "iso_prob": pa.array(iso, type=pa.float64()),
+            }
+        )
+
+    return hist.repartition(1).map_batches(
+        finish, batch_format="pyarrow", batch_size=None
+    )

@@ -1142,3 +1142,34 @@ def test_rouge_l_pairs_pinned():
         assert f == math.floor(2.0 * ref / (len(wa) + len(wb)) * 1e6 + 0.5) / 1e6
     # reordered pair (3,4): Jaccard-identical but ROUGE-L sees the order
     assert got[(3, 4)][0] == _lcs_ref(texts[3].split(), texts[4].split()) == 5
+
+
+def test_isotonic_calibration_pools_violators():
+    """The minimax fit must equal the classic sequential PAV pooling on
+    a histogram engineered to violate monotonicity."""
+    import math
+
+    from docling_api_ray.stages.stats import isotonic_calibration
+
+    # bins 0..3 get frac_pos 0.2, 0.8, 0.4, 0.6  → PAV pools bins 1-3
+    # (0.8, 0.4, 0.6 with weights 10, 10, 10 → pooled 0.6)
+    rows = []
+    spec = [(50_000, 10, 2), (150_000, 10, 8), (250_000, 10, 4), (350_000, 10, 6)]
+    for pm, n, npos in spec:
+        rows += [{"prob_micro": pm, "pos": 1} for _ in range(npos)]
+        rows += [{"prob_micro": pm, "pos": 0} for _ in range(n - npos)]
+    ds = ray.data.from_items(rows)
+    out = {
+        r["bin"]: r
+        for r in isotonic_calibration(ds, n_bins=10).take_all()
+    }
+    assert sorted(out) == [0, 1, 2, 3]
+    # classic PAV: [0.2] stays; [0.8, 0.4, 0.6] pools to 0.6
+    assert out[0]["iso_prob"] == 0.2
+    for b in (1, 2, 3):
+        assert out[b]["iso_prob"] == 0.6, out
+    # raw frac_pos preserved for contrast
+    assert out[1]["frac_pos"] == 0.8 and out[2]["frac_pos"] == 0.4
+    # monotone by construction
+    vals = [out[b]["iso_prob"] for b in sorted(out)]
+    assert vals == sorted(vals)
