@@ -42,6 +42,10 @@ SWEEP = [
     "quantile_normalize",       # histogram broadcast remap
     "table_profile",            # melt + hash-partition distinct
     "selfjoin_blowup",          # degree co-group moments
+    "poisson_bootstrap",        # (source, replicate) bounded fold (r5 close)
+    "kneser_ney",               # sparse pair-count fold + actor-pool score
+    "rouge_pairs",              # prefix-blocked pair co-group
+    "isotonic_calibration",     # bin fold → single-block minimax fit
 ]
 
 
