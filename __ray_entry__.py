@@ -277,6 +277,18 @@ def _q_paragraph_dedup(sf_dir: str):
     return paragraph_dedup(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def _q_boilerplate_strip(sf_dir: str):
+    """CCNet-rule boilerplate removal (stages/dedup.py
+    boilerplate_strip): paragraphs in > 5% of documents are dropped
+    from EVERY doc (vs paragraph_dedup's keep-first) — two co-grouped
+    exchanges, df threshold one driver scalar."""
+    from docling_api_ray.stages.dedup import boilerplate_strip
+
+    return boilerplate_strip(
+        _docs(sf_dir, ["doc_id", "text"]), para_words=8, max_df_frac=0.05
+    )
+
+
 def _q_curate_pack(sf_dir: str):
     from docling_api_ray.pipelines.curate import curate_pack
 
@@ -8228,6 +8240,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kneser_ney": _q_kneser_ney,
         "rouge_pairs": _q_rouge_pairs,
         "isotonic_calibration": _q_isotonic_calibration,
+        "boilerplate_strip": _q_boilerplate_strip,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "winnow_pairs": _q_winnow_pairs,
         "winnow_dedup_keep": _q_winnow_dedup_keep,
@@ -9259,6 +9272,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
                    coalesce(string_agg(para_text, ' ' ORDER BY para_idx)
                             FILTER (WHERE rn = 1), '') AS clean_text
+            FROM k GROUP BY doc_id
+        """,
+        # mirrors _q_boilerplate_strip (stages/dedup.py
+        # boilerplate_strip): same 8-word paragraph explode as
+        # paragraph_dedup, per-paragraph DISTINCT-doc df, drop EVERY
+        # occurrence where df > greatest(1, floor(0.05 · n_docs))
+        "boilerplate_strip": """
+            WITH nd AS (SELECT greatest(1, CAST(floor(0.05 * count(*))
+                                              AS BIGINT)) AS df_limit
+                        FROM documents),
+                 d AS (SELECT doc_id,
+                              list_filter(string_split(text, ' '),
+                                          w -> w <> '') AS ws
+                       FROM documents),
+                 t AS (SELECT doc_id, unnest(ws) AS word,
+                              unnest(range(len(ws))) AS pos
+                       FROM d),
+                 para AS (SELECT doc_id, pos // 8 AS para_idx,
+                                 string_agg(word, ' ' ORDER BY pos)
+                                   AS para_text
+                          FROM t GROUP BY doc_id, para_idx),
+                 pdf AS (SELECT para_text,
+                                CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+                         FROM para GROUP BY 1),
+                 k AS (SELECT p.doc_id, p.para_idx, p.para_text,
+                              pdf.df <= nd.df_limit AS keep
+                       FROM para p JOIN pdf USING (para_text)
+                            CROSS JOIN nd)
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_paras,
+                   CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
+                   coalesce(string_agg(para_text, ' ' ORDER BY para_idx)
+                            FILTER (WHERE keep), '') AS clean_text
             FROM k GROUP BY doc_id
         """,
         "pii_redact": f"""

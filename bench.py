@@ -277,6 +277,7 @@ def _bench_once() -> dict:
         "kneser_ney",
         "rouge_pairs",
         "isotonic_calibration",
+        "boilerplate_strip",
     ]
     # INTERLEAVED repetitions + medians (VERDICT r2 #1): this container's
     # co-tenant jitter is ±30-50% and can hold a multi-second plateau —

@@ -35,6 +35,7 @@ hashing is integer arithmetic mod 2^64 that SQL replicates with
 from __future__ import annotations
 
 import hashlib
+import math
 
 import numpy as np
 import pandas as pd
@@ -1766,6 +1767,104 @@ def paragraph_dedup(
                 "n_paras": n_paras.to_numpy(),
                 "n_kept": n_kept.to_numpy(),
                 "clean_text": clean.reindex(n_paras.index, fill_value="").to_numpy(),
+            }
+        )
+        return pa.Table.from_pandas(
+            out, schema=out_schema, preserve_index=False
+        )
+
+    return _cogrouped(marked, id_col, coalesce_rows=65_536).map_groups(
+        reassemble, batch_format="pandas"
+    )
+
+
+def boilerplate_strip(
+    ds: ray.data.Dataset,
+    *,
+    para_words: int = 8,
+    max_df_frac: float = 0.05,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Document-frequency boilerplate removal — the CCNet/OSCAR rule
+    (Wenzek et al. 2020 §3.1): a paragraph occurring in MORE than
+    ``max_df_frac`` of all documents is template chrome (headers,
+    footers, nav, cookie banners) and is dropped from EVERY document —
+    including the first occurrence, which is what distinguishes this
+    from paragraph_dedup's keep-first semantics (dedup keeps one copy
+    of genuine content; boilerplate has no copy worth keeping).
+    Returns (doc_id, n_paras, n_kept, clean_text).
+
+    Scale shape: identical to paragraph_dedup — two all-to-all
+    exchanges shipping each paragraph text once (co-group by paragraph
+    hash ``__pkey`` for the vectorized distinct-doc-count fold, then by
+    ``doc_id`` for reassembly); the df threshold is ONE driver scalar
+    (``ds.count()``), never a corpus-proportional pull.  The per-group
+    distinct count is exact because every copy of a paragraph lands in
+    one partition."""
+    n_docs = ds.count()
+    df_limit = max(1, int(math.floor(max_df_frac * n_docs)))
+
+    exploded = ds.select_columns([id_col, text_col]).map_batches(
+        lambda b: explode_paragraphs(
+            b, para_words=para_words, text_col=text_col, id_col=id_col
+        ),
+        batch_format="pyarrow",
+    )
+
+    marked_schema = pa.schema(
+        [
+            (id_col, pa.int64()),
+            ("para_idx", pa.int64()),
+            ("para_text", pa.string()),
+            ("keep", pa.bool_()),
+        ]
+    )
+
+    def mark_df(df: pd.DataFrame) -> pa.Table:
+        # rows of one __pkey partition: every occurrence of each
+        # paragraph is here, so nunique over doc_id IS the corpus df
+        dfc = df.groupby("para_text")[id_col].transform("nunique")
+        out = pd.DataFrame(
+            {
+                id_col: df[id_col],
+                "para_idx": df["para_idx"],
+                "para_text": df["para_text"],
+                "keep": (dfc <= df_limit).to_numpy(),
+            }
+        )
+        return pa.Table.from_pandas(
+            out, schema=marked_schema, preserve_index=False
+        )
+
+    marked = _cogrouped(exploded, "__pkey", coalesce_rows=65_536).map_groups(
+        mark_df, batch_format="pandas"
+    )
+
+    out_schema = pa.schema(
+        [
+            (id_col, pa.int64()),
+            ("n_paras", pa.int64()),
+            ("n_kept", pa.int64()),
+            ("clean_text", pa.string()),
+        ]
+    )
+
+    def reassemble(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values([id_col, "para_idx"], kind="stable")
+        g = df.groupby(id_col, sort=True)
+        n_paras = g.size()
+        n_kept = g["keep"].sum().astype("int64")
+        kept = df[df["keep"]]
+        clean = kept.groupby(id_col, sort=True)["para_text"].agg(" ".join)
+        out = pd.DataFrame(
+            {
+                id_col: n_paras.index.to_numpy(),
+                "n_paras": n_paras.to_numpy(),
+                "n_kept": n_kept.to_numpy(),
+                "clean_text": clean.reindex(
+                    n_paras.index, fill_value=""
+                ).to_numpy(),
             }
         )
         return pa.Table.from_pandas(

@@ -1055,3 +1055,33 @@ def test_cdc_chunk_stats_shift_stable_and_exact():
     # empty corpus: zero totals, NULL ratios
     e = stats(["", ""])
     assert e["total_chunks"] == 0 and e["dedup_ratio"] is None
+
+
+def test_boilerplate_strip_drops_all_occurrences():
+    """The CCNet df rule must remove a > max_df_frac header from EVERY
+    document — including its first occurrence (the semantics that
+    distinguish it from paragraph_dedup) — and keep unique content."""
+    from docling_api_ray.stages.dedup import boilerplate_strip
+
+    header = "site nav home login search menu cart help"  # 8 words
+    rows = []
+    for i in range(20):
+        body = f"unique body {i} words appear only here once"  # 8 words
+        # header in 16/20 docs (df 0.8 > 0.25); body unique everywhere
+        text = f"{header} {body}" if i < 16 else body
+        rows.append({"doc_id": i, "text": text})
+    out = {
+        r["doc_id"]: r
+        for r in boilerplate_strip(
+            ray.data.from_items(rows), para_words=8, max_df_frac=0.25
+        ).take_all()
+    }
+    assert len(out) == 20
+    for i in range(16):
+        assert out[i]["n_paras"] == 2 and out[i]["n_kept"] == 1, out[i]
+        assert header not in out[i]["clean_text"]
+        assert f"unique body {i}" in out[i]["clean_text"]
+    for i in range(16, 20):
+        assert out[i]["n_paras"] == 1 and out[i]["n_kept"] == 1
+    # keep-first would have kept one header copy; df-strip keeps zero
+    assert not any(header in r["clean_text"] for r in out.values())
