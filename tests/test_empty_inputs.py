@@ -143,3 +143,27 @@ def test_round5_stage_ops_empty():
     )
     k = kendall_tau_b(empty_xy).to_pylist()[0]
     assert k["n"] == 0 and k["tau_b"] is None
+
+
+def test_session_close_stage_ops_empty():
+    from docling_api_ray.stages.dedup import boilerplate_strip
+    from docling_api_ray.stages.editdist import rouge_l_pairs
+    from docling_api_ray.stages.ngramlm import kneser_ney_scores
+    from docling_api_ray.stages.stats import (
+        grouped_welch,
+        isotonic_calibration,
+        poisson_bootstrap,
+    )
+
+    docs = _empty_docs()
+    assert grouped_welch(docs).count() == 0
+    assert poisson_bootstrap(docs).count() == 0
+    assert kneser_ney_scores(docs).count() == 0
+    assert rouge_l_pairs(docs).count() == 0
+    assert boilerplate_strip(docs).count() == 0
+    empty_scored = ray.data.from_arrow(
+        pa.schema(
+            [("prob_micro", pa.int64()), ("pos", pa.int64())]
+        ).empty_table()
+    )
+    assert isotonic_calibration(empty_scored).count() == 0
