@@ -7696,6 +7696,97 @@ def _q_lang_agreement(sf_dir: str):
     )
 
 
+def _q_lang_kappa(sf_dir: str):
+    """Cohen's kappa over the lang_agreement confusion matrix — the
+    chance-corrected scalar the agreement AUDIT needs before trusting
+    either label source (Cohen 1960).  Composes the existing
+    |langs|²-bounded confusion fold with a one-block kappa fit:
+    po/pe from exact integer marginals, fixed float op order the
+    mirror replays, ⌊x·1e6+½⌋ quantize."""
+
+    kap_schema = pa.schema(
+        [
+            ("n_docs", pa.int64()),
+            ("po", pa.float64()),
+            ("pe", pa.float64()),
+            ("kappa", pa.float64()),
+        ]
+    )
+
+    def fit(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return kap_schema.empty_table()
+        lang = t["lang"].to_pylist()
+        pred = t["pred"].to_pylist()
+        n = t["n"].to_pylist()
+        tot = sum(int(v) for v in n)
+        diag = sum(int(v) for lg, pr, v in zip(lang, pred, n) if lg == pr)
+        row: dict[str, int] = {}
+        col: dict[str, int] = {}
+        for lg, pr, v in zip(lang, pred, n):
+            row[lg] = row.get(lg, 0) + int(v)
+            col[pr] = col.get(pr, 0) + int(v)
+        s = sum(r * col[lg] for lg, r in row.items() if lg in col)
+        po_raw = float(diag) / float(tot) if tot > 0 else 0.0
+        pe_raw = (
+            float(s) / (float(tot) * float(tot)) if tot > 0 else 0.0
+        )
+        kappa_raw = (
+            (po_raw - pe_raw) / (1.0 - pe_raw) if pe_raw < 1.0 else 0.0
+        )
+        q6 = lambda v: math.floor(v * 1e6 + 0.5) / 1e6
+        return pa.table(
+            {
+                "n_docs": pa.array([tot], type=pa.int64()),
+                "po": pa.array([q6(po_raw)], type=pa.float64()),
+                "pe": pa.array([q6(pe_raw)], type=pa.float64()),
+                "kappa": pa.array([q6(kappa_raw)], type=pa.float64()),
+            }
+        )
+
+    return (
+        _q_lang_agreement(sf_dir)
+        .repartition(1)
+        .map_batches(fit, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def _q_conformal_gate(sf_dir: str):
+    """Split-conformal acceptance gate over the quality classifier
+    (stages/stats.py conformal_gate): even doc_ids with lang='en' are
+    the positive calibration set, q = ⌈(n+1)·0.9⌉-th smallest
+    nonconformity 1e6−prob_micro; reports odd-doc coverage (≥0.9 in
+    expectation) and corpus accept rate — the distribution-free
+    uncertainty wrapper before thresholding on the classifier."""
+    from docling_api_ray.stages.stats import conformal_gate
+
+    def scored(b: pa.Table) -> pa.Table:
+        lg = ta.quality_logit(ta.quality_scores(b))
+        prob = np.asarray(lg["prob"], dtype=np.float64)
+        lang = np.asarray(b["lang"])
+        ids = np.asarray(b["doc_id"], dtype=np.int64)
+        return pa.table(
+            {
+                "prob_micro": pa.array(
+                    np.rint(prob * 1e6).astype(np.int64), type=pa.int64()
+                ),
+                "pos": pa.array(
+                    (lang == "en").astype(np.int64), type=pa.int64()
+                ),
+                "cal": pa.array(
+                    (ids % 2 == 0).astype(np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    return conformal_gate(
+        _docs(sf_dir, ["doc_id", "text", "lang"]).map_batches(
+            scored, batch_format="pyarrow"
+        ),
+        alpha=0.1,
+    )
+
+
 def _q_knn_mrr(sf_dir: str):
     """Mean-reciprocal-rank retrieval eval (stages/similarity.py
     knn_mrr): held-out queries, first same-label neighbor rank within
@@ -8241,6 +8332,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rouge_pairs": _q_rouge_pairs,
         "isotonic_calibration": _q_isotonic_calibration,
         "boilerplate_strip": _q_boilerplate_strip,
+        "conformal_gate": _q_conformal_gate,
+        "lang_kappa": _q_lang_kappa,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "winnow_pairs": _q_winnow_pairs,
         "winnow_dedup_keep": _q_winnow_dedup_keep,
@@ -11949,6 +12042,41 @@ def oracle_sql() -> dict[str, str]:
         FROM p JOIN documents d USING (doc_id)
         GROUP BY 1, 2
     """
+    # mirrors _q_lang_kappa: the lang_agreement confusion CTE, exact
+    # integer diag/marginals, the identical po → pe → kappa float op
+    # order, ⌊x·1e6+½⌋ quantize
+    out["lang_kappa"] = f"""
+        WITH c AS ({out["lang_agreement"]}),
+             n AS (SELECT CAST(sum(n) AS BIGINT) AS n FROM c),
+             d AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS d
+                   FROM c WHERE lang = pred),
+             rm AS (SELECT lang, CAST(sum(n) AS BIGINT) AS r
+                    FROM c GROUP BY 1),
+             cm AS (SELECT pred, CAST(sum(n) AS BIGINT) AS k
+                    FROM c GROUP BY 1),
+             s AS (SELECT CAST(coalesce(sum(rm.r * cm.k), 0) AS HUGEINT)
+                     AS s
+                   FROM rm JOIN cm ON rm.lang = cm.pred),
+             raw AS (SELECT n.n,
+                            CASE WHEN n.n > 0
+                                 THEN CAST(d.d AS DOUBLE)
+                                      / CAST(n.n AS DOUBLE)
+                                 ELSE 0.0 END AS po_raw,
+                            CASE WHEN n.n > 0
+                                 THEN CAST(s.s AS DOUBLE)
+                                      / (CAST(n.n AS DOUBLE)
+                                         * CAST(n.n AS DOUBLE))
+                                 ELSE 0.0 END AS pe_raw
+                     FROM n CROSS JOIN d CROSS JOIN s)
+        SELECT n AS n_docs,
+               floor(po_raw * 1000000 + 0.5) / 1000000.0 AS po,
+               floor(pe_raw * 1000000 + 0.5) / 1000000.0 AS pe,
+               CASE WHEN pe_raw < 1.0
+                    THEN floor((po_raw - pe_raw) / (1.0 - pe_raw)
+                               * 1000000 + 0.5) / 1000000.0
+                    ELSE 0.0 END AS kappa
+        FROM raw
+    """
     # mirrors _q_knn_mrr: the knn_label_vote hold-out CTEs, first
     # same-label rank, identical floor-quantized micro reciprocal ranks
     out["knn_mrr"] = f"""
@@ -12529,6 +12657,56 @@ def oracle_sql() -> dict[str, str]:
                floor(iso.iso_raw * 1000000 + 0.5) / 1000000.0 AS iso_prob
         FROM h JOIN iso ON iso.bin = h.bin
         ORDER BY h.bin
+    """
+    # mirrors _q_conformal_gate (stages/stats.py conformal_gate): the
+    # quality_calibration probability expression, nonconformity
+    # s = 1e6 − prob_micro, q = rank-⌈(n_cal+1)·0.9⌉ order stat over
+    # even-doc 'en' calibration scores, single int/int divisions for
+    # odd-doc coverage and accept rate
+    out["conformal_gate"] = f"""
+        WITH {_qlogit_labeled},
+        sc AS (SELECT doc_id,
+                      1000000 - CAST(round(
+                        (round((1.0 / (1.0 + exp(-logit))) * 1000000)
+                         / 1000000.0) * 1000000) AS BIGINT) AS s,
+                      CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+                      CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS cal
+               FROM l),
+        calset AS (SELECT s FROM sc WHERE cal = 1 AND pos = 1),
+        nc AS (SELECT CAST(count(*) AS BIGINT) AS n FROM calset),
+        kk AS (SELECT CAST(ceil((n + 1) * 0.9) AS BIGINT) AS k, n
+               FROM nc),
+        ranked AS (SELECT s, row_number() OVER (ORDER BY s) AS rn
+                   FROM calset),
+        q AS (SELECT CASE WHEN kk.n = 0 OR kk.k > kk.n THEN 1000000
+                          ELSE (SELECT s FROM ranked
+                                WHERE rn = (SELECT k FROM kk))
+                     END AS q
+              FROM kk),
+        t AS (SELECT * FROM sc WHERE cal = 0),
+        agg AS (SELECT
+                  CAST(count(*) FILTER (WHERE pos = 1) AS BIGINT)
+                    AS n_test_pos,
+                  CAST(count(*) AS BIGINT) AS n_test,
+                  CAST(count(*) FILTER (WHERE pos = 1
+                                          AND s <= (SELECT q FROM q))
+                       AS BIGINT) AS cov_n,
+                  CAST(count(*) FILTER (WHERE s <= (SELECT q FROM q))
+                       AS BIGINT) AS acc_n
+                FROM t)
+        SELECT nc.n AS n_cal,
+               q.q AS q_micro,
+               agg.n_test_pos,
+               CASE WHEN agg.n_test_pos > 0
+                    THEN CAST(agg.cov_n AS DOUBLE)
+                         / CAST(agg.n_test_pos AS DOUBLE)
+                    ELSE 0.0 END AS coverage,
+               agg.n_test,
+               CASE WHEN agg.n_test > 0
+                    THEN CAST(agg.acc_n AS DOUBLE)
+                         / CAST(agg.n_test AS DOUBLE)
+                    ELSE 0.0 END AS accept_rate
+        FROM nc CROSS JOIN q CROSS JOIN agg
     """
     # mirrors _q_ks_drift_by_source: per-source step function carried
     # over the FULL sorted value grid (CROSS JOIN sources × values, zero

@@ -278,6 +278,8 @@ def _bench_once() -> dict:
         "rouge_pairs",
         "isotonic_calibration",
         "boilerplate_strip",
+        "conformal_gate",
+        "lang_kappa",
     ]
     # INTERLEAVED repetitions + medians (VERDICT r2 #1): this container's
     # co-tenant jitter is ±30-50% and can hold a multi-second plateau —

@@ -2151,3 +2151,113 @@ def isotonic_calibration(
     return hist.repartition(1).map_batches(
         finish, batch_format="pyarrow", batch_size=None
     )
+
+
+_CONF_OUT_SCHEMA = pa.schema(
+    [
+        ("n_cal", pa.int64()),
+        ("q_micro", pa.int64()),
+        ("n_test_pos", pa.int64()),
+        ("coverage", pa.float64()),
+        ("n_test", pa.int64()),
+        ("accept_rate", pa.float64()),
+    ]
+)
+
+
+def conformal_gate(
+    ds: ray.data.Dataset,
+    *,
+    prob_micro_col: str = "prob_micro",
+    pos_col: str = "pos",
+    cal_col: str = "cal",
+    alpha: float = 0.1,
+) -> ray.data.Dataset:
+    """Split-conformal acceptance gate for a probabilistic classifier
+    (Vovk's split-conformal recipe; Angelopoulos & Bates 2022 survey
+    §1): calibrate the nonconformity threshold q = the
+    ⌈(n+1)(1−α)⌉-th smallest score s = 1e6 − prob_micro on the held-out
+    POSITIVE calibration rows, then report test coverage (fraction of
+    test positives with s ≤ q — guaranteed ≥ 1−α in expectation) and
+    the accept rate the gate would pass corpus-wide.  This is the
+    distribution-free uncertainty wrapper a curation pipeline puts
+    around the quality classifier before trusting its threshold.
+
+    Scale shape: ONE bounded fold of the (cal, pos, s) histogram —
+    s is the micro-quantized score, so the domain is value-bounded
+    (the score_quantiles class), never row-proportional; the order
+    stat and the two coverage ratios are computed from cumulative
+    counts in a single ≤|domain|-row block.  Exactness: q is an
+    integer order stat; coverage/accept are single int/int IEEE
+    divisions the mirror replays; ⌈(n+1)(1−α)⌉ is the same
+    float-ceil both sides."""
+
+    hist_schema = pa.schema(
+        [
+            ("cal", pa.int64()),
+            ("pos", pa.int64()),
+            ("s", pa.int64()),
+            ("n", pa.int64()),
+        ]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return hist_schema.empty_table()
+        s = 1_000_000 - np.asarray(b[prob_micro_col], dtype=np.int64)
+        cal = np.asarray(b[cal_col], dtype=np.int64)
+        pos = np.asarray(b[pos_col], dtype=np.int64)
+        key = np.stack([cal, pos, s], axis=1)
+        uniq, cnt = np.unique(key, axis=0, return_counts=True)
+        return pa.table(
+            {
+                "cal": pa.array(uniq[:, 0], type=pa.int64()),
+                "pos": pa.array(uniq[:, 1], type=pa.int64()),
+                "s": pa.array(uniq[:, 2], type=pa.int64()),
+                "n": pa.array(cnt.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    folded = bounded_groupby_sum(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["cal", "pos", "s"],
+        sum_cols={"n": "n"},
+    )
+
+    def fit(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return _CONF_OUT_SCHEMA.empty_table()
+        cal = np.asarray(t["cal"], dtype=np.int64)
+        pos = np.asarray(t["pos"], dtype=np.int64)
+        s = np.asarray(t["s"], dtype=np.int64)
+        n = np.asarray(t["n"], dtype=np.int64)
+        cm = (cal == 1) & (pos == 1)
+        n_cal = int(n[cm].sum())
+        k = math.ceil((n_cal + 1) * (1.0 - alpha))
+        if n_cal == 0 or k > n_cal:
+            q = 1_000_000
+        else:
+            order = np.argsort(s[cm], kind="stable")
+            cum = np.cumsum(n[cm][order])
+            q = int(s[cm][order][np.searchsorted(cum, k)])
+        tm = cal == 0
+        n_test = int(n[tm].sum())
+        n_test_pos = int(n[tm & (pos == 1)].sum())
+        cov_n = int(n[tm & (pos == 1) & (s <= q)].sum())
+        acc_n = int(n[tm & (s <= q)].sum())
+        coverage = float(cov_n) / float(n_test_pos) if n_test_pos > 0 else 0.0
+        accept = float(acc_n) / float(n_test) if n_test > 0 else 0.0
+        return pa.table(
+            {
+                "n_cal": pa.array([n_cal], type=pa.int64()),
+                "q_micro": pa.array([q], type=pa.int64()),
+                "n_test_pos": pa.array([n_test_pos], type=pa.int64()),
+                "coverage": pa.array([coverage], type=pa.float64()),
+                "n_test": pa.array([n_test], type=pa.int64()),
+                "accept_rate": pa.array([accept], type=pa.float64()),
+            }
+        )
+
+    return folded.repartition(1).map_batches(
+        fit, batch_format="pyarrow", batch_size=None
+    )

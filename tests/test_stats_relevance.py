@@ -1173,3 +1173,34 @@ def test_isotonic_calibration_pools_violators():
     # monotone by construction
     vals = [out[b]["iso_prob"] for b in sorted(out)]
     assert vals == sorted(vals)
+
+
+def test_conformal_gate_order_stat_and_coverage():
+    """Known calibration scores → known q = ⌈(n+1)(1−α)⌉-th order stat;
+    coverage/accept counted against it exactly."""
+    from docling_api_ray.stages.stats import conformal_gate
+
+    rows = []
+    # 9 positive calibration rows with s = 1e6 - pm in {10..90}
+    for i, s in enumerate(range(10, 100, 10)):
+        rows.append({"prob_micro": 1_000_000 - s, "pos": 1, "cal": 1})
+    # negative cal rows must be ignored by the threshold fit
+    rows.append({"prob_micro": 0, "pos": 0, "cal": 1})
+    # test rows: two positives (s=50 covered, s=95 not), two negatives
+    rows.append({"prob_micro": 1_000_000 - 50, "pos": 1, "cal": 0})
+    rows.append({"prob_micro": 1_000_000 - 95, "pos": 1, "cal": 0})
+    rows.append({"prob_micro": 1_000_000 - 10, "pos": 0, "cal": 0})
+    rows.append({"prob_micro": 1_000_000 - 999, "pos": 0, "cal": 0})
+    out = conformal_gate(
+        ray.data.from_items(rows), alpha=0.1
+    ).take_all()[0]
+    # k = ceil(10 * 0.9) = 9 → q = 9th smallest of {10..90} = 90
+    assert out["n_cal"] == 9 and out["q_micro"] == 90
+    assert out["n_test"] == 4 and out["n_test_pos"] == 2
+    assert out["coverage"] == 0.5      # s=50 ≤ 90, s=95 > 90
+    assert out["accept_rate"] == 0.5   # s=50, s=10 pass; 95, 999 fail
+    # alpha too strict for the sample → q saturates at the max score
+    out2 = conformal_gate(
+        ray.data.from_items(rows), alpha=0.01
+    ).take_all()[0]
+    assert out2["q_micro"] == 1_000_000
