@@ -7787,6 +7787,26 @@ def _q_conformal_gate(sf_dir: str):
     )
 
 
+_KANON_K = 5
+_KANON_BUCKET = 100
+
+
+def _q_k_anonymity(sf_dir: str):
+    """k-anonymity audit (stages/stats.py k_anonymity): equivalence
+    classes over (source, lang, ⌊n_chars/100⌋), k=5 — the
+    quasi-identifier re-identification readout next to pii_redact's
+    direct-identifier removal.  One bounded cube-class fold."""
+    from docling_api_ray.stages.stats import k_anonymity
+
+    return k_anonymity(
+        _docs(sf_dir, ["source", "lang", "n_chars"]),
+        quasi_cols=("source", "lang"),
+        bucket_col="n_chars",
+        bucket_width=_KANON_BUCKET,
+        k=_KANON_K,
+    )
+
+
 def _q_knn_mrr(sf_dir: str):
     """Mean-reciprocal-rank retrieval eval (stages/similarity.py
     knn_mrr): held-out queries, first same-label neighbor rank within
@@ -8334,6 +8354,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boilerplate_strip": _q_boilerplate_strip,
         "conformal_gate": _q_conformal_gate,
         "lang_kappa": _q_lang_kappa,
+        "k_anonymity": _q_k_anonymity,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "winnow_pairs": _q_winnow_pairs,
         "winnow_dedup_keep": _q_winnow_dedup_keep,
@@ -12076,6 +12097,31 @@ def oracle_sql() -> dict[str, str]:
                                * 1000000 + 0.5) / 1000000.0
                     ELSE 0.0 END AS kappa
         FROM raw
+    """
+    # mirrors _q_k_anonymity (stages/stats.py k_anonymity): the same
+    # quasi-identifier class counts, sub-k filter, single division
+    out["k_anonymity"] = f"""
+        WITH cls AS (SELECT source, lang,
+                            CAST(n_chars AS BIGINT) // {_KANON_BUCKET}
+                              AS bucket,
+                            CAST(count(*) AS BIGINT) AS n
+                     FROM documents GROUP BY 1, 2, 3),
+             agg AS (SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+                            CAST(count(*) AS BIGINT) AS n_classes,
+                            CAST(min(n) AS BIGINT) AS min_class_size,
+                            CAST(count(*) FILTER (WHERE n < {_KANON_K})
+                                 AS BIGINT) AS n_small_classes,
+                            CAST(coalesce(sum(n) FILTER
+                                            (WHERE n < {_KANON_K}), 0)
+                                 AS BIGINT) AS rows_at_risk
+                     FROM cls)
+        SELECT n_rows, n_classes, min_class_size, n_small_classes,
+               rows_at_risk,
+               CASE WHEN n_rows > 0
+                    THEN CAST(rows_at_risk AS DOUBLE)
+                         / CAST(n_rows AS DOUBLE)
+                    ELSE 0.0 END AS risk_frac
+        FROM agg
     """
     # mirrors _q_knn_mrr: the knn_label_vote hold-out CTEs, first
     # same-label rank, identical floor-quantized micro reciprocal ranks

@@ -280,6 +280,7 @@ def _bench_once() -> dict:
         "boilerplate_strip",
         "conformal_gate",
         "lang_kappa",
+        "k_anonymity",
     ]
     # INTERLEAVED repetitions + medians (VERDICT r2 #1): this container's
     # co-tenant jitter is ±30-50% and can hold a multi-second plateau —

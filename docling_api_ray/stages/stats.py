@@ -2261,3 +2261,94 @@ def conformal_gate(
     return folded.repartition(1).map_batches(
         fit, batch_format="pyarrow", batch_size=None
     )
+
+
+_KANON_OUT_SCHEMA = pa.schema(
+    [
+        ("n_rows", pa.int64()),
+        ("n_classes", pa.int64()),
+        ("min_class_size", pa.int64()),
+        ("n_small_classes", pa.int64()),
+        ("rows_at_risk", pa.int64()),
+        ("risk_frac", pa.float64()),
+    ]
+)
+
+
+def k_anonymity(
+    ds: ray.data.Dataset,
+    *,
+    quasi_cols: tuple[str, ...] = ("source", "lang"),
+    bucket_col: str = "n_chars",
+    bucket_width: int = 100,
+    k: int = 5,
+) -> ray.data.Dataset:
+    """k-anonymity audit over quasi-identifier equivalence classes
+    (Sweeney 2002): rows whose (quasi_cols…, ⌊bucket_col/width⌋) tuple
+    is shared by fewer than k rows are re-identification risks — the
+    privacy readout a corpus release runs next to PII redaction
+    (which removes direct identifiers; this measures the INDIRECT
+    ones).  One summary row: class counts, the minimum class size,
+    and the count/fraction of rows in sub-k classes.
+
+    Scale shape: ONE bounded fold over the quasi-identifier domain
+    (|sources| × |langs| × value-bounded length buckets — the
+    cube_counts class), then a ≤|domain|-row final block; risk_frac
+    is a single int/int IEEE division the mirror replays."""
+
+    cols = list(quasi_cols)
+    hist_schema = pa.schema(
+        [(c, pa.string()) for c in cols]
+        + [("bucket", pa.int64()), ("n", pa.int64())]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return hist_schema.empty_table()
+        t = pa.table(
+            {c: b[c] for c in cols}
+            | {
+                "bucket": pa.array(
+                    np.asarray(b[bucket_col], dtype=np.int64)
+                    // bucket_width,
+                    type=pa.int64(),
+                )
+            }
+        )
+        g = t.group_by(cols + ["bucket"]).aggregate([([], "count_all")])
+        return g.rename_columns(cols + ["bucket", "n"])
+
+    folded = bounded_groupby_sum(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        cols + ["bucket"],
+        sum_cols={"n": "n"},
+    )
+
+    def fit(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return _KANON_OUT_SCHEMA.empty_table()
+        n = np.asarray(t["n"], dtype=np.int64)
+        total = int(n.sum())
+        small = n < k
+        risk = int(n[small].sum())
+        return pa.table(
+            {
+                "n_rows": pa.array([total], type=pa.int64()),
+                "n_classes": pa.array([len(n)], type=pa.int64()),
+                "min_class_size": pa.array(
+                    [int(n.min())], type=pa.int64()
+                ),
+                "n_small_classes": pa.array(
+                    [int(small.sum())], type=pa.int64()
+                ),
+                "rows_at_risk": pa.array([risk], type=pa.int64()),
+                "risk_frac": pa.array(
+                    [float(risk) / float(total) if total > 0 else 0.0],
+                    type=pa.float64(),
+                ),
+            }
+        )
+
+    return folded.repartition(1).map_batches(
+        fit, batch_format="pyarrow", batch_size=None
+    )
