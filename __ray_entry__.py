@@ -7807,6 +7807,36 @@ def _q_k_anonymity(sf_dir: str):
     )
 
 
+def _q_l_diversity(sf_dir: str):
+    """Distinct l-diversity audit (stages/stats.py l_diversity): the
+    k-anonymity companion — per (source, length-bucket) class, the
+    distinct-lang count; classes with one language leak it regardless
+    of size.  One bounded (class × sensitive) fold."""
+    from docling_api_ray.stages.stats import l_diversity
+
+    return l_diversity(
+        _docs(sf_dir, ["source", "lang", "n_chars"]),
+        quasi_cols=("source",),
+        bucket_col="n_chars",
+        bucket_width=_KANON_BUCKET,
+        sensitive_col="lang",
+        l=2,
+    )
+
+
+def _q_trimmed_mean(sf_dir: str):
+    """Exact 10%-trimmed mean of n_chars per source (stages/stats.py
+    grouped_trimmed_mean): drop ⌊0.1·n⌋ rows each side, average the
+    rest — from ONE bounded (source × value) histogram with integer
+    partial-tie arithmetic, no global sort."""
+    from docling_api_ray.stages.stats import grouped_trimmed_mean
+
+    return grouped_trimmed_mean(
+        _docs(sf_dir, ["source", "n_chars"]),
+        group_col="source", value_col="n_chars", trim_frac=0.1,
+    )
+
+
 def _q_knn_mrr(sf_dir: str):
     """Mean-reciprocal-rank retrieval eval (stages/similarity.py
     knn_mrr): held-out queries, first same-label neighbor rank within
@@ -8355,6 +8385,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conformal_gate": _q_conformal_gate,
         "lang_kappa": _q_lang_kappa,
         "k_anonymity": _q_k_anonymity,
+        "l_diversity": _q_l_diversity,
+        "trimmed_mean": _q_trimmed_mean,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "winnow_pairs": _q_winnow_pairs,
         "winnow_dedup_keep": _q_winnow_dedup_keep,
@@ -12122,6 +12154,56 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(n_rows AS DOUBLE)
                     ELSE 0.0 END AS risk_frac
         FROM agg
+    """
+    # mirrors _q_l_diversity (stages/stats.py l_diversity): per-class
+    # distinct-lang counts from the (class, lang) grouped counts,
+    # sub-l class/row mass, single division
+    out["l_diversity"] = f"""
+        WITH cls AS (SELECT source,
+                            CAST(n_chars AS BIGINT) // {_KANON_BUCKET}
+                              AS bucket,
+                            lang, CAST(count(*) AS BIGINT) AS n
+                     FROM documents GROUP BY 1, 2, 3),
+             per AS (SELECT source, bucket,
+                            CAST(count(*) AS BIGINT) AS div,
+                            CAST(sum(n) AS BIGINT) AS rws
+                     FROM cls GROUP BY 1, 2),
+             agg AS (SELECT CAST(count(*) AS BIGINT) AS n_classes,
+                            CAST(min(div) AS BIGINT) AS min_diversity,
+                            CAST(count(*) FILTER (WHERE div < 2)
+                                 AS BIGINT) AS n_below_l,
+                            CAST(coalesce(sum(rws) FILTER
+                                            (WHERE div < 2), 0)
+                                 AS BIGINT) AS rows_below_l,
+                            CAST(sum(rws) AS BIGINT) AS total
+                     FROM per)
+        SELECT n_classes, min_diversity, n_below_l, rows_below_l,
+               CASE WHEN total > 0
+                    THEN CAST(rows_below_l AS DOUBLE)
+                         / CAST(total AS DOUBLE)
+                    ELSE 0.0 END AS frac_below_l
+        FROM agg
+    """
+    # mirrors _q_trimmed_mean (stages/stats.py grouped_trimmed_mean):
+    # per-source rank window, keep ranks (cut, n−cut], the identical
+    # HUGEINT-sum→double division, ⌊x·1e6+½⌋ quantize
+    out["trimmed_mean"] = """
+        WITH r AS (SELECT source, CAST(n_chars AS BIGINT) AS v,
+                          row_number() OVER (PARTITION BY source
+                                             ORDER BY n_chars) AS rn,
+                          count(*) OVER (PARTITION BY source) AS cnt
+                   FROM documents),
+             k AS (SELECT *, CAST(floor(0.1 * cnt) AS BIGINT) AS cut
+                   FROM r),
+             kept AS (SELECT source, v, cnt, cut FROM k
+                      WHERE rn > cut AND rn <= cnt - cut)
+        SELECT source,
+               CAST(max(cnt) AS BIGINT) AS n,
+               CAST(max(cut) AS BIGINT) AS n_trim,
+               floor(CAST(sum(v) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE) * 1000000 + 0.5)
+                 / 1000000.0 AS trimmed_mean
+        FROM kept GROUP BY source
     """
     # mirrors _q_knn_mrr: the knn_label_vote hold-out CTEs, first
     # same-label rank, identical floor-quantized micro reciprocal ranks

@@ -281,6 +281,8 @@ def _bench_once() -> dict:
         "conformal_gate",
         "lang_kappa",
         "k_anonymity",
+        "l_diversity",
+        "trimmed_mean",
     ]
     # INTERLEAVED repetitions + medians (VERDICT r2 #1): this container's
     # co-tenant jitter is ±30-50% and can hold a multi-second plateau —

@@ -2352,3 +2352,195 @@ def k_anonymity(
     return folded.repartition(1).map_batches(
         fit, batch_format="pyarrow", batch_size=None
     )
+
+
+_LDIV_OUT_SCHEMA = pa.schema(
+    [
+        ("n_classes", pa.int64()),
+        ("min_diversity", pa.int64()),
+        ("n_below_l", pa.int64()),
+        ("rows_below_l", pa.int64()),
+        ("frac_below_l", pa.float64()),
+    ]
+)
+
+
+def l_diversity(
+    ds: ray.data.Dataset,
+    *,
+    quasi_cols: tuple[str, ...] = ("source",),
+    bucket_col: str = "n_chars",
+    bucket_width: int = 100,
+    sensitive_col: str = "lang",
+    l: int = 2,
+) -> ray.data.Dataset:
+    """Distinct l-diversity audit (Machanavajjhala et al. 2007) — the
+    k-anonymity companion: a quasi-identifier class where every row
+    shares ONE sensitive value leaks that value even when the class is
+    large, so the release check is the DISTINCT sensitive-value count
+    per class.  Reports the minimum diversity and the class/row mass
+    below l.
+
+    Scale shape: one bounded fold over (quasi…, bucket, sensitive)
+    counts — the k_anonymity domain × |sensitive| — then a
+    ≤|domain|-row final block computing per-class distinct counts by
+    construction (each (class, sensitive) pair is one folded row)."""
+
+    cols = list(quasi_cols)
+    hist_schema = pa.schema(
+        [(c, pa.string()) for c in cols]
+        + [
+            ("bucket", pa.int64()),
+            ("sv", pa.string()),
+            ("n", pa.int64()),
+        ]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return hist_schema.empty_table()
+        t = pa.table(
+            {c: b[c] for c in cols}
+            | {
+                "bucket": pa.array(
+                    np.asarray(b[bucket_col], dtype=np.int64)
+                    // bucket_width,
+                    type=pa.int64(),
+                ),
+                "sv": b[sensitive_col],
+            }
+        )
+        g = t.group_by(cols + ["bucket", "sv"]).aggregate([([], "count_all")])
+        return g.rename_columns(cols + ["bucket", "sv", "n"])
+
+    folded = bounded_groupby_sum(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        cols + ["bucket", "sv"],
+        sum_cols={"n": "n"},
+    )
+
+    def fit(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return _LDIV_OUT_SCHEMA.empty_table()
+        df = t.to_pandas()
+        key = [*cols, "bucket"]
+        per = df.groupby(key, sort=False).agg(
+            div=("sv", "size"), rows=("n", "sum")
+        )
+        # each (class, sensitive) pair is one folded row → size IS the
+        # distinct sensitive count
+        below = per["div"] < l
+        n_classes = int(len(per))
+        rows_below = int(per.loc[below, "rows"].sum())
+        total = int(per["rows"].sum())
+        return pa.table(
+            {
+                "n_classes": pa.array([n_classes], type=pa.int64()),
+                "min_diversity": pa.array(
+                    [int(per["div"].min())], type=pa.int64()
+                ),
+                "n_below_l": pa.array(
+                    [int(below.sum())], type=pa.int64()
+                ),
+                "rows_below_l": pa.array([rows_below], type=pa.int64()),
+                "frac_below_l": pa.array(
+                    [
+                        float(rows_below) / float(total)
+                        if total > 0
+                        else 0.0
+                    ],
+                    type=pa.float64(),
+                ),
+            }
+        )
+
+    return folded.repartition(1).map_batches(
+        fit, batch_format="pyarrow", batch_size=None
+    )
+
+
+_TRIM_OUT_SCHEMA = pa.schema(
+    [
+        ("source", pa.string()),
+        ("n", pa.int64()),
+        ("n_trim", pa.int64()),
+        ("trimmed_mean", pa.float64()),
+    ]
+)
+
+
+def grouped_trimmed_mean(
+    ds: ray.data.Dataset,
+    *,
+    group_col: str = "source",
+    value_col: str = "n_chars",
+    trim_frac: float = 0.1,
+) -> ray.data.Dataset:
+    """Exact per-group trimmed mean of an integer metric: drop the
+    ⌊trim·n⌋ smallest and largest ROWS, average the rest — the robust
+    location estimate between robust_stats' median and the raw mean,
+    standard for length/score summaries contaminated by mega-docs.
+
+    Exact from ONE bounded (group × value) histogram fold (the
+    grouped_int_quantiles discipline — value-domain-proportional,
+    never row-proportional): the trimmed sum telescopes over the
+    sorted histogram with integer partial-tie arithmetic (cumulative
+    counts pin how many rows of the boundary value bins survive), one
+    int/int division at the end, ⌊x·1e6+½⌋ quantize."""
+
+    hist_schema = pa.schema(
+        [
+            ("source", pa.string()),
+            ("v", pa.int64()),
+            ("n", pa.int64()),
+        ]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return hist_schema.empty_table()
+        t = pa.table({"source": b[group_col], "v": b[value_col]})
+        g = t.group_by(["source", "v"]).aggregate([([], "count_all")])
+        return g.rename_columns(["source", "v", "n"])
+
+    folded = bounded_groupby_sum(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["source", "v"],
+        sum_cols={"n": "n"},
+    )
+
+    def fit(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return _TRIM_OUT_SCHEMA.empty_table()
+        df = t.to_pandas().sort_values(["source", "v"], kind="stable")
+        q6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6
+        out = {c: [] for c in _TRIM_OUT_SCHEMA.names}
+        for src, g in df.groupby("source", sort=True):
+            v = g["v"].to_numpy()
+            n = g["n"].to_numpy()
+            total = int(n.sum())
+            cut = int(math.floor(trim_frac * total))
+            keep_lo, keep_hi = cut, total - cut  # 0-based kept row range
+            cum = np.cumsum(n)
+            start = cum - n  # first 0-based rank of each value bin
+            # rows of each bin inside [keep_lo, keep_hi)
+            kept = np.minimum(cum, keep_hi) - np.maximum(start, keep_lo)
+            kept = np.maximum(kept, 0)
+            ssum = int((kept * v).sum())
+            skept = int(kept.sum())
+            out["source"].append(src)
+            out["n"].append(total)
+            out["n_trim"].append(cut)
+            out["trimmed_mean"].append(
+                q6(float(ssum) / float(skept)) if skept > 0 else 0.0
+            )
+        return pa.table(
+            {
+                c: pa.array(out[c], type=_TRIM_OUT_SCHEMA.field(c).type)
+                for c in _TRIM_OUT_SCHEMA.names
+            }
+        )
+
+    return folded.repartition(1).map_batches(
+        fit, batch_format="pyarrow", batch_size=None
+    )
