@@ -7787,6 +7787,59 @@ def _q_conformal_gate(sf_dir: str):
     )
 
 
+def _q_markov_eval(sf_dir: str):
+    """Held-out next-event prediction eval for the session Markov
+    chain: train the (from→to) transition matrix on EVEN user_ids,
+    predict argmax-next (ties to the lexicographically smallest type),
+    score accuracy on ODD users' transitions — the sequence-model
+    sibling of nbayes_confusion's text eval.  Both matrices are
+    |types|²-bounded session_transitions folds; the eval is pure
+    bounded-table arithmetic (test rows with an unseen from_type count
+    as misses)."""
+    from docling_api_ray.stages.windows import session_transitions
+
+    def _parity(keep_even: bool):
+        def f(b: pa.Table) -> pa.Table:
+            ids = np.asarray(b["user_id"], dtype=np.int64)
+            mask = (ids % 2 == 0) if keep_even else (ids % 2 == 1)
+            return b.filter(pa.array(mask))
+
+        return f
+
+    cols = ["event_id", "user_id", "event_type", "ts"]
+    tr = session_transitions(
+        _read(sf_dir, "events", cols).map_batches(
+            _parity(True), batch_format="pyarrow"
+        )
+    ).take_all()  # ≤ |types|² rows
+    te = session_transitions(
+        _read(sf_dir, "events", cols).map_batches(
+            _parity(False), batch_format="pyarrow"
+        )
+    ).take_all()  # ≤ |types|² rows
+    best: dict[str, tuple[int, str]] = {}
+    for r in tr:
+        cand = (-int(r["n_trans"]), r["to_type"])
+        if r["from_type"] not in best or cand < best[r["from_type"]]:
+            best[r["from_type"]] = cand
+    pred = {f: t for f, (_, t) in best.items()}
+    n_train = sum(int(r["n_trans"]) for r in tr)
+    n_test = sum(int(r["n_trans"]) for r in te)
+    hits = sum(
+        int(r["n_trans"])
+        for r in te
+        if pred.get(r["from_type"]) == r["to_type"]
+    )
+    acc = float(hits) / float(n_test) if n_test > 0 else 0.0
+    return pa.table(
+        {
+            "n_train": pa.array([n_train], type=pa.int64()),
+            "n_test": pa.array([n_test], type=pa.int64()),
+            "accuracy": pa.array([acc], type=pa.float64()),
+        }
+    )
+
+
 _KANON_K = 5
 _KANON_BUCKET = 100
 
@@ -8387,6 +8440,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k_anonymity": _q_k_anonymity,
         "l_diversity": _q_l_diversity,
         "trimmed_mean": _q_trimmed_mean,
+        "markov_eval": _q_markov_eval,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "winnow_pairs": _q_winnow_pairs,
         "winnow_dedup_keep": _q_winnow_dedup_keep,
@@ -12154,6 +12208,47 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(n_rows AS DOUBLE)
                     ELSE 0.0 END AS risk_frac
         FROM agg
+    """
+    # mirrors _q_markov_eval: the session_transitions lag window split
+    # by user parity, train argmax with the (n DESC, to_type ASC) tie
+    # rule, unseen-from test rows counted as misses, one division
+    out["markov_eval"] = """
+        WITH e AS (SELECT user_id, epoch_us(ts) // 1000000 AS sec,
+                          event_type, event_id
+                   FROM events),
+             f AS (SELECT user_id, event_type,
+                          lag(event_type) OVER w AS from_type,
+                          CASE WHEN lag(sec) OVER w IS NULL THEN 1
+                               WHEN sec - lag(sec) OVER w > 1800 THEN 1
+                               ELSE 0 END AS is_new
+                   FROM e
+                   WINDOW w AS (PARTITION BY user_id
+                                ORDER BY sec, event_id)),
+             tr AS (SELECT from_type, event_type AS to_type,
+                           CAST(count(*) AS BIGINT) AS n
+                    FROM f WHERE is_new = 0 AND user_id % 2 = 0
+                    GROUP BY 1, 2),
+             te AS (SELECT from_type, event_type AS to_type,
+                           CAST(count(*) AS BIGINT) AS n
+                    FROM f WHERE is_new = 0 AND user_id % 2 = 1
+                    GROUP BY 1, 2),
+             pred AS (SELECT from_type, to_type AS p FROM tr
+                      QUALIFY row_number() OVER (
+                        PARTITION BY from_type
+                        ORDER BY n DESC, to_type ASC) = 1),
+             hits AS (SELECT CAST(coalesce(sum(te.n), 0) AS BIGINT) AS h
+                      FROM te JOIN pred
+                        ON te.from_type = pred.from_type
+                       AND te.to_type = pred.p),
+             tot AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS t
+                     FROM te),
+             trn AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS t
+                     FROM tr)
+        SELECT trn.t AS n_train, tot.t AS n_test,
+               CASE WHEN tot.t > 0
+                    THEN CAST(hits.h AS DOUBLE) / CAST(tot.t AS DOUBLE)
+                    ELSE 0.0 END AS accuracy
+        FROM trn CROSS JOIN tot CROSS JOIN hits
     """
     # mirrors _q_l_diversity (stages/stats.py l_diversity): per-class
     # distinct-lang counts from the (class, lang) grouped counts,

@@ -283,6 +283,7 @@ def _bench_once() -> dict:
         "k_anonymity",
         "l_diversity",
         "trimmed_mean",
+        "markov_eval",
     ]
     # INTERLEAVED repetitions + medians (VERDICT r2 #1): this container's
     # co-tenant jitter is ±30-50% and can hold a multi-second plateau —
