@@ -7787,6 +7787,16 @@ def _q_conformal_gate(sf_dir: str):
     )
 
 
+def _q_label_centroid_dist(sf_dir: str):
+    """Pairwise L2 distance between per-label mean embeddings
+    (stages/clustering.py label_centroid_dist) — the linear-MMD
+    class-separation readout; integer micro sums cleared of
+    denominators so one sqrt + two divisions are the only floats."""
+    from docling_api_ray.stages.clustering import label_centroid_dist
+
+    return label_centroid_dist(_emb(sf_dir, ["vec_id", "embedding", "label"]))
+
+
 def _q_markov_eval(sf_dir: str):
     """Held-out next-event prediction eval for the session Markov
     chain: train the (from→to) transition matrix on EVEN user_ids,
@@ -8441,6 +8451,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "l_diversity": _q_l_diversity,
         "trimmed_mean": _q_trimmed_mean,
         "markov_eval": _q_markov_eval,
+        "label_centroid_dist": _q_label_centroid_dist,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "winnow_pairs": _q_winnow_pairs,
         "winnow_dedup_keep": _q_winnow_dedup_keep,
@@ -12208,6 +12219,45 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(n_rows AS DOUBLE)
                     ELSE 0.0 END AS risk_frac
         FROM agg
+    """
+    # mirrors _q_label_centroid_dist (stages/clustering.py
+    # label_centroid_dist): the same micro quantizer, exact integer
+    # (label, dim) sums, denominator-cleared pairwise numerator in
+    # HUGEINT, the identical sqrt → ÷(na·nb) → ÷1e6 float chain
+    out["label_centroid_dist"] = """
+        WITH vq AS (SELECT CAST(label AS BIGINT) AS label,
+                           list_transform(embedding, e ->
+                               CAST(floor(CAST(e AS DOUBLE) * 1000000
+                                          + 0.5) AS BIGINT)) AS q
+                    FROM embeddings),
+             vu AS (SELECT label, unnest(q) AS v,
+                           unnest(range(len(q))) AS i
+                    FROM vq),
+             sums AS (SELECT label, CAST(i AS BIGINT) AS dim,
+                             CAST(sum(v) AS BIGINT) AS s
+                      FROM vu GROUP BY 1, 2),
+             cnt AS (SELECT label, CAST(count(*) AS BIGINT) AS n
+                     FROM vq GROUP BY 1),
+             pairs AS (SELECT a.label AS la, b.label AS lb,
+                              ca.n AS na, cb.n AS nb,
+                              sum((CAST(a.s AS HUGEINT) * cb.n
+                                   - CAST(b.s AS HUGEINT) * ca.n)
+                                  * (CAST(a.s AS HUGEINT) * cb.n
+                                     - CAST(b.s AS HUGEINT) * ca.n))
+                                AS num
+                       FROM sums a
+                       JOIN sums b ON a.dim = b.dim
+                                  AND a.label < b.label
+                       JOIN cnt ca ON ca.label = a.label
+                       JOIN cnt cb ON cb.label = b.label
+                       GROUP BY 1, 2, 3, 4)
+        SELECT la AS label_a, lb AS label_b, na AS n_a, nb AS n_b,
+               CASE WHEN na > 0 AND nb > 0
+                    THEN floor(sqrt(CAST(num AS DOUBLE))
+                               / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+                               / 1000000.0 * 1000000 + 0.5) / 1000000.0
+                    ELSE 0.0 END AS dist
+        FROM pairs
     """
     # mirrors _q_markov_eval: the session_transitions lag window split
     # by user parity, train argmax with the (n DESC, to_type ASC) tie

@@ -284,6 +284,7 @@ def _bench_once() -> dict:
         "l_diversity",
         "trimmed_mean",
         "markov_eval",
+        "label_centroid_dist",
     ]
     # INTERLEAVED repetitions + medians (VERDICT r2 #1): this container's
     # co-tenant jitter is ±30-50% and can hold a multi-second plateau —

@@ -25,6 +25,8 @@ the vectors at any point.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -289,4 +291,128 @@ def semdedup_keep(
     return asg.map_batches(
         _keep_flag(losers),
         batch_format="pyarrow",
+    )
+
+
+_LCD_OUT_SCHEMA = pa.schema(
+    [
+        ("label_a", pa.int64()),
+        ("label_b", pa.int64()),
+        ("n_a", pa.int64()),
+        ("n_b", pa.int64()),
+        ("dist", pa.float64()),
+    ]
+)
+
+
+def label_centroid_dist(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Pairwise L2 distance between per-label mean embeddings — the
+    linear-MMD class-separation / distribution-shift readout over the
+    embedding table (are two labels' populations even distinguishable
+    in embedding space before training a classifier on them?).
+
+    Exactness (the kmeans integer discipline): embeddings quantize to
+    int64 micro-units once; per (label, dim) the fold carries exact
+    integer sums, and the pairwise distance clears denominators —
+    dist = sqrt(Σ_d (S_a·n_b − S_b·n_a)²) / (n_a·n_b·1e6) — so the
+    only floats are one sqrt and two divisions the mirror replays
+    (numerator terms are unbounded Python ints driver-side; the SQL
+    HUGEINT bound holds to ~10⁶ rows/label at dim 64 — split limbs
+    beyond, the grouped_ols caveat class).
+
+    Scale shape: ONE bounded fold of |labels|·(dim+1) integer rows
+    (per-batch np.add.at partials), final block |labels|² pairs."""
+    from docling_api_ray.stages.common import bounded_groupby_sum
+
+    part_schema = pa.schema(
+        [("label", pa.int64()), ("dim", pa.int64()), ("s", pa.int64())]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return part_schema.empty_table()
+        q = quantized_matrix(b["embedding"])
+        lab = np.asarray(b["label"], dtype=np.int64)
+        uniq, inv = np.unique(lab, return_inverse=True)
+        k, dim = len(uniq), q.shape[1]
+        sums = np.zeros((k, dim), dtype=np.int64)
+        np.add.at(sums, inv, q)
+        cnt = np.bincount(inv, minlength=k).astype(np.int64)
+        # dim = -1 sentinel rows carry the exact per-label row count
+        return pa.table(
+            {
+                "label": pa.array(
+                    np.concatenate(
+                        [np.repeat(uniq, dim), uniq]
+                    ),
+                    type=pa.int64(),
+                ),
+                "dim": pa.array(
+                    np.concatenate(
+                        [
+                            np.tile(np.arange(dim, dtype=np.int64), k),
+                            np.full(k, -1, dtype=np.int64),
+                        ]
+                    ),
+                    type=pa.int64(),
+                ),
+                "s": pa.array(
+                    np.concatenate([sums.ravel(), cnt]), type=pa.int64()
+                ),
+            }
+        )
+
+    folded = bounded_groupby_sum(
+        ds.select_columns(["embedding", "label"]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        ["label", "dim"],
+        sum_cols={"s": "s"},
+    )
+
+    def fit(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return _LCD_OUT_SCHEMA.empty_table()
+        lab = np.asarray(t["label"], dtype=np.int64)
+        dim = np.asarray(t["dim"], dtype=np.int64)
+        s = np.asarray(t["s"], dtype=np.int64)
+        labels = sorted(set(lab.tolist()))
+        cnt = {
+            int(l): int(s[(lab == l) & (dim == -1)][0]) for l in labels
+        }
+        sums = {}
+        for l in labels:
+            m = (lab == l) & (dim >= 0)
+            order = np.argsort(dim[m])
+            sums[int(l)] = [int(v) for v in s[m][order]]
+        q6 = lambda v: math.floor(v * 1e6 + 0.5) / 1e6
+        out = {c: [] for c in _LCD_OUT_SCHEMA.names}
+        for i, la in enumerate(labels):
+            for lb in labels[i + 1:]:
+                na, nb = cnt[la], cnt[lb]
+                num = sum(
+                    (sa * nb - sb * na) ** 2
+                    for sa, sb in zip(sums[la], sums[lb])
+                )  # exact unbounded ints
+                d = (
+                    math.sqrt(float(num))
+                    / (float(na) * float(nb))
+                    / 1e6
+                    if na > 0 and nb > 0
+                    else 0.0
+                )
+                out["label_a"].append(la)
+                out["label_b"].append(lb)
+                out["n_a"].append(na)
+                out["n_b"].append(nb)
+                out["dist"].append(q6(d))
+        return pa.table(
+            {
+                c: pa.array(out[c], type=_LCD_OUT_SCHEMA.field(c).type)
+                for c in _LCD_OUT_SCHEMA.names
+            }
+        )
+
+    return folded.repartition(1).map_batches(
+        fit, batch_format="pyarrow", batch_size=None
     )
