@@ -167,3 +167,38 @@ def test_session_close_stage_ops_empty():
         ).empty_table()
     )
     assert isotonic_calibration(empty_scored).count() == 0
+
+
+def test_session_close_stage_ops_empty_2():
+    from docling_api_ray.stages.clustering import label_centroid_dist
+    from docling_api_ray.stages.stats import (
+        conformal_gate,
+        grouped_trimmed_mean,
+        k_anonymity,
+        l_diversity,
+    )
+
+    docs = _empty_docs()
+    assert k_anonymity(docs).count() == 0
+    assert l_diversity(docs).count() == 0
+    assert grouped_trimmed_mean(docs).count() == 0
+    empty_scored = ray.data.from_arrow(
+        pa.schema(
+            [
+                ("prob_micro", pa.int64()),
+                ("pos", pa.int64()),
+                ("cal", pa.int64()),
+            ]
+        ).empty_table()
+    )
+    assert conformal_gate(empty_scored).count() == 0
+    empty_emb = ray.data.from_arrow(
+        pa.schema(
+            [
+                ("vec_id", pa.int64()),
+                ("embedding", pa.list_(pa.float32())),
+                ("label", pa.int32()),
+            ]
+        ).empty_table()
+    )
+    assert label_centroid_dist(empty_emb).count() == 0

@@ -46,6 +46,12 @@ SWEEP = [
     "kneser_ney",               # sparse pair-count fold + actor-pool score
     "rouge_pairs",              # prefix-blocked pair co-group
     "isotonic_calibration",     # bin fold → single-block minimax fit
+    "conformal_gate",           # (cal, pos, score) histogram fold
+    "k_anonymity",              # quasi-identifier cube-class fold
+    "trimmed_mean",             # (source, value) histogram partial ties
+    "markov_eval",              # parity-filtered double transition fold
+    "label_centroid_dist",      # (label, dim) integer sum fold
+    "boilerplate_strip",        # df-threshold double co-group
 ]
 
 
