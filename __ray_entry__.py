@@ -7787,6 +7787,49 @@ def _q_conformal_gate(sf_dir: str):
     )
 
 
+_SHARDS = 8
+
+
+def _q_shard_assign(sf_dir: str):
+    """Size-balanced export sharding: docs ranked by (n_chars DESC,
+    doc_id) snake-assigned to 8 shards — rank r → s = (r−1) mod 16,
+    shard = s if s < 8 else 15−s — the boustrophedon round that keeps
+    per-shard byte totals within one doc of each other without any
+    bin-packing state.  Rides global_rank's histogram + tie-exchange
+    machinery (no global sort); the shard formula is one vectorized
+    pass the mirror spells identically."""
+    from docling_api_ray.stages.stats import global_rank
+
+    ranked = global_rank(
+        _docs(sf_dir, ["doc_id", "n_chars"]),
+        value_col="n_chars", id_col="doc_id",
+    )
+
+    def assign(b: pa.Table) -> pa.Table:
+        r = np.asarray(b["doc_rank"], dtype=np.int64)
+        s = (r - 1) % (2 * _SHARDS)
+        shard = np.where(s < _SHARDS, s, 2 * _SHARDS - 1 - s)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "doc_rank": b["doc_rank"],
+                "shard": pa.array(shard, type=pa.int64()),
+            }
+        )
+
+    return ranked.map_batches(assign, batch_format="pyarrow")
+
+
+def _q_compression_ratio(sf_dir: str):
+    """zlib compression-ratio quality signal (stages/text_analysis.py
+    compression_ratio) — repetitive template text compresses far below
+    natural prose.  Rows-only (no SQL zlib); pinned by a direct zlib
+    reference test."""
+    from docling_api_ray.stages.text_analysis import compression_ratio
+
+    return compression_ratio(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def _q_label_centroid_dist(sf_dir: str):
     """Pairwise L2 distance between per-label mean embeddings
     (stages/clustering.py label_centroid_dist) — the linear-MMD
@@ -8452,6 +8495,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trimmed_mean": _q_trimmed_mean,
         "markov_eval": _q_markov_eval,
         "label_centroid_dist": _q_label_centroid_dist,
+        "shard_assign": _q_shard_assign,
+        "compression_ratio": _q_compression_ratio,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "winnow_pairs": _q_winnow_pairs,
         "winnow_dedup_keep": _q_winnow_dedup_keep,
@@ -12219,6 +12264,22 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(n_rows AS DOUBLE)
                     ELSE 0.0 END AS risk_frac
         FROM agg
+    """
+    # mirrors _q_shard_assign: the global_rank window order with the
+    # identical snake formula
+    out["shard_assign"] = f"""
+        WITH r AS (SELECT doc_id,
+                          row_number() OVER (ORDER BY n_chars DESC,
+                                             doc_id ASC) AS doc_rank
+                   FROM documents),
+             s AS (SELECT doc_id, doc_rank,
+                          (doc_rank - 1) % {2 * _SHARDS} AS sm
+                   FROM r)
+        SELECT doc_id, CAST(doc_rank AS BIGINT) AS doc_rank,
+               CAST(CASE WHEN sm < {_SHARDS} THEN sm
+                         ELSE {2 * _SHARDS - 1} - sm END AS BIGINT)
+                 AS shard
+        FROM s
     """
     # mirrors _q_label_centroid_dist (stages/clustering.py
     # label_centroid_dist): the same micro quantizer, exact integer

@@ -285,6 +285,8 @@ def _bench_once() -> dict:
         "trimmed_mean",
         "markov_eval",
         "label_centroid_dist",
+        "shard_assign",
+        "compression_ratio",
     ]
     # INTERLEAVED repetitions + medians (VERDICT r2 #1): this container's
     # co-tenant jitter is ±30-50% and can hold a multi-second plateau —

@@ -325,3 +325,33 @@ def test_winnow_fingerprints_hand_values():
         else:
             assert row["fp_min"] is None and row["fp_sum"] is None
             assert row["density"] is None
+
+
+def test_compression_ratio_matches_zlib():
+    import math
+    import zlib
+
+    import ray.data
+
+    from docling_api_ray.stages.text_analysis import compression_ratio
+
+    texts = [
+        "abc " * 200,                      # highly repetitive → low ratio
+        "the quick brown fox jumps over",  # short natural text
+        "",                                # empty → ratio 0
+    ]
+    ds = ray.data.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    )
+    out = {r["doc_id"]: r for r in compression_ratio(ds).take_all()}
+    for i, t in enumerate(texts):
+        raw = t.encode("utf-8")
+        comp = len(zlib.compress(raw, 6)) if raw else 0
+        assert out[i]["raw_len"] == len(raw)
+        assert out[i]["comp_len"] == comp
+        exp = (
+            math.floor(comp / len(raw) * 1e6 + 0.5) / 1e6 if raw else 0.0
+        )
+        assert out[i]["comp_ratio"] == exp
+    # the repetition signal orders as expected
+    assert out[0]["comp_ratio"] < out[1]["comp_ratio"]
