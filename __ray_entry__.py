@@ -7787,6 +7787,19 @@ def _q_conformal_gate(sf_dir: str):
     )
 
 
+def _q_ht_estimate(sf_dir: str):
+    """Priority-sampling Horvitz-Thompson total estimate of Σ n_chars
+    from the deterministic bottom-100 weighted sample (stages/splits.py
+    ht_estimate) — the self-verifying sampling eval reporting the
+    relative error against the exact total computed alongside."""
+    from docling_api_ray.stages.splits import ht_estimate
+
+    return ht_estimate(
+        _docs(sf_dir, ["doc_id", "n_chars"]),
+        id_col="doc_id", value_col="n_chars", k=100,
+    )
+
+
 _SHARDS = 8
 
 
@@ -8497,6 +8510,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroid_dist": _q_label_centroid_dist,
         "shard_assign": _q_shard_assign,
         "compression_ratio": _q_compression_ratio,
+        "ht_estimate": _q_ht_estimate,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "winnow_pairs": _q_winnow_pairs,
         "winnow_dedup_keep": _q_winnow_dedup_keep,
@@ -12264,6 +12278,44 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(n_rows AS DOUBLE)
                     ELSE 0.0 END AS risk_frac
         FROM agg
+    """
+    # mirrors _q_ht_estimate (stages/splits.py ht_estimate): the
+    # weighted_sample integer priorities, T = the 101st smallest key,
+    # per-item max(x, 2⁶³/T) micro-quantized then integer-summed,
+    # exact total + replayed relative error
+    out["ht_estimate"] = f"""
+        WITH p AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS x,
+                          CAST(({_sql_u64("CAST(doc_id AS VARCHAR)")} // 2)
+                               // greatest(n_chars, 1) AS BIGINT) AS key
+                   FROM documents),
+             r AS (SELECT *, row_number() OVER (ORDER BY key, doc_id)
+                     AS rn,
+                          count(*) OVER () AS n FROM p),
+             th AS (SELECT CASE WHEN max(n) > 100
+                                THEN max(CASE WHEN rn = 101 THEN key END)
+                                ELSE 0 END AS t,
+                           CAST(max(n) AS BIGINT) AS n_rows
+                    FROM r),
+             tot AS (SELECT CAST(sum(x) AS BIGINT) AS true_total FROM p),
+             est AS (SELECT CASE
+                       WHEN th.t = 0 THEN CAST(tot.true_total AS DOUBLE)
+                       ELSE CAST(sum(CASE WHEN r.rn <= 100 THEN
+                         CAST(floor(greatest(CAST(r.x AS DOUBLE),
+                                             9223372036854775808.0
+                                             / CAST(th.t AS DOUBLE))
+                                    * 1000000 + 0.5) AS HUGEINT)
+                         ELSE 0 END) AS DOUBLE) / 1000000.0
+                       END AS e
+                     FROM r CROSS JOIN th CROSS JOIN tot
+                     GROUP BY th.t, tot.true_total)
+        SELECT CAST(100 AS BIGINT) AS k, th.n_rows,
+               th.t AS threshold, est.e AS estimate, tot.true_total,
+               CASE WHEN tot.true_total > 0
+                    THEN floor((est.e - CAST(tot.true_total AS DOUBLE))
+                               / CAST(tot.true_total AS DOUBLE)
+                               * 1000000 + 0.5) / 1000000.0
+                    ELSE 0.0 END AS rel_err
+        FROM th CROSS JOIN est CROSS JOIN tot
     """
     # mirrors _q_shard_assign: the global_rank window order with the
     # identical snake formula

@@ -287,6 +287,7 @@ def _bench_once() -> dict:
         "label_centroid_dist",
         "shard_assign",
         "compression_ratio",
+        "ht_estimate",
     ]
     # INTERLEAVED repetitions + medians (VERDICT r2 #1): this container's
     # co-tenant jitter is ±30-50% and can hold a multi-second plateau —

@@ -287,3 +287,119 @@ def stratified_kfold(
             guard_fold(rank_fold, key_col="bucket"), batch_format="pandas"
         )
     )
+
+
+_HT_OUT_SCHEMA = pa.schema(
+    [
+        ("k", pa.int64()),
+        ("n_rows", pa.int64()),
+        ("threshold", pa.int64()),
+        ("estimate", pa.float64()),
+        ("true_total", pa.int64()),
+        ("rel_err", pa.float64()),
+    ]
+)
+
+
+def ht_estimate(
+    ds: "ray.data.Dataset",
+    *,
+    id_col: str = "doc_id",
+    value_col: str = "n_chars",
+    k: int = 100,
+) -> pa.Table:
+    """Priority-sampling Horvitz-Thompson total estimator (Duffield,
+    Lund & Thorup 2007) over the SAME deterministic bottom-k scheme as
+    ``weighted_sample`` — the self-verifying sampling eval: estimate
+    Σ value from k sampled rows and report the error against the exact
+    total computed alongside (the hll_eval/cms_eval family shape).
+
+    Under the integer scheme ``key = (h≫1)//w`` the inclusion rule
+    ``key < T`` (T = the (k+1)-th smallest key) is EXACTLY
+    ``u_int < T·w``, so p_i = min(1, T·w_i/2⁶³) and each HT term is
+    ``max(x_i, 2⁶³/T)`` — the classic priority-sampling estimator with
+    no approximation beyond md5 uniformity.  Terms are micro-quantized
+    then integer-summed (order-free), so the DuckDB mirror matches
+    bit-for-bit.  When the corpus has ≤ k rows the sample is the
+    corpus and the estimate is exact by construction (threshold 0
+    sentinel).
+
+    Shape: the weighted_sample bottom-(k+1) head/merge tail (bounded)
+    + one exact integer total fold; ≤ k+1 rows ever reach the
+    driver."""
+    import math
+
+    from docling_api_ray.functions.hashing import u64_md5
+
+    def head(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_pylist()
+        x = np.maximum(np.asarray(b[value_col], dtype=np.int64), 1)
+        h = u64_md5(np.array([str(i) for i in ids], dtype=object))
+        key = ((h >> np.uint64(1)) // x.astype(np.uint64)).astype(np.int64)
+        order = np.lexsort((np.asarray(ids, dtype=np.int64), key))[: k + 1]
+        xs = np.asarray(b[value_col], dtype=np.int64)
+        return pa.table(
+            {
+                "id": pa.array(
+                    np.asarray(ids, dtype=np.int64)[order], type=pa.int64()
+                ),
+                "x": pa.array(xs[order], type=pa.int64()),
+                "key": pa.array(key[order], type=pa.int64()),
+            }
+        )
+
+    rows = []
+    n_rows = 0
+    true_total = 0
+    heads = ds.map_batches(head, batch_format="pyarrow")
+    for blk in heads.iter_batches(batch_format="pyarrow"):
+        for r in blk.to_pylist():
+            rows.append((r["key"], r["id"], r["x"]))
+
+    def totals(b: pa.Table) -> pa.Table:
+        x = np.asarray(b[value_col], dtype=np.int64)
+        return pa.table(
+            {
+                "n": pa.array([len(b)], type=pa.int64()),
+                "sx": pa.array([int(x.sum())], type=pa.int64()),
+            }
+        )
+
+    for blk in ds.map_batches(totals, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        n_rows += int(np.asarray(blk["n"], dtype=np.int64).sum())
+        true_total += int(np.asarray(blk["sx"], dtype=np.int64).sum())
+
+    rows.sort()
+    # thresh == 0 (a key floored to zero at rank k+1 — needs a weight
+    # exceeding the 63-bit hash, ~impossible for real metrics) is the
+    # same exact-total sentinel branch as the ≤k corpus, mirroring the
+    # SQL CASE
+    if n_rows <= k or rows[k][0] == 0:
+        est = float(true_total)
+        thresh = 0
+    else:
+        thresh = rows[k][0]  # the (k+1)-th smallest key
+        tau = float(2**63) / float(thresh)
+        est_micro = sum(
+            int(math.floor(max(float(x), tau) * 1e6 + 0.5))
+            for _, _, x in rows[:k]
+        )
+        est = est_micro / 1e6
+    rel = (
+        (est - float(true_total)) / float(true_total)
+        if true_total > 0
+        else 0.0
+    )
+    q6 = lambda v: math.floor(v * 1e6 + 0.5) / 1e6
+    return pa.table(
+        {
+            "k": pa.array([k], type=pa.int64()),
+            "n_rows": pa.array([n_rows], type=pa.int64()),
+            "threshold": pa.array([thresh], type=pa.int64()),
+            "estimate": pa.array([est], type=pa.float64()),
+            "true_total": pa.array([true_total], type=pa.int64()),
+            "rel_err": pa.array([q6(rel)], type=pa.float64()),
+        }
+    )
