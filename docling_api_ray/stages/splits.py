@@ -348,10 +348,32 @@ def ht_estimate(
             }
         )
 
+    def merge(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["id"], dtype=np.int64)
+        key = np.asarray(b["key"], dtype=np.int64)
+        order = np.lexsort((ids, key))[: k + 1]
+        return pa.table(
+            {
+                "id": pa.array(ids[order], type=pa.int64()),
+                "x": pa.array(
+                    np.asarray(b["x"], dtype=np.int64)[order],
+                    type=pa.int64(),
+                ),
+                "key": pa.array(key[order], type=pa.int64()),
+            }
+        )
+
     rows = []
     n_rows = 0
     true_total = 0
-    heads = ds.map_batches(head, batch_format="pyarrow")
+    # per-block heads (≤ k+1 rows each) fold through ONE merge block
+    # (the weighted_sample tail) so the driver pull is ≤ k+1 rows, not
+    # blocks × (k+1)
+    heads = (
+        ds.map_batches(head, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(merge, batch_format="pyarrow", batch_size=None)
+    )
     for blk in heads.iter_batches(batch_format="pyarrow"):
         for r in blk.to_pylist():
             rows.append((r["key"], r["id"], r["x"]))
