@@ -12231,7 +12231,8 @@ def oracle_sql() -> dict[str, str]:
                     FROM c GROUP BY 1),
              cm AS (SELECT pred, CAST(sum(n) AS BIGINT) AS k
                     FROM c GROUP BY 1),
-             s AS (SELECT CAST(coalesce(sum(rm.r * cm.k), 0) AS HUGEINT)
+             s AS (SELECT CAST(coalesce(sum(CAST(rm.r AS HUGEINT)
+                                             * cm.k), 0) AS HUGEINT)
                      AS s
                    FROM rm JOIN cm ON rm.lang = cm.pred),
              raw AS (SELECT n.n,

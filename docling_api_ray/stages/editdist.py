@@ -207,7 +207,7 @@ def rouge_l_pairs(
     def keyed(b: pa.Table) -> pa.Table:
         if len(b) == 0:
             return keyed_schema.empty_table()
-        texts = b["text"].to_pylist()
+        texts = [t if t is not None else "" for t in b["text"].to_pylist()]
         prefixes = [t[:prefix_len] for t in texts]
         part = (u64_md5(prefixes) % np.uint64(P)).astype(np.int64)
         return pa.table(

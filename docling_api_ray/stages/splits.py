@@ -324,9 +324,11 @@ def ht_estimate(
     corpus and the estimate is exact by construction (threshold 0
     sentinel).
 
-    Shape: the weighted_sample bottom-(k+1) head/merge tail (bounded)
-    + one exact integer total fold; ≤ k+1 rows ever reach the
-    driver."""
+    Shape: ONE corpus pass — each block emits its bottom-(k+1) head
+    PLUS a totals sentinel row (n = -1 marker column discipline, the
+    poisson_bootstrap shape), folded through one merge block that
+    re-heads the candidates and sums the sentinels; ≤ k+2 rows ever
+    reach the driver."""
     import math
 
     from docling_api_ray.functions.hashing import u64_md5
@@ -338,37 +340,63 @@ def ht_estimate(
         key = ((h >> np.uint64(1)) // x.astype(np.uint64)).astype(np.int64)
         order = np.lexsort((np.asarray(ids, dtype=np.int64), key))[: k + 1]
         xs = np.asarray(b[value_col], dtype=np.int64)
+        # sentinel row (n >= 0) carries this block's exact (n, Σx);
+        # candidate rows have n = -1
         return pa.table(
             {
                 "id": pa.array(
-                    np.asarray(ids, dtype=np.int64)[order], type=pa.int64()
+                    np.append(np.asarray(ids, dtype=np.int64)[order], -1),
+                    type=pa.int64(),
                 ),
-                "x": pa.array(xs[order], type=pa.int64()),
-                "key": pa.array(key[order], type=pa.int64()),
+                "x": pa.array(
+                    np.append(xs[order], int(xs.sum())), type=pa.int64()
+                ),
+                "key": pa.array(
+                    np.append(key[order], 0), type=pa.int64()
+                ),
+                "n": pa.array(
+                    np.append(
+                        np.full(len(order), -1, dtype=np.int64), len(b)
+                    ),
+                    type=pa.int64(),
+                ),
             }
         )
 
     def merge(b: pa.Table) -> pa.Table:
         ids = np.asarray(b["id"], dtype=np.int64)
         key = np.asarray(b["key"], dtype=np.int64)
-        order = np.lexsort((ids, key))[: k + 1]
+        x = np.asarray(b["x"], dtype=np.int64)
+        n = np.asarray(b["n"], dtype=np.int64)
+        cand = n < 0
+        order = np.flatnonzero(cand)[
+            np.lexsort((ids[cand], key[cand]))[: k + 1]
+        ]
         return pa.table(
             {
-                "id": pa.array(ids[order], type=pa.int64()),
+                "id": pa.array(
+                    np.append(ids[order], -1), type=pa.int64()
+                ),
                 "x": pa.array(
-                    np.asarray(b["x"], dtype=np.int64)[order],
+                    np.append(x[order], int(x[~cand].sum())),
                     type=pa.int64(),
                 ),
-                "key": pa.array(key[order], type=pa.int64()),
+                "key": pa.array(
+                    np.append(key[order], 0), type=pa.int64()
+                ),
+                "n": pa.array(
+                    np.append(
+                        np.full(len(order), -1, dtype=np.int64),
+                        int(n[~cand].sum()),
+                    ),
+                    type=pa.int64(),
+                ),
             }
         )
 
     rows = []
     n_rows = 0
     true_total = 0
-    # per-block heads (≤ k+1 rows each) fold through ONE merge block
-    # (the weighted_sample tail) so the driver pull is ≤ k+1 rows, not
-    # blocks × (k+1)
     heads = (
         ds.map_batches(head, batch_format="pyarrow")
         .repartition(1)
@@ -376,22 +404,11 @@ def ht_estimate(
     )
     for blk in heads.iter_batches(batch_format="pyarrow"):
         for r in blk.to_pylist():
-            rows.append((r["key"], r["id"], r["x"]))
-
-    def totals(b: pa.Table) -> pa.Table:
-        x = np.asarray(b[value_col], dtype=np.int64)
-        return pa.table(
-            {
-                "n": pa.array([len(b)], type=pa.int64()),
-                "sx": pa.array([int(x.sum())], type=pa.int64()),
-            }
-        )
-
-    for blk in ds.map_batches(totals, batch_format="pyarrow").iter_batches(
-        batch_format="pyarrow"
-    ):
-        n_rows += int(np.asarray(blk["n"], dtype=np.int64).sum())
-        true_total += int(np.asarray(blk["sx"], dtype=np.int64).sum())
+            if r["n"] >= 0:
+                n_rows += int(r["n"])
+                true_total += int(r["x"])
+            else:
+                rows.append((r["key"], r["id"], r["x"]))
 
     rows.sort()
     # thresh == 0 (a key floored to zero at rank k+1 — needs a weight

@@ -1130,6 +1130,8 @@ def test_rouge_l_pairs_pinned():
     ]
     ds = ray.data.from_items(
         [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+        # a NULL text row must be tolerated (treated as empty), not crash
+        + [{"doc_id": len(texts), "text": None}]
     )
     out = rouge_l_pairs(ds, prefix_len=16, cap_words=200).take_all()
     got = {(r["left_id"], r["right_id"]): (r["lcs"], r["rouge_f"]) for r in out}
