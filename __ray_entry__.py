@@ -1084,6 +1084,18 @@ def _q_hill_tail_index(sf_dir: str):
             }
         )
     xk1 = int(rows[k]["n_chars"])
+    if xk1 <= 0:
+        # zero-length tail anchor (≤k+1 docs with an empty doc at rank
+        # k+1): the estimator is undefined — same sentinel as k<1
+        # instead of a ZeroDivisionError
+        return pa.table(
+            {
+                "k": pa.array([k], type=pa.int64()),
+                "x_k1": pa.array([xk1], type=pa.int64()),
+                "sum_nano": pa.array([0], type=pa.int64()),
+                "alpha": pa.array([None], type=pa.float64()),
+            }
+        )
     s_nano = 0
     for r in rows[:k]:
         ratio = float(int(r["n_chars"])) / float(xk1)
@@ -1394,7 +1406,14 @@ def _q_selfjoin_blowup(sf_dir: str):
                 [agg[c][3] for c in cols], type=pa.int64()
             ),
             "blowup": pa.array(
-                [agg[c][3] / agg[c][1] for c in cols], type=pa.float64()
+                # empty table → NULL, matching the mirror's
+                # sum(d*d)/sum(d) NULL semantics instead of a
+                # ZeroDivisionError
+                [
+                    agg[c][3] / agg[c][1] if agg[c][1] > 0 else None
+                    for c in cols
+                ],
+                type=pa.float64(),
             ),
         }
     )
@@ -1417,19 +1436,13 @@ def _q_dedup_normalized(sf_dir: str):
     P = shuffle_partitions()
 
     def digest(b: pa.Table) -> pa.Table:
-        import hashlib
+        from docling_api_ray.functions.hashing import u64_md5
 
         norm = ta.normalize_text(b)["norm_text"].to_pylist()
-        h = np.array(
-            [
-                int.from_bytes(
-                    hashlib.md5((t or "").encode()).digest()[:8], "little"
-                )
-                >> 1
-                for t in norm
-            ],
-            dtype=np.int64,
-        )
+        h = (
+            u64_md5(np.array([t or "" for t in norm], dtype=object))
+            >> np.uint64(1)
+        ).astype(np.int64)
         return pa.table(
             {
                 "h": pa.array(h, type=pa.int64()),
@@ -1825,7 +1838,7 @@ def _q_events_ewma(sf_dir: str):
         for i in range(1, len(ns)):  # domain-bounded sequential recursion
             x = float(ns[i])
             ratio[i] = x / s
-            s = _EWMA_ALPHA * x + 0.75 * s
+            s = _EWMA_ALPHA * x + (1.0 - _EWMA_ALPHA) * s
             ew[i] = s
         alert = np.zeros(len(ns), dtype=bool)
         alert[1:] = (ratio[1:] >= _EWMA_HI) | (ratio[1:] <= _EWMA_LO)
@@ -13567,7 +13580,8 @@ def oracle_sql() -> dict[str, str]:
           FROM ord WHERE r = 1
           UNION ALL
           SELECT o.event_type, o.day, o.n, o.r, ew.s,
-                 {_EWMA_ALPHA} * CAST(o.n AS DOUBLE) + 0.75 * ew.s
+                 {_EWMA_ALPHA} * CAST(o.n AS DOUBLE)
+                   + {1.0 - _EWMA_ALPHA} * ew.s
           FROM ord o JOIN ew ON ew.event_type = o.event_type
                             AND o.r = ew.r + 1)
         SELECT event_type, CAST(day AS BIGINT) AS day,

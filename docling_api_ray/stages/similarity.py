@@ -813,6 +813,18 @@ def mmr_select(
     ).take_all()
     by_id = {int(r["vec_id"]): np.asarray(r["embedding"], dtype=np.float64)
              for r in vec_rows}
+    if not ids:
+        # empty recall pool (empty dataset / exclude covers everything):
+        # a typed empty result, matching the other operators' empty
+        # contract, instead of np.stack crashing on zero arrays
+        return pa.table(
+            {
+                "rank": pa.array([], type=pa.int64()),
+                "vec_id": pa.array([], type=pa.int64()),
+                "cosine": pa.array([], type=pa.float64()),
+                "mmr_score": pa.array([], type=pa.float64()),
+            }
+        )
     M = _norm_rows(np.stack([by_id[i] for i in ids]))
     gram = _quant6(M @ M.T)
 

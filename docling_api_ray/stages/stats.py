@@ -1623,6 +1623,16 @@ def kendall_tau_b(
     cs = np.array([r["cnt"] for r in h], dtype=np.int64)
     xv, xi = np.unique(xs, return_inverse=True)
     yv, yi = np.unique(ys, return_inverse=True)
+    # the sparse guard above bounds OCCUPIED cells; the prefix-sum
+    # grids below are DENSE |X|·|Y| — bound that product by the same
+    # budget so correlated high-cardinality axes fail loudly instead
+    # of OOMing the driver on np.zeros
+    if len(xv) * len(yv) > max_cells:
+        raise ValueError(
+            f"kendall_tau_b: dense grid {len(xv):,}×{len(yv):,} > "
+            f"max_cells={max_cells:,} — bucket the values or raise "
+            "the guard"
+        )
     M = np.zeros((len(xv), len(yv)), dtype=np.int64)
     M[xi, yi] = cs
     # a[i, j] = pair mass with x' < x_i at column j

@@ -413,3 +413,22 @@ def test_mmr_select_matches_reference_and_diversifies():
     plain6 = set(order[:6].tolist())
     assert all(i < 8 for i in plain6)
     assert any(8 <= r["vec_id"] < 16 for r in out)
+
+
+def test_mmr_select_empty_pool():
+    """An empty recall pool (nothing to rank) returns a typed empty
+    table, not a crash."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from docling_api_ray.stages.similarity import mmr_select
+
+    empty = ray.data.from_arrow(
+        pa.schema(
+            [("vec_id", pa.int64()), ("embedding", pa.list_(pa.float32()))]
+        ).empty_table()
+    )
+    out = mmr_select(empty, np.ones(4, dtype=np.float64), k=3, pool=5)
+    assert out.num_rows == 0
+    assert out.column_names == ["rank", "vec_id", "cosine", "mmr_score"]
