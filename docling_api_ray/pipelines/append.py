@@ -482,8 +482,25 @@ def drop_docs(store_dir: str, doc_ids) -> dict:
     ids = sorted({int(i) for i in doc_ids})
     tdir = os.path.join(store_dir, "tombstones")
     os.makedirs(tdir, exist_ok=True)
-    n = len([f for f in os.listdir(tdir) if f.endswith(".json")])
-    _atomic_json(os.path.join(tdir, f"drop-{n}.json"), {"doc_ids": ids})
+    # monotonic max-index+1 with an O_EXCL claim: a count-based name
+    # collides when drops race or a leaf was removed, silently
+    # overwriting (and resurrecting) the loser's tombstones
+    existing = [
+        int(f[5:-5])
+        for f in os.listdir(tdir)
+        if f.startswith("drop-") and f[5:-5].isdigit()
+    ]
+    n = max(existing, default=-1) + 1
+    while True:
+        path = os.path.join(tdir, f"drop-{n}.json")
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            n += 1
+            continue
+        os.close(fd)
+        break
+    _atomic_json(path, {"doc_ids": ids})
     return {"n_dropped": len(ids)}
 
 
@@ -508,6 +525,25 @@ def tombstoned_ids(store_dir: str) -> np.ndarray:
     return np.array(sorted(ids), dtype=np.int64)
 
 
+def _recover_corpus_swap(store_dir: str) -> None:
+    """Finish (or roll back) an interrupted corpus-compaction root
+    swap: a kill between ``os.replace(corpus → corpus.old)`` and
+    ``os.replace(corpus.new → corpus)`` leaves NO corpus dir.  The
+    compaction record landed before the swap started, so rolling
+    FORWARD (promote ``corpus.new``) is the consistent repair; with no
+    ``.new`` staged, roll back ``corpus.old``.  Idempotent no-op when
+    ``corpus`` exists."""
+    corpus_root = os.path.join(store_dir, "corpus")
+    if os.path.isdir(corpus_root):
+        return
+    new_root, old_root = corpus_root + ".new", corpus_root + ".old"
+    if os.path.isdir(new_root) and os.listdir(new_root):
+        os.replace(new_root, corpus_root)
+        shutil.rmtree(old_root, ignore_errors=True)
+    elif os.path.isdir(old_root):
+        os.replace(old_root, corpus_root)
+
+
 def committed_corpus_dataset(
     store_dir: str,
     *,
@@ -520,6 +556,7 @@ def committed_corpus_dataset(
     commit record lands.  Tombstoned docs are masked at scan time (one
     vectorized ``np.isin`` per batch against the value-captured sorted
     drop list) unless ``apply_tombstones=False``."""
+    _recover_corpus_swap(store_dir)
     files = []
     for rec in committed_appends(store_dir):
         adir = os.path.join(store_dir, "corpus", f"append={rec['append_id']}")
@@ -662,6 +699,7 @@ def _compact_corpus(store_dir: str, *, fail_point: str | None = None) -> dict:
     records whose dirs the swap removed)."""
     out: dict[str, int] = {}
     corpus_root = os.path.join(store_dir, "corpus")
+    _recover_corpus_swap(store_dir)  # finish any interrupted root swap
     try:
         ds = committed_corpus_dataset(store_dir)  # tombstones applied
     except FileNotFoundError:
@@ -718,6 +756,9 @@ def _compact_corpus(store_dir: str, *, fail_point: str | None = None) -> dict:
     shutil.rmtree(old_root, ignore_errors=True)
     if os.path.isdir(corpus_root):
         os.replace(corpus_root, old_root)
+    if fail_point == "mid_swap":
+        # the no-corpus-dir window _recover_corpus_swap repairs
+        raise RuntimeError("injected failure mid root swap")
     os.replace(new_root, corpus_root)
     shutil.rmtree(old_root, ignore_errors=True)
     shutil.rmtree(stage, ignore_errors=True)

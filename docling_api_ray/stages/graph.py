@@ -134,7 +134,10 @@ def _graph_prep(
             )
         )
     )
-    loads = load_parts.groupby("component").sum("n")
+    # ONE materialization serves both the emptiness check and the max —
+    # loads.count() then loads.max() would execute the whole
+    # union+groupby census pipeline twice
+    loads = load_parts.groupby("component").sum("n").materialize()
     max_load = loads.max("sum(n)") if loads.count() else 0
 
     return {"pairs": pairs, "comp": comp, "edges": edges,
@@ -485,7 +488,14 @@ def _triangle_iterative(
         schemas=(swapped_schema, deg_schema),
     )
 
-    oriented_schema = pa.schema([("s", pa.int64()), ("d", pa.int64())])
+    # dd (the destination's degree) rides along so the wedge fold can
+    # order endpoint pairs by the SAME (deg, id) key that oriented the
+    # edges — raw-id pair order would miss triangles whose id order
+    # opposes their degree order (the closure merge would probe a
+    # direction that does not exist)
+    oriented_schema = pa.schema(
+        [("s", pa.int64()), ("d", pa.int64()), ("dd", pa.int64())]
+    )
 
     def orient(b: pa.Table) -> pa.Table:
         if len(b) == 0:
@@ -496,7 +506,11 @@ def _triangle_iterative(
         db = np.asarray(b["deg"], dtype=np.int64)
         keep = (da < db) | ((da == db) & (a < bb))
         return pa.table(
-            {"s": pa.array(a[keep]), "d": pa.array(bb[keep])}
+            {
+                "s": pa.array(a[keep]),
+                "d": pa.array(bb[keep]),
+                "dd": pa.array(db[keep]),
+            }
         )
 
     oriented = both.map_batches(orient, batch_format="pyarrow").materialize()
@@ -504,7 +518,12 @@ def _triangle_iterative(
     # wedges: co-group oriented edges by center hash, per-partition
     # pandas self-merge emits each center's ordered out-neighbor pairs
     tag_schema = pa.schema(
-        [("s", pa.int64()), ("d", pa.int64()), ("__part", pa.int64())]
+        [
+            ("s", pa.int64()),
+            ("d", pa.int64()),
+            ("dd", pa.int64()),
+            ("__part", pa.int64()),
+        ]
     )
 
     def tag_center(b: pa.Table) -> pa.Table:
@@ -512,7 +531,12 @@ def _triangle_iterative(
             return tag_schema.empty_table()
         s = np.asarray(b["s"], dtype=np.int64)
         return pa.table(
-            {"s": b["s"], "d": b["d"], "__part": pa.array(s % P)}
+            {
+                "s": b["s"],
+                "d": b["d"],
+                "dd": b["dd"],
+                "__part": pa.array(s % P),
+            }
         )
 
     wedge_schema = pa.schema(
@@ -520,9 +544,15 @@ def _triangle_iterative(
     )
 
     def wedge_fold(g: pd.DataFrame) -> pa.Table:
-        E = g[["s", "d"]]
+        E = g[["s", "d", "dd"]]
         W = E.merge(E, on="s", suffixes=("_x", "_y"))
-        W = W[W["d_x"] < W["d_y"]]
+        # order the endpoint pair by (deg, id) — the edge orientation
+        # key — NOT raw id, so the closure probe matches the oriented
+        # edge's actual direction
+        W = W[
+            (W["dd_x"] < W["dd_y"])
+            | ((W["dd_x"] == W["dd_y"]) & (W["d_x"] < W["d_y"]))
+        ]
         return pa.table(
             {
                 "c": pa.array(W["s"].to_numpy(np.int64)),

@@ -898,12 +898,18 @@ def token_budget_select(
             break
     if boundary is not None:
         t, remaining = boundary
-        # no projection AFTER the filter: a fused empty-input
-        # filter→project chain re-emits the unprojected schema and
-        # trips the executor's schema-mismatch warning (see the
-        # test_no_schema_warnings sweep); the extra score column on
-        # tie rows is noise-free since the layer is already bounded
-        tie = ds.filter(expr=f"{score_col} == {t}").take_all()
+        # project BEFORE the filter (projection AFTER a fused
+        # empty-input filter chain re-emits the unprojected schema and
+        # trips the executor's schema-mismatch warning — see the
+        # test_no_schema_warnings sweep): the boundary pull must not
+        # ship payload columns (text!) to the driver — max_tie_rows
+        # bounds ROWS, and only the three narrow columns keep that a
+        # byte bound too
+        tie = (
+            ds.select_columns([id_col, weight_col, score_col])
+            .filter(expr=f"{score_col} == {t}")
+            .take_all()
+        )
         if len(tie) > max_tie_rows:
             raise ValueError(
                 f"token_budget_select: boundary layer {t} has "

