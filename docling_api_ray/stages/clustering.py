@@ -164,7 +164,7 @@ def kmeans_assign(
     # dataset sort — the corpus never crosses an all-to-all for k rows
     def init_head(b: pa.Table) -> pa.Table:
         df = b.to_pandas().sort_values("vec_id", kind="stable").head(k)
-        return pa.Table.from_pandas(df, preserve_index=False).cast(b.schema)
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None).cast(b.schema)
 
     init_rows = (
         ds.map_batches(init_head, batch_format="pyarrow")
@@ -227,7 +227,7 @@ def cluster_outliers(
         df = b.to_pandas().sort_values(
             ["dist", "vec_id"], ascending=[False, True], kind="stable"
         ).head(top)
-        return pa.Table.from_pandas(df, preserve_index=False).cast(b.schema)
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None).cast(b.schema)
 
     return (
         asg.map_batches(head, batch_format="pyarrow")

@@ -94,7 +94,7 @@ def exact_dedup(
         out.columns = ["content_hash", id_col, "n_dups"]
         # typed Arrow output pins the block schema (empty pandas frames
         # otherwise surface schema-less blocks → executor warnings)
-        return pa.Table.from_pandas(out, schema=out_schema, preserve_index=False)
+        return pa.Table.from_pandas(out, schema=out_schema, preserve_index=False).replace_schema_metadata(None)
 
     return _cogrouped(hashed, "__ckey", coalesce=True).map_groups(
         fold, batch_format="pandas"
@@ -124,7 +124,7 @@ def exact_dedup_rows(
         out = out.drop(columns=[c for c in drop_cols if c in out.columns])
         return pa.Table.from_pandas(
             out, preserve_index=False
-        ).select(out_schema.names).cast(out_schema)
+        ).replace_schema_metadata(None).select(out_schema.names).cast(out_schema)
 
     return _cogrouped(hashed, "__ckey").map_groups(fold, batch_format="pandas")
 
@@ -807,7 +807,7 @@ def connected_components(
             g, schema=pa.schema(
                 [("node", pa.int64()), ("component", pa.int64())]
             ), preserve_index=False,
-        )
+        ).replace_schema_metadata(None)
 
     labels = (
         _cogrouped(
@@ -1377,7 +1377,7 @@ def prefix_filter_pairs(
             .sort_values(["n", "thash"], ascending=[False, True], kind="stable")
             .head(top_f)
         )
-        return pa.Table.from_pandas(df, preserve_index=False).cast(
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None).cast(
             pa.schema([("thash", pa.int64()), ("n", pa.int64())])
         )
 
@@ -1739,7 +1739,7 @@ def paragraph_dedup(
         )
         return pa.Table.from_pandas(
             out, schema=marked_schema, preserve_index=False
-        )
+        ).replace_schema_metadata(None)
 
     marked = _cogrouped(exploded, "__pkey", coalesce_rows=65_536).map_groups(
         mark_winners, batch_format="pandas"
@@ -1771,7 +1771,7 @@ def paragraph_dedup(
         )
         return pa.Table.from_pandas(
             out, schema=out_schema, preserve_index=False
-        )
+        ).replace_schema_metadata(None)
 
     return _cogrouped(marked, id_col, coalesce_rows=65_536).map_groups(
         reassemble, batch_format="pandas"
@@ -1835,7 +1835,7 @@ def boilerplate_strip(
         )
         return pa.Table.from_pandas(
             out, schema=marked_schema, preserve_index=False
-        )
+        ).replace_schema_metadata(None)
 
     marked = _cogrouped(exploded, "__pkey", coalesce_rows=65_536).map_groups(
         mark_df, batch_format="pandas"
@@ -1869,7 +1869,7 @@ def boilerplate_strip(
         )
         return pa.Table.from_pandas(
             out, schema=out_schema, preserve_index=False
-        )
+        ).replace_schema_metadata(None)
 
     return _cogrouped(marked, id_col, coalesce_rows=65_536).map_groups(
         reassemble, batch_format="pandas"
@@ -1990,7 +1990,7 @@ def dup_ngram_coverage(
         )
         return pa.Table.from_pandas(
             d, schema=partial_schema, preserve_index=False
-        )
+        ).replace_schema_metadata(None)
 
     grams = ds.select_columns([id_col, text_col]).map_batches(
         gram_rows, batch_format="pyarrow"
@@ -2003,7 +2003,7 @@ def dup_ngram_coverage(
         )
         return pa.Table.from_pandas(
             d, schema=partial_schema, preserve_index=False
-        )
+        ).replace_schema_metadata(None)
 
     dups = _cogrouped(partials, id_col).map_groups(
         fold_doc, batch_format="pandas"
@@ -2251,7 +2251,7 @@ def dup_span_strip(
         out = pd.DataFrame({id_col: doc, "cov": cov}).drop_duplicates()
         return pa.Table.from_pandas(
             out, schema=cov_schema, preserve_index=False
-        )
+        ).replace_schema_metadata(None)
 
     occ = ds.select_columns([id_col, text_col]).map_batches(
         occ_rows, batch_format="pyarrow"

@@ -283,7 +283,7 @@ def broadcast_join(
             lnames = [c for c in b.column_names if c != on]
             return pa.Table.from_pandas(
                 merged[[on] + lnames + rnames], preserve_index=False
-            )
+            ).replace_schema_metadata(None)
 
     # bundle before attach for the same reason hash_join bundles before
     # tag(): a selective caller filter fused in front can empty a whole
@@ -371,7 +371,7 @@ def asof_join_events(
         return pa.Table.from_pandas(
             merged[["event_id", key, "ts_us", "matched_event_id", "matched_ts_us"]],
             preserve_index=False,
-        ).cast(out_schema)
+        ).replace_schema_metadata(None).cast(out_schema)
 
     from docling_api_ray.stages.common import coalesce_narrow
 

@@ -165,7 +165,7 @@ def mixture_select(
             out[[id_col, source_col, "hkey", "quota"]],
             schema=out_schema,
             preserve_index=False,
-        )
+        ).replace_schema_metadata(None)
 
     def final(df) -> pa.Table:
         import pandas as pd
@@ -186,7 +186,7 @@ def mixture_select(
             out[[id_col, source_col, "hkey", "quota"]],
             schema=out_schema,
             preserve_index=False,
-        )
+        ).replace_schema_metadata(None)
 
     from docling_api_ray.stages.common import coalesce_narrow
 

@@ -126,6 +126,6 @@ def pack_chunks(
                 "chunk_pos": off % chunk_tokens,
             }
         )
-        return pa.Table.from_pandas(out, schema=out_schema, preserve_index=False)
+        return pa.Table.from_pandas(out, schema=out_schema, preserve_index=False).replace_schema_metadata(None)
 
     return bundled.groupby("__bkey").map_groups(assign, batch_format="pandas")

@@ -214,7 +214,7 @@ def pq_knn(
             g[["query_id", "vec_id", "adc", "rank"]],
             schema=_PQ_SCHEMA,
             preserve_index=False,
-        )
+        ).replace_schema_metadata(None)
 
     return (
         partial.repartition(_reduce_partitions(len(query_ids)))

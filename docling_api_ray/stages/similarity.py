@@ -117,7 +117,7 @@ def _final_topk(k: int):
             g[["query_id", "vec_id", "cosine", "rank"]],
             schema=_TOPK_SCHEMA,
             preserve_index=False,
-        )
+        ).replace_schema_metadata(None)
 
     return reduce_group
 

@@ -76,7 +76,7 @@ def grouped_int_quantiles(
                 + [(name, pa.int64()) for name in names]
             ),
             preserve_index=False,
-        )
+        ).replace_schema_metadata(None)
 
     # the histogram fold already ends in one small block; the quantile
     # extraction is a single vectorized pass over it
@@ -371,7 +371,7 @@ def robust_stats_by_group(
                 ]
             ),
             preserve_index=False,
-        )
+        ).replace_schema_metadata(None)
 
     return hist.map_batches(
         lambda b: extract(b.to_pandas()),
@@ -958,7 +958,7 @@ def grouped_weighted_quantiles(
             return pa.schema(fields).empty_table()
         return pa.Table.from_pandas(
             pd.DataFrame(rows), schema=pa.schema(fields), preserve_index=False
-        )
+        ).replace_schema_metadata(None)
 
     return hist.map_batches(
         lambda b: extract(b.to_pandas()),
@@ -1227,7 +1227,7 @@ def grouped_gini(
             return schema.empty_table()
         return pa.Table.from_pandas(
             pd.DataFrame(rows), schema=schema, preserve_index=False
-        )
+        ).replace_schema_metadata(None)
 
     return hist.map_batches(
         lambda b: extract(b.to_pandas()),
@@ -1313,7 +1313,7 @@ def grouped_roc_auc(
             return schema.empty_table()
         return pa.Table.from_pandas(
             pd.DataFrame(rows), schema=schema, preserve_index=False
-        )
+        ).replace_schema_metadata(None)
 
     return hist.map_batches(
         lambda b: extract(b.to_pandas()),
@@ -1482,7 +1482,7 @@ def grouped_ks_drift(
             return schema.empty_table()
         return pa.Table.from_pandas(
             pd.DataFrame(rows), schema=schema, preserve_index=False
-        )
+        ).replace_schema_metadata(None)
 
     return hist.map_batches(
         lambda b: extract(b.to_pandas()),
@@ -1576,7 +1576,7 @@ def grouped_psi(
             return schema.empty_table()
         return pa.Table.from_pandas(
             pd.DataFrame(rows), schema=schema, preserve_index=False
-        )
+        ).replace_schema_metadata(None)
 
     return hist.map_batches(
         lambda b: extract(b.to_pandas()),

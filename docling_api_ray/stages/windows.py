@@ -157,7 +157,7 @@ def session_windows(
         agg["sum_value"] = quantize6_np(agg["sum_value"].to_numpy())
         return pa.Table.from_pandas(
             agg.reset_index(drop=True), preserve_index=False
-        ).cast(out_schema)
+        ).replace_schema_metadata(None).cast(out_schema)
 
     return (
         coalesce_narrow(ds.map_batches(add_part, batch_format="pyarrow"))
@@ -559,7 +559,7 @@ def session_transitions(
         )
         return pa.Table.from_pandas(
             g[["from_type", "to_type", "n"]], preserve_index=False
-        ).cast(t_schema).replace_schema_metadata(None)
+        ).replace_schema_metadata(None).cast(t_schema).replace_schema_metadata(None)
 
     partials = (
         coalesce_narrow(ds.map_batches(add_part, batch_format="pyarrow"))
@@ -624,7 +624,7 @@ def top_event_per_user(
         first = first.rename(columns={"event_type": "top_type"})
         return pa.Table.from_pandas(
             first[[key, "top_type", "n"]], preserve_index=False
-        ).cast(out_schema).replace_schema_metadata(None)
+        ).replace_schema_metadata(None).cast(out_schema).replace_schema_metadata(None)
 
     return (
         coalesce_narrow(ds.map_batches(partial, batch_format="pyarrow"))
@@ -720,7 +720,7 @@ def rolling_active_users(
         g["day_start"] = g["report_day"] * 86_400
         return pa.Table.from_pandas(
             g[["day_start", "active_users"]], preserve_index=False
-        ).cast(out_schema).replace_schema_metadata(None)
+        ).replace_schema_metadata(None).cast(out_schema).replace_schema_metadata(None)
 
     return (
         coalesce_narrow(pairs.map_batches(fan_out, batch_format="pyarrow"))
@@ -783,7 +783,7 @@ def grouped_running_total(
         g[out] = g.groupby(key, sort=False)["vq"].cumsum()
         return pa.Table.from_pandas(
             g[[key, *order, out]], preserve_index=False
-        ).cast(out_schema).replace_schema_metadata(None)
+        ).replace_schema_metadata(None).cast(out_schema).replace_schema_metadata(None)
 
     return (
         coalesce_narrow(ds.map_batches(keyed, batch_format="pyarrow"))
@@ -962,7 +962,7 @@ def user_decay_score(
         )
         return pa.Table.from_pandas(
             g, schema=_DECAY_SCHEMA, preserve_index=False
-        )
+        ).replace_schema_metadata(None)
 
     return (
         coalesce_narrow(
@@ -1455,7 +1455,7 @@ def event_debounce(
             .agg(n_total=(type_col, "size"), n_kept=("__keep", "sum"))
             .reset_index()
         )
-        return pa.Table.from_pandas(agg, preserve_index=False).cast(
+        return pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None).cast(
             pa.schema(
                 [
                     (type_col, pa.string()),
